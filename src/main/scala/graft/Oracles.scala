@@ -1,0 +1,360 @@
+package graft
+
+/** DuckDB oracle SQL mirroring each SparkEntry query (SURVEY.md §6).
+  *
+  * Float discipline, shared with the Spark side:
+  *  - money sums:  CAST(ROUND(SUM(CAST(x AS DECIMAL(18,4))),2) AS DOUBLE)
+  *    (exact, order-independent, identical bits in both engines)
+  *  - means:       CAST(SUM(decimal) AS DOUBLE)/COUNT(*)  (one fp divide)
+  *  - dot/cosine:  strict left fold — list_reduce(list_prepend(0.0, …))
+  *    mirrors Spark's `aggregate` sequential fold
+  *  - DuckDB-only type quirks normalized: SUM(int)→CAST BIGINT,
+  *    rank/ntile→CAST INT, len()→CAST BIGINT, events.ts→CAST TIMESTAMP.
+  */
+object Oracles {
+  private def msum(x: String) =
+    s"CAST(ROUND(SUM(CAST($x AS DECIMAL(18,4))),2) AS DOUBLE)"
+  private val disc =
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+
+  val sql: Map[String, String] = Map(
+    "q01_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         ${msum("l_quantity")} AS sum_qty,
+         ${msum("l_extendedprice")} AS sum_base_price,
+         CAST(ROUND(SUM($disc),2) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS avg_qty,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+         FROM lineitem WHERE l_quantity >= 45 AND l_discount > 0.05
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q03_join_agg" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         CAST(ROUND(SUM($disc),2) AS DOUBLE) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+           AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 20""",
+
+    "q04_semijoin" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q05_multijoin" ->
+      s"""SELECT n_name, CAST(ROUND(SUM($disc),2) AS DOUBLE) AS revenue
+         FROM region, nation, customer, orders, lineitem, supplier
+         WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+           AND c_nationkey = n_nationkey AND o_custkey = c_custkey
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+           AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+           AND s_nationkey = c_nationkey
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "q06_selective_agg" ->
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+           AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""",
+
+    "q07_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+
+    "q08_outer_join" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+           SELECT c_custkey, COUNT(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders
+             ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+           GROUP BY c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+
+    "q09_distinct" ->
+      """SELECT l_returnflag,
+         COUNT(DISTINCT l_partkey) AS distinct_parts,
+         COUNT(DISTINCT l_suppkey) AS distinct_supps,
+         COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q10_topk" ->
+      """SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
+
+    "q11_having" ->
+      s"""SELECT l_suppkey, total_qty FROM (
+           SELECT l_suppkey, ${msum("l_quantity")} AS total_qty
+           FROM lineitem GROUP BY l_suppkey)
+         WHERE total_qty > 15000.0 ORDER BY l_suppkey""",
+
+    "q12_case_pivot" ->
+      """SELECT l_linestatus,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+         CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+         FROM orders JOIN lineitem
+           ON o_orderkey = l_orderkey AND l_shipdate >= o_orderdate
+         GROUP BY l_linestatus ORDER BY l_linestatus""",
+
+    "q13_scalar_subquery" ->
+      s"""SELECT ${msum("l_extendedprice")} AS total_small_qty_price
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         JOIN (SELECT l_partkey AS t_partkey,
+                      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*)*0.2 AS qty_threshold
+               FROM lineitem GROUP BY l_partkey) t ON l_partkey = t_partkey
+         WHERE p_brand = 'Brand#23' AND l_quantity < qty_threshold""",
+
+    "q14_in_subquery" ->
+      s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         ${msum("l_quantity")} AS total_qty
+         FROM customer, orders, lineitem
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+                              HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 120)
+           AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+
+    "q15_union" ->
+      s"""SELECT src, COUNT(*) AS n, ${msum("v")} AS total FROM (
+           SELECT 'order' AS src, o_totalprice AS v FROM orders WHERE o_orderstatus = 'O'
+           UNION ALL
+           SELECT 'line' AS src, l_extendedprice AS v FROM lineitem WHERE l_returnflag = 'R')
+         GROUP BY src ORDER BY src""",
+
+    "q16_intersect_except" ->
+      """SELECT 'both' AS tag, COUNT(*) AS n FROM (
+           SELECT l_partkey FROM lineitem WHERE l_returnflag='R'
+           INTERSECT
+           SELECT l_partkey FROM lineitem WHERE l_returnflag='A')
+         UNION ALL
+         SELECT 'only_r' AS tag, COUNT(*) AS n FROM (
+           SELECT l_partkey FROM lineitem WHERE l_returnflag='R'
+           EXCEPT
+           SELECT l_partkey FROM lineitem WHERE l_returnflag='A')
+         ORDER BY tag""",
+
+    "q17_rollup" ->
+      s"""SELECT n_name, c_mktsegment, COUNT(*) AS n_cust, ${msum("c_acctbal")} AS total_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY ROLLUP(n_name, c_mktsegment)
+         ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""",
+
+    "q18_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${msum("l_quantity")} AS total_qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q19_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+         CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+         COUNT(*) AS n, ${msum("o_totalprice")} AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, g_status, g_prio""",
+
+    "q20_cte_selfjoin" ->
+      """WITH s AS (SELECT s_suppkey, s_nationkey FROM supplier)
+         SELECT a.s_suppkey AS s1, b.s_suppkey AS s2, n_name
+         FROM s a JOIN s b ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+         JOIN nation ON a.s_nationkey = n_nationkey
+         ORDER BY s1, s2""",
+
+    "q21_string_funcs" ->
+      """SELECT p_partkey, UPPER(p_name) AS uname, SUBSTRING(p_name, 1, 4) AS pfx,
+         CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+         CONCAT_WS('/', p_brand, p_type) AS brand_type,
+         REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS devoweled
+         FROM part WHERE REGEXP_MATCHES(p_name, '(gold|blue)')
+         ORDER BY p_partkey""",
+
+    "q22_date_funcs" ->
+      s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+         CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+         COUNT(*) AS n, ${msum("o_totalprice")} AS total
+         FROM orders GROUP BY yr, mo ORDER BY yr, mo""",
+
+    "q23_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
+         COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q30_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk, drnk, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(RANK()       OVER w AS INT) AS rnk,
+             CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+             CAST(ROW_NUMBER() OVER w AS INT) AS rn
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+         WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""",
+
+    "q31_window_running" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+           PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+           ROWS UNBOUNDED PRECEDING),2) AS DOUBLE) AS running_value
+         FROM events ORDER BY user_id, ts, event_id""",
+
+    "q32_window_lag" ->
+      """SELECT event_id, user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(LAG(CAST(ts AS TIMESTAMP), 1) OVER (
+           PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)) AS gap_us
+         FROM events ORDER BY user_id, event_id""",
+
+    "q33_window_ntile" ->
+      s"""SELECT decile, COUNT(*) AS n, ${msum("o_totalprice")} AS total FROM (
+           SELECT o_totalprice,
+             CAST(NTILE(10) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS decile
+           FROM orders)
+         GROUP BY decile ORDER BY decile""",
+
+    "q34_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         f AS (SELECT user_id, event_id, ts,
+           CASE WHEN LAG(ts,1) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts,1) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, event_id,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         FROM f ORDER BY user_id, event_id""",
+
+    "q35_session_stats" ->
+      """WITH e AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         f AS (SELECT user_id, event_id, value, ts,
+           CASE WHEN LAG(ts,1) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts,1) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, event_id, value, ts,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           FROM f)
+         SELECT user_id, session_seq, COUNT(*) AS n_events,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS total_value
+         FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
+
+    "q36_event_funnel" ->
+      """SELECT COUNT(*) AS converted_users FROM (
+           SELECT user_id,
+             MIN(CASE WHEN event_type='signup'   THEN CAST(ts AS TIMESTAMP) END) AS fs,
+             MAX(CASE WHEN event_type='purchase' THEN CAST(ts AS TIMESTAMP) END) AS lp
+           FROM events GROUP BY user_id)
+         WHERE fs IS NOT NULL AND lp > fs""",
+
+    "q37_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+         COUNT(*) AS n FROM events GROUP BY k_mod ORDER BY k_mod""",
+
+    "q40_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+         FROM documents GROUP BY lower(trim(text)) ORDER BY keep_id""",
+
+    "q41_dedup_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+         grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+           FROM toks WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+         cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+           FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT doc_a, doc_b, common, sa.n AS na, sb.n AS nb,
+           CAST(common AS DOUBLE)/(sa.n + sb.n - common) AS jaccard
+         FROM cm JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE CAST(common AS DOUBLE)/(sa.n + sb.n - common) > 0.8
+         ORDER BY doc_a, doc_b""",
+
+    "q44_ann_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(v, x -> x*x)), (a,b) -> a+b)) AS norm FROM e),
+         p AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1,65), i -> q.v[i]*c.v[i])), (a,b) -> a+b)
+             / (q.norm * c.norm) AS cos
+           FROM n q JOIN n c ON q.vec_id <> c.vec_id WHERE q.vec_id < 20),
+         r AS (SELECT qid, nid, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rk
+           FROM p)
+         SELECT qid, nid, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""",
+
+    "q46_embed_dedup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(v, x -> x*x)), (a,b) -> a+b)) AS norm FROM e),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1,65), i -> a.v[i]*b.v[i])), (x,y) -> x+y)
+             / (a.norm * b.norm) AS cos
+           FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, cos FROM p WHERE cos > 0.4 ORDER BY id_a, id_b""",
+
+    "q47_langid" ->
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents),
+         s AS (SELECT doc_id, lang,
+           CAST(SUM(CASE WHEN tok IN ('the','a','order','column','vector') THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+           CAST(SUM(CASE WHEN tok IN ('fast','spark','customer','filter','sort') THEN 1 ELSE 0 END) AS BIGINT) AS s_es,
+           CAST(SUM(CASE WHEN tok IN ('agg','table','key','scan','part') THEN 1 ELSE 0 END) AS BIGINT) AS s_de,
+           CAST(SUM(CASE WHEN tok IN ('join','window','merge','line','group') THEN 1 ELSE 0 END) AS BIGINT) AS s_fr,
+           CAST(SUM(CASE WHEN tok IN ('stream','row','query','batch','data') THEN 1 ELSE 0 END) AS BIGINT) AS s_zh
+           FROM toks GROUP BY doc_id, lang)
+         SELECT doc_id, lang,
+           CASE WHEN s_en>=s_es AND s_en>=s_de AND s_en>=s_fr AND s_en>=s_zh THEN 'en'
+                WHEN s_es>=s_en AND s_es>=s_de AND s_es>=s_fr AND s_es>=s_zh THEN 'es'
+                WHEN s_de>=s_en AND s_de>=s_es AND s_de>=s_fr AND s_de>=s_zh THEN 'de'
+                WHEN s_fr>=s_en AND s_fr>=s_es AND s_fr>=s_de AND s_fr>=s_zh THEN 'fr'
+                ELSE 'zh' END AS pred_lang,
+           s_en, s_es, s_de, s_fr, s_zh
+         FROM s ORDER BY doc_id""",
+
+    "q48_quality_score" ->
+      """WITH b AS (SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT) AS n_distinct,
+           CAST(len(list_filter(string_split(trim(text), ' '),
+             t -> lower(t) IN ('the','a','and','of','data','row'))) AS BIGINT) AS n_stop
+           FROM documents),
+         r AS (SELECT *,
+           CAST(n_distinct AS DOUBLE)/n_tokens AS ttr,
+           least(1.0, CAST(n_tokens AS DOUBLE)/100.0) AS len_score,
+           CAST(n_stop AS DOUBLE)/n_tokens AS stop_ratio
+           FROM b)
+         SELECT doc_id, n_tokens, n_distinct, n_stop, ttr, len_score, stop_ratio,
+           ttr*0.4 + len_score*0.3 + stop_ratio*0.3 AS quality
+         FROM r ORDER BY doc_id""",
+
+    "q49_token_count" ->
+      """SELECT doc_id,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens,
+         n_chars,
+         CAST(n_chars AS DOUBLE)/CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS chars_per_token
+         FROM documents ORDER BY doc_id""",
+
+    "q50_fingerprint" ->
+      """SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+           (h, c) -> (h*31 + c) % 1000000007) AS fingerprint
+         FROM documents ORDER BY doc_id"""
+  )
+}

@@ -1,13 +1,70 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+import graft.Tables._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  * Each entry is an operator family from §2; oracle SQL lives in
+  * [[Oracles]] (DuckDB dialect, value-identical by construction). */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query (TPC-H Q5 shape, 6-table join) on sf=0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    Relational.q05(region(spark, d), nation(spark, d), customer(spark, d),
+      orders(spark, d), lineitem(spark, d), supplier(spark, d))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2a relational core
+    "q01_agg"              -> ((s, d) => Relational.q01(lineitem(s, d))),
+    "q02_filter_project"   -> ((s, d) => Relational.q02(lineitem(s, d))),
+    "q03_join_agg"         -> ((s, d) => Relational.q03(customer(s, d), orders(s, d), lineitem(s, d))),
+    "q04_semijoin"         -> ((s, d) => Relational.q04(orders(s, d), lineitem(s, d))),
+    "q05_multijoin"        -> ((s, d) => Relational.q05(region(s, d), nation(s, d), customer(s, d), orders(s, d), lineitem(s, d), supplier(s, d))),
+    "q06_selective_agg"    -> ((s, d) => Relational.q06(lineitem(s, d))),
+    "q07_antijoin"         -> ((s, d) => Relational.q07(customer(s, d), orders(s, d))),
+    "q08_outer_join"       -> ((s, d) => Relational.q08(customer(s, d), orders(s, d))),
+    "q09_distinct"         -> ((s, d) => Relational.q09(lineitem(s, d))),
+    "q10_topk"             -> ((s, d) => Relational.q10(orders(s, d))),
+    "q11_having"           -> ((s, d) => Relational.q11(lineitem(s, d))),
+    "q12_case_pivot"       -> ((s, d) => Relational.q12(orders(s, d), lineitem(s, d))),
+    "q13_scalar_subquery"  -> ((s, d) => Relational.q13(part(s, d), lineitem(s, d))),
+    "q14_in_subquery"      -> ((s, d) => Relational.q14(customer(s, d), orders(s, d), lineitem(s, d))),
+    "q15_union"            -> ((s, d) => Relational.q15(orders(s, d), lineitem(s, d))),
+    "q16_intersect_except" -> ((s, d) => Relational.q16(lineitem(s, d))),
+    "q17_rollup"           -> ((s, d) => Relational.q17(customer(s, d), nation(s, d))),
+    "q18_cube"             -> ((s, d) => Relational.q18(lineitem(s, d))),
+    "q19_grouping_sets"    -> ((s, d) => Relational.q19(orders(s, d))),
+    "q20_cte_selfjoin"     -> ((s, d) => Relational.q20(supplier(s, d), nation(s, d))),
+    "q21_string_funcs"     -> ((s, d) => Relational.q21(part(s, d))),
+    "q22_date_funcs"       -> ((s, d) => Relational.q22(orders(s, d))),
+    "q23_percentile"       -> ((s, d) => Relational.q23(lineitem(s, d))),
+    "q24_approx_sketch"    -> ((s, d) => Relational.q24(lineitem(s, d))),
+    // §2b window / event analytics
+    "q30_window_rank"      -> ((s, d) => Events.q30(orders(s, d))),
+    "q31_window_running"   -> ((s, d) => Events.q31(events(s, d))),
+    "q32_window_lag"       -> ((s, d) => Events.q32(events(s, d))),
+    "q33_window_ntile"     -> ((s, d) => Events.q33(orders(s, d))),
+    "q34_sessionize"       -> ((s, d) => Events.q34(events(s, d))),
+    "q35_session_stats"    -> ((s, d) => Events.q35(events(s, d))),
+    "q36_event_funnel"     -> ((s, d) => Events.q36(events(s, d))),
+    "q37_json_extract"     -> ((s, d) => Events.q37(events(s, d))),
+    // §2c LLM-data-pipeline
+    "q40_dedup_exact"          -> ((s, d) => Dedup.q40(documents(s, d))),
+    "q41_dedup_ngram_jaccard"  -> ((s, d) => Dedup.q41(documents(s, d))),
+    "q42_dedup_minhash_lsh"    -> ((s, d) => Dedup.q42(documents(s, d))),
+    "q43_dedup_simhash"        -> ((s, d) => Dedup.q43(documents(s, d))),
+    "q44_ann_cosine_topk"      -> ((s, d) => Similarity.q44(embeddings(s, d))),
+    "q45_ann_lsh"              -> ((s, d) => Similarity.q45(embeddings(s, d))),
+    "q46_embed_dedup"          -> ((s, d) => Similarity.q46(embeddings(s, d))),
+    "q47_langid"               -> ((s, d) => TextAnalysis.q47(documents(s, d))),
+    "q48_quality_score"        -> ((s, d) => TextAnalysis.q48(documents(s, d))),
+    "q49_token_count"          -> ((s, d) => TextAnalysis.q49(documents(s, d))),
+    "q50_fingerprint"          -> ((s, d) => TextAnalysis.q50(documents(s, d))),
+    "q51_multimodal_meta"      -> ((s, d) => Multimodal.q51(s, documents(s, d)))
+  )
+
+  def oracleSql: Map[String, String] = Oracles.sql
 }

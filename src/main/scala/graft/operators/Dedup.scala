@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2c).
+  *
+  * Scale design: none of the near-dup paths does an O(n²) cross join.
+  * Candidate pairs come from equi-joins on blocking keys (shared shingle,
+  * LSH band signature, SimHash band) so shuffle volume is proportional
+  * to candidate pairs, not to n². Exact Jaccard verification runs only
+  * over candidates.
+  */
+object Dedup {
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, g). */
+  def shingles(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("w")) - 2, lit(1)), i =>
+          concat_ws(" ",
+            element_at(col("w"), i),
+            element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2))))).as("g"))
+
+  /** q40: exact dedup — group identical normalized text, keep min id.
+    * One hash shuffle on the text key; at 100 TB group by xxhash64(text)
+    * first (cheap fixed-width shuffle key) and resolve collisions within
+    * groups — here the text column itself is the key for oracle parity. */
+  def q40(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(lower(trim(col("text"))).as("t"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+      .select(col("keep_id"), col("dup_count"))
+      .orderBy(col("keep_id"))
+
+  /** Exact pairwise Jaccard over candidate pairs that share ≥1 shingle. */
+  private def jaccardPairs(documents: DataFrame): DataFrame = {
+    val g = shingles(documents)
+    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = g.as("a")
+      .join(g.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+  }
+
+  /** q41: n-gram Jaccard near-dup pairs (J > 0.8). The shingle equi-join
+    * is the blocking step: docs sharing no shingle never pair up. */
+  def q41(documents: DataFrame): DataFrame =
+    jaccardPairs(documents)
+      .filter(col("jaccard") > 0.8)
+      .select(col("doc_a"), col("doc_b"), col("common"), col("na"), col("nb"),
+        col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val MinhashK = 64   // permutations
+  val Bands    = 16   // 16 bands × 4 rows
+  val RowsPerBand = MinhashK / Bands
+
+  /** MinHash signature minima: (doc_id, idx ∈ [0,64), minh). The k
+    * "permutations" are xxhash64 seeded by idx — one pass over the
+    * exploded (doc, shingle, idx) space with map-side partial min. */
+  def minhashMinima(documents: DataFrame): DataFrame =
+    shingles(documents)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), lit(MinhashK - 1), lit(1)), i =>
+          struct(i.as("idx"), xxhash64(i, col("g")).as("h")))).as("ih"))
+      .select(col("doc_id"), col("ih.idx").as("idx"), col("ih.h").as("h"))
+      .groupBy(col("doc_id"), col("idx"))
+      .agg(min(col("h")).as("minh"))
+
+  /** q42: MinHash + LSH banding near-dup detection. Band keys are an
+    * equi-join blocking key: two docs collide iff one 4-row band of the
+    * signature matches exactly (P≈1 for J≥0.9, ≈0 for J≤0.4). Collisions
+    * are verified with exact Jaccard; output pairs with J > 0.7. */
+  def q42(documents: DataFrame): DataFrame = {
+    val banded = minhashMinima(documents)
+      .withColumn("band", (col("idx") / RowsPerBand).cast("int"))
+      .withColumn("slot", col("idx") % RowsPerBand)
+      .groupBy(col("doc_id"), col("band"))
+      .agg(xxhash64(
+        min(when(col("slot") === 0, col("minh"))),
+        min(when(col("slot") === 1, col("minh"))),
+        min(when(col("slot") === 2, col("minh"))),
+        min(when(col("slot") === 3, col("minh")))).as("band_key"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    jaccardPairs(documents)
+      .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+      .filter(col("jaccard") > 0.7)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit SimHash per doc over word unigrams: per bit position, sum of
+    * ±1 weighted by the token-hash bit; sign becomes the fingerprint bit.
+    * Expressed as 64 conditional-sum aggregate columns — a single
+    * shuffle with partial aggregation, fully codegen'd, no explode×64. */
+  def simhash(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$i")
+    }
+    val fp = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    toks.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** q43: SimHash near-dup pairs — block on 4×16-bit bands (two docs with
+    * Hamming distance ≤ 3 must share at least one band), verify with
+    * bit_count(xor) ≤ 3. */
+  def q43(documents: DataFrame): DataFrame = {
+    val sh = simhash(documents)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("band"),
+          shiftright(col("simhash"), 16 * j).bitwiseAND(0xFFFFL).as("band_key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

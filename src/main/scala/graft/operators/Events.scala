@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import graft.Cols._
+
+/** Window / event-log analytics (SURVEY.md §2b): ranking, running
+  * aggregates, inter-arrival gaps, gap-based sessionization, funnels,
+  * JSON prop extraction.
+  *
+  * All windows partition by a key (user/customer) — at 100 TB each
+  * partition's state fits an executor; there is no global-ordering
+  * window in a hot path (the one global NTILE is a decile report whose
+  * input is the already-aggregated orders table).
+  */
+object Events {
+
+  /** Normalize `events.ts` to microsecond TimestampType regardless of how
+    * the parquet nano timestamps surfaced (TIMESTAMP, TIMESTAMP_NTZ, or
+    * raw int64 nanos under legacy readers). */
+  def withTs(events: DataFrame): DataFrame = {
+    val t = events.schema("ts").dataType match {
+      case LongType          => timestamp_micros(expr("ts div 1000")) // int div: no double rounding
+      case TimestampNTZType  => col("ts").cast(TimestampType)
+      case _                 => col("ts")
+    }
+    events.withColumn("ts", t)
+  }
+
+  private val byUser = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts"), col("event_id"))
+
+  /** q30: rank/dense_rank/row_number — top-3 orders per customer. */
+  def q30(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        row_number().over(w).as("rn"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
+  }
+
+  /** q31: running (cumulative) sum per user — ROWS UNBOUNDED PRECEDING. */
+  def q31(events: DataFrame): DataFrame =
+    withTs(events).select(
+        col("event_id"), col("user_id"), col("ts"),
+        round(sum(dec(col("value"))).over(byUser.rowsBetween(Window.unboundedPreceding, 0)), 2)
+          .cast("double").as("running_value"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+
+  /** q32: lag — inter-arrival gap per user in microseconds (exact ints,
+    * no float drift between engines). */
+  def q32(events: DataFrame): DataFrame =
+    withTs(events).select(
+        col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)))
+          .as("gap_us"))
+      .orderBy(col("user_id"), col("event_id"))
+
+  /** q33: NTILE decile bucketing of order values. */
+  def q33(orders: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders.select(col("o_totalprice"), ntile(10).over(w).as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+      .orderBy(col("decile"))
+  }
+
+  private val SessionGapUs = 1800L * 1000 * 1000 // 30 min
+
+  /** Gap-based session ids: new session when the gap to the previous
+    * event of the same user exceeds 30 min; session_seq is the running
+    * count of session starts (classic lag + cumulative-sum formulation —
+    * two window passes over the same user partitioning, one shuffle). */
+  def sessionized(events: DataFrame): DataFrame = {
+    val gap = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
+    withTs(events)
+      .withColumn("is_new", when(gap.isNull || gap > SessionGapUs, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** q34: session assignment per event. */
+  def q34(events: DataFrame): DataFrame =
+    sessionized(events)
+      .select(col("user_id"), col("event_id"), col("session_seq"))
+      .orderBy(col("user_id"), col("event_id"))
+
+  /** q35: per-session stats — events, duration, value total. */
+  def q35(events: DataFrame): DataFrame =
+    sessionized(events)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("dur_us"),
+        moneySum(col("value")).as("total_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+
+  /** q36: ordered funnel — users whose first signup precedes their last
+    * purchase. One shuffle (groupBy user), conditional min/max. */
+  def q36(events: DataFrame): DataFrame =
+    withTs(events)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+        max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase"))
+      .filter(col("first_signup").isNotNull &&
+        col("last_purchase") > col("first_signup"))
+      .agg(count(lit(1)).as("converted_users"))
+
+  /** q37: JSON prop extraction (schema-on-read over the props column). */
+  def q37(events: DataFrame): DataFrame =
+    events
+      .select((get_json_object(col("props"), "$.k").cast("int") % 10).as("k_mod"))
+      .groupBy(col("k_mod"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("k_mod"))
+}

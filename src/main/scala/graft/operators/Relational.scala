@@ -1,0 +1,282 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.Cols._
+
+/** Relational core of the engine: the Hive/Spark batch-SQL surface
+  * (SURVEY.md §2a). Every operator is a declarative DataFrame plan so
+  * Catalyst handles pushdown/pruning/join-reorder; scale notes inline.
+  *
+  * Reference context: /root/reference/fact-hive ships no SQL operators of
+  * its own (HiveOS wrapper scripts, see h-run.sh:1); the surface below is
+  * the Hive-compatible batch-SQL capability set from BASELINE.json.
+  */
+object Relational {
+
+  /** q01: TPC-H Q1 shape — scan-heavy groupBy agg. Partial (map-side)
+    * aggregation makes the shuffle O(groups), not O(rows): the single
+    * most important property at 100 TB. */
+  def q01(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        sumStable(discPrice(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
+        meanStable(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** q02: filter + narrow projection; predicate and column pruning must
+    * reach the parquet scan (verified via explain: PushedFilters). */
+  def q02(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_quantity") >= 45 && col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** q03: TPC-H Q3 shape — 3-way join + agg + top-k. customer is the
+    * small side (broadcast); orders⋈lineitem shuffles on orderkey. */
+  def q03(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    customer.filter(col("c_mktsegment") === "BUILDING")
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sumStable(discPrice(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(20)
+
+  /** q04: EXISTS with a correlated inequality → left-semi join (TPC-H Q4
+    * shape). Semi join ships only the probe side's keys — no row blowup. */
+  def q04(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1997-10-01").cast("timestamp"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey") &&
+                      col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  /** q05: TPC-H Q5 shape — 6-table join. Dims (region/nation/supplier)
+    * are broadcast explicitly; only orders⋈lineitem shuffles. */
+  def q05(region: DataFrame, nation: DataFrame, customer: DataFrame,
+          orders: DataFrame, lineitem: DataFrame, supplier: DataFrame): DataFrame =
+    broadcast(region.filter(col("r_name") === "ASIA"))
+      .join(broadcast(nation), col("n_regionkey") === col("r_regionkey"))
+      .join(customer, col("c_nationkey") === col("n_nationkey"))
+      .join(orders, col("o_custkey") === col("c_custkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sumStable(discPrice(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  /** q06: TPC-H Q6 — selective single-table agg; every predicate must be
+    * in PushedFilters so the scan skips row groups at 100 TB. */
+  def q06(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp") &&
+              col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(sumStable(dec(col("l_extendedprice")) * dec(col("l_discount"))).as("revenue"))
+
+  /** q07: NOT EXISTS → left-anti join: customers with no urgent orders. */
+  def q07(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderpriority") === "1-URGENT"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** q08: TPC-H Q13 shape — left outer join + null-aware count, then a
+    * second aggregation over the distribution. */
+  def q08(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderstatus") =!= "F"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** q09: distinct aggregation — count-distinct expands to a two-phase
+    * aggregate (partial on key+value) under Catalyst. */
+  def q09(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** q10: global top-k. Spark plans order-by-limit as TakeOrderedAndProject:
+    * per-partition heaps, no global sort — O(k) driver memory at any SF. */
+  def q10(orders: DataFrame): DataFrame =
+    orders.select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+
+  /** q11: HAVING — post-aggregation filter. */
+  def q11(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_suppkey"))
+      .agg(moneySum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 15000.0)
+      .orderBy(col("l_suppkey"))
+
+  /** q12: conditional aggregation / pivot shape (TPC-H Q12 flavor) over a
+    * join with a non-equi residual predicate. */
+  def q12(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.join(lineitem, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+          .as("high_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+          .as("low_count"))
+      .orderBy(col("l_linestatus"))
+
+  /** q13: TPC-H Q17 shape — correlated scalar subquery, expressed as an
+    * aggregate-then-join so the per-part threshold is computed once
+    * (shuffle on partkey) instead of per probe row. */
+  def q13(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val perPart = lineitem.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1)) * lit(0.2))
+        .as("qty_threshold"))
+    lineitem
+      .join(broadcast(part.filter(col("p_brand") === "Brand#23")),
+        col("l_partkey") === col("p_partkey"))
+      .join(perPart, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("qty_threshold"))
+      .agg(moneySum(col("l_extendedprice")).as("total_small_qty_price"))
+  }
+
+  /** q14: TPC-H Q18 shape — IN over an aggregated subquery → semi join on
+    * the aggregated key set. */
+  def q14(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val bigOrders = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("s"))
+      .filter(col("s") > 120)
+      .select(col("l_orderkey").as("big_orderkey"))
+    orders
+      .join(bigOrders, col("o_orderkey") === col("big_orderkey"), "left_semi")
+      .join(customer, col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(moneySum(col("l_quantity")).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** q15: UNION ALL of heterogeneous scans + reconciling agg. */
+  def q15(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.filter(col("o_orderstatus") === "O")
+      .select(lit("order").as("src"), col("o_totalprice").as("v"))
+      .unionAll(lineitem.filter(col("l_returnflag") === "R")
+        .select(lit("line").as("src"), col("l_extendedprice").as("v")))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), moneySum(col("v")).as("total"))
+      .orderBy(col("src"))
+
+  /** q16: INTERSECT / EXCEPT set operators. */
+  def q16(lineitem: DataFrame): DataFrame = {
+    val r = lineitem.filter(col("l_returnflag") === "R").select(col("l_partkey"))
+    val a = lineitem.filter(col("l_returnflag") === "A").select(col("l_partkey"))
+    r.intersect(a).agg(count(lit(1)).as("n")).select(lit("both").as("tag"), col("n"))
+      .unionAll(
+        r.except(a).agg(count(lit(1)).as("n")).select(lit("only_r").as("tag"), col("n")))
+      .orderBy(col("tag"))
+  }
+
+  /** q17: ROLLUP hierarchy totals (nation → segment → grand total). */
+  def q17(customer: DataFrame, nation: DataFrame): DataFrame =
+    customer.join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), moneySum(col("c_acctbal")).as("total_bal"))
+      .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
+
+  /** q18: CUBE cross totals over flag × status. */
+  def q18(lineitem: DataFrame): DataFrame =
+    lineitem.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("total_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** q19: explicit GROUPING SETS + GROUPING() indicator columns. */
+  def q19(orders: DataFrame): DataFrame =
+    orders.groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        count(lit(1)).as("n"),
+        moneySum(col("o_totalprice")).as("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"),
+        col("g_status"), col("g_prio"))
+
+  /** q20: CTE reuse + self-join — supplier pairs co-located in a nation.
+    * Self-join on nationkey; dim-sized inputs broadcast. */
+  def q20(supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val s = supplier.select(col("s_suppkey"), col("s_nationkey"))
+    s.as("a")
+      .join(s.as("b"), col("a.s_nationkey") === col("b.s_nationkey") &&
+        col("a.s_suppkey") < col("b.s_suppkey"))
+      .join(broadcast(nation), col("a.s_nationkey") === col("n_nationkey"))
+      .select(col("a.s_suppkey").as("s1"), col("b.s_suppkey").as("s2"), col("n_name"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
+  /** q21: string expression library — all codegen'd built-ins, no UDFs. */
+  def q21(part: DataFrame): DataFrame =
+    part.filter(col("p_name").rlike("(gold|blue)"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_name"), 1, 4).as("pfx"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"))
+      .orderBy(col("p_partkey"))
+
+  /** q22: date/time expression library — extract + truncate + diff. */
+  def q22(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(
+        count(lit(1)).as("n"),
+        moneySum(col("o_totalprice")).as("total"))
+      .orderBy(col("yr"), col("mo"))
+
+  /** q23: exact per-group median. Quantities are integer-valued so the
+    * 0.5-interpolation is exact in both engines (SURVEY.md §6). */
+  def q23(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** q24: HLL sketch vs exact distinct — rows-only check; the spec
+    * asserts the approximation is within 5%. At 100 TB the sketch is the
+    * only option that avoids a full shuffle of the distinct keys. */
+  def q24(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (SURVEY.md §2c): language
+  * ID, quality scoring, token counting, fingerprinting. Everything is a
+  * codegen'd column expression — single scan, no UDFs, no shuffle except
+  * where an aggregation is the point. */
+object TextAnalysis {
+
+  /** Marker lexicons for the n-gram/stopword language-ID heuristic. */
+  val Lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "order", "column", "vector"),
+    "es" -> Seq("fast", "spark", "customer", "filter", "sort"),
+    "de" -> Seq("agg", "table", "key", "scan", "part"),
+    "fr" -> Seq("join", "window", "merge", "line", "group"),
+    "zh" -> Seq("stream", "row", "query", "batch", "data"))
+
+  /** q47: language-ID — per-language stopword hit counts over tokens,
+    * argmax with a deterministic tie-break cascade (lexicon order). */
+  def q47(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), col("lang"),
+      explode(split(lower(trim(col("text"))), " ")).as("tok"))
+    val sums = Lexicons.map { case (l, words) =>
+      sum(when(col("tok").isin(words: _*), 1).otherwise(0)).as(s"s_$l")
+    }
+    val scores = toks.groupBy(col("doc_id"), col("lang"))
+      .agg(sums.head, sums.tail: _*)
+    val langs = Lexicons.map(_._1)
+    val pred = langs.init.foldRight(lit(langs.last): Column) { (l, rest) =>
+      val ge = langs.filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+      when(ge, lit(l)).otherwise(rest)
+    }
+    scores
+      .select((Seq(col("doc_id"), col("lang"), pred.as("pred_lang")) ++
+        langs.map(l => col(s"s_$l"))): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private val Stopwords = Seq("the", "a", "and", "of", "data", "row")
+
+  /** q48: document quality scoring — type/token ratio, length saturation,
+    * stopword ratio, combined in a fixed-order weighted sum (bit-stable
+    * across engines, SURVEY.md §6). */
+  def q48(documents: DataFrame): DataFrame = {
+    val toks = split(trim(col("text")), " ")
+    documents
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
+      .withColumn("n_stop",
+        size(filter(toks, t => lower(t).isin(Stopwords: _*))).cast("long"))
+      .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("len_score",
+        least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        col("ttr") * 0.4 + col("len_score") * 0.3 + col("stop_ratio") * 0.3)
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("n_stop"),
+        col("ttr"), col("len_score"), col("stop_ratio"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q49: token counting — whitespace tokens and a BPE-ish regex count
+    * (letter runs / digit runs / other symbols), plus chars-per-token. */
+  def q49(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")
+          .as("bpe_ish_tokens"),
+        col("n_chars"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("ws_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** q50: rolling polynomial fingerprint over codepoints, mod 1e9+7 —
+    * a content-defined doc identity robust to storage encoding. The fold
+    * is a codegen'd `aggregate` over the char array (no UDF). */
+  def q50(documents: DataFrame): DataFrame = {
+    val codes = transform(array_remove(split(col("text"), ""), ""),
+      c => ascii(c).cast("long"))
+    documents
+      .select(col("doc_id"),
+        aggregate(codes, lit(0L), (h, c) => (h * 31 + c) % 1000000007L)
+          .as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+}
