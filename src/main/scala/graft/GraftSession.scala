@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned SparkSession factory (SURVEY.md §4).
+  *
+  * One place for the settings every entrypoint (Verify, Bench, specs)
+  * must agree on:
+  *   - AQE on (runtime coalesce + skew-join splitting — the 100 TB
+  *     safety net for estimation errors),
+  *   - shuffle partitions sized to the local core count (the 200
+  *     default would make every local shuffle 6× over-partitioned;
+  *     on a real cluster this is set to ~2-3× total cores),
+  *   - UTC session timezone (oracle parity, SURVEY.md §6),
+  *   - nanos-as-long so the driver's TIMESTAMP(NANOS) events parquet
+  *     reads vectorized (ns→µs conversion in Events.withTs).
+  */
+object GraftSession {
+
+  def builder(cores: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.shuffle.spill.compress", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Cores from SPARK_GRAFT_CPUS (driver contract), default 32. */
+  def envCores: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+  def local(): SparkSession = {
+    val s = builder(envCores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -262,6 +262,12 @@ object Oracles {
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
          COUNT(*) AS n FROM events GROUP BY k_mod ORDER BY k_mod""",
 
+    "q38_time_window" ->
+      s"""SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS win_start,
+         event_type, COUNT(*) AS n, ${msum("value")} AS total_value
+         FROM events GROUP BY win_start, event_type
+         ORDER BY win_start, event_type""",
+
     "q40_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
          FROM documents GROUP BY lower(trim(text)) ORDER BY keep_id""",

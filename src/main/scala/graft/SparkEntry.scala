@@ -51,6 +51,7 @@ object SparkEntry {
     "q35_session_stats"    -> ((s, d) => Events.q35(events(s, d))),
     "q36_event_funnel"     -> ((s, d) => Events.q36(events(s, d))),
     "q37_json_extract"     -> ((s, d) => Events.q37(events(s, d))),
+    "q38_time_window"      -> ((s, d) => graft.streaming.Streams.q38(events(s, d))),
     // §2c LLM-data-pipeline
     "q40_dedup_exact"          -> ((s, d) => Dedup.q40(documents(s, d))),
     "q41_dedup_ngram_jaccard"  -> ((s, d) => Dedup.q41(documents(s, d))),

@@ -48,33 +48,45 @@ object Similarity {
       .orderBy(col("qid"), col("rk"))
   }
 
-  val Hyperplanes = 12
+  val Tables      = 8  // L hash tables (OR-amplification → recall)
+  val PlanesPerTable = 8  // k planes per table (AND-amplification → precision)
 
-  /** Deterministic random hyperplanes (seeded; independent of data). */
-  private lazy val planes: Seq[Seq[Double]] = {
+  /** Deterministic random hyperplanes, planes(table)(j) ∈ R^64. */
+  private lazy val planes: Seq[Seq[Seq[Double]]] = {
     val rng = new scala.util.Random(20260812L)
-    Seq.fill(Hyperplanes)(Seq.fill(64)(rng.nextGaussian()))
+    Seq.fill(Tables, PlanesPerTable)(Seq.fill(64)(rng.nextGaussian()))
   }
 
-  /** Random-hyperplane signature: bit j = sign(v · plane_j). */
-  def rhpSignature(v: Column): Column =
-    (0 until Hyperplanes).map { j =>
-      val p = typedLit(planes(j))
+  /** Random-hyperplane signature for one table: bit j = sign(v·plane_j). */
+  def rhpSignature(v: Column, table: Int): Column =
+    (0 until PlanesPerTable).map { j =>
+      val p = typedLit(planes(table)(j))
       when(dot(v, p) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** q45: LSH-bucketed ANN — the 100 TB scale path. Vectors land in
-    * 2^12 signature buckets; top-k is computed within each bucket only
-    * (shuffle on the bucket key, no cross join). Recall trades off with
-    * bucket count; multi-probe = repeat with rotated planes. */
+  /** q45: multi-table LSH ANN — the 100 TB scale path. Each vector lands
+    * in one bucket per table (L=8 tables × 2^8 buckets); neighbor
+    * candidates come from an equi-join on (table, bucket), so two vectors
+    * meet iff they agree on all 8 plane signs in at least one table —
+    * P(meet) = 1-(1-(1-θ/π)^k)^L ≈ 0.93 for cos=0.8, ≈ 0.03 for cos=0.
+    * Shuffle is ∝ L·n + candidate pairs, never n². Exact cosine re-ranks
+    * candidates; top-k per query. */
   def q45(embeddings: DataFrame): DataFrame = {
-    val sig = normalized(embeddings).withColumn("bucket", rhpSignature(col("v")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    sig.as("a")
+    val n = normalized(embeddings)
+    val sig = n.select(col("vec_id"), col("v"), col("norm"),
+      explode(array((0 until Tables).map(t =>
+        struct(lit(t).as("t"), rhpSignature(col("v"), t).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("norm"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val candidates = sig.as("a")
       .join(sig.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
         (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm"))).as("cos"))
+      .distinct()  // same pair can collide in several tables
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    candidates
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("qid"), col("nid"), col("cos"), col("rk"))

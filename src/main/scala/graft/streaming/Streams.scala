@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Cols._
+import graft.operators.Events
+
+/** Structured Streaming pipelines (SURVEY.md §2d).
+  *
+  * st01 `windowedAgg` is one plan for both batch and streaming input —
+  * `withWatermark` is a no-op on a batch frame, so the same code is
+  * oracle-checked in batch (SparkEntry q38) and incrementally correct in
+  * streaming. At 100 TB/day the watermark bounds window state: closed
+  * windows are evicted once event time passes watermark + window end.
+  *
+  * st02 `sessionize` is gap-based sessionization as explicit streaming
+  * state: per-user state is one open session (constant size), sessions
+  * close either when a later event exceeds the gap or when the event-time
+  * timeout fires — so state is O(active users), not O(events).
+  */
+object Streams {
+
+  val WindowDuration = "1 hour"
+  val Watermark      = "30 minutes"
+
+  /** st01: watermarked tumbling-window aggregation per event type. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    Events.withTs(events)
+      .withWatermark("ts", Watermark)
+      .groupBy(window(col("ts"), WindowDuration), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Batch/oracle projection of st01 with a deterministic order. */
+  def q38(events: DataFrame): DataFrame =
+    windowedAgg(events).orderBy(col("win_start"), col("event_type"))
+
+  // ---------------------------------------------------------------- st02
+
+  /** `ts` stays a timestamp so the watermark tag survives to the
+    * stateful operator (Spark drops the watermark if the column is
+    * projected into a long before groupByKey). */
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class OpenSession(start_us: Long, last_us: Long, n: Long, total: Double)
+  case class SessionOut(user_id: Long, session_start_us: Long, n_events: Long,
+                        dur_us: Long, total_value: Double)
+
+  val SessionGapUs: Long = 1800L * 1000 * 1000 // 30 min, same as batch q34/q35
+
+  private def closed(user: Long, s: OpenSession): SessionOut =
+    SessionOut(user, s.start_us, s.n, s.last_us - s.start_us, s.total)
+
+  /** Per-group transition function. Events within a micro-batch arrive
+    * unordered → sort in-memory (bounded by batch size per user). */
+  def sessionFn(user: Long, it: Iterator[Ev],
+                state: GroupState[OpenSession]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {           // watermark passed last_us + gap
+      val done = state.getOption.map(closed(user, _))
+      state.remove()
+      return done.iterator
+    }
+    val out = Seq.newBuilder[SessionOut]
+    var cur: Option[OpenSession] = state.getOption
+    it.map(e => (e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000, e.value))
+      .toIndexedSeq.sortBy(_._1).foreach { case (tsUs, value) =>
+      cur match {
+        case Some(s) if tsUs - s.last_us <= SessionGapUs =>
+          cur = Some(OpenSession(s.start_us, tsUs, s.n + 1, s.total + value))
+        case Some(s) =>
+          out += closed(user, s)
+          cur = Some(OpenSession(tsUs, tsUs, 1, value))
+        case None =>
+          cur = Some(OpenSession(tsUs, tsUs, 1, value))
+      }
+    }
+    cur.foreach { s =>
+      state.update(s)
+      // timeout must sit above the current watermark or Spark rejects it
+      state.setTimeoutTimestamp(
+        math.max((s.last_us + SessionGapUs) / 1000L,
+                 state.getCurrentWatermarkMs() + 1))
+    }
+    out.result().iterator
+  }
+
+  /** st02: stateful sessionization over a (possibly streaming) events
+    * frame with schema (user_id, ts, value). */
+  def sessionize(events: DataFrame): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    Events.withTs(events)
+      .withWatermark("ts", Watermark)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts"), col("value").cast("double").as("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(sessionFn)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Planted-duplicate specs for the dedup family (§2c). Docs 1 and 4 are
+  * identical; doc 2 is a one-word near-dup (Jaccard 0.75); doc 3 is
+  * unrelated. */
+class DedupSpec extends GraftSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different text about spark engines here today"),
+    (4L, "the quick brown fox jumps over the lazy dog")
+  ).toDF("doc_id", "text")
+
+  test("q40 exact dedup groups identical text, keeps min doc_id") {
+    val rows = Dedup.q40(docs).collect()
+    assert(rows.length == 3)
+    val dup = rows.find(_.getAs[Long]("keep_id") == 1L).get
+    assert(dup.getAs[Long]("dup_count") == 2L)
+  }
+
+  test("q41 n-gram Jaccard finds the identical pair, not the 0.75 pair") {
+    val pairs = Dedup.q41(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.toSeq == Seq((1L, 4L)))
+  }
+
+  test("q42 minhash-LSH surfaces the identical pair with J=1") {
+    val rows = Dedup.q42(docs).collect()
+    val pair = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pair.contains((1L, 4L)), pair.toSeq)
+    val j = rows.find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 4L)
+      .get.getAs[Double]("jaccard")
+    assert(j == 1.0)
+  }
+
+  test("q43 simhash gives identical docs Hamming distance 0") {
+    val rows = Dedup.q43(docs).collect()
+    val h = rows.find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 4L)
+    assert(h.isDefined, rows.toSeq)
+    assert(h.get.getAs[Int]("hamming") == 0)
+  }
+
+  test("simhash distance is small for long docs differing by one word") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok37", "changed")
+    val far  = (1 to 60).map(i => s"other$i").mkString(" ")
+    val sh = Dedup.simhash(Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < 16, s"near ham=${ham(sh(1L), sh(2L))}")
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+  }
+}

@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared fixture: one SparkSession for the whole JVM test run. */
+trait GraftSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder(4).getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  /** Smallest driver-generated dataset — correctness, not throughput. */
+  val SF = "/root/testdata/sf0.001"
+
+  def formattedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out))(df.explain("formatted"))
+    out.toString
+  }
+}

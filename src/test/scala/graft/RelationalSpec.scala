@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Relational
+import graft.Tables._
+
+/** Plan-shape and invariant specs for the relational core (§2a).
+  * Value correctness is covered by the DuckDB oracle gate (tools/check.py);
+  * these specs pin the SCALE properties: pushdown reaching the scan,
+  * broadcast joins staying broadcast, top-k staying a TakeOrdered. */
+class RelationalSpec extends GraftSpec {
+
+  test("q02 pushes predicates and prunes columns at the parquet scan") {
+    val plan = formattedPlan(Relational.q02(lineitem(spark, SF)))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_quantity"), plan)
+    // projection pruning: the scan must not read all 16 lineitem columns
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment"), readSchema)
+  }
+
+  test("q06 pushes all three range predicates into the scan") {
+    val plan = formattedPlan(Relational.q06(lineitem(spark, SF)))
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("LessThan(l_quantity,24"), plan)
+  }
+
+  test("q05 keeps dimension joins broadcast (no shuffle on dims)") {
+    val plan = formattedPlan(Relational.q05(region(spark, SF), nation(spark, SF),
+      customer(spark, SF), orders(spark, SF), lineitem(spark, SF), supplier(spark, SF)))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q10 plans global top-k as TakeOrderedAndProject (no full sort)") {
+    val plan = formattedPlan(Relational.q10(orders(spark, SF)))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q01 partial-aggregates map-side before the shuffle") {
+    val plan = formattedPlan(Relational.q01(lineitem(spark, SF)))
+    // two HashAggregate nodes (partial + final) around one exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q24 HLL approx distinct is within 5% of exact") {
+    val rows = Relational.q24(lineitem(spark, SF)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact  = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05, s"approx=$approx exact=$exact")
+    }
+  }
+}

