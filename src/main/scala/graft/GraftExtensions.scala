@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.DotProduct
+
+/** SQL-surface registration for graft's native expressions: sessions
+  * built with `spark.sql.extensions=graft.GraftExtensions` can call
+  * `graft_dot(a, b)` from SQL text. DataFrame callers don't need this —
+  * [[graft.functions.DotProduct]] lifts into a Column directly, which is
+  * why SparkEntry queries also work in a driver-owned session without
+  * the extension. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_dot(array<double>, array<double>) takes 2 arguments, got ${children.length}")
+        DotProduct(children.head, children(1))
+      }))
+  }
+}

@@ -192,6 +192,19 @@ object Oracles {
          COUNT(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "q25_sql_interface" ->
+      s"""WITH revenue AS (
+           SELECT l_suppkey AS supplier_no,
+             CAST(ROUND(SUM($disc),2) AS DOUBLE) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+         ORDER BY s_suppkey""",
+
     "q30_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rnk, drnk, rn FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
@@ -267,6 +280,21 @@ object Oracles {
          event_type, COUNT(*) AS n, ${msum("value")} AS total_value
          FROM events GROUP BY win_start, event_type
          ORDER BY win_start, event_type""",
+
+    "q39_session_window" ->
+      """WITH e AS (SELECT user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         f AS (SELECT user_id, value, ts,
+           CASE WHEN LAG(ts,1) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts,1) OVER w) >= 1800000000
+                THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (SELECT user_id, value, ts,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS session_seq
+           FROM f)
+         SELECT user_id, MIN(ts) AS s_start, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS total_value
+         FROM s GROUP BY user_id, session_seq ORDER BY user_id, s_start""",
 
     "q40_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count

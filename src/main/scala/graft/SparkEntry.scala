@@ -42,6 +42,7 @@ object SparkEntry {
     "q22_date_funcs"       -> ((s, d) => Relational.q22(orders(s, d))),
     "q23_percentile"       -> ((s, d) => Relational.q23(lineitem(s, d))),
     "q24_approx_sketch"    -> ((s, d) => Relational.q24(lineitem(s, d))),
+    "q25_sql_interface"    -> ((s, d) => Relational.q25(s, lineitem(s, d), supplier(s, d))),
     // §2b window / event analytics
     "q30_window_rank"      -> ((s, d) => Events.q30(orders(s, d))),
     "q31_window_running"   -> ((s, d) => Events.q31(events(s, d))),
@@ -52,6 +53,7 @@ object SparkEntry {
     "q36_event_funnel"     -> ((s, d) => Events.q36(events(s, d))),
     "q37_json_extract"     -> ((s, d) => Events.q37(events(s, d))),
     "q38_time_window"      -> ((s, d) => graft.streaming.Streams.q38(events(s, d))),
+    "q39_session_window"   -> ((s, d) => Events.q39(events(s, d))),
     // §2c LLM-data-pipeline
     "q40_dedup_exact"          -> ((s, d) => Dedup.q40(documents(s, d))),
     "q41_dedup_ngram_jaccard"  -> ((s, d) => Dedup.q41(documents(s, d))),

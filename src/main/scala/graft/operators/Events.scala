@@ -114,6 +114,19 @@ object Events {
         col("last_purchase") > col("first_signup"))
       .agg(count(lit(1)).as("converted_users"))
 
+  /** q39: gap-based sessionization via Spark's native `session_window`
+    * (one aggregation, window-merge semantics: a new session starts when
+    * the inter-event gap is ≥ 30 min). Complements the lag+cumsum
+    * formulation of q34/q35 and is the same operator Structured
+    * Streaming uses for watermarked session state. */
+  def q39(events: DataFrame): DataFrame =
+    withTs(events)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("s_start"))
+
   /** q37: JSON prop extraction (schema-on-read over the props column). */
   def q37(events: DataFrame): DataFrame =
     events

@@ -279,4 +279,28 @@ object Relational {
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy(col("l_returnflag"))
+
+  /** q25: the Hive-compatible SQL-text surface — the same engine driven
+    * through `spark.sql` over registered views (TPC-H Q15 shape: CTE +
+    * scalar subquery over the CTE). One Catalyst plan; the CTE is
+    * evaluated once per reference by the optimizer. */
+  def q25(spark: org.apache.spark.sql.SparkSession,
+          lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    lineitem.createOrReplaceTempView("graft_lineitem")
+    supplier.createOrReplaceTempView("graft_supplier")
+    spark.sql("""
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))),2)
+                 AS DOUBLE) AS total_revenue
+        FROM graft_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM graft_supplier JOIN revenue ON s_suppkey = supplier_no
+      WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      ORDER BY s_suppkey""")
+  }
 }

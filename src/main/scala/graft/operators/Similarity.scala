@@ -23,14 +23,11 @@ object Similarity {
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
 
-  /** Dot product of two Dim-length double arrays, unrolled to a chain of
-    * codegen'd element_at multiply-adds. The left-assoc chain reproduces
-    * the oracle's sequential `list_reduce` fold bit-for-bit (same add
-    * order, 0.0-seeded), but stays inside whole-stage codegen instead of
-    * interpreting a HigherOrderFunction lambda per pair. */
-  def dot(a: Column, b: Column): Column =
-    (1 to Dim).map(i => element_at(a, i) * element_at(b, i))
-      .foldLeft(lit(0.0))(_ + _)
+  /** Dot product via the native codegen'd Catalyst expression
+    * [[graft.functions.DotProduct]] — one tight loop inside whole-stage
+    * codegen, left-to-right accumulation matching the oracle's
+    * `list_reduce` fold bit-for-bit. */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
 
   private def cosinePairs(embeddings: DataFrame, queryPred: Column): DataFrame = {
     val n = normalized(embeddings)

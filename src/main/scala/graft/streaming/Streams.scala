@@ -37,6 +37,14 @@ object Streams {
   def q38(events: DataFrame): DataFrame =
     windowedAgg(events).orderBy(col("win_start"), col("event_type"))
 
+  /** st03: streaming exact dedup on event_id. State is bounded by the
+    * watermark (ids older than it are dropped from the state store), so
+    * at 100 TB/day the dedup map never grows unbounded. */
+  def dedupStream(events: DataFrame): DataFrame =
+    Events.withTs(events)
+      .withWatermark("ts", Watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   // ---------------------------------------------------------------- st02
 
   /** `ts` stays a timestamp so the watermark tag survives to the

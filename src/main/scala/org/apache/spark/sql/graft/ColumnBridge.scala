@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Narrow bridge to the `private[sql]` Column↔Expression converters —
+  * the supported way for a library to lift a custom Catalyst
+  * `Expression` into the public Column API without a session-level
+  * function registry (which the driver's own SparkSession wouldn't have).
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

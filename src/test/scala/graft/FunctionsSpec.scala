@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.DotProduct
+
+/** Specs for graft's native Catalyst expressions. */
+class FunctionsSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("DotProduct matches a manual fold (codegen path)") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
+      .toDF("a", "b")
+      .select(DotProduct(col("a"), col("b")).as("d"))
+    assert(df.collect().head.getDouble(0) == 32.0)
+  }
+
+  test("DotProduct matches the interpreted aggregate-lambda fold bit-for-bit") {
+    val vecs = Tables.embeddings(spark, SF).limit(50)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+    val both = vecs.select(
+      DotProduct(col("v"), col("v")).as("native"),
+      aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("lambda"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+             java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("DotProduct is null-safe") {
+    val df = Seq((Some(Array(1.0)), None: Option[Array[Double]]))
+      .toDF("a", "b")
+      .select(DotProduct(col("a"), col("b")).as("d"))
+    assert(df.collect().head.isNullAt(0))
+  }
+
+  test("graft_dot is callable from SQL text via GraftExtensions") {
+    val v = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(v == 11.0)
+  }
+}

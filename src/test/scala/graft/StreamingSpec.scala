@@ -80,6 +80,23 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st03 streaming dedup drops duplicate ids within the watermark") {
+    val ms = MemoryStream[(Long, Timestamp, String, Double, Long)]
+    val df = ms.toDF().toDF("user_id", "ts", "event_type", "value", "event_id")
+    val q = Streams.dedupStream(df)
+      .writeStream.format("memory").queryName("st03_out").outputMode("append").start()
+    try {
+      val t = Timestamp.from(Instant.parse("2026-01-01T10:00:00Z"))
+      ms.addData((1L, t, "view", 1.0, 100L), (1L, t, "view", 1.0, 100L),
+                 (2L, t, "view", 2.0, 101L))
+      q.processAllAvailable()
+      ms.addData((1L, t, "view", 1.0, 100L)) // duplicate across batches
+      q.processAllAvailable()
+      val ids = spark.table("st03_out").collect().map(_.getAs[Long]("event_id"))
+      assert(ids.sorted.toSeq == Seq(100L, 101L))
+    } finally q.stop()
+  }
+
   test("st01 shares its plan with the oracle-checked batch q38") {
     // same code path: batch run over the real events table must agree with
     // a hand-rolled batch aggregation
