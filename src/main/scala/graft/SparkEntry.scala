@@ -66,7 +66,9 @@ object SparkEntry {
     "q48_quality_score"        -> ((s, d) => TextAnalysis.q48(documents(s, d))),
     "q49_token_count"          -> ((s, d) => TextAnalysis.q49(documents(s, d))),
     "q50_fingerprint"          -> ((s, d) => TextAnalysis.q50(documents(s, d))),
-    "q51_multimodal_meta"      -> ((s, d) => Multimodal.q51(s, documents(s, d)))
+    "q51_multimodal_meta"      -> ((s, d) => Multimodal.q51(s, documents(s, d))),
+    "q52_multimodal_resize"    -> ((s, d) => Multimodal.q52Resize(s, documents(s, d))),
+    "q53_frame_sample"         -> ((s, d) => Multimodal.q53FrameSample(s, documents(s, d)))
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -64,14 +64,15 @@ object Dedup {
   val Bands    = 16   // 16 bands × 4 rows
   val RowsPerBand = MinhashK / Bands
 
-  /** MinHash signature: (doc_id, sig: array[64]). The k "permutations"
-    * are xxhash64 seeded by k; each is a plain `min` aggregate column, so
-    * the whole signature is ONE codegen'd partial-aggregated shuffle of
-    * (doc_id, 64 longs) — no ×64 row explosion of the shingle stream. */
-  def minhashSignature(documents: DataFrame): DataFrame = {
+  /** MinHash signature: (doc_id, sig: array[64]) from a shingle frame.
+    * The k "permutations" are seeded xxhash64 of the shingle; each is a
+    * plain `min` aggregate column, so the whole signature is ONE
+    * codegen'd partial-aggregated shuffle of (doc_id, 64 longs) — no ×64
+    * row explosion of the shingle stream. */
+  def minhashSignature(shingleDf: DataFrame): DataFrame = {
     val minima = (0 until MinhashK).map(i =>
       min(xxhash64(lit(i), col("g"))).as(s"m$i"))
-    shingles(documents)
+    shingleDf
       .groupBy(col("doc_id"))
       .agg(minima.head, minima.tail: _*)
       .select(col("doc_id"),
@@ -83,7 +84,14 @@ object Dedup {
     * signature matches exactly (P≈1 for J≥0.9, ≈0 for J≤0.4). Collisions
     * are verified with exact Jaccard; output pairs with J > 0.7. */
   def q42(documents: DataFrame): DataFrame = {
-    val banded = minhashSignature(documents)
+    // One materialization of the shingle stream feeds signature, sizes
+    // and verification (4 consumers) — without it the split+explode
+    // pipeline re-runs per consumer. persist(MEMORY_AND_DISK) spills
+    // gracefully at scale; the ContextCleaner drops it once the plan's
+    // RDDs are unreferenced.
+    val g = shingles(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = minhashSignature(g)
       .select(col("doc_id"), explode(array((0 until Bands).map { b =>
         struct(lit(b).as("band"), xxhash64(
           (0 until RowsPerBand).map(r => element_at(col("sig"), b * RowsPerBand + r + 1)): _*
@@ -99,7 +107,6 @@ object Dedup {
     // Exact-verify ONLY the candidate pairs: shingle sets are first
     // semi-joined down to candidate docs, so verification shuffle is
     // ∝ candidate docs' shingles — not the corpus-wide pair join q41 does.
-    val g = shingles(documents)
     val ga = g.join(candidates.select(col("doc_a")).distinct(),
         g("doc_id") === col("doc_a"), "left_semi")
       .select(col("doc_id").as("doc_a"), col("g"))

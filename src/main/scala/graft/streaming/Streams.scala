@@ -37,6 +37,12 @@ object Streams {
   def q38(events: DataFrame): DataFrame =
     windowedAgg(events).orderBy(col("win_start"), col("event_type"))
 
+  /** st04: stream-static enrichment — a streaming frame joined to a
+    * static dimension. Spark plans the static side as a broadcast per
+    * micro-batch; no streaming state is kept. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left_outer")
+
   /** st03: streaming exact dedup on event_id. State is bounded by the
     * watermark (ids older than it are dropped from the state store), so
     * at 100 TB/day the dedup map never grows unbounded. */

@@ -97,6 +97,20 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st04 stream-static enrichment joins a broadcast dimension") {
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val ms = MemoryStream[StreamEv]
+    val q = Streams.enrich(ms.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("st04_out").outputMode("append").start()
+    try {
+      ms.addData(ev(1, "2026-01-01T10:00:00Z"), ev(3, "2026-01-01T10:01:00Z"))
+      q.processAllAvailable()
+      val rows = spark.table("st04_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("tier"))).toSet
+      assert(rows == Set((1L, "gold"), (3L, null)))
+    } finally q.stop()
+  }
+
   test("st01 shares its plan with the oracle-checked batch q38") {
     // same code path: batch run over the real events table must agree with
     // a hand-rolled batch aggregation
