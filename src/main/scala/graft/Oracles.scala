@@ -205,6 +205,23 @@ object Oracles {
          WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
          ORDER BY s_suppkey""",
 
+    "q26_corr_exists" ->
+      s"""WITH na AS (SELECT c_nationkey AS n_key,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS avg_bal
+           FROM customer GROUP BY c_nationkey)
+         SELECT c_nationkey, COUNT(*) AS n_cust, ${msum("c_acctbal")} AS total_bal
+         FROM customer JOIN na ON c_nationkey = n_key
+         WHERE c_acctbal > avg_bal
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "q29_pivot" ->
+      """SELECT l_linestatus,
+         CAST(ROUND(SUM(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,4)) END),2) AS DOUBLE) AS A,
+         CAST(ROUND(SUM(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(18,4)) END),2) AS DOUBLE) AS N,
+         CAST(ROUND(SUM(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,4)) END),2) AS DOUBLE) AS R
+         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+
     "q30_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rnk, drnk, rn FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
@@ -382,6 +399,12 @@ object Oracles {
          CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens,
          n_chars,
          CAST(n_chars AS DOUBLE)/CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS chars_per_token
+         FROM documents ORDER BY doc_id""",
+
+    "q54_text_normalize" ->
+      """SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean_text,
+         CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS clean_tokens
          FROM documents ORDER BY doc_id""",
 
     "q50_fingerprint" ->

@@ -43,6 +43,8 @@ object SparkEntry {
     "q23_percentile"       -> ((s, d) => Relational.q23(lineitem(s, d))),
     "q24_approx_sketch"    -> ((s, d) => Relational.q24(lineitem(s, d))),
     "q25_sql_interface"    -> ((s, d) => Relational.q25(s, lineitem(s, d), supplier(s, d))),
+    "q26_corr_exists"      -> ((s, d) => Relational.q26(customer(s, d), orders(s, d))),
+    "q29_pivot"            -> ((s, d) => Relational.q29(lineitem(s, d))),
     // §2b window / event analytics
     "q30_window_rank"      -> ((s, d) => Events.q30(orders(s, d))),
     "q31_window_running"   -> ((s, d) => Events.q31(events(s, d))),
@@ -66,6 +68,7 @@ object SparkEntry {
     "q48_quality_score"        -> ((s, d) => TextAnalysis.q48(documents(s, d))),
     "q49_token_count"          -> ((s, d) => TextAnalysis.q49(documents(s, d))),
     "q50_fingerprint"          -> ((s, d) => TextAnalysis.q50(documents(s, d))),
+    "q54_text_normalize"       -> ((s, d) => TextAnalysis.q54(documents(s, d))),
     "q51_multimodal_meta"      -> ((s, d) => Multimodal.q51(s, documents(s, d))),
     "q52_multimodal_resize"    -> ((s, d) => Multimodal.q52Resize(s, documents(s, d))),
     "q53_frame_sample"         -> ((s, d) => Multimodal.q53FrameSample(s, documents(s, d)))

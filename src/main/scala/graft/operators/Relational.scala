@@ -280,6 +280,33 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** q26: TPC-H Q22 shape — correlated scalar (per-nation mean balance)
+    * + NOT EXISTS, as a broadcast of the tiny per-nation aggregate and a
+    * left-anti join. The per-group mean is computed once (shuffle on
+    * nationkey ≤ 25 groups), never per probe row. */
+  def q26(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val nationAvg = customer
+      .groupBy(col("c_nationkey").as("n_key"))
+      .agg(meanStable(col("c_acctbal")).as("avg_bal"))
+    customer
+      .join(broadcast(nationAvg), col("c_nationkey") === col("n_key"))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(orders, col("o_custkey") === col("c_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), moneySum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** q29: relational pivot — wide conditional aggregation with explicit
+    * pivot values (explicit values keep the plan a single pass; value
+    * discovery would add a distinct scan). */
+  def q29(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(moneySum(col("l_quantity")))
+      .orderBy(col("l_linestatus"))
+
   /** q25: the Hive-compatible SQL-text surface — the same engine driven
     * through `spark.sql` over registered views (TPC-H Q15 shape: CTE +
     * scalar subquery over the CTE). One Catalyst plan; the CTE is

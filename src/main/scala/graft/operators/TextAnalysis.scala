@@ -75,6 +75,18 @@ object TextAnalysis {
         col("n_chars").cast("double") / col("ws_tokens"))
       .orderBy(col("doc_id"))
 
+  /** q54: text normalization — the cleaning pass every corpus pipeline
+    * runs before dedup/tokenization: lowercase, strip non-alphanumerics,
+    * collapse runs of whitespace, trim. Pure codegen'd scan. */
+  def q54(documents: DataFrame): DataFrame = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    documents
+      .select(col("doc_id"), cleaned.as("clean_text"),
+        size(split(cleaned, " ")).cast("long").as("clean_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q50: rolling polynomial fingerprint over codepoints, mod 1e9+7 —
     * a content-defined doc identity robust to storage encoding. The fold
     * is a codegen'd `aggregate` over the char array (no UDF). */

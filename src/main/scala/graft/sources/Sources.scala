@@ -39,6 +39,17 @@ object Sources {
       .schema(schema)
       .csv(path)
 
+  /** Bucketed managed-table write: rows hash into `buckets` files by
+    * `bucketCol`. Two tables bucketed the same way join WITHOUT a
+    * shuffle (Exchange-free sort-merge join) — the co-located-join
+    * layout for repeated fact⋈fact joins at 100 TB, where the one-time
+    * write-side shuffle is amortized over every downstream join. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
+
   /** JSON lines writer; round-trips with [[readJson]] + schema (schema
     * inference is an extra full scan — never infer at 100 TB). */
   def writeJson(df: DataFrame, path: String): Unit =

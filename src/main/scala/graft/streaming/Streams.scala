@@ -37,6 +37,26 @@ object Streams {
   def q38(events: DataFrame): DataFrame =
     windowedAgg(events).orderBy(col("win_start"), col("event_type"))
 
+  /** st05: stream-stream interval join — view→purchase conversions
+    * within one hour, per user. Both sides carry watermarks and the join
+    * condition bounds event time on both ends, so Spark can evict
+    * matched/expired state (state ∝ events inside the interval, not the
+    * stream's history). Also valid as a batch plan. */
+  def conversions(events: DataFrame): DataFrame = {
+    val e = Events.withTs(events)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", Watermark)
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("buy_user"), col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", Watermark)
+    views.join(buys,
+      col("user_id") === col("buy_user") &&
+      col("buy_ts") >= col("view_ts") &&
+      col("buy_ts") <= col("view_ts") + expr("interval 1 hour"))
+      .select(col("user_id"), col("view_ts"), col("buy_ts"))
+  }
+
   /** st04: stream-static enrichment — a streaming frame joined to a
     * static dimension. Spark plans the static side as a broadcast per
     * micro-batch; no streaming state is kept. */

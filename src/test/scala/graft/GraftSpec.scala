@@ -6,7 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared fixture: one SparkSession for the whole JVM test run. */
 trait GraftSpec extends AnyFunSuite {
   lazy val spark: SparkSession = {
-    val s = GraftSession.builder(4).getOrCreate()
+    val s = GraftSession.builder(4)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }

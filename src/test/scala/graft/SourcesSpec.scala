@@ -24,6 +24,29 @@ class SourcesSpec extends GraftSpec {
       orders.filter(orders("o_orderstatus") === "O").count())
   }
 
+  test("s04 bucketed tables join without a shuffle") {
+    val orders = Tables.orders(spark, SF)
+    val lineitem = Tables.lineitem(spark, SF)
+    Sources.writeBucketed(orders.select("o_orderkey", "o_totalprice"),
+      "graft_orders_b", "o_orderkey", 4)
+    Sources.writeBucketed(lineitem.select("l_orderkey", "l_quantity"),
+      "graft_lineitem_b", "l_orderkey", 4)
+    // force the sort-merge path so the assert proves bucket co-location,
+    // not a broadcast
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_orders_b")
+        .join(spark.table("graft_lineitem_b"),
+          spark.table("graft_orders_b")("o_orderkey") ===
+          spark.table("graft_lineitem_b")("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), plan)   // co-located: no shuffle
+      assert(joined.count() == lineitem.count()) // every line has an order
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("s03 csv round-trips with schema") {
     val nation = Tables.nation(spark, SF)
     val path = tmp("csv")

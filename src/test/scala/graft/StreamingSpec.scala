@@ -111,6 +111,25 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st05 stream-stream interval join matches views to purchases within 1h") {
+    val ms = MemoryStream[StreamEv]
+    val q = Streams.conversions(ms.toDF())
+      .writeStream.format("memory").queryName("st05_out").outputMode("append").start()
+    try {
+      ms.addData(
+        ev(1, "2026-01-01T10:00:00Z", "view"),
+        ev(1, "2026-01-01T10:30:00Z", "purchase"),   // within 1h → match
+        ev(2, "2026-01-01T10:00:00Z", "view"),
+        ev(2, "2026-01-01T12:30:00Z", "purchase"),   // 2.5h later → no match
+        ev(3, "2026-01-01T11:00:00Z", "purchase"))   // no prior view
+      q.processAllAvailable()
+      ms.addData(ev(9, "2026-01-01T15:00:00Z", "view")) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("st05_out").collect().map(_.getAs[Long]("user_id"))
+      assert(rows.toSeq == Seq(1L), rows.toSeq)
+    } finally q.stop()
+  }
+
   test("st01 shares its plan with the oracle-checked batch q38") {
     // same code path: batch run over the real events table must agree with
     // a hand-rolled batch aggregation
