@@ -8,9 +8,24 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
-    // JIT/codegen warmup — not data warmup; tables are untouched
-    spark.range(2000000).selectExpr("sum(id) s", "count(distinct id % 7) c")
-      .write.format("noop").mode("overwrite").save()
+    // JIT/codegen warmup over SYNTHETIC data (no table file is touched):
+    // exercises the hot execution classes — decimal partial aggregation,
+    // hash join, window functions, sort — so per-query timings measure
+    // the operator, not first-use class loading + JIT.
+    locally {
+      import org.apache.spark.sql.functions._
+      val a = spark.range(2000000).select((col("id") % 97).as("k"),
+        (col("id") % 1000).cast("decimal(18,4)").as("d"))
+      a.groupBy("k").agg(sum(col("d")), avg(col("d")), countDistinct(col("d")))
+        .write.format("noop").mode("overwrite").save()
+      val b = spark.range(100000).select((col("id") % 1000).as("k"), col("id").as("v"))
+      b.join(spark.range(1000).toDF("k"), "k")
+        .select(col("k"), col("v"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("k").orderBy("v")).as("rn"))
+        .orderBy(col("k"), col("rn")).limit(10)
+        .write.format("noop").mode("overwrite").save()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

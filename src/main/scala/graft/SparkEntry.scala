@@ -69,6 +69,7 @@ object SparkEntry {
     "q49_token_count"          -> ((s, d) => TextAnalysis.q49(documents(s, d))),
     "q50_fingerprint"          -> ((s, d) => TextAnalysis.q50(documents(s, d))),
     "q54_text_normalize"       -> ((s, d) => TextAnalysis.q54(documents(s, d))),
+    "q55_ann_ivf"              -> ((s, d) => Similarity.q55(embeddings(s, d))),
     "q51_multimodal_meta"      -> ((s, d) => Multimodal.q51(s, documents(s, d))),
     "q52_multimodal_resize"    -> ((s, d) => Multimodal.q52Resize(s, documents(s, d))),
     "q53_frame_sample"         -> ((s, d) => Multimodal.q53FrameSample(s, documents(s, d)))

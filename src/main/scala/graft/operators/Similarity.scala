@@ -131,6 +131,64 @@ object Similarity {
       .orderBy(col("qid"), col("rk"))
   }
 
+  val IvfLists  = 16 // coarse centroids (√n-ish at test scale)
+  val IvfProbes = 3  // lists a query probes
+
+  /** q55: IVF ANN — the other 100 TB scale path (SURVEY.md §5). A
+    * k-means coarse quantizer (kmeans|| init, distributed fit) assigns
+    * every vector to its nearest centroid list; a query probes only the
+    * `IvfProbes` nearest lists, so compute is ∝ n·probes/lists instead
+    * of n². Unlike LSH (data-independent planes), IVF adapts to the data
+    * distribution — better recall on clustered embeddings at the cost of
+    * the one-time training pass. Candidates re-rank with the exact
+    * cosine kernel; top-5 per query. */
+  def q55(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = vecRows(embeddings)
+    val feat = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      array_to_vector(transform(col("embedding"), x => x.cast("double"))).as("features"))
+    val model = new KMeans().setK(IvfLists).setMaxIter(5).setSeed(20260812L)
+      .fit(feat)
+    val centroids = model.clusterCenters.map(_.toArray)
+    val bcC = spark.sparkContext.broadcast(centroids)
+    // index side: each vector in its single nearest list; query side:
+    // probe the IvfProbes nearest lists
+    def lists(probes: Int) = vecs.flatMap { case (id, v, _) =>
+      val c = bcC.value
+      val d2 = Array.tabulate(c.length) { ci =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { val t = v(i) - c(ci)(i); s += t * t; i += 1 }
+        (s, ci)
+      }
+      d2.sortBy(_._1).take(probes).map { case (_, ci) => (id, ci) }
+    }.toDF("vec_id", "list")
+    val index = lists(1).select(col("vec_id").as("nid"), col("list"))
+    val probes = lists(IvfProbes).select(col("vec_id").as("qid"), col("list"))
+    val candidates = probes.join(index, Seq("list"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid")).distinct()
+    val bcV = spark.sparkContext.broadcast(
+      vecs.collect().map { case (id, v, n) => id -> ((v, n)) }.toMap)
+    val scored = candidates.as[(Long, Long)].mapPartitions { it =>
+      val m = bcV.value
+      it.map { case (q, nId) =>
+        val (va, na) = m(q); val (vb, nb) = m(nId)
+        var d = 0.0; var i = 0
+        while (i < va.length) { d += va(i) * vb(i); i += 1 }
+        (q, nId, d / (na * nb))
+      }
+    }.toDF("qid", "nid", "cos")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("nid"), col("cos"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** q46: embedding-cosine near-duplicate pairs (cos > 0.4, a<b).
     *
     * Exact all-pairs is O(n²) by definition; the scale question is the

@@ -43,6 +43,17 @@ class SimilaritySpec extends GraftSpec {
     assert(recall > 0.1, s"recall=$recall")
   }
 
+  test("q55 IVF recall vs q44 baseline beats single-table LSH expectations") {
+    val emb = Tables.embeddings(spark, SF)
+    val base = Similarity.q44(emb).select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.q55(emb)
+      .filter($"qid" < 20).select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (base & ivf).size.toDouble / base.size
+    assert(recall > 0.3, s"recall=$recall")
+  }
+
   test("q46 finds planted near-dup pairs above threshold") {
     val pairs = Similarity.q46(planted).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
