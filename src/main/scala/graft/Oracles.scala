@@ -313,6 +313,14 @@ object Oracles {
            CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS total_value
          FROM s GROUP BY user_id, session_seq ORDER BY user_id, s_start""",
 
+    "q56_native_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, o_totalprice DESC, o_orderkey""",
+
     "q40_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
          FROM documents GROUP BY lower(trim(text)) ORDER BY keep_id""",

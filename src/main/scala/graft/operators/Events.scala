@@ -114,6 +114,37 @@ object Events {
         col("last_purchase") > col("first_signup"))
       .agg(count(lit(1)).as("converted_users"))
 
+  /** Per-key top-k via graft's native two-phase heap operator
+    * ([[graft.plans.TopKPerKeyExec]]): bounded heaps before AND after the
+    * key shuffle instead of a full window sort. Registered through
+    * `spark.experimental.extraStrategies` so it works in any session.
+    * Output rows are best-first within each key. */
+  def topKPerKey(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+                 orderCols: Seq[(String, Boolean)], k: Int): org.apache.spark.sql.DataFrame = {
+    import graft.plans.{TopKPerKeyPlan, TopKPerKeyStrategy}
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    val child = df.queryExecution.analyzed
+    def attr(n: String) = child.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no column $n in ${child.output.map(_.name)}"))
+    val order = orderCols.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending) }
+    org.apache.spark.sql.graft.ColumnBridge.ofRows(spark,
+      TopKPerKeyPlan(keyCols.map(attr), order, k, child))
+  }
+
+  /** q56: top-3 orders per customer through the native operator — same
+    * result as q30's row_number()<=3 (the order is total, so ranks are
+    * unambiguous), but with bounded heaps instead of a partition sort. */
+  def q56(orders: DataFrame): DataFrame =
+    topKPerKey(
+      orders.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+
   /** q39: gap-based sessionization via Spark's native `session_window`
     * (one aggregation, window-merge semantics: a new session starts when
     * the inter-event gap is ≥ 30 min). Complements the lag+cumsum

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Events
+import graft.Tables
+
+/** Specs for the native two-phase top-k operator (plans.TopKPerKeyExec). */
+class TopKPerKeySpec extends GraftSpec {
+  import spark.implicits._
+
+  test("q56 equals the window row_number formulation on real data") {
+    val orders = Tables.orders(spark, SF)
+    val native = Events.q56(orders).collect().toSeq
+    val window = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3).drop("rn")
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+        .collect().toSeq
+    }
+    assert(native == window)
+  }
+
+  test("the plan contains the two-phase exec and no window sort") {
+    val df = Events.q56(Tables.orders(spark, SF))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("TopKPerKey \\[".r.findAllIn(plan).size == 2, plan) // partial + final
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("ties beyond k are cut deterministically by the total order") {
+    val df = Seq((1L, 10L, 5.0), (1L, 11L, 5.0), (1L, 12L, 5.0), (1L, 13L, 5.0))
+      .toDF("k", "id", "v")
+    val top = Events.topKPerKey(df, Seq("k"), Seq(("v", false), ("id", true)), 3)
+      .collect().map(_.getAs[Long]("id")).sorted
+    assert(top.toSeq == Seq(10L, 11L, 12L))   // lowest ids win the tie-break
+  }
+
+  test("k larger than group size returns the whole group") {
+    val df = Seq((1L, 1L, 1.0), (1L, 2L, 2.0)).toDF("k", "id", "v")
+    val top = Events.topKPerKey(df, Seq("k"), Seq(("v", false)), 10)
+    assert(top.count() == 2)
+  }
+
+  test("unknown column names raise a named error") {
+    val df = Seq((1L, 1.0)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Events.topKPerKey(df, Seq("nope"), Seq(("v", false)), 1)
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+}
