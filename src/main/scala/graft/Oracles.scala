@@ -215,6 +215,23 @@ object Oracles {
            AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
          GROUP BY c_nationkey ORDER BY c_nationkey""",
 
+    "q27_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderkey
+           RANGE BETWEEN 50 PRECEDING AND CURRENT ROW),2) AS DOUBLE) AS range_sum
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "q28_first_last" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+         FIRST_VALUE(o_totalprice) OVER w AS cheapest,
+         LAST_VALUE(o_totalprice)  OVER w AS priciest,
+         NTH_VALUE(o_totalprice, 2) OVER w AS second_cheapest
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_custkey, o_orderkey""",
+
     "q29_pivot" ->
       """SELECT l_linestatus,
          CAST(ROUND(SUM(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,4)) END),2) AS DOUBLE) AS A,

@@ -44,6 +44,8 @@ object SparkEntry {
     "q24_approx_sketch"    -> ((s, d) => Relational.q24(lineitem(s, d))),
     "q25_sql_interface"    -> ((s, d) => Relational.q25(s, lineitem(s, d), supplier(s, d))),
     "q26_corr_exists"      -> ((s, d) => Relational.q26(customer(s, d), orders(s, d))),
+    "q27_window_range"     -> ((s, d) => Events.q27(orders(s, d))),
+    "q28_first_last"       -> ((s, d) => Events.q28(orders(s, d))),
     "q29_pivot"            -> ((s, d) => Relational.q29(lineitem(s, d))),
     // §2b window / event analytics
     "q30_window_rank"      -> ((s, d) => Events.q30(orders(s, d))),

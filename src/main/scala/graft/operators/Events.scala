@@ -114,6 +114,34 @@ object Events {
         col("last_purchase") > col("first_signup"))
       .agg(count(lit(1)).as("converted_users"))
 
+  /** q27: RANGE-frame window — per customer, the sum of order values
+    * within a value-range frame (all orders whose orderkey is within 50
+    * of the current one). RANGE frames bound by VALUE, not row count —
+    * the semantics ROWS frames can't express. */
+  def q27(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderkey")).rangeBetween(-50L, 0L)
+    orders.select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum(dec(col("o_totalprice"))).over(w), 2).cast("double")
+          .as("range_sum"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** q28: first_value / last_value / nth_value over a full-partition
+    * frame — each customer's cheapest, priciest and second order value. */
+  def q28(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders.select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        first(col("o_totalprice")).over(w).as("cheapest"),
+        last(col("o_totalprice")).over(w).as("priciest"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_cheapest"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** Per-key top-k via graft's native two-phase heap operator
     * ([[graft.plans.TopKPerKeyExec]]): bounded heaps before AND after the
     * key shuffle instead of a full window sort. Registered through

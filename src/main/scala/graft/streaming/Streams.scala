@@ -37,6 +37,19 @@ object Streams {
   def q38(events: DataFrame): DataFrame =
     windowedAgg(events).orderBy(col("win_start"), col("event_type"))
 
+  /** st06: exactly-once parquet sink via foreachBatch — each micro-batch
+    * writes to a batchId-named directory, so replays after failure
+    * overwrite the same path instead of duplicating rows (idempotent
+    * writes + checkpointed offsets = effectively-once). */
+  def startIdempotentSink(df: DataFrame, outDir: String,
+                          checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .start()
+
   /** st05: stream-stream interval join — view→purchase conversions
     * within one hour, per user. Both sides carry watermarks and the join
     * condition bounds event time on both ends, so Spark can evict

@@ -130,6 +130,22 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st06 foreachBatch sink writes batch-id partitioned parquet idempotently") {
+    val out = java.nio.file.Files.createTempDirectory("graft-st06").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-st06-ckpt").toString
+    val ms = MemoryStream[StreamEv]
+    val q = Streams.startIdempotentSink(ms.toDF(), out, ckpt)
+    try {
+      ms.addData(ev(1, "2026-01-01T10:00:00Z"), ev(2, "2026-01-01T10:01:00Z"))
+      q.processAllAvailable()
+      ms.addData(ev(3, "2026-01-01T10:02:00Z"))
+      q.processAllAvailable()
+      val back = spark.read.parquet(out)
+      assert(back.count() == 3)
+      assert(back.columns.contains("batch_id")) // partition column visible
+    } finally q.stop()
+  }
+
   test("st01 shares its plan with the oracle-checked batch q38") {
     // same code path: batch run over the real events table must agree with
     // a hand-rolled batch aggregation
