@@ -21,5 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_dot(array<double>, array<double>) takes 2 arguments, got ${children.length}")
         DotProduct(children.head, children(1))
       }))
+    // row_number()<=k window-filter → native bounded-heap top-k operator
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

@@ -45,6 +45,40 @@ class TopKPerKeySpec extends GraftSpec {
     assert(top.count() == 2)
   }
 
+  test("TopKRewrite turns row_number()<=k window-filter into the native operator") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, SF)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val q = orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 2)
+      .drop("rn")
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("TopKPerKey"), optimized)
+    // and the rewrite preserves the window semantics exactly
+    val viaRule = q.orderBy("o_custkey", "o_orderkey").collect().toSeq
+    val native = Events.topKPerKey(
+        orders.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 2)
+      .orderBy("o_custkey", "o_orderkey").collect().toSeq
+    assert(viaRule == native)
+  }
+
+  test("TopKRewrite leaves rank()-based filters alone (ties exceed k)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, SF)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc)
+    val q = orders
+      .select(col("o_custkey"), col("o_orderkey"), rank().over(w).as("rnk"))
+      .filter(col("rnk") <= 2).drop("rnk")
+    assert(!q.queryExecution.optimizedPlan.toString.contains("TopKPerKey"))
+  }
+
   test("unknown column names raise a named error") {
     val df = Seq((1L, 1.0)).toDF("k", "v")
     val e = intercept[IllegalArgumentException] {
