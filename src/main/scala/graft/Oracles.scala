@@ -426,6 +426,24 @@ object Oracles {
          CAST(n_chars AS DOUBLE)/CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS chars_per_token
          FROM documents ORDER BY doc_id""",
 
+    "q57_lateral_explode" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ')[1] AS tok
+           FROM documents)
+         SELECT tok, COUNT(*) AS n_docs FROM t
+         GROUP BY tok HAVING COUNT(*) >= 2
+         ORDER BY n_docs DESC, tok""",
+
+    "q59_profile_stats" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+         MIN(l_extendedprice) AS min_price,
+         MAX(l_extendedprice) AS max_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS mean_price,
+         sqrt((CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+              / (COUNT(*) - 1)) AS stddev_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "q54_text_normalize" ->
       """SELECT doc_id,
          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean_text,

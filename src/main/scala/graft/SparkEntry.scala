@@ -47,6 +47,8 @@ object SparkEntry {
     "q27_window_range"     -> ((s, d) => Events.q27(orders(s, d))),
     "q28_first_last"       -> ((s, d) => Events.q28(orders(s, d))),
     "q29_pivot"            -> ((s, d) => Relational.q29(lineitem(s, d))),
+    "q58_stratified_sample"-> ((s, d) => Relational.q58(orders(s, d))),
+    "q59_profile_stats"    -> ((s, d) => Relational.q59(lineitem(s, d))),
     // §2b window / event analytics
     "q30_window_rank"      -> ((s, d) => Events.q30(orders(s, d))),
     "q31_window_running"   -> ((s, d) => Events.q31(events(s, d))),
@@ -72,6 +74,7 @@ object SparkEntry {
     "q49_token_count"          -> ((s, d) => TextAnalysis.q49(documents(s, d))),
     "q50_fingerprint"          -> ((s, d) => TextAnalysis.q50(documents(s, d))),
     "q54_text_normalize"       -> ((s, d) => TextAnalysis.q54(documents(s, d))),
+    "q57_lateral_explode"      -> ((s, d) => TextAnalysis.q57(documents(s, d))),
     "q55_ann_ivf"              -> ((s, d) => Similarity.q55(embeddings(s, d))),
     "q51_multimodal_meta"      -> ((s, d) => Multimodal.q51(s, documents(s, d))),
     "q52_multimodal_resize"    -> ((s, d) => Multimodal.q52Resize(s, documents(s, d))),

@@ -307,6 +307,39 @@ object Relational {
       .agg(moneySum(col("l_quantity")))
       .orderBy(col("l_linestatus"))
 
+  /** q58: seeded stratified sampling (sampleBy) — the corpus-curation
+    * primitive for rebalancing sources. Deterministic per seed; the
+    * rows-only gate plus a fraction-bounds spec cover it. */
+  def q58(orders: DataFrame): DataFrame =
+    orders.stat.sampleBy("o_orderstatus",
+        Map("O" -> 0.1, "F" -> 0.5, "P" -> 1.0), seed = 20260812L)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("o_orderstatus"))
+
+  /** q59: data-profiling statistics — min/max/mean/stddev per measure.
+    * Stddev via the exact-decimal moment form sqrt((Σx² − (Σx)²/n)/(n−1))
+    * so both engines fold identically (Welford vs naive accumulation
+    * would differ in the last bits); decimal sums are order-independent
+    * across 1000 executors. */
+  def q59(lineitem: DataFrame): DataFrame = {
+    val p  = dec(col("l_extendedprice"))
+    // quantity squares stay within int64-backed decimals in BOTH engines
+    // (price² would overflow DuckDB's DECIMAL(18) unscaled int64)
+    val q  = dec(col("l_quantity"))
+    val n  = count(lit(1))
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        n.as("n"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        (sum(p).cast("double") / n).as("mean_price"),
+        sqrt((sum(q * q).cast("double") - sum(q).cast("double") * sum(q).cast("double") / n)
+          / (n - 1)).as("stddev_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** q25: the Hive-compatible SQL-text surface — the same engine driven
     * through `spark.sql` over registered views (TPC-H Q15 shape: CTE +
     * scalar subquery over the CTE). One Catalyst plan; the CTE is

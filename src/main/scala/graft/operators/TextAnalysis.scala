@@ -75,6 +75,19 @@ object TextAnalysis {
         col("n_chars").cast("double") / col("ws_tokens"))
       .orderBy(col("doc_id"))
 
+  /** q57: LATERAL VIEW-style array explode — tokens with their position
+    * (posexplode), aggregated to the most common leading token. The Hive
+    * `LATERAL VIEW posexplode` surface as a DataFrame generator. */
+  def q57(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), " ")).as(Seq("pos", "tok")))
+      .filter(col("pos") === 0)
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("tok"))
+
   /** q54: text normalization — the cleaning pass every corpus pipeline
     * runs before dedup/tokenization: lowercase, strip non-alphanumerics,
     * collapse runs of whitespace, trim. Pure codegen'd scan. */

@@ -41,6 +41,22 @@ class RelationalSpec extends GraftSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("q58 stratified sample respects per-stratum fraction bounds") {
+    val orders = Tables.orders(spark, SF)
+    val totals = orders.groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = Relational.q58(orders).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_sampled")).toMap
+    val fractions = Map("O" -> 0.1, "F" -> 0.5, "P" -> 1.0)
+    sampled.foreach { case (k, n) =>
+      val expect = totals(k) * fractions(k)
+      assert(n <= totals(k))
+      assert(math.abs(n - expect) <= math.max(10, expect * 0.5),
+        s"stratum $k: sampled $n of ${totals(k)} (target fraction ${fractions(k)})")
+    }
+    assert(sampled.get("P").forall(_ == totals.getOrElse("P", 0L))) // fraction 1.0 keeps all
+  }
+
   test("q24 HLL approx distinct is within 5% of exact") {
     val rows = Relational.q24(lineitem(spark, SF)).collect()
     assert(rows.nonEmpty)
