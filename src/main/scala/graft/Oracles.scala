@@ -338,6 +338,28 @@ object Oracles {
            FROM orders)
          WHERE rn <= 3 ORDER BY o_custkey, o_totalprice DESC, o_orderkey""",
 
+    "q60_asof_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         t AS (SELECT user_id, event_id, event_type, ts,
+           CASE WHEN event_type = 'view' THEN ts END AS view_ts FROM e),
+         f AS (SELECT user_id, event_id, event_type, ts,
+           LAST_VALUE(view_ts IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS asof_view_ts
+           FROM t)
+         SELECT user_id, event_id, ts AS buy_ts, asof_view_ts
+         FROM f WHERE event_type = 'purchase'
+         ORDER BY user_id, event_id""",
+
+    "q61_interval_join" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         v AS (SELECT user_id, ts AS view_ts FROM e WHERE event_type = 'view'),
+         b AS (SELECT user_id AS buy_user, ts AS buy_ts FROM e WHERE event_type = 'purchase')
+         SELECT user_id, view_ts, buy_ts
+         FROM v JOIN b ON user_id = buy_user
+           AND buy_ts >= view_ts AND buy_ts <= view_ts + INTERVAL 1 HOUR
+         ORDER BY user_id, view_ts, buy_ts""",
+
     "q40_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
          FROM documents GROUP BY lower(trim(text)) ORDER BY keep_id""",

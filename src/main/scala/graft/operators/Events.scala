@@ -186,6 +186,27 @@ object Events {
         col("n_events"), col("total_value"))
       .orderBy(col("user_id"), col("s_start"))
 
+  /** q60: as-of join — for every purchase, the most recent view at or
+    * before it by the same user. Composed Spark-first (SURVEY §4 option
+    * a): one union + one window pass per user, no range join blowup —
+    * `last(ignoreNulls)` carries the latest view timestamp forward over
+    * the event-time order. Shuffles ONCE on user_id. */
+  def q60(events: DataFrame): DataFrame = {
+    val e = withTs(events)
+    val tagged = e.select(col("user_id"), col("ts"), col("event_id"),
+      when(col("event_type") === "view", col("ts")).as("view_ts"),
+      col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("asof_view_ts", last(col("view_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts").as("buy_ts"),
+        col("asof_view_ts"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** q37: JSON prop extraction (schema-on-read over the props column). */
   def q37(events: DataFrame): DataFrame =
     events
