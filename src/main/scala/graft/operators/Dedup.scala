@@ -36,29 +36,64 @@ object Dedup {
       .select(col("keep_id"), col("dup_count"))
       .orderBy(col("keep_id"))
 
-  /** Exact pairwise Jaccard over candidate pairs that share ≥1 shingle. */
-  private def jaccardPairs(documents: DataFrame): DataFrame = {
-    val g = shingles(documents)
+  /** Exact Jaccard (common/union over FULL shingle sets) for given
+    * candidate (doc_a, doc_b) pairs. Shingle sets are first semi-joined
+    * down to candidate docs so the verification shuffle is ∝ the
+    * candidates' shingles, not the corpus. */
+  private def verifyJaccard(g: DataFrame, candidates: DataFrame): DataFrame = {
+    val ga = g.join(candidates.select(col("doc_a")).distinct(),
+        g("doc_id") === col("doc_a"), "left_semi")
+      .select(col("doc_id").as("doc_a"), col("g"))
+    val gb = g.join(candidates.select(col("doc_b")).distinct(),
+        g("doc_id") === col("doc_b"), "left_semi")
+      .select(col("doc_id").as("doc_b"), col("g"))
     val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = g.as("a")
-      .join(g.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    candidates
+      .join(ga, "doc_a")
+      .join(gb, Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
-    common
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
   }
 
-  /** q41: n-gram Jaccard near-dup pairs (J > 0.8). The shingle equi-join
-    * is the blocking step: docs sharing no shingle never pair up. */
-  def q41(documents: DataFrame): DataFrame =
-    jaccardPairs(documents)
-      .filter(col("jaccard") > 0.8)
+  val JaccardThreshold = 0.8
+
+  /** q41: n-gram Jaccard near-dup pairs (J > 0.8), exact, via PREFIX
+    * FILTERING (the MapReduce set-similarity join of Vernica et al.,
+    * SIGMOD'10; prefix principle from Bayardo et al., WWW'07): order
+    * shingles globally by frequency (rarest first); a doc with n
+    * shingles exposes only its first n − ⌈t·n⌉ + 1 to the blocking
+    * equi-join — any pair with J ≥ t provably shares a prefix shingle.
+    * The join therefore touches ~(1−t) of the shingle stream, and on its
+    * RAREST tokens, collapsing candidate fan-out; full-set verification
+    * keeps the result exactly equal to the naive all-pairs join. */
+  def q41(documents: DataFrame): DataFrame = {
+    val g = shingles(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    val ranked = g.join(freq, "g")
+      .withColumn("pos", row_number().over(wDoc))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+    val prefix = ranked
+      .filter(col("pos") <= col("n") - ceil(lit(JaccardThreshold) * col("n")) + 1)
+      .select(col("doc_id"), col("g"))
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(g, candidates)
+      .filter(col("jaccard") > JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("common"), col("na"), col("nb"),
         col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   val MinhashK = 64   // permutations
   val Bands    = 16   // 16 bands × 4 rows
@@ -104,25 +139,7 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // Exact-verify ONLY the candidate pairs: shingle sets are first
-    // semi-joined down to candidate docs, so verification shuffle is
-    // ∝ candidate docs' shingles — not the corpus-wide pair join q41 does.
-    val ga = g.join(candidates.select(col("doc_a")).distinct(),
-        g("doc_id") === col("doc_a"), "left_semi")
-      .select(col("doc_id").as("doc_a"), col("g"))
-    val gb = g.join(candidates.select(col("doc_b")).distinct(),
-        g("doc_id") === col("doc_b"), "left_semi")
-      .select(col("doc_id").as("doc_b"), col("g"))
-    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    candidates
-      .join(ga, "doc_a")
-      .join(gb, Seq("doc_b", "g"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("common"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+    verifyJaccard(g, candidates)
       .filter(col("jaccard") > 0.7)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
