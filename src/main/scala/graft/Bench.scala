@@ -25,6 +25,11 @@ object Bench {
             .partitionBy("k").orderBy("v")).as("rn"))
         .orderBy(col("k"), col("rn")).limit(10)
         .write.format("noop").mode("overwrite").save()
+      // warm the vectorized parquet reader classes on a 5-row dim table
+      // from the SMALLEST sf dir — not the benchmarked dataset
+      try spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -49,6 +49,7 @@ object SparkEntry {
     "q29_pivot"            -> ((s, d) => Relational.q29(lineitem(s, d))),
     "q58_stratified_sample"-> ((s, d) => Relational.q58(orders(s, d))),
     "q59_profile_stats"    -> ((s, d) => Relational.q59(lineitem(s, d))),
+    "q62_approx_percentile"-> ((s, d) => Relational.q62(lineitem(s, d))),
     // §2b window / event analytics
     "q30_window_rank"      -> ((s, d) => Events.q30(orders(s, d))),
     "q31_window_running"   -> ((s, d) => Events.q31(events(s, d))),

@@ -307,6 +307,19 @@ object Relational {
       .agg(moneySum(col("l_quantity")))
       .orderBy(col("l_linestatus"))
 
+  /** q62: approximate percentiles (Greenwald-Khanna sketch) next to the
+    * exact values — at 100 TB the sketch aggregates in one pass with
+    * bounded memory while exact percentile shuffles every value. Spec
+    * asserts the approximation error; rows-only gate (sketch internals
+    * are engine-specific). */
+  def q62(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("exact_median"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("approx_p95"))
+      .orderBy(col("l_returnflag"))
+
   /** q58: seeded stratified sampling (sampleBy) — the corpus-curation
     * primitive for rebalancing sources. Deterministic per seed; the
     * rows-only gate plus a fraction-bounds spec cover it. */

@@ -57,6 +57,14 @@ class RelationalSpec extends GraftSpec {
     assert(sampled.get("P").forall(_ == totals.getOrElse("P", 0L))) // fraction 1.0 keeps all
   }
 
+  test("q62 approx percentile is within 2% of exact") {
+    Relational.q62(lineitem(spark, SF)).collect().foreach { r =>
+      val approx = r.getAs[Double]("approx_median")
+      val exact  = r.getAs[Double]("exact_median")
+      assert(math.abs(approx - exact) / exact <= 0.02, s"approx=$approx exact=$exact")
+    }
+  }
+
   test("q24 HLL approx distinct is within 5% of exact") {
     val rows = Relational.q24(lineitem(spark, SF)).collect()
     assert(rows.nonEmpty)

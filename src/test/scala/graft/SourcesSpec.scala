@@ -57,6 +57,15 @@ class SourcesSpec extends GraftSpec {
       nation.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("s05 orc round-trips") {
+    val nation = Tables.nation(spark, SF)
+    val path = tmp("orc")
+    nation.write.mode("overwrite").orc(path)
+    val back = spark.read.orc(path)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
   test("s03 json round-trips with schema") {
     val region = Tables.region(spark, SF)
     val path = tmp("json")
