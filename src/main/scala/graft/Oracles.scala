@@ -466,6 +466,23 @@ object Oracles {
               / (COUNT(*) - 1)) AS stddev_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "q63_integrity_checks" ->
+      """SELECT * FROM (
+           SELECT 'dup_custkey' AS check_name, COUNT(*) AS violations FROM (
+             SELECT c_custkey FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1)
+           UNION ALL
+           SELECT 'orphan_orders', COUNT(*) FROM orders
+             WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+           UNION ALL
+           SELECT 'orphan_lineitems', COUNT(*) FROM lineitem
+             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+           UNION ALL
+           SELECT 'neg_quantity', COUNT(*) FROM lineitem WHERE l_quantity < 0
+           UNION ALL
+           SELECT 'bad_discount', COUNT(*) FROM lineitem
+             WHERE l_discount < 0 OR l_discount > 1)
+         ORDER BY check_name""",
+
     "q54_text_normalize" ->
       """SELECT doc_id,
          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean_text,

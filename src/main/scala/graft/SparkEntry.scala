@@ -50,6 +50,7 @@ object SparkEntry {
     "q58_stratified_sample"-> ((s, d) => Relational.q58(orders(s, d))),
     "q59_profile_stats"    -> ((s, d) => Relational.q59(lineitem(s, d))),
     "q62_approx_percentile"-> ((s, d) => Relational.q62(lineitem(s, d))),
+    "q63_integrity_checks" -> ((s, d) => Relational.q63(customer(s, d), orders(s, d), lineitem(s, d))),
     // §2b window / event analytics
     "q30_window_rank"      -> ((s, d) => Events.q30(orders(s, d))),
     "q31_window_running"   -> ((s, d) => Events.q31(events(s, d))),

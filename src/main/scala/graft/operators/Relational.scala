@@ -307,6 +307,28 @@ object Relational {
       .agg(moneySum(col("l_quantity")))
       .orderBy(col("l_linestatus"))
 
+  /** q63: data-quality / integrity check suite (the dbt-test shape a
+    * warehouse runs after every load): key uniqueness, referential
+    * integrity via anti-joins, domain-range checks — one row per check
+    * with its violation count. Anti-joins ship only keys; each check is
+    * a partial-aggregated count. */
+  def q63(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    def check(name: String, violations: DataFrame): DataFrame =
+      violations.agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("check_name"), col("violations"))
+    check("dup_custkey",
+        customer.groupBy(col("c_custkey")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1))
+      .unionAll(check("orphan_orders",
+        orders.join(customer, col("o_custkey") === col("c_custkey"), "left_anti")))
+      .unionAll(check("orphan_lineitems",
+        lineitem.join(orders, col("l_orderkey") === col("o_orderkey"), "left_anti")))
+      .unionAll(check("neg_quantity", lineitem.filter(col("l_quantity") < 0)))
+      .unionAll(check("bad_discount",
+        lineitem.filter(col("l_discount") < 0 || col("l_discount") > 1)))
+      .orderBy(col("check_name"))
+  }
+
   /** q62: approximate percentiles (Greenwald-Khanna sketch) next to the
     * exact values — at 100 TB the sketch aggregates in one pass with
     * bounded memory while exact percentile shuffles every value. Spec
