@@ -14,6 +14,22 @@ package graft
 object Oracles {
   private def msum(x: String) =
     s"CAST(ROUND(SUM(CAST($x AS DECIMAL(18,4))),2) AS DOUBLE)"
+
+  /** q41's SQL, shared verbatim by the q64 cluster oracle's pair CTE. */
+  private val Q41Sql =
+    """WITH toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+       grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+         FROM toks WHERE len(w) >= 3),
+       sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+       cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+         FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id)
+       SELECT doc_a, doc_b, common, sa.n AS na, sb.n AS nb,
+         CAST(common AS DOUBLE)/(sa.n + sb.n - common) AS jaccard
+       FROM cm JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE CAST(common AS DOUBLE)/(sa.n + sb.n - common) > 0.8
+       ORDER BY doc_a, doc_b"""
   private val disc =
     "CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
 
@@ -364,20 +380,21 @@ object Oracles {
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
          FROM documents GROUP BY lower(trim(text)) ORDER BY keep_id""",
 
-    "q41_dedup_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
-         grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
-             range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
-           FROM toks WHERE len(w) >= 3),
-         sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
-         cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-           FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-           GROUP BY a.doc_id, b.doc_id)
-         SELECT doc_a, doc_b, common, sa.n AS na, sb.n AS nb,
-           CAST(common AS DOUBLE)/(sa.n + sb.n - common) AS jaccard
-         FROM cm JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-         WHERE CAST(common AS DOUBLE)/(sa.n + sb.n - common) > 0.8
-         ORDER BY doc_a, doc_b""",
+    "q41_dedup_ngram_jaccard" -> Q41Sql,
+
+    // same pair set as q41, collapsed to connected components: the
+    // recursive transitive closure mirrors graft's iterative min-label
+    // propagation exactly (both converge to min id per component)
+    "q64_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($Q41Sql),
+         e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+               UNION SELECT doc_b, doc_a FROM pairs),
+         reach(u, v) AS (
+           SELECT u, v FROM e
+           UNION
+           SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u WHERE e2.v <> r.u)
+         SELECT u AS doc_id, LEAST(u, MIN(v)) AS label
+         FROM reach GROUP BY u ORDER BY doc_id""",
 
     "q44_ann_cosine_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

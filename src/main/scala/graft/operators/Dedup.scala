@@ -95,6 +95,47 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation — the step that turns a pair list into dedup CLUSTERS
+    * (keep the min doc_id per component, drop the rest). Iterates until
+    * fixpoint (≤ graph diameter rounds; near-dup components are
+    * clique-ish, so 1–3 rounds in practice). Each round is one join +
+    * one aggregation; `localCheckpoint` cuts the growing lineage so
+    * round N doesn't replay rounds 1..N−1 — the standard Spark pattern
+    * for iterative graph algorithms. */
+  def clusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("v"), col("label")), "v")
+        .groupBy(col("u").as("doc_id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val updated = labels
+        .join(nbrMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = updated
+        .join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels = updated
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** q64: dedup clusters from the q41 near-dup pairs — one row per doc
+    * in a component, labelled with its cluster's canonical (min) id. */
+  def q64(documents: DataFrame): DataFrame =
+    clusters(q41(documents).select(col("doc_a"), col("doc_b")))
+      .orderBy(col("doc_id"))
+
   val MinhashK = 64   // permutations
   val Bands    = 16   // 16 bands × 4 rows
   val RowsPerBand = MinhashK / Bands

@@ -44,6 +44,19 @@ class DedupSpec extends GraftSpec {
     assert(h.get.getAs[Int]("hamming") == 0)
   }
 
+  test("clusters: transitive chain a-b, b-c collapses to one component") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("label")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("clusters: a long path converges to the min label (many rounds)") {
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.clusters(pairs).collect().map(_.getAs[Long]("label")).toSet
+    assert(labels == Set(1L))
+  }
+
   test("simhash distance is small for long docs differing by one word") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val near = base.replace("tok37", "changed")
