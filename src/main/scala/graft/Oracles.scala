@@ -396,6 +396,27 @@ object Oracles {
          SELECT u AS doc_id, LEAST(u, MIN(v)) AS label
          FROM reach GROUP BY u ORDER BY doc_id""",
 
+    "q65_clean_corpus" ->
+      s"""WITH RECURSIVE pairs AS ($Q41Sql),
+         e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+               UNION SELECT doc_b, doc_a FROM pairs),
+         reach(u, v) AS (
+           SELECT u, v FROM e
+           UNION
+           SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u WHERE e2.v <> r.u),
+         losers AS (SELECT u AS doc_id FROM reach GROUP BY u
+                    HAVING LEAST(u, MIN(v)) <> u),
+         norm AS (SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean_text,
+           CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS clean_tokens
+           FROM documents),
+         keep1 AS (SELECT MIN(doc_id) AS keep_id FROM norm GROUP BY clean_text)
+         SELECT doc_id, clean_text, clean_tokens FROM norm
+         WHERE doc_id IN (SELECT keep_id FROM keep1)
+           AND doc_id NOT IN (SELECT doc_id FROM losers)
+           AND clean_tokens >= 5
+         ORDER BY doc_id""",
+
     "q44_ann_cosine_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          n AS (SELECT vec_id, v,

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus cleaning pipeline (SURVEY.md §2c): the
+  * composition a 100 TB corpus actually runs, built entirely from the
+  * engine's own operators —
+  *
+  *   normalize → exact dedup (normalized text) → near-dup clustering
+  *   (prefix-filtered Jaccard pairs → connected components, drop
+  *   non-canonical members) → quality floor (token count).
+  *
+  * Each stage shuffles on its own key (text hash → pair keys → doc_id)
+  * and nothing ever materializes on the driver.
+  */
+object Pipeline {
+
+  val MinTokens = 5
+
+  def cleanCorpus(documents: DataFrame): DataFrame = {
+    val norm = TextAnalysis.q54(documents) // doc_id, clean_text, clean_tokens
+    val exactKeep = norm
+      .groupBy(col("clean_text").as("t"))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .select(col("keep_id"))
+    val nearDupLosers = Dedup
+      .clusters(Dedup.q41(documents).select(col("doc_a"), col("doc_b")))
+      .filter(col("label") =!= col("doc_id"))
+      .select(col("doc_id"))
+    norm
+      .join(exactKeep, norm("doc_id") === col("keep_id"), "left_semi")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .filter(col("clean_tokens") >= MinTokens)
+      .select(col("doc_id"), col("clean_text"), col("clean_tokens"))
+      .orderBy(col("doc_id"))
+  }
+}
