@@ -376,6 +376,12 @@ object Oracles {
            AND buy_ts >= view_ts AND buy_ts <= view_ts + INTERVAL 1 HOUR
          ORDER BY user_id, view_ts, buy_ts""",
 
+    "q66_json_struct" ->
+      """SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+         COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS k_present
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
     "q40_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
          FROM documents GROUP BY lower(trim(text)) ORDER BY keep_id""",

@@ -60,6 +60,7 @@ object SparkEntry {
     "q35_session_stats"    -> ((s, d) => Events.q35(events(s, d))),
     "q36_event_funnel"     -> ((s, d) => Events.q36(events(s, d))),
     "q37_json_extract"     -> ((s, d) => Events.q37(events(s, d))),
+    "q66_json_struct"      -> ((s, d) => Events.q66(events(s, d))),
     "q38_time_window"      -> ((s, d) => graft.streaming.Streams.q38(events(s, d))),
     "q39_session_window"   -> ((s, d) => Events.q39(events(s, d))),
     "q60_asof_join"        -> ((s, d) => Events.q60(events(s, d))),

@@ -207,6 +207,23 @@ object Events {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** q66: JSON → typed struct (from_json with an explicit schema) — the
+    * schema-on-read path that lets Catalyst prune/push on JSON fields
+    * instead of re-parsing per extraction like q37's get_json_object. */
+  def q66(events: DataFrame): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType)))
+    events
+      .select(from_json(col("props"), schema).as("p"), col("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("p.k")).as("sum_k"),
+        count(col("p.k")).as("k_present"))
+      .orderBy(col("event_type"))
+  }
+
   /** q37: JSON prop extraction (schema-on-read over the props column). */
   def q37(events: DataFrame): DataFrame =
     events
