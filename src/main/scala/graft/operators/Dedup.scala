@@ -116,15 +116,16 @@ object Dedup {
         .join(labels.select(col("doc_id").as("v"), col("label")), "v")
         .groupBy(col("u").as("doc_id"))
         .agg(min(col("label")).as("nbr_label"))
-      val updated = labels
+      // one join per round: carry the improvement flag alongside the new
+      // label so change detection needs no second join against old labels
+      val joined = labels
         .join(nbrMin, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (col("nbr_label") < col("label")).as("improved"))
         .localCheckpoint()
-      changed = updated
-        .join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).count()
-      labels = updated
+      changed = joined.filter(col("improved")).count()
+      labels = joined.select(col("doc_id"), col("label"))
     }
     edges.unpersist()
     labels
