@@ -73,10 +73,12 @@ object Dedup {
   def q41(documents: DataFrame): DataFrame = {
     val g = shingles(documents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val freq = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // document frequency as a window over the shingle partition (one
+    // shuffle on g) instead of aggregate + join-back (two)
+    val wG = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
-    val ranked = g.join(freq, "g")
+    val ranked = g.withColumn("df", count(lit(1)).over(wG))
       .withColumn("pos", row_number().over(wDoc))
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))

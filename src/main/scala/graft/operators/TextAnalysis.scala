@@ -101,15 +101,13 @@ object TextAnalysis {
   }
 
   /** q50: rolling polynomial fingerprint over codepoints, mod 1e9+7 —
-    * a content-defined doc identity robust to storage encoding. The fold
-    * is a codegen'd `aggregate` over the char array (no UDF). */
-  def q50(documents: DataFrame): DataFrame = {
-    val codes = transform(array_remove(split(col("text"), ""), ""),
-      c => ascii(c).cast("long"))
+    * a content-defined doc identity robust to storage encoding, via the
+    * native [[graft.functions.PolyFingerprint]] expression (one code-
+    * point loop per doc instead of a per-char string array + interpreted
+    * fold). */
+  def q50(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"),
-        aggregate(codes, lit(0L), (h, c) => (h * 31 + c) % 1000000007L)
-          .as("fingerprint"))
+        graft.functions.PolyFingerprint(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
-  }
 }

@@ -35,6 +35,27 @@ class FunctionsSpec extends GraftSpec {
     assert(df.collect().head.isNullAt(0))
   }
 
+  test("PolyFingerprint matches the manual polynomial fold") {
+    val fp = Seq((1L, "ab")).toDF("doc_id", "text")
+      .select(graft.functions.PolyFingerprint(col("text")).as("f"))
+      .collect().head.getLong(0)
+    assert(fp == 97L * 31 + 98)
+    // and matches the composable aggregate-lambda formulation on real text
+    val docs = Tables.documents(spark, SF).limit(100)
+    val codes = transform(array_remove(split(col("text"), ""), ""),
+      c => ascii(c).cast("long"))
+    val both = docs.select(
+      graft.functions.PolyFingerprint(col("text")).as("native"),
+      aggregate(codes, lit(0L), (h, c) => (h * 31 + c) % 1000000007L).as("lambda"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("graft_fingerprint is callable from SQL text via GraftExtensions") {
+    val v = spark.sql("SELECT graft_fingerprint('ab') AS f").collect().head.getLong(0)
+    assert(v == 97L * 31 + 98)
+  }
+
   test("graft_dot is callable from SQL text via GraftExtensions") {
     val v = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .collect().head.getDouble(0)
