@@ -52,6 +52,30 @@ object Similarity {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Distributed candidate re-rank shared by q45/q55: join the
+    * (qid, nid) candidate pairs back to the normalized vector table
+    * twice — once on qid, once on nid — then score with the codegen'd
+    * [[graft.functions.DotProduct]]. Two shuffle joins carrying
+    * (id, vec) and a per-key window; NOTHING touches the driver, so the
+    * re-rank scales with the cluster exactly like the bucketing stage.
+    * DotProduct folds left-to-right like the primitive kernel, so the
+    * scores are bit-identical to a local re-rank. */
+  private def rerankTopK(candidates: DataFrame, embeddings: DataFrame, k: Int): DataFrame = {
+    val vtab = normalized(embeddings).select(col("vec_id").cast("long").as("vec_id"),
+      col("v"), col("norm"))
+    val q = vtab.select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+    val n = vtab.select(col("vec_id").as("nid"), col("v").as("nv"), col("norm").as("nn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    candidates
+      .join(q, "qid")
+      .join(n, "nid")
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   val Tables      = 8  // L hash tables (OR-amplification → recall)
   val PlanesPerTable = 8  // k planes per table (AND-amplification → precision)
 
@@ -84,10 +108,11 @@ object Similarity {
     * P(meet) = 1-(1-(1-θ/π)^k)^L ≈ 0.93 for cos=0.8, ≈ 0.03 for cos=0.
     * The bucket join carries ONLY (vec_id, table, bucket) — no vectors —
     * so the shuffle is ∝ L·n ids plus candidate pairs, never n² and never
-    * array payloads. Signatures and candidate cosines run as primitive
-    * loops (a 4096-term unrolled expression tree overflows codegen'd
-    * method limits and falls back to interpretation — measured 12× slower
-    * than this kernel at sf0.1). */
+    * array payloads. Signatures run as a primitive loop (a 4096-term
+    * unrolled expression tree overflows codegen'd method limits and falls
+    * back to interpretation — measured 12× slower than this kernel at
+    * sf0.1); the re-rank is two distributed shuffle joins
+    * ([[rerankTopK]]) — no driver collect anywhere. */
   def q45(embeddings: DataFrame): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -112,24 +137,14 @@ object Similarity {
         col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
       .distinct()  // same pair can collide in several tables
-    val bc = spark.sparkContext.broadcast(
-      vecs.collect().map { case (id, v, n) => id -> ((v, n)) }.toMap)
-    val scored = candidates.as[(Long, Long)].mapPartitions { it =>
-      val m = bc.value
-      it.map { case (q, nId) =>
-        val (va, na) = m(q); val (vb, nb) = m(nId)
-        var d = 0.0; var i = 0
-        while (i < va.length) { d += va(i) * vb(i); i += 1 }
-        (q, nId, d / (na * nb))
-      }
-    }.toDF("qid", "nid", "cos")
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select(col("qid"), col("nid"), col("cos"), col("rk"))
-      .orderBy(col("qid"), col("rk"))
+    rerankTopK(candidates, embeddings, 5)
   }
+
+  /** Broadcast ceiling for the exact all-pairs operator [[q46]]:
+    * 500k × 64 doubles ≈ 256 MB — the same memory class as a large
+    * broadcast-hash-join side. Beyond this, q46 refuses and points at
+    * the LSH operators. */
+  val EmbedDedupMaxRows = 500000L
 
   val IvfLists  = 16 // coarse centroids (√n-ish at test scale)
   val IvfProbes = 3  // lists a query probes
@@ -140,8 +155,8 @@ object Similarity {
     * `IvfProbes` nearest lists, so compute is ∝ n·probes/lists instead
     * of n². Unlike LSH (data-independent planes), IVF adapts to the data
     * distribution — better recall on clustered embeddings at the cost of
-    * the one-time training pass. Candidates re-rank with the exact
-    * cosine kernel; top-5 per query. */
+    * the one-time training pass. Candidates re-rank distributed
+    * ([[rerankTopK]], exact cosine, no driver collect); top-5 per query. */
   def q55(embeddings: DataFrame): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -170,23 +185,7 @@ object Similarity {
     val candidates = probes.join(index, Seq("list"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid")).distinct()
-    val bcV = spark.sparkContext.broadcast(
-      vecs.collect().map { case (id, v, n) => id -> ((v, n)) }.toMap)
-    val scored = candidates.as[(Long, Long)].mapPartitions { it =>
-      val m = bcV.value
-      it.map { case (q, nId) =>
-        val (va, na) = m(q); val (vb, nb) = m(nId)
-        var d = 0.0; var i = 0
-        while (i < va.length) { d += va(i) * vb(i); i += 1 }
-        (q, nId, d / (na * nb))
-      }
-    }.toDF("qid", "nid", "cos")
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select(col("qid"), col("nid"), col("cos"), col("rk"))
-      .orderBy(col("qid"), col("rk"))
+    rerankTopK(candidates, embeddings, 5)
   }
 
   /** q46: embedding-cosine near-duplicate pairs (cos > 0.4, a<b).
@@ -199,11 +198,17 @@ object Similarity {
     * partition: each task scans its slice of vectors against the
     * broadcast side with id_b > id_a. Identical IEEE semantics to the
     * oracle's left-to-right `list_reduce` fold. Beyond broadcastable n,
-    * the exact operator is the wrong tool — use LSH blocking (q45/q42
-    * pattern) instead. */
-  def q46(embeddings: DataFrame): DataFrame = {
+    * the exact operator is the wrong tool — the guard below fails fast
+    * with a pointer at LSH blocking (q45/q42 pattern) instead. */
+  def q46(embeddings: DataFrame, maxRows: Long = EmbedDedupMaxRows): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    val nRows = embeddings.count()
+    require(nRows <= maxRows,
+      s"q46 embed_dedup is EXACT all-pairs and broadcasts the vector table: " +
+      s"$nRows rows exceeds the broadcast ceiling $maxRows. At this scale use " +
+      "the bucketed near-dup operators instead: Similarity.q45 (hyperplane LSH) " +
+      "or Dedup.q42 (MinHash-LSH) generate candidates without materializing n² pairs.")
     val vecs = vecRows(embeddings)
     val bc = spark.sparkContext.broadcast(vecs.collect().sortBy(_._1))
     vecs.mapPartitions { it =>

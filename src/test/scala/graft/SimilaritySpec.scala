@@ -54,6 +54,45 @@ class SimilaritySpec extends GraftSpec {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("q45/q55 re-rank is distributed: plan joins candidates back to vectors, no collected-RDD scan") {
+    val emb = Tables.embeddings(spark, SF)
+    for (df <- Seq(Similarity.q45(emb), Similarity.q55(emb))) {
+      val plan = df.queryExecution.executedPlan.toString
+      // re-rank = two joins against the vector table inside the plan;
+      // a driver-collected re-rank would surface as a LocalTableScan /
+      // parallelized ExistingRDD with no join above the candidate stage
+      assert(plan.contains("Join"), plan.take(2000))
+      assert(!plan.contains("LocalTableScan"), plan.take(2000))
+      assert(plan.toLowerCase.contains("dotproduct") || plan.contains("graft_dot"),
+        "re-rank must score via the codegen'd DotProduct expression")
+    }
+  }
+
+  test("q45 re-rank scores are bit-identical to locally computed exact cosine") {
+    val rows = Similarity.q45(planted).collect()
+    val vecs = planted.collect().map { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding").toArray.map(_.toDouble)
+      var ss = 0.0; var i = 0
+      while (i < v.length) { ss += v(i) * v(i); i += 1 }
+      r.getAs[Long]("vec_id") -> ((v, math.sqrt(ss)))
+    }.toMap
+    for (r <- rows) {
+      val (va, na) = vecs(r.getAs[Long]("qid"))
+      val (vb, nb) = vecs(r.getAs[Long]("nid"))
+      var d = 0.0; var i = 0
+      while (i < va.length) { d += va(i) * vb(i); i += 1 }
+      assert(r.getAs[Double]("cos") == d / (na * nb), r.toString)
+    }
+  }
+
+  test("q46 refuses tables beyond the broadcast ceiling with an actionable error") {
+    val err = intercept[IllegalArgumentException] {
+      Similarity.q46(planted, maxRows = 2L)
+    }
+    assert(err.getMessage.contains("q45"), err.getMessage)
+    assert(err.getMessage.contains("q42"), err.getMessage)
+  }
+
   test("q46 finds planted near-dup pairs above threshold") {
     val pairs = Similarity.q46(planted).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
