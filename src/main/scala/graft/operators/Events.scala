@@ -11,9 +11,11 @@ import graft.Cols._
   * JSON prop extraction.
   *
   * All windows partition by a key (user/customer) — at 100 TB each
-  * partition's state fits an executor; there is no global-ordering
-  * window in a hot path (the one global NTILE is a decile report whose
-  * input is the already-aggregated orders table).
+  * partition's state fits an executor; there is no single-partition
+  * global window anywhere. The one globally-ordered computation (q33's
+  * NTILE decile report) runs as a distributed rank: range-repartition,
+  * per-partition row_number, and a broadcast join against the
+  * O(numPartitions)-row offset histogram.
   */
 object Events {
 
@@ -63,10 +65,45 @@ object Events {
           .as("gap_us"))
       .orderBy(col("user_id"), col("event_id"))
 
-  /** q33: NTILE decile bucketing of order values. */
+  /** q33: NTILE decile bucketing of order values — WITHOUT the
+    * single-partition global window `ntile()` would need.
+    *
+    * Exact global ranks are computed distributed: range-repartition on
+    * the sort key, row_number within each (already range-disjoint)
+    * partition, then add each partition's start offset from a
+    * broadcast of the per-partition row-count histogram. The only
+    * non-parallel step is a window over that histogram —
+    * O(numShufflePartitions) rows, the same driver-scale metadata
+    * RDD.zipWithIndex keeps — so the plan survives any data scale by
+    * raising partition count. The NTILE bucket is then pure arithmetic
+    * on (rank, n): the first n%10 buckets take one extra row, exactly
+    * SQL NTILE's front-loaded split, so the DuckDB oracle hash-matches. */
   def q33(orders: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    orders.select(col("o_totalprice"), ntile(10).over(w).as("decile"))
+    val sortCols = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
+    val base = orders.select(col("o_totalprice"), col("o_orderkey"))
+      .repartitionByRange(sortCols: _*)
+      .withColumn("pid", spark_partition_id())
+    val hist = base.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
+    val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offs = hist.withColumn("off", coalesce(sum(col("pn")).over(wOff), lit(0L)))
+    val tot = hist.agg(sum(col("pn")).as("n_total"))
+    val wLocal = Window.partitionBy(col("pid")).orderBy(sortCols: _*)
+    // NTILE(10) arithmetic on exact long ranks: bucket size n div 10,
+    // first n%10 buckets take one extra row (integer `div` — no float
+    // rounding at any n).
+    val decile = expr(
+      """CASE WHEN rn <= (n_total div 10 + 1) * (n_total % 10)
+              THEN (rn - 1) div (n_total div 10 + 1) + 1
+              ELSE n_total % 10
+                   + (rn - (n_total div 10 + 1) * (n_total % 10) - 1)
+                     div greatest(n_total div 10, 1) + 1
+         END""")
+    base
+      .withColumn("rn_local", row_number().over(wLocal))
+      .join(broadcast(offs.select(col("pid"), col("off"))), "pid")
+      .crossJoin(broadcast(tot))
+      .withColumn("rn", col("rn_local") + col("off"))
+      .withColumn("decile", decile.cast("int"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
       .orderBy(col("decile"))
