@@ -80,9 +80,15 @@ object Events {
     * SQL NTILE's front-loaded split, so the DuckDB oracle hash-matches. */
   def q33(orders: DataFrame): DataFrame = {
     val sortCols = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
+    // persisted: histogram and rank chain BOTH read `base`, and the pid
+    // column must be identical in each — persistence makes that
+    // structural instead of relying on exchange reuse / deterministic
+    // range sampling across two plan branches (Verify/Bench clearCache
+    // per query, so the pin doesn't outlive the query)
     val base = orders.select(col("o_totalprice"), col("o_orderkey"))
       .repartitionByRange(sortCols: _*)
       .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hist = base.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
     val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
     val offs = hist.withColumn("off", coalesce(sum(col("pn")).over(wOff), lit(0L)))

@@ -60,9 +60,7 @@ object Similarity {
     * re-rank scales with the cluster exactly like the bucketing stage.
     * DotProduct folds left-to-right like the primitive kernel, so the
     * scores are bit-identical to a local re-rank. */
-  private def rerankTopK(candidates: DataFrame, embeddings: DataFrame, k: Int): DataFrame = {
-    val vtab = normalized(embeddings).select(col("vec_id").cast("long").as("vec_id"),
-      col("v"), col("norm"))
+  private def rerankTopK(candidates: DataFrame, vtab: DataFrame, k: Int): DataFrame = {
     val q = vtab.select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
     val n = vtab.select(col("vec_id").as("nid"), col("v").as("nv"), col("norm").as("nn"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
@@ -116,7 +114,11 @@ object Similarity {
   def q45(embeddings: DataFrame): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // ONE materialized scan of the source feeds the signature kernel AND
+    // both sides of the re-rank joins (vecRows' norm is the same
+    // left-to-right fold as DotProduct(v,v), so sharing it is bit-exact)
     val vecs = vecRows(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = vecs.flatMap { case (id, v, _) =>
       (0 until Tables).map { t =>
         var bucket = 0L
@@ -137,14 +139,17 @@ object Similarity {
         col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
       .distinct()  // same pair can collide in several tables
-    rerankTopK(candidates, embeddings, 5)
+    rerankTopK(candidates, vecs.toDF("vec_id", "v", "norm"), 5)
   }
 
-  /** Broadcast ceiling for the exact all-pairs operator [[q46]]:
-    * 500k × 64 doubles ≈ 256 MB — the same memory class as a large
-    * broadcast-hash-join side. Beyond this, q46 refuses and points at
-    * the LSH operators. */
-  val EmbedDedupMaxRows = 500000L
+  /** Broadcast ceiling for the exact all-pairs operator [[q46]]. Sized
+    * in BYTES, not just rows: each collected row is a (Long,
+    * Array[Double](64), Double) tuple ≈ 600 B on-heap (512 B of doubles
+    * + array/tuple headers), so 250k rows ≈ 150 MB driver heap plus one
+    * serialized broadcast copy — the memory class of a large
+    * broadcast-hash-join side, with headroom on a default-sized driver.
+    * Beyond this, q46 refuses and points at the LSH operators. */
+  val EmbedDedupMaxRows = 250000L
 
   val IvfLists  = 16 // coarse centroids (√n-ish at test scale)
   val IvfProbes = 3  // lists a query probes
@@ -162,7 +167,9 @@ object Similarity {
     import spark.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // shared materialized scan: list assignment (×2) + re-rank joins (×2)
     val vecs = vecRows(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val feat = embeddings.select(col("vec_id").cast("long").as("vec_id"),
       array_to_vector(transform(col("embedding"), x => x.cast("double"))).as("features"))
     val model = new KMeans().setK(IvfLists).setMaxIter(5).setSeed(20260812L)
@@ -185,7 +192,7 @@ object Similarity {
     val candidates = probes.join(index, Seq("list"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid")).distinct()
-    rerankTopK(candidates, embeddings, 5)
+    rerankTopK(candidates, vecs.toDF("vec_id", "v", "norm"), 5)
   }
 
   /** q46: embedding-cosine near-duplicate pairs (cos > 0.4, a<b).
@@ -203,13 +210,17 @@ object Similarity {
   def q46(embeddings: DataFrame, maxRows: Long = EmbedDedupMaxRows): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val nRows = embeddings.count()
+    // persist BEFORE the guard count so the count, the driver collect,
+    // and the per-partition scan below all read one materialized scan of
+    // the source instead of three
+    val vecs = vecRows(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRows = vecs.count()
     require(nRows <= maxRows,
       s"q46 embed_dedup is EXACT all-pairs and broadcasts the vector table: " +
       s"$nRows rows exceeds the broadcast ceiling $maxRows. At this scale use " +
       "the bucketed near-dup operators instead: Similarity.q45 (hyperplane LSH) " +
       "or Dedup.q42 (MinHash-LSH) generate candidates without materializing n² pairs.")
-    val vecs = vecRows(embeddings)
     val bc = spark.sparkContext.broadcast(vecs.collect().sortBy(_._1))
     vecs.mapPartitions { it =>
       val all = bc.value

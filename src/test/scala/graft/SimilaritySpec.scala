@@ -55,16 +55,29 @@ class SimilaritySpec extends GraftSpec {
   }
 
   test("q45/q55 re-rank is distributed: plan joins candidates back to vectors, no collected-RDD scan") {
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val emb = Tables.embeddings(spark, SF)
     for (df <- Seq(Similarity.q45(emb), Similarity.q55(emb))) {
-      val plan = df.queryExecution.executedPlan.toString
-      // re-rank = two joins against the vector table inside the plan;
-      // a driver-collected re-rank would surface as a LocalTableScan /
-      // parallelized ExistingRDD with no join above the candidate stage
-      assert(plan.contains("Join"), plan.take(2000))
-      assert(!plan.contains("LocalTableScan"), plan.take(2000))
-      assert(plan.toLowerCase.contains("dotproduct") || plan.contains("graft_dot"),
-        "re-rank must score via the codegen'd DotProduct expression")
+      // AdaptiveSparkPlanExec is a traversal leaf — unwrap to the plan
+      // it adaptively executes so collect() sees the join operators
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      // typed-node traversal (not string matching): the distributed
+      // re-rank contributes ≥2 physical joins (candidates⋈q, ⋈n) on top
+      // of the candidate-generation join; a driver-collected re-rank
+      // would plan as a LocalTableScan with no join above the candidates
+      val joins = plan.collect { case j: BaseJoinExec => j }
+      assert(joins.size >= 2, s"expected >=2 physical joins, got ${joins.size}:\n$plan")
+      val localScans = plan.collect { case l: LocalTableScanExec => l }
+      assert(localScans.isEmpty, s"driver-materialized scan in plan:\n$plan")
+      // the scoring expression must be the codegen'd native DotProduct
+      val hasDot = plan.exists(_.expressions.exists(
+        _.exists(_.isInstanceOf[graft.functions.DotProduct])))
+      assert(hasDot, "re-rank must score via the codegen'd DotProduct expression")
     }
   }
 
