@@ -30,6 +30,28 @@ object GraftSession {
       .config("spark.sql.shuffle.spill.compress", "true")
       .config("spark.ui.enabled", "false")
 
+  /** Hive-metastore-enabled builder (the north star's "HiveContext"
+    * surface): a derby-backed persistent external catalog rooted at
+    * `dir` — CTAS/partitioned DDL issued through SQL text survives the
+    * session because table metadata lives in the metastore, not the
+    * in-memory session catalog. On a real cluster `dir` is replaced by
+    * the shared metastore URI + lake warehouse path; derby is the
+    * single-process stand-in (one derby instance per JVM).
+    *
+    * Callers should also set the system property `derby.system.home`
+    * to `dir` BEFORE the first session is created, else derby drops a
+    * `derby.log` in the process working directory. */
+  def hiveBuilder(cores: Int, dir: String): SparkSession.Builder =
+    builder(cores)
+      .enableHiveSupport()
+      .config("spark.sql.warehouse.dir", s"$dir/warehouse")
+      .config("spark.hadoop.javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$dir/metastore_db;create=true")
+      // dynamic mode: INSERT OVERWRITE replaces ONLY the partitions the
+      // insert produces — the Hive-warehouse daily-load semantics (static
+      // mode would truncate every other partition of the table)
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
   /** Cores from SPARK_GRAFT_CPUS (driver contract), default 32. */
   def envCores: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 

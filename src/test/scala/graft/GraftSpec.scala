@@ -6,10 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared fixture: one SparkSession for the whole JVM test run. */
 trait GraftSpec extends AnyFunSuite {
   lazy val spark: SparkSession = {
-    val s = GraftSession.builder(4)
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
-      .getOrCreate()
+    // hive-enabled so HiveSurfaceSpec (ddl02) exercises the real
+    // metastore-backed catalog; every other spec is catalog-agnostic
+    val dir = java.nio.file.Files.createTempDirectory("graft-hive").toString
+    System.setProperty("derby.system.home", dir)
+    val s = GraftSession.hiveBuilder(4, dir).getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }

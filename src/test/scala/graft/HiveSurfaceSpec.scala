@@ -1,0 +1,75 @@
+package graft
+
+/** ddl02 — Hive-metastore DDL surface (SURVEY.md §2b): the catalog is a
+  * real derby-backed Hive external metastore (GraftSession.hiveBuilder),
+  * so CTAS / partitioned DDL issued through SQL text lands in persistent
+  * table metadata, not the in-memory session catalog — the first thing a
+  * Hive-warehouse user does. */
+class HiveSurfaceSpec extends GraftSpec {
+
+  test("ddl02: catalog implementation is the Hive external metastore") {
+    assert(spark.conf.get("spark.sql.catalogImplementation") == "hive")
+  }
+
+  test("ddl02: partitioned CTAS + SHOW PARTITIONS + dynamic-partition INSERT OVERWRITE") {
+    Tables.nation(spark, SF).createOrReplaceTempView("nation_src")
+    spark.sql("DROP TABLE IF EXISTS graft_part_nation")
+    // partitioned CTAS through SQL text — layout lands as one directory
+    // per n_regionkey value under the metastore warehouse
+    spark.sql(
+      """CREATE TABLE graft_part_nation USING parquet
+         PARTITIONED BY (n_regionkey)
+         AS SELECT n_nationkey, n_name, n_regionkey FROM nation_src""")
+
+    // persistent metadata: a metastore table, not a temp view
+    val entry = spark.catalog.listTables().collect()
+      .find(_.name == "graft_part_nation").get
+    assert(!entry.isTemporary)
+
+    val parts = spark.sql("SHOW PARTITIONS graft_part_nation")
+      .collect().map(_.getString(0)).sorted
+    assert(parts.length == 5 && parts.forall(_.startsWith("n_regionkey=")), parts.toSeq)
+
+    // dynamic partition overwrite: rewrites ONLY the partitions the
+    // insert produces (region 0 here) — every other partition's rows
+    // must survive byte-identical
+    spark.sql(
+      """INSERT OVERWRITE TABLE graft_part_nation
+         SELECT n_nationkey + 1000, upper(n_name), n_regionkey
+         FROM nation_src WHERE n_regionkey = 0""")
+    val after = spark.sql(
+      """SELECT CAST(n_regionkey AS BIGINT), count(*) AS n,
+                CAST(min(n_nationkey) AS BIGINT) AS mn
+         FROM graft_part_nation GROUP BY 1""").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(after(0L)._2 >= 1000L, s"region 0 not rewritten: $after")
+    assert((1L to 4L).forall(r => after(r)._2 < 1000L), s"other partitions clobbered: $after")
+    assert(after.values.map(_._1).sum == Tables.nation(spark, SF).count())
+
+    // partition pruning: a partition-key predicate must reach the scan
+    // as a partition filter, not a data filter
+    val plan = formattedPlan(spark.sql(
+      "SELECT * FROM graft_part_nation WHERE n_regionkey = 2"))
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").contains("n_regionkey"), plan)
+
+    spark.sql("DROP TABLE graft_part_nation")
+    assert(!spark.catalog.tableExists("graft_part_nation"))
+  }
+
+  test("ddl02: CTAS metadata survives into a fresh session over the same metastore") {
+    Tables.region(spark, SF).createOrReplaceTempView("region_src")
+    spark.sql("DROP TABLE IF EXISTS graft_persist_region")
+    spark.sql(
+      "CREATE TABLE graft_persist_region USING parquet AS SELECT * FROM region_src")
+    // newSession() = fresh session state (empty temp-view catalog) over
+    // the SAME external metastore — the table is visible there while the
+    // temp view is not, proving the metadata is metastore-resident
+    val s2 = spark.newSession()
+    assert(s2.catalog.tableExists("graft_persist_region"))
+    assert(!s2.catalog.tableExists("region_src"))
+    assert(s2.sql("SELECT count(*) FROM graft_persist_region")
+      .collect()(0).getLong(0) == Tables.region(spark, SF).count())
+    spark.sql("DROP TABLE graft_persist_region")
+  }
+}
