@@ -29,6 +29,13 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.shuffle.spill.compress", "true")
       .config("spark.ui.enabled", "false")
+      // RocksDB state store: streaming state lives off-heap/on-disk per
+      // executor instead of in an in-memory HashMap — at 100 TB/day the
+      // sessionization/dedup state (O(active keys)) must survive without
+      // executor-heap pressure; incremental checkpoints upload only
+      // changed SST files
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
   /** Hive-metastore-enabled builder (the north star's "HiveContext"
     * surface): a derby-backed persistent external catalog rooted at

