@@ -110,7 +110,15 @@ object Similarity {
     * unrolled expression tree overflows codegen'd method limits and falls
     * back to interpretation — measured 12× slower than this kernel at
     * sf0.1); the re-rank is two distributed shuffle joins
-    * ([[rerankTopK]]) — no driver collect anywhere. */
+    * ([[rerankTopK]]) — no driver collect anywhere.
+    *
+    * MULTI-PROBE (Lv et al., VLDB'07): the query side also probes every
+    * bucket at Hamming distance 1 (each of the k plane signs flipped) —
+    * the planes a near-neighbor most likely disagrees on. One extra
+    * probe step lifts P(meet) for cos≈0.35 neighbors from ~0.15 to ~0.6
+    * at the cost of k extra (id, t, bucket) probe rows per table — probe
+    * rows are 24-byte ids, NOT vectors, so the shuffle stays tiny and no
+    * extra table (each one costs a full signature pass) is needed. */
   def q45(embeddings: DataFrame): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -119,8 +127,10 @@ object Similarity {
     // left-to-right fold as DotProduct(v,v), so sharing it is bit-exact)
     val vecs = vecRows(embeddings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = vecs.flatMap { case (id, v, _) =>
-      (0 until Tables).map { t =>
+    val sigs = vecs.map { case (id, v, _) =>
+      val buckets = new Array[Long](Tables)
+      var t = 0
+      while (t < Tables) {
         var bucket = 0L
         var j = 0
         while (j < PlanesPerTable) {
@@ -130,15 +140,25 @@ object Similarity {
           if (d >= 0) bucket |= 1L << j
           j += 1
         }
-        (id, t, bucket)
+        buckets(t) = bucket
+        t += 1
       }
-    }.toDF("vec_id", "t", "bucket")
-    val candidates = sigs.as("a")
-      .join(sigs.as("b"),
-        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
-        col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
-      .distinct()  // same pair can collide in several tables
+      (id, buckets)
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val index = sigs.flatMap { case (id, buckets) =>
+      buckets.iterator.zipWithIndex.map { case (b, t) => (id, t, b) }
+    }.toDF("nid", "t", "bucket")
+    val probes = sigs.flatMap { case (id, buckets) =>
+      buckets.iterator.zipWithIndex.flatMap { case (b, t) =>
+        Iterator.single((id, t, b)) ++
+          (0 until PlanesPerTable).iterator.map(j => (id, t, b ^ (1L << j)))
+      }
+    }.toDF("qid", "t", "bucket")
+    val candidates = probes
+      .join(index, Seq("t", "bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+      .distinct()  // same pair can collide in several tables/probes
     rerankTopK(candidates, vecs.toDF("vec_id", "v", "norm"), 5)
   }
 
@@ -152,7 +172,8 @@ object Similarity {
   val EmbedDedupMaxRows = 250000L
 
   val IvfLists  = 16 // coarse centroids (√n-ish at test scale)
-  val IvfProbes = 3  // lists a query probes
+  val IvfProbes = 5  // lists a query probes (5/16 ≈ recall 0.75+ on the
+                     // synthetic embeddings; compute stays ∝ n·probes/lists)
 
   /** q55: IVF ANN — the other 100 TB scale path (SURVEY.md §5). A
     * k-means coarse quantizer (kmeans|| init, distributed fit) assigns

@@ -39,8 +39,9 @@ class SimilaritySpec extends GraftSpec {
       .filter($"qid" < 20).select("qid", "nid").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (base & lsh).size.toDouble / base.size
-    // single-probe 12-plane LSH on 64-d data: expect imperfect but real recall
-    assert(recall > 0.1, s"recall=$recall")
+    // multi-probe (Hamming-1) 8×8 LSH measures 0.59 recall@5 on these
+    // embeddings — the floor pins the measured behavior with margin
+    assert(recall >= 0.5, s"recall@5=$recall (expected >=0.5)")
   }
 
   test("q55 IVF recall vs q44 baseline beats single-table LSH expectations") {
@@ -51,7 +52,9 @@ class SimilaritySpec extends GraftSpec {
       .filter($"qid" < 20).select("qid", "nid").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (base & ivf).size.toDouble / base.size
-    assert(recall > 0.3, s"recall=$recall")
+    // 5-probe/16-list IVF measures 0.69 recall@5 at sf0.001 (0.8 at
+    // sf0.01) — floor with margin
+    assert(recall >= 0.6, s"recall@5=$recall (expected >=0.6)")
   }
 
   test("q45/q55 re-rank is distributed: plan joins candidates back to vectors, no collected-RDD scan") {
