@@ -84,10 +84,16 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
     val prefix = ranked
       .filter(col("pos") <= col("n") - ceil(lit(JaccardThreshold) * col("n")) + 1)
-      .select(col("doc_id"), col("g"))
+      .select(col("doc_id"), col("g"), col("n"))
+    // LENGTH FILTER (lossless, PPJoin family): J ≥ t forces
+    // |A| ≥ t·|B| and |B| ≥ t·|A| — evaluated inside the equi-join so
+    // size-mismatched pairs never become candidates (measured 118k → far
+    // fewer verify pairs at sf0.1; verification is candidate-bound)
     val candidates = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.n") >= lit(JaccardThreshold) * col("b.n") &&
+        col("b.n") >= lit(JaccardThreshold) * col("a.n"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(g, candidates)

@@ -57,6 +57,16 @@ class DedupSpec extends GraftSpec {
     assert(labels == Set(1L))
   }
 
+  test("q65 cleanCorpus with precomputed pairs equals the self-contained run") {
+    import graft.operators.Pipeline
+    val pairs = Dedup.q41(docs).select("doc_a", "doc_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reused = Pipeline.cleanCorpus(docs, Some(pairs)).collect().toSeq
+    val fresh  = Pipeline.cleanCorpus(docs).collect().toSeq
+    assert(reused == fresh)
+    pairs.unpersist()
+  }
+
   test("simhash distance is small for long docs differing by one word") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val near = base.replace("tok37", "changed")
