@@ -538,6 +538,72 @@ object Oracles {
          list_reduce(list_prepend(CAST(0 AS BIGINT),
            list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
            (h, c) -> (h*31 + c) % 1000000007) AS fingerprint
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    // counts from the ORIGINAL text, replacements applied in the same
+    // fixed order as the Spark side (email → ip → digit runs)
+    "q67_pii_scrub" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+         CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_longnums,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+           '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+           '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
+         FROM documents ORDER BY doc_id""",
+
+    "q68_repetition" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents),
+         wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+         w AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+                 CAST(MAX(c) AS BIGINT) AS top_c
+               FROM wc GROUP BY doc_id),
+         splits AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+         bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                  i -> w[i] || ' ' || w[i+1])) AS g
+                FROM splits WHERE len(w) >= 2),
+         bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+         b AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                 CAST(COUNT(*) AS BIGINT) AS distinct_bigrams
+               FROM bc GROUP BY doc_id)
+         SELECT w.doc_id, n_tokens, distinct_tokens,
+           CAST(n_tokens - distinct_tokens AS DOUBLE)/n_tokens AS dup_token_frac,
+           CAST(top_c AS DOUBLE)/n_tokens AS top_token_share,
+           CAST(n_bigrams - distinct_bigrams AS DOUBLE)/n_bigrams AS dup_bigram_frac
+         FROM w JOIN b ON w.doc_id = b.doc_id ORDER BY w.doc_id""",
+
+    // the grams CTEs mirror Q41Sql's shingling (distinct word-3-grams)
+    "q69_contamination" ->
+      """WITH bt AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+                     FROM documents WHERE source = 'src0'),
+         bgrams AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+             range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+           FROM bt WHERE len(w) >= 3),
+         ct AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+                FROM documents WHERE source <> 'src0'),
+         cgrams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+           FROM ct WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM cgrams GROUP BY doc_id),
+         hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS hit_grams
+                  FROM cgrams JOIN bgrams USING (g) GROUP BY doc_id)
+         SELECT s.doc_id, n_grams,
+           COALESCE(hit_grams, CAST(0 AS BIGINT)) AS hit_grams,
+           CAST(COALESCE(hit_grams, 0) AS DOUBLE)/n_grams AS contamination
+         FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id ORDER BY s.doc_id""",
+
+    "q70_mix_stats" ->
+      """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+           FROM documents GROUP BY source),
+         tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_sources FROM per)
+         SELECT source, n_docs, n_tokens, sum_chars,
+           CAST(n_tokens AS DOUBLE)/tot_tokens AS token_share,
+           CAST(tot_tokens AS DOUBLE)/(n_sources * n_tokens) AS uniform_weight
+         FROM per, tot ORDER BY source"""
   )
 }

@@ -82,6 +82,10 @@ object SparkEntry {
     "q49_token_count"          -> ((s, d) => TextAnalysis.q49(documents(s, d))),
     "q50_fingerprint"          -> ((s, d) => TextAnalysis.q50(documents(s, d))),
     "q54_text_normalize"       -> ((s, d) => TextAnalysis.q54(documents(s, d))),
+    "q67_pii_scrub"            -> ((s, d) => TextAnalysis.q67(documents(s, d))),
+    "q68_repetition"           -> ((s, d) => TextAnalysis.q68(documents(s, d))),
+    "q69_contamination"        -> ((s, d) => Dedup.q69(documents(s, d))),
+    "q70_mix_stats"            -> ((s, d) => TextAnalysis.q70(documents(s, d))),
     "q57_lateral_explode"      -> ((s, d) => TextAnalysis.q57(documents(s, d))),
     "q55_ann_ivf"              -> ((s, d) => Similarity.q55(embeddings(s, d))),
     "q51_multimodal_meta"      -> ((s, d) => Multimodal.q51(s, documents(s, d))),

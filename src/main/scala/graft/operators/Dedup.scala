@@ -145,6 +145,33 @@ object Dedup {
     clusters(q41(documents).select(col("doc_a"), col("doc_b")))
       .orderBy(col("doc_id"))
 
+  /** q69: benchmark-contamination detection — the decontamination pass
+    * every training corpus runs against its eval suites: for each corpus
+    * doc, the fraction of its distinct word-3-gram shingles that appear
+    * anywhere in the benchmark set (here: docs from source 'src0', the
+    * stand-in benchmark partition).
+    *
+    * Scale shape: the benchmark gram set is DISTINCT'd and broadcast —
+    * eval suites are tiny next to the corpus (MBs vs 100 TB), so the
+    * corpus-side shingle stream joins against it map-side with NO
+    * shuffle; the only shuffle is the per-doc count aggregation, which
+    * is partial-aggregated. */
+  def q69(documents: DataFrame, benchmarkSource: String = "src0"): DataFrame = {
+    val bench = documents.filter(col("source") === benchmarkSource)
+    val corpus = documents.filter(col("source") =!= benchmarkSource)
+    val benchGrams = broadcast(shingles(bench).select(col("g")).distinct())
+    val cg = shingles(corpus)
+    val sizes = cg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val hits = cg.join(benchGrams, "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hit_grams"))
+    sizes.join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("hit_grams"), lit(0L)).as("hit_grams"))
+      .withColumn("contamination",
+        col("hit_grams").cast("double") / col("n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   val MinhashK = 64   // permutations
   val Bands    = 16   // 16 bands × 4 rows
   val RowsPerBand = MinhashK / Bands

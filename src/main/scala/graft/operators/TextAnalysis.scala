@@ -100,6 +100,85 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q67: PII scrubbing — redact emails, IPv4-ish addresses, and long
+    * digit runs (phone/account numbers) before a corpus ships to
+    * training. Counts come from the ORIGINAL text (all three patterns),
+    * then redactions apply in a fixed order; every pattern is chosen to
+    * parse identically in Java regex (Spark) and RE2 (DuckDB oracle).
+    * Pure codegen'd single scan — the 100 TB shape is "one pass, no
+    * shuffle", exactly like q54. */
+  def q67(documents: DataFrame): DataFrame = {
+    val email  = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val ipv4   = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    val digits = "[0-9]{6,}"
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      email, "<EMAIL>"), ipv4, "<IP>"), digits, "<NUM>")
+    documents
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(ipv4)).cast("long").as("n_ips"),
+        regexp_count(col("text"), lit(digits)).cast("long").as("n_longnums"),
+        scrubbed.as("scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q68: repetition scoring (the Gopher-style quality signal): fraction
+    * of duplicated tokens, the single most frequent token's share, and
+    * the fraction of duplicated word bigrams. Highly repetitive docs are
+    * the classic low-quality pattern a training corpus filters out. Two
+    * partial-aggregated shuffles on doc_id (tokens, bigrams) — no
+    * windows, no UDFs; all ratios are one double divide (§6 float
+    * discipline). */
+  def q68(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), " ")).as("tok"))
+    val words = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        max(col("c")).as("top_c"))
+    val w = documents.select(col("doc_id"),
+      split(lower(trim(col("text"))), " ").as("w"))
+    val bigrams = w.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("w")) - 1, lit(1)), i =>
+          concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+        .as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), count(lit(1)).as("distinct_bigrams"))
+    words.join(bigrams, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("distinct_tokens"),
+        ((col("n_tokens") - col("distinct_tokens")).cast("double") / col("n_tokens"))
+          .as("dup_token_frac"),
+        (col("top_c").cast("double") / col("n_tokens")).as("top_token_share"),
+        ((col("n_bigrams") - col("distinct_bigrams")).cast("double") / col("n_bigrams"))
+          .as("dup_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q70: corpus mix statistics — per-source doc/token/char volumes,
+    * each source's share of corpus tokens, and the resampling weight
+    * that would flatten the mix to uniform (the number a data-mixing
+    * pipeline feeds back into sampling). One partial-aggregated shuffle
+    * on source + a broadcast of the single-row corpus total; weight is
+    * computed as one double divide of exact longs. */
+  def q70(documents: DataFrame): DataFrame = {
+    val per = documents.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(trim(col("text")), " ")).cast("long")).as("n_tokens"),
+      sum(col("n_chars").cast("long")).as("sum_chars"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("sum_chars"),
+        (col("n_tokens").cast("double") / col("tot_tokens")).as("token_share"),
+        (col("tot_tokens").cast("double") / (col("n_sources") * col("n_tokens")))
+          .as("uniform_weight"))
+      .orderBy(col("source"))
+  }
+
   /** q50: rolling polynomial fingerprint over codepoints, mod 1e9+7 —
     * a content-defined doc identity robust to storage encoding, via the
     * native [[graft.functions.PolyFingerprint]] expression (one code-

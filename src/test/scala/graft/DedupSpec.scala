@@ -67,6 +67,18 @@ class DedupSpec extends GraftSpec {
     pairs.unpersist()
   }
 
+  test("q69 contamination flags the doc that copies benchmark shingles") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "src0"),   // benchmark
+      (2L, "alpha beta gamma delta epsilon zeta", "src1"),   // full copy
+      (3L, "totally unrelated words appear here now", "src1")
+    ).toDF("doc_id", "text", "source")
+    val r = Dedup.q69(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("contamination")).toMap
+    assert(r(2L) == 1.0, r)
+    assert(r(3L) == 0.0, r)
+  }
+
   test("simhash distance is small for long docs differing by one word") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val near = base.replace("tok37", "changed")

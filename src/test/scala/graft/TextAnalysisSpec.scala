@@ -31,6 +31,50 @@ class TextAnalysisSpec extends GraftSpec {
     assert(r.getAs[Long]("s_en") == 6L)
   }
 
+  test("q67 PII scrub redacts emails, IPs, and long digit runs") {
+    val d = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or 10.0.255.1 ref 12345678 ok"),
+      (2L, "clean text with short 123 number")).toDF("doc_id", "text")
+    val r = TextAnalysis.q67(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[String]("scrubbed") ==
+      "contact <EMAIL> or <IP> ref <NUM> ok")
+    assert(r(1L).getAs[Long]("n_emails") == 1L)
+    assert(r(1L).getAs[Long]("n_ips") == 1L)
+    assert(r(1L).getAs[Long]("n_longnums") == 1L)
+    assert(r(2L).getAs[String]("scrubbed") == "clean text with short 123 number")
+    assert(r(2L).getAs[Long]("n_longnums") == 0L)
+  }
+
+  test("q68 repetition: repeated doc scores high, diverse doc scores zero") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam"),   // 6 tokens, 1 distinct
+      (2L, "one two three four five six")      // all distinct
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.q68(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Double]("dup_token_frac") == 5.0 / 6)
+    assert(r(1L).getAs[Double]("top_token_share") == 1.0)
+    assert(r(1L).getAs[Double]("dup_bigram_frac") == 4.0 / 5)
+    assert(r(2L).getAs[Double]("dup_token_frac") == 0.0)
+    assert(r(2L).getAs[Double]("dup_bigram_frac") == 0.0)
+  }
+
+  test("q70 mix stats: shares sum to 1, uniform weight flattens the mix") {
+    val d = Seq(
+      (1L, "a b c d", "s1", 7L), (2L, "a b", "s1", 3L),
+      (3L, "x y z", "s2", 5L)).toDF("doc_id", "text", "source", "n_chars")
+    val rows = TextAnalysis.q70(d).collect()
+    val byS = rows.map(r => r.getAs[String]("source") -> r).toMap
+    assert(byS("s1").getAs[Long]("n_tokens") == 6L)
+    assert(byS("s2").getAs[Long]("n_tokens") == 3L)
+    assert(rows.map(_.getAs[Double]("token_share")).sum == 1.0)
+    // weight × share = 1/n_sources for every source
+    for (r <- rows)
+      assert(math.abs(r.getAs[Double]("uniform_weight") *
+        r.getAs[Double]("token_share") - 0.5) < 1e-12)
+  }
+
   test("q48 quality score components are consistent") {
     val r = TextAnalysis.q48(Seq((1L, "the data row row", 16L)).toDF("doc_id", "text", "n_chars"))
       .collect().head
