@@ -604,6 +604,13 @@ object Oracles {
          SELECT source, n_docs, n_tokens, sum_chars,
            CAST(n_tokens AS DOUBLE)/tot_tokens AS token_share,
            CAST(tot_tokens AS DOUBLE)/(n_sources * n_tokens) AS uniform_weight
-         FROM per, tot ORDER BY source"""
+         FROM per, tot ORDER BY source""",
+
+    // the salt is an internal rewrite — the oracle is the PLAIN join
+    "q71_salted_join" ->
+      s"""SELECT s_nationkey, COUNT(*) AS n_items,
+         ${msum("l_extendedprice")} AS revenue
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_nationkey ORDER BY s_nationkey"""
   )
 }

@@ -86,6 +86,7 @@ object SparkEntry {
     "q68_repetition"           -> ((s, d) => TextAnalysis.q68(documents(s, d))),
     "q69_contamination"        -> ((s, d) => Dedup.q69(documents(s, d))),
     "q70_mix_stats"            -> ((s, d) => TextAnalysis.q70(documents(s, d))),
+    "q71_salted_join"          -> ((s, d) => Skew.q71(lineitem(s, d), supplier(s, d))),
     "q57_lateral_explode"      -> ((s, d) => TextAnalysis.q57(documents(s, d))),
     "q55_ann_ivf"              -> ((s, d) => Similarity.q55(embeddings(s, d))),
     "q51_multimodal_meta"      -> ((s, d) => Multimodal.q51(s, documents(s, d))),

@@ -27,4 +27,22 @@ object Skew {
       explode(sequence(lit(0L), lit(salt - 1L))))
     bigS.join(smallS, Seq(key, SaltCol), joinType).drop(SaltCol)
   }
+
+  /** q71: the salted join as a driver-checked operator — lineitem
+    * (fact) ⋈ supplier (dim) through [[saltedJoin]], aggregated per
+    * supplier nation. The salt is invisible in the result (row-identical
+    * to the plain join), so the DuckDB oracle is the plain join+agg —
+    * the driver gate proves the rewrite is lossless on real data, the
+    * SkewSpec property test proves it on a planted hot key. */
+  def q71(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    import graft.Cols._
+    val big = lineitem.select(col("l_suppkey").as("s_suppkey"),
+      col("l_extendedprice"))
+    saltedJoin(big, supplier.select(col("s_suppkey"), col("s_nationkey")),
+        "s_suppkey", salt = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        moneySum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("s_nationkey"))
+  }
 }

@@ -57,6 +57,40 @@ class HiveSurfaceSpec extends GraftSpec {
     assert(!spark.catalog.tableExists("graft_part_nation"))
   }
 
+  test("ddl03: ALTER TABLE ADD COLUMNS and RENAME round-trip through SQL text") {
+    Tables.region(spark, SF).createOrReplaceTempView("region_src")
+    spark.sql("DROP TABLE IF EXISTS graft_alter_t")
+    spark.sql("DROP TABLE IF EXISTS graft_alter_t2")
+    spark.sql("CREATE TABLE graft_alter_t USING parquet AS SELECT * FROM region_src")
+    spark.sql("ALTER TABLE graft_alter_t ADD COLUMNS (note STRING)")
+    assert(spark.table("graft_alter_t").columns.contains("note"))
+    // rows read back with the new column null-filled
+    assert(spark.sql("SELECT count(*) FROM graft_alter_t WHERE note IS NULL")
+      .collect()(0).getLong(0) == Tables.region(spark, SF).count())
+    spark.sql("ALTER TABLE graft_alter_t RENAME TO graft_alter_t2")
+    assert(!spark.catalog.tableExists("graft_alter_t"))
+    assert(spark.catalog.tableExists("graft_alter_t2"))
+    spark.sql("DROP TABLE graft_alter_t2")
+  }
+
+  test("ddl03: MSCK REPAIR discovers partitions written directly to the lake path") {
+    val ext = java.nio.file.Files.createTempDirectory("graft-msck").toString
+    Tables.nation(spark, SF).write
+      .partitionBy("n_regionkey").parquet(s"$ext/t")
+    spark.sql("DROP TABLE IF EXISTS graft_msck")
+    // external partitioned table over files written OUTSIDE the catalog —
+    // the metastore knows no partitions until MSCK REPAIR scans the path
+    spark.sql(
+      s"""CREATE TABLE graft_msck (n_nationkey INT, n_name STRING)
+          USING parquet PARTITIONED BY (n_regionkey INT)
+          LOCATION '$ext/t'""")
+    assert(spark.sql("SHOW PARTITIONS graft_msck").collect().isEmpty)
+    spark.sql("MSCK REPAIR TABLE graft_msck")
+    assert(spark.sql("SHOW PARTITIONS graft_msck").collect().length == 5)
+    assert(spark.table("graft_msck").count() == Tables.nation(spark, SF).count())
+    spark.sql("DROP TABLE graft_msck")
+  }
+
   test("ddl02: CTAS metadata survives into a fresh session over the same metastore") {
     Tables.region(spark, SF).createOrReplaceTempView("region_src")
     spark.sql("DROP TABLE IF EXISTS graft_persist_region")
