@@ -96,6 +96,37 @@ object Sources {
     insertOverwritePartitions(spark.read.parquet(staging), path, partitionCols)
   }
 
+  /** s06: small-files compaction — the nightly maintenance op that keeps
+    * a streamed-into lake path scannable. Micro-batch sinks and
+    * per-partition writers accrete thousands of KB-sized files; scan
+    * cost then becomes per-file open overhead instead of IO. Rewrites
+    * the path into ⌈bytes/target⌉ files via a staged write + atomic-ish
+    * swap (never reads and overwrites the same files in one plan).
+    * Returns the file count written. */
+  def compact(spark: SparkSession, path: String, staging: String,
+              targetBytes: Long = 128L << 20): Int = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var bytes = 0L
+    while (it.hasNext) { val f = it.next(); if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen }
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(path).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    fs.delete(p, true)
+    require(fs.rename(new Path(staging), p), s"rename $staging -> $path failed")
+    n
+  }
+
+  /** s07: schema-evolution read — parquet footers under `path` may have
+    * been written across schema versions (columns added over time);
+    * `mergeSchema` unions them, null-filling missing columns. Kept off
+    * by default on ordinary reads because footer merging is a per-file
+    * cost at 100 TB — turn it on exactly where evolution happened. */
+  def readParquetMergedSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** JSON lines writer; round-trips with [[readJson]] + schema (schema
     * inference is an extra full scan — never infer at 100 TB). */
   def writeJson(df: DataFrame, path: String): Unit =

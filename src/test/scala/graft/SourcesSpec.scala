@@ -107,6 +107,31 @@ class SourcesSpec extends GraftSpec {
     assert(files(3) == untouchedBefore)
   }
 
+  test("s06 compaction collapses a many-small-files path, preserving rows") {
+    val orders = Tables.orders(spark, SF)
+    val path = tmp("s06")
+    orders.repartition(40).write.parquet(path)
+    def parquetFiles = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles == 40)
+    val before = orders.count()
+    val n = Sources.compact(spark, path, tmp("s06-staging"))
+    assert(n == 1 && parquetFiles == 1, s"n=$n files=$parquetFiles")
+    assert(spark.read.parquet(path).count() == before)
+  }
+
+  test("s07 mergeSchema read unions schema versions, null-filling old files") {
+    import spark.implicits._
+    val path = tmp("s07")
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$path/load=1")
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2").write.parquet(s"$path/load=2")
+    val back = Sources.readParquetMergedSchema(spark, path)
+    assert(back.columns.toSet == Set("id", "v1", "v2", "load"))
+    val r1 = back.filter($"id" === 1L).collect().head
+    assert(r1.isNullAt(r1.fieldIndex("v2")))
+    assert(back.count() == 2)
+  }
+
   test("s03 json round-trips with schema") {
     val region = Tables.region(spark, SF)
     val path = tmp("json")

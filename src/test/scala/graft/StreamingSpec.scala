@@ -186,6 +186,44 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st09 end-to-end ingest: file source -> windowed agg -> idempotent sink") {
+    // the composed lake-ingestion pipeline: a parquet landing dir drains
+    // through the watermarked aggregation into a batch-id-partitioned
+    // sink — the same operators st01/st06/st07 prove individually
+    val src = java.nio.file.Files.createTempDirectory("graft-st09-src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-st09-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-st09-ckpt").toString
+    Tables.events(spark, SF).limit(1000).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val agg = Streams.windowedAgg(Streams.fileSource(spark, src, schema))
+    val q = agg.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+      }
+      .start()
+    try {
+      q.awaitTermination(120000)
+      assert(q.exception.isEmpty, q.exception)
+      // append-mode windows stay open until the watermark passes; the
+      // sink directory exists (batch dirs written) even if final rows
+      // await a later watermark push — restart with a new file to close
+      Tables.events(spark, SF).limit(1000).write.mode("append").parquet(src)
+      val q2 = agg.writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+        }
+        .start()
+      q2.awaitTermination(120000)
+      assert(q2.exception.isEmpty, q2.exception)
+    } finally q.stop()
+  }
+
   test("st01 shares its plan with the oracle-checked batch q38") {
     // same code path: batch run over the real events table must agree with
     // a hand-rolled batch aggregation
