@@ -115,8 +115,12 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    // seed = identity label AND the first propagation round in ONE
+    // aggregation: every vertex appears as `u` (edges are symmetric), so
+    // label₀ = min(u, min(neighbors)) — saves a full join+checkpoint+count
+    // round versus starting from label = doc_id
+    var labels = edges.groupBy(col("u").as("doc_id"))
+      .agg(least(min(col("v")), min(col("u"))).as("label"))
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
@@ -159,14 +163,16 @@ object Dedup {
   def q69(documents: DataFrame, benchmarkSource: String = "src0"): DataFrame = {
     val bench = documents.filter(col("source") === benchmarkSource)
     val corpus = documents.filter(col("source") =!= benchmarkSource)
-    val benchGrams = broadcast(shingles(bench).select(col("g")).distinct())
-    val cg = shingles(corpus)
-    val sizes = cg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val hits = cg.join(benchGrams, "g")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("hit_grams"))
-    sizes.join(hits, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("hit_grams"), lit(0L)).as("hit_grams"))
+    val benchGrams = broadcast(
+      shingles(bench).select(col("g")).distinct().withColumn("hit", lit(1)))
+    // ONE pass over the corpus shingle stream: the broadcast left join
+    // tags benchmark grams in place, and a single partial-aggregated
+    // shuffle counts totals and hits together (benchGrams is distinct on
+    // g, so the left join cannot duplicate corpus rows)
+    shingles(corpus)
+      .join(benchGrams, Seq("g"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("hit_grams"))
       .withColumn("contamination",
         col("hit_grams").cast("double") / col("n_grams"))
       .orderBy(col("doc_id"))

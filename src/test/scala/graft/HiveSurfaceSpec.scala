@@ -91,6 +91,23 @@ class HiveSurfaceSpec extends GraftSpec {
     spark.sql("DROP TABLE graft_msck")
   }
 
+  test("ddl04: ANALYZE TABLE computes metastore statistics the optimizer can read") {
+    Tables.orders(spark, SF).createOrReplaceTempView("orders_src")
+    spark.sql("DROP TABLE IF EXISTS graft_stats_t")
+    spark.sql("CREATE TABLE graft_stats_t USING parquet AS SELECT * FROM orders_src")
+    spark.sql("ANALYZE TABLE graft_stats_t COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_totalprice")
+    val stats = spark.sql("DESCRIBE EXTENDED graft_stats_t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(stats.contains("Statistics"), stats.keys.toSeq)
+    val rowCount = Tables.orders(spark, SF).count()
+    assert(stats("Statistics").contains(s"$rowCount rows"), stats("Statistics"))
+    // column-level stats (min/max/ndv) land in the metastore too
+    val colStats = spark.sql("DESCRIBE EXTENDED graft_stats_t o_orderkey")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(colStats.get("distinct_count").exists(_ != "NULL"), colStats)
+    spark.sql("DROP TABLE graft_stats_t")
+  }
+
   test("ddl02: CTAS metadata survives into a fresh session over the same metastore") {
     Tables.region(spark, SF).createOrReplaceTempView("region_src")
     spark.sql("DROP TABLE IF EXISTS graft_persist_region")
