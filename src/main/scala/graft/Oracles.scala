@@ -611,6 +611,38 @@ object Oracles {
       s"""SELECT s_nationkey, COUNT(*) AS n_items,
          ${msum("l_extendedprice")} AS revenue
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-         GROUP BY s_nationkey ORDER BY s_nationkey"""
+         GROUP BY s_nationkey ORDER BY s_nationkey""",
+
+    // exact decimal moments, ONE double expression (q59 discipline);
+    // quantity/discount stay small so int64-backed decimals never
+    // overflow in DuckDB
+    "q72_corr_moments" ->
+      """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+           SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+           SUM(CAST(l_discount AS DECIMAL(18,4))) AS sy,
+           SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS sxy,
+           SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS sxx,
+           SUM(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS syy
+         FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+           CAST(n*sxy - sx*sy AS DOUBLE) /
+             (SQRT(CAST(n*sxx - sx*sx AS DOUBLE)) * SQRT(CAST(n*syy - sy*sy AS DOUBLE)))
+             AS corr_qty_disc
+         FROM m ORDER BY l_returnflag""",
+
+    "q73_gapfill_locf" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+         hourly AS (SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS hour_value
+           FROM e GROUP BY user_id, date_trunc('hour', ts)),
+         spans AS (SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1 FROM e GROUP BY user_id),
+         spine AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+           FROM spans)
+         SELECT s.user_id, s.h, hour_value,
+           last_value(hour_value IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+         FROM spine s LEFT JOIN hourly ON s.user_id = hourly.user_id AND s.h = hourly.h
+         ORDER BY s.user_id, s.h"""
   )
 }

@@ -87,6 +87,9 @@ object SparkEntry {
     "q69_contamination"        -> ((s, d) => Dedup.q69(documents(s, d))),
     "q70_mix_stats"            -> ((s, d) => TextAnalysis.q70(documents(s, d))),
     "q71_salted_join"          -> ((s, d) => Skew.q71(lineitem(s, d), supplier(s, d))),
+    "q72_corr_moments"         -> ((s, d) => Relational.q72(lineitem(s, d))),
+    "q73_gapfill_locf"         -> ((s, d) => Events.q73(events(s, d))),
+    "q74_embed_quantize"       -> ((s, d) => Similarity.q74(embeddings(s, d))),
     "q57_lateral_explode"      -> ((s, d) => TextAnalysis.q57(documents(s, d))),
     "q55_ann_ivf"              -> ((s, d) => Similarity.q55(embeddings(s, d))),
     "q51_multimodal_meta"      -> ((s, d) => Multimodal.q51(s, documents(s, d))),

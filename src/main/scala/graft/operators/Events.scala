@@ -115,6 +115,32 @@ object Events {
       .orderBy(col("decile"))
   }
 
+  /** q73: time-series gap-fill — the resample + last-observation-
+    * carried-forward pass event analytics runs before charting/joining
+    * regular series. Each user's hourly spine comes from exploding a
+    * `sequence` between that user's hour-truncated min/max (both ends
+    * exact hour multiples, so Spark and DuckDB's generate_series agree
+    * on inclusivity); missing hours LOCF-fill with a per-user ordered
+    * window. Spine size is bounded per user (span hours), the explode
+    * is distributed, and the window partitions by user — no global
+    * anything. */
+  def q73(events: DataFrame): DataFrame = {
+    val e = withTs(events)
+    val hourly = e.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(moneySum(col("value")).as("hour_value"))
+    val spans = e.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+    val spine = spans.select(col("user_id"),
+      explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(hourly, Seq("user_id", "h"), "left_outer")
+      .select(col("user_id"), col("h"), col("hour_value"),
+        last(col("hour_value"), ignoreNulls = true).over(w).as("filled_value"))
+      .orderBy(col("user_id"), col("h"))
+  }
+
   private val SessionGapUs = 1800L * 1000 * 1000 // 30 min
 
   /** Gap-based session ids: new session when the gap to the previous

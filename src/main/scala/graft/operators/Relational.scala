@@ -375,6 +375,29 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q72: correlation profiling via exact decimal moments — the same
+    * §6 discipline as q59: all five sums fold in order-independent
+    * decimals (small-valued columns so DuckDB's int64-backed decimals
+    * never overflow), then ONE double expression computes Pearson r, so
+    * both engines emit identical bits. Single partial-aggregated
+    * shuffle. */
+  def q72(lineitem: DataFrame): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_discount"))
+    val n = count(lit(1))
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(n.as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("corr_qty_disc"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** q25: the Hive-compatible SQL-text surface — the same engine driven
     * through `spark.sql` over registered views (TPC-H Q15 shape: CTE +
     * scalar subquery over the CTE). One Catalyst plan; the CTE is

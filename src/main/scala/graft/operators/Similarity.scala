@@ -216,6 +216,31 @@ object Similarity {
     rerankTopK(candidates, vecs.toDF("vec_id", "v", "norm"), 5)
   }
 
+  /** q74: int8 scalar quantization of the embedding column — the 4×
+    * storage/bandwidth compression a 100 TB vector corpus applies before
+    * ANN serving. Per-vector symmetric scheme: scale = max|x|/127,
+    * q_i = round(x_i/scale) ∈ [-127, 127]; reports the per-vector scale,
+    * quantized codes, and reconstruction RMSE. Pure codegen'd array
+    * expressions (transform/aggregate), one scan, no shuffle — the
+    * rows-only gate covers execution, QuantizeSpec pins the numerics. */
+  def q74(embeddings: DataFrame): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val amax = array_max(transform(v, x => abs(x)))
+    val scale = when(amax > 0.0, amax / 127.0).otherwise(lit(1.0))
+    val q = transform(v, x => round(x / col("scale")).cast("int"))
+    val err2 = aggregate(
+      zip_with(col("qv"), v, (qi, xi) => {
+        val d = qi.cast("double") * col("scale") - xi; d * d
+      }),
+      lit(0.0), (acc, e) => acc + e)
+    embeddings
+      .withColumn("scale", scale)
+      .withColumn("qv", q)
+      .withColumn("rmse", sqrt(err2 / size(col("qv"))))
+      .select(col("vec_id"), col("scale"), col("qv"), col("rmse"))
+      .orderBy(col("vec_id"))
+  }
+
   /** q46: embedding-cosine near-duplicate pairs (cos > 0.4, a<b).
     *
     * Exact all-pairs is O(n²) by definition; the scale question is the

@@ -101,6 +101,24 @@ class SimilaritySpec extends GraftSpec {
     }
   }
 
+  test("q74 int8 quantization: codes in range, reconstruction error bounded, zero-vector safe") {
+    val zero = Array.fill(64)(0.0f)
+    val ramp = Array.tabulate(64)(i => (i - 32) * 0.1f)
+    val rows = Similarity.q74(
+      Seq((0L, ramp), (1L, zero)).toDF("vec_id", "embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val r0 = rows(0L)
+    val codes = r0.getAs[scala.collection.Seq[Int]]("qv")
+    assert(codes.forall(c => c >= -127 && c <= 127))
+    assert(codes.max == 127 || codes.min == -127) // scale saturates the max-|x| element
+    // per-element rounding error ≤ scale/2 ⇒ RMSE ≤ scale/2
+    assert(r0.getAs[Double]("rmse") <= r0.getAs[Double]("scale") / 2 + 1e-12)
+    val r1 = rows(1L)
+    assert(r1.getAs[Double]("scale") == 1.0) // guarded, not NaN
+    assert(r1.getAs[scala.collection.Seq[Int]]("qv").forall(_ == 0))
+    assert(r1.getAs[Double]("rmse") == 0.0)
+  }
+
   test("q46 refuses tables beyond the broadcast ceiling with an actionable error") {
     val err = intercept[IllegalArgumentException] {
       Similarity.q46(planted, maxRows = 2L)
