@@ -7,6 +7,11 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = GraftSession.local()
+    // audit with AQE off: AdaptiveSparkPlan prints no WholeStageCodegen
+    // "*(n)" spans before stages materialize, which would zero the
+    // codegen column for every query (execution still runs AQE-on — this
+    // session is audit-only)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
