@@ -84,16 +84,23 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
     val prefix = ranked
       .filter(col("pos") <= col("n") - ceil(lit(JaccardThreshold) * col("n")) + 1)
-      .select(col("doc_id"), col("g"), col("n"))
-    // LENGTH FILTER (lossless, PPJoin family): J ≥ t forces
-    // |A| ≥ t·|B| and |B| ≥ t·|A| — evaluated inside the equi-join so
-    // size-mismatched pairs never become candidates (measured 118k → far
-    // fewer verify pairs at sf0.1; verification is candidate-bound)
+      .select(col("doc_id"), col("g"), col("n"), col("pos"))
+    // Two lossless candidate filters evaluated INSIDE the equi-join
+    // (PPJoin, Xiao et al., WWW'08), so pruned pairs never shuffle:
+    //  - LENGTH: J ≥ t forces |A| ≥ t·|B| and |B| ≥ t·|A|
+    //  - POSITIONAL: a token match at prefix positions (pa, pb) bounds
+    //    the achievable overlap by 1 + min(n_a − pa, n_b − pb), which
+    //    must reach the J ≥ t requirement ⌈t/(1+t)·(n_a+n_b)⌉; tokens
+    //    deep in both prefixes can't anymore, killing the candidate
+    //    explosion on corpora where even prefix shingles are common
+    val t = JaccardThreshold
     val candidates = prefix.as("a")
       .join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
-        col("a.n") >= lit(JaccardThreshold) * col("b.n") &&
-        col("b.n") >= lit(JaccardThreshold) * col("a.n"))
+        col("a.n") >= lit(t) * col("b.n") &&
+        col("b.n") >= lit(t) * col("a.n") &&
+        lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
+          ceil(lit(t / (1 + t)) * (col("a.n") + col("b.n"))))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(g, candidates)

@@ -52,6 +52,72 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("property: q67 PII scrub is idempotent and leaves clean text unchanged") {
+    for (seed <- 1 to 3) {
+      val r = new scala.util.Random(seed)
+      val texts = (0 until 25).map { i =>
+        val base = (0 until 6).map(_ => ('a' + r.nextInt(26)).toChar.toString * (1 + r.nextInt(5))).mkString(" ")
+        val withPii = r.nextInt(3) match {
+          case 0 => s"$base user${r.nextInt(99)}@mail${r.nextInt(9)}.com $base"
+          case 1 => s"$base 10.${r.nextInt(256)}.${r.nextInt(256)}.${r.nextInt(256)} $base"
+          case _ => s"$base ${100000 + r.nextInt(900000)}${r.nextInt(1000)} $base"
+        }
+        (i.toLong, withPii)
+      }
+      val docs = texts.toDF("doc_id", "text")
+      val once = operators.TextAnalysis.q67(docs)
+        .select($"doc_id", $"scrubbed".as("text"))
+      val twice = operators.TextAnalysis.q67(once)
+      // scrubbing scrubbed text is a no-op: nothing left matches
+      val again = twice.orderBy("doc_id").collect()
+      assert(again.forall(_.getAs[Long]("n_emails") == 0L), s"seed=$seed")
+      assert(again.forall(_.getAs[Long]("n_ips") == 0L), s"seed=$seed")
+      assert(again.forall(_.getAs[Long]("n_longnums") == 0L), s"seed=$seed")
+      val a = once.orderBy("doc_id").collect().map(_.getString(1)).toSeq
+      assert(a == again.map(_.getAs[String]("scrubbed")).toSeq, s"seed=$seed")
+    }
+  }
+
+  test("property: q74 quantization error is bounded by scale/2 per element across seeds") {
+    for (seed <- 1 to 3) {
+      val r = new scala.util.Random(seed)
+      val vecs = (0 until 20).map(i =>
+        (i.toLong, Array.fill(64)((r.nextFloat() * 2 - 1) * math.pow(10, r.nextInt(4)).toFloat)))
+      val rows = operators.Similarity.q74(vecs.toDF("vec_id", "embedding")).collect()
+      for (row <- rows) {
+        val scale = row.getAs[Double]("scale")
+        val codes = row.getAs[scala.collection.Seq[Int]]("qv")
+        assert(codes.forall(c => c.abs <= 127), s"seed=$seed")
+        assert(row.getAs[Double]("rmse") <= scale / 2 + 1e-9, s"seed=$seed")
+      }
+    }
+  }
+
+  test("property: q73 gap-fill spine is hour-contiguous and LOCF leaves no holes after first value") {
+    for (seed <- 1 to 3) {
+      val r = new scala.util.Random(seed)
+      val base = java.time.Instant.parse("2026-01-01T00:00:00Z")
+      val evs = (0 until 60).map { i =>
+        (i.toLong, (1 + r.nextInt(4)).toLong,
+          java.sql.Timestamp.from(base.plusSeconds(r.nextInt(72) * 3600L + r.nextInt(3600))),
+          1.0 + r.nextInt(50))
+      }
+      val df = evs.toDF("event_id", "user_id", "ts", "value")
+      val filled = operators.Events.q73(df).collect()
+      val byUser = filled.groupBy(_.getAs[Long]("user_id"))
+      for ((_, rows) <- byUser) {
+        val hours = rows.map(_.getAs[java.sql.Timestamp]("h").getTime).sorted
+        // spine contiguous: every consecutive delta is exactly one hour
+        assert(hours.sliding(2).forall { case Array(a, b) => b - a == 3600000L; case _ => true },
+          s"seed=$seed")
+        // the first spine hour contains the user's first event → filled
+        // from row 1 on, filled_value is never null
+        assert(rows.sortBy(_.getAs[java.sql.Timestamp]("h").getTime)
+          .forall(!_.isNullAt(3)), s"seed=$seed")
+      }
+    }
+  }
+
   test("property: DotProduct matches a plain Scala loop across seeds") {
     import org.apache.spark.sql.functions._
     for (seed <- 1 to 3) {
