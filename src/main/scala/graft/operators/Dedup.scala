@@ -189,19 +189,20 @@ object Dedup {
   val Bands    = 16   // 16 bands × 4 rows
   val RowsPerBand = MinhashK / Bands
 
-  /** MinHash signature: (doc_id, sig: array[64]) from a shingle frame.
-    * The k "permutations" are seeded xxhash64 of the shingle; each is a
-    * plain `min` aggregate column, so the whole signature is ONE
-    * codegen'd partial-aggregated shuffle of (doc_id, 64 longs) — no ×64
-    * row explosion of the shingle stream. */
+  /** MinHash signature: (doc_id, sig: array[64], n) from a shingle
+    * frame. The k "permutations" are seeded xxhash64 of the shingle;
+    * each is a plain `min` aggregate column, so the whole signature is
+    * ONE codegen'd partial-aggregated shuffle of (doc_id, 64 longs) —
+    * no ×64 row explosion of the shingle stream. The set size `n` rides
+    * the same aggregation for free (length filtering downstream). */
   def minhashSignature(shingleDf: DataFrame): DataFrame = {
     val minima = (0 until MinhashK).map(i =>
-      min(xxhash64(lit(i), col("g"))).as(s"m$i"))
+      min(xxhash64(lit(i), col("g"))).as(s"m$i")) :+ count(lit(1)).as("n")
     shingleDf
       .groupBy(col("doc_id"))
       .agg(minima.head, minima.tail: _*)
       .select(col("doc_id"),
-        array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"))
+        array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"), col("n"))
   }
 
   /** q42: MinHash + LSH banding near-dup detection. Band keys are an
@@ -216,17 +217,22 @@ object Dedup {
     // RDDs are unreferenced.
     val g = shingles(documents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = minhashSignature(g)
-      .select(col("doc_id"), explode(array((0 until Bands).map { b =>
+    val banded = minhashSignature(g) // (doc_id, sig, n) — n rides the agg
+      .select(col("doc_id"), col("n"), explode(array((0 until Bands).map { b =>
         struct(lit(b).as("band"), xxhash64(
           (0 until RowsPerBand).map(r => element_at(col("sig"), b * RowsPerBand + r + 1)): _*
         ).as("band_key"))
       }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+      .select(col("doc_id"), col("n"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    // length filter inside the band join (lossless vs the J > 0.7
+    // verify): sets whose sizes differ by more than the threshold ratio
+    // can't pass verification, so their band collisions never shuffle
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") &&
+        col("a.n") >= lit(0.7) * col("b.n") &&
+        col("b.n") >= lit(0.7) * col("a.n"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(g, candidates)
