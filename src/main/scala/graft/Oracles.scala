@@ -643,6 +643,49 @@ object Oracles {
            last_value(hour_value IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.h
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
          FROM spine s LEFT JOIN hourly ON s.user_id = hourly.user_id AND s.h = hourly.h
-         ORDER BY s.user_id, s.h"""
+         ORDER BY s.user_id, s.h""",
+
+    "q75_vocab_topk" ->
+      """SELECT tok, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS doc_freq
+         FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+               FROM documents)
+         GROUP BY tok ORDER BY cnt DESC, tok LIMIT 100""",
+
+    "q76_bigram_lm" ->
+      """WITH w AS (SELECT string_split(lower(trim(text)), ' ') AS w FROM documents),
+         bi AS (SELECT unnest(list_transform(range(1, len(w)),
+             i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+           FROM w WHERE len(w) >= 2),
+         c AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS c12 FROM bi GROUP BY b.w1, b.w2),
+         c2 AS (SELECT w1, w2, c12, SUM(c12) OVER (PARTITION BY w1) AS c1 FROM c)
+         SELECT w1, w2, c12, c1, CAST(c12 AS DOUBLE) / c1 AS cond_p
+         FROM c2 WHERE c12 >= 5
+         ORDER BY c12 DESC, w1, w2 LIMIT 100""",
+
+    "q77_pack_buckets" ->
+      """WITH d AS (SELECT CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         b AS (SELECT n_tokens,
+             CASE WHEN n_tokens < 16 THEN 0 WHEN n_tokens < 32 THEN 16
+                  WHEN n_tokens < 64 THEN 32 WHEN n_tokens < 128 THEN 64
+                  WHEN n_tokens < 256 THEN 128 WHEN n_tokens < 512 THEN 256
+                  ELSE 512 END AS bucket_lo FROM d)
+         SELECT CAST(bucket_lo AS BIGINT) AS bucket_lo, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+         FROM b GROUP BY bucket_lo ORDER BY bucket_lo""",
+
+    "q78_funnel3" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+         s AS (SELECT user_id, MIN(ts) AS ts1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+         c AS (SELECT e.user_id, MIN(e.ts) AS ts2 FROM e JOIN s ON e.user_id = s.user_id
+               WHERE e.event_type = 'click' AND e.ts > s.ts1 GROUP BY e.user_id),
+         p AS (SELECT e.user_id, MIN(e.ts) AS ts3 FROM e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.ts2 GROUP BY e.user_id)
+         SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+                (SELECT COUNT(*) FROM c) AS n_click,
+                (SELECT COUNT(*) FROM p) AS n_purchase,
+                CAST((SELECT COUNT(*) FROM c) AS DOUBLE) / (SELECT COUNT(*) FROM s) AS rate_click,
+                CAST((SELECT COUNT(*) FROM p) AS DOUBLE) / (SELECT COUNT(*) FROM c) AS rate_purchase"""
   )
 }

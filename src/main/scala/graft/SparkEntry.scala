@@ -90,6 +90,10 @@ object SparkEntry {
     "q72_corr_moments"         -> ((s, d) => Relational.q72(lineitem(s, d))),
     "q73_gapfill_locf"         -> ((s, d) => Events.q73(events(s, d))),
     "q74_embed_quantize"       -> ((s, d) => Similarity.q74(embeddings(s, d))),
+    "q75_vocab_topk"           -> ((s, d) => TextAnalysis.q75(documents(s, d))),
+    "q76_bigram_lm"            -> ((s, d) => TextAnalysis.q76(documents(s, d))),
+    "q77_pack_buckets"         -> ((s, d) => TextAnalysis.q77(documents(s, d))),
+    "q78_funnel3"              -> ((s, d) => Events.q78(events(s, d))),
     "q57_lateral_explode"      -> ((s, d) => TextAnalysis.q57(documents(s, d))),
     "q55_ann_ivf"              -> ((s, d) => Similarity.q55(embeddings(s, d))),
     "q51_multimodal_meta"      -> ((s, d) => Multimodal.q51(s, documents(s, d))),

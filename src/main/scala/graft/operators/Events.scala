@@ -115,6 +115,30 @@ object Events {
       .orderBy(col("decile"))
   }
 
+  /** q78: three-step ordered funnel (signup → click → purchase) with
+    * per-step conversion rates. Each step keeps only (user_id, first
+    * qualifying ts) — semi-join-sized shuffles, never event payloads;
+    * rates are single double divides of exact counts. Strictly ordered:
+    * a step counts only if it happens AFTER the user's previous step. */
+  def q78(events: DataFrame): DataFrame = {
+    val e = withTs(events)
+    def firstAfter(typ: String, prev: DataFrame, prevTs: String, outTs: String): DataFrame =
+      e.filter(col("event_type") === typ)
+        .join(prev, "user_id")
+        .filter(col("ts") > col(prevTs))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(outTs))
+    val signup = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts1"))
+    val click = firstAfter("click", signup, "ts1", "ts2")
+    val buy = firstAfter("purchase", click, "ts2", "ts3")
+    val counts = signup.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(click.agg(count(lit(1)).as("n_click")))
+      .crossJoin(buy.agg(count(lit(1)).as("n_purchase")))
+    counts.select(col("n_signup"), col("n_click"), col("n_purchase"),
+      (col("n_click").cast("double") / col("n_signup")).as("rate_click"),
+      (col("n_purchase").cast("double") / col("n_click")).as("rate_purchase"))
+  }
+
   /** q73: time-series gap-fill — the resample + last-observation-
     * carried-forward pass event analytics runs before charting/joining
     * regular series. Each user's hourly spine comes from exploding a

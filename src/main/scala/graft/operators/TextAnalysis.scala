@@ -185,6 +185,60 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** q75: corpus vocabulary top-k — the frequency table a tokenizer
+    * training pass starts from: per token, total occurrences and
+    * document frequency, top-100 by count. The global top-k plans as
+    * TakeOrderedAndProject over the per-token aggregate (no full sort);
+    * COUNT(DISTINCT doc_id) expands in the same aggregation framework.
+    * Deterministic tie-break on the token itself. */
+  def q75(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(100)
+
+  /** q76: bigram language-model statistics — P(w2 | w1) for the corpus'
+    * most frequent bigrams (the classic MapReduce LM-prep job). The
+    * unigram denominator is a window SUM over the bigram aggregate
+    * partitioned by w1 — derived from the same single shuffle, never a
+    * second corpus pass; the conditional probability is one double
+    * divide of exact longs (§6). */
+  def q76(documents: DataFrame): DataFrame = {
+    val w = documents.select(split(lower(trim(col("text"))), " ").as("w"))
+    val bi = w.filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 1, lit(1)), i =>
+        struct(element_at(col("w"), i).as("w1"),
+          element_at(col("w"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val byW1 = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    bi.withColumn("c1", sum(col("c12")).over(byW1))
+      .withColumn("cond_p", col("c12").cast("double") / col("c1"))
+      .filter(col("c12") >= 5)
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
+  /** q77: sequence-length packing plan — bucket documents by token
+    * count into power-of-two length classes and report volume per
+    * bucket, the histogram a training pipeline uses to pack sequences
+    * into fixed-length batches. Integer arithmetic end to end. */
+  def q77(documents: DataFrame): DataFrame = {
+    val n = size(split(trim(col("text")), " ")).cast("long")
+    val bucketLo = when(n < 16, 0L).when(n < 32, 16L).when(n < 64, 32L)
+      .when(n < 128, 64L).when(n < 256, 128L).when(n < 512, 256L)
+      .otherwise(512L)
+    documents
+      .select(n.as("n_tokens"), bucketLo.as("bucket_lo"))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("bucket_lo"))
+  }
+
   /** q50: rolling polynomial fingerprint over codepoints, mod 1e9+7 —
     * a content-defined doc identity robust to storage encoding, via the
     * native [[graft.functions.PolyFingerprint]] expression (one code-

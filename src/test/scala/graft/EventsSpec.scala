@@ -1,0 +1,53 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+import graft.operators.Events
+
+/** Planted-data specs for event analytics (§2b) not already pinned by
+  * planted tests elsewhere (most event queries are oracle-covered; these
+  * check ordering semantics the oracle's aggregate can't isolate). */
+class EventsSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, user: Long, iso: String, typ: String) =
+    (id, user, Timestamp.from(Instant.parse(iso)), typ, 1.0)
+
+  test("q78 funnel counts only strictly ordered signup -> click -> purchase") {
+    val rows = Seq(
+      // user 1: full ordered funnel
+      ev(1, 1, "2026-01-01T10:00:00Z", "signup"),
+      ev(2, 1, "2026-01-01T10:05:00Z", "click"),
+      ev(3, 1, "2026-01-01T10:10:00Z", "purchase"),
+      // user 2: click BEFORE signup, purchase after — click step not reached
+      ev(4, 2, "2026-01-01T09:00:00Z", "click"),
+      ev(5, 2, "2026-01-01T10:00:00Z", "signup"),
+      ev(6, 2, "2026-01-01T11:00:00Z", "purchase"),
+      // user 3: signup + click, purchase before the click — not counted
+      ev(7, 3, "2026-01-01T10:00:00Z", "signup"),
+      ev(8, 3, "2026-01-01T10:30:00Z", "purchase"),
+      ev(9, 3, "2026-01-01T11:00:00Z", "click"),
+      // user 4: purchase only — no funnel entry
+      ev(10, 4, "2026-01-01T10:00:00Z", "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val r = Events.q78(rows).collect().head
+    assert(r.getAs[Long]("n_signup") == 3L)
+    assert(r.getAs[Long]("n_click") == 2L)     // users 1 and 3
+    assert(r.getAs[Long]("n_purchase") == 1L)  // only user 1 is ordered
+    assert(r.getAs[Double]("rate_click") == 2.0 / 3)
+    assert(r.getAs[Double]("rate_purchase") == 1.0 / 2)
+  }
+
+  test("q73 hour_value is null exactly on gap hours, filled_value carries forward") {
+    val rows = Seq(
+      ev(1, 9, "2026-01-01T10:15:00Z", "view"),
+      ev(2, 9, "2026-01-01T13:45:00Z", "view") // 11:00 and 12:00 are gaps
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Events.q73(rows).collect().sortBy(_.getAs[Timestamp]("h").getTime)
+    assert(out.length == 4) // 10:00 .. 13:00 spine
+    assert(!out(0).isNullAt(out(0).fieldIndex("hour_value")))
+    assert(out(1).isNullAt(out(1).fieldIndex("hour_value")))
+    assert(out(2).isNullAt(out(2).fieldIndex("hour_value")))
+    assert(out.forall(r => r.getAs[Double]("filled_value") == 1.0))
+  }
+}

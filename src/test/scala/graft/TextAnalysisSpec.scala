@@ -75,6 +75,35 @@ class TextAnalysisSpec extends GraftSpec {
         r.getAs[Double]("token_share") - 0.5) < 1e-12)
   }
 
+  test("q75/q76: vocab counts and bigram conditional probabilities on planted text") {
+    val d = Seq(
+      (1L, "a b a b a c"),           // bigrams: ab×2 ba×2 ac×1
+      (2L, "a b a b a b a b")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.q75(d).collect()
+      .map(r => r.getAs[String]("tok") -> (r.getAs[Long]("cnt"), r.getAs[Long]("doc_freq"))).toMap
+    assert(vocab("a") == (7L, 2L))
+    assert(vocab("b") == (6L, 2L))
+    assert(vocab("c") == (1L, 1L))
+    val bi = TextAnalysis.q76(d).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) ->
+        (r.getAs[Long]("c12"), r.getAs[Double]("cond_p"))).toMap
+    // "a b": 2+4=6 of a's 7 outgoing... a's bigram starts: ab×6, ac×1 → c1=7
+    assert(bi(("a", "b")) == (6L, 6.0 / 7))
+    assert(!bi.contains(("a", "c")))           // c12=1 < 5 filtered
+  }
+
+  test("q77 packing buckets land docs on power-of-two boundaries") {
+    val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
+    val d = Seq((1L, mk(15)), (2L, mk(16)), (3L, mk(100)), (4L, mk(600)))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.q77(d).collect()
+      .map(r => r.getAs[Long]("bucket_lo") -> (r.getAs[Long]("n_docs"), r.getAs[Long]("max_tokens"))).toMap
+    assert(rows(0L) == (1L, 15L))
+    assert(rows(16L) == (1L, 16L))
+    assert(rows(64L) == (1L, 100L))
+    assert(rows(512L) == (1L, 600L))
+  }
+
   test("q48 quality score components are consistent") {
     val r = TextAnalysis.q48(Seq((1L, "the data row row", 16L)).toDF("doc_id", "text", "n_chars"))
       .collect().head
