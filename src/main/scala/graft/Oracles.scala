@@ -686,6 +686,13 @@ object Oracles {
                 (SELECT COUNT(*) FROM c) AS n_click,
                 (SELECT COUNT(*) FROM p) AS n_purchase,
                 CAST((SELECT COUNT(*) FROM c) AS DOUBLE) / (SELECT COUNT(*) FROM s) AS rate_click,
-                CAST((SELECT COUNT(*) FROM p) AS DOUBLE) / (SELECT COUNT(*) FROM c) AS rate_purchase"""
+                CAST((SELECT COUNT(*) FROM p) AS DOUBLE) / (SELECT COUNT(*) FROM c) AS rate_purchase""",
+
+    // media payload = UTF-8 bytes of text (the mediaTable stand-in);
+    // md5 of a varchar hashes its UTF-8 bytes in both engines
+    "q79_binary_dedup" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count,
+         CAST(MIN(octet_length(encode(text))) AS BIGINT) AS payload_bytes
+         FROM documents GROUP BY md5(text) ORDER BY keep_id"""
   )
 }

@@ -56,6 +56,21 @@ object Multimodal {
       .toDF()
   }
 
+  /** q79: exact media dedup by payload hash — the first pass every
+    * multimodal corpus runs (identical bytes under different doc ids).
+    * Groups on md5 of the payload so the shuffle key is 16 bytes, never
+    * the payload itself; the canonical row is the min doc_id. NO codec
+    * involved — byte-identity dedup is codec-free, which is why it's
+    * oracle-checkable while q51-q53 are not. */
+  def q79(spark: SparkSession, documents: DataFrame): DataFrame =
+    mediaTable(spark, documents)
+      .groupBy(md5(col("payload")).as("payload_md5"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("dup_count"),
+        min(length(col("payload"))).cast("long").as("payload_bytes"))
+      .select(col("keep_id"), col("dup_count"), col("payload_bytes"))
+      .orderBy(col("keep_id"))
+
   /** STUB decoder: a real deployment decodes image/audio here (JNI codec
     * or Arrow-batched Python worker). */
   private def decodeStub(id: Long, bytes: Array[Byte]): MediaFeature = {
