@@ -32,21 +32,24 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
         val dt = (System.nanoTime() - t0) / 1e9
         // drop caches an operator persisted for its own internal reuse —
         // a lingering cache would tax every LATER query's GC instead of
         // being accounted to the query that created it
         spark.catalog.clearCache()
-        dt
+        if (ok) Some(dt) else None
       }
-      // best-of-2: a single-shot timing can smear any query by 20 s on a
-      // one-off GC/JIT pause (round-1 bench showed a 22 s outlier on a
-      // 0.8 s query); the min of two runs measures the operator
-      name -> math.min(once(), once())
+      // best-of-2 over SUCCESSFUL runs: a single-shot timing can smear
+      // any query by 20 s on a one-off GC/JIT pause (round-1 bench had a
+      // 22 s outlier on a 0.8 s query), while a fast FAILURE must never
+      // masquerade as a fast run — a query with no successful run
+      // reports -1
+      name -> Seq(once(), once()).flatten.minOption.getOrElse(-1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

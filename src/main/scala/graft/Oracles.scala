@@ -572,7 +572,7 @@ object Oracles {
            CAST(n_tokens - distinct_tokens AS DOUBLE)/n_tokens AS dup_token_frac,
            CAST(top_c AS DOUBLE)/n_tokens AS top_token_share,
            CAST(n_bigrams - distinct_bigrams AS DOUBLE)/n_bigrams AS dup_bigram_frac
-         FROM w JOIN b ON w.doc_id = b.doc_id ORDER BY w.doc_id""",
+         FROM w LEFT JOIN b ON w.doc_id = b.doc_id ORDER BY w.doc_id""",
 
     // the grams CTEs mirror Q41Sql's shingling (distinct word-3-grams)
     "q69_contamination" ->

@@ -188,6 +188,9 @@ object Dedup {
   val MinhashK = 64   // permutations
   val Bands    = 16   // 16 bands × 4 rows
   val RowsPerBand = MinhashK / Bands
+  /** q42's verify threshold — shared by the band join's length filter
+    * (which is only lossless when the two agree). */
+  val MinhashJaccardThreshold = 0.7
 
   /** MinHash signature: (doc_id, sig: array[64], n) from a shingle
     * frame. The k "permutations" are seeded xxhash64 of the shingle;
@@ -224,19 +227,20 @@ object Dedup {
         ).as("band_key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("n"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-    // length filter inside the band join (lossless vs the J > 0.7
-    // verify): sets whose sizes differ by more than the threshold ratio
-    // can't pass verification, so their band collisions never shuffle
+    // length filter inside the band join (lossless vs the
+    // MinhashJaccardThreshold verify): sets whose sizes differ by more
+    // than the threshold ratio can't pass verification, so their band
+    // collisions never shuffle
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id") &&
-        col("a.n") >= lit(0.7) * col("b.n") &&
-        col("b.n") >= lit(0.7) * col("a.n"))
+        col("a.n") >= lit(MinhashJaccardThreshold) * col("b.n") &&
+        col("b.n") >= lit(MinhashJaccardThreshold) * col("a.n"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(g, candidates)
-      .filter(col("jaccard") > 0.7)
+      .filter(col("jaccard") > MinhashJaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -262,11 +262,14 @@ object Similarity {
     val vecs = vecRows(embeddings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nRows = vecs.count()
-    require(nRows <= maxRows,
-      s"q46 embed_dedup is EXACT all-pairs and broadcasts the vector table: " +
-      s"$nRows rows exceeds the broadcast ceiling $maxRows. At this scale use " +
-      "the bucketed near-dup operators instead: Similarity.q45 (hyperplane LSH) " +
-      "or Dedup.q42 (MinHash-LSH) generate candidates without materializing n² pairs.")
+    if (nRows > maxRows) {
+      vecs.unpersist() // don't leave the oversized table pinned after refusing
+      throw new IllegalArgumentException(
+        s"q46 embed_dedup is EXACT all-pairs and broadcasts the vector table: " +
+        s"$nRows rows exceeds the broadcast ceiling $maxRows. At this scale use " +
+        "the bucketed near-dup operators instead: Similarity.q45 (hyperplane LSH) " +
+        "or Dedup.q42 (MinHash-LSH) generate candidates without materializing n² pairs.")
+    }
     val bc = spark.sparkContext.broadcast(vecs.collect().sortBy(_._1))
     vecs.mapPartitions { it =>
       val all = bc.value

@@ -148,7 +148,10 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"), count(lit(1)).as("distinct_bigrams"))
-    words.join(bigrams, "doc_id")
+    // LEFT join: a one-token doc has no bigrams but must still be
+    // scored (null bigram fraction), else it silently vanishes from the
+    // quality report and downstream filters treat it as unscored
+    words.join(bigrams, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_tokens"), col("distinct_tokens"),
         ((col("n_tokens") - col("distinct_tokens")).cast("double") / col("n_tokens"))
           .as("dup_token_frac"),

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** Sources & sinks (SURVEY.md §2d).
@@ -79,6 +80,13 @@ object Sources {
     * unmatched keys append. Cost is ∝ the AFFECTED partitions (semi-join
     * prune), never the full table — the 100 TB daily-upsert shape.
     *
+    * Affected = partitions the updates land in ∪ partitions currently
+    * holding a matched key — so an update that MOVES a key to a new
+    * partition value also rewrites the key's old partition (no stale
+    * duplicate). A rewritten partition left with zero rows is deleted
+    * explicitly (dynamic overwrite cannot delete a partition it writes
+    * no rows to); the emptied-partition list is metadata-sized.
+    *
     * Two-phase on purpose: the merged result is staged to `staging`
     * before the dynamic overwrite, because a single-phase plan would
     * read and overwrite the same files (Spark rejects it, and a failure
@@ -88,34 +96,88 @@ object Sources {
                         keyCols: Seq[String], partitionCols: Seq[String],
                         staging: String): Unit = {
     val target = spark.read.parquet(path)
-    val affectedParts = updates.select(partitionCols.map(updates.col): _*).distinct()
+    val keys = updates.select(keyCols.map(updates.col): _*)
+    val matchedParts = target.join(keys, keyCols, "left_semi")
+      .select(partitionCols.map(target.col): _*).distinct()
+    val affectedParts = updates.select(partitionCols.map(updates.col): _*)
+      .unionByName(matchedParts).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val affected = target.join(affectedParts, partitionCols, "left_semi")
-    val kept = affected.join(updates.select(keyCols.map(updates.col): _*),
-      keyCols, "left_anti")
-    kept.unionByName(updates).write.mode(SaveMode.Overwrite).parquet(staging)
-    insertOverwritePartitions(spark.read.parquet(staging), path, partitionCols)
+    val kept = affected.join(keys, keyCols, "left_anti")
+    val merged = kept.unionByName(updates)
+    merged.write.mode(SaveMode.Overwrite).parquet(staging)
+    val staged = spark.read.parquet(staging)
+    insertOverwritePartitions(staged, path, partitionCols)
+    // partitions fully drained by the upsert: in affected but absent
+    // from the staged result — delete their directories
+    val emptied = affectedParts
+      .join(staged.select(partitionCols.map(staged.col): _*).distinct(),
+        partitionCols, "left_anti")
+      .collect() // metadata-sized: distinct partition tuples only
+    if (emptied.nonEmpty) {
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { row =>
+        val dir = partitionCols.zipWithIndex
+          .map { case (c, i) => s"$c=${row.get(i)}" }.mkString("/")
+        fs.delete(new Path(s"$path/$dir"), true)
+      }
+    }
+    affectedParts.unpersist()
   }
 
   /** s06: small-files compaction — the nightly maintenance op that keeps
     * a streamed-into lake path scannable. Micro-batch sinks and
     * per-partition writers accrete thousands of KB-sized files; scan
-    * cost then becomes per-file open overhead instead of IO. Rewrites
-    * the path into ⌈bytes/target⌉ files via a staged write + atomic-ish
-    * swap (never reads and overwrites the same files in one plan).
+    * cost then becomes per-file open overhead instead of IO.
+    *
+    * Partitioned layouts (`partitionCols` non-empty) compact IN PLACE
+    * via dynamic partition overwrite — no swap window at all, and the
+    * directory layout (and partition pruning) is preserved. Flat
+    * layouts rewrite to `staging` then swap; the swap is
+    * old→trash, staging→path, delete-trash with every FS call checked,
+    * so a crash at any point leaves a complete copy recoverable (in
+    * `<path>.trash` or `staging`) — a raw filesystem has no atomic
+    * multi-file commit; single-writer maintenance windows are assumed
+    * (a table format provides the transactional version).
     * Returns the file count written. */
   def compact(spark: SparkSession, path: String, staging: String,
-              targetBytes: Long = 128L << 20): Int = {
+              targetBytes: Long = 128L << 20,
+              partitionCols: Seq[String] = Nil): Int = {
     import org.apache.hadoop.fs.Path
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(p, true)
     var bytes = 0L
-    while (it.hasNext) { val f = it.next(); if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen }
+    var sawPartitionDir = false
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+      if (f.getPath.getParent.getName.contains("=")) sawPartitionDir = true
+    }
+    require(partitionCols.nonEmpty || !sawPartitionDir,
+      s"$path has hive-partitioned directories; pass partitionCols so " +
+      "compaction preserves the layout instead of flattening it")
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    spark.read.parquet(path).repartition(n)
-      .write.mode(SaveMode.Overwrite).parquet(staging)
-    fs.delete(p, true)
-    require(fs.rename(new Path(staging), p), s"rename $staging -> $path failed")
+    if (partitionCols.nonEmpty) {
+      // stage (a plan may not read and overwrite the same files), then
+      // dynamic-overwrite each partition in place — layout preserved
+      spark.read.parquet(path).write.mode(SaveMode.Overwrite).parquet(staging)
+      spark.read.parquet(staging)
+        .repartition(n, partitionCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCols: _*)
+        .parquet(path)
+    } else {
+      spark.read.parquet(path).repartition(n)
+        .write.mode(SaveMode.Overwrite).parquet(staging)
+      val trash = new Path(path + ".trash")
+      fs.delete(trash, true)
+      require(fs.rename(p, trash), s"rename $path -> $trash failed")
+      require(fs.rename(new Path(staging), p), s"rename $staging -> $path failed")
+      fs.delete(trash, true)
+    }
     n
   }
 

@@ -132,6 +132,43 @@ class SourcesSpec extends GraftSpec {
     assert(back.count() == 2)
   }
 
+  test("m02 upsert that moves a key to a new partition leaves no stale duplicate") {
+    import spark.implicits._
+    val path = tmp("m02-move")
+    // region 9 holds ONLY key 990 — moving it must delete the emptied dir
+    val seed = Seq((0, "KEEP_ME", 0), (1, "ALSO_KEEP", 0), (990, "LONER", 9))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    Sources.insertOverwritePartitions(seed, path, Seq("n_regionkey"))
+    val updates = Seq((990, "MOVED", 2)).toDF("n_nationkey", "n_name", "n_regionkey")
+    Sources.upsertPartitioned(spark, path, updates,
+      keyCols = Seq("n_nationkey"), partitionCols = Seq("n_regionkey"),
+      staging = tmp("m02-move-staging"))
+    val back = Sources.readParquet(spark, path)
+    val k990 = back.filter(back("n_nationkey") === 990).collect()
+    assert(k990.length == 1, k990.toSeq)                    // no stale duplicate
+    assert(k990.head.getAs[Int]("n_regionkey") == 2)
+    assert(!new java.io.File(s"$path/n_regionkey=9").exists()) // emptied dir gone
+    assert(back.count() == 3)
+  }
+
+  test("s06 partitioned compaction preserves layout; flat compaction refuses partition dirs") {
+    val nation = Tables.nation(spark, SF)
+    val path = tmp("s06-part")
+    nation.repartition(10).write.partitionBy("n_regionkey").parquet(path)
+    val err = intercept[IllegalArgumentException] {
+      Sources.compact(spark, path, tmp("s06-part-stage1"))
+    }
+    assert(err.getMessage.contains("partitionCols"), err.getMessage)
+    Sources.compact(spark, path, tmp("s06-part-stage2"),
+      partitionCols = Seq("n_regionkey"))
+    // layout survived: partition dirs still present, rows intact, pruning works
+    assert(new java.io.File(s"$path/n_regionkey=0").exists())
+    val back = Sources.readParquet(spark, path)
+    assert(back.count() == nation.count())
+    assert(formattedPlan(back.filter(back("n_regionkey") === 1))
+      .contains("PartitionFilters"))
+  }
+
   test("s03 json round-trips with schema") {
     val region = Tables.region(spark, SF)
     val path = tmp("json")

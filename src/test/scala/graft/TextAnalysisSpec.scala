@@ -60,6 +60,15 @@ class TextAnalysisSpec extends GraftSpec {
     assert(r(2L).getAs[Double]("dup_bigram_frac") == 0.0)
   }
 
+  test("q68 scores one-token docs too (null bigram fraction, not dropped)") {
+    val d = Seq((1L, "solo"), (2L, "two words")).toDF("doc_id", "text")
+    val rows = TextAnalysis.q68(d).collect()
+    assert(rows.length == 2, rows.toSeq)
+    val r1 = rows.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(r1.getAs[Long]("n_tokens") == 1L)
+    assert(r1.isNullAt(r1.fieldIndex("dup_bigram_frac")))
+  }
+
   test("q70 mix stats: shares sum to 1, uniform weight flattens the mix") {
     val d = Seq(
       (1L, "a b c d", "s1", 7L), (2L, "a b", "s1", 3L),
