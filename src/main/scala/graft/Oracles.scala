@@ -625,8 +625,9 @@ object Oracles {
            SUM(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS syy
          FROM lineitem GROUP BY l_returnflag)
          SELECT l_returnflag, n,
-           CAST(n*sxy - sx*sy AS DOUBLE) /
-             (SQRT(CAST(n*sxx - sx*sx AS DOUBLE)) * SQRT(CAST(n*syy - sy*sy AS DOUBLE)))
+           (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+             (SQRT(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+              SQRT(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
              AS corr_qty_disc
          FROM m ORDER BY l_returnflag""",
 

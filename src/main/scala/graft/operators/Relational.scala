@@ -378,22 +378,26 @@ object Relational {
   /** q72: correlation profiling via exact decimal moments — the same
     * §6 discipline as q59: all five sums fold in order-independent
     * decimals (small-valued columns so DuckDB's int64-backed decimals
-    * never overflow), then ONE double expression computes Pearson r, so
-    * both engines emit identical bits. Single partial-aggregated
-    * shuffle. */
+    * never overflow). Each exact sum converts to double FIRST and the
+    * Pearson expression runs entirely in identically-ordered IEEE
+    * double ops — multiplying the decimals before converting would
+    * exceed precision 38 at large n and make Spark clamp scale (round)
+    * where DuckDB's int128 stays exact, drifting the last ulp. Single
+    * partial-aggregated shuffle. */
   def q72(lineitem: DataFrame): DataFrame = {
     val x = dec(col("l_quantity"))
     val y = dec(col("l_discount"))
     val n = count(lit(1))
+    def d(name: String) = col(name).cast("double")
     lineitem
       .groupBy(col("l_returnflag"))
       .agg(n.as("n"),
         sum(x).as("sx"), sum(y).as("sy"),
         sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
       .select(col("l_returnflag"), col("n"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-           sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+        ((d("n") * d("sxy") - d("sx") * d("sy")) /
+          (sqrt(d("n") * d("sxx") - d("sx") * d("sx")) *
+           sqrt(d("n") * d("syy") - d("sy") * d("sy"))))
           .as("corr_qty_disc"))
       .orderBy(col("l_returnflag"))
   }
