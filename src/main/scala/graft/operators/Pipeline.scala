@@ -27,18 +27,22 @@ object Pipeline {
   def cleanCorpus(documents: DataFrame,
                   precomputedPairs: Option[DataFrame] = None): DataFrame = {
     val norm = TextAnalysis.q54(documents) // doc_id, clean_text, clean_tokens
-    val exactKeep = norm
-      .groupBy(col("clean_text").as("t"))
-      .agg(min(col("doc_id")).as("keep_id"))
-      .select(col("keep_id"))
+    // exact dedup as ONE window pass over the normalized corpus: rank
+    // within each clean_text group, keep the min doc_id row — one scan
+    // + one shuffle, versus aggregate-then-semi-join which scans and
+    // shuffles the corpus twice
+    val byText = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("clean_text")).orderBy(col("doc_id"))
+    val exactKept = norm
+      .withColumn("__rn", row_number().over(byText))
+      .filter(col("__rn") === 1).drop("__rn")
     val pairs = precomputedPairs.getOrElse(
       Dedup.q41(documents).select(col("doc_a"), col("doc_b")))
     val nearDupLosers = Dedup
       .clusters(pairs.select(col("doc_a"), col("doc_b")))
       .filter(col("label") =!= col("doc_id"))
       .select(col("doc_id"))
-    norm
-      .join(exactKeep, norm("doc_id") === col("keep_id"), "left_semi")
+    exactKept
       .join(nearDupLosers, Seq("doc_id"), "left_anti")
       .filter(col("clean_tokens") >= MinTokens)
       .select(col("doc_id"), col("clean_text"), col("clean_tokens"))

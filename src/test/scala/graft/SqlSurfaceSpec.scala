@@ -29,6 +29,17 @@ class SqlSurfaceSpec extends GraftSpec {
     assert(!spark.catalog.tableExists("graft_ddl_nation"))
   }
 
+  test("graft.Sql registers lake tables and answers SQL text (CLI surface)") {
+    val registered = Sql.registerTables(spark, SF)
+    assert(registered.toSet == Sql.TableNames.toSet) // full test lake
+    val n = Sql.run(spark, SF,
+      "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+      .collect()(0).getLong(0)
+    assert(n == Tables.lineitem(spark, SF).count())
+    // events view must be readable (nanos handling applied by the loader)
+    assert(Sql.run(spark, SF, "SELECT max(ts) FROM events").collect().nonEmpty)
+  }
+
   test("EXPLAIN and SHOW surfaces respond through SQL text") {
     Tables.region(spark, SF).createOrReplaceTempView("region_src")
     val explain = spark.sql("EXPLAIN SELECT count(*) FROM region_src")
