@@ -623,13 +623,15 @@ object Oracles {
            SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS sxy,
            SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS sxx,
            SUM(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS syy
-         FROM lineitem GROUP BY l_returnflag)
+         FROM lineitem GROUP BY l_returnflag),
+         m2 AS (SELECT l_returnflag, n,
+           CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num,
+           CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS dx,
+           CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS dy
+         FROM m)
          SELECT l_returnflag, n,
-           (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
-             (SQRT(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
-              SQRT(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
-             AS corr_qty_disc
-         FROM m ORDER BY l_returnflag""",
+           CASE WHEN dx > 0 AND dy > 0 THEN num / (SQRT(dx) * SQRT(dy)) END AS corr_qty_disc
+         FROM m2 ORDER BY l_returnflag""",
 
     "q73_gapfill_locf" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
@@ -686,8 +688,10 @@ object Oracles {
          SELECT (SELECT COUNT(*) FROM s) AS n_signup,
                 (SELECT COUNT(*) FROM c) AS n_click,
                 (SELECT COUNT(*) FROM p) AS n_purchase,
-                CAST((SELECT COUNT(*) FROM c) AS DOUBLE) / (SELECT COUNT(*) FROM s) AS rate_click,
-                CAST((SELECT COUNT(*) FROM p) AS DOUBLE) / (SELECT COUNT(*) FROM c) AS rate_purchase""",
+                CASE WHEN (SELECT COUNT(*) FROM s) > 0
+                  THEN CAST((SELECT COUNT(*) FROM c) AS DOUBLE) / (SELECT COUNT(*) FROM s) END AS rate_click,
+                CASE WHEN (SELECT COUNT(*) FROM c) > 0
+                  THEN CAST((SELECT COUNT(*) FROM p) AS DOUBLE) / (SELECT COUNT(*) FROM c) END AS rate_purchase""",
 
     // media payload = UTF-8 bytes of text (the mediaTable stand-in);
     // md5 of a varchar hashes its UTF-8 bytes in both engines

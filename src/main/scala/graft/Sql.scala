@@ -18,10 +18,14 @@ object Sql {
     "embeddings")
 
   /** Register each graft table present under `dir` as a temp view
-    * (missing parquet files are skipped, so partial lakes work). */
-  def registerTables(spark: SparkSession, dir: String): Seq[String] =
+    * (missing parquet files are skipped, so partial lakes work).
+    * Existence goes through the Hadoop FileSystem of `dir`'s scheme, so
+    * hdfs:///s3a:// lake paths work, not just local files. */
+  def registerTables(spark: SparkSession, dir: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     TableNames.filter { name =>
-      val exists = new java.io.File(s"$dir/$name.parquet").exists()
+      val exists = fs.exists(new Path(s"$dir/$name.parquet"))
       if (exists) {
         val df = name match {
           case "events" => Tables.events(spark, dir) // nanos→µs handling
@@ -31,6 +35,7 @@ object Sql {
       }
       exists
     }
+  }
 
   def run(spark: SparkSession, dir: String, query: String): DataFrame = {
     registerTables(spark, dir)

@@ -134,9 +134,14 @@ object Events {
     val counts = signup.agg(count(lit(1)).as("n_signup"))
       .crossJoin(click.agg(count(lit(1)).as("n_click")))
       .crossJoin(buy.agg(count(lit(1)).as("n_purchase")))
+    // empty-step guards: ANSI mode (session default) turns x/0 into a
+    // runtime error — an empty funnel stage must report a null rate,
+    // not kill the query
     counts.select(col("n_signup"), col("n_click"), col("n_purchase"),
-      (col("n_click").cast("double") / col("n_signup")).as("rate_click"),
-      (col("n_purchase").cast("double") / col("n_click")).as("rate_purchase"))
+      when(col("n_signup") > 0, col("n_click").cast("double") / col("n_signup"))
+        .as("rate_click"),
+      when(col("n_click") > 0, col("n_purchase").cast("double") / col("n_click"))
+        .as("rate_purchase"))
   }
 
   /** q73: time-series gap-fill — the resample + last-observation-

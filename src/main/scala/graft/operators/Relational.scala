@@ -389,15 +389,18 @@ object Relational {
     val y = dec(col("l_discount"))
     val n = count(lit(1))
     def d(name: String) = col(name).cast("double")
+    // null (not an ANSI divide-by-zero error) for degenerate groups:
+    // n = 1 or zero variance in either column
+    val dx = d("n") * d("sxx") - d("sx") * d("sx")
+    val dy = d("n") * d("syy") - d("sy") * d("sy")
     lineitem
       .groupBy(col("l_returnflag"))
       .agg(n.as("n"),
         sum(x).as("sx"), sum(y).as("sy"),
         sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
       .select(col("l_returnflag"), col("n"),
-        ((d("n") * d("sxy") - d("sx") * d("sy")) /
-          (sqrt(d("n") * d("sxx") - d("sx") * d("sx")) *
-           sqrt(d("n") * d("syy") - d("sy") * d("sy"))))
+        when(dx > 0 && dy > 0,
+          (d("n") * d("sxy") - d("sx") * d("sy")) / (sqrt(dx) * sqrt(dy)))
           .as("corr_qty_disc"))
       .orderBy(col("l_returnflag"))
   }

@@ -65,12 +65,17 @@ object Sources {
     * per-write option overrides the session default, so the helper
     * behaves the same under any session. */
   def insertOverwritePartitions(df: DataFrame, path: String,
-                                partitionCols: Seq[String]): Unit =
-    df.repartition(partitionCols.map(df.col): _*)
-      .write.mode(SaveMode.Overwrite)
+                                partitionCols: Seq[String],
+                                numFiles: Option[Int] = None): Unit = {
+    val shaped = numFiles match {
+      case Some(n) => df.repartition(n, partitionCols.map(df.col): _*)
+      case None    => df.repartition(partitionCols.map(df.col): _*)
+    }
+    shaped.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(path)
+  }
 
   /** m02: MERGE-style upsert into a partitioned parquet lake path —
     * graft's mutation stance for file-based tables (README §mutation):
@@ -107,20 +112,31 @@ object Sources {
     val merged = kept.unionByName(updates)
     merged.write.mode(SaveMode.Overwrite).parquet(staging)
     val staged = spark.read.parquet(staging)
-    insertOverwritePartitions(staged, path, partitionCols)
-    // partitions fully drained by the upsert: in affected but absent
-    // from the staged result — delete their directories
+    // compute the drained-partition list BEFORE mutating `path`: the
+    // lineage of both sides reads the pre-upsert target, and a cache
+    // loss after the overwrite would silently recompute from mutated
+    // data (missing the moved key's old partition). Metadata-sized.
     val emptied = affectedParts
       .join(staged.select(partitionCols.map(staged.col): _*).distinct(),
         partitionCols, "left_anti")
-      .collect() // metadata-sized: distinct partition tuples only
+      .select(partitionCols.map(c => col(c).cast("string")): _*)
+      .collect()
+    insertOverwritePartitions(staged, path, partitionCols)
+    // partitions fully drained by the upsert: in affected but absent
+    // from the staged result — delete their directories (hive-escaped
+    // names; string-cast partition values match the directory layout)
     if (emptied.nonEmpty) {
       import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
       emptied.foreach { row =>
-        val dir = partitionCols.zipWithIndex
-          .map { case (c, i) => s"$c=${row.get(i)}" }.mkString("/")
-        fs.delete(new Path(s"$path/$dir"), true)
+        val dir = partitionCols.zipWithIndex.map { case (c, i) =>
+          val v = if (row.isNullAt(i)) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+                  else ExternalCatalogUtils.escapePathName(row.getString(i))
+          s"${ExternalCatalogUtils.escapePathName(c)}=$v"
+        }.mkString("/")
+        val p = new Path(s"$path/$dir")
+        if (fs.exists(p)) require(fs.delete(p, true), s"failed to delete drained partition $p")
       }
     }
     affectedParts.unpersist()
@@ -163,12 +179,8 @@ object Sources {
       // stage (a plan may not read and overwrite the same files), then
       // dynamic-overwrite each partition in place — layout preserved
       spark.read.parquet(path).write.mode(SaveMode.Overwrite).parquet(staging)
-      spark.read.parquet(staging)
-        .repartition(n, partitionCols.map(col): _*)
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partitionCols: _*)
-        .parquet(path)
+      insertOverwritePartitions(spark.read.parquet(staging), path,
+        partitionCols, numFiles = Some(n))
     } else {
       spark.read.parquet(path).repartition(n)
         .write.mode(SaveMode.Overwrite).parquet(staging)

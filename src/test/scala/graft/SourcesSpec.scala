@@ -151,6 +151,25 @@ class SourcesSpec extends GraftSpec {
     assert(back.count() == 3)
   }
 
+  test("m02 drains partitions whose values need hive path escaping") {
+    import spark.implicits._
+    val path = tmp("m02-esc")
+    // "a b:c" partition dir is written hive-escaped (%20, %3A)
+    val seed = Seq((1, "KEEP", "plain"), (2, "MOVE_ME", "a b:c"))
+      .toDF("id", "name", "part")
+    Sources.insertOverwritePartitions(seed, path, Seq("part"))
+    val updates = Seq((2, "MOVED", "plain")).toDF("id", "name", "part")
+    Sources.upsertPartitioned(spark, path, updates,
+      keyCols = Seq("id"), partitionCols = Seq("part"),
+      staging = tmp("m02-esc-staging"))
+    val back = Sources.readParquet(spark, path)
+    assert(back.count() == 2)
+    assert(back.filter(back("id") === 2).collect().map(_.getAs[String]("part")).toSeq
+      == Seq("plain"))
+    // the escaped dir of the drained partition is gone
+    assert(!new java.io.File(path).listFiles().exists(_.getName.startsWith("part=a")))
+  }
+
   test("s06 partitioned compaction preserves layout; flat compaction refuses partition dirs") {
     val nation = Tables.nation(spark, SF)
     val path = tmp("s06-part")
