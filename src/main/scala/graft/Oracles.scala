@@ -693,6 +693,16 @@ object Oracles {
                 CASE WHEN (SELECT COUNT(*) FROM c) > 0
                   THEN CAST((SELECT COUNT(*) FROM p) AS DOUBLE) / (SELECT COUNT(*) FROM c) END AS rate_purchase""",
 
+    // identical Knuth-hash ordering in both engines → identical sample
+    "q80_per_key_sample" ->
+      """WITH s AS (SELECT source, doc_id,
+           (doc_id * 2654435761) % 1000000007 AS skey FROM documents),
+         r AS (SELECT source, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY skey, doc_id) AS rn
+           FROM s)
+         SELECT source, doc_id, rn FROM r WHERE rn <= 3
+         ORDER BY source, rn""",
+
     // media payload = UTF-8 bytes of text (the mediaTable stand-in);
     // md5 of a varchar hashes its UTF-8 bytes in both engines
     "q79_binary_dedup" ->

@@ -95,6 +95,7 @@ object SparkEntry {
     "q77_pack_buckets"         -> ((s, d) => TextAnalysis.q77(documents(s, d))),
     "q78_funnel3"              -> ((s, d) => Events.q78(events(s, d))),
     "q79_binary_dedup"         -> ((s, d) => Multimodal.q79(s, documents(s, d))),
+    "q80_per_key_sample"       -> ((s, d) => TextAnalysis.q80(documents(s, d))),
     "q57_lateral_explode"      -> ((s, d) => TextAnalysis.q57(documents(s, d))),
     "q55_ann_ivf"              -> ((s, d) => Similarity.q55(embeddings(s, d))),
     "q51_multimodal_meta"      -> ((s, d) => Multimodal.q51(s, documents(s, d))),

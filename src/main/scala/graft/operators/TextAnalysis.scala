@@ -242,6 +242,28 @@ object TextAnalysis {
       .orderBy(col("bucket_lo"))
   }
 
+  /** q80: deterministic per-key sampling — exactly `k` pseudo-random
+    * docs per source (corpus curation's "cap every source at N"). The
+    * sampling key is a Knuth multiplicative hash of doc_id (exact BIGINT
+    * arithmetic, so the DuckDB oracle reproduces the identical sample —
+    * unlike rand() or engine-specific hash functions). Because the
+    * sample rank is part of the output, the plan keeps the window form
+    * (TopKRewrite applies only when the rank is projected away) — but
+    * Spark's WindowGroupLimit still caps the per-source sort at k rows,
+    * so the heavy lifting is bounded either way; drop `rn` from a
+    * caller's projection and the native top-k operator takes over. */
+  def q80(documents: DataFrame, k: Int = 3): DataFrame = {
+    val skey = pmod(col("doc_id") * lit(2654435761L), lit(1000000007L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))
+    documents
+      .select(col("source"), col("doc_id"), skey.as("skey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("doc_id"), col("rn"))
+      .orderBy(col("source"), col("rn"))
+  }
+
   /** q50: rolling polynomial fingerprint over codepoints, mod 1e9+7 —
     * a content-defined doc identity robust to storage encoding, via the
     * native [[graft.functions.PolyFingerprint]] expression (one code-
