@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Rolling polynomial fingerprint h = Σ cp·31^i mod 1e9+7 over a
@@ -16,10 +16,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * expression walks the string's code points in one loop. Code-point
   * iteration (not UTF-16 units) matches DuckDB's
   * `string_split(text,'') → unicode(c)` oracle semantics. */
-case class PolyFingerprint(child: Expression) extends UnaryExpression {
+case class PolyFingerprint(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_fingerprint"
+
+  /** Analysis-time typing for the SQL surface (`graft_fingerprint`):
+    * non-string arguments cast (or fail analysis) instead of blowing up
+    * in generated code at runtime. (Result type inferred —
+    * AbstractDataType is private[sql].) */
+  override def inputTypes = Seq(StringType)
 
   override def nullSafeEval(input: Any): Any =
     PolyFingerprint.compute(input.asInstanceOf[UTF8String])

@@ -26,19 +26,37 @@ object TopKRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Float/double partition keys are excluded: this rule runs before
+    * the NormalizeFloatingNumbers batch, which would rewrite the Window
+    * partition spec so 0.0/-0.0 (and NaN bit patterns) group together —
+    * replacing the Window first would hash raw bytes and split those
+    * groups. Bailing out keeps vanilla semantics for floating keys;
+    * integral/string keys (the common top-k shape) still rewrite. */
+  private def hasFloatingPoint(e: Expression): Boolean = {
+    import org.apache.spark.sql.types._
+    def rec(dt: DataType): Boolean = dt match {
+      case FloatType | DoubleType => true
+      case ArrayType(et, _)       => rec(et)
+      case MapType(k, v, _)       => rec(k) || rec(v)
+      case StructType(fields)     => fields.exists(f => rec(f.dataType))
+      case _                      => false
+    }
+    rec(e.dataType)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // the Seq(...) pattern itself pins windowExpressions to exactly one
     case p @ Project(projectList,
         Filter(cond, w @ Window(Seq(Alias(WindowExpression(
           _: RowNumber,
           WindowSpecDefinition(partitionSpec, orderSpec,
             SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)),
-          _, _, child, _)))
-        if w.windowExpressions.length == 1 =>
+          _, _, child, _))) =>
       val rnAttr = w.windowOutputSet.head
       rankLimit(cond, rnAttr.exprId.id) match {
         case Some(k) if k > 0 &&
             !projectList.exists(_.references.contains(rnAttr)) &&
-            partitionSpec.forall(_.isInstanceOf[Attribute]) &&
+            partitionSpec.forall(e => e.isInstanceOf[Attribute] && !hasFloatingPoint(e)) &&
             orderSpec.forall(_.child.isInstanceOf[Attribute]) =>
           Project(projectList, TopKPerKeyPlan(partitionSpec, orderSpec, k, child))
         case _ => p

@@ -76,7 +76,11 @@ object Streams {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left_outer")
 
-  /** st03: streaming exact dedup on event_id. State is bounded by the
+  /** st03: streaming dedup on event_id WITHIN the watermark horizon:
+    * duplicates delivered farther apart than the watermark both pass
+    * (their state was already evicted) — the standard deduplication/
+    * state-size trade; widen the watermark or dedup downstream in batch
+    * (q40) if replays can exceed it. State is bounded by the
     * watermark (ids older than it are dropped from the state store), so
     * at 100 TB/day the dedup map never grows unbounded. */
   def dedupStream(events: DataFrame): DataFrame =
@@ -110,7 +114,17 @@ object Streams {
     SessionOut(user, s.start_us, s.n, s.last_us - s.start_us, s.total)
 
   /** Per-group transition function. Events within a micro-batch arrive
-    * unordered → sort in-memory (bounded by batch size per user). */
+    * unordered → sort in-memory (bounded by batch size per user).
+    *
+    * Cross-batch late events (flatMapGroupsWithState does NOT drop rows
+    * older than the watermark): an event inside the open session's
+    * gap-extended interval merges with start=min/last=max — never
+    * shrinking the interval, so durations stay non-negative and the
+    * timeout always derives from the true max event time. An event
+    * older than start − gap is a distinct earlier session; it is
+    * emitted immediately as its own closed session (bounded by the
+    * watermark ≈ gap, further late siblings are rare and would at worst
+    * under-merge, never corrupt the open session). */
   def sessionFn(user: Long, it: Iterator[Ev],
                 state: GroupState[OpenSession]): Iterator[SessionOut] = {
     if (state.hasTimedOut) {           // watermark passed last_us + gap
@@ -123,11 +137,14 @@ object Streams {
     it.map(e => (e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000, e.value))
       .toIndexedSeq.sortBy(_._1).foreach { case (tsUs, value) =>
       cur match {
-        case Some(s) if tsUs - s.last_us <= SessionGapUs =>
-          cur = Some(OpenSession(s.start_us, tsUs, s.n + 1, s.total + value))
-        case Some(s) =>
+        case Some(s) if tsUs > s.last_us + SessionGapUs =>  // next session
           out += closed(user, s)
           cur = Some(OpenSession(tsUs, tsUs, 1, value))
+        case Some(s) if tsUs < s.start_us - SessionGapUs => // late orphan
+          out += SessionOut(user, tsUs, 1, 0L, value)
+        case Some(s) =>                                     // merge (may be late)
+          cur = Some(OpenSession(math.min(s.start_us, tsUs),
+            math.max(s.last_us, tsUs), s.n + 1, s.total + value))
         case None =>
           cur = Some(OpenSession(tsUs, tsUs, 1, value))
       }
@@ -142,13 +159,19 @@ object Streams {
     out.result().iterator
   }
 
-  /** st02: stateful sessionization over a (possibly streaming) events
-    * frame with schema (user_id, ts, value). */
+  /** st02: stateful sessionization over a STREAMING events frame with
+    * schema (user_id, ts, value). Sessions close via event-time timeout,
+    * so on a batch frame (where timeouts never fire and state is
+    * discarded) each user's final open session is not emitted — batch
+    * jobs use the window-based Events.q34/q35 instead. Rows with a null
+    * user/ts/value cannot be sessionized and are filtered (the typed
+    * encoder would otherwise fail the whole query on one bad row). */
   def sessionize(events: DataFrame): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     Events.withTs(events)
       .withWatermark("ts", Watermark)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull && col("value").isNotNull)
       .select(col("user_id").cast("long").as("user_id"),
         col("ts"), col("value").cast("double").as("value"))
       .as[Ev]

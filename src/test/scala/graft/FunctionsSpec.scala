@@ -61,4 +61,23 @@ class FunctionsSpec extends GraftSpec {
       .collect().head.getDouble(0)
     assert(v == 11.0)
   }
+
+  test("graft_dot: length mismatch and null elements yield NULL, int arrays cast") {
+    // implicit cast: array<int> → array<double>, not byte reinterpretation
+    val cast = spark.sql("SELECT graft_dot(array(1, 2), array(3, 4)) AS d").collect().head
+    assert(cast.getDouble(0) == 11.0)
+    val mismatch = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d)) AS d").collect().head
+    assert(mismatch.isNullAt(0))
+    val nullElem = spark.sql(
+      "SELECT graft_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(3.0d, 4.0d)) AS d")
+      .collect().head
+    assert(nullElem.isNullAt(0))
+  }
+
+  test("graft_fingerprint casts non-string input at analysis instead of failing codegen") {
+    val a = spark.sql("SELECT graft_fingerprint(12) AS f").collect().head.getLong(0)
+    val b = spark.sql("SELECT graft_fingerprint('12') AS f").collect().head.getLong(0)
+    assert(a == b)
+  }
 }

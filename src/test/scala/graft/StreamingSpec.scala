@@ -60,6 +60,34 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st02 late event inside the open session merges without corrupting it") {
+    val ms = MemoryStream[StreamEv]
+    val q = Streams.sessionize(ms.toDF())
+      .writeStream.format("memory").queryName("st02_late").outputMode("append").start()
+    try {
+      ms.addData(ev(8, "2026-01-01T10:00:00Z", v = 1.0))
+      q.processAllAvailable()
+      // a LATE event (09:50, within the 30-min watermark) for the same
+      // open session arrives in the NEXT batch — it must extend the
+      // session backwards (start=09:50), never shrink last_us
+      ms.addData(ev(8, "2026-01-01T09:50:00Z", v = 2.0))
+      q.processAllAvailable()
+      // close it via a later event + watermark push
+      ms.addData(ev(8, "2026-01-01T12:00:00Z"), ev(99, "2026-01-01T15:00:00Z"))
+      q.processAllAvailable()
+      ms.addData(ev(99, "2026-01-01T15:05:00Z"))
+      q.processAllAvailable()
+      val s = spark.table("st02_late").collect()
+        .filter(r => r.getAs[Long]("user_id") == 8L && r.getAs[Long]("n_events") == 2L)
+      assert(s.length == 1, spark.table("st02_late").collect().toSeq)
+      val start = java.time.Instant.parse("2026-01-01T09:50:00Z")
+      assert(s.head.getAs[Long]("session_start_us") ==
+        start.getEpochSecond * 1000000L)
+      assert(s.head.getAs[Long]("dur_us") == 600L * 1000 * 1000) // 09:50→10:00
+      assert(s.head.getAs[Double]("total_value") == 3.0)
+    } finally q.stop()
+  }
+
   test("st02 event-time timeout flushes the open session") {
     val ms = MemoryStream[StreamEv]
     val q = Streams.sessionize(ms.toDF())

@@ -67,6 +67,19 @@ class TopKPerKeySpec extends GraftSpec {
     assert(viaRule == native)
   }
 
+  test("TopKRewrite bails on floating-point partition keys (0.0/-0.0 must share a group)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((0.0, 1L), (-0.0, 2L), (1.5, 3L)).toDF("k", "v")
+    val w = Window.partitionBy(col("k")).orderBy(col("v"))
+    val q = df.select(col("k"), col("v"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 1).drop("rn")
+    // vanilla path: NormalizeFloatingNumbers groups 0.0 with -0.0 → 2 rows
+    assert(!q.queryExecution.optimizedPlan.toString.contains("TopKPerKey"))
+    assert(q.count() == 2)
+  }
+
   test("TopKRewrite leaves rank()-based filters alone (ties exceed k)") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
