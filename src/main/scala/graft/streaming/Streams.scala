@@ -98,6 +98,21 @@ object Streams {
                  format: String = "parquet"): DataFrame =
     spark.readStream.schema(schema).format(format).load(dir)
 
+  /** st10: streaming corpus dedup by CONTENT fingerprint — the
+    * ingestion-time twin of batch q40: documents whose text hashes to
+    * the same [[graft.functions.PolyFingerprint]] within the watermark
+    * horizon are dropped regardless of doc_id, so re-crawled/re-posted
+    * text never reaches the training corpus twice. State carries only
+    * (fingerprint, ts) — bytes-per-key constant, count bounded by the
+    * watermark. `tsCol` is the ingestion/event time column the stream
+    * already carries. */
+  def dedupCorpusStream(docs: DataFrame, tsCol: String,
+                        watermark: String = Watermark): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.PolyFingerprint(col("text")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   // ---------------------------------------------------------------- st02
 
   /** `ts` stays a timestamp so the watermark tag survives to the

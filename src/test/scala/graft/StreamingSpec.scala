@@ -252,6 +252,25 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st10 streaming corpus dedup drops same-text docs under different ids") {
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val df = ms.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = Streams.dedupCorpusStream(df, "ingest_ts")
+      .writeStream.format("memory").queryName("st10_out").outputMode("append").start()
+    try {
+      val t = Timestamp.from(Instant.parse("2026-01-01T10:00:00Z"))
+      ms.addData((1L, "the same exact document", t),
+                 (2L, "the same exact document", t),   // same text, new id
+                 (3L, "a different document", t))
+      q.processAllAvailable()
+      ms.addData((4L, "the same exact document", t))   // duplicate across batches
+      q.processAllAvailable()
+      val texts = spark.table("st10_out").collect().map(_.getAs[String]("text"))
+      assert(texts.sorted.toSeq ==
+        Seq("a different document", "the same exact document"))
+    } finally q.stop()
+  }
+
   test("st01 shares its plan with the oracle-checked batch q38") {
     // same code path: batch run over the real events table must agree with
     // a hand-rolled batch aggregation
