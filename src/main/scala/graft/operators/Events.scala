@@ -116,27 +116,29 @@ object Events {
   }
 
   /** q78: three-step ordered funnel (signup → click → purchase) with
-    * per-step conversion rates. Each step keeps only (user_id, first
-    * qualifying ts) — semi-join-sized shuffles, never event payloads;
-    * rates are single double divides of exact counts. Strictly ordered:
-    * a step counts only if it happens AFTER the user's previous step. */
+    * per-step conversion rates, in ONE scan of the events table: three
+    * stacked window minima over the same user partitioning (ts1 = first
+    * signup; ts2 = first click after ts1; ts3 = first purchase after
+    * ts2 — each `when` condition nulls out rows before the prior step,
+    * so strict ordering is structural), then one per-user reduction and
+    * one global count. A join-per-step formulation re-scans the fact
+    * table once per stage — at funnel-table sizes that's the whole
+    * query cost. Rates null out (not ANSI-error) on empty steps. */
   def q78(events: DataFrame): DataFrame = {
+    val byUserAll = Window.partitionBy(col("user_id"))
     val e = withTs(events)
-    def firstAfter(typ: String, prev: DataFrame, prevTs: String, outTs: String): DataFrame =
-      e.filter(col("event_type") === typ)
-        .join(prev, "user_id")
-        .filter(col("ts") > col(prevTs))
-        .groupBy(col("user_id")).agg(min(col("ts")).as(outTs))
-    val signup = e.filter(col("event_type") === "signup")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("ts1"))
-    val click = firstAfter("click", signup, "ts1", "ts2")
-    val buy = firstAfter("purchase", click, "ts2", "ts3")
-    val counts = signup.agg(count(lit(1)).as("n_signup"))
-      .crossJoin(click.agg(count(lit(1)).as("n_click")))
-      .crossJoin(buy.agg(count(lit(1)).as("n_purchase")))
-    // empty-step guards: ANSI mode (session default) turns x/0 into a
-    // runtime error — an empty funnel stage must report a null rate,
-    // not kill the query
+      .withColumn("ts1",
+        min(when(col("event_type") === "signup", col("ts"))).over(byUserAll))
+      .withColumn("ts2",
+        min(when(col("event_type") === "click" && col("ts") > col("ts1"), col("ts")))
+          .over(byUserAll))
+      .withColumn("ts3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("ts2"), col("ts")))
+          .over(byUserAll))
+    val counts = e.groupBy(col("user_id"))
+      .agg(max(col("ts1")).as("ts1"), max(col("ts2")).as("ts2"), max(col("ts3")).as("ts3"))
+      .agg(count(col("ts1")).as("n_signup"), count(col("ts2")).as("n_click"),
+        count(col("ts3")).as("n_purchase"))
     counts.select(col("n_signup"), col("n_click"), col("n_purchase"),
       when(col("n_signup") > 0, col("n_click").cast("double") / col("n_signup"))
         .as("rate_click"),
