@@ -159,9 +159,11 @@ object Events {
     val e = withTs(events)
     val hourly = e.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
       .agg(moneySum(col("value")).as("hour_value"))
-    val spans = e.groupBy(col("user_id"))
-      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
-        date_trunc("hour", max(col("ts"))).as("h1"))
+    // per-user span from the (already hour-truncated) aggregate — hour
+    // truncation is monotone, so min/max over hourly buckets equal the
+    // truncated min/max over raw events without a second events scan
+    val spans = hourly.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
     val spine = spans.select(col("user_id"),
       explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
