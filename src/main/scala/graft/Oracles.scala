@@ -693,6 +693,13 @@ object Oracles {
                 CASE WHEN (SELECT COUNT(*) FROM c) > 0
                   THEN CAST((SELECT COUNT(*) FROM p) AS DOUBLE) / (SELECT COUNT(*) FROM c) END AS rate_purchase""",
 
+    "q81_skew_report" ->
+      """WITH k AS (SELECT l_suppkey AS key, COUNT(*) AS n_rows
+           FROM lineitem GROUP BY l_suppkey),
+         t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows FROM k)
+         SELECT key, n_rows, CAST(n_rows AS DOUBLE)/total_rows AS share
+         FROM k, t ORDER BY n_rows DESC, key LIMIT 10""",
+
     // identical Knuth-hash ordering in both engines → identical sample
     "q80_per_key_sample" ->
       """WITH s AS (SELECT source, doc_id,

@@ -96,6 +96,7 @@ object SparkEntry {
     "q78_funnel3"              -> ((s, d) => Events.q78(events(s, d))),
     "q79_binary_dedup"         -> ((s, d) => Multimodal.q79(s, documents(s, d))),
     "q80_per_key_sample"       -> ((s, d) => TextAnalysis.q80(documents(s, d))),
+    "q81_skew_report"          -> ((s, d) => Skew.q81(lineitem(s, d), "l_suppkey")),
     "q57_lateral_explode"      -> ((s, d) => TextAnalysis.q57(documents(s, d))),
     "q55_ann_ivf"              -> ((s, d) => Similarity.q55(embeddings(s, d))),
     "q51_multimodal_meta"      -> ((s, d) => Multimodal.q51(s, documents(s, d))),

@@ -28,6 +28,28 @@ object Skew {
     bigS.join(smallS, Seq(key, SaltCol), joinType).drop(SaltCol)
   }
 
+  /** q81: join-key skew report — the diagnostic run BEFORE pointing a
+    * big join at a 100 TB fact table: the top-10 heaviest values of the
+    * join key with row counts and corpus share. A key holding ≫ 1/tasks
+    * of the rows is the one AQE's skew split or [[saltedJoin]] must
+    * handle. One partial-aggregated shuffle + TakeOrderedAndProject;
+    * share is a single double divide against a broadcast total derived
+    * from the same aggregate. */
+  def q81(fact: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    val perKey = fact.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+    // total via a broadcast single-row reduction of the SAME aggregate
+    // subtree (exchange-reused at runtime, one fact scan) — NOT an
+    // unpartitioned window, which would drag the whole key space
+    // through one task when the join key is high-cardinality
+    val total = perKey.agg(sum(col("n_rows")).as("total_rows"))
+    perKey.crossJoin(broadcast(total))
+      .withColumn("share", col("n_rows").cast("double") / col("total_rows"))
+      .select(col("key"), col("n_rows"), col("share"))
+      .orderBy(col("n_rows").desc, col("key"))
+      .limit(topK)
+  }
+
   /** q71: the salted join as a driver-checked operator — lineitem
     * (fact) ⋈ supplier (dim) through [[saltedJoin]], aggregated per
     * supplier nation. The salt is invisible in the result (row-identical
