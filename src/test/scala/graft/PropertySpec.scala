@@ -118,6 +118,44 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("property: q42 MinHash-LSH pairs ⊆ brute-force exact Jaccard; J≥0.9 pairs always found") {
+    import org.apache.spark.sql.functions._
+    for (seed <- 1 to 2) {
+      val r = new scala.util.Random(seed)
+      val vocab = (0 until 40).map(i => s"w$i")
+      // 12 base docs + near-identical variants (1-word edit → J≈0.9 on
+      // word-3-gram sets of 30-token docs)
+      val base = (0 until 12).map { i =>
+        (i.toLong, (0 until 30).map(_ => vocab(r.nextInt(vocab.size))).mkString(" "))
+      }
+      // last-token edit changes only the trailing 2 shingles → J ≈ 0.87
+      val variants = base.take(4).map { case (id, text) =>
+        val w = text.split(" "); w(w.length - 1) = "edited"
+        (id + 100L, w.mkString(" "))
+      }
+      val docs = (base ++ variants).toDF("doc_id", "text")
+      val got = operators.Dedup.q42(docs).collect()
+        .map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b"))).toSet
+      // brute-force exact Jaccard over FULL shingle sets (no blocking)
+      val g = operators.Dedup.shingles(docs).collect()
+        .groupBy(_.getAs[Long]("doc_id")).view
+        .mapValues(_.map(_.getAs[String]("g")).toSet).toMap
+      val exact = (for {
+        a <- g.keys; b <- g.keys if a < b
+        j = (g(a) & g(b)).size.toDouble / (g(a) | g(b)).size
+        if j > operators.Dedup.MinhashJaccardThreshold
+      } yield (a, b, j)).toSeq
+      // precision 1.0 is guaranteed (candidates are verified exactly)
+      assert(got.subsetOf(exact.map(t => (t._1, t._2)).toSet), s"seed=$seed")
+      // pairs with J >= 0.85 collide in some band with near-certainty
+      // (per-band p = J^4 ≈ 0.52, P(all 16 bands miss) ≈ 1e-5; inputs
+      // and hashes are deterministic, so this is not flaky)
+      val mustFind = exact.filter(_._3 >= 0.85).map(t => (t._1, t._2)).toSet
+      assert(mustFind.subsetOf(got), s"seed=$seed missing=${mustFind -- got}")
+      assert(mustFind.nonEmpty, s"seed=$seed produced no high-J pairs - weak test")
+    }
+  }
+
   test("property: DotProduct matches a plain Scala loop across seeds") {
     import org.apache.spark.sql.functions._
     for (seed <- 1 to 3) {
