@@ -15,6 +15,10 @@ run / fork := true
 // every line in sbt's "[info] " logger prefix — Bench/Verify emit
 // machine-parsed JSON lines on stdout
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's trailing "[success] Total time: ..." stdout line
+// so the JSON line is the LAST thing on stdout (the driver's BENCH parse
+// saw "parsed: null" for three rounds because of that trailer)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

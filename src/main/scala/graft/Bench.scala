@@ -48,13 +48,26 @@ object Bench {
       // any query by 20 s on a one-off GC/JIT pause (round-1 bench had a
       // 22 s outlier on a 0.8 s query), while a fast FAILURE must never
       // masquerade as a fast run — a query with no successful run
-      // reports -1
-      name -> Seq(once(), once()).flatten.minOption.getOrElse(-1.0)
+      // reports -1. The max-min spread is kept alongside so a reader can
+      // separate regression from machine noise without a re-run (the r3
+      // driver box showed 6x noise on one query).
+      val runs = Seq(once(), once()).flatten
+      (name, runs.minOption.getOrElse(-1.0),
+        if (runs.size >= 2) runs.max - runs.min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir"}"""
+    // stdout line for the driver parse, plus a known file in case any
+    // launcher noise ever pollutes stdout again
+    println(json)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      json.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

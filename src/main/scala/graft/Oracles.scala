@@ -438,6 +438,21 @@ object Oracles {
            FROM p)
          SELECT qid, nid, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""",
 
+    "q82_ann_search_exact" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(v, x -> x*x)), (a,b) -> a+b)) AS norm FROM e),
+         p AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1,65), i -> q.v[i]*c.v[i])), (a,b) -> a+b)
+             / (q.norm * c.norm) AS cos
+           FROM n q JOIN n c ON c.vec_id >= 20 WHERE q.vec_id < 20),
+         r AS (SELECT qid, nid, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rk
+           FROM p)
+         SELECT qid, nid, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""",
+
     "q46_embed_dedup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          n AS (SELECT vec_id, v,
@@ -648,6 +663,24 @@ object Oracles {
          FROM spine s LEFT JOIN hourly ON s.user_id = hourly.user_id AND s.h = hourly.h
          ORDER BY s.user_id, s.h""",
 
+    "q74_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+         sc AS (SELECT vec_id, v,
+             CASE WHEN amax > 0.0 THEN amax/127.0 ELSE 1.0 END AS scale FROM s),
+         q AS (SELECT vec_id, v, scale,
+             list_transform(v, x -> CAST(round(x/scale) AS INT)) AS qv FROM sc)
+         SELECT vec_id, scale,
+           CAST(list_sum(qv) AS BIGINT) AS qv_sum,
+           list_min(qv) AS qv_min,
+           list_max(qv) AS qv_max,
+           CAST(len(qv) AS INT) AS qv_n,
+           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, len(qv)+1),
+               i -> (CAST(qv[i] AS DOUBLE)*scale - v[i])*(CAST(qv[i] AS DOUBLE)*scale - v[i]))),
+             (a,b) -> a+b) / len(qv)) AS rmse
+         FROM q ORDER BY vec_id""",
+
     "q75_vocab_topk" ->
       """SELECT tok, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS doc_freq
          FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
@@ -660,7 +693,8 @@ object Oracles {
              i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
            FROM w WHERE len(w) >= 2),
          c AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS c12 FROM bi GROUP BY b.w1, b.w2),
-         c2 AS (SELECT w1, w2, c12, SUM(c12) OVER (PARTITION BY w1) AS c1 FROM c)
+         c2 AS (SELECT w1, w2, c12,
+             CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1 FROM c)
          SELECT w1, w2, c12, c1, CAST(c12 AS DOUBLE) / c1 AS cond_p
          FROM c2 WHERE c12 >= 5
          ORDER BY c12 DESC, w1, w2 LIMIT 100""",

@@ -89,7 +89,7 @@ object SparkEntry {
     "q71_salted_join"          -> ((s, d) => Skew.q71(lineitem(s, d), supplier(s, d))),
     "q72_corr_moments"         -> ((s, d) => Relational.q72(lineitem(s, d))),
     "q73_gapfill_locf"         -> ((s, d) => Events.q73(events(s, d))),
-    "q74_embed_quantize"       -> ((s, d) => Similarity.q74(embeddings(s, d))),
+    "q74_embed_quantize"       -> ((s, d) => Similarity.q74Driver(embeddings(s, d))),
     "q75_vocab_topk"           -> ((s, d) => TextAnalysis.q75(documents(s, d))),
     "q76_bigram_lm"            -> ((s, d) => TextAnalysis.q76(documents(s, d))),
     "q77_pack_buckets"         -> ((s, d) => TextAnalysis.q77(documents(s, d))),
@@ -101,7 +101,19 @@ object SparkEntry {
     "q55_ann_ivf"              -> ((s, d) => Similarity.q55(embeddings(s, d))),
     "q51_multimodal_meta"      -> ((s, d) => Multimodal.q51(s, documents(s, d))),
     "q52_multimodal_resize"    -> ((s, d) => Multimodal.q52Resize(s, documents(s, d))),
-    "q53_frame_sample"         -> ((s, d) => Multimodal.q53FrameSample(s, documents(s, d)))
+    "q53_frame_sample"         -> ((s, d) => Multimodal.q53FrameSample(s, documents(s, d))),
+    // external-query ANN: first 20 vectors are the "new batch", the rest
+    // are the served corpus (disjoint id ranges keep the oracle simple)
+    "q82_ann_search_exact"     -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.searchExact(e.filter(org.apache.spark.sql.functions.col("vec_id") < 20),
+        e.filter(org.apache.spark.sql.functions.col("vec_id") >= 20), 5)
+    }),
+    "q83_ann_search_lsh"       -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.search(e.filter(org.apache.spark.sql.functions.col("vec_id") < 20),
+        e.filter(org.apache.spark.sql.functions.col("vec_id") >= 20), 5)
+    })
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -60,9 +60,10 @@ object Similarity {
     * re-rank scales with the cluster exactly like the bucketing stage.
     * DotProduct folds left-to-right like the primitive kernel, so the
     * scores are bit-identical to a local re-rank. */
-  private def rerankTopK(candidates: DataFrame, vtab: DataFrame, k: Int): DataFrame = {
-    val q = vtab.select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
-    val n = vtab.select(col("vec_id").as("nid"), col("v").as("nv"), col("norm").as("nn"))
+  private def rerankTopK(candidates: DataFrame, qtab: DataFrame, ntab: DataFrame,
+      k: Int): DataFrame = {
+    val q = qtab.select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+    val n = ntab.select(col("vec_id").as("nid"), col("v").as("nv"), col("norm").as("nn"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     candidates
       .join(q, "qid")
@@ -127,7 +128,23 @@ object Similarity {
     // left-to-right fold as DotProduct(v,v), so sharing it is bit-exact)
     val vecs = vecRows(embeddings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = vecs.map { case (id, v, _) =>
+    val sigs = sigRows(vecs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vtab = vecs.toDF("vec_id", "v", "norm")
+    val candidates = lshCandidates(sigs, sigs)
+      .filter(col("qid") =!= col("nid"))
+    rerankTopK(candidates, vtab, vtab, 5)
+  }
+
+  /** LSH bucket signatures: one Long bucket id per hash table, computed
+    * by a primitive per-partition loop (see [[q45]] on why not a
+    * Catalyst expression tree). Shared by the self-similarity operator
+    * [[q45]] and the external-query entry [[search]]. */
+  private def sigRows(vecs: org.apache.spark.sql.Dataset[(Long, Array[Double], Double)])
+      : org.apache.spark.sql.Dataset[(Long, Array[Long])] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs.map { case (id, v, _) =>
       val buckets = new Array[Long](Tables)
       var t = 0
       while (t < Tables) {
@@ -144,22 +161,70 @@ object Similarity {
         t += 1
       }
       (id, buckets)
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val index = sigs.flatMap { case (id, buckets) =>
+    }
+  }
+
+  /** (qid, nid) candidate pairs from a (t, bucket) equi-join of query
+    * signatures (multi-probed at Hamming distance 1) against index
+    * signatures. Only 24-byte id rows shuffle — never vectors. */
+  private def lshCandidates(
+      querySigs: org.apache.spark.sql.Dataset[(Long, Array[Long])],
+      indexSigs: org.apache.spark.sql.Dataset[(Long, Array[Long])]): DataFrame = {
+    val spark = querySigs.sparkSession
+    import spark.implicits._
+    val index = indexSigs.flatMap { case (id, buckets) =>
       buckets.iterator.zipWithIndex.map { case (b, t) => (id, t, b) }
     }.toDF("nid", "t", "bucket")
-    val probes = sigs.flatMap { case (id, buckets) =>
+    val probes = querySigs.flatMap { case (id, buckets) =>
       buckets.iterator.zipWithIndex.flatMap { case (b, t) =>
         Iterator.single((id, t, b)) ++
           (0 until PlanesPerTable).iterator.map(j => (id, t, b ^ (1L << j)))
       }
     }.toDF("qid", "t", "bucket")
-    val candidates = probes
+    probes
       .join(index, Seq("t", "bucket"))
-      .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"))
       .distinct()  // same pair can collide in several tables/probes
-    rerankTopK(candidates, vecs.toDF("vec_id", "v", "norm"), 5)
+  }
+
+  /** External-query ANN: top-k corpus neighbors for EACH query vector —
+    * the "top-k for THIS new batch of vectors" entry a training/serving
+    * pipeline calls, as opposed to the corpus×itself operators q45/q55.
+    * Same 100 TB shape end to end: the corpus is indexed once by LSH
+    * bucket signature, the (typically much smaller) query batch is
+    * multi-probed against it, candidates shuffle as bare id pairs, and
+    * the exact-cosine re-rank is two distributed joins ([[rerankTopK]]).
+    * Both inputs are (vec_id, embedding) frames; query and corpus ids
+    * are independent namespaces (a query matching its own id in the
+    * corpus is a legitimate hit, so no self-filter here). */
+  def search(queries: DataFrame, corpus: DataFrame, k: Int = 5): DataFrame = {
+    val qv = vecRows(queries)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cv = vecRows(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = lshCandidates(sigRows(qv), sigRows(cv))
+    rerankTopK(candidates, qv.toDF("vec_id", "v", "norm"),
+      cv.toDF("vec_id", "v", "norm"), k)
+  }
+
+  /** Exact brute-force twin of [[search]]: every query scores every
+    * corpus vector. The query batch broadcasts (a query batch is small
+    * by construction); the corpus streams partition-local, so nothing
+    * pairwise ever shuffles. The recall baseline [[search]] is specced
+    * against, and the right tool outright when |queries|·|corpus| is
+    * small enough to brute-force. */
+  def searchExact(queries: DataFrame, corpus: DataFrame, k: Int = 5): DataFrame = {
+    val q = normalized(queries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+    val n = normalized(corpus)
+      .select(col("vec_id").as("nid"), col("v").as("nv"), col("norm").as("nn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    n.join(broadcast(q))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
   }
 
   /** Broadcast ceiling for the exact all-pairs operator [[q46]]. Sized
@@ -213,7 +278,8 @@ object Similarity {
     val candidates = probes.join(index, Seq("list"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid")).distinct()
-    rerankTopK(candidates, vecs.toDF("vec_id", "v", "norm"), 5)
+    val vtab = vecs.toDF("vec_id", "v", "norm")
+    rerankTopK(candidates, vtab, vtab, 5)
   }
 
   /** q74: int8 scalar quantization of the embedding column — the 4×
@@ -240,6 +306,23 @@ object Similarity {
       .select(col("vec_id"), col("scale"), col("qv"), col("rmse"))
       .orderBy(col("vec_id"))
   }
+
+  /** Driver-facing projection of [[q74]]: the raw int8 code array is
+    * replaced by scalar summaries (sum/min/max/len of the codes) — the
+    * driver's check harness sorts every column in pandas, and a numpy
+    * array column is unhashable there. Unlike an opaque digest, each
+    * summary is reproducible in portable SQL, so this view stays on the
+    * hash-exact oracle gate. Real consumers call [[q74]] for the codes. */
+  def q74Driver(embeddings: DataFrame): DataFrame =
+    q74(embeddings)
+      .select(
+        col("vec_id"), col("scale"),
+        aggregate(col("qv"), lit(0L), (a, x) => a + x.cast("long")).as("qv_sum"),
+        array_min(col("qv")).as("qv_min"),
+        array_max(col("qv")).as("qv_max"),
+        size(col("qv")).as("qv_n"),
+        col("rmse"))
+      .orderBy(col("vec_id"))
 
   /** q46: embedding-cosine near-duplicate pairs (cos > 0.4, a<b).
     *

@@ -258,7 +258,7 @@ object TextAnalysis {
       .partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))
     documents
       .select(col("source"), col("doc_id"), skey.as("skey"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col("source"), col("doc_id"), col("rn"))
       .orderBy(col("source"), col("rn"))

@@ -101,6 +101,32 @@ class SimilaritySpec extends GraftSpec {
     }
   }
 
+  test("search: external-query LSH ANN hits recall floor vs exact brute force on held-out queries") {
+    val emb = Tables.embeddings(spark, SF)
+    val queries = emb.filter($"vec_id" < 20)
+    val corpus = emb.filter($"vec_id" >= 20)
+    val exact = Similarity.searchExact(queries, corpus, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val approx = Similarity.search(queries, corpus, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // same 8×8 multi-probe signature family as q45 (0.59 measured there);
+    // floor pins nontrivial recall with margin
+    assert(recall >= 0.5, s"recall@5=$recall (expected >=0.5)")
+  }
+
+  test("search: a query identical to a corpus vector retrieves it at rank 1 with cos 1") {
+    val probe = Seq((100L, Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.search(probe, planted, 3).collect()
+    assert(rows.nonEmpty)
+    val top = rows.minBy(_.getAs[Int]("rk"))
+    // vec 0 and its clone vec 3 are both exact matches; tie breaks by nid
+    assert(top.getAs[Long]("nid") == 0L, rows.toSeq)
+    assert(math.abs(top.getAs[Double]("cos") - 1.0) < 1e-12)
+  }
+
   test("q74 int8 quantization: codes in range, reconstruction error bounded, zero-vector safe") {
     val zero = Array.fill(64)(0.0f)
     val ramp = Array.tabulate(64)(i => (i - 32) * 0.1f)

@@ -11,6 +11,28 @@ Usage: python3 tools/check.py <sfDir> <outDir>
 """
 import json, math, sys
 import duckdb
+import numpy as np
+import pandas as pd
+
+
+def values_equal(x, y):
+    """Driver-parity value compare: dtype-gated upstream, so here we only
+    need exact scalar equality. Floats compare by repr (shortest
+    round-trip — catches -0.0 vs 0.0 and any last-ulp drift the driver's
+    representation-sensitive hash would catch); nulls of any flavor
+    (None/NaN/NaT) match each other only."""
+    if isinstance(x, np.ndarray) or isinstance(y, np.ndarray):
+        return (isinstance(x, np.ndarray) and isinstance(y, np.ndarray)
+                and x.shape == y.shape and bool((x == y).all()))
+    try:
+        xna, yna = bool(pd.isna(x)), bool(pd.isna(y))
+    except (TypeError, ValueError):
+        xna, yna = False, False
+    if xna or yna:
+        return xna and yna
+    if isinstance(x, float) and isinstance(y, float):
+        return repr(x) == repr(y)
+    return x == y
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -39,14 +61,22 @@ for name, sql in sorted(oracle.items()):
         fails.append((name, f"row count: spark={len(g)} oracle={len(e)}")); continue
     bad = None
     for c in cols:
+        # dtype must match first: the driver's hash is representation-
+        # sensitive, so an int64 Spark column vs a float64 oracle column
+        # (DuckDB HUGEINT promotion — bit q76 in round 3) is a hash-fail
+        # even when every value compares == in python. Integer WIDTHS
+        # collapse to one class (int32 5 and int64 5 render identically,
+        # so the driver's hash can't tell them apart) — int-vs-float
+        # stays a failure ("5" != "5.0").
+        def dclass(d):
+            s = str(d)
+            return "int" if s.startswith(("int", "uint")) else s
+        if dclass(g[c].dtype) != dclass(e[c].dtype):
+            bad = f"col {c} dtype: spark={g[c].dtype} oracle={e[c].dtype}"
+            break
         gv, ev = g[c].tolist(), e[c].tolist()
         for i, (x, y) in enumerate(zip(gv, ev)):
-            same = (x == y) or (x is None and y is None)
-            if not same and isinstance(x, float) and isinstance(y, float):
-                same = (math.isnan(x) and math.isnan(y)) or x == y
-            if not same and str(x) == str(y):
-                same = True
-            if not same:
+            if not values_equal(x, y):
                 bad = f"col {c} row {i}: spark={x!r} oracle={y!r}"
                 break
         if bad: break
