@@ -32,5 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // row_number()<=k window-filter → native bounded-heap top-k operator
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // SQL-text DELETE/UPDATE/MERGE INTO on v1 lake tables: the analyzer
+    // resolves them fine, only the planner rejects v1 targets — rewrite
+    // the resolved command to a distributed copy-on-write plan first
+    ext.injectPostHocResolutionRule(_ => org.apache.spark.sql.graft.RowLevelSqlRewrite)
   }
 }
