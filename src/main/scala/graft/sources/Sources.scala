@@ -51,6 +51,27 @@ object Sources {
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
 
+  /** Avro round-trip (s08) — the classic Hive-lake row-interchange
+    * format. The standalone `spark-avro` datasource module is not on
+    * this cluster's jar path, so the supported route is the one a Hive
+    * warehouse uses anyway: a metastore table `STORED AS AVRO`
+    * (hive-exec's AvroSerDe + the bundled avro runtime). Requires a
+    * hive-enabled session ([[graft.GraftSession.hiveBuilder]]); the
+    * write is a distributed CTAS, the read a plain catalog-table scan.
+    * Complex types (arrays/structs/maps) map through the SerDe. */
+  def writeAvroTable(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    val tmp = s"graft_avro_stage_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    df.createOrReplaceTempView(tmp)
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"CREATE TABLE $table STORED AS AVRO AS SELECT * FROM $tmp")
+    } finally spark.catalog.dropTempView(tmp)
+  }
+
+  def readAvroTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   /** ORC round-trip (s05): columnar alternative to parquet with the
     * same pushdown/pruning behavior through the v2 file source. */
   def writeOrc(df: DataFrame, path: String): Unit =

@@ -98,6 +98,21 @@ object Streams {
                  format: String = "parquet"): DataFrame =
     spark.readStream.schema(schema).format(format).load(dir)
 
+  /** st11: micro-batches land directly in a METASTORE table — the
+    * Hive-flavored streaming sink. Unlike st06's batchId-named parquet
+    * dirs, `toTable` registers the sink as catalog metadata on first
+    * start, appends exactly-once through the checkpoint, and every
+    * committed micro-batch is immediately visible to ANY downstream SQL
+    * (`SELECT ... FROM table`) — ingestion and warehouse queries share
+    * one catalog object, no manual path coordination. */
+  def sinkToCatalogTable(stream: DataFrame, table: String,
+                         checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .toTable(table)
+
   /** st10: streaming corpus dedup by CONTENT fingerprint — the
     * ingestion-time twin of batch q40: documents whose text hashes to
     * the same [[graft.functions.PolyFingerprint]] within the watermark

@@ -108,6 +108,29 @@ class HiveSurfaceSpec extends GraftSpec {
     spark.sql("DROP TABLE graft_stats_t")
   }
 
+  test("ddl06: CREATE VIEW persists in the metastore and survives a fresh session") {
+    Tables.nation(spark, SF).createOrReplaceTempView("nation_view_src")
+    spark.sql("DROP VIEW IF EXISTS graft_perm_view")
+    spark.sql("DROP TABLE IF EXISTS graft_view_base")
+    spark.sql(
+      "CREATE TABLE graft_view_base USING parquet AS SELECT * FROM nation_view_src")
+    // a PERSISTENT view: definition text lands in the metastore (unlike
+    // ddl01's temp views, which die with the session state)
+    spark.sql(
+      """CREATE VIEW graft_perm_view AS
+         SELECT n_regionkey, count(*) AS n FROM graft_view_base GROUP BY n_regionkey""")
+    val s2 = spark.newSession()
+    val entry = s2.catalog.listTables().collect().find(_.name == "graft_perm_view")
+    assert(entry.exists(e => e.tableType == "VIEW" && !e.isTemporary), entry)
+    assert(s2.sql("SELECT CAST(sum(n) AS BIGINT) FROM graft_perm_view")
+      .collect()(0).getLong(0) == Tables.nation(spark, SF).count())
+    // ALTER VIEW redefines in place; the new shape is what readers see
+    spark.sql("ALTER VIEW graft_perm_view AS SELECT n_regionkey FROM graft_view_base")
+    assert(spark.table("graft_perm_view").columns.toSeq == Seq("n_regionkey"))
+    spark.sql("DROP VIEW graft_perm_view")
+    spark.sql("DROP TABLE graft_view_base")
+  }
+
   test("ddl02: CTAS metadata survives into a fresh session over the same metastore") {
     Tables.region(spark, SF).createOrReplaceTempView("region_src")
     spark.sql("DROP TABLE IF EXISTS graft_persist_region")

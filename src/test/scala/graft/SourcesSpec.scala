@@ -66,6 +66,24 @@ class SourcesSpec extends GraftSpec {
       nation.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("s08 avro round-trips through a STORED AS AVRO metastore table, complex types included") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha", 1.5, Seq(0.1, 0.2), true),
+      (2L, "beta", -2.5, Seq.empty[Double], false),
+      (3L, null.asInstanceOf[String], 0.0, Seq(3.0), true))
+      .toDF("id", "name", "score", "vec", "flag")
+    Sources.writeAvroTable(df, "graft_s08_avro")
+    val back = Sources.readAvroTable(spark, "graft_s08_avro")
+    assert(back.columns.toSeq == df.columns.toSeq)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    // and it really is avro on disk, not parquet: the SerDe is Avro's
+    val serde = spark.sql("DESCRIBE FORMATTED graft_s08_avro").collect()
+      .find(_.getString(0).trim.startsWith("Serde Library")).map(_.getString(1))
+    assert(serde.exists(_.toLowerCase.contains("avro")), serde)
+    spark.sql("DROP TABLE graft_s08_avro")
+  }
+
   test("m01 dynamic-partition overwrite replaces only the written partitions") {
     val nation = Tables.nation(spark, SF)
     val path = tmp("m01")

@@ -271,6 +271,29 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st11 toTable sink: micro-batches land in a metastore table visible to SQL") {
+    val ms = MemoryStream[StreamEv]
+    spark.sql("DROP TABLE IF EXISTS graft_st11_sink")
+    val ckpt = java.nio.file.Files.createTempDirectory("st11_ckpt").toString
+    val q = Streams.sinkToCatalogTable(ms.toDF(), "graft_st11_sink", ckpt)
+    try {
+      ms.addData(ev(1, "2026-01-01T10:00:00Z"), ev(2, "2026-01-01T10:05:00Z"))
+      q.processAllAvailable()
+      // committed rows are queryable through plain catalog SQL at once
+      assert(spark.sql("SELECT count(*) FROM graft_st11_sink")
+        .collect()(0).getLong(0) == 2L)
+      ms.addData(ev(3, "2026-01-01T10:10:00Z"))
+      q.processAllAvailable()
+      assert(spark.table("graft_st11_sink").count() == 3L)
+      // the sink is REAL metastore metadata: a fresh session state over
+      // the same catalog sees it without any path coordination
+      assert(spark.newSession().catalog.tableExists("graft_st11_sink"))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE graft_st11_sink")
+    }
+  }
+
   test("st01 shares its plan with the oracle-checked batch q38") {
     // same code path: batch run over the real events table must agree with
     // a hand-rolled batch aggregation
