@@ -681,6 +681,83 @@ object Oracles {
              (a,b) -> a+b) / len(qv)) AS rmse
          FROM q ORDER BY vec_id""",
 
+    "q58_stratified_sample" ->
+      """WITH s AS (SELECT o_orderstatus,
+           ((o_orderkey % 1000000007) * 2654435761) % 1000000007 AS h FROM orders)
+         SELECT o_orderstatus, COUNT(*) AS n_sampled FROM s
+         WHERE h < CASE o_orderstatus WHEN 'O' THEN 100000000
+                   WHEN 'F' THEN 500000003 ELSE 1000000007 END
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q84_dedup_editdist" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+         grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+           FROM toks WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+         cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+           FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id),
+         pairs AS (SELECT doc_a, doc_b
+           FROM cm JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE CAST(common AS DOUBLE)/(sa.n + sb.n - common) > 0.5),
+         v AS (SELECT p.doc_a, p.doc_b,
+             CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist,
+             1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+               / GREATEST(length(da.text), length(db.text)) AS edit_sim
+           FROM pairs p
+           JOIN documents da ON da.doc_id = p.doc_a
+           JOIN documents db ON db.doc_id = p.doc_b)
+         SELECT doc_a, doc_b, dist, edit_sim FROM v
+         WHERE edit_sim >= 0.8 ORDER BY doc_a, doc_b""",
+
+    "q85_bm25" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents),
+         dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+         tf AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN tok = 'data' THEN 1 ELSE 0 END) AS BIGINT) AS tf0,
+             CAST(SUM(CASE WHEN tok = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS tf1
+           FROM toks WHERE tok IN ('data', 'spark') GROUP BY doc_id),
+         stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_toks FROM dl),
+         dfs AS (SELECT CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+             CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1 FROM tf),
+         scored AS (SELECT tf.doc_id, CAST(dl.dl AS BIGINT) AS dl, tf.tf0, tf.tf1,
+             (CASE WHEN tf.tf0 > 0 THEN
+               ln((CAST(s.n_docs AS DOUBLE) - d.df0 + 0.5) / (d.df0 + 0.5) + 1.0)
+                 * (CAST(tf.tf0 AS DOUBLE) * 2.2)
+                 / (tf.tf0 + 1.2 * (0.25 + 0.75 *
+                     (CAST(dl.dl AS DOUBLE) / (CAST(s.total_toks AS DOUBLE) / s.n_docs))))
+               ELSE 0.0 END)
+             + (CASE WHEN tf.tf1 > 0 THEN
+               ln((CAST(s.n_docs AS DOUBLE) - d.df1 + 0.5) / (d.df1 + 0.5) + 1.0)
+                 * (CAST(tf.tf1 AS DOUBLE) * 2.2)
+                 / (tf.tf1 + 1.2 * (0.25 + 0.75 *
+                     (CAST(dl.dl AS DOUBLE) / (CAST(s.total_toks AS DOUBLE) / s.n_docs))))
+               ELSE 0.0 END) AS score
+           FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s CROSS JOIN dfs d)
+         SELECT doc_id, dl, tf0, tf1, score FROM scored
+         ORDER BY score DESC, doc_id LIMIT 50""",
+
+    "q86_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents),
+         td AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY doc_id, tok),
+         ct AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+         tt AS (SELECT COUNT(*) AS t FROM toks),
+         terms AS (SELECT td.doc_id, td.tok, td.n,
+             td.n * ln(CAST(ct.c AS DOUBLE) / tt.t) AS lp
+           FROM td JOIN ct ON td.tok = ct.tok CROSS JOIN tt),
+         per AS (SELECT doc_id,
+             CAST(SUM(n) AS BIGINT) AS n_tokens,
+             list_sort(list(struct_pack(tok := tok, lp := lp))) AS xs
+           FROM terms GROUP BY doc_id),
+         folded AS (SELECT doc_id, n_tokens,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(xs, s -> struct_extract(s, 'lp'))), (a,b) -> a+b) AS logp
+           FROM per)
+         SELECT doc_id, n_tokens, logp, logp / n_tokens AS avg_logp
+         FROM folded ORDER BY doc_id""",
+
     "q75_vocab_topk" ->
       """SELECT tok, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS doc_freq
          FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok

@@ -102,6 +102,9 @@ object SparkEntry {
     "q51_multimodal_meta"      -> ((s, d) => Multimodal.q51(s, documents(s, d))),
     "q52_multimodal_resize"    -> ((s, d) => Multimodal.q52Resize(s, documents(s, d))),
     "q53_frame_sample"         -> ((s, d) => Multimodal.q53FrameSample(s, documents(s, d))),
+    "q84_dedup_editdist"       -> ((s, d) => Dedup.q84(documents(s, d))),
+    "q85_bm25"                 -> ((s, d) => TextAnalysis.q85(documents(s, d))),
+    "q86_unigram_logprob"      -> ((s, d) => TextAnalysis.q86(documents(s, d))),
     // external-query ANN: first 20 vectors are the "new batch", the rest
     // are the served corpus (disjoint id ranges keep the oracle simple)
     "q82_ann_search_exact"     -> ((s, d) => {

@@ -70,7 +70,14 @@ object Dedup {
     * The join therefore touches ~(1−t) of the shingle stream, and on its
     * RAREST tokens, collapsing candidate fan-out; full-set verification
     * keeps the result exactly equal to the naive all-pairs join. */
-  def q41(documents: DataFrame): DataFrame = {
+  def q41(documents: DataFrame): DataFrame =
+    jaccardPairs(documents, JaccardThreshold)
+
+  /** The q41 machinery at an arbitrary threshold `t` — the prefix and
+    * PPJoin filters are threshold-parametric, so lower-similarity
+    * candidate generation (e.g. q84's edit-distance verify at t=0.5)
+    * reuses the same lossless plan, just with a longer prefix. */
+  def jaccardPairs(documents: DataFrame, t: Double): DataFrame = {
     val g = shingles(documents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // document frequency as a window over the shingle partition (one
@@ -83,7 +90,7 @@ object Dedup {
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
     val prefix = ranked
-      .filter(col("pos") <= col("n") - ceil(lit(JaccardThreshold) * col("n")) + 1)
+      .filter(col("pos") <= col("n") - ceil(lit(t) * col("n")) + 1)
       .select(col("doc_id"), col("g"), col("n"), col("pos"))
     // Two lossless candidate filters evaluated INSIDE the equi-join
     // (PPJoin, Xiao et al., WWW'08), so pruned pairs never shuffle:
@@ -93,7 +100,6 @@ object Dedup {
     //    must reach the J ≥ t requirement ⌈t/(1+t)·(n_a+n_b)⌉; tokens
     //    deep in both prefixes can't anymore, killing the candidate
     //    explosion on corpora where even prefix shingles are common
-    val t = JaccardThreshold
     val candidates = prefix.as("a")
       .join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
@@ -104,9 +110,35 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(g, candidates)
-      .filter(col("jaccard") > JaccardThreshold)
+      .filter(col("jaccard") > t)
       .select(col("doc_a"), col("doc_b"), col("common"), col("na"), col("nb"),
         col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q84: EDIT-DISTANCE near-dup pairs — shingle-Jaccard blocking at a
+    * permissive threshold (0.5, same lossless prefix/PPJoin plan as
+    * q41), then exact Levenshtein verification on the candidates only:
+    * edit_sim = 1 − dist/max(|a|,|b|) ≥ 0.8. Jaccard-of-shingles and
+    * edit distance disagree exactly where dedup cares (reorderings look
+    * similar by grams but far by edits; a run of single-char tweaks
+    * looks far by grams but near by edits within the blocked set), so
+    * the pipeline offers both verifiers over one candidate machinery.
+    * The O(|a|·|b|) DP runs ONLY on candidate pairs — never all pairs —
+    * and ships two texts per candidate, so cost scales with candidate
+    * count exactly like q41's verify stage. */
+  def q84(documents: DataFrame, blockT: Double = 0.5,
+          simFloor: Double = 0.8): DataFrame = {
+    val pairs = jaccardPairs(documents, blockT)
+      .select(col("doc_a"), col("doc_b"))
+    val ta = documents.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val tb = documents.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    pairs.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .withColumn("edit_sim", lit(1.0) - col("dist").cast("double") /
+        greatest(length(col("text_a")), length(col("text_b"))))
+      .filter(col("edit_sim") >= simFloor)
+      .select(col("doc_a"), col("doc_b"), col("dist"), col("edit_sim"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -342,15 +342,28 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("approx_p95"))
       .orderBy(col("l_returnflag"))
 
-  /** q58: seeded stratified sampling (sampleBy) — the corpus-curation
-    * primitive for rebalancing sources. Deterministic per seed; the
-    * rows-only gate plus a fraction-bounds spec cover it. */
-  def q58(orders: DataFrame): DataFrame =
-    orders.stat.sampleBy("o_orderstatus",
-        Map("O" -> 0.1, "F" -> 0.5, "P" -> 1.0), seed = 20260812L)
+  /** q58: stratified sampling by DETERMINISTIC key hash — the
+    * corpus-curation primitive for rebalancing sources. A row survives
+    * iff mulhash(key) mod P falls under its stratum's threshold
+    * (P = 1e9+7, Knuth multiplicative constant — the same
+    * engine-portable hash as q80), so the sample is a pure function of
+    * the key: reproducible across runs, engines, AND cluster layouts —
+    * unlike `sampleBy`, whose draw depends on partition-local RNG
+    * streams (repartition the input and the sample changes). The inner
+    * `pmod` keeps the product inside int64 for arbitrary key magnitude
+    * (ANSI mode throws on overflow). Hash-exact vs the DuckDB oracle.
+    * Thresholds: floor(f·P) for f = O:0.1, F:0.5, P:1.0. */
+  def q58(orders: DataFrame): DataFrame = {
+    val h = pmod(pmod(col("o_orderkey"), lit(1000000007L)) * lit(2654435761L),
+      lit(1000000007L))
+    val thr = when(col("o_orderstatus") === "O", lit(100000000L))
+      .when(col("o_orderstatus") === "F", lit(500000003L))
+      .otherwise(lit(1000000007L))
+    orders.filter(h < thr)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy(col("o_orderstatus"))
+  }
 
   /** q59: data-profiling statistics — min/max/mean/stddev per measure.
     * Stddev via the exact-decimal moment form sqrt((Σx² − (Σx)²/n)/(n−1))

@@ -225,6 +225,92 @@ object TextAnalysis {
       .limit(100)
   }
 
+  /** q85: BM25 keyword retrieval over the corpus — the ranking a
+    * data-curation "find documents about X" query or a quality-weighted
+    * sampling pass runs. Fixed two-term query; per-doc score is the
+    * textbook Robertson/Sparck-Jones form with k1=1.2, b=0.75:
+    *   Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    *   idf(t) = ln((N−df+0.5)/(df+0.5)+1).
+    * Plan shape at scale: ONE token-explode scan feeds doc lengths and
+    * the term tf counts (conditional aggregates, no per-term pass); the
+    * three scalar corpus stats (N, avgdl, df per term) broadcast to the
+    * scoring projection; global top-k plans as TakeOrderedAndProject.
+    * Float discipline (§6): the score tree is written with literal
+    * constants and a FIXED term order (term0 + term1), so both engines
+    * fold identically; ln bit-parity over the live value range is
+    * probe-verified. */
+  def q85(documents: DataFrame,
+          terms: (String, String) = ("data", "spark")): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = toks.filter(col("tok").isin(terms._1, terms._2))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("tok") === terms._1, 1L).otherwise(0L)).as("tf0"),
+        sum(when(col("tok") === terms._2, 1L).otherwise(0L)).as("tf1"))
+    val stats = dl.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(col("dl")).cast("long").as("total_toks"))
+    val dfs = tf.agg(
+      sum(when(col("tf0") > 0, 1L).otherwise(0L)).as("df0"),
+      sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"))
+    // PlatformLn, not functions.log: Spark's log is StrictMath-based and
+    // drifts a last ulp from the oracle's libm on some idf inputs
+    def idf(dfc: Column, n: Column): Column =
+      graft.functions.PlatformLn(
+        (n.cast("double") - dfc + lit(0.5)) / (dfc + lit(0.5)) + lit(1.0))
+    def part(tfc: Column, idfc: Column, dlc: Column, avgdl: Column): Column =
+      when(tfc > 0,
+        idfc * (tfc.cast("double") * lit(2.2)) /
+          (tfc + lit(1.2) * (lit(0.25) + lit(0.75) * (dlc.cast("double") / avgdl))))
+        .otherwise(lit(0.0))
+    val avgdl = col("total_toks").cast("double") / col("n_docs")
+    tf.join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(dfs))
+      .withColumn("score",
+        part(col("tf0"), idf(col("df0"), col("n_docs")), col("dl"), avgdl) +
+        part(col("tf1"), idf(col("df1"), col("n_docs")), col("dl"), avgdl))
+      .select(col("doc_id"), col("dl"), col("tf0"), col("tf1"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  /** q86: per-document unigram cross-entropy under the corpus' own
+    * unigram LM — the CCNet/Gopher-style "how surprising is this text"
+    * quality signal used to score and filter training data at corpus
+    * scale. logp(d) = Σ_t n_{t,d} · ln(c_t/T); reported raw and
+    * per-token. Plan: token explode → (doc,tok) counts joined to the
+    * broadcast-scale token dictionary — the shuffles carry counts, not
+    * text. Float determinism (§6): the per-doc sum folds over terms in
+    * SORTED token order via sort_array + a strict left fold (a groupBy
+    * SUM over doubles would be accumulation-order-nondeterministic
+    * across partitions and engines); ln bit-parity is probe-verified
+    * over the live c/T range. */
+  def q86(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val td = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+    val ct = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("t"))
+    td.join(ct, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("lp", col("n") *
+        graft.functions.PlatformLn(col("c").cast("double") / col("t")))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).cast("long").as("n_tokens"),
+        sort_array(collect_list(struct(col("tok"), col("lp")))).as("xs"))
+      .withColumn("logp",
+        aggregate(col("xs"), lit(0.0), (acc, x) => acc + x.getField("lp")))
+      .withColumn("avg_logp", col("logp") / col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("logp"), col("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q77: sequence-length packing plan — bucket documents by token
     * count into power-of-two length classes and report volume per
     * bucket, the histogram a training pipeline uses to pack sequences

@@ -44,6 +44,20 @@ class DedupSpec extends GraftSpec {
     assert(h.get.getAs[Int]("hamming") == 0)
   }
 
+  test("q84 edit-distance verify keeps the one-word tweak q41's J>0.8 gate rejects") {
+    val rows = Dedup.q84(docs).collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        (r.getAs[Long]("dist"), r.getAs[Double]("edit_sim")))).toMap
+    // dog→cat is 3 edits over 43 chars: gram-far (J≈0.56) but edit-near
+    assert(rows.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L)), rows.keySet)
+    assert(rows((1L, 4L)) == ((0L, 1.0)))
+    assert(rows((1L, 2L))._1 == 3L)
+    assert(rows((1L, 2L))._2 > 0.9)
+    // and q41's strict gate indeed rejects the tweak pair
+    assert(!Dedup.q41(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).contains((1L, 2L)))
+  }
+
   test("clusters: transitive chain a-b, b-c collapses to one component") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
     val got = Dedup.clusters(pairs).collect()

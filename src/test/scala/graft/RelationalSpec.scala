@@ -55,6 +55,10 @@ class RelationalSpec extends GraftSpec {
         s"stratum $k: sampled $n of ${totals(k)} (target fraction ${fractions(k)})")
     }
     assert(sampled.get("P").forall(_ == totals.getOrElse("P", 0L))) // fraction 1.0 keeps all
+    // the sample is a pure function of the key: invariant under layout
+    val reshuffled = Relational.q58(orders.repartition(13)).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_sampled")).toMap
+    assert(reshuffled == sampled)
   }
 
   test("q62 approx percentile is within 2% of exact") {

@@ -113,6 +113,30 @@ class TextAnalysisSpec extends GraftSpec {
     assert(rows(512L) == (1L, 600L))
   }
 
+  test("q85 BM25 ranks the term-dense doc first and drops no-match docs") {
+    val corpus = Seq(
+      (1L, "data data spark engine"),
+      (2L, "data engine table row"),
+      (3L, "table row scan merge")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.q85(corpus).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L)) // 3 has no query term
+    val r1 = rows.head
+    assert(r1.getAs[Long]("tf0") == 2L && r1.getAs[Long]("tf1") == 1L)
+    assert(rows(0).getAs[Double]("score") > rows(1).getAs[Double]("score"))
+  }
+
+  test("q86 unigram cross-entropy: common-token doc scores higher than rare-token doc") {
+    val corpus = Seq((1L, "a a a a"), (2L, "a a a b")).toDF("doc_id", "text")
+    val rows = TextAnalysis.q86(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Long]("n_tokens") == 4L)
+    // doc 1 is four copies of the 7/8-probability token — exact fold
+    assert(rows(1L).getAs[Double]("logp") ==
+      0.0 + 4L * math.log(7.0 / 8.0))
+    assert(rows(1L).getAs[Double]("avg_logp") > rows(2L).getAs[Double]("avg_logp"))
+  }
+
   test("q48 quality score components are consistent") {
     val r = TextAnalysis.q48(Seq((1L, "the data row row", 16L)).toDF("doc_id", "text", "n_chars"))
       .collect().head
