@@ -758,6 +758,26 @@ object Oracles {
          SELECT doc_id, n_tokens, logp, logp / n_tokens AS avg_logp
          FROM folded ORDER BY doc_id""",
 
+    "q87_chunk_windows" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+         n AS (SELECT doc_id, w, len(w) AS n FROM d),
+         k AS (SELECT doc_id, w,
+             unnest(range(0, (CASE WHEN n > 64 THEN (n - 64 + 47) // 48 ELSE 0 END) + 1)) AS k
+           FROM n)
+         SELECT doc_id, k AS chunk_id,
+           CAST(len(w[(k*48+1):(k*48+64)]) AS INT) AS chunk_tokens,
+           array_to_string(w[(k*48+1):(k*48+64)], ' ') AS chunk_text
+         FROM k ORDER BY doc_id, chunk_id""",
+
+    "q88_shuffle_shard" ->
+      """WITH h AS (SELECT doc_id,
+           (((doc_id + 20260812) % 1000000007) * 2654435761) % 1000000007 AS h
+           FROM documents),
+         s AS (SELECT doc_id, h, h % 32 AS shard FROM h)
+         SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+         FROM s ORDER BY shard, pos""",
+
     "q75_vocab_topk" ->
       """SELECT tok, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS doc_freq
          FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok

@@ -105,6 +105,8 @@ object SparkEntry {
     "q84_dedup_editdist"       -> ((s, d) => Dedup.q84(documents(s, d))),
     "q85_bm25"                 -> ((s, d) => TextAnalysis.q85(documents(s, d))),
     "q86_unigram_logprob"      -> ((s, d) => TextAnalysis.q86(documents(s, d))),
+    "q87_chunk_windows"        -> ((s, d) => TextAnalysis.q87(documents(s, d))),
+    "q88_shuffle_shard"        -> ((s, d) => TextAnalysis.q88(documents(s, d))),
     // external-query ANN: first 20 vectors are the "new batch", the rest
     // are the served corpus (disjoint id ranges keep the oracle simple)
     "q82_ann_search_exact"     -> ((s, d) => {

@@ -311,6 +311,53 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q87: token-window CHUNKING — split every document into fixed-size
+    * token windows with overlap (window 64, stride 48 ⇒ 16-token
+    * overlap), the preprocessing step that turns a variable-length
+    * corpus into model-ready sequences (and the chunker an embedding
+    * pipeline runs before q44-style indexing). One scan: the token
+    * array is built once, chunk starts come from an integer `sequence`
+    * explode (rows ∝ output chunks, no joins, no shuffle until the
+    * output sort), `slice` materializes each window. ceil-division in
+    * pure int64 (`div`) keeps both engines exact; the short tail window
+    * is emitted (slice clamps), matching training practice. */
+  def q87(documents: DataFrame, window: Int = 64, stride: Int = 48): DataFrame = {
+    val nchunks = expr(
+      s"CASE WHEN n > $window THEN (CAST(n AS BIGINT) - $window + ${stride - 1}) div $stride ELSE 0 END")
+    documents
+      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("w"))
+      .withColumn("n", size(col("w")))
+      .withColumn("k", explode(sequence(lit(0L), nchunks, lit(1L))))
+      .withColumn("chunk",
+        slice(col("w"), (col("k") * stride + 1).cast("int"), lit(window)))
+      .select(col("doc_id"), col("k").as("chunk_id"),
+        size(col("chunk")).as("chunk_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** q88: deterministic corpus SHUFFLE-SHARD — assign every document a
+    * shard and an in-shard position by the engine-portable
+    * multiplicative hash (q58/q80 family, salted so it decorrelates
+    * from their draws): the "shuffle the corpus into N training files,
+    * scrambled within each" step, reproducible run-to-run, across
+    * engines, and under any cluster layout (a `rand()`-ordered shuffle
+    * is none of those). The rank window partitions BY SHARD, so the
+    * sort is distributed — no global single-partition window at any
+    * corpus size; shard count scales the parallelism. */
+  def q88(documents: DataFrame, shards: Int = 32): DataFrame = {
+    val h = pmod(
+      pmod(col("doc_id") + lit(20260812L), lit(1000000007L)) * lit(2654435761L),
+      lit(1000000007L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    documents.select(col("doc_id"), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   /** q77: sequence-length packing plan — bucket documents by token
     * count into power-of-two length classes and report volume per
     * bucket, the histogram a training pipeline uses to pack sequences

@@ -113,6 +113,30 @@ object Streams {
       .outputMode("append")
       .toTable(table)
 
+  /** st12: streaming CDC upsert — each micro-batch of keyed changes
+    * MERGEs into a partitioned lake path via the m02 partition-rewrite
+    * ([[graft.sources.Sources.upsertPartitioned]]): the classic
+    * change-capture landing pattern (stream of updates → continuously
+    * merged warehouse table) composed from pieces that are each
+    * oracle/spec-verified. Checkpointed offsets + the upsert's staged
+    * two-phase write give effectively-once application; a replayed
+    * batch re-applies the same keys idempotently. Precondition: one row
+    * per key per batch (dedupe upstream, e.g. st03/st10 style
+    * `dropDuplicatesWithinWatermark` on the key). Batch staging dirs are
+    * suffixed by batchId so replays never collide mid-write. */
+  def startCdcUpsert(updates: DataFrame, path: String, staging: String,
+                     checkpoint: String, keyCols: Seq[String],
+                     partitionCols: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.Sources.upsertPartitioned(batch.sparkSession, path,
+            batch, keyCols, partitionCols, s"$staging/batch_$batchId")
+        }
+      }
+      .start()
+
   /** st10: streaming corpus dedup by CONTENT fingerprint — the
     * ingestion-time twin of batch q40: documents whose text hashes to
     * the same [[graft.functions.PolyFingerprint]] within the watermark

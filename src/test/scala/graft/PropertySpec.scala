@@ -156,6 +156,35 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("property: q43 SimHash banding finds EXACTLY the Hamming<=3 pairs (pigeonhole-complete)") {
+    import org.apache.spark.sql.functions._
+    for (seed <- 1 to 2) {
+      val r = new scala.util.Random(seed)
+      val vocab = (0 until 40).map(i => s"w$i")
+      val base = (0 until 12).map { i =>
+        (i.toLong, (0 until 30).map(_ => vocab(r.nextInt(vocab.size))).mkString(" "))
+      }
+      val variants = base.take(4).map { case (id, text) =>
+        val w = text.split(" "); w(w.length - 1) = "edited"
+        (id + 100L, w.mkString(" "))
+      }
+      val docs = (base ++ variants).toDF("doc_id", "text")
+      val got = operators.Dedup.q43(docs).collect()
+        .map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b"))).toSet
+      val hashes = operators.Dedup.simhash(docs).collect()
+        .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("simhash")).toMap
+      // 4×16-bit banding is pigeonhole-COMPLETE for Hamming<=3 (3 flipped
+      // bits touch at most 3 of the 4 bands), and verification is exact —
+      // so the operator must equal the brute-force pair set, both ways
+      val exact = (for {
+        a <- hashes.keys; b <- hashes.keys if a < b
+        if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= 3
+      } yield (a, b)).toSet
+      assert(got == exact, s"seed=$seed got=$got exact=$exact")
+      assert(exact.nonEmpty, s"seed=$seed produced no close pairs - weak test")
+    }
+  }
+
   test("property: DotProduct matches a plain Scala loop across seeds") {
     import org.apache.spark.sql.functions._
     for (seed <- 1 to 3) {

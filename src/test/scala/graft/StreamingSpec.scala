@@ -294,6 +294,28 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("st12 streaming CDC upsert merges each micro-batch into the lake path") {
+    import org.apache.spark.sql.Row
+    val base = java.nio.file.Files.createTempDirectory("st12").toString
+    val path = s"$base/table"
+    // seed the target: keys 1,2 in partition x, key 3 in y
+    Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y"))
+      .toDF("id", "v", "p").write.partitionBy("p").parquet(path)
+    val ms = MemoryStream[(Long, String, String)]
+    val q = Streams.startCdcUpsert(ms.toDF().toDF("id", "v", "p"), path,
+      s"$base/stage", s"$base/ckpt", keyCols = Seq("id"), partitionCols = Seq("p"))
+    try {
+      ms.addData((2L, "B", "x"), (4L, "d", "y")) // update + insert
+      q.processAllAvailable()
+      ms.addData((3L, "C", "z")) // partition move y -> z drains y
+      q.processAllAvailable()
+      val state = spark.read.parquet(path).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"), r.getAs[String]("p")))
+        .sortBy(_._1).toSeq
+      assert(state == Seq((1L, "a", "x"), (2L, "B", "x"), (3L, "C", "z"), (4L, "d", "y")))
+    } finally q.stop()
+  }
+
   test("st01 shares its plan with the oracle-checked batch q38") {
     // same code path: batch run over the real events table must agree with
     // a hand-rolled batch aggregation

@@ -137,6 +137,37 @@ class TextAnalysisSpec extends GraftSpec {
     assert(rows(1L).getAs[Double]("avg_logp") > rows(2L).getAs[Double]("avg_logp"))
   }
 
+  test("q87 chunking: short doc is one window; long doc overlaps by window-stride") {
+    val shortDoc = (1 to 10).map(i => s"t$i").mkString(" ")
+    val longDoc = (1 to 100).map(i => s"w$i").mkString(" ")
+    val rows = TextAnalysis.q87(
+      Seq((1L, shortDoc), (2L, longDoc)).toDF("doc_id", "text")).collect()
+    val one = rows.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(one.length == 1 && one.head.getAs[Int]("chunk_tokens") == 10)
+    val two = rows.filter(_.getAs[Long]("doc_id") == 2L).sortBy(_.getAs[Long]("chunk_id"))
+    assert(two.length == 2) // 100 tokens: [1..64] then [49..100]
+    assert(two(0).getAs[Int]("chunk_tokens") == 64)
+    assert(two(1).getAs[Int]("chunk_tokens") == 52)
+    assert(two(0).getAs[String]("chunk_text").endsWith("w64"))
+    assert(two(1).getAs[String]("chunk_text").startsWith("w49 "))
+    // overlap: stride 48 means tokens 49..64 appear in both chunks
+    assert(two(1).getAs[String]("chunk_text").contains("w64"))
+  }
+
+  test("q88 shuffle-shard: every doc placed once, positions dense per shard, layout-invariant") {
+    val docs = Tables.documents(spark, SF)
+    val placed = TextAnalysis.q88(docs).collect()
+    assert(placed.length == docs.count())
+    assert(placed.map(_.getAs[Long]("doc_id")).distinct.length == placed.length)
+    placed.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      val ps = rows.map(_.getAs[Long]("pos")).sorted
+      assert(ps.toSeq == (1L to ps.length).toSeq) // dense ranks, no gaps
+    }
+    val reshuffled = TextAnalysis.q88(docs.repartition(17)).collect()
+    assert(reshuffled.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      placed.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
   test("q48 quality score components are consistent") {
     val r = TextAnalysis.q48(Seq((1L, "the data row row", 16L)).toDF("doc_id", "text", "n_chars"))
       .collect().head
