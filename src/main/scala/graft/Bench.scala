@@ -55,18 +55,26 @@ object Bench {
       (name, runs.minOption.getOrElse(-1.0),
         if (runs.size >= 2) runs.max - runs.min else -1.0)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val total = results.map(_._2).sum
+    // STDOUT LINE MUST STAY UNDER ~2000 BYTES: the driver keeps only the
+    // last ~2 KB of stdout and json-parses that tail — rounds 1-4 all
+    // recorded `parsed: null` because the full-name per-query map pushed
+    // the line past the buffer and its head was cut off. Short keys
+    // ("q01".."q88") + 2-decimal values keep 88 queries near 1.2 KB;
+    // full names + the max-min spread live in BENCH_LOCAL.json.
+    val qsShort = results.map { case (k, v, _) =>
+      "\"" + k.split("_")(0) + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"sf":"$sfDir"}"""
+    println(json)
+    val qsFull = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir"}"""
-    // stdout line for the driver parse, plus a known file in case any
-    // launcher noise ever pollutes stdout again
-    println(json)
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"spread":$spreads,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      json.getBytes("UTF-8"))
+      full.getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()
   }
