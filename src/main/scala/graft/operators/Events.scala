@@ -71,11 +71,12 @@ object Events {
     * Exact global ranks are computed distributed: range-repartition on
     * the sort key, row_number within each (already range-disjoint)
     * partition, then add each partition's start offset from a
-    * broadcast of the per-partition row-count histogram. The only
-    * non-parallel step is a window over that histogram —
-    * O(numShufflePartitions) rows, the same driver-scale metadata
-    * RDD.zipWithIndex keeps — so the plan survives any data scale by
-    * raising partition count. The NTILE bucket is then pure arithmetic
+    * broadcast of the per-partition row-count histogram. Offsets come
+    * from a triangular self-join over that histogram —
+    * O(numShufflePartitions²) pairs of driver-scale metadata, the same
+    * bookkeeping RDD.zipWithIndex keeps — so the plan survives any data
+    * scale by raising partition count, and no operator anywhere needs
+    * single-partition execution. The NTILE bucket is then pure arithmetic
     * on (rank, n): the first n%10 buckets take one extra row, exactly
     * SQL NTILE's front-loaded split, so the DuckDB oracle hash-matches. */
   def q33(orders: DataFrame): DataFrame = {
@@ -90,8 +91,16 @@ object Events {
       .withColumn("pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hist = base.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
-    val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
-    val offs = hist.withColumn("off", coalesce(sum(col("pn")).over(wOff), lit(0L)))
+    // prefix-sum over the O(numShufflePartitions)-row histogram as a
+    // triangular self-join (partition p's offset = Σ pn of partitions
+    // before it): O(p²) pairs on metadata-sized p, every operator with
+    // defined partitioning — no single-partition WindowExec anywhere in
+    // the plan (an unpartitioned window here would both WARN and plan a
+    // global sort exchange for 32 rows)
+    val prior = hist.select(col("pid").as("ppid"), col("pn").as("ppn"))
+    val offs = hist.join(prior, col("ppid") < col("pid"), "left")
+      .groupBy(col("pid"), col("pn"))
+      .agg(coalesce(sum(col("ppn")), lit(0L)).as("off"))
     val tot = hist.agg(sum(col("pn")).as("n_total"))
     val wLocal = Window.partitionBy(col("pid")).orderBy(sortCols: _*)
     // NTILE(10) arithmetic on exact long ranks: bucket size n div 10,

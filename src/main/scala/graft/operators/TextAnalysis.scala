@@ -172,15 +172,16 @@ object TextAnalysis {
       count(lit(1)).as("n_docs"),
       sum(size(split(trim(col("text")), " ")).cast("long")).as("n_tokens"),
       sum(col("n_chars").cast("long")).as("sum_chars"))
-    // corpus totals as an unpartitioned window OVER THE AGGREGATE — the
-    // input here is already ≤ #sources rows, so the single-partition
-    // window is metadata-sized and the corpus itself is scanned once
-    // (a crossJoin against per.agg() would re-run the full scan)
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    per
-      .withColumn("tot_tokens", sum(col("n_tokens")).over(w))
-      .withColumn("n_sources", count(lit(1)).over(w))
+    // corpus totals: persist the ≤ #sources-row aggregate once, reduce
+    // it to a single total row, and broadcast that back over the rows.
+    // The corpus is still scanned exactly once (totals derive from the
+    // pinned aggregate, not a second pass) and every operator in the
+    // plan has defined partitioning — no single-partition WindowExec.
+    val perP = per.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = perP.agg(sum(col("n_tokens")).as("tot_tokens"),
+      count(lit(1)).as("n_sources"))
+    perP
+      .crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("sum_chars"),
         (col("n_tokens").cast("double") / col("tot_tokens")).as("token_share"),
         (col("tot_tokens").cast("double") / (col("n_sources") * col("n_tokens")))
