@@ -846,6 +846,89 @@ object Oracles {
     "q79_binary_dedup" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count,
          CAST(MIN(octet_length(encode(text))) AS BIGINT) AS payload_bytes
-         FROM documents GROUP BY md5(text) ORDER BY keep_id"""
+         FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+
+    // smoothed idf ln((N+1)/(df+1))+1; DuckDB ln == PlatformLn bit-wise
+    // over the live range (§6, probe-verified with q85/q86)
+    "q89_tfidf" ->
+      """WITH td AS (SELECT doc_id, tok, COUNT(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+                 FROM documents)
+           GROUP BY doc_id, tok),
+         dfr AS (SELECT tok, COUNT(*) AS df FROM td GROUP BY tok),
+         nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM td),
+         scored AS (SELECT td.doc_id, td.tok, td.tf, dfr.df,
+             CAST(td.tf AS DOUBLE) *
+               (ln((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(dfr.df AS DOUBLE) + 1.0))
+                + 1.0) AS score
+           FROM td JOIN dfr ON td.tok = dfr.tok CROSS JOIN nd n),
+         r AS (SELECT doc_id, tok, tf, df, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok)
+               AS BIGINT) AS rk
+           FROM scored)
+         SELECT doc_id, rk, tok, tf, df, score FROM r
+         WHERE rk <= 3 ORDER BY doc_id, rk""",
+
+    "q90_pmi_cooccur" ->
+      """WITH dt AS (SELECT doc_id, tok, COUNT(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+                 FROM documents)
+           GROUP BY doc_id, tok),
+         top AS (SELECT tok FROM
+           (SELECT tok, SUM(tf) AS cnt FROM dt GROUP BY tok
+            ORDER BY cnt DESC, tok LIMIT 100)),
+         vdt AS (SELECT dt.doc_id, dt.tok FROM dt JOIN top ON dt.tok = top.tok),
+         cf AS (SELECT tok, COUNT(*) AS c FROM vdt GROUP BY tok),
+         nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d FROM dt),
+         pr AS (SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS c_ab
+           FROM vdt a JOIN vdt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+           GROUP BY a.tok, b.tok HAVING COUNT(*) >= 5)
+         SELECT pr.tok_a, pr.tok_b, pr.c_ab, ca.c AS c_a, cb.c AS c_b,
+           ln((CAST(pr.c_ab AS DOUBLE) * CAST(n.d AS DOUBLE)) /
+              (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))) AS pmi
+         FROM pr JOIN cf ca ON ca.tok = pr.tok_a
+                 JOIN cf cb ON cb.tok = pr.tok_b CROSS JOIN nd n
+         ORDER BY c_ab DESC, tok_a, tok_b LIMIT 100""",
+
+    // same Knuth multiplicative hash as q58/q80/q88, its own salt —
+    // identical integer arithmetic in both engines → identical split
+    "q91_train_split" ->
+      """WITH s AS (SELECT source,
+           CASE WHEN ((doc_id * 2654435761) % 1000000007 + 40490) % 100 < 80
+                THEN 'train'
+                WHEN ((doc_id * 2654435761) % 1000000007 + 40490) % 100 < 90
+                THEN 'valid'
+                ELSE 'test' END AS split,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_toks
+           FROM documents)
+         SELECT source, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+         FROM s GROUP BY source, split ORDER BY source, split""",
+
+    // sorted-vec_id strict fold per dimension == Spark's sort_array +
+    // aggregate fold (q86 discipline); single double divide at the end
+    "q92_embed_centroids" ->
+      """WITH b AS (SELECT label, vec_id,
+           CAST(embedding[1] AS DOUBLE) AS x0, CAST(embedding[2] AS DOUBLE) AS x1,
+           CAST(embedding[3] AS DOUBLE) AS x2, CAST(embedding[4] AS DOUBLE) AS x3
+           FROM embeddings),
+         g AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           list_sort(list(struct_pack(vec_id := vec_id, x0 := x0, x1 := x1,
+             x2 := x2, x3 := x3))) AS xs
+           FROM b GROUP BY label)
+         SELECT label, n_vecs,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(xs, s -> struct_extract(s, 'x0'))), (a,b) -> a+b)
+             / CAST(n_vecs AS DOUBLE) AS mean_0,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(xs, s -> struct_extract(s, 'x1'))), (a,b) -> a+b)
+             / CAST(n_vecs AS DOUBLE) AS mean_1,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(xs, s -> struct_extract(s, 'x2'))), (a,b) -> a+b)
+             / CAST(n_vecs AS DOUBLE) AS mean_2,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(xs, s -> struct_extract(s, 'x3'))), (a,b) -> a+b)
+             / CAST(n_vecs AS DOUBLE) AS mean_3
+         FROM g ORDER BY label"""
   )
 }

@@ -107,6 +107,10 @@ object SparkEntry {
     "q86_unigram_logprob"      -> ((s, d) => TextAnalysis.q86(documents(s, d))),
     "q87_chunk_windows"        -> ((s, d) => TextAnalysis.q87(documents(s, d))),
     "q88_shuffle_shard"        -> ((s, d) => TextAnalysis.q88(documents(s, d))),
+    "q89_tfidf"                -> ((s, d) => TextAnalysis.q89(documents(s, d))),
+    "q90_pmi_cooccur"          -> ((s, d) => TextAnalysis.q90(documents(s, d))),
+    "q91_train_split"          -> ((s, d) => TextAnalysis.q91(documents(s, d))),
+    "q92_embed_centroids"      -> ((s, d) => Similarity.q92(embeddings(s, d))),
     // external-query ANN: first 20 vectors are the "new batch", the rest
     // are the served corpus (disjoint id ranges keep the oracle simple)
     "q82_ann_search_exact"     -> ((s, d) => {

@@ -398,6 +398,103 @@ object TextAnalysis {
       .orderBy(col("source"), col("rn"))
   }
 
+  /** q89: per-document TF-IDF top terms — the keyword profile a
+    * curation pipeline attaches to every document (topical tagging,
+    * query-focused sampling, index building). One token-explode scan
+    * feeds the (doc, term) counts; document frequency and the corpus
+    * doc count both derive from that same aggregate (no second corpus
+    * pass), with the single-row doc count broadcast back. idf uses the
+    * smoothed form ln((N+1)/(df+1)) + 1, [[graft.functions.PlatformLn]]
+    * for cross-engine bit parity (§6); the per-doc top-3 window is
+    * capped by WindowGroupLimit, so per-doc state never exceeds k.
+    * Ranking by score is deterministic because scores are bit-identical
+    * in both engines; ties break on the token. */
+  def q89(documents: DataFrame, k: Int = 3): DataFrame = {
+    val td = documents
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = td.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nd = td.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val idf = graft.functions.PlatformLn(
+      (col("n_docs").cast("double") + lit(1.0)) /
+        (col("df").cast("double") + lit(1.0))) + lit(1.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+    td.join(df, "tok")
+      .crossJoin(broadcast(nd))
+      .withColumn("score", col("tf").cast("double") * idf)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("tok"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** q90: PMI token co-occurrence over a bounded vocabulary — the
+    * collocation statistics a phrase-mining / tokenizer-merge pass
+    * computes. The vocabulary is capped at the top-`vocab` corpus
+    * tokens (broadcast), so per-document pair expansion is bounded by
+    * vocab² regardless of document length — the standard way a
+    * co-occurrence job stays shuffle-bounded at corpus scale. Pairs are
+    * document-level (distinct tokens, a<b ordering); counts are exact
+    * longs; pmi = ln(c_ab·D / (c_a·c_b)) with one fixed expression tree
+    * through [[graft.functions.PlatformLn]] (§6). */
+  def q90(documents: DataFrame, vocab: Int = 100, minPair: Long = 5L): DataFrame = {
+    val dt = documents
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = dt.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(vocab)
+      .select(col("tok"))
+    val vdt = dt.join(broadcast(top), "tok").select(col("doc_id"), col("tok"))
+    val docFreq = vdt.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val nDocs = dt.agg(countDistinct(col("doc_id")).as("d"))
+    val pairs = vdt.select(col("doc_id"), col("tok").as("tok_a"))
+      .join(vdt.select(col("doc_id"), col("tok").as("tok_b")), "doc_id")
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minPair)
+    val pmi = graft.functions.PlatformLn(
+      (col("c_ab").cast("double") * col("d").cast("double")) /
+        (col("c_a").cast("double") * col("c_b").cast("double")))
+    pairs
+      .join(docFreq.select(col("tok").as("tok_a"), col("c").as("c_a")), "tok_a")
+      .join(docFreq.select(col("tok").as("tok_b"), col("c").as("c_b")), "tok_b")
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok_a"), col("tok_b"), col("c_ab"), col("c_a"), col("c_b"),
+        pmi.as("pmi"))
+      .orderBy(col("c_ab").desc, col("tok_a"), col("tok_b"))
+      .limit(100)
+  }
+
+  /** q91: deterministic stratified train/valid/test split — the
+    * hold-out assignment a training pipeline fixes ONCE and must be
+    * able to reproduce on any engine, any cluster layout, any rerun.
+    * Assignment is the engine-portable multiplicative hash of doc_id
+    * (q58/q80/q88 family, its own salt) mod 100: <80 train, <90 valid,
+    * else test. Reported per source×split so mix drift between splits
+    * is visible at a glance. Pure integer arithmetic + one aggregation:
+    * the corpus is scanned once and the only shuffle carries the
+    * (source, split) partial aggregates. */
+  def q91(documents: DataFrame): DataFrame = {
+    val h = pmod(
+      pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)) + lit(40490L),
+      lit(100L))
+    val split = when(h < 80, lit("train")).when(h < 90, lit("valid"))
+      .otherwise(lit("test"))
+    documents
+      .select(col("source"), split.as("split"),
+        size(org.apache.spark.sql.functions.split(trim(col("text")), " "))
+          .cast("long").as("n_toks"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .orderBy(col("source"), col("split"))
+  }
+
   /** q50: rolling polynomial fingerprint over codepoints, mod 1e9+7 —
     * a content-defined doc identity robust to storage encoding, via the
     * native [[graft.functions.PolyFingerprint]] expression (one code-

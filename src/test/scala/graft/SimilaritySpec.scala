@@ -160,4 +160,21 @@ class SimilaritySpec extends GraftSpec {
     assert(pairs.contains((0L, 1L)), pairs.toSeq) // cos(e1, e1b) ≈ 0.994
     assert(!pairs.contains((0L, 2L)), pairs.toSeq) // orthogonal
   }
+
+  test("q92 centroids: exact per-label means, layout-invariant fold") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f, 4.0f), 0),
+      (1L, Array(3.0f, 4.0f, 5.0f, 6.0f), 0),
+      (2L, Array(10.0f, 0.0f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val rows = Similarity.q92(vecs).collect()
+      .map(r => r.getAs[Int]("label") -> r).toMap
+    assert(rows(0).getAs[Long]("n_vecs") == 2L)
+    assert(rows(0).getAs[Double]("mean_0") == 2.0)
+    assert(rows(0).getAs[Double]("mean_3") == 5.0)
+    assert(rows(1).getAs[Double]("mean_0") == 10.0)
+    // sorted-fold result must not depend on the physical layout
+    val re = Similarity.q92(vecs.repartition(7)).collect().map(_.toSeq).toSet
+    assert(re == Similarity.q92(vecs).collect().map(_.toSeq).toSet)
+  }
 }

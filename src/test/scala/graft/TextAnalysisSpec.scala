@@ -177,4 +177,49 @@ class TextAnalysisSpec extends GraftSpec {
     val q = r.getAs[Double]("quality")
     assert(q == 0.75 * 0.4 + 0.04 * 0.3 + 1.0 * 0.3)
   }
+
+  test("q89 tf-idf: rare repeated term outranks the corpus-wide term") {
+    val corpus = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.q89(corpus).collect()
+    val top1 = rows.filter(r => r.getAs[Long]("doc_id") == 1L &&
+      r.getAs[Long]("rk") == 1L).head
+    // apple: tf=2 df=1 → 2·(ln(3/2)+1) ≈ 2.81; banana: tf=1 df=2 → 1.0
+    assert(top1.getAs[String]("tok") == "apple")
+    assert(top1.getAs[Double]("score") == 2.0 * (math.log(3.0 / 2.0) + 1.0))
+    val d1 = rows.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(d1.length == 2)                       // only 2 distinct terms
+    assert(d1.map(_.getAs[Long]("rk")).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("q90 PMI: pair below the co-occurrence floor is dropped, pmi exact") {
+    val corpus = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), (3L, "alpha gamma")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.q90(corpus, vocab = 10, minPair = 2L).collect()
+    val byPair = rows.map(r =>
+      (r.getAs[String]("tok_a"), r.getAs[String]("tok_b")) -> r).toMap
+    val ab = byPair(("alpha", "beta"))
+    assert(ab.getAs[Long]("c_ab") == 2L)
+    // pmi = ln(c_ab·D / (c_a·c_b)) = ln(2·3 / (3·2)) = 0 exactly
+    assert(ab.getAs[Double]("pmi") == 0.0)
+    assert(!byPair.contains(("alpha", "gamma"))) // c_ab=1 < minPair
+  }
+
+  test("q91 split: deterministic, partition-layout-invariant, exhaustive") {
+    val docs = Tables.documents(spark, SF)
+    val a = TextAnalysis.q91(docs).collect()
+    val b = TextAnalysis.q91(docs.repartition(17)).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq) // layout-invariant
+    assert(a.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val splits = a.map(_.getAs[String]("split")).distinct.sorted
+    assert(splits.toSeq == Seq("test", "train", "valid"))
+    // the 80/10/10 hash split should land near its design fractions
+    val total = a.map(_.getAs[Long]("n_docs")).sum.toDouble
+    val train = a.filter(_.getAs[String]("split") == "train")
+      .map(_.getAs[Long]("n_docs")).sum.toDouble
+    assert(train / total > 0.7 && train / total < 0.9, s"train share ${train / total}")
+  }
 }
