@@ -234,4 +234,51 @@ object Sources {
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
       .schema(schema)
       .json(path)
+
+  /** 16-bit Morton interleave: z = x₁₅y₁₅x₁₄y₁₄…x₀y₀. Pure bit-shift
+    * column arithmetic — stays inside whole-stage codegen. */
+  private def interleave16(x: org.apache.spark.sql.Column,
+                           y: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** s09: Z-ORDER clustered layout — write `df` so that BOTH `cx` and
+    * `cy` are locality-clustered per file, giving min/max file skipping
+    * on predicates over EITHER column (a single-column sort clusters
+    * only its own column; every file then spans the other column's full
+    * range and nothing prunes). This is the multi-dimensional layout
+    * trick lakehouse engines ship as OPTIMIZE ZORDER BY.
+    *
+    * Mechanics: each column is linearly quantized to 16 bits against
+    * its min/max (the one-row stats aggregate is broadcast back — no
+    * driver collect), the two are Morton-interleaved into a 32-bit
+    * z-value, and the frame is range-partitioned + sorted on z before
+    * writing `numFiles` parquet files. Cost at 100 TB is exactly one
+    * extra shuffle over a plain repartition write; the z column is
+    * projected away before bytes land. */
+  def writeZOrdered(df: DataFrame, path: String, cx: String, cy: String,
+                    numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val stats = df.agg(
+      min(col(cx)).cast("double").as("__xmin"), max(col(cx)).cast("double").as("__xmax"),
+      min(col(cy)).cast("double").as("__ymin"), max(col(cy)).cast("double").as("__ymax"))
+    def quant(v: org.apache.spark.sql.Column, mn: org.apache.spark.sql.Column,
+              mx: org.apache.spark.sql.Column) =
+      least(lit(65535L), floor(
+        (v.cast("double") - mn) / greatest(mx - mn, lit(1.0)) * lit(65536.0))
+        .cast("long"))
+    val z = interleave16(
+      quant(col(cx), col("__xmin"), col("__xmax")),
+      quant(col(cy), col("__ymin"), col("__ymax")))
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .select(df.columns.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

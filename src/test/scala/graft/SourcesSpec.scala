@@ -206,6 +206,39 @@ class SourcesSpec extends GraftSpec {
       .contains("PartitionFilters"))
   }
 
+  test("s09 z-order layout: secondary-column predicates can prune files a 1-D sort cannot") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, "/root/testdata/sf0.01")
+    val zPath = tmp("s09-z"); val linPath = tmp("s09-lin")
+    Sources.writeZOrdered(orders, zPath, "o_orderkey", "o_custkey", 16)
+    // the 1-D baseline: same file count, clustered on o_orderkey only
+    orders.repartitionByRange(16, orders("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.parquet(linPath)
+    assert(spark.read.parquet(zPath).count() == orders.count())
+    def custkeyRanges(path: String): Array[(Double, Double)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("o_custkey")).cast("double").as("lo"),
+          max(col("o_custkey")).cast("double").as("hi"))
+        .collect().map(r => (r.getAs[Double]("lo"), r.getAs[Double]("hi")))
+    val Array(cmin, cmax) = orders
+      .agg(min(col("o_custkey")).cast("double"), max(col("o_custkey")).cast("double"))
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    // a 5% o_custkey band: the min/max footer check a scan's file
+    // skipping performs — how many files could contain it?
+    val lo = cmin + (cmax - cmin) * 0.40
+    val hi = cmin + (cmax - cmin) * 0.45
+    def touched(rs: Array[(Double, Double)]): Int =
+      rs.count { case (flo, fhi) => flo <= hi && fhi >= lo }
+    val linT = touched(custkeyRanges(linPath))
+    val zT = touched(custkeyRanges(zPath))
+    // orderkey-sorted files each span ~the full custkey range → no skip;
+    // z-ordered files cluster custkey too → most files skipped
+    assert(linT >= 14, s"lin layout touched $linT of 16")
+    assert(zT <= 8, s"z layout touched $zT of 16")
+    assert(zT < linT)
+  }
+
   test("s03 json round-trips with schema") {
     val region = Tables.region(spark, SF)
     val path = tmp("json")
