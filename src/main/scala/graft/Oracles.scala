@@ -834,7 +834,7 @@ object Oracles {
     // identical Knuth-hash ordering in both engines → identical sample
     "q80_per_key_sample" ->
       """WITH s AS (SELECT source, doc_id,
-           (doc_id * 2654435761) % 1000000007 AS skey FROM documents),
+           ((doc_id % 1000000007) * 2654435761) % 1000000007 AS skey FROM documents),
          r AS (SELECT source, doc_id,
            ROW_NUMBER() OVER (PARTITION BY source ORDER BY skey, doc_id) AS rn
            FROM s)
@@ -894,9 +894,9 @@ object Oracles {
     // identical integer arithmetic in both engines → identical split
     "q91_train_split" ->
       """WITH s AS (SELECT source,
-           CASE WHEN ((doc_id * 2654435761) % 1000000007 + 40490) % 100 < 80
+           CASE WHEN (((doc_id % 1000000007) * 2654435761) % 1000000007 + 40490) % 100 < 80
                 THEN 'train'
-                WHEN ((doc_id * 2654435761) % 1000000007 + 40490) % 100 < 90
+                WHEN (((doc_id % 1000000007) * 2654435761) % 1000000007 + 40490) % 100 < 90
                 THEN 'valid'
                 ELSE 'test' END AS split,
            CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_toks

@@ -373,29 +373,40 @@ object Similarity {
     * mean-vector dashboards). Reports each label's vector count and the
     * centroid components of the first `dims` dimensions.
     *
-    * Float discipline (§6): the oracle-checked form folds each
-    * dimension in SORTED vec_id order via sort_array + a strict left
-    * fold — bit-identical to DuckDB's list_reduce — then divides once
-    * in double. That makes per-label state ∝ group size; at true
-    * corpus scale swap the fold for plain AVG (same value to float
-    * tolerance, partial-aggregated, constant state) — the fold is the
-    * cross-engine-reproducible audit variant, not the only path. */
-  def q92(embeddings: DataFrame, dims: Int = 4): DataFrame = {
+    * Float discipline (§6): the DEFAULT form is plain per-dimension
+    * AVG — partial-aggregated map-side, constant per-group state, the
+    * form that survives a label with billions of vectors. The
+    * `exact = true` audit variant folds each dimension in SORTED
+    * vec_id order via sort_array + a strict left fold — bit-identical
+    * to DuckDB's list_reduce — then divides once in double; its
+    * per-label state is ∝ group size, so it exists for cross-engine
+    * oracle verification (the driver's q92 entry), not for scale runs.
+    * Q92Spec asserts the two agree to 1e-9 on the test embeddings. */
+  def q92(embeddings: DataFrame, dims: Int = 4,
+          exact: Boolean = false): DataFrame = {
     val xs = (0 until dims).map(i =>
       col("embedding")(i).cast("double").as(s"x$i"))
     val base = embeddings.select(
       (Seq(col("label"), col("vec_id")) ++ xs): _*)
-    val packed = struct((Seq(col("vec_id")) ++
-      (0 until dims).map(i => col(s"x$i"))): _*)
-    def mean(i: Int): Column =
-      (aggregate(col("xs"), lit(0.0), (acc, s) => acc + s.getField(s"x$i")) /
-        col("n_vecs").cast("double")).as(s"mean_$i")
-    base
-      .groupBy(col("label"))
-      .agg(count(lit(1)).as("n_vecs"),
-        sort_array(collect_list(packed)).as("xs"))
-      .select((Seq(col("label"), col("n_vecs")) ++
-        (0 until dims).map(mean)): _*)
-      .orderBy(col("label"))
+    if (!exact) {
+      base
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (0 until dims).map(i => avg(col(s"x$i")).as(s"mean_$i")): _*)
+        .orderBy(col("label"))
+    } else {
+      val packed = struct((Seq(col("vec_id")) ++
+        (0 until dims).map(i => col(s"x$i"))): _*)
+      def mean(i: Int): Column =
+        (aggregate(col("xs"), lit(0.0), (acc, s) => acc + s.getField(s"x$i")) /
+          col("n_vecs").cast("double")).as(s"mean_$i")
+      base
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sort_array(collect_list(packed)).as("xs"))
+        .select((Seq(col("label"), col("n_vecs")) ++
+          (0 until dims).map(mean)): _*)
+        .orderBy(col("label"))
+    }
   }
 }

@@ -387,7 +387,8 @@ object TextAnalysis {
     * so the heavy lifting is bounded either way; drop `rn` from a
     * caller's projection and the native top-k operator takes over. */
   def q80(documents: DataFrame, k: Int = 3): DataFrame = {
-    val skey = pmod(col("doc_id") * lit(2654435761L), lit(1000000007L))
+    val skey = pmod(
+      pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L), lit(1000000007L))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))
     documents
@@ -440,8 +441,16 @@ object TextAnalysis {
     * co-occurrence job stays shuffle-bounded at corpus scale. Pairs are
     * document-level (distinct tokens, a<b ordering); counts are exact
     * longs; pmi = ln(c_ab·D / (c_a·c_b)) with one fixed expression tree
-    * through [[graft.functions.PlatformLn]] (§6). */
-  def q90(documents: DataFrame, vocab: Int = 100, minPair: Long = 5L): DataFrame = {
+    * through [[graft.functions.PlatformLn]] (§6).
+    *
+    * Pair generation is one shuffle on doc_id: the ≤`vocab` surviving
+    * tokens of each document are collected into a sorted array and the
+    * C(v_d, 2) ordered pairs explode from the array in place — no
+    * doc_id self-join (which re-shuffled `vdt` twice and re-derived it
+    * from `dt` on both sides). The pair aggregation partial-aggregates
+    * map-side. Output is capped at the top `topPairs` pairs by c_ab. */
+  def q90(documents: DataFrame, vocab: Int = 100, minPair: Long = 5L,
+          topPairs: Int = 100): DataFrame = {
     val dt = documents
       .select(col("doc_id"),
         explode(split(lower(trim(col("text"))), " ")).as("tok"))
@@ -453,22 +462,28 @@ object TextAnalysis {
     val vdt = dt.join(broadcast(top), "tok").select(col("doc_id"), col("tok"))
     val docFreq = vdt.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val nDocs = dt.agg(countDistinct(col("doc_id")).as("d"))
-    val pairs = vdt.select(col("doc_id"), col("tok").as("tok_a"))
-      .join(vdt.select(col("doc_id"), col("tok").as("tok_b")), "doc_id")
-      .filter(col("tok_a") < col("tok_b"))
+    val ts = col("ts")
+    val pairArr = flatten(transform(ts, (a, i) =>
+      transform(slice(ts, i + lit(2), size(ts)),
+        b => struct(a.as("tok_a"), b.as("tok_b")))))
+    val pairs = vdt
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("tok"))).as("ts"))
+      .select(explode(pairArr).as("p"))
+      .select(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
       .groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minPair)
     val pmi = graft.functions.PlatformLn(
       (col("c_ab").cast("double") * col("d").cast("double")) /
         (col("c_a").cast("double") * col("c_b").cast("double")))
     pairs
-      .join(docFreq.select(col("tok").as("tok_a"), col("c").as("c_a")), "tok_a")
-      .join(docFreq.select(col("tok").as("tok_b"), col("c").as("c_b")), "tok_b")
+      .join(broadcast(docFreq.select(col("tok").as("tok_a"), col("c").as("c_a"))), "tok_a")
+      .join(broadcast(docFreq.select(col("tok").as("tok_b"), col("c").as("c_b"))), "tok_b")
       .crossJoin(broadcast(nDocs))
       .select(col("tok_a"), col("tok_b"), col("c_ab"), col("c_a"), col("c_b"),
         pmi.as("pmi"))
       .orderBy(col("c_ab").desc, col("tok_a"), col("tok_b"))
-      .limit(100)
+      .limit(topPairs)
   }
 
   /** q91: deterministic stratified train/valid/test split — the
@@ -482,7 +497,8 @@ object TextAnalysis {
     * (source, split) partial aggregates. */
   def q91(documents: DataFrame): DataFrame = {
     val h = pmod(
-      pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)) + lit(40490L),
+      pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L),
+        lit(1000000007L)) + lit(40490L),
       lit(100L))
     val split = when(h < 80, lit("train")).when(h < 90, lit("valid"))
       .otherwise(lit("test"))

@@ -268,9 +268,10 @@ object Sources {
       min(col(cy)).cast("double").as("__ymin"), max(col(cy)).cast("double").as("__ymax"))
     def quant(v: org.apache.spark.sql.Column, mn: org.apache.spark.sql.Column,
               mx: org.apache.spark.sql.Column) =
-      least(lit(65535L), floor(
-        (v.cast("double") - mn) / greatest(mx - mn, lit(1.0)) * lit(65536.0))
-        .cast("long"))
+      when(mx === mn, lit(0L)).otherwise(
+        least(lit(65535L), floor(
+          (v.cast("double") - mn) / (mx - mn) * lit(65536.0))
+          .cast("long")))
     val z = interleave16(
       quant(col(cx), col("__xmin"), col("__xmax")),
       quant(col(cy), col("__ymin"), col("__ymax")))

@@ -177,4 +177,24 @@ class SimilaritySpec extends GraftSpec {
     val re = Similarity.q92(vecs.repartition(7)).collect().map(_.toSeq).toSet
     assert(re == Similarity.q92(vecs).collect().map(_.toSeq).toSet)
   }
+
+  test("q92 centroids: scale-safe AVG default agrees with exact fold to 1e-9") {
+    val emb = Tables.embeddings(spark, SF)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        r.getAs[Any]("label") ->
+          (r.getAs[Long]("n_vecs"),
+            (0 until 4).map(i => r.getAs[Double](s"mean_$i")))
+      }.toMap
+    val approx = keyed(Similarity.q92(emb))
+    val exact = keyed(Similarity.q92(emb, exact = true))
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (label, (n, means)) =>
+      val (ne, me) = exact(label)
+      assert(n == ne)
+      means.zip(me).foreach { case (a, e) =>
+        assert(math.abs(a - e) < 1e-9, s"label=$label avg=$a fold=$e")
+      }
+    }
+  }
 }
