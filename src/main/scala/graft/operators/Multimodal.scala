@@ -1,21 +1,31 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (SURVEY.md §2c): media as opaque binary
   * columns + typed metadata structs, batch feature extraction / resize /
-  * frame sampling via `mapPartitions`.
+  * frame sampling via `mapPartitions`, and perceptual near-dup pairs.
   *
-  * The codec calls are clearly-marked STUBS (no image/audio libs in this
-  * container): they compute deterministic features from the raw bytes.
-  * Everything Spark-side is real and is what carries to 100 TB:
+  * The IMAGE path is a real codec: image rows carry actual PNG bytes
+  * (encoded executor-side with `javax.imageio`, which ships in the JDK's
+  * java.desktop module — zero new dependencies), q51 reports dimensions
+  * and container format by DECODING those bytes, and q52 decodes,
+  * resizes and RE-ENCODES them. Video/audio codecs remain clearly-marked
+  * STUBS (no such libs in this container): those rows compute
+  * deterministic features from the raw bytes. Everything Spark-side is
+  * what carries to 100 TB:
   *  - media bytes never leave their partition (no shuffle of payloads);
   *  - work batches per partition exactly as a mapInPandas/Arrow path
   *    batches record batches (`Iterator.grouped(BatchSize)` = the batch
-  *    boundary a real codec would amortize setup over);
+  *    boundary a codec amortizes setup over);
   *  - frame sampling is a flatMap row expansion with the frame index in
-  *    the output schema, not a driver loop.
+  *    the output schema, not a driver loop;
+  *  - q93's perceptual-hash blocking shuffles 8-byte hashes, never
+  *    pixels, and reuses q43's Hamming-band machinery
+  *    (Dedup.scala:303) so candidate generation is an equi-join.
   */
 object Multimodal {
 
@@ -24,9 +34,11 @@ object Multimodal {
                        n_frames: Int, sample_rate: Int)
   case class MediaRow(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
   case class MediaFeature(doc_id: Long, n_bytes: Long, checksum: Long,
-                          width: Int, height: Int)
-  case class ResizedRow(doc_id: Long, width: Int, height: Int, checksum: Long)
+                          width: Int, height: Int, format: String)
+  case class ResizedRow(doc_id: Long, width: Int, height: Int,
+                        n_bytes: Long, checksum: Long)
   case class FrameRow(doc_id: Long, frame_idx: Int, frame_checksum: Long)
+  private case class PHashRow(doc_id: Long, phash: Long)
 
   val BatchSize = 64
 
@@ -37,33 +49,204 @@ object Multimodal {
     h
   }
 
-  /** Media table: documents' text bytes standing in for media payloads,
-    * with deterministic typed metadata. The payload/meta split mirrors a
-    * real lake layout: prune `meta` queries never touch payload bytes. */
+  // ---------------------------------------------------------------- codec
+
+  /** Deterministic test-image render: each of the document's top-8
+    * tokens (by count desc, token asc) paints one soft radial blob at a
+    * position derived from the token's hash. Low-frequency structure:
+    * documents sharing their dominant tokens render nearly identical
+    * images — exactly the regime a perceptual hash (q93) is stable
+    * under, while byte identity (q79) is not. Stands in for "the photo
+    * behind this record" which the synthetic corpus does not carry. */
+  private[graft] def renderImage(text: String, w: Int, h: Int): BufferedImage = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    text.toLowerCase.trim.split(" ").foreach(t =>
+      counts(t) = counts.getOrElse(t, 0) + 1)
+    val top = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(8).map(_._1)
+    val px = new Array[Double](w * h)
+    top.foreach { t =>
+      val th = t.hashCode
+      val bx = ((th & 0xff) * (w - 1)) / 255.0
+      val by = (((th >> 8) & 0xff) * (h - 1)) / 255.0
+      // radius and intensity also derive from the token so distinct
+      // top-8 sets rarely collide into the same gradient signs
+      val r = (0.15 + ((th >> 16) & 0x3f) / 224.0) * math.min(w, h)
+      val amp = 90.0 + ((th >> 22) & 0xff)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val d2 = ((x - bx) * (x - bx) + (y - by) * (y - by)) / (r * r)
+          px(y * w + x) += amp * math.exp(-d2)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val out = new Array[Int](w * h)
+    var i = 0
+    while (i < w * h) {
+      val g = math.min(255, px(i).toInt)
+      out(i) = (g << 16) | (g << 8) | g
+      i += 1
+    }
+    img.setRGB(0, 0, w, h, out, 0, w)
+    img
+  }
+
+  /** Real PNG encode via the JDK ImageIO codec. */
+  private[graft] def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real decode: bytes → (image, container format name) through the
+    * registered ImageIO reader, or None when no codec claims the bytes
+    * (the video/audio stub payloads land here). */
+  private[graft] def decodeImage(bytes: Array[Byte]): Option[(BufferedImage, String)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          Some((r.read(0), r.getFormatName.toLowerCase))
+        } finally r.dispose()
+      }
+    } catch { case _: Exception => None }
+    finally iis.close()
+  }
+
+  /** Real scale-to-fit resize by box (area) averaging — the correct
+    * downscale filter, deterministic integer sampling grid, no
+    * Graphics2D rendering-hint nondeterminism. */
+  private[graft] def resizeToFit(img: BufferedImage, maxW: Int, maxH: Int): BufferedImage = {
+    val scale = math.min(1.0,
+      math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+    val nw = math.max(1, (img.getWidth * scale).toInt)
+    val nh = math.max(1, (img.getHeight * scale).toInt)
+    val out = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < nh) {
+      val y0 = y * img.getHeight / nh
+      val y1 = math.max(y0 + 1, (y + 1) * img.getHeight / nh)
+      var x = 0
+      while (x < nw) {
+        val x0 = x * img.getWidth / nw
+        val x1 = math.max(x0 + 1, (x + 1) * img.getWidth / nw)
+        var sr = 0L; var sg = 0L; var sb = 0L; var n = 0
+        var yy = y0
+        while (yy < y1) {
+          var xx = x0
+          while (xx < x1) {
+            val rgb = img.getRGB(xx, yy)
+            sr += (rgb >> 16) & 255; sg += (rgb >> 8) & 255; sb += rgb & 255
+            n += 1; xx += 1
+          }
+          yy += 1
+        }
+        out.setRGB(x, y,
+          (((sr / n).toInt) << 16) | (((sg / n).toInt) << 8) | (sb / n).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** 64-bit difference hash: box-average the decoded image onto a 9×8
+    * grayscale grid, bit (row*8+col) = grid(col,row) < grid(col+1,row).
+    * Input dimensions are normalized away by the box average, so the
+    * same content at different sizes (or after q52's resize) hashes to
+    * nearly the same bits. */
+  private[graft] def dHash(img: BufferedImage): Long = {
+    val gw = 9; val gh = 8
+    val g = Array.ofDim[Double](gh, gw)
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * img.getWidth / gw
+        val x1 = math.max(x0 + 1, (gx + 1) * img.getWidth / gw)
+        val y0 = gy * img.getHeight / gh
+        val y1 = math.max(y0 + 1, (gy + 1) * img.getHeight / gh)
+        var s = 0L; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            s += ((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        g(gy)(gx) = s.toDouble / (3.0 * n)
+        gx += 1
+      }
+      gy += 1
+    }
+    var hash = 0L; var i = 0
+    gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < 8) {
+        if (g(gy)(gx) < g(gy)(gx + 1)) hash |= (1L << i)
+        i += 1; gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  // ---------------------------------------------------------------- table
+
+  /** Media table: documents rendered into media payloads with typed
+    * metadata. IMAGE rows carry REAL PNG bytes (ImageIO-encoded from
+    * the deterministic render) and their meta dims are the true pixel
+    * dims; video/audio rows keep the raw text bytes with stub metadata
+    * (no such codecs in this container). The payload/meta split mirrors
+    * a real lake layout: meta-only queries never touch payload bytes. */
   def mediaTable(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
     documents
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .as[(Long, Array[Byte])]
-      .map { case (id, b) =>
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val b = text.getBytes("UTF-8")
         val h = checksum(b)
         val mt = if (id % 3 == 0) "video" else if (id % 3 == 1) "image" else "audio"
-        MediaRow(id, b, MediaMeta(mt,
-          width = 16 + (h % 16).toInt, height = 16 + ((h / 16) % 16).toInt,
-          n_frames = if (mt == "video") 8 + (h % 8).toInt else 1,
-          sample_rate = if (mt == "audio") 16000 else 0))
+        if (mt == "image") {
+          val w = 16 + (h % 16).toInt
+          val ht = 16 + ((h / 16) % 16).toInt
+          MediaRow(id, encodePng(renderImage(text, w, ht)),
+            MediaMeta("image", w, ht, n_frames = 1, sample_rate = 0))
+        } else {
+          MediaRow(id, b, MediaMeta(mt,
+            width = 16 + (h % 16).toInt, height = 16 + ((h / 16) % 16).toInt,
+            n_frames = if (mt == "video") 8 + (h % 8).toInt else 1,
+            sample_rate = if (mt == "audio") 16000 else 0))
+        }
       }
       .toDF()
   }
 
   /** q79: exact media dedup by payload hash — the first pass every
-    * multimodal corpus runs (identical bytes under different doc ids).
-    * Groups on md5 of the payload so the shuffle key is 16 bytes, never
-    * the payload itself; the canonical row is the min doc_id. NO codec
-    * involved — byte-identity dedup is codec-free, which is why it's
-    * oracle-checkable while q51-q53 are not. */
+    * multimodal corpus runs, at INGEST, on the raw bytes as landed
+    * (identical bytes under different doc ids) — before any codec
+    * touches them. Groups on md5 of the payload so the shuffle key is
+    * 16 bytes, never the payload itself; the canonical row is the min
+    * doc_id. Codec-free by design — which is why it is oracle-checkable
+    * while the decode paths are not, and why one re-encode hides a
+    * duplicate from it (q93 is the pass that still sees those). */
   def q79(spark: SparkSession, documents: DataFrame): DataFrame =
-    mediaTable(spark, documents)
+    documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .groupBy(md5(col("payload")).as("payload_md5"))
       .agg(min(col("doc_id")).as("keep_id"),
         count(lit(1)).as("dup_count"),
@@ -71,31 +254,41 @@ object Multimodal {
       .select(col("keep_id"), col("dup_count"), col("payload_bytes"))
       .orderBy(col("keep_id"))
 
-  /** STUB decoder: a real deployment decodes image/audio here (JNI codec
-    * or Arrow-batched Python worker). */
-  private def decodeStub(id: Long, bytes: Array[Byte]): MediaFeature = {
-    val h = checksum(bytes)
-    MediaFeature(id, bytes.length.toLong, h,
-      width = 16 + (h % 16).toInt, height = 16 + ((h / 16) % 16).toInt)
-  }
-
-  /** q51: batched per-partition feature extraction over the media table. */
+  /** q51: batched per-partition feature extraction over the media
+    * table. Image rows are REALLY DECODED: width/height/format come
+    * from the ImageIO reader over the payload bytes, not from metadata.
+    * Rows no codec claims (the stub video/audio payloads) fall back to
+    * deterministic byte-derived features tagged format="raw". */
   def q51(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
     mediaTable(spark, documents)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.grouped(BatchSize).flatMap { batch =>          // batch boundary =
-          batch.map { case (id, b) => decodeStub(id, b) } // codec call unit
+        it.grouped(BatchSize).flatMap { batch =>    // batch boundary =
+          batch.map { case (id, b) =>               // codec call unit
+            decodeImage(b) match {
+              case Some((img, fmt)) =>
+                MediaFeature(id, b.length.toLong, checksum(b),
+                  img.getWidth, img.getHeight, fmt)
+              case None =>
+                val h = checksum(b)
+                MediaFeature(id, b.length.toLong, h,
+                  width = 16 + (h % 16).toInt, height = 16 + ((h / 16) % 16).toInt,
+                  format = "raw")
+            }
+          }
         }
       }
       .toDF()
       .orderBy(col("doc_id"))
   }
 
-  /** q52: STUB resize to a fixed target box — the decode→transform→
-    * re-encode shape; output schema carries the new dims. */
+  /** q52: resize to a fixed target box. Image rows run the REAL
+    * decode → scale-to-fit → PNG re-encode path; the reported dims are
+    * re-derived by decoding the re-encoded bytes (so the output proves
+    * the codec ran), n_bytes/checksum are of the new payload. Non-image
+    * rows keep the stub arithmetic over their metadata dims. */
   def q52Resize(spark: SparkSession, documents: DataFrame,
                 maxW: Int = 16, maxH: Int = 16): DataFrame = {
     import spark.implicits._
@@ -104,9 +297,18 @@ object Multimodal {
       .as[(Long, Array[Byte], Int, Int)]
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap(_.map { case (id, b, w, h) =>
-          val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
-          ResizedRow(id, math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt),
-            checksum(b, seed = 7L)) // STUB: re-encode checksum
+          decodeImage(b) match {
+            case Some((img, _)) =>
+              val png = encodePng(resizeToFit(img, maxW, maxH))
+              val (dec, _) = decodeImage(png).get
+              ResizedRow(id, dec.getWidth, dec.getHeight,
+                png.length.toLong, checksum(png))
+            case None =>
+              val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+              ResizedRow(id, math.max(1, (w * scale).toInt),
+                math.max(1, (h * scale).toInt),
+                b.length.toLong, checksum(b, seed = 7L)) // STUB: no video/audio codec
+          }
         })
       }
       .toDF()
@@ -115,7 +317,8 @@ object Multimodal {
 
   /** q53: frame sampling — every k-th frame of each video row expands to
     * its own output row (flatMap row expansion; frame decode STUBbed as a
-    * seeded checksum). Non-video rows produce no frames. */
+    * seeded checksum — video codecs are a real dependency wall). Non-video
+    * rows produce no frames. */
   def q53FrameSample(spark: SparkSession, documents: DataFrame,
                      every: Int = 4): DataFrame = {
     import spark.implicits._
@@ -130,5 +333,50 @@ object Multimodal {
       }
       .toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** q93: PERCEPTUAL near-dup pairs over the corpus' rendered
+    * thumbnails — the pass that still sees a duplicate after one
+    * re-encode/resize has hidden it from byte identity (q79). Per
+    * document: render → REAL PNG encode → REAL decode → 64-bit [[dHash]]
+    * over the box-averaged 9×8 grayscale thumbnail. Candidate blocking
+    * is q43's Hamming-band machinery verbatim (Dedup.scala:303): 4×16-bit
+    * bands — two hashes with Hamming distance ≤ 3 must agree on at least
+    * one full band (pigeonhole) — then exact verify with
+    * bit_count(xor) ≤ maxHamming. Only (doc_id, phash) pairs shuffle;
+    * pixels and payloads never leave their partition. */
+  def q93(spark: SparkSession, documents: DataFrame,
+          maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val ph = documents
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.map { case (id, text) =>
+          val b = text.getBytes("UTF-8")
+          val h = checksum(b)
+          val w = 16 + (h % 16).toInt
+          val ht = 16 + ((h / 16) % 16).toInt
+          val (img, _) = decodeImage(encodePng(renderImage(text, w, ht))).get
+          PHashRow(id, dHash(img))
+        })
+      }
+      .toDF()
+    val banded = ph.select(col("doc_id"), col("phash"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("band"),
+          shiftright(col("phash"), 16 * j).bitwiseAND(0xFFFFL).as("band_key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("phash"), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 }

@@ -2,21 +2,46 @@ package graft
 
 import graft.operators.Multimodal
 
-/** Multimodal plumbing specs (§2c): schema, determinism, row expansion. */
+/** Multimodal specs (§2c): real PNG decode in q51/q52, schema,
+  * determinism, row expansion, and q93 perceptual near-dup banding. */
 class MultimodalSpec extends GraftSpec {
   import spark.implicits._
 
   lazy val docs = Seq(
     (0L, "a video-ish payload"), (1L, "an image-ish payload"),
-    (2L, "an audio-ish payload"), (3L, "another video payload")
+    (2L, "an audio-ish payload"), (3L, "another video payload"),
+    (4L, "one more image payload")
   ).toDF("doc_id", "text")
 
-  test("mediaTable carries payload + typed metadata struct") {
+  test("mediaTable carries payload + typed metadata struct; image rows are real PNGs") {
     val mt = Multimodal.mediaTable(spark, docs)
     assert(mt.schema("meta").dataType.typeName == "struct")
-    val types = mt.select("doc_id", "meta.media_type").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(types(0L) == "video" && types(1L) == "image" && types(2L) == "audio")
+    val rows = mt.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(0L).getAs[org.apache.spark.sql.Row]("meta").getAs[String]("media_type") == "video")
+    assert(rows(2L).getAs[org.apache.spark.sql.Row]("meta").getAs[String]("media_type") == "audio")
+    // the image row's payload must decode with the real JDK codec, and
+    // its metadata dims must equal the decoded pixel dims
+    val meta1 = rows(1L).getAs[org.apache.spark.sql.Row]("meta")
+    assert(meta1.getAs[String]("media_type") == "image")
+    val payload1 = rows(1L).getAs[Array[Byte]]("payload")
+    val Some((img, fmt)) = Multimodal.decodeImage(payload1)
+    assert(fmt == "png")
+    assert(img.getWidth == meta1.getAs[Int]("width"))
+    assert(img.getHeight == meta1.getAs[Int]("height"))
+  }
+
+  test("q51 reports decode-derived dims and format for image rows") {
+    val feats = Multimodal.q51(spark, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(feats(1L).getAs[String]("format") == "png")
+    assert(feats(4L).getAs[String]("format") == "png")
+    assert(feats(0L).getAs[String]("format") == "raw") // video stub payload
+    // independent decode of the stored payload agrees with q51's output
+    val payload = Multimodal.mediaTable(spark, docs)
+      .filter($"doc_id" === 1L).collect().head.getAs[Array[Byte]]("payload")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    assert(feats(1L).getAs[Int]("width") == img.getWidth)
+    assert(feats(1L).getAs[Int]("height") == img.getHeight)
   }
 
   test("q51 features are deterministic and partition-independent") {
@@ -26,12 +51,24 @@ class MultimodalSpec extends GraftSpec {
     assert(a.forall(_.getAs[Long]("n_bytes") > 0))
   }
 
-  test("q52 resize never exceeds the target box") {
+  test("q52 really resizes: dims re-derived from re-encoded bytes, inside the box") {
     val rows = Multimodal.q52Resize(spark, docs, maxW = 8, maxH = 8).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    rows.values.foreach { r =>
       assert(r.getAs[Int]("width") <= 8 && r.getAs[Int]("height") <= 8)
+      assert(r.getAs[Long]("n_bytes") > 0)
     }
+    // reproduce the image row's resize out-of-band: decode the stored
+    // payload, scale-to-fit, re-encode, decode again — q52's reported
+    // dims and byte count must match that real codec round-trip
+    val payload = Multimodal.mediaTable(spark, docs)
+      .filter($"doc_id" === 1L).collect().head.getAs[Array[Byte]]("payload")
+    val Some((img, _)) = Multimodal.decodeImage(payload)
+    val png = Multimodal.encodePng(Multimodal.resizeToFit(img, 8, 8))
+    val Some((dec, _)) = Multimodal.decodeImage(png)
+    assert(rows(1L).getAs[Int]("width") == dec.getWidth)
+    assert(rows(1L).getAs[Int]("height") == dec.getHeight)
+    assert(rows(1L).getAs[Long]("n_bytes") == png.length.toLong)
   }
 
   test("q53 frame sampling expands only video rows, every k-th frame") {
@@ -39,5 +76,59 @@ class MultimodalSpec extends GraftSpec {
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
     assert(byDoc.keySet == Set(0L, 3L))           // only the videos
     rows.foreach(r => assert(r.getAs[Int]("frame_idx") % 4 == 0))
+  }
+
+  test("dHash is stable under resize of the same content") {
+    val img = Multimodal.renderImage("alpha beta gamma delta", 28, 22)
+    val small = Multimodal.resizeToFit(img, 14, 14)
+    val h1 = Multimodal.dHash(img)
+    val h2 = Multimodal.dHash(small)
+    // a 2x box-average downscale perturbs a handful of near-tie
+    // gradients; real-world dHash dup thresholds sit near 10 bits
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 6,
+      s"resize moved the hash ${java.lang.Long.bitCount(h1 ^ h2)} bits")
+  }
+
+  test("q93 banding == brute-force Hamming pairs on the sf0.001 corpus") {
+    val corpus = Tables.documents(spark, SF)
+    val found = Multimodal.q93(spark, corpus).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming"))).toSet
+    // brute force: recompute every phash through the same real codec
+    // round-trip, then all-pairs Hamming (test-only; n is small here)
+    val hashes = corpus.select("doc_id", "text").collect().map { r =>
+      val text = r.getAs[String]("text")
+      val b = text.getBytes("UTF-8")
+      var h = 0L
+      b.foreach(x => h = (h * 131 + (x & 0xff)) % 1000000007L)
+      val w = 16 + (h % 16).toInt
+      val ht = 16 + ((h / 16) % 16).toInt
+      val Some((img, _)) =
+        Multimodal.decodeImage(Multimodal.encodePng(Multimodal.renderImage(text, w, ht)))
+      r.getAs[Long]("doc_id") -> Multimodal.dHash(img)
+    }
+    val expected = (for {
+      (ida, ha) <- hashes
+      (idb, hb) <- hashes
+      if ida < idb
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= 3
+    } yield (ida, idb, d)).toSet
+    assert(found == expected, // 4×16-bit bands are COMPLETE for Hamming ≤ 3
+      s"banding found ${found.size}, brute force ${expected.size}")
+    assert(expected.nonEmpty, "corpus should contain perceptual near-dups")
+  }
+
+  test("q93 finds a re-rendered near-duplicate that md5 identity misses") {
+    // same dominant content, one non-dominant token changed → the top-8
+    // blob set is unchanged, only the render dims shift (checksum-derived)
+    val base = "storm river mountain valley cloud forest meadow stone pebble"
+    val dup = base.replace("valley", "vista") // both sort after the top-8
+    val two = Seq((100L, base), (200L, dup)).toDF("doc_id", "text")
+    val pairs = Multimodal.q93(spark, two).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.contains((100L, 200L)), pairs.toSeq)
+    // byte identity cannot see it
+    assert(Multimodal.q79(spark, two).count() == 2L)
   }
 }
