@@ -443,17 +443,24 @@ object TextAnalysis {
     * longs; pmi = ln(c_ab·D / (c_a·c_b)) with one fixed expression tree
     * through [[graft.functions.PlatformLn]] (§6).
     *
-    * Pair generation is one shuffle on doc_id: the ≤`vocab` surviving
-    * tokens of each document are collected into a sorted array and the
-    * C(v_d, 2) ordered pairs explode from the array in place — no
-    * doc_id self-join (which re-shuffled `vdt` twice and re-derived it
-    * from `dt` on both sides). The pair aggregation partial-aggregates
-    * map-side. Output is capped at the top `topPairs` pairs by c_ab. */
+    * Pair generation is one shuffle on doc_id: the token stream is
+    * hash-partitioned by doc_id ONCE (the (doc_id, tok) aggregate and
+    * the per-doc collect_set both reuse that clustering — partitioning
+    * on doc_id satisfies clustering on (doc_id, tok)), the ≤`vocab`
+    * surviving tokens of each document are collected into a sorted
+    * array, and the C(v_d, 2) ordered pairs explode from the array in
+    * place — no doc_id self-join (which re-shuffled `vdt` twice and
+    * re-derived it from `dt` on both sides). The pair aggregation
+    * partial-aggregates map-side; the corpus doc count is a plain count
+    * over documents (split() never yields an empty token array, so
+    * every doc carries ≥1 token — no countDistinct double-shuffle).
+    * Output is capped at the top `topPairs` pairs by c_ab. */
   def q90(documents: DataFrame, vocab: Int = 100, minPair: Long = 5L,
           topPairs: Int = 100): DataFrame = {
     val dt = documents
       .select(col("doc_id"),
         explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .repartition(col("doc_id"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val top = dt.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
@@ -461,7 +468,7 @@ object TextAnalysis {
       .select(col("tok"))
     val vdt = dt.join(broadcast(top), "tok").select(col("doc_id"), col("tok"))
     val docFreq = vdt.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val nDocs = dt.agg(countDistinct(col("doc_id")).as("d"))
+    val nDocs = documents.agg(count(lit(1)).as("d"))
     val ts = col("ts")
     val pairArr = flatten(transform(ts, (a, i) =>
       transform(slice(ts, i + lit(2), size(ts)),
