@@ -37,8 +37,45 @@ object Sql {
     }
   }
 
+  /** SQL-text reach for the LLM-pipeline operators (§2c): registers the
+    * near-dup / ANN / text-hygiene entry points as TVF-style temp views
+    * over the session's `documents`/`embeddings` views, so a SQL-only
+    * user can run them without touching the Scala API:
+    *
+    *   SELECT * FROM graft_jaccard_pairs WHERE jaccard >= 0.9
+    *   SELECT * FROM graft_minhash_pairs
+    *   SELECT * FROM graft_ann_topk WHERE rk = 1
+    *
+    * Views are lazy plans — nothing executes at registration, each view
+    * runs the operator's full distributed plan when queried, and
+    * Catalyst pushes view-level predicates/projections into it. Call
+    * after [[registerTables]]: each view captures the operator plan
+    * over the `documents`/`embeddings` views registered at that point.
+    * The scalar functions `graft_dot`/`graft_fingerprint` are
+    * registered by GraftExtensions; this covers the whole-operator
+    * surface. */
+  def registerPipelineSql(spark: SparkSession): Seq[String] = {
+    import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+    def docs = spark.table("documents")
+    def embs = spark.table("embeddings")
+    val views: Seq[(String, () => DataFrame)] = Seq(
+      "graft_exact_dups"     -> (() => Dedup.q40(docs)),
+      "graft_jaccard_pairs"  -> (() => Dedup.q41(docs)),
+      "graft_minhash_pairs"  -> (() => Dedup.q42(docs)),
+      "graft_simhash_pairs"  -> (() => Dedup.q43(docs)),
+      "graft_dedup_clusters" -> (() => Dedup.q64(docs)),
+      "graft_phash_pairs"    -> (() => Multimodal.q93(spark, docs)),
+      "graft_ann_topk"       -> (() => Similarity.q44(embs)),
+      "graft_langid"         -> (() => TextAnalysis.q47(docs)),
+      "graft_quality"        -> (() => TextAnalysis.q48(docs)),
+      "graft_token_counts"   -> (() => TextAnalysis.q49(docs))
+    )
+    views.map { case (name, mk) => mk().createOrReplaceTempView(name); name }
+  }
+
   def run(spark: SparkSession, dir: String, query: String): DataFrame = {
     registerTables(spark, dir)
+    registerPipelineSql(spark)
     spark.sql(query)
   }
 

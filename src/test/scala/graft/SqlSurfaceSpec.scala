@@ -40,6 +40,35 @@ class SqlSurfaceSpec extends GraftSpec {
     assert(Sql.run(spark, SF, "SELECT max(ts) FROM events").collect().nonEmpty)
   }
 
+  test("pipeline operators are drivable through SQL text only (q41/q42 shapes)") {
+    Sql.registerTables(spark, SF)
+    val views = Sql.registerPipelineSql(spark)
+    assert(views.contains("graft_jaccard_pairs") && views.contains("graft_minhash_pairs"))
+
+    // exact n-gram Jaccard near-dup (q41 shape), SQL text only — must
+    // agree with the Scala API run on the same corpus
+    val sqlPairs = spark.sql(
+      """SELECT doc_a, doc_b FROM graft_jaccard_pairs
+         WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val apiPairs = graft.operators.Dedup.q41(Tables.documents(spark, SF))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(sqlPairs == apiPairs)
+    assert(sqlPairs.nonEmpty)
+
+    // MinHash-LSH banding (q42 shape): predicates compose on the view
+    val lsh = spark.sql(
+      "SELECT count(*) AS n FROM graft_minhash_pairs WHERE doc_a < doc_b")
+      .collect()(0).getLong(0)
+    assert(lsh > 0)
+
+    // ANN brute-force top-k over embeddings, SQL text only
+    val ann = spark.sql(
+      "SELECT qid, nid, cos FROM graft_ann_topk WHERE rk = 1 ORDER BY qid")
+    assert(ann.collect().nonEmpty)
+  }
+
   test("EXPLAIN and SHOW surfaces respond through SQL text") {
     Tables.region(spark, SF).createOrReplaceTempView("region_src")
     val explain = spark.sql("EXPLAIN SELECT count(*) FROM region_src")
