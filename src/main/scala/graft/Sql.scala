@@ -63,7 +63,6 @@ object Sql {
       "graft_jaccard_pairs"  -> (() => Dedup.q41(docs)),
       "graft_minhash_pairs"  -> (() => Dedup.q42(docs)),
       "graft_simhash_pairs"  -> (() => Dedup.q43(docs)),
-      "graft_dedup_clusters" -> (() => Dedup.q64(docs)),
       "graft_phash_pairs"    -> (() => Multimodal.q93(spark, docs)),
       "graft_ann_topk"       -> (() => Similarity.q44(embs)),
       "graft_langid"         -> (() => TextAnalysis.q47(docs)),
@@ -71,6 +70,22 @@ object Sql {
       "graft_token_counts"   -> (() => TextAnalysis.q49(docs))
     )
     views.map { case (name, mk) => mk().createOrReplaceTempView(name); name }
+  }
+
+  /** The ITERATIVE pipeline operators (connected-components clustering
+    * runs a driver-side fixpoint loop, so their plans cannot be lazy
+    * views): registering these EXECUTES the clustering now and exposes
+    * the results as `graft_dedup_clusters` / `graft_media_clean`.
+    * Separate from [[registerPipelineSql]] so `run` stays lazy — call
+    * this only when a SQL session actually wants cluster verdicts. */
+  def materializePipelineTables(spark: SparkSession): Seq[String] = {
+    import graft.operators.{Dedup, Multimodal}
+    def docs = spark.table("documents")
+    val tables: Seq[(String, () => DataFrame)] = Seq(
+      "graft_dedup_clusters" -> (() => Dedup.q64(docs)),
+      "graft_media_clean"    -> (() => Multimodal.q94(spark, docs))
+    )
+    tables.map { case (name, mk) => mk().createOrReplaceTempView(name); name }
   }
 
   def run(spark: SparkSession, dir: String, query: String): DataFrame = {

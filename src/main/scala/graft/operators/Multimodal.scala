@@ -379,4 +379,35 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** q94: multimodal CLEAN-CORPUS verdicts — the media counterpart of
+    * q65's text pipeline: one row per document with its keep/drop
+    * verdict and the canonical id it collapses to.
+    *
+    * Identical bytes render identical thumbnails (Hamming 0 shares
+    * every band), so exact duplicates are a strict subset of the
+    * perceptual clusters — one q93 pass + one [[graft.operators.Dedup
+    * .clusters]] min-label propagation covers both; the md5 digest
+    * only attributes the CAUSE (`dup_exact` vs `dup_perceptual`).
+    * Canonical id is the cluster minimum, so verdicts resolve in one
+    * hop — no canonical-of-canonical chains. Shuffle-wise this is
+    * q93 (8-byte hashes) + the digest groupBy (16-byte keys) + the
+    * cluster joins on bare ids: payloads never move. */
+  def q94(spark: SparkSession, documents: DataFrame,
+          maxHamming: Int = 3): DataFrame = {
+    val exact = documents
+      .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("dg"))
+    val exactCanon = exact.groupBy(col("dg")).agg(min(col("doc_id")).as("exact_canon"))
+    val labels = graft.operators.Dedup.clusters(
+      q93(spark, documents, maxHamming).select(col("doc_a"), col("doc_b")))
+    exact
+      .join(exactCanon, "dg")
+      .join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("exact_canon"), lit("dup_exact"))
+          .when(col("label") < col("doc_id"), lit("dup_perceptual"))
+          .otherwise(lit("kept")).as("status"),
+        coalesce(col("label"), col("doc_id")).as("canonical_id"))
+      .orderBy(col("doc_id"))
+  }
 }

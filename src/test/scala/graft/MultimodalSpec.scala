@@ -119,6 +119,24 @@ class MultimodalSpec extends GraftSpec {
     assert(expected.nonEmpty, "corpus should contain perceptual near-dups")
   }
 
+  test("q94 verdicts: exact dup, perceptual dup, and kept docs resolve one hop") {
+    val base = "storm river mountain valley cloud forest meadow stone pebble"
+    val near = base.replace("valley", "vista")      // same top-8 blob set
+    val other = "completely different words about trains and signals here"
+    val corpus = Seq(
+      (10L, base), (20L, base),                     // byte-identical pair
+      (30L, near),                                  // perceptual-only dup
+      (40L, other)                                  // unrelated
+    ).toDF("doc_id", "text")
+    val v = Multimodal.q94(spark, corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("status"), r.getAs[Long]("canonical_id"))).toMap
+    assert(v(10L) == ("kept", 10L))
+    assert(v(20L) == ("dup_exact", 10L))
+    assert(v(30L) == ("dup_perceptual", 10L))
+    assert(v(40L) == ("kept", 40L))
+  }
+
   test("q93 finds a re-rendered near-duplicate that md5 identity misses") {
     // same dominant content, one non-dominant token changed → the top-8
     // blob set is unchanged, only the render dims shift (checksum-derived)

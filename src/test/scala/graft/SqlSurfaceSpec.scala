@@ -67,6 +67,18 @@ class SqlSurfaceSpec extends GraftSpec {
     val ann = spark.sql(
       "SELECT qid, nid, cos FROM graft_ann_topk WHERE rk = 1 ORDER BY qid")
     assert(ann.collect().nonEmpty)
+
+    // iterative operators materialize on demand (clusters run a
+    // driver fixpoint loop, so they are tables, not lazy views)
+    val tables = Sql.materializePipelineTables(spark)
+    assert(tables.contains("graft_dedup_clusters"))
+    val clustered = spark.sql(
+      """SELECT label, count(*) AS n FROM graft_dedup_clusters
+         GROUP BY label HAVING count(*) > 1""").collect()
+    assert(clustered.nonEmpty)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_media_clean WHERE status = 'kept'")
+      .collect()(0).getLong(0) > 0)
   }
 
   test("EXPLAIN and SHOW surfaces respond through SQL text") {
