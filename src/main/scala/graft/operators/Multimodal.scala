@@ -72,12 +72,16 @@ object Multimodal {
       // top-8 sets rarely collide into the same gradient signs
       val r = (0.15 + ((th >> 16) & 0x3f) / 224.0) * math.min(w, h)
       val amp = 90.0 + ((th >> 22) & 0xff)
+      // separable Gaussian: O(w+h) transcendentals per blob, the inner
+      // loop is pure multiply-add
+      val ex = Array.tabulate(w)(x => math.exp(-((x - bx) * (x - bx)) / (r * r)))
+      val ey = Array.tabulate(h)(y => math.exp(-((y - by) * (y - by)) / (r * r)))
       var y = 0
       while (y < h) {
+        val a = amp * ey(y)
         var x = 0
         while (x < w) {
-          val d2 = ((x - bx) * (x - bx) + (y - by) * (y - by)) / (r * r)
-          px(y * w + x) += amp * math.exp(-d2)
+          px(y * w + x) += a * ex(x)
           x += 1
         }
         y += 1
@@ -345,6 +349,21 @@ object Multimodal {
     * one full band (pigeonhole) — then exact verify with
     * bit_count(xor) ≤ maxHamming. Only (doc_id, phash) pairs shuffle;
     * pixels and payloads never leave their partition. */
+  /** The full codec round-trip to one 64-bit perceptual hash: render →
+    * REAL PNG encode → REAL decode → [[dHash]]. Render dimensions
+    * derive from the NORMALIZED token stream (lowercased, sorted), not
+    * the raw bytes, so byte-level variants of the same content (case,
+    * token order) produce pixel-identical thumbnails — the perceptual
+    * contract — while content changes move the hash. */
+  private[graft] def phashOf(text: String): Long = {
+    val h = checksum(
+      text.toLowerCase.trim.split(" ").sorted.mkString(" ").getBytes("UTF-8"))
+    val w = 16 + (h % 16).toInt
+    val ht = 16 + ((h / 16) % 16).toInt
+    val (img, _) = decodeImage(encodePng(renderImage(text, w, ht))).get
+    dHash(img)
+  }
+
   def q93(spark: SparkSession, documents: DataFrame,
           maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
@@ -353,12 +372,7 @@ object Multimodal {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap(_.map { case (id, text) =>
-          val b = text.getBytes("UTF-8")
-          val h = checksum(b)
-          val w = 16 + (h % 16).toInt
-          val ht = 16 + ((h / 16) % 16).toInt
-          val (img, _) = decodeImage(encodePng(renderImage(text, w, ht))).get
-          PHashRow(id, dHash(img))
+          PHashRow(id, phashOf(text))
         })
       }
       .toDF()

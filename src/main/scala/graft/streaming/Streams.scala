@@ -152,6 +152,33 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** st13: streaming PERCEPTUAL dedup — the ingestion-time twin of
+    * batch q93 for the hash-collision case: each arriving document runs
+    * the real codec round-trip to its 64-bit thumbnail dHash
+    * ([[graft.operators.Multimodal.phashOf]] — render → PNG encode →
+    * decode → dHash, all partition-local), and documents whose
+    * thumbnails hash IDENTICALLY within the watermark horizon are
+    * dropped. Catches byte-level variants of the same content (case,
+    * token order, re-encodes that decode to the same pixels) that
+    * st10's content fingerprint cannot see. State carries only
+    * (phash, ts) — 8-byte keys, count bounded by the watermark.
+    * Hamming-NEIGHBOR near-dups remain a batch job (q93/q94):
+    * cross-key distance joins don't fit per-key streaming state. */
+  def dedupPerceptualStream(docs: DataFrame, tsCol: String,
+                            watermark: String = Watermark): DataFrame = {
+    import docs.sparkSession.implicits._
+    val hashed = docs
+      .select(col("doc_id"), col("text"), col(tsCol))
+      .as[(Long, String, java.sql.Timestamp)]
+      .mapPartitions(_.map { case (id, text, ts) =>
+        (id, text, ts, graft.operators.Multimodal.phashOf(text))
+      })
+      .toDF("doc_id", "text", tsCol, "phash")
+    hashed
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("phash")
+  }
+
   // ---------------------------------------------------------------- st02
 
   /** `ts` stays a timestamp so the watermark tag survives to the

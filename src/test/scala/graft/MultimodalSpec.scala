@@ -97,15 +97,7 @@ class MultimodalSpec extends GraftSpec {
     // brute force: recompute every phash through the same real codec
     // round-trip, then all-pairs Hamming (test-only; n is small here)
     val hashes = corpus.select("doc_id", "text").collect().map { r =>
-      val text = r.getAs[String]("text")
-      val b = text.getBytes("UTF-8")
-      var h = 0L
-      b.foreach(x => h = (h * 131 + (x & 0xff)) % 1000000007L)
-      val w = 16 + (h % 16).toInt
-      val ht = 16 + ((h / 16) % 16).toInt
-      val Some((img, _)) =
-        Multimodal.decodeImage(Multimodal.encodePng(Multimodal.renderImage(text, w, ht)))
-      r.getAs[Long]("doc_id") -> Multimodal.dHash(img)
+      r.getAs[Long]("doc_id") -> Multimodal.phashOf(r.getAs[String]("text"))
     }
     val expected = (for {
       (ida, ha) <- hashes

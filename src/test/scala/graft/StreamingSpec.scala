@@ -271,6 +271,26 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st13 streaming perceptual dedup drops byte-variant renders st10 would keep") {
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val df = ms.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = Streams.dedupPerceptualStream(df, "ingest_ts")
+      .writeStream.format("memory").queryName("st13_out").outputMode("append").start()
+    try {
+      val t = Timestamp.from(Instant.parse("2026-01-01T10:00:00Z"))
+      // same tokens, different BYTES (case + order): content fingerprints
+      // differ, but the normalized render is pixel-identical → same phash
+      ms.addData((1L, "storm river mountain valley cloud", t),
+                 (2L, "Cloud Valley MOUNTAIN river storm", t),
+                 (3L, "a completely unrelated text here", t))
+      q.processAllAvailable()
+      ms.addData((4L, "river storm cloud mountain valley", t)) // across batches
+      q.processAllAvailable()
+      val ids = spark.table("st13_out").collect().map(_.getAs[Long]("doc_id")).sorted
+      assert(ids.toSeq == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("st11 toTable sink: micro-batches land in a metastore table visible to SQL") {
     val ms = MemoryStream[StreamEv]
     spark.sql("DROP TABLE IF EXISTS graft_st11_sink")
