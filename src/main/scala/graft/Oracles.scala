@@ -388,6 +388,25 @@ object Oracles {
 
     "q41_dedup_ngram_jaccard" -> Q41Sql,
 
+    // same shingle construction as q41, aggregated per SOURCE; exact
+    // long counts, one double divide (§6 single-divide discipline)
+    "q95_source_overlap" ->
+      """WITH toks AS (SELECT source, string_split(lower(trim(text)), ' ') AS w
+           FROM documents),
+         raw AS (SELECT source, unnest(list_distinct(list_transform(
+             range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+           FROM toks WHERE len(w) >= 3),
+         grams AS (SELECT DISTINCT source, g FROM raw),
+         sizes AS (SELECT source, COUNT(*) AS n FROM grams GROUP BY source),
+         cm AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS common
+           FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+           GROUP BY a.source, b.source)
+         SELECT source_a, source_b, common, sa.n AS na, sb.n AS nb,
+           CAST(common AS DOUBLE)/(sa.n + sb.n - common) AS jaccard
+         FROM cm JOIN sizes sa ON sa.source = source_a
+                 JOIN sizes sb ON sb.source = source_b
+         ORDER BY source_a, source_b""",
+
     // same pair set as q41, collapsed to connected components: the
     // recursive transitive closure mirrors graft's iterative min-label
     // propagation exactly (both converge to min id per component)

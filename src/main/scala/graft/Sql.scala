@@ -64,6 +64,7 @@ object Sql {
       "graft_minhash_pairs"  -> (() => Dedup.q42(docs)),
       "graft_simhash_pairs"  -> (() => Dedup.q43(docs)),
       "graft_phash_pairs"    -> (() => Multimodal.q93(spark, docs)),
+      "graft_source_overlap" -> (() => Dedup.q95(docs)),
       "graft_ann_topk"       -> (() => Similarity.q44(embs)),
       "graft_langid"         -> (() => TextAnalysis.q47(docs)),
       "graft_quality"        -> (() => TextAnalysis.q48(docs)),

@@ -25,6 +25,48 @@ object Dedup {
             element_at(col("w"), i + 1),
             element_at(col("w"), i + 2))))).as("g"))
 
+  /** q95: SOURCE-overlap matrix — exact pairwise shingle Jaccard
+    * between corpus sources: the dataset-curation diagnostic that
+    * decides which source pairs need cross-source dedup before
+    * training (two crawls of the same sites show up as a high-overlap
+    * cell long before doc-level dedup runs).
+    *
+    * Scale shape: per-source DISTINCT shingle sets are one hash
+    * shuffle; intersections come from a shingle equi-join with
+    * source_a < source_b, so per-shingle expansion is bounded by
+    * C(n_sources, 2) — sources are few (10s–100s) even at 100 TB,
+    * so shuffle stays ∝ distinct shingles, never docs². Size-side
+    * joins broadcast (one row per source). Float discipline (§6):
+    * exact long counts, one double divide, same expression both
+    * engines. */
+  def q95(documents: DataFrame): DataFrame = {
+    val sg = documents
+      .select(col("source"), split(lower(trim(col("text"))), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("source"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("w")) - 2, lit(1)), i =>
+          concat_ws(" ",
+            element_at(col("w"), i),
+            element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2))))).as("g"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sg.as("a")
+      .join(sg.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("common"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("na"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("nb"))), "source_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .select(col("source_a"), col("source_b"), col("common"),
+        col("na"), col("nb"), col("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** q40: exact dedup — group identical normalized text, keep min id.
     * One hash shuffle on the text key; at 100 TB group by xxhash64(text)
     * first (cheap fixed-width shuffle key) and resolve collisions within

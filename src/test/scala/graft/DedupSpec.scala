@@ -103,4 +103,19 @@ class DedupSpec extends GraftSpec {
     assert(ham(sh(1L), sh(2L)) < 16, s"near ham=${ham(sh(1L), sh(2L))}")
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
   }
+
+  test("q95 source overlap: exact pairwise shingle Jaccard, disjoint pairs absent") {
+    val docs = Seq(
+      (1L, "s1", "a b c d"),   // shingles {a b c, b c d}
+      (2L, "s2", "a b c e"),   // shingles {a b c, b c e}
+      (3L, "s3", "x y z w")    // disjoint
+    ).toDF("doc_id", "source", "text")
+    val rows = Dedup.q95(docs).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) -> r).toMap
+    assert(rows.keySet == Set(("s1", "s2"))) // zero-overlap pairs never shuffle
+    val r12 = rows(("s1", "s2"))
+    assert(r12.getAs[Long]("common") == 1L)
+    assert(r12.getAs[Long]("na") == 2L && r12.getAs[Long]("nb") == 2L)
+    assert(r12.getAs[Double]("jaccard") == 1.0 / 3.0)
+  }
 }
