@@ -49,6 +49,10 @@ object Dedup {
             element_at(col("w"), i),
             element_at(col("w"), i + 1),
             element_at(col("w"), i + 2))))).as("g"))
+      // one hash shuffle on g serves BOTH the distinct (clustering on g
+      // colocates every (source, g)) and the self-join on g below —
+      // neither re-exchanges the cached frame
+      .repartition(col("g"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
