@@ -30,6 +30,18 @@ object Oracles {
        FROM cm JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
        WHERE CAST(common AS DOUBLE)/(sa.n + sb.n - common) > 0.8
        ORDER BY doc_a, doc_b"""
+  private val Q46Sql =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       n AS (SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(v, x -> x*x)), (a,b) -> a+b)) AS norm FROM e),
+       p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1,65), i -> a.v[i]*b.v[i])), (x,y) -> x+y)
+           / (a.norm * b.norm) AS cos
+         FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       SELECT id_a, id_b, cos FROM p WHERE cos > 0.4 ORDER BY id_a, id_b"""
+
   private val disc =
     "CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
 
@@ -472,17 +484,21 @@ object Oracles {
            FROM p)
          SELECT qid, nid, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""",
 
-    "q46_embed_dedup" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         n AS (SELECT vec_id, v,
-           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list_transform(v, x -> x*x)), (a,b) -> a+b)) AS norm FROM e),
-         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list_transform(range(1,65), i -> a.v[i]*b.v[i])), (x,y) -> x+y)
-             / (a.norm * b.norm) AS cos
-           FROM n a JOIN n b ON a.vec_id < b.vec_id)
-         SELECT id_a, id_b, cos FROM p WHERE cos > 0.4 ORDER BY id_a, id_b""",
+    "q46_embed_dedup" -> Q46Sql,
+
+    // q46's pair set collapsed to connected components — identical
+    // recursive transitive closure to the q64 oracle (both converge to
+    // min id per component)
+    "q96_embed_clusters" ->
+      s"""WITH RECURSIVE vpairs AS ($Q46Sql),
+         vedges AS (SELECT id_a AS u, id_b AS v FROM vpairs
+               UNION SELECT id_b, id_a FROM vpairs),
+         reach(u, v) AS (
+           SELECT u, v FROM vedges
+           UNION
+           SELECT r.u, e2.v FROM reach r JOIN vedges e2 ON r.v = e2.u WHERE e2.v <> r.u)
+         SELECT u AS vec_id, LEAST(u, MIN(v)) AS label
+         FROM reach GROUP BY u ORDER BY vec_id""",
 
     "q47_langid" ->
       """WITH toks AS (SELECT doc_id, lang, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents),

@@ -114,6 +114,7 @@ object SparkEntry {
     "q93_phash_neardup"        -> ((s, d) => Multimodal.q93(s, documents(s, d))),
     "q94_media_clean"          -> ((s, d) => Multimodal.q94(s, documents(s, d))),
     "q95_source_overlap"       -> ((s, d) => Dedup.q95(documents(s, d))),
+    "q96_embed_clusters"       -> ((s, d) => Similarity.q96(embeddings(s, d))),
     // external-query ANN: first 20 vectors are the "new batch", the rest
     // are the served corpus (disjoint id ranges keep the oracle simple)
     "q82_ann_search_exact"     -> ((s, d) => {

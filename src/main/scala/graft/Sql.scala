@@ -84,7 +84,8 @@ object Sql {
     def docs = spark.table("documents")
     val tables: Seq[(String, () => DataFrame)] = Seq(
       "graft_dedup_clusters" -> (() => Dedup.q64(docs)),
-      "graft_media_clean"    -> (() => Multimodal.q94(spark, docs))
+      "graft_media_clean"    -> (() => Multimodal.q94(spark, docs)),
+      "graft_embed_clusters" -> (() => graft.operators.Similarity.q96(spark.table("embeddings")))
     )
     tables.map { case (name, mk) => mk().createOrReplaceTempView(name); name }
   }

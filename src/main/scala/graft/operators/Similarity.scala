@@ -368,6 +368,20 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** q96: embedding-space dedup CLUSTERS — q64 for vectors: the q46
+    * near-dup pairs collapsed to connected components by the same
+    * min-label propagation ([[graft.operators.Dedup.clusters]]); one
+    * row per clustered vector with its canonical (min) vec_id.
+    * Completes the clusters triad: text (q64), media (q94), embeddings
+    * (q96). At corpus scale swap q46's guarded exact kernel for the
+    * LSH pair generator (q45/q83) — clusters() is agnostic to where
+    * the pairs came from. */
+  def q96(embeddings: DataFrame): DataFrame =
+    graft.operators.Dedup.clusters(
+      q46(embeddings).select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+
   /** q92: per-label embedding centroids — the class-profile statistics
     * an embedding-space audit computes (cluster drift, label balance,
     * mean-vector dashboards). Reports each label's vector count and the

@@ -178,6 +178,13 @@ class SimilaritySpec extends GraftSpec {
     assert(re == Similarity.q92(vecs).collect().map(_.toSeq).toSet)
   }
 
+  test("q96 embed clusters: near-parallel vectors collapse to one component") {
+    val rows = Similarity.q96(planted).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("label")).toMap
+    // 0, 1 (near-parallel) and 3 (exact clone of 0) share a component
+    assert(rows == Map(0L -> 0L, 1L -> 0L, 3L -> 0L)) // 2 is orthogonal: absent
+  }
+
   test("q92 centroids: scale-safe AVG default agrees with exact fold to 1e-9") {
     val emb = Tables.embeddings(spark, SF)
     def keyed(df: org.apache.spark.sql.DataFrame) =
