@@ -319,10 +319,42 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** q53: frame sampling — every k-th frame of each video row expands to
-    * its own output row (flatMap row expansion; frame decode STUBbed as a
-    * seeded checksum — video codecs are a real dependency wall). Non-video
-    * rows produce no frames. */
+  /** Length-prefixed frame container (4-byte big-endian size before
+    * each frame's PNG bytes) — the MJPEG framing idea with PNG as the
+    * per-frame codec, since the container ships no video codecs. */
+  private[graft] def encodeFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    frames.foreach { f => dos.writeInt(f.length); dos.write(f) }
+    dos.flush()
+    bos.toByteArray
+  }
+
+  private[graft] def decodeFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val out = Seq.newBuilder[Array[Byte]]
+    while (in.available() >= 4) {
+      val n = in.readInt()
+      val f = new Array[Byte](n)
+      in.readFully(f)
+      out += f
+    }
+    out.result()
+  }
+
+  private case class FrameOut(doc_id: Long, frame_idx: Int, width: Int,
+                              height: Int, frame_bytes: Long)
+
+  /** q53: frame sampling with a REAL per-frame codec — each video doc
+    * is framed into a length-prefixed PNG sequence (MJPEG's framing
+    * with the JDK's PNG codec per frame: frame f is the base render
+    * with deterministically decaying brightness), then every k-th
+    * frame is REALLY DECODED out of the container and reported with
+    * its decoded pixel dims and encoded size. Build and sample run in
+    * the same partition — frames never shuffle; the output is one row
+    * per sampled frame (flatMap row expansion, frame index in the
+    * schema). Only true video codecs (H.264 etc.) remain out of scope
+    * — a dependency wall, not a plumbing gap. */
   def q53FrameSample(spark: SparkSession, documents: DataFrame,
                      every: Int = 4): DataFrame = {
     import spark.implicits._
@@ -332,7 +364,31 @@ object Multimodal {
       .as[(Long, Array[Byte], Int)]
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap(_.flatMap { case (id, b, nFrames) =>
-          (0 until nFrames by every).map(f => FrameRow(id, f, checksum(b, seed = f)))
+          val h = checksum(b)
+          val w = 16 + (h % 16).toInt
+          val ht = 16 + ((h / 16) % 16).toInt
+          val base = renderImage(new String(b, "UTF-8"), w, ht)
+          val video = encodeFrames((0 until nFrames).map { f =>
+            val img = new BufferedImage(w, ht, BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < ht) {
+              var x = 0
+              while (x < w) {
+                val rgb = base.getRGB(x, y)
+                def fade(c: Int) = c * (2 * nFrames - f) / (2 * nFrames)
+                img.setRGB(x, y, (fade((rgb >> 16) & 255) << 16) |
+                  (fade((rgb >> 8) & 255) << 8) | fade(rgb & 255))
+                x += 1
+              }
+              y += 1
+            }
+            encodePng(img)
+          })
+          val frames = decodeFrames(video)
+          (0 until nFrames by every).map { f =>
+            val (img, _) = decodeImage(frames(f)).get
+            FrameOut(id, f, img.getWidth, img.getHeight, frames(f).length.toLong)
+          }
         })
       }
       .toDF()

@@ -71,11 +71,29 @@ class MultimodalSpec extends GraftSpec {
     assert(rows(1L).getAs[Long]("n_bytes") == png.length.toLong)
   }
 
-  test("q53 frame sampling expands only video rows, every k-th frame") {
+  test("q53 frame sampling expands only video rows, every k-th frame, real decode") {
     val rows = Multimodal.q53FrameSample(spark, docs, every = 4).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
     assert(byDoc.keySet == Set(0L, 3L))           // only the videos
-    rows.foreach(r => assert(r.getAs[Int]("frame_idx") % 4 == 0))
+    rows.foreach { r =>
+      assert(r.getAs[Int]("frame_idx") % 4 == 0)
+      // dims come from really decoding the sampled frame's PNG bytes
+      assert(r.getAs[Int]("width") >= 16 && r.getAs[Int]("width") <= 31)
+      assert(r.getAs[Int]("height") >= 16 && r.getAs[Int]("height") <= 31)
+      assert(r.getAs[Long]("frame_bytes") > 0L)
+    }
+  }
+
+  test("frame container round-trips through the real codec") {
+    val img = Multimodal.renderImage("alpha beta gamma", 20, 18)
+    val f0 = Multimodal.encodePng(img)
+    val f1 = Multimodal.encodePng(Multimodal.resizeToFit(img, 10, 10))
+    val packed = Multimodal.encodeFrames(Seq(f0, f1))
+    val back = Multimodal.decodeFrames(packed)
+    assert(back.size == 2)
+    assert(back(0).toSeq == f0.toSeq && back(1).toSeq == f1.toSeq)
+    val Some((d1, fmt)) = Multimodal.decodeImage(back(1))
+    assert(fmt == "png" && d1.getWidth == 10)
   }
 
   test("dHash is stable under resize of the same content") {
