@@ -964,6 +964,70 @@ object Oracles {
            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              list_transform(xs, s -> struct_extract(s, 'x3'))), (a,b) -> a+b)
              / CAST(n_vecs AS DOUBLE) AS mean_3
-         FROM g ORDER BY label"""
+         FROM g ORDER BY label""",
+
+    // upper-triangle Gram cells; sorted-vec_id strict fold per cell ==
+    // Spark's sort_array + aggregate fold (q92 discipline). The test
+    // embeddings are 64-dim; Spark derives d from the data.
+    "q97_gram_matrix" ->
+      """WITH p AS (SELECT vec_id, CAST(ii.i AS BIGINT) AS i,
+             CAST(jj.j AS BIGINT) AS j,
+             CAST(embedding[CAST(ii.i AS INT) + 1] AS DOUBLE) *
+               CAST(embedding[CAST(jj.j AS INT) + 1] AS DOUBLE) AS prod
+           FROM embeddings
+           CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ii
+           CROSS JOIN (SELECT unnest(range(0, 64)) AS j) jj
+           WHERE jj.j >= ii.i),
+         g AS (SELECT i, j,
+             list_sort(list(struct_pack(vec_id := vec_id, prod := prod))) AS xs
+           FROM p GROUP BY i, j)
+         SELECT i, j,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(xs, s -> struct_extract(s, 'prod'))),
+             (a,b) -> a+b) AS gram
+         FROM g ORDER BY i, j""",
+
+    // adjacent char pairs per word occurrence; substr is character-based
+    // and 1-indexed in both engines; range(1, len) = 1..len-1
+    "q98_bpe_merges" ->
+      """WITH w AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
+                    FROM documents),
+         p AS (SELECT substr(w, CAST(i AS INT), 1) AS a,
+                      substr(w, CAST(i AS INT) + 1, 1) AS b
+               FROM (SELECT w, unnest(range(1, len(w))) AS i
+                     FROM w WHERE len(w) >= 2))
+         SELECT a, b, COUNT(*) AS cnt FROM p GROUP BY a, b
+         ORDER BY cnt DESC, a, b LIMIT 50""",
+
+    // add-one-smoothed bigram nll; position-sorted strict fold per doc;
+    // DuckDB ln == PlatformLn bit-wise over the live range (§6)
+    "q99_bigram_logprob" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS l
+                    FROM documents),
+         pr AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                  l[CAST(i AS INT)] AS tok, l[CAST(i AS INT) + 1] AS tok2
+                FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i
+                      FROM d WHERE len(l) >= 2)),
+         uni AS (SELECT tok, COUNT(*) AS c1
+                 FROM (SELECT unnest(l) AS tok FROM d) GROUP BY tok),
+         big AS (SELECT tok, tok2, COUNT(*) AS c12 FROM pr GROUP BY tok, tok2),
+         vs AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+                FROM (SELECT unnest(l) AS tok FROM d)),
+         sc AS (SELECT pr.doc_id, pr.pos,
+             -ln((CAST(big.c12 AS DOUBLE) + 1.0) /
+                 (CAST(uni.c1 AS DOUBLE) + CAST(vs.v AS DOUBLE))) AS nll
+           FROM pr JOIN big ON pr.tok = big.tok AND pr.tok2 = big.tok2
+                   JOIN uni ON pr.tok = uni.tok CROSS JOIN vs),
+         g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             list_sort(list(struct_pack(pos := pos, nll := nll))) AS xs
+           FROM sc GROUP BY doc_id),
+         f AS (SELECT doc_id, n_bigrams,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(xs, s -> struct_extract(s, 'nll'))),
+               (a,b) -> a+b) AS nll_sum
+           FROM g)
+         SELECT doc_id, n_bigrams, nll_sum,
+           nll_sum / CAST(n_bigrams AS DOUBLE) AS avg_nll
+         FROM f ORDER BY doc_id"""
   )
 }

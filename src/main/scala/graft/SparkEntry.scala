@@ -115,6 +115,9 @@ object SparkEntry {
     "q94_media_clean"          -> ((s, d) => Multimodal.q94(s, documents(s, d))),
     "q95_source_overlap"       -> ((s, d) => Dedup.q95(documents(s, d))),
     "q96_embed_clusters"       -> ((s, d) => Similarity.q96(embeddings(s, d))),
+    "q97_gram_matrix"          -> ((s, d) => Similarity.q97(embeddings(s, d), exact = true)),
+    "q98_bpe_merges"           -> ((s, d) => TextAnalysis.q98(documents(s, d))),
+    "q99_bigram_logprob"       -> ((s, d) => TextAnalysis.q99(documents(s, d))),
     // external-query ANN: first 20 vectors are the "new batch", the rest
     // are the served corpus (disjoint id ranges keep the oracle simple)
     "q82_ann_search_exact"     -> ((s, d) => {

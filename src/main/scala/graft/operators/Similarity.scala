@@ -423,4 +423,48 @@ object Similarity {
         .orderBy(col("label"))
     }
   }
+
+  /** q97: embedding GRAM MATRIX — the d×d second-moment accumulation a
+    * PCA / whitening / SemDeDup-style pipeline computes before any
+    * projection: G[i][j] = Σ_v x_i·x_j over every corpus vector, upper
+    * triangle only (G is symmetric). The map side expands each vector
+    * into its d(d+1)/2 (i, j, x_i·x_j) cells with one nested
+    * `transform` + `explode` (no joins, no UDF); hash aggregation
+    * partial-aggregates the cells map-side, so the shuffle carries at
+    * most partitions × d(d+1)/2 rows no matter how many vectors stream
+    * through — the standard distributed Gram accumulation at any
+    * corpus size. d comes from the data (`size(embedding)`), not a
+    * parameter.
+    *
+    * Float discipline (§6): the DEFAULT is plain SUM — partial-
+    * aggregated, constant per-cell state, the form that survives a
+    * 100 TB corpus. The `exact = true` audit variant folds each cell
+    * in SORTED vec_id order (q92 discipline) for cross-engine bit
+    * parity; its per-cell state is ∝ corpus size, so it exists for
+    * the DuckDB oracle, not for scale runs. GramSpec asserts the two
+    * agree to 1e-6 on the test embeddings. */
+  def q97(embeddings: DataFrame, exact: Boolean = false): DataFrame = {
+    val v = col("embedding")
+    val cellArr = flatten(transform(v, (xi, i) =>
+      transform(slice(v, i + lit(1), size(v)), (xj, j) =>
+        struct(i.cast("long").as("i"), (i + j).cast("long").as("j"),
+          (xi.cast("double") * xj.cast("double")).as("prod")))))
+    val cells = embeddings
+      .select(col("vec_id"), explode(cellArr).as("p"))
+      .select(col("vec_id"), col("p.i").as("i"), col("p.j").as("j"),
+        col("p.prod").as("prod"))
+    if (!exact) {
+      cells.groupBy(col("i"), col("j"))
+        .agg(sum(col("prod")).as("gram"))
+        .orderBy(col("i"), col("j"))
+    } else {
+      cells.groupBy(col("i"), col("j"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("prod"))))
+          .as("xs"))
+        .withColumn("gram",
+          aggregate(col("xs"), lit(0.0), (a, x) => a + x.getField("prod")))
+        .select(col("i"), col("j"), col("gram"))
+        .orderBy(col("i"), col("j"))
+    }
+  }
 }

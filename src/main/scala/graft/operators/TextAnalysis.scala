@@ -528,4 +528,78 @@ object TextAnalysis {
       .select(col("doc_id"),
         graft.functions.PolyFingerprint(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
+
+  /** q98: BPE MERGE CANDIDATES — one iteration of byte-pair-encoding
+    * tokenizer training: count every adjacent character pair across
+    * every word occurrence in the corpus and rank the top merge
+    * candidates. This is the inner loop a BPE trainer runs per merge
+    * round; at corpus scale the counting pass is the expensive part and
+    * it is one scan here: word explode → per-word adjacent-pair
+    * `sequence` explode (`Column.substr` with a dynamic index — no
+    * UDF, stays in codegen) → hash aggregation with map-side partials.
+    * The shuffle carries only (pair, partial-count) rows, bounded by
+    * alphabet² per partition regardless of corpus size. Pure integer
+    * counts → hash-exact vs the oracle. */
+  def q98(documents: DataFrame, topMerges: Int = 50): DataFrame = {
+    val w = col("w")
+    val pairArr = transform(sequence(lit(1), length(w) - lit(1)),
+      i => struct(w.substr(i, lit(1)).as("a"),
+        w.substr(i + lit(1), lit(1)).as("b")))
+    documents
+      .select(explode(split(lower(trim(col("text"))), " ")).as("w"))
+      .filter(length(w) >= 2)
+      .select(explode(pairArr).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(topMerges)
+  }
+
+  /** q99: BIGRAM-LM CROSS-ENTROPY — per-document average negative
+    * log-probability under an add-one-smoothed bigram language model
+    * trained on the corpus itself (the KenLM-style perplexity quality
+    * filter CCNet runs; q86 is the unigram version). nll(w1,w2) =
+    * -ln((c(w1,w2)+1) / (c(w1)+V)).
+    *
+    * Plan: one token scan feeds everything. Adjacent pairs come from a
+    * `lead` window partitioned BY DOC (distributed at any corpus
+    * size); the bigram and unigram tables aggregate from the same
+    * cached scan. The unigram stats join onto the bigram table first —
+    * that shuffle is vocab²-bounded — so the token stream itself
+    * shuffles once, on (tok, tok2). Float determinism (§6): the
+    * per-doc sum folds in POSITION order via sort_array + strict left
+    * fold; ln goes through [[graft.functions.PlatformLn]] (bit parity
+    * probe-verified over the live range by the q85/q86 family). Docs
+    * with fewer than two tokens have no bigrams and drop out — same
+    * rule in both engines. */
+  def q99(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), " ")).as(Seq("pos", "tok")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = toks
+      .withColumn("tok2", lead(col("tok"), 1).over(w))
+      .filter(col("tok2").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val big = pairs.groupBy(col("tok"), col("tok2")).agg(count(lit(1)).as("c12"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val vsz = toks.agg(countDistinct(col("tok")).as("v"))
+    val stats = big.join(uni, "tok")
+    val nll = -graft.functions.PlatformLn(
+      (col("c12").cast("double") + lit(1.0)) /
+        (col("c1").cast("double") + col("v").cast("double")))
+    pairs.join(stats, Seq("tok", "tok2"))
+      .crossJoin(broadcast(vsz))
+      .withColumn("nll", nll)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sort_array(collect_list(struct(col("pos"), col("nll")))).as("xs"))
+      .withColumn("nll_sum",
+        aggregate(col("xs"), lit(0.0), (a, x) => a + x.getField("nll")))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_sum"),
+        (col("nll_sum") / col("n_bigrams").cast("double")).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -282,4 +282,31 @@ object Sources {
       .select(df.columns.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** s10: training-shard EXPORT — materialize q88's deterministic
+    * shuffle-shard as N physical files, one per shard: the final
+    * "write the training corpus as shuffled shard files" step.
+    * Shard assignment and in-shard order are the q88 hash (same salt),
+    * so the bytes on disk are reproducible across runs, engines, and
+    * cluster layouts — q88 answers "which shard/position", this writes
+    * it. Each shard's rows hash-repartition into exactly one task
+    * (`repartition(shards, $"shard")`), `partitionBy` splits tasks
+    * into shard=N directories, so every directory holds exactly ONE
+    * file whose row order is the in-shard scramble. Cost at 100 TB is
+    * one shuffle of the corpus — the unavoidable one that builds the
+    * shards; shard count sets write parallelism and file size. */
+  def writeTrainingShards(documents: DataFrame, path: String,
+                          shards: Int = 8): Unit = {
+    import org.apache.spark.sql.functions._
+    val h = pmod(
+      pmod(col("doc_id") + lit(20260812L), lit(1000000007L)) * lit(2654435761L),
+      lit(1000000007L))
+    documents
+      .withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__h"), col("doc_id"))
+      .drop("__h")
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
+  }
 }

@@ -204,4 +204,28 @@ class SimilaritySpec extends GraftSpec {
       }
     }
   }
+
+  test("q97 gram matrix: exact upper-triangle values on a tiny corpus") {
+    val e = Seq((1L, Array(1f, 2f), 0), (2L, Array(3f, 4f), 0))
+      .toDF("vec_id", "embedding", "label")
+    // G = [[1+9, 2+12], [., 4+16]] upper triangle
+    val r = Similarity.q97(e, exact = true).collect()
+      .map(x => (x.getAs[Long]("i"), x.getAs[Long]("j")) -> x.getAs[Double]("gram"))
+    assert(r.toSeq == Seq((0L, 0L) -> 10.0, (0L, 1L) -> 14.0, (1L, 1L) -> 20.0))
+  }
+
+  test("q97 scale-safe SUM default agrees with the sorted fold to 1e-6") {
+    val emb = Tables.embeddings(spark, SF)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getAs[Long]("i"), r.getAs[Long]("j")) -> r.getAs[Double]("gram")).toMap
+    val approx = keyed(Similarity.q97(emb))
+    val exact = keyed(Similarity.q97(emb, exact = true))
+    assert(approx.keySet == exact.keySet)
+    assert(approx.size == 64 * 65 / 2)     // full upper triangle, d from data
+    approx.foreach { case (ij, a) =>
+      val x = exact(ij)
+      assert(math.abs(a - x) < 1e-6, s"cell=$ij sum=$a fold=$x")
+    }
+  }
 }

@@ -247,4 +247,28 @@ class SourcesSpec extends GraftSpec {
     assert(back.orderBy("r_regionkey").collect().toSeq ==
       region.orderBy("r_regionkey").collect().toSeq)
   }
+
+  test("s10 training shards: one file per shard, q88-deterministic membership") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, s"payload $i")).toDF("doc_id", "text")
+    val path = tmp("shards")
+    val shards = 4
+    Sources.writeTrainingShards(docs, path, shards)
+    // exactly one data file in every shard directory
+    (0 until shards).foreach { s =>
+      val dir = new java.io.File(s"$path/shard=$s")
+      assert(dir.isDirectory, s"missing dir for shard $s")
+      val files = dir.listFiles.filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $s has ${files.length} files")
+    }
+    // round-trip: everything lands, and membership matches q88's assignment
+    val back = spark.read.parquet(path)
+    assert(back.count() == 40L)
+    val wrote = back.select("doc_id", "shard").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Number]("shard").longValue()).toMap
+    val expected = graft.operators.TextAnalysis.q88(docs, shards).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")).toMap
+    assert(wrote == expected)
+  }
 }

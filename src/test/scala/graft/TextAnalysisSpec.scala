@@ -222,4 +222,30 @@ class TextAnalysisSpec extends GraftSpec {
       .map(_.getAs[Long]("n_docs")).sum.toDouble
     assert(train / total > 0.7 && train / total < 0.9, s"train share ${train / total}")
   }
+
+  test("q98 BPE pair counts: every adjacent char pair, weighted by occurrence") {
+    val d = Seq((1L, "ab ab cd"), (2L, "abc")).toDF("doc_id", "text")
+    // words: ab, ab, cd, abc → (a,b)=3 (two "ab" + one inside "abc"),
+    // (b,c)=1, (c,d)=1; single-char words contribute nothing
+    val r = TextAnalysis.q98(d).collect()
+      .map(x => (x.getAs[String]("a"), x.getAs[String]("b")) -> x.getAs[Long]("cnt"))
+    assert(r.toSeq == Seq(("a", "b") -> 3L, ("b", "c") -> 1L, ("c", "d") -> 1L))
+  }
+
+  test("q99 bigram nll matches the hand-computed add-one-smoothed model") {
+    val d = Seq((1L, "a b a"), (2L, "b a")).toDF("doc_id", "text")
+    // unigrams a:3 b:2, V=2; bigrams (a,b)=1 (b,a)=2
+    // nll(a,b) = -ln((1+1)/(3+2)) = -ln(0.4); nll(b,a) = -ln((2+1)/(2+2))
+    val r = TextAnalysis.q99(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_bigrams"), x.getAs[Double]("nll_sum"))).toMap
+    val nAB = -math.log(0.4); val nBA = -math.log(0.75)
+    assert(r(1L)._1 == 2L && math.abs(r(1L)._2 - (nAB + nBA)) < 1e-12)
+    assert(r(2L)._1 == 1L && math.abs(r(2L)._2 - nBA) < 1e-12)
+  }
+
+  test("q99 drops docs with fewer than two tokens") {
+    val d = Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text")
+    assert(TextAnalysis.q99(d).collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(2L))
+  }
 }
