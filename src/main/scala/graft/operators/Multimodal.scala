@@ -38,7 +38,11 @@ object Multimodal {
   case class ResizedRow(doc_id: Long, width: Int, height: Int,
                         n_bytes: Long, checksum: Long)
   case class FrameRow(doc_id: Long, frame_idx: Int, frame_checksum: Long)
-  private case class PHashRow(doc_id: Long, phash: Long)
+  // private[graft], not private: Spark's generated encoder code must be
+  // able to call the accessors; object-private compiles to a private
+  // nested class, Janino fails, and the encoder silently falls back to
+  // the interpreted path for every row
+  private[graft] case class PHashRow(doc_id: Long, phash: Long)
 
   val BatchSize = 64
 
@@ -342,8 +346,9 @@ object Multimodal {
     out.result()
   }
 
-  private case class FrameOut(doc_id: Long, frame_idx: Int, width: Int,
-                              height: Int, frame_bytes: Long)
+  // private[graft] for the same encoder-codegen reason as [[PHashRow]]
+  private[graft] case class FrameOut(doc_id: Long, frame_idx: Int, width: Int,
+                                     height: Int, frame_bytes: Long)
 
   /** q53: frame sampling with a REAL per-frame codec — each video doc
     * is framed into a length-prefixed PNG sequence (MJPEG's framing
