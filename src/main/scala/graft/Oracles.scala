@@ -1028,6 +1028,21 @@ object Oracles {
            FROM g)
          SELECT doc_id, n_bigrams, nll_sum,
            nll_sum / CAST(n_bigrams AS DOUBLE) AS avg_nll
-         FROM f ORDER BY doc_id"""
+         FROM f ORDER BY doc_id""",
+
+    // the q50 polynomial fold per token, bucketed mod 16; fingerprint is
+    // non-negative so % == pmod
+    "q100_feature_hash" ->
+      """WITH t AS (SELECT doc_id,
+             unnest(string_split(lower(trim(text)), ' ')) AS tok
+           FROM documents),
+         h AS (SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(tok, ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (h, c) -> (h*31 + c) % 1000000007) % 16 AS bucket
+           FROM t)
+         SELECT doc_id, bucket, COUNT(*) AS cnt FROM h
+         GROUP BY doc_id, bucket ORDER BY doc_id, bucket"""
   )
 }

@@ -118,6 +118,7 @@ object SparkEntry {
     "q97_gram_matrix"          -> ((s, d) => Similarity.q97(embeddings(s, d), exact = true)),
     "q98_bpe_merges"           -> ((s, d) => TextAnalysis.q98(documents(s, d))),
     "q99_bigram_logprob"       -> ((s, d) => TextAnalysis.q99(documents(s, d))),
+    "q100_feature_hash"        -> ((s, d) => TextAnalysis.q100(documents(s, d))),
     // external-query ANN: first 20 vectors are the "new batch", the rest
     // are the served corpus (disjoint id ranges keep the oracle simple)
     "q82_ann_search_exact"     -> ((s, d) => {

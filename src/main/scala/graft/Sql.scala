@@ -68,7 +68,12 @@ object Sql {
       "graft_ann_topk"       -> (() => Similarity.q44(embs)),
       "graft_langid"         -> (() => TextAnalysis.q47(docs)),
       "graft_quality"        -> (() => TextAnalysis.q48(docs)),
-      "graft_token_counts"   -> (() => TextAnalysis.q49(docs))
+      "graft_token_counts"   -> (() => TextAnalysis.q49(docs)),
+      "graft_tfidf"          -> (() => TextAnalysis.q89(docs)),
+      "graft_bpe_merges"     -> (() => TextAnalysis.q98(docs)),
+      "graft_bigram_nll"     -> (() => TextAnalysis.q99(docs)),
+      "graft_feature_hash"   -> (() => TextAnalysis.q100(docs)),
+      "graft_gram_matrix"    -> (() => Similarity.q97(embs))
     )
     views.map { case (name, mk) => mk().createOrReplaceTempView(name); name }
   }

@@ -555,6 +555,29 @@ object TextAnalysis {
       .limit(topMerges)
   }
 
+  /** q100: FEATURE HASHING (the hashing trick) — fixed-width token-count
+    * featurization: every token maps to one of `buckets` feature slots
+    * via the engine-portable polynomial fingerprint (the q50 hash, a
+    * native codegen'd expression), counts aggregate per (doc, bucket).
+    * This is the cheap featurizer a quality classifier or clustering
+    * pre-pass runs over the corpus when a learned embedding is too
+    * expensive — vocabulary-free, so no dictionary broadcast and no OOV
+    * handling at any corpus size. Output is the SPARSE long form
+    * (doc_id, bucket, cnt): downstream trainers consume it directly and
+    * the shuffle carries ≤ `buckets` rows per document. One scan, one
+    * map-side-combined aggregation; pure integer arithmetic → hash-exact
+    * on any engine that can fold the same polynomial. */
+  def q100(documents: DataFrame, buckets: Int = 16): DataFrame =
+    documents
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .select(col("doc_id"),
+        pmod(graft.functions.PolyFingerprint(col("tok")),
+          lit(buckets.toLong)).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("doc_id"), col("bucket"))
+
   /** q99: BIGRAM-LM CROSS-ENTROPY — per-document average negative
     * log-probability under an add-one-smoothed bigram language model
     * trained on the corpus itself (the KenLM-style perplexity quality

@@ -68,6 +68,17 @@ class SqlSurfaceSpec extends GraftSpec {
       "SELECT qid, nid, cos FROM graft_ann_topk WHERE rk = 1 ORDER BY qid")
     assert(ann.collect().nonEmpty)
 
+    // round-7 text/embedding operators reachable by SQL text only
+    assert(spark.sql(
+      "SELECT a, b, cnt FROM graft_bpe_merges WHERE cnt > 1").collect().nonEmpty)
+    assert(spark.sql(
+      "SELECT doc_id FROM graft_bigram_nll WHERE avg_nll > 0").collect().nonEmpty)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_feature_hash").collect()(0).getLong(0) > 0)
+    assert(spark.sql(
+      "SELECT gram FROM graft_gram_matrix WHERE i = j AND gram < 0")
+      .collect().isEmpty)   // diagonal of a Gram matrix is non-negative
+
     // iterative operators materialize on demand (clusters run a
     // driver fixpoint loop, so they are tables, not lazy views)
     val tables = Sql.materializePipelineTables(spark)

@@ -248,4 +248,16 @@ class TextAnalysisSpec extends GraftSpec {
     val d = Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text")
     assert(TextAnalysis.q99(d).collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(2L))
   }
+
+  test("q100 feature hashing buckets by the q50 polynomial fold") {
+    val d = Seq((1L, "ab ab ba cd")).toDF("doc_id", "text")
+    def fp(s: String) = s.foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+    val expected = Seq("ab", "ab", "ba", "cd")
+      .groupBy(t => fp(t) % 16).map { case (b, ts) => b -> ts.size.toLong }
+    val r = TextAnalysis.q100(d).collect()
+      .map(x => x.getAs[Long]("bucket") -> x.getAs[Long]("cnt")).toMap
+    assert(r == expected)
+    // counts conserve the token stream
+    assert(r.values.sum == 4L)
+  }
 }
