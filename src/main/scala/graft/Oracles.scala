@@ -1043,6 +1043,130 @@ object Oracles {
                (h, c) -> (h*31 + c) % 1000000007) % 16 AS bucket
            FROM t)
          SELECT doc_id, bucket, COUNT(*) AS cnt FROM h
-         GROUP BY doc_id, bucket ORDER BY doc_id, bucket"""
+         GROUP BY doc_id, bucket ORDER BY doc_id, bucket""",
+
+    // distinct 3-grams are built row-locally (list_distinct) exactly as
+    // the Spark side does before any explode; docs <3 tokens drop out
+    "q101_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+                       FROM documents),
+         grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+           FROM toks WHERE len(w) >= 3),
+         df AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM grams GROUP BY g)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df.df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           CAST(SUM(CASE WHEN df.df >= 5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS boiler_frac
+         FROM grams JOIN df USING(g)
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    // q58/q80/q91 multiplicative-hash family, salt 77003; doc_id >= 0 so
+    // % == pmod; keep test is the same double product both engines
+    "q102_mix_resample" ->
+      """WITH p AS (SELECT source,
+             (((doc_id % 1000000007) * 2654435761) % 1000000007 + 77003)
+               % 1000000007 AS h
+           FROM documents),
+         c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM p GROUP BY source),
+         t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot,
+                      CAST(COUNT(*) AS BIGINT) AS n_sources FROM c),
+         r AS (SELECT source, n_docs,
+             least(1.0, CAST(tot AS DOUBLE) / CAST(n_sources * n_docs AS DOUBLE))
+               AS keep_rate
+           FROM c CROSS JOIN t)
+         SELECT r.source, r.n_docs, r.keep_rate,
+           CAST(SUM(CASE WHEN CAST(p.h AS DOUBLE) < r.keep_rate * 1000000007.0
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         FROM p JOIN r USING(source)
+         GROUP BY r.source, r.n_docs, r.keep_rate
+         ORDER BY r.source""",
+
+    // q44's ordered-fold cosine, extended with neighbor labels and a
+    // majority vote; ties break (votes DESC, nlabel) in both engines
+    "q103_knn_label" ->
+      """WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, label, v,
+           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(v, x -> x*x)), (a,b) -> a+b)) AS norm FROM e),
+         p AS (SELECT q.vec_id AS qid, c.vec_id AS nid, c.label AS nlabel,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1,65), i -> q.v[i]*c.v[i])), (a,b) -> a+b)
+             / (q.norm * c.norm) AS cos
+           FROM n q JOIN n c ON q.vec_id <> c.vec_id WHERE q.vec_id < 50),
+         r AS (SELECT qid, nlabel, cos,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+           FROM p),
+         v AS (SELECT qid, nlabel, CAST(COUNT(*) AS BIGINT) AS votes
+           FROM r WHERE rk <= 5 GROUP BY qid, nlabel),
+         m AS (SELECT qid, nlabel, votes,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, nlabel)
+             AS vrk FROM v)
+         SELECT m.qid, emb.label AS true_label, m.nlabel AS pred_label, m.votes
+         FROM m JOIN embeddings emb ON m.qid = emb.vec_id
+         WHERE m.vrk = 1 ORDER BY m.qid""",
+
+    // q100's polynomial-fingerprint bucket, deterministic signed weight
+    // ((b+1)*A mod P) - (P-1)/2; INTEGER accumulation so the one float
+    // divide at the end is hash-exact with no sorted-fold crutch
+    "q104_quality_hash_lr" ->
+      """WITH t AS (SELECT doc_id,
+             unnest(string_split(lower(trim(text)), ' ')) AS tok
+           FROM documents),
+         b AS (SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(tok, ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (h, c) -> (h*31 + c) % 1000000007) % 16 AS bucket
+           FROM t),
+         w AS (SELECT doc_id,
+             ((bucket + 1) * 2654435761) % 1000000007 - 500000003 AS w FROM b),
+         s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                      CAST(SUM(w) AS BIGINT) AS score_num
+               FROM w GROUP BY doc_id)
+         SELECT doc_id, n_tokens, score_num,
+           CAST(score_num AS DOUBLE) / (1000000007.0 * CAST(n_tokens AS DOUBLE))
+             AS score,
+           CAST(score_num AS DOUBLE) / (1000000007.0 * CAST(n_tokens AS DOUBLE))
+             > 0.0 AS keep
+         FROM s ORDER BY doc_id""",
+
+    // q64's recursive-CTE clusters + q48's quality expression (same
+    // fixed-order weighted sum); survivor = argmax quality, tie doc_id
+    "q105_canonical_pick" ->
+      s"""WITH RECURSIVE pairs AS ($Q41Sql),
+         e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+               UNION SELECT doc_b, doc_a FROM pairs),
+         reach(u, v) AS (
+           SELECT u, v FROM e
+           UNION
+           SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u WHERE e2.v <> r.u),
+         cl AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS label
+                FROM reach GROUP BY u),
+         qb AS (SELECT doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT)
+               AS n_distinct,
+             CAST(len(list_filter(string_split(trim(text), ' '),
+               t -> lower(t) IN ('the','a','and','of','data','row'))) AS BIGINT)
+               AS n_stop
+           FROM documents),
+         qual AS (SELECT doc_id,
+             (CAST(n_distinct AS DOUBLE)/n_tokens)*0.4 +
+             least(1.0, CAST(n_tokens AS DOUBLE)/100.0)*0.3 +
+             (CAST(n_stop AS DOUBLE)/n_tokens)*0.3 AS quality
+           FROM qb),
+         rk AS (SELECT cl.label, cl.doc_id, qual.quality,
+             ROW_NUMBER() OVER (PARTITION BY cl.label
+               ORDER BY qual.quality DESC, cl.doc_id) AS rn
+           FROM cl JOIN qual USING(doc_id)),
+         m AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members
+               FROM cl GROUP BY label)
+         SELECT rk.label, rk.doc_id AS survivor, m.n_members,
+           rk.quality AS best_quality
+         FROM rk JOIN m USING(label) WHERE rk.rn = 1 ORDER BY rk.label"""
   )
 }

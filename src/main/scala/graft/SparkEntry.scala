@@ -119,6 +119,11 @@ object SparkEntry {
     "q98_bpe_merges"           -> ((s, d) => TextAnalysis.q98(documents(s, d))),
     "q99_bigram_logprob"       -> ((s, d) => TextAnalysis.q99(documents(s, d))),
     "q100_feature_hash"        -> ((s, d) => TextAnalysis.q100(documents(s, d))),
+    "q101_boilerplate"         -> ((s, d) => TextAnalysis.q101(documents(s, d))),
+    "q102_mix_resample"        -> ((s, d) => TextAnalysis.q102(documents(s, d))),
+    "q103_knn_label"           -> ((s, d) => Similarity.q103(embeddings(s, d))),
+    "q104_quality_hash_lr"     -> ((s, d) => TextAnalysis.q104(documents(s, d))),
+    "q105_canonical_pick"      -> ((s, d) => Pipeline.q105(documents(s, d))),
     // external-query ANN: first 20 vectors are the "new batch", the rest
     // are the served corpus (disjoint id ranges keep the oracle simple)
     "q82_ann_search_exact"     -> ((s, d) => {

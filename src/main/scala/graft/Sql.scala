@@ -73,7 +73,11 @@ object Sql {
       "graft_bpe_merges"     -> (() => TextAnalysis.q98(docs)),
       "graft_bigram_nll"     -> (() => TextAnalysis.q99(docs)),
       "graft_feature_hash"   -> (() => TextAnalysis.q100(docs)),
-      "graft_gram_matrix"    -> (() => Similarity.q97(embs))
+      "graft_gram_matrix"    -> (() => Similarity.q97(embs)),
+      "graft_boilerplate"    -> (() => TextAnalysis.q101(docs)),
+      "graft_mix_resample"   -> (() => TextAnalysis.q102(docs)),
+      "graft_knn_labels"     -> (() => Similarity.q103(embs)),
+      "graft_quality_lr"     -> (() => TextAnalysis.q104(docs))
     )
     views.map { case (name, mk) => mk().createOrReplaceTempView(name); name }
   }
@@ -90,7 +94,8 @@ object Sql {
     val tables: Seq[(String, () => DataFrame)] = Seq(
       "graft_dedup_clusters" -> (() => Dedup.q64(docs)),
       "graft_media_clean"    -> (() => Multimodal.q94(spark, docs)),
-      "graft_embed_clusters" -> (() => graft.operators.Similarity.q96(spark.table("embeddings")))
+      "graft_embed_clusters" -> (() => graft.operators.Similarity.q96(spark.table("embeddings"))),
+      "graft_canonical_pick" -> (() => graft.operators.Pipeline.q105(docs))
     )
     tables.map { case (name, mk) => mk().createOrReplaceTempView(name); name }
   }

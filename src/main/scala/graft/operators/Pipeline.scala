@@ -48,4 +48,36 @@ object Pipeline {
       .select(col("doc_id"), col("clean_text"), col("clean_tokens"))
       .orderBy(col("doc_id"))
   }
+
+  /** q105: CANONICAL SELECTION — pick each near-dup cluster's survivor
+    * by QUALITY instead of min-id: the survivorship policy a production
+    * dedup actually wants ("keep the best copy", not "keep the first
+    * crawl"). Composes two existing operators: q64's connected
+    * components give cluster membership, q48's deterministic quality
+    * score ranks members; the argmax is a per-cluster window with ties
+    * broken on doc_id. Reports each cluster with its survivor, size,
+    * and the winning quality.
+    *
+    * Scale shape: clusters and scores join on doc_id (hash shuffle of
+    * id-sized rows); the per-cluster window is partitioned BY LABEL and
+    * WindowGroupLimit caps its state at one row per cluster; the member
+    * count partial-aggregates from the same cluster frame. Ranking on a
+    * double is deterministic because q48's score is bit-identical across
+    * engines (§6 fixed-order weighted sum). */
+  def q105(documents: DataFrame): DataFrame = {
+    val cl = Dedup.q64(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qual = TextAnalysis.q48(documents)
+      .select(col("doc_id"), col("quality"))
+    val members = cl.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("quality").desc, col("doc_id"))
+    cl.join(qual, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(members, "label")
+      .select(col("label"), col("doc_id").as("survivor"), col("n_members"),
+        col("quality").as("best_quality"))
+      .orderBy(col("label"))
+  }
 }

@@ -424,6 +424,49 @@ object Similarity {
     }
   }
 
+  /** q103: kNN LABEL PROPAGATION — classify each query vector by the
+    * majority label of its k nearest corpus neighbors (exact cosine,
+    * leave-one-out): the embedding-space label-transfer / weak-labeling
+    * pass a curation pipeline runs to tag unlabeled data or audit label
+    * quality (prediction vs recorded label disagreement = a label-noise
+    * candidate). Ties break on the larger vote count, then the smaller
+    * label id — deterministic in both engines because cosine scores are
+    * bit-identical (§6 DotProduct fold discipline).
+    *
+    * Plan shape at scale: the query batch broadcasts (queries are few
+    * by construction — here the first 50 ids); the corpus STREAMS
+    * partition-local through the scoring join, the per-query top-k
+    * window is WindowGroupLimit-capped at k rows per query, and the
+    * vote/argmax aggregates touch only k·|queries| rows. Nothing
+    * pairwise ever shuffles. At a 100 TB corpus swap the candidate
+    * stage for [[search]] (LSH) — the vote/argmax tail is unchanged. */
+  def q103(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val n = normalized(embeddings)
+    val lab = embeddings.select(col("vec_id"), col("label"))
+    val q = n.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+    val c = n.select(col("vec_id").as("nid"), col("v").as("nv"), col("norm").as("nn"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    val top = broadcast(q).join(c, col("qid") =!= col("nid"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"))
+    val votes = top
+      .join(lab.select(col("vec_id").as("nid"), col("label").as("nlabel")), "nid")
+      .groupBy(col("qid"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+    val wVote = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("nlabel"))
+    votes
+      .withColumn("vrk", row_number().over(wVote))
+      .filter(col("vrk") === 1)
+      .join(lab.select(col("vec_id").as("qid"), col("label").as("true_label")), "qid")
+      .select(col("qid"), col("true_label"), col("nlabel").as("pred_label"),
+        col("votes"))
+      .orderBy(col("qid"))
+  }
+
   /** q97: embedding GRAM MATRIX — the d×d second-moment accumulation a
     * PCA / whitening / SemDeDup-style pipeline computes before any
     * projection: G[i][j] = Σ_v x_i·x_j over every corpus vector, upper

@@ -578,6 +578,117 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("doc_id"), col("bucket"))
 
+  /** q101: BOILERPLATE n-gram report — the RefinedWeb/C4-style signal
+    * for template text: a word-3-gram that appears in many documents
+    * (nav bars, license headers, cookie banners) is boilerplate, and a
+    * document dominated by such grams is template spam. Per document:
+    * distinct 3-grams, how many are corpus-common (doc frequency ≥
+    * `minDf`), and the boilerplate fraction a filter would threshold on.
+    *
+    * Plan shape at scale: the distinct-gram set is computed ROW-LOCALLY
+    * (array_distinct over the token array — no explode before the
+    * dedup), so the (doc_id, g) stream the aggregations see is already
+    * per-doc-distinct. One shuffle on g builds the doc-frequency table;
+    * the join back is on g again (AQE reuses the partitioning) and the
+    * per-doc rollup partial-aggregates map-side. Shuffles carry
+    * (doc_id, gram) pairs — never documents. Docs under 3 tokens have
+    * no grams and drop out (same rule in the oracle). Counts are exact
+    * longs; the fraction is one double divide (§6). */
+  def q101(documents: DataFrame, minDf: Long = 5L): DataFrame = {
+    val grams = graft.operators.Dedup.shingles(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams.join(df, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        col("n_boiler").cast("double") / col("n_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+        col("boiler_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q102: MIX RESAMPLING to a target distribution — the data-mixing
+    * step that takes q70's diagnosis and actually executes it: compute
+    * each source's deterministic keep-rate for a UNIFORM target mix
+    * (rate_s = min(1, (total/n_sources)/n_s)) and down-sample every
+    * over-represented source with the engine-portable multiplicative
+    * hash (q58/q80/q91 family, its own salt) — reproducible on any
+    * engine, any layout, any rerun, unlike rand()-based sampling.
+    * Reports per source: size before, the keep-rate applied, and the
+    * achieved sample size.
+    *
+    * Plan shape at scale: ONE corpus scan persists the narrow
+    * (source, h) projection; per-source counts aggregate from it
+    * (partial map-side), the ≤#sources-row rate table broadcasts back
+    * over the same projection, and the achieved-count aggregate is a
+    * second partial-agg over cached rows — the corpus itself is never
+    * re-read and never shuffled (only (source, h) pairs move). The
+    * rate is one double divide of exact longs; the keep test
+    * h < rate·P is the same double product in both engines (§6). */
+  def q102(documents: DataFrame): DataFrame = {
+    val P = 1000000007L
+    val h = pmod(
+      pmod(pmod(col("doc_id"), lit(P)) * lit(2654435761L), lit(P)) +
+        lit(77003L), lit(P))
+    val proj = documents.select(col("source"), h.as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val per = proj.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = per.agg(sum(col("n_docs")).as("tot"),
+      count(lit(1)).as("n_sources"))
+    val rates = per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        least(lit(1.0), col("tot").cast("double") /
+          (col("n_sources") * col("n_docs")).cast("double")).as("keep_rate"))
+    proj.join(broadcast(rates), "source")
+      .groupBy(col("source"))
+      .agg(first(col("n_docs")).as("n_docs"),
+        first(col("keep_rate")).as("keep_rate"),
+        sum(when(col("h").cast("double") < col("keep_rate") * lit(P.toDouble),
+          1L).otherwise(0L)).as("n_sampled"))
+      .orderBy(col("source"))
+  }
+
+  /** q104: LINEAR QUALITY SCORER over hashed features — the cheap
+    * trained-classifier shape (fastText/logistic-regression quality
+    * gates ala CCNet/C4) run as pure SQL arithmetic: every token maps
+    * to one of 16 hashed buckets (the q100 featurizer), each bucket
+    * carries a fixed signed weight, and a document's score is the
+    * weight-sum normalized by length; `keep` is the sign gate. Weights
+    * here are a deterministic hash of the bucket id — the PLUMBING is
+    * the operator (swap in learned weights via the `weights` column
+    * expression without touching the plan).
+    *
+    * Float discipline (§6): the accumulation is INTEGER — per-token
+    * weight numerators sum exactly (order-independent, partial-agg
+    * map-side, constant per-group state), and the only float op is the
+    * final single divide score_num/(P·n_tokens). That makes a float
+    * score hash-exact across engines with no sorted-fold crutch — the
+    * 100 TB form and the audit form are the SAME plan. One token scan,
+    * one partial-aggregated shuffle on doc_id. */
+  def q104(documents: DataFrame, buckets: Int = 16): DataFrame = {
+    val P = 1000000007L
+    val bucket = pmod(graft.functions.PolyFingerprint(col("tok")),
+      lit(buckets.toLong))
+    val w = pmod((col("bucket") + lit(1L)) * lit(2654435761L), lit(P)) -
+      lit((P - 1) / 2)
+    documents
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .select(col("doc_id"), bucket.as("bucket"))
+      .select(col("doc_id"), w.as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score_num"))
+      .withColumn("score", col("score_num").cast("double") /
+        (lit(P.toDouble) * col("n_tokens").cast("double")))
+      .withColumn("keep", col("score") > 0.0)
+      .select(col("doc_id"), col("n_tokens"), col("score_num"),
+        col("score"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q99: BIGRAM-LM CROSS-ENTROPY — per-document average negative
     * log-probability under an add-one-smoothed bigram language model
     * trained on the corpus itself (the KenLM-style perplexity quality

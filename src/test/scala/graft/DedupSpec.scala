@@ -118,4 +118,20 @@ class DedupSpec extends GraftSpec {
     assert(r12.getAs[Long]("na") == 2L && r12.getAs[Long]("nb") == 2L)
     assert(r12.getAs[Double]("jaccard") == 1.0 / 3.0)
   }
+
+  test("q105 canonical pick: the higher-quality member survives, not the min id") {
+    import graft.operators.Pipeline
+    // docs 1/2 share 8 of 9 3-grams (J = 8/9 > 0.8); doc 2 is one token
+    // longer → higher len_score → higher quality, so it must win the
+    // cluster even though q64's canonical LABEL is the min id 1
+    val base = "aa bb cc dd ee ff gg hh ii jj"
+    val docs = Seq(
+      (1L, base), (2L, base + " kk"), (3L, "unrelated text entirely here")
+    ).toDF("doc_id", "text")
+    val r = Pipeline.q105(docs).collect()
+    assert(r.length == 1)                 // doc 3 is in no cluster
+    assert(r.head.getAs[Long]("label") == 1L)
+    assert(r.head.getAs[Long]("survivor") == 2L)
+    assert(r.head.getAs[Long]("n_members") == 2L)
+  }
 }

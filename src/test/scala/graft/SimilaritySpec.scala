@@ -228,4 +228,21 @@ class SimilaritySpec extends GraftSpec {
       assert(math.abs(a - x) < 1e-6, s"cell=$ij sum=$a fold=$x")
     }
   }
+
+  test("q103 kNN label vote: majority wins, vote ties break on the smaller label") {
+    import spark.implicits._
+    // query 0 + five neighbors: labels {1,1,2,2,3} → 2-2 vote tie → label 1
+    val e = Seq(
+      (0L, Array(1f, 0f), 9),
+      (100L, Array(1f, 0.01f), 1), (101L, Array(1f, -0.01f), 1),
+      (102L, Array(0.9f, 0.1f), 2), (103L, Array(0.9f, -0.1f), 2),
+      (104L, Array(0.7f, 0.3f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.q103(e).collect()
+    assert(r.length == 1)                 // only vec_id < 50 is a query
+    assert(r.head.getAs[Long]("qid") == 0L)
+    assert(r.head.getAs[Int]("true_label") == 9)
+    assert(r.head.getAs[Int]("pred_label") == 1)
+    assert(r.head.getAs[Long]("votes") == 2L)
+  }
 }

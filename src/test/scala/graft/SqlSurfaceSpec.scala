@@ -78,6 +78,19 @@ class SqlSurfaceSpec extends GraftSpec {
     assert(spark.sql(
       "SELECT gram FROM graft_gram_matrix WHERE i = j AND gram < 0")
       .collect().isEmpty)   // diagonal of a Gram matrix is non-negative
+    assert(spark.sql(
+      "SELECT doc_id FROM graft_boilerplate WHERE boiler_frac > 1.0")
+      .collect().isEmpty)   // a fraction stays in [0, 1]
+    // resample rates hit the uniform target or clamp at 1
+    assert(spark.sql(
+      "SELECT source FROM graft_mix_resample WHERE keep_rate > 1.0 OR n_sampled > n_docs")
+      .collect().isEmpty)
+    assert(spark.sql(
+      "SELECT qid FROM graft_knn_labels WHERE votes BETWEEN 1 AND 5")
+      .collect().nonEmpty)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_quality_lr WHERE keep = (score > 0)")
+      .collect()(0).getLong(0) > 0)
 
     // iterative operators materialize on demand (clusters run a
     // driver fixpoint loop, so they are tables, not lazy views)
@@ -90,6 +103,12 @@ class SqlSurfaceSpec extends GraftSpec {
     assert(spark.sql(
       "SELECT count(*) FROM graft_media_clean WHERE status = 'kept'")
       .collect()(0).getLong(0) > 0)
+    // canonical pick: every survivor belongs to the cluster it wins
+    assert(spark.sql(
+      """SELECT p.label FROM graft_canonical_pick p
+         LEFT JOIN graft_dedup_clusters c
+           ON p.survivor = c.doc_id AND p.label = c.label
+         WHERE c.doc_id IS NULL""").collect().isEmpty)
   }
 
   test("EXPLAIN and SHOW surfaces respond through SQL text") {

@@ -260,4 +260,54 @@ class TextAnalysisSpec extends GraftSpec {
     // counts conserve the token stream
     assert(r.values.sum == 4L)
   }
+
+  test("q101 boilerplate: shared 3-gram flagged at minDf, unique doc clean") {
+    val d = Seq(
+      (1L, "cookie banner text aa bb cc"),  // 4 grams, 1 shared
+      (2L, "cookie banner text dd ee"),
+      (3L, "cookie banner text ff gg"),
+      (4L, "xx yy zz ww")                   // 2 grams, none shared
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.q101(d, minDf = 3L).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_grams"), x.getAs[Long]("n_boiler"),
+          x.getAs[Double]("boiler_frac"))).toMap
+    assert(r(1L) == ((4L, 1L, 0.25)))      // only "cookie banner text" (df=3)
+    assert(r(2L) == ((3L, 1L, 1.0 / 3)))
+    assert(r(4L) == ((2L, 0L, 0.0)))
+  }
+
+  test("q102 resample: under-represented source kept whole, rates hit the uniform target") {
+    val d = (1L to 8L).map(i => (i, "srcA")) ++ Seq((9L, "srcB"), (10L, "srcB"))
+    val docs = d.toDF("doc_id", "source")
+    val r = TextAnalysis.q102(docs).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_docs"), x.getAs[Double]("keep_rate"),
+          x.getAs[Long]("n_sampled"))).toMap
+    // total 10, 2 sources → target 5/source
+    assert(r("srcA")._1 == 8L && r("srcA")._2 == 10.0 / 16.0)
+    assert(r("srcB") == ((2L, 1.0, 2L)))   // rate clamps at 1, nothing dropped
+    assert(r("srcA")._3 <= 8L)
+    // deterministic: a rerun draws the identical sample
+    val again = TextAnalysis.q102(docs).collect()
+      .map(x => x.getAs[String]("source") -> x.getAs[Long]("n_sampled")).toMap
+    assert(again("srcA") == r("srcA")._3)
+  }
+
+  test("q104 linear scorer: integer weight-sum matches the hand fold, keep == sign") {
+    val d = Seq((1L, "a"), (2L, "a b a")).toDF("doc_id", "text")
+    val P = 1000000007L
+    def fp(s: String) = s.foldLeft(0L)((h, c) => (h * 31 + c) % P)
+    def w(tok: String) = ((fp(tok) % 16 + 1) * 2654435761L) % P - (P - 1) / 2
+    val r = TextAnalysis.q104(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("score_num"),
+          x.getAs[Double]("score"), x.getAs[Boolean]("keep"))).toMap
+    assert(r(1L)._1 == 1L && r(1L)._2 == w("a"))
+    assert(r(2L)._1 == 3L && r(2L)._2 == 2 * w("a") + w("b"))
+    r.values.foreach { case (n, num, s, keep) =>
+      assert(s == num.toDouble / (P.toDouble * n))
+      assert(keep == (s > 0.0))
+    }
+  }
 }
