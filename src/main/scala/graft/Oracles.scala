@@ -1167,6 +1167,43 @@ object Oracles {
                FROM cl GROUP BY label)
          SELECT rk.label, rk.doc_id AS survivor, m.n_members,
            rk.quality AS best_quality
-         FROM rk JOIN m USING(label) WHERE rk.rn = 1 ORDER BY rk.label"""
+         FROM rk JOIN m USING(label) WHERE rk.rn = 1 ORDER BY rk.label""",
+
+    // exact percentiles: quantile_cont == Spark `percentile` (the
+    // (n-1)·p interpolation rule, proven cross-engine by q23)
+    "q106_source_profile" ->
+      """WITH d AS (SELECT source,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n
+           FROM documents)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_tokens,
+           quantile_cont(n, 0.5) AS median_tokens,
+           quantile_cont(n, 0.9) AS p90_tokens,
+           CAST(SUM(CASE WHEN n < 20 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS short_frac
+         FROM d GROUP BY source ORDER BY source""",
+
+    // q91's split hash recomputed on the gram stream; distinct train
+    // grams LEFT JOIN onto test-doc grams, per-doc rollup
+    "q107_split_decontam" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+                       FROM documents),
+         grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+           FROM toks WHERE len(w) >= 3),
+         sg AS (SELECT doc_id, g,
+             (((doc_id % 1000000007) * 2654435761) % 1000000007 + 40490) % 100
+               AS h
+           FROM grams),
+         tg AS (SELECT DISTINCT g FROM sg WHERE h < 80),
+         te AS (SELECT doc_id, sg.g FROM sg WHERE h >= 90)
+         SELECT te.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS leaked,
+           CAST(SUM(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS leak_frac
+         FROM te LEFT JOIN tg ON te.g = tg.g
+         GROUP BY te.doc_id ORDER BY te.doc_id"""
   )
 }

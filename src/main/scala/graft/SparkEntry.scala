@@ -124,6 +124,8 @@ object SparkEntry {
     "q103_knn_label"           -> ((s, d) => Similarity.q103(embeddings(s, d))),
     "q104_quality_hash_lr"     -> ((s, d) => TextAnalysis.q104(documents(s, d))),
     "q105_canonical_pick"      -> ((s, d) => Pipeline.q105(documents(s, d))),
+    "q106_source_profile"      -> ((s, d) => TextAnalysis.q106(documents(s, d))),
+    "q107_split_decontam"      -> ((s, d) => TextAnalysis.q107(documents(s, d))),
     // external-query ANN: first 20 vectors are the "new batch", the rest
     // are the served corpus (disjoint id ranges keep the oracle simple)
     "q82_ann_search_exact"     -> ((s, d) => {

@@ -77,7 +77,9 @@ object Sql {
       "graft_boilerplate"    -> (() => TextAnalysis.q101(docs)),
       "graft_mix_resample"   -> (() => TextAnalysis.q102(docs)),
       "graft_knn_labels"     -> (() => Similarity.q103(embs)),
-      "graft_quality_lr"     -> (() => TextAnalysis.q104(docs))
+      "graft_quality_lr"     -> (() => TextAnalysis.q104(docs)),
+      "graft_source_profile" -> (() => TextAnalysis.q106(docs)),
+      "graft_split_decontam" -> (() => TextAnalysis.q107(docs))
     )
     views.map { case (name, mk) => mk().createOrReplaceTempView(name); name }
   }

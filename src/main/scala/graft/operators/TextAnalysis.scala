@@ -689,6 +689,70 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q106: per-SOURCE corpus profile — the length-distribution summary
+    * a curation dashboard shows per data source: doc count, token
+    * volume, mean/median/p90 document length, and the short-doc
+    * fraction a length floor would drop. q59's profiling idea applied
+    * to the corpus mix (q70's volumes + distribution shape).
+    *
+    * One scan, one partial-aggregated shuffle on source. The exact
+    * percentiles hold per-group state ∝ DISTINCT doc lengths (bounded
+    * by the max token count, not by group row count) — safe at corpus
+    * scale; swap `percentile` for `percentile_approx` if doc lengths
+    * were unbounded. Means are one double divide of exact longs;
+    * percentile interpolation is the same (n−1)·p rule in both
+    * engines (§6, proven by q23). */
+  def q106(documents: DataFrame, shortTokens: Int = 20): DataFrame = {
+    val n = size(split(trim(col("text")), " ")).cast("long")
+    documents
+      .select(col("source"), n.as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_tokens"),
+        expr("percentile(n, 0.5)").as("median_tokens"),
+        expr("percentile(n, 0.9)").as("p90_tokens"),
+        sum(when(col("n") < shortTokens, 1L).otherwise(0L)).as("n_short"))
+      .withColumn("mean_tokens",
+        col("n_tokens").cast("double") / col("n_docs"))
+      .withColumn("short_frac",
+        col("n_short").cast("double") / col("n_docs"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("mean_tokens"), col("median_tokens"), col("p90_tokens"),
+        col("short_frac"))
+      .orderBy(col("source"))
+  }
+
+  /** q107: cross-SPLIT decontamination — the train/test leakage check a
+    * pipeline runs after q91 fixes the hold-out: for every TEST-split
+    * document, how many of its distinct 3-grams also occur anywhere in
+    * the TRAIN split (Lee et al.'s eval-contamination concern, applied
+    * to the corpus' own splits). Complements q69: there the probe set
+    * is a small benchmark and BROADCASTS; here the train side is ~80%
+    * of the corpus, so the gram match is a SHUFFLE equi-join on the
+    * gram — distinct train grams are one hash shuffle on g, the test
+    * stream joins on the same key (partitioning reused), and the
+    * per-doc rollup partial-aggregates. Nothing is ever driver-side or
+    * broadcast-sized. Split assignment recomputes q91's pure hash of
+    * doc_id on the gram stream — a projection, not a join. */
+  def q107(documents: DataFrame): DataFrame = {
+    val P = 1000000007L
+    def h(c: Column) = pmod(
+      pmod(pmod(c, lit(P)) * lit(2654435761L), lit(P)) + lit(40490L),
+      lit(100L))
+    val sg = graft.operators.Dedup.shingles(documents)
+      .withColumn("h", h(col("doc_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trainG = sg.filter(col("h") < 80)
+      .select(col("g")).distinct().withColumn("hit", lit(1))
+    sg.filter(col("h") >= 90)
+      .join(trainG, Seq("g"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("leaked"))
+      .withColumn("leak_frac",
+        col("leaked").cast("double") / col("n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q99: BIGRAM-LM CROSS-ENTROPY — per-document average negative
     * log-probability under an add-one-smoothed bigram language model
     * trained on the corpus itself (the KenLM-style perplexity quality

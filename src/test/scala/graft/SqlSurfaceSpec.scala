@@ -91,6 +91,12 @@ class SqlSurfaceSpec extends GraftSpec {
     assert(spark.sql(
       "SELECT count(*) FROM graft_quality_lr WHERE keep = (score > 0)")
       .collect()(0).getLong(0) > 0)
+    assert(spark.sql(
+      "SELECT source FROM graft_source_profile WHERE median_tokens > p90_tokens")
+      .collect().isEmpty)   // quantiles are monotone
+    assert(spark.sql(
+      "SELECT doc_id FROM graft_split_decontam WHERE leaked > n_grams")
+      .collect().isEmpty)
 
     // iterative operators materialize on demand (clusters run a
     // driver fixpoint loop, so they are tables, not lazy views)

@@ -294,6 +294,46 @@ class TextAnalysisSpec extends GraftSpec {
     assert(again("srcA") == r("srcA")._3)
   }
 
+  test("q106 source profile: exact interpolated percentiles and short fraction") {
+    val d = Seq(
+      (1L, "srcA", "a"), (2L, "srcA", "a b"), (3L, "srcA", "a b c"),
+      (4L, "srcA", "a b c d"), (5L, "srcA", "a b c d e"),
+      (6L, "srcB", "z z z")
+    ).toDF("doc_id", "source", "text")
+    val r = TextAnalysis.q106(d, shortTokens = 3).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    val a = r("srcA")
+    assert(a.getAs[Long]("n_docs") == 5L && a.getAs[Long]("n_tokens") == 15L)
+    assert(a.getAs[Double]("mean_tokens") == 3.0)
+    assert(a.getAs[Double]("median_tokens") == 3.0)
+    // (n-1)*0.9 = 3.6 → 4 + 0.6*(5-4)
+    assert(math.abs(a.getAs[Double]("p90_tokens") - 4.6) < 1e-12)
+    assert(a.getAs[Double]("short_frac") == 0.4)   // lengths 1, 2 of 5
+    assert(r("srcB").getAs[Double]("median_tokens") == 3.0)
+  }
+
+  test("q107 decontamination: test doc sharing train grams flagged, valid split ignored") {
+    val P = 1000000007L
+    def h(id: Long) = ((id % P) * 2654435761L % P + 40490L) % 100L
+    val trainId = (1L to 200L).find(h(_) < 80).get
+    val validId = (1L to 200L).find(id => h(id) >= 80 && h(id) < 90).get
+    val testIds = (1L to 200L).filter(h(_) >= 90)
+    val (t1, t2) = (testIds(0), testIds(1))
+    val d = Seq(
+      (trainId, "x y z w v"),   // train grams: x y z | y z w | z w v
+      (validId, "m n o p"),     // valid split: must count for NO side
+      (t1, "x y z w q"),        // shares 2 of its 3 grams with train
+      (t2, "m n o p")           // overlaps only the VALID doc → clean
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.q107(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_grams"), x.getAs[Long]("leaked"),
+          x.getAs[Double]("leak_frac"))).toMap
+    assert(r.keySet == Set(t1, t2)) // only test docs reported
+    assert(r(t1) == ((3L, 2L, 2.0 / 3)))
+    assert(r(t2) == ((2L, 0L, 0.0)))
+  }
+
   test("q104 linear scorer: integer weight-sum matches the hand fold, keep == sign") {
     val d = Seq((1L, "a"), (2L, "a b a")).toDF("doc_id", "text")
     val P = 1000000007L
