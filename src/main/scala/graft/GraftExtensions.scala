@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, PolyFingerprint}
+import graft.functions.{DotProduct, DotProductInt, PolyFingerprint}
 
 /** SQL-surface registration for graft's native expressions: sessions
   * built with `spark.sql.extensions=graft.GraftExtensions` can call
@@ -20,6 +20,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"graft_dot(array<double>, array<double>) takes 2 arguments, got ${children.length}")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot_int"),
+      new ExpressionInfo(classOf[DotProductInt].getName, "graft_dot_int"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_dot_int(array<int>, array<int>) takes 2 arguments, got ${children.length}")
+        DotProductInt(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_fingerprint"),

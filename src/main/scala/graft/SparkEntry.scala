@@ -126,6 +126,7 @@ object SparkEntry {
     "q105_canonical_pick"      -> ((s, d) => Pipeline.q105(documents(s, d))),
     "q106_source_profile"      -> ((s, d) => TextAnalysis.q106(documents(s, d))),
     "q107_split_decontam"      -> ((s, d) => TextAnalysis.q107(documents(s, d))),
+    "q108_ann_int8"            -> ((s, d) => Similarity.q108(embeddings(s, d))),
     // external-query ANN: first 20 vectors are the "new batch", the rest
     // are the served corpus (disjoint id ranges keep the oracle simple)
     "q82_ann_search_exact"     -> ((s, d) => {

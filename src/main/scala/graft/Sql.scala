@@ -79,7 +79,8 @@ object Sql {
       "graft_knn_labels"     -> (() => Similarity.q103(embs)),
       "graft_quality_lr"     -> (() => TextAnalysis.q104(docs)),
       "graft_source_profile" -> (() => TextAnalysis.q106(docs)),
-      "graft_split_decontam" -> (() => TextAnalysis.q107(docs))
+      "graft_split_decontam" -> (() => TextAnalysis.q107(docs)),
+      "graft_ann_int8"       -> (() => Similarity.q108(embs))
     )
     views.map { case (name, mk) => mk().createOrReplaceTempView(name); name }
   }

@@ -424,6 +424,52 @@ object Similarity {
     }
   }
 
+  /** q108: INT8-QUANTIZED ANN — the serving-path composition q74's
+    * quantization exists for: candidate generation runs entirely over
+    * int8 codes (8× less memory/bandwidth than float64 vectors), the
+    * final top-k re-ranks the surviving `nCandidates` per query in
+    * exact float. Because symmetric quantization divides every
+    * component by one per-vector scale, the scales CANCEL in the
+    * cosine — the integer code dot product over int norms IS the
+    * approximate cosine, no dequantization anywhere in the scoring
+    * loop. Scoring uses [[graft.functions.DotProductInt]] (native
+    * codegen'd long accumulation — exact integers, reproducible under
+    * any accumulation order, no float rounding until the one divide).
+    *
+    * Plan shape at scale: the query batch broadcasts; the corpus
+    * streams through the candidate scorer partition-local (the same
+    * shape as [[searchExact]] but moving 64-byte code arrays instead
+    * of 512-byte doubles); the per-query candidate window is
+    * WindowGroupLimit-capped; the float re-rank is two distributed
+    * joins over only candidate ids ([[rerankTopK]]). Verified by a
+    * recall spec against the exact baseline q44. */
+  def q108(embeddings: DataFrame, k: Int = 5, nCandidates: Int = 50): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val amax = array_max(transform(v, x => abs(x)))
+    val scale = when(amax > 0.0, amax / 127.0).otherwise(lit(1.0))
+    val codes = embeddings
+      .withColumn("scale", scale)
+      .withColumn("qv", transform(v, x => round(x / col("scale")).cast("int")))
+      .withColumn("inorm",
+        sqrt(graft.functions.DotProductInt(col("qv"), col("qv")).cast("double")))
+      .select(col("vec_id"), col("qv"), col("inorm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = codes.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("inorm").as("qn"))
+    val c = codes
+      .select(col("vec_id").as("nid"), col("qv").as("nqv"), col("inorm").as("nn"))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("nid"))
+    val cands = broadcast(q).join(c, col("qid") =!= col("nid"))
+      .withColumn("acos",
+        graft.functions.DotProductInt(col("qqv"), col("nqv")).cast("double") /
+          (col("qn") * col("nn")))
+      .withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= nCandidates)
+      .select(col("qid"), col("nid"))
+    val n = normalized(embeddings).select(col("vec_id"), col("v"), col("norm"))
+    rerankTopK(cands, n, n, k)
+  }
+
   /** q103: kNN LABEL PROPAGATION — classify each query vector by the
     * majority label of its k nearest corpus neighbors (exact cosine,
     * leave-one-out): the embedding-space label-transfer / weak-labeling

@@ -35,6 +35,18 @@ class FunctionsSpec extends GraftSpec {
     assert(df.collect().head.isNullAt(0))
   }
 
+  test("DotProductInt: exact long accumulation, null on length mismatch") {
+    import graft.functions.DotProductInt
+    val df = Seq((Array(127, -128, 3), Array(127, 127, 2)))
+      .toDF("a", "b")
+      .select(DotProductInt(col("a"), col("b")).as("d"))
+    assert(df.collect().head.getLong(0) == 127L * 127 - 128L * 127 + 6)
+    val mism = Seq((Array(1, 2), Array(1)))
+      .toDF("a", "b")
+      .select(DotProductInt(col("a"), col("b")).as("d"))
+    assert(mism.collect().head.isNullAt(0))
+  }
+
   test("PolyFingerprint matches the manual polynomial fold") {
     val fp = Seq((1L, "ab")).toDF("doc_id", "text")
       .select(graft.functions.PolyFingerprint(col("text")).as("f"))

@@ -229,6 +229,17 @@ class SimilaritySpec extends GraftSpec {
     }
   }
 
+  test("q108 int8-quantized ANN: high recall@5 against the exact baseline") {
+    val emb = Tables.embeddings(spark, SF)
+    val exact = Similarity.q44(emb).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val quant = Similarity.q108(emb).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    assert(quant.size == exact.size)       // top-5 per query both ways
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
   test("q103 kNN label vote: majority wins, vote ties break on the smaller label") {
     import spark.implicits._
     // query 0 + five neighbors: labels {1,1,2,2,3} → 2-2 vote tie → label 1
