@@ -470,8 +470,13 @@ object Multimodal {
     * cluster joins on bare ids: payloads never move. */
   def q94(spark: SparkSession, documents: DataFrame,
           maxHamming: Int = 3): DataFrame = {
+    // pin the (doc_id, digest) projection: both the canon aggregate and
+    // the final join consume it, and without the persist each one
+    // re-scans the full corpus text to recompute the md5 — at corpus
+    // scale that is a second 100 TB pass for a 24-byte-per-row frame
     val exact = documents
       .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("dg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exactCanon = exact.groupBy(col("dg")).agg(min(col("doc_id")).as("exact_canon"))
     val labels = graft.operators.Dedup.clusters(
       q93(spark, documents, maxHamming).select(col("doc_a"), col("doc_b")))

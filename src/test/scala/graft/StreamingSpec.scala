@@ -291,6 +291,28 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st14 streaming quality gate: keeps exactly the batch operator's keep set") {
+    // batch q104 on the real corpus decides the expected keep set
+    val docs = Tables.documents(spark, SF)
+    val expected = graft.operators.TextAnalysis.q104(docs)
+      .filter(org.apache.spark.sql.functions.col("keep"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val ms = MemoryStream[(Long, String)]
+    val df = ms.toDF().toDF("doc_id", "text")
+    val q = Streams.qualityGateStream(df)
+      .writeStream.format("memory").queryName("st14_out").outputMode("append").start()
+    try {
+      val rows = docs.select("doc_id", "text").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      ms.addData(rows.toSeq: _*)
+      q.processAllAvailable()
+      val kept = spark.table("st14_out").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(kept == expected)    // row-local fold == shuffle aggregate, bit-exact
+      // stateless plan: no state store rows at all
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("st11 toTable sink: micro-batches land in a metastore table visible to SQL") {
     val ms = MemoryStream[StreamEv]
     spark.sql("DROP TABLE IF EXISTS graft_st11_sink")
