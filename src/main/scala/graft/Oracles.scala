@@ -1204,6 +1204,23 @@ object Oracles {
            CAST(SUM(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*) AS leak_frac
          FROM te LEFT JOIN tg ON te.g = tg.g
-         GROUP BY te.doc_id ORDER BY te.doc_id"""
+         GROUP BY te.doc_id ORDER BY te.doc_id""",
+
+    // md5 hex of the normalized text in both engines; batch = doc_id
+    // divisible by 5, corpus = the rest (mirrors the SparkEntry split)
+    "q109_incremental_dedup" ->
+      """WITH corpus AS (SELECT md5(lower(trim(text))) AS dg FROM documents
+                         WHERE doc_id % 5 <> 0),
+         ingested AS (SELECT DISTINCT dg, 1 AS hit FROM corpus),
+         b AS (SELECT doc_id, md5(lower(trim(text))) AS dg FROM documents
+               WHERE doc_id % 5 = 0),
+         r AS (SELECT b.doc_id, b.dg, ingested.hit,
+             ROW_NUMBER() OVER (PARTITION BY b.dg ORDER BY b.doc_id) AS rn
+           FROM b LEFT JOIN ingested USING(dg))
+         SELECT doc_id, dg,
+           CASE WHEN hit IS NOT NULL THEN 'dup_corpus'
+                WHEN rn > 1 THEN 'dup_batch'
+                ELSE 'new' END AS status
+         FROM r ORDER BY doc_id"""
   )
 }

@@ -127,6 +127,15 @@ object SparkEntry {
     "q106_source_profile"      -> ((s, d) => TextAnalysis.q106(documents(s, d))),
     "q107_split_decontam"      -> ((s, d) => TextAnalysis.q107(documents(s, d))),
     "q108_ann_int8"            -> ((s, d) => Similarity.q108(embeddings(s, d))),
+    // incremental ingest: every 5th doc arrives as the "new batch",
+    // the rest are the already-ingested corpus (deterministic split so
+    // the oracle reproduces it)
+    "q109_incremental_dedup"   -> ((s, d) => {
+      val docs = documents(s, d)
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      Dedup.q109(docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L),
+        docs.filter(pmod(col("doc_id"), lit(5L)) === 0L))
+    }),
     // external-query ANN: first 20 vectors are the "new batch", the rest
     // are the served corpus (disjoint id ranges keep the oracle simple)
     "q82_ann_search_exact"     -> ((s, d) => {

@@ -80,7 +80,12 @@ object Sql {
       "graft_quality_lr"     -> (() => TextAnalysis.q104(docs)),
       "graft_source_profile" -> (() => TextAnalysis.q106(docs)),
       "graft_split_decontam" -> (() => TextAnalysis.q107(docs)),
-      "graft_ann_int8"       -> (() => Similarity.q108(embs))
+      "graft_ann_int8"       -> (() => Similarity.q108(embs)),
+      "graft_incr_dedup"     -> (() => {
+        import org.apache.spark.sql.functions.{col, lit, pmod}
+        Dedup.q109(docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L),
+          docs.filter(pmod(col("doc_id"), lit(5L)) === 0L))
+      })
     )
     views.map { case (name, mk) => mk().createOrReplaceTempView(name); name }
   }

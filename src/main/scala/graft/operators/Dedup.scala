@@ -263,6 +263,37 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q109: INCREMENTAL exact dedup — dedup a NEW ingest batch against
+    * the already-ingested corpus without comparing any text twice: the
+    * corpus side reduces once to its distinct normalized-text digest
+    * set (16-byte keys — at production scale this set is maintained as
+    * a bucketed lake table, not recomputed; the operator takes whatever
+    * frame holds it). A batch doc is `dup_corpus` if its digest is
+    * already ingested, `dup_batch` if an earlier batch doc (smaller
+    * doc_id) has the same digest, else `new`. This is the daily-ingest
+    * twin of q40 (whole-corpus dedup) and the batch form of st10's
+    * streaming dedup.
+    *
+    * Plan shape: every shuffle key is the 16-byte digest — text never
+    * shuffles; the corpus join is an equi-join on digest, and the
+    * within-batch rank is a WindowGroupLimit-free window partitioned
+    * by digest (groups are duplicate sets, inherently small). */
+  def q109(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val dg = md5(encode(lower(trim(col("text"))), "UTF-8"))
+    val ingested = corpus.select(dg.as("dg")).distinct()
+      .withColumn("hit", lit(1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dg")).orderBy(col("doc_id"))
+    batch.select(col("doc_id"), dg.as("dg"))
+      .join(ingested, Seq("dg"), "left_outer")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("dg"),
+        when(col("hit").isNotNull, lit("dup_corpus"))
+          .when(col("rn") > 1, lit("dup_batch"))
+          .otherwise(lit("new")).as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   val MinhashK = 64   // permutations
   val Bands    = 16   // 16 bands × 4 rows
   val RowsPerBand = MinhashK / Bands

@@ -65,7 +65,10 @@ object Pipeline {
     * double is deterministic because q48's score is bit-identical across
     * engines (§6 fixed-order weighted sum). */
   def q105(documents: DataFrame): DataFrame = {
-    val cl = Dedup.q64(documents)
+    // clusters() directly, not q64: q64's driver-facing orderBy would
+    // plan a sort that the argmax join immediately destroys
+    val cl = Dedup.clusters(
+        Dedup.q41(documents).select(col("doc_a"), col("doc_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qual = TextAnalysis.q48(documents)
       .select(col("doc_id"), col("quality"))

@@ -119,6 +119,21 @@ class DedupSpec extends GraftSpec {
     assert(r12.getAs[Double]("jaccard") == 1.0 / 3.0)
   }
 
+  test("q109 incremental dedup: corpus dup, within-batch dup, and new are told apart") {
+    val corpus = Seq((1L, "Already Ingested Text"), (2L, "other corpus doc"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "already ingested text"),   // normalizes to a corpus digest
+      (15L, "fresh batch text"),        // first of a within-batch pair
+      (20L, "fresh batch text"),        // second → dup_batch
+      (25L, "genuinely new text")
+    ).toDF("doc_id", "text")
+    val r = Dedup.q109(corpus, batch).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("status")).toMap
+    assert(r == Map(10L -> "dup_corpus", 15L -> "new",
+      20L -> "dup_batch", 25L -> "new"))
+  }
+
   test("q105 canonical pick: the higher-quality member survives, not the min id") {
     import graft.operators.Pipeline
     // docs 1/2 share 8 of 9 3-grams (J = 8/9 > 0.8); doc 2 is one token
