@@ -1221,6 +1221,22 @@ object Oracles {
            CASE WHEN hit IS NOT NULL THEN 'dup_corpus'
                 WHEN rn > 1 THEN 'dup_batch'
                 ELSE 'new' END AS status
-         FROM r ORDER BY doc_id"""
+         FROM r ORDER BY doc_id""",
+
+    // old = drop every 7th doc, new = drop every 5th + upper-case every
+    // 11th's text (mirrors the SparkEntry derivation); diff by md5
+    "q110_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS dg FROM documents
+                    WHERE doc_id % 7 <> 0),
+         n AS (SELECT doc_id,
+             md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS dg
+           FROM documents WHERE doc_id % 5 <> 0)
+         SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.dg IS NULL THEN 'added'
+                WHEN n.dg IS NULL THEN 'removed'
+                WHEN o.dg = n.dg THEN 'unchanged'
+                ELSE 'modified' END AS status
+         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+         ORDER BY doc_id"""
   )
 }

@@ -127,6 +127,20 @@ object SparkEntry {
     "q106_source_profile"      -> ((s, d) => TextAnalysis.q106(documents(s, d))),
     "q107_split_decontam"      -> ((s, d) => TextAnalysis.q107(documents(s, d))),
     "q108_ann_int8"            -> ((s, d) => Similarity.q108(embeddings(s, d))),
+    // snapshot diff: "old" drops every 7th doc, "new" drops every 5th
+    // and upper-cases every 11th's text — deterministic derivation so
+    // the oracle reproduces added/removed/modified/unchanged exactly
+    "q110_corpus_diff"         -> ((s, d) => {
+      val docs = documents(s, d)
+      import org.apache.spark.sql.functions.{col, lit, pmod, when, upper}
+      val old  = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L)
+        .select(col("doc_id"), col("text"))
+      val newer = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(11L)) === 0L, upper(col("text")))
+            .otherwise(col("text")).as("text"))
+      Dedup.q110(old, newer)
+    }),
     // incremental ingest: every 5th doc arrives as the "new batch",
     // the rest are the already-ingested corpus (deterministic split so
     // the oracle reproduces it)

@@ -294,6 +294,29 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q110: corpus SNAPSHOT DIFF — compare two versions of a corpus by
+    * content fingerprint and report per doc_id: `unchanged`,
+    * `modified` (same id, different text), `added`, `removed`. The
+    * audit a versioned lake runs between ingest cycles (and the
+    * validation step after a q109 incremental merge or an m02 upsert):
+    * what actually changed, without diffing any text — both sides
+    * reduce to (id, 16-byte digest) projections and the diff is ONE
+    * full-outer hash join on doc_id. Text is read once per side and
+    * never shuffles; at production scale either side's digest
+    * projection can be a maintained lake table. */
+  def q110(oldCorpus: DataFrame, newCorpus: DataFrame): DataFrame = {
+    val dg = md5(encode(col("text"), "UTF-8"))
+    val o = oldCorpus.select(col("doc_id"), dg.as("dg_old"))
+    val n = newCorpus.select(col("doc_id"), dg.as("dg_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("dg_old").isNull, lit("added"))
+          .when(col("dg_new").isNull, lit("removed"))
+          .when(col("dg_old") === col("dg_new"), lit("unchanged"))
+          .otherwise(lit("modified")).as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   val MinhashK = 64   // permutations
   val Bands    = 16   // 16 bands × 4 rows
   val RowsPerBand = MinhashK / Bands

@@ -134,6 +134,17 @@ class DedupSpec extends GraftSpec {
       20L -> "dup_batch", 25L -> "new"))
   }
 
+  test("q110 snapshot diff: added, removed, modified, unchanged all reported") {
+    val old   = Seq((1L, "same text"), (2L, "will change"), (3L, "will vanish"))
+      .toDF("doc_id", "text")
+    val newer = Seq((1L, "same text"), (2L, "changed now"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val r = Dedup.q110(old, newer).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("status")).toMap
+    assert(r == Map(1L -> "unchanged", 2L -> "modified",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("q105 canonical pick: the higher-quality member survives, not the min id") {
     import graft.operators.Pipeline
     // docs 1/2 share 8 of 9 3-grams (J = 8/9 > 0.8); doc 2 is one token
