@@ -47,6 +47,12 @@ class FunctionsSpec extends GraftSpec {
     assert(mism.collect().head.isNullAt(0))
   }
 
+  test("graft_dot_int is callable from SQL text via GraftExtensions") {
+    val v = spark.sql("SELECT graft_dot_int(array(1, 2), array(3, 4)) AS d")
+      .collect().head.getLong(0)
+    assert(v == 11L)
+  }
+
   test("PolyFingerprint matches the manual polynomial fold") {
     val fp = Seq((1L, "ab")).toDF("doc_id", "text")
       .select(graft.functions.PolyFingerprint(col("text")).as("f"))
