@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, DotProductInt, PolyFingerprint}
+import graft.functions.{DotProduct, DotProductInt, PolyFingerprint, QualityScore}
 
 /** SQL-surface registration for graft's native expressions: sessions
   * built with `spark.sql.extensions=graft.GraftExtensions` can call
@@ -36,6 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"graft_fingerprint(string) takes 1 argument, got ${children.length}")
         PolyFingerprint(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_quality_score"),
+      new ExpressionInfo(classOf[QualityScore].getName, "graft_quality_score"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_quality_score(string) takes 1 argument, got ${children.length}")
+        QualityScore(children.head)
       }))
     // row_number()<=k window-filter → native bounded-heap top-k operator
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)

@@ -194,25 +194,19 @@ object Streams {
   /** st14: streaming QUALITY GATE — q104's hashed-feature linear scorer
     * applied at INGEST, before anything lands in the lake. The batch
     * operator aggregates exploded tokens per doc; the integer weight
-    * sum is order-independent, so here the identical score folds
-    * ROW-LOCALLY over the token array (`aggregate` lambda + the native
-    * PolyFingerprint bucket hash) — a STATELESS projection + filter:
-    * no shuffle, no state store, no watermark, valid in append mode at
-    * any ingest rate. QualityGateSpec asserts bit parity with the
-    * batch q104 on the same docs. */
-  def qualityGateStream(docs: DataFrame, buckets: Int = 16): DataFrame = {
-    val P = 1000000007L
-    val toks = split(lower(trim(col("text"))), " ")
-    def w(t: org.apache.spark.sql.Column) =
-      pmod((pmod(graft.functions.PolyFingerprint(t), lit(buckets.toLong)) +
-        lit(1L)) * lit(2654435761L), lit(P)) - lit((P - 1) / 2)
+    * sum is order-independent, so here the identical score computes
+    * ROW-LOCALLY in one code-point walk (the native codegen'd
+    * [[graft.functions.QualityScore]] expression — no token array, no
+    * interpreted lambda) — a STATELESS projection + filter: no
+    * shuffle, no state store, no watermark, valid in append mode at
+    * any ingest rate. The spec asserts bit parity with the batch q104
+    * on the same docs. */
+  def qualityGateStream(docs: DataFrame): DataFrame =
     docs
-      .withColumn("n_tokens", size(toks).cast("long"))
-      .withColumn("score_num", aggregate(toks, lit(0L), (acc, t) => acc + w(t)))
-      .withColumn("score", col("score_num").cast("double") /
-        (lit(P.toDouble) * col("n_tokens").cast("double")))
+      .withColumn("n_tokens",
+        size(split(lower(trim(col("text"))), " ")).cast("long"))
+      .withColumn("score", graft.functions.QualityScore(col("text")))
       .filter(col("score") > 0.0)
-  }
 
   private def closed(user: Long, s: OpenSession): SessionOut =
     SessionOut(user, s.start_us, s.n, s.last_us - s.start_us, s.total)

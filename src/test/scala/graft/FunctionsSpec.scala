@@ -47,6 +47,38 @@ class FunctionsSpec extends GraftSpec {
     assert(mism.collect().head.isNullAt(0))
   }
 
+  test("QualityScore: bit parity with the batch q104 aggregate on the real corpus") {
+    val docs = Tables.documents(spark, SF)
+    val batch = graft.operators.TextAnalysis.q104(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val native = docs
+      .select(col("doc_id"), graft.functions.QualityScore(col("text")).as("s"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("s")).toMap
+    assert(native.keySet == batch.keySet)
+    native.foreach { case (id, s) =>
+      assert(java.lang.Double.doubleToLongBits(s) ==
+             java.lang.Double.doubleToLongBits(batch(id)), s"doc $id")
+    }
+  }
+
+  test("QualityScore keeps split semantics: empty tokens from repeated spaces count") {
+    // "a  b" → tokens [a, "", b]: the empty token hashes to bucket 0
+    val s3 = Seq(Tuple1("a  b")).toDF("text")
+      .select(graft.functions.QualityScore(col("text")).as("s")).collect().head.getDouble(0)
+    val P = 1000000007L
+    def w(tok: String) = {
+      val fp = tok.foldLeft(0L)((h, c) => (h * 31 + c) % P)
+      (fp % 16 + 1) * 2654435761L % P - (P - 1) / 2
+    }
+    assert(s3 == (w("a") + w("") + w("b")).toDouble / (P.toDouble * 3))
+  }
+
+  test("graft_quality_score is callable from SQL text via GraftExtensions") {
+    val v = spark.sql("SELECT graft_quality_score('the quick fox') AS s")
+      .collect().head.getDouble(0)
+    assert(!v.isNaN)
+  }
+
   test("graft_dot_int is callable from SQL text via GraftExtensions") {
     val v = spark.sql("SELECT graft_dot_int(array(1, 2), array(3, 4)) AS d")
       .collect().head.getLong(0)
