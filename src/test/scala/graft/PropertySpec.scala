@@ -36,6 +36,40 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("property: QualityScore ≡ plain-Scala model on random text incl. unicode") {
+    val P = 1000000007L
+    def model(text: String): Double = {
+      // mirror split(lower(trim(text)), " ") + per-token polynomial
+      // fold over CODE POINTS + bucket weight + single divide
+      val norm = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ')
+        .reverse.toLowerCase
+      val toks = norm.split(" ", -1)
+      val acc = toks.map { t =>
+        var h = 0L; var i = 0
+        while (i < t.length) {
+          val cp = t.codePointAt(i)
+          h = (h * 31 + cp) % P
+          i += Character.charCount(cp)
+        }
+        (h % 16 + 1) * 2654435761L % P - (P - 1) / 2
+      }.sum
+      acc.toDouble / (P.toDouble * toks.length)
+    }
+    // whole code points (never a lone surrogate half — an invalid
+    // UTF-16 string wouldn't survive the UTF-8 round trip into Spark)
+    val alphabet = Seq("a", "b", " ", "c", " ", "Z", "9", "!", ".", "é", "中", "😀")
+    val r = new scala.util.Random(20260813)
+    val texts = (1 to 60).map(_ =>
+      (0 until r.nextInt(30)).map(_ => alphabet(r.nextInt(alphabet.length))).mkString)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select($"id", graft.functions.QualityScore($"text").as("s"))
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Double]("s")).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(java.lang.Double.doubleToLongBits(got(i.toLong)) ==
+        java.lang.Double.doubleToLongBits(model(t)), s"text=${t.take(40)}")
+    }
+  }
+
   test("property: q54 normalization is idempotent across seeds") {
     for (seed <- 1 to 3) {
       val r = new scala.util.Random(seed)
