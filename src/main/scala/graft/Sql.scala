@@ -81,6 +81,7 @@ object Sql {
       "graft_source_profile" -> (() => TextAnalysis.q106(docs)),
       "graft_split_decontam" -> (() => TextAnalysis.q107(docs)),
       "graft_ann_int8"       -> (() => Similarity.q108(embs)),
+      "graft_split_neardup"  -> (() => Dedup.q111(docs)),
       "graft_incr_dedup"     -> (() => {
         import org.apache.spark.sql.functions.{col, lit, pmod}
         Dedup.q109(docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L),

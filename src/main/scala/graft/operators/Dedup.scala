@@ -344,6 +344,17 @@ object Dedup {
     * equi-join blocking key: two docs collide iff one 4-row band of the
     * signature matches exactly (P≈1 for J≥0.9, ≈0 for J≤0.4). Collisions
     * are verified with exact Jaccard; output pairs with J > 0.7. */
+  /** (doc_id, n, band, band_key) rows from a (doc_id, sig, n)
+    * signature frame — the LSH blocking keys q42 and q111 join on. */
+  private def bandKeys(sigs: DataFrame): DataFrame =
+    sigs
+      .select(col("doc_id"), col("n"), explode(array((0 until Bands).map { b =>
+        struct(lit(b).as("band"), xxhash64(
+          (0 until RowsPerBand).map(r => element_at(col("sig"), b * RowsPerBand + r + 1)): _*
+        ).as("band_key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("n"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+
   def q42(documents: DataFrame): DataFrame = {
     // One materialization of the shingle stream feeds signature, sizes
     // and verification (4 consumers) — without it the split+explode
@@ -352,13 +363,7 @@ object Dedup {
     // RDDs are unreferenced.
     val g = shingles(documents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = minhashSignature(g) // (doc_id, sig, n) — n rides the agg
-      .select(col("doc_id"), col("n"), explode(array((0 until Bands).map { b =>
-        struct(lit(b).as("band"), xxhash64(
-          (0 until RowsPerBand).map(r => element_at(col("sig"), b * RowsPerBand + r + 1)): _*
-        ).as("band_key"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("n"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val banded = bandKeys(minhashSignature(g)) // n rides the agg
     // length filter inside the band join (lossless vs the
     // MinhashJaccardThreshold verify): sets whose sizes differ by more
     // than the threshold ratio can't pass verification, so their band
@@ -375,6 +380,46 @@ object Dedup {
       .filter(col("jaccard") > MinhashJaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q111: cross-split NEAR-dup decontamination — the fuzzy complement
+    * of q107: q107 flags a test doc for sharing ONE exact 3-gram with
+    * the train split; q111 flags test docs that are near-DUPLICATES of
+    * a train doc (Jaccard > `t`) — the leakage mode n-gram overlap
+    * understates (light paraphrase, re-crawl, boilerplate re-wrap) and
+    * the check Lee et al.-style decontamination actually runs between
+    * a training corpus and an eval set. Split assignment is q91's
+    * engine-portable hash; candidates come from the SAME MinHash band
+    * blocking as q42 ([[bandKeys]]), but the band join is test×train
+    * ACROSS the split boundary instead of a self-join — shuffle is
+    * still ∝ band collisions, never |test|·|train|. Collisions verify
+    * with exact Jaccard over full shingle sets. rows-only (MinHash
+    * banding is not portable SQL) + a planted-pair spec. */
+  def q111(documents: DataFrame,
+           t: Double = MinhashJaccardThreshold): DataFrame = {
+    val P = 1000000007L
+    val h = pmod(
+      pmod(pmod(col("doc_id"), lit(P)) * lit(2654435761L), lit(P)) +
+        lit(40490L), lit(100L))
+    val g = shingles(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = bandKeys(minhashSignature(g)).withColumn("h", h)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val test  = banded.filter(col("h") >= 90)
+    val train = banded.filter(col("h") < 80)
+    val candidates = test.as("a")
+      .join(train.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.n") >= lit(t) * col("b.n") &&
+        col("b.n") >= lit(t) * col("a.n"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(g, candidates)
+      .filter(col("jaccard") > t)
+      .select(col("doc_a").as("test_doc"), col("doc_b").as("train_doc"),
+        col("jaccard"))
+      .orderBy(col("test_doc"), col("train_doc"))
   }
 
   /** 64-bit SimHash per doc over word unigrams: per bit position, sum of

@@ -134,6 +134,25 @@ class DedupSpec extends GraftSpec {
       20L -> "dup_batch", 25L -> "new"))
   }
 
+  test("q111 cross-split near-dup: planted test~train pair found, valid split ignored") {
+    val P = 1000000007L
+    def h(id: Long) = ((id % P) * 2654435761L % P + 40490L) % 100L
+    val trainId = (1L to 300L).find(h(_) < 80).get
+    val validId = (1L to 300L).find(id => h(id) >= 80 && h(id) < 90).get
+    val testIds = (1L to 300L).filter(h(_) >= 90)
+    val (t1, t2) = (testIds(0), testIds(1))
+    val base = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (trainId, base),                  // train original
+      (validId, base + " extraV"),      // near-dup but VALID split → ignored
+      (t1, base + " extraT"),           // test near-dup of train (J = 10/12)
+      (t2, "a completely different document body here entirely")
+    ).toDF("doc_id", "text")
+    val r = Dedup.q111(docs).collect()
+      .map(x => (x.getAs[Long]("test_doc"), x.getAs[Long]("train_doc"))).toSet
+    assert(r == Set((t1, trainId)))
+  }
+
   test("q110 snapshot diff: added, removed, modified, unchanged all reported") {
     val old   = Seq((1L, "same text"), (2L, "will change"), (3L, "will vanish"))
       .toDF("doc_id", "text")
