@@ -128,6 +128,7 @@ object SparkEntry {
     "q107_split_decontam"      -> ((s, d) => TextAnalysis.q107(documents(s, d))),
     "q108_ann_int8"            -> ((s, d) => Similarity.q108(embeddings(s, d))),
     "q111_split_neardup"       -> ((s, d) => Dedup.q111(documents(s, d))),
+    "q112_band_skew"           -> ((s, d) => Dedup.q112(documents(s, d))),
     // snapshot diff: "old" drops every 7th doc, "new" drops every 5th
     // and upper-cases every 11th's text — deterministic derivation so
     // the oracle reproduces added/removed/modified/unchanged exactly

@@ -317,6 +317,62 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** EXACT-DUP COLLAPSE before LSH banding (the scale guard for
+    * q42/q43/q111 and Multimodal.q93): a boilerplate-heavy corpus puts
+    * thousands of byte-identical docs into the same band bucket, and a
+    * banding self-join expands that bucket quadratically — the length
+    * filter can't help because the docs ARE similar. Collapsing
+    * byte-identical normalized texts (q40's digest) to one
+    * representative first makes a clique of N identical docs cost ONE
+    * banding row; true pairs re-expand from the members map at output
+    * time (output size is the true pair count — inherent to
+    * pair-listing semantics — but candidate generation and verification
+    * stay clique-sized).
+    *
+    * Returns (reps, members): `reps` = one surviving document row per
+    * distinct normalized text (the min doc_id); `members` = (doc_id,
+    * rep) for every doc. Shuffle shape: the digest projection is
+    * 24-byte rows; the rep semi-join broadcasts locally (rep-id list)
+    * and degrades to one sort-merge exchange at corpus scale. */
+  private[graft] def exactReps(documents: DataFrame): (DataFrame, DataFrame) = {
+    val dg = md5(encode(lower(trim(col("text"))), "UTF-8"))
+    val proj = documents.select(col("doc_id"), dg.as("dg"))
+    val cliques = proj.groupBy(col("dg")).agg(min(col("doc_id")).as("rep"))
+    val members = proj.join(cliques, "dg").select(col("doc_id"), col("rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = documents.join(
+      cliques.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+    (reps, members)
+  }
+
+  /** Re-expand rep-level near-dup pairs through the members map:
+    * every (member of clique a) × (member of clique b) pair, normalized
+    * to doc_a < doc_b. Stats columns (jaccard/hamming/…) carry over
+    * unchanged — byte-identical normalized texts have identical shingle
+    * sets and fingerprints, so each member pair's true stats equal its
+    * rep pair's. */
+  private def expandPairs(repPairs: DataFrame, members: DataFrame,
+                          stats: Seq[String]): DataFrame = {
+    val ma = members.select(col("rep").as("doc_a"), col("doc_id").as("da"))
+    val mb = members.select(col("rep").as("doc_b"), col("doc_id").as("db"))
+    repPairs.join(ma, "doc_a").join(mb, "doc_b")
+      .select(least(col("da"), col("db")).as("doc_a") +:
+        greatest(col("da"), col("db")).as("doc_b") +: stats.map(col): _*)
+  }
+
+  /** Within-clique pairs over cliques selected by `eligibleReps` (one
+    * doc_id column): members of the same clique are exact duplicates —
+    * emitted with caller-supplied constant stats (J = 1.0 / Hamming 0). */
+  private def withinCliquePairs(members: DataFrame, eligibleReps: DataFrame,
+                                stats: Seq[Column]): DataFrame = {
+    val cm = members.join(
+      eligibleReps.select(col("doc_id").as("rep")).distinct(), Seq("rep"))
+    cm.as("x").join(cm.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a") +: col("y.doc_id").as("doc_b") +:
+        stats: _*)
+  }
+
   val MinhashK = 64   // permutations
   val Bands    = 16   // 16 bands × 4 rows
   val RowsPerBand = MinhashK / Bands
@@ -355,30 +411,45 @@ object Dedup {
       }: _*)).as("bk"))
       .select(col("doc_id"), col("n"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
 
-  def q42(documents: DataFrame): DataFrame = {
-    // One materialization of the shingle stream feeds signature, sizes
-    // and verification (4 consumers) — without it the split+explode
-    // pipeline re-runs per consumer. persist(MEMORY_AND_DISK) spills
-    // gracefully at scale; the ContextCleaner drops it once the plan's
-    // RDDs are unreferenced.
-    val g = shingles(documents)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Rep-level LSH band candidates (doc_a, doc_b) for a shingle frame —
+    * the stage whose row count the adversarial-clique spec bounds, and
+    * the join [[q112]] diagnoses. Length filter inside the band join
+    * (lossless vs the `t` verify): sets whose sizes differ by more than
+    * the threshold ratio can't pass verification, so their band
+    * collisions never shuffle. */
+  private[graft] def minhashCandidates(g: DataFrame, t: Double): DataFrame = {
     val banded = bandKeys(minhashSignature(g)) // n rides the agg
-    // length filter inside the band join (lossless vs the
-    // MinhashJaccardThreshold verify): sets whose sizes differ by more
-    // than the threshold ratio can't pass verification, so their band
-    // collisions never shuffle
-    val candidates = banded.as("a")
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id") &&
-        col("a.n") >= lit(MinhashJaccardThreshold) * col("b.n") &&
-        col("b.n") >= lit(MinhashJaccardThreshold) * col("a.n"))
+        col("a.n") >= lit(t) * col("b.n") &&
+        col("b.n") >= lit(t) * col("a.n"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(g, candidates)
+  }
+
+  def q42(documents: DataFrame): DataFrame = {
+    // exact-dup collapse first (see [[exactReps]]): banding, candidate
+    // generation and Jaccard verification all run on one representative
+    // per distinct normalized text
+    val (reps, members) = exactReps(documents)
+    // One materialization of the rep shingle stream feeds signature,
+    // sizes and verification (4 consumers) — without it the
+    // split+explode pipeline re-runs per consumer. persist(
+    // MEMORY_AND_DISK) spills gracefully at scale; the ContextCleaner
+    // drops it once the plan's RDDs are unreferenced.
+    val g = shingles(reps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repPairs = verifyJaccard(g, minhashCandidates(g, MinhashJaccardThreshold))
       .filter(col("jaccard") > MinhashJaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // cross-clique pairs inherit the rep pair's exact jaccard (identical
+    // shingle sets per clique); within-clique pairs are J = 1.0 by
+    // definition — but only for cliques that HAVE shingles (≥ 3 words),
+    // matching the uncollapsed plan, which never saw shingle-less docs
+    expandPairs(repPairs, members, Seq("jaccard"))
+      .unionAll(withinCliquePairs(members, g, Seq(lit(1.0).as("jaccard"))))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -401,12 +472,25 @@ object Dedup {
     val h = pmod(
       pmod(pmod(col("doc_id"), lit(P)) * lit(2654435761L), lit(P)) +
         lit(40490L), lit(100L))
-    val g = shingles(documents)
+    // exact-dup collapse (see [[exactReps]]) — but the SPLIT is a
+    // doc_id property, not a content property: one clique can have
+    // members on both sides of the boundary. A clique joins the band
+    // join on a side iff it has ≥ 1 member there; a clique colliding
+    // with ITSELF (identical text leaked verbatim across the split) is
+    // the rep pair (r, r), which verifies at J = 1 and expands to its
+    // test×train member pairs like any other.
+    val (reps, members) = exactReps(documents)
+    val m = members.withColumn("h", h)
+    val testM  = m.filter(col("h") >= 90).select(col("doc_id"), col("rep"))
+    val trainM = m.filter(col("h") < 80).select(col("doc_id"), col("rep"))
+    val g = shingles(reps)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = bandKeys(minhashSignature(g)).withColumn("h", h)
+    val banded = bandKeys(minhashSignature(g))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val test  = banded.filter(col("h") >= 90)
-    val train = banded.filter(col("h") < 80)
+    val test  = banded.join(testM.select(col("rep").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val train = banded.join(trainM.select(col("rep").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
     val candidates = test.as("a")
       .join(train.as("b"),
         col("a.band") === col("b.band") &&
@@ -415,10 +499,15 @@ object Dedup {
         col("b.n") >= lit(t) * col("a.n"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // ordered expansion (test side × train side), no least/greatest:
+    // both directions of a cross-clique pair are distinct leak reports
     verifyJaccard(g, candidates)
       .filter(col("jaccard") > t)
-      .select(col("doc_a").as("test_doc"), col("doc_b").as("train_doc"),
-        col("jaccard"))
+      .join(testM.select(col("rep").as("doc_a"), col("doc_id").as("test_doc")),
+        "doc_a")
+      .join(trainM.select(col("rep").as("doc_b"), col("doc_id").as("train_doc")),
+        "doc_b")
+      .select(col("test_doc"), col("train_doc"), col("jaccard"))
       .orderBy(col("test_doc"), col("train_doc"))
   }
 
@@ -446,7 +535,10 @@ object Dedup {
     * Hamming distance ≤ 3 must share at least one band), verify with
     * bit_count(xor) ≤ 3. */
   def q43(documents: DataFrame): DataFrame = {
-    val sh = simhash(documents)
+    // exact-dup collapse (see [[exactReps]]): a clique of N identical
+    // docs is ONE banding row instead of N quadratically-colliding ones
+    val (reps, members) = exactReps(documents)
+    val sh = simhash(reps)
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("band"),
@@ -454,7 +546,7 @@ object Dedup {
         .as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band").as("band"),
         col("bk.band_key").as("band_key"))
-    banded.as("a")
+    val repPairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -462,6 +554,40 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
+    // identical normalized texts have identical fingerprints: cross-
+    // clique pairs carry the rep pair's Hamming distance, within-clique
+    // pairs are Hamming 0 (every doc has a simhash, so every clique is
+    // eligible)
+    expandPairs(repPairs, members, Seq("hamming"))
+      .unionAll(withinCliquePairs(members, sh,
+        Seq(lit(0).cast("integer").as("hamming"))))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q112: LSH BAND-BUCKET skew report — q81's join-key diagnostic
+    * retargeted at the blocking keys the near-dup self-joins (q42/q111)
+    * actually join on: the top-k heaviest (band, band_key) buckets
+    * AFTER exact-dup collapse, with the bucket's doc count, its share
+    * of all banding rows, and the candidate pairs C(m,2) the band join
+    * would emit from it. Run this BEFORE pointing q42 at a new corpus:
+    * a bucket holding thousands of distinct-but-near-identical docs
+    * (boilerplate wraps, templated pages) is quadratic candidate
+    * expansion the collapse cannot absorb — the report names the
+    * bucket so the corpus side can be pre-filtered (q101 boilerplate)
+    * or the bucket handled separately. Same plan shape as q81: one
+    * partial-aggregated shuffle + broadcast total + top-k. */
+  def q112(documents: DataFrame, topK: Int = 10): DataFrame = {
+    val (reps, _) = exactReps(documents)
+    val perBucket = bandKeys(minhashSignature(shingles(reps)))
+      .groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("bucket_docs"))
+    val total = perBucket.agg(sum(col("bucket_docs")).as("total_rows"))
+    perBucket.crossJoin(broadcast(total))
+      .select(col("band"), col("band_key"), col("bucket_docs"),
+        (col("bucket_docs").cast("double") / col("total_rows")).as("share"),
+        (col("bucket_docs") * (col("bucket_docs") - 1) / 2).cast("long")
+          .as("cand_pairs"))
+      .orderBy(col("bucket_docs").desc, col("band"), col("band_key"))
+      .limit(topK)
   }
 }

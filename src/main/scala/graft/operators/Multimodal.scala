@@ -428,7 +428,13 @@ object Multimodal {
   def q93(spark: SparkSession, documents: DataFrame,
           maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
-    val ph = documents
+    // exact-dup collapse first (Dedup.exactReps): identical normalized
+    // texts render pixel-identical thumbnails, so a clique of N
+    // byte-variant copies costs ONE codec round-trip and ONE banding
+    // row instead of N quadratically-colliding ones; true pairs
+    // re-expand from the members map at output time
+    val (reps, members) = graft.operators.Dedup.exactReps(documents)
+    val ph = reps
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -444,7 +450,7 @@ object Multimodal {
         .as("bk"))
       .select(col("doc_id"), col("phash"), col("bk.band").as("band"),
         col("bk.band_key").as("band_key"))
-    banded.as("a")
+    val repPairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -452,7 +458,19 @@ object Multimodal {
         bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .orderBy(col("doc_a"), col("doc_b"))
+    // cross-clique pairs inherit the rep pair's Hamming distance
+    // (identical thumbnails per clique); within-clique pairs are
+    // Hamming 0 — every doc renders, so every clique is eligible
+    val ma = members.select(col("rep").as("doc_a"), col("doc_id").as("da"))
+    val mb = members.select(col("rep").as("doc_b"), col("doc_id").as("db"))
+    val cross = repPairs.join(ma, "doc_a").join(mb, "doc_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    val within = members.as("x").join(members.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0).cast("integer").as("hamming"))
+    cross.unionAll(within).orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** q94: multimodal CLEAN-CORPUS verdicts — the media counterpart of

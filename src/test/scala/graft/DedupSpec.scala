@@ -164,6 +164,45 @@ class DedupSpec extends GraftSpec {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("adversarial 5000-doc clique: collapse absorbs it — candidates stay clique-sized") {
+    // the boilerplate-heavy failure mode: thousands of byte-identical
+    // docs land in ONE band bucket; without the exact-dup collapse the
+    // banding self-join would emit ~N²/2 = 12.5M candidate rows and
+    // verify each one. With it, the clique is one banding row.
+    val clique = (1L to 5000L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val others = Seq(
+      (6001L, "some other distinct document body entirely one"),
+      (6002L, "yet another unrelated piece of corpus text two"))
+    val docs = (clique ++ others).toDF("doc_id", "text")
+    val (reps, members) = Dedup.exactReps(docs)
+    assert(reps.count() == 3)
+    assert(members.count() == 5002)
+    val cands = Dedup.minhashCandidates(
+      Dedup.shingles(reps), Dedup.MinhashJaccardThreshold)
+    assert(cands.count() <= 3, "candidate rows must be clique-sized, not N²")
+    // output semantics preserved: all C(5000,2) true pairs at J = 1.0
+    val nOut = Dedup.q42(docs)
+      .filter(org.apache.spark.sql.functions.col("jaccard") === 1.0).count()
+    assert(nOut == 5000L * 4999L / 2)
+  }
+
+  test("q112 band skew report: post-collapse buckets are clique-sized") {
+    val clique = (1L to 200L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val others = Seq(
+      (6001L, "some other distinct document body entirely one"),
+      (6002L, "yet another unrelated piece of corpus text two"))
+    val top = Dedup.q112((clique ++ others).toDF("doc_id", "text")).collect()
+    assert(top.nonEmpty)
+    // 3 reps × 16 bands: no bucket can exceed the rep count, and the
+    // 200-doc clique contributes exactly one doc per band bucket
+    assert(top.head.getAs[Long]("bucket_docs") <= 3)
+    assert(top.forall(_.getAs[Long]("cand_pairs") <= 3))
+    val shareSum = top.map(_.getAs[Double]("share")).sum
+    assert(shareSum <= 1.0 + 1e-9)
+  }
+
   test("q105 canonical pick: the higher-quality member survives, not the min id") {
     import graft.operators.Pipeline
     // docs 1/2 share 8 of 9 3-grams (J = 8/9 > 0.8); doc 2 is one token
