@@ -443,32 +443,56 @@ object Similarity {
     * WindowGroupLimit-capped; the float re-rank is two distributed
     * joins over only candidate ids ([[rerankTopK]]). Verified by a
     * recall spec against the exact baseline q44. */
-  def q108(embeddings: DataFrame, k: Int = 5, nCandidates: Int = 50): DataFrame = {
+  /** Per-vector int8 codes + integer norm for [[searchInt8]]. */
+  private def int8Codes(embeddings: DataFrame): DataFrame = {
     val v = transform(col("embedding"), x => x.cast("double"))
     val amax = array_max(transform(v, x => abs(x)))
     val scale = when(amax > 0.0, amax / 127.0).otherwise(lit(1.0))
-    val codes = embeddings
+    embeddings
       .withColumn("scale", scale)
       .withColumn("qv", transform(v, x => round(x / col("scale")).cast("int")))
       .withColumn("inorm",
         sqrt(graft.functions.DotProductInt(col("qv"), col("qv")).cast("double")))
       .select(col("vec_id"), col("qv"), col("inorm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val q = codes.filter(col("vec_id") < 20)
+  }
+
+  /** External-query form of the int8 serving path (the [[search]]/
+    * [[searchExact]] API shape): top-k corpus neighbors for each query
+    * vector, candidate scoring entirely over integer codes. Both inputs
+    * are (vec_id, embedding) frames; each side quantizes independently
+    * (quantization is per-vector, so a query's codes don't depend on
+    * which corpus it is searched against). `excludeSelf` opts into
+    * leave-one-out when the query ids live in the corpus id namespace
+    * (the q108 driver shape); external batches leave it false — a query
+    * matching its own id is a legitimate hit there ([[search]]'s
+    * convention). */
+  def searchInt8(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+                 nCandidates: Int = 50, excludeSelf: Boolean = false): DataFrame = {
+    val q = int8Codes(queries)
       .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("inorm").as("qn"))
-    val c = codes
+    val c = int8Codes(corpus)
       .select(col("vec_id").as("nid"), col("qv").as("nqv"), col("inorm").as("nn"))
-    val wc = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("nid"))
-    val cands = broadcast(q).join(c, col("qid") =!= col("nid"))
-      .withColumn("acos",
+    val joinCond = if (excludeSelf) col("qid") =!= col("nid") else lit(true)
+    val wc = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_cos").desc, col("nid"))
+    val cands = broadcast(q).join(c, joinCond)
+      .withColumn("approx_cos",
         graft.functions.DotProductInt(col("qqv"), col("nqv")).cast("double") /
           (col("qn") * col("nn")))
       .withColumn("crk", row_number().over(wc))
       .filter(col("crk") <= nCandidates)
       .select(col("qid"), col("nid"))
-    val n = normalized(embeddings).select(col("vec_id"), col("v"), col("norm"))
-    rerankTopK(cands, n, n, k)
+    rerankTopK(cands,
+      normalized(queries).select(col("vec_id"), col("v"), col("norm")),
+      normalized(corpus).select(col("vec_id"), col("v"), col("norm")), k)
   }
+
+  /** Driver entry: [[searchInt8]] with the first 20 corpus vectors as
+    * the query batch, leave-one-out (the self-contained demo shape —
+    * the operator API takes any external query frame). */
+  def q108(embeddings: DataFrame, k: Int = 5, nCandidates: Int = 50): DataFrame =
+    searchInt8(embeddings.filter(col("vec_id") < 20), embeddings,
+      k, nCandidates, excludeSelf = true)
 
   /** q103: kNN LABEL PROPAGATION — classify each query vector by the
     * majority label of its k nearest corpus neighbors (exact cosine,
@@ -486,20 +510,31 @@ object Similarity {
     * vote/argmax aggregates touch only k·|queries| rows. Nothing
     * pairwise ever shuffles. At a 100 TB corpus swap the candidate
     * stage for [[search]] (LSH) — the vote/argmax tail is unchanged. */
-  def q103(embeddings: DataFrame, k: Int = 5): DataFrame = {
-    val n = normalized(embeddings)
-    val lab = embeddings.select(col("vec_id"), col("label"))
-    val q = n.filter(col("vec_id") < 50)
+  /** External-query form of the kNN label pass ([[search]]'s API
+    * shape): classify each query vector by the majority label of its k
+    * nearest corpus neighbors. `queries` is (vec_id, embedding, label)
+    * — the label rides along as `true_label` for the noise audit (pass
+    * a null/placeholder label column when tagging genuinely unlabeled
+    * data); `corpus` is (vec_id, embedding, label) and supplies the
+    * votes. `excludeSelf` opts into leave-one-out when query ids live
+    * in the corpus namespace (the q103 driver shape); external batches
+    * leave it false. */
+  def knnLabel(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+               excludeSelf: Boolean = false): DataFrame = {
+    val q = normalized(queries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
-    val c = n.select(col("vec_id").as("nid"), col("v").as("nv"), col("norm").as("nn"))
+    val c = normalized(corpus)
+      .select(col("vec_id").as("nid"), col("v").as("nv"), col("norm").as("nn"))
+    val joinCond = if (excludeSelf) col("qid") =!= col("nid") else lit(true)
     val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    val top = broadcast(q).join(c, col("qid") =!= col("nid"))
+    val top = broadcast(q).join(c, joinCond)
       .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= k)
       .select(col("qid"), col("nid"))
     val votes = top
-      .join(lab.select(col("vec_id").as("nid"), col("label").as("nlabel")), "nid")
+      .join(corpus.select(col("vec_id").as("nid"), col("label").as("nlabel")),
+        "nid")
       .groupBy(col("qid"), col("nlabel"))
       .agg(count(lit(1)).as("votes"))
     val wVote = Window.partitionBy(col("qid"))
@@ -507,11 +542,18 @@ object Similarity {
     votes
       .withColumn("vrk", row_number().over(wVote))
       .filter(col("vrk") === 1)
-      .join(lab.select(col("vec_id").as("qid"), col("label").as("true_label")), "qid")
+      .join(queries.select(col("vec_id").as("qid"), col("label").as("true_label")),
+        "qid")
       .select(col("qid"), col("true_label"), col("nlabel").as("pred_label"),
         col("votes"))
       .orderBy(col("qid"))
   }
+
+  /** Driver entry: [[knnLabel]] with the first 50 corpus vectors as the
+    * query batch, leave-one-out (self-contained demo shape). */
+  def q103(embeddings: DataFrame, k: Int = 5): DataFrame =
+    knnLabel(embeddings.filter(col("vec_id") < 50), embeddings, k,
+      excludeSelf = true)
 
   /** q97: embedding GRAM MATRIX — the d×d second-moment accumulation a
     * PCA / whitening / SemDeDup-style pipeline computes before any

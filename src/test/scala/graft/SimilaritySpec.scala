@@ -240,6 +240,42 @@ class SimilaritySpec extends GraftSpec {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("searchInt8: external query batch against a held-out corpus tracks searchExact") {
+    val emb = Tables.embeddings(spark, SF)
+    val queries = emb.filter($"vec_id" < 20).select("vec_id", "embedding")
+    val corpus = emb.filter($"vec_id" >= 20).select("vec_id", "embedding")
+    val exact = Similarity.searchExact(queries, corpus, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.searchInt8(queries, corpus, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(quant.size == exact.size)
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall")
+    // no leave-one-out on an external batch: a query identical to a
+    // corpus vector (same id namespace collision) is a legitimate hit
+    val probe = corpus.limit(1)
+    val hit = Similarity.searchInt8(probe, corpus, 1).collect()
+    assert(hit.length == 1)
+    assert(hit.head.getAs[Long]("qid") == hit.head.getAs[Long]("nid"))
+  }
+
+  test("knnLabel: external query batch votes from the corpus, true_label rides along") {
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, Array(1f, 0.01f), 1), (101L, Array(1f, -0.01f), 1),
+      (102L, Array(0.9f, 0.1f), 2), (103L, Array(0.9f, -0.1f), 2),
+      (104L, Array(0.7f, 0.3f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    // external batch reuses id 100 — without excludeSelf the corpus
+    // vector with the same id still votes (independent namespaces)
+    val queries = Seq((100L, Array(1f, 0f), 7)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.knnLabel(queries, corpus, k = 5).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Int]("true_label") == 7)
+    assert(r.head.getAs[Int]("pred_label") == 1)  // labels {1,1,2,2,3} → 2-2 tie → 1
+    assert(r.head.getAs[Long]("votes") == 2L)
+  }
+
   test("q103 kNN label vote: majority wins, vote ties break on the smaller label") {
     import spark.implicits._
     // query 0 + five neighbors: labels {1,1,2,2,3} → 2-2 vote tie → label 1
