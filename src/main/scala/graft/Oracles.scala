@@ -12,6 +12,14 @@ package graft
   *    rank/ntile→CAST INT, len()→CAST BIGINT, events.ts→CAST TIMESTAMP.
   */
 object Oracles {
+  /** q109/q110 derivation constants — referenced by BOTH the
+    * SparkEntry derivations and the oracle SQL below (interpolated),
+    * so a change on either side can't silently break the pairing. */
+  val IngestBatchMod = 5L  // q109: batch = doc_id % 5 == 0, corpus = rest
+  val DiffOldDropMod = 7L  // q110: "old" snapshot drops every 7th doc
+  val DiffNewDropMod = 5L  // q110: "new" snapshot drops every 5th doc
+  val DiffUpperMod = 11L   // q110: "new" upper-cases every 11th's text
+
   private def msum(x: String) =
     s"CAST(ROUND(SUM(CAST($x AS DECIMAL(18,4))),2) AS DOUBLE)"
 
@@ -1206,14 +1214,14 @@ object Oracles {
          FROM te LEFT JOIN tg ON te.g = tg.g
          GROUP BY te.doc_id ORDER BY te.doc_id""",
 
-    // md5 hex of the normalized text in both engines; batch = doc_id
-    // divisible by 5, corpus = the rest (mirrors the SparkEntry split)
+    // md5 hex of the normalized text in both engines; the split
+    // constant is shared with the SparkEntry derivation
     "q109_incremental_dedup" ->
-      """WITH corpus AS (SELECT md5(lower(trim(text))) AS dg FROM documents
-                         WHERE doc_id % 5 <> 0),
+      s"""WITH corpus AS (SELECT md5(lower(trim(text))) AS dg FROM documents
+                         WHERE doc_id % $IngestBatchMod <> 0),
          ingested AS (SELECT DISTINCT dg, 1 AS hit FROM corpus),
          b AS (SELECT doc_id, md5(lower(trim(text))) AS dg FROM documents
-               WHERE doc_id % 5 = 0),
+               WHERE doc_id % $IngestBatchMod = 0),
          r AS (SELECT b.doc_id, b.dg, ingested.hit,
              ROW_NUMBER() OVER (PARTITION BY b.dg ORDER BY b.doc_id) AS rn
            FROM b LEFT JOIN ingested USING(dg))
@@ -1223,14 +1231,14 @@ object Oracles {
                 ELSE 'new' END AS status
          FROM r ORDER BY doc_id""",
 
-    // old = drop every 7th doc, new = drop every 5th + upper-case every
-    // 11th's text (mirrors the SparkEntry derivation); diff by md5
+    // snapshot derivations share their mod constants with SparkEntry;
+    // diff by md5
     "q110_corpus_diff" ->
-      """WITH o AS (SELECT doc_id, md5(text) AS dg FROM documents
-                    WHERE doc_id % 7 <> 0),
+      s"""WITH o AS (SELECT doc_id, md5(text) AS dg FROM documents
+                    WHERE doc_id % $DiffOldDropMod <> 0),
          n AS (SELECT doc_id,
-             md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS dg
-           FROM documents WHERE doc_id % 5 <> 0)
+             md5(CASE WHEN doc_id % $DiffUpperMod = 0 THEN upper(text) ELSE text END) AS dg
+           FROM documents WHERE doc_id % $DiffNewDropMod <> 0)
          SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
            CASE WHEN o.dg IS NULL THEN 'added'
                 WHEN n.dg IS NULL THEN 'removed'

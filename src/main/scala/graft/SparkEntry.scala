@@ -129,28 +129,30 @@ object SparkEntry {
     "q108_ann_int8"            -> ((s, d) => Similarity.q108(embeddings(s, d))),
     "q111_split_neardup"       -> ((s, d) => Dedup.q111(documents(s, d))),
     "q112_band_skew"           -> ((s, d) => Dedup.q112(documents(s, d))),
-    // snapshot diff: "old" drops every 7th doc, "new" drops every 5th
-    // and upper-cases every 11th's text — deterministic derivation so
-    // the oracle reproduces added/removed/modified/unchanged exactly
+    // snapshot diff: "old" drops every DiffOldDropMod-th doc, "new"
+    // drops every DiffNewDropMod-th and upper-cases every
+    // DiffUpperMod-th's text — the mod constants live in Oracles and
+    // are interpolated into the oracle SQL, so the two derivations
+    // cannot drift apart
     "q110_corpus_diff"         -> ((s, d) => {
       val docs = documents(s, d)
       import org.apache.spark.sql.functions.{col, lit, pmod, when, upper}
-      val old  = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L)
+      val old  = docs.filter(pmod(col("doc_id"), lit(Oracles.DiffOldDropMod)) =!= 0L)
         .select(col("doc_id"), col("text"))
-      val newer = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+      val newer = docs.filter(pmod(col("doc_id"), lit(Oracles.DiffNewDropMod)) =!= 0L)
         .select(col("doc_id"),
-          when(pmod(col("doc_id"), lit(11L)) === 0L, upper(col("text")))
+          when(pmod(col("doc_id"), lit(Oracles.DiffUpperMod)) === 0L, upper(col("text")))
             .otherwise(col("text")).as("text"))
       Dedup.q110(old, newer)
     }),
-    // incremental ingest: every 5th doc arrives as the "new batch",
-    // the rest are the already-ingested corpus (deterministic split so
-    // the oracle reproduces it)
+    // incremental ingest: every IngestBatchMod-th doc arrives as the
+    // "new batch", the rest are the already-ingested corpus (constant
+    // shared with the oracle SQL via Oracles.IngestBatchMod)
     "q109_incremental_dedup"   -> ((s, d) => {
       val docs = documents(s, d)
       import org.apache.spark.sql.functions.{col, pmod, lit}
-      Dedup.q109(docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L),
-        docs.filter(pmod(col("doc_id"), lit(5L)) === 0L))
+      Dedup.q109(docs.filter(pmod(col("doc_id"), lit(Oracles.IngestBatchMod)) =!= 0L),
+        docs.filter(pmod(col("doc_id"), lit(Oracles.IngestBatchMod)) === 0L))
     }),
     // external-query ANN: first 20 vectors are the "new batch", the rest
     // are the served corpus (disjoint id ranges keep the oracle simple)

@@ -15,6 +15,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * is bit-reproducible on any engine and any accumulation order.
   * Same shape as [[DotProduct]]: one tight loop inside whole-stage
   * codegen, NULL on length mismatch or null elements.
+  *
+  * Overflow contract: each int·int product is promoted to long before
+  * accumulating (cannot overflow — |product| ≤ 2^62), and the RUNNING
+  * SUM accumulates via `Math.addExact`, so a general SQL caller
+  * (`graft_dot_int` is registered for any array<int>) who exceeds the
+  * int64 range gets an ArithmeticException, not a silently wrapped
+  * value. For the intended int8-range codes the sum can't come near
+  * the bound (2^31 elements × 127² ≪ 2^63) and addExact JIT-compiles
+  * to the same add + no-taken-branch as a raw `+`.
   */
 case class DotProductInt(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
@@ -36,7 +45,7 @@ case class DotProductInt(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      acc += x.getInt(i).toLong * y.getInt(i)
+      acc = Math.addExact(acc, x.getInt(i).toLong * y.getInt(i))
       i += 1
     }
     acc
@@ -55,7 +64,7 @@ case class DotProductInt(left: Expression, right: Expression)
          |} else {
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $acc += (long) $a.getInt($i) * $b.getInt($i);
+         |    $acc = Math.addExact($acc, (long) $a.getInt($i) * $b.getInt($i));
          |  }
          |}
          |${ev.value} = $acc;

@@ -203,8 +203,6 @@ object Streams {
     * on the same docs. */
   def qualityGateStream(docs: DataFrame): DataFrame =
     docs
-      .withColumn("n_tokens",
-        size(split(lower(trim(col("text"))), " ")).cast("long"))
       .withColumn("score", graft.functions.QualityScore(col("text")))
       .filter(col("score") > 0.0)
 
