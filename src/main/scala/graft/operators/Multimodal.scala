@@ -220,7 +220,8 @@ object Multimodal {
     * dims; video/audio rows keep the raw text bytes with stub metadata
     * (no such codecs in this container). The payload/meta split mirrors
     * a real lake layout: meta-only queries never touch payload bytes. */
-  def mediaTable(spark: SparkSession, documents: DataFrame): DataFrame = {
+  def mediaTable(spark: SparkSession, documents: DataFrame,
+                 codec: MediaCodec = ImageIoCodec): DataFrame = {
     import spark.implicits._
     documents
       .select(col("doc_id"), col("text"))
@@ -232,7 +233,7 @@ object Multimodal {
         if (mt == "image") {
           val w = 16 + (h % 16).toInt
           val ht = 16 + ((h / 16) % 16).toInt
-          MediaRow(id, encodePng(renderImage(text, w, ht)),
+          MediaRow(id, codec.encode(renderImage(text, w, ht)),
             MediaMeta("image", w, ht, n_frames = 1, sample_rate = 0))
         } else {
           MediaRow(id, b, MediaMeta(mt,
@@ -267,15 +268,16 @@ object Multimodal {
     * from the ImageIO reader over the payload bytes, not from metadata.
     * Rows no codec claims (the stub video/audio payloads) fall back to
     * deterministic byte-derived features tagged format="raw". */
-  def q51(spark: SparkSession, documents: DataFrame): DataFrame = {
+  def q51(spark: SparkSession, documents: DataFrame,
+          codec: MediaCodec = ImageIoCodec): DataFrame = {
     import spark.implicits._
-    mediaTable(spark, documents)
+    mediaTable(spark, documents, codec)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>    // batch boundary =
           batch.map { case (id, b) =>               // codec call unit
-            decodeImage(b) match {
+            codec.decode(b) match {
               case Some((img, fmt)) =>
                 MediaFeature(id, b.length.toLong, checksum(b),
                   img.getWidth, img.getHeight, fmt)
@@ -298,17 +300,18 @@ object Multimodal {
     * the codec ran), n_bytes/checksum are of the new payload. Non-image
     * rows keep the stub arithmetic over their metadata dims. */
   def q52Resize(spark: SparkSession, documents: DataFrame,
-                maxW: Int = 16, maxH: Int = 16): DataFrame = {
+                maxW: Int = 16, maxH: Int = 16,
+                codec: MediaCodec = ImageIoCodec): DataFrame = {
     import spark.implicits._
-    mediaTable(spark, documents)
+    mediaTable(spark, documents, codec)
       .select(col("doc_id"), col("payload"), col("meta.width"), col("meta.height"))
       .as[(Long, Array[Byte], Int, Int)]
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap(_.map { case (id, b, w, h) =>
-          decodeImage(b) match {
+          codec.decode(b) match {
             case Some((img, _)) =>
-              val png = encodePng(resizeToFit(img, maxW, maxH))
-              val (dec, _) = decodeImage(png).get
+              val png = codec.encode(resizeToFit(img, maxW, maxH))
+              val (dec, _) = codec.decode(png).get
               ResizedRow(id, dec.getWidth, dec.getHeight,
                 png.length.toLong, checksum(png))
             case None =>
@@ -361,9 +364,10 @@ object Multimodal {
     * schema). Only true video codecs (H.264 etc.) remain out of scope
     * — a dependency wall, not a plumbing gap. */
   def q53FrameSample(spark: SparkSession, documents: DataFrame,
-                     every: Int = 4): DataFrame = {
+                     every: Int = 4,
+                     codec: MediaCodec = ImageIoCodec): DataFrame = {
     import spark.implicits._
-    mediaTable(spark, documents)
+    mediaTable(spark, documents, codec)
       .filter(col("meta.media_type") === "video")
       .select(col("doc_id"), col("payload"), col("meta.n_frames"))
       .as[(Long, Array[Byte], Int)]
@@ -387,11 +391,11 @@ object Multimodal {
               }
               y += 1
             }
-            encodePng(img)
+            codec.encode(img)
           })
           val frames = decodeFrames(video)
           (0 until nFrames by every).map { f =>
-            val (img, _) = decodeImage(frames(f)).get
+            val (img, _) = codec.decode(frames(f)).get
             FrameOut(id, f, img.getWidth, img.getHeight, frames(f).length.toLong)
           }
         })

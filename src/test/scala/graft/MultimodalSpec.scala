@@ -159,4 +159,65 @@ class MultimodalSpec extends GraftSpec {
     // byte identity cannot see it
     assert(Multimodal.q79(spark, two).count() == 2L)
   }
+
+  test("MediaCodec seam: q51/q52/q53 run unchanged through a non-ImageIO codec") {
+    import MultimodalCodecSpec.RawCodec
+    // q51: format comes from the substituted codec, dims from its decode
+    val feats = Multimodal.q51(spark, docs, RawCodec).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(feats(1L).getAs[String]("format") == "rawrgb")
+    assert(feats(4L).getAs[String]("format") == "rawrgb")
+    assert(feats(0L).getAs[String]("format") == "raw") // stub payload: no codec claims it
+    val pngFeats = Multimodal.q51(spark, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // decoded pixel dims are codec-independent (same render behind both)
+    assert(feats(1L).getAs[Int]("width") == pngFeats(1L).getAs[Int]("width"))
+    assert(feats(1L).getAs[Int]("height") == pngFeats(1L).getAs[Int]("height"))
+    // q52: decode → resize → re-encode → re-decode round-trips in the
+    // substituted codec, output dims inside the box
+    val rz = Multimodal.q52Resize(spark, docs, 8, 8, RawCodec).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rz(1L).getAs[Int]("width") <= 8 && rz(1L).getAs[Int]("height") <= 8)
+    // q53: per-frame encode/decode inside the container uses the codec
+    val fr = Multimodal.q53FrameSample(spark, docs, 4, RawCodec).collect()
+    assert(fr.nonEmpty)
+    assert(fr.forall(_.getAs[Int]("width") > 0))
+  }
+}
+
+object MultimodalCodecSpec {
+  /** Stand-in for a production codec jar: a trivial raw-RGB container
+    * (magic + dims + int pixels). Proves the operators only touch the
+    * [[graft.operators.MediaCodec]] seam — no ImageIO anywhere. */
+  object RawCodec extends graft.operators.MediaCodec {
+    private val Magic = 0x47524157 // "GRAW"
+    override def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(bos)
+      d.writeInt(Magic); d.writeInt(img.getWidth); d.writeInt(img.getHeight)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { d.writeInt(img.getRGB(x, y)); x += 1 }
+        y += 1
+      }
+      d.flush(); bos.toByteArray
+    }
+    override def decode(bytes: Array[Byte]): Option[(java.awt.image.BufferedImage, String)] = {
+      if (bytes.length < 12) return None
+      val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      if (d.readInt() != Magic) return None
+      val w = d.readInt(); val h = d.readInt()
+      if (w <= 0 || h <= 0 || bytes.length < 12 + 4L * w * h) return None
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, d.readInt()); x += 1 }
+        y += 1
+      }
+      Some((img, "rawrgb"))
+    }
+  }
 }
