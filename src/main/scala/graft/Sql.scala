@@ -84,8 +84,9 @@ object Sql {
       "graft_split_neardup"  -> (() => Dedup.q111(docs)),
       "graft_incr_dedup"     -> (() => {
         import org.apache.spark.sql.functions.{col, lit, pmod}
-        Dedup.q109(docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L),
-          docs.filter(pmod(col("doc_id"), lit(5L)) === 0L))
+        Dedup.q109(
+          docs.filter(pmod(col("doc_id"), lit(Oracles.IngestBatchMod)) =!= 0L),
+          docs.filter(pmod(col("doc_id"), lit(Oracles.IngestBatchMod)) === 0L))
       })
     )
     views.map { case (name, mk) => mk().createOrReplaceTempView(name); name }
@@ -115,10 +116,27 @@ object Sql {
     spark.sql(query)
   }
 
+  /** CLI argument handling, factored out of [[main]] so the spec can
+    * drive the exact CLI path on its own session:
+    * `[--with-clusters] <tableDir> <sql...>`. The flag opts into
+    * [[materializePipelineTables]] — the iterative cluster operators
+    * execute eagerly at registration (a fixpoint loop can't be a lazy
+    * view), so a plain SQL session doesn't pay for clustering it never
+    * queries. */
+  def cli(spark: SparkSession, args: Seq[String]): DataFrame = {
+    val withClusters = args.headOption.contains("--with-clusters")
+    val rest = if (withClusters) args.tail else args
+    require(rest.length >= 2,
+      "usage: graft.Sql [--with-clusters] <tableDir> <sql...>")
+    registerTables(spark, rest.head)
+    registerPipelineSql(spark)
+    if (withClusters) materializePipelineTables(spark)
+    spark.sql(rest.tail.mkString(" "))
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: graft.Sql <tableDir> <sql...>")
     val spark = GraftSession.local()
-    run(spark, args.head, args.tail.mkString(" ")).show(100, truncate = false)
+    cli(spark, args.toSeq).show(100, truncate = false)
     spark.stop()
   }
 }

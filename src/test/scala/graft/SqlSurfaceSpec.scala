@@ -117,6 +117,20 @@ class SqlSurfaceSpec extends GraftSpec {
          WHERE c.doc_id IS NULL""").collect().isEmpty)
   }
 
+  test("CLI --with-clusters: one invocation reaches the iterative cluster operators") {
+    // the exact argv shape `graft.Sql --with-clusters <dir> <sql...>`
+    // takes, through the same cli() path main() calls
+    val r = Sql.cli(spark, Seq("--with-clusters", SF,
+      """SELECT label, count(*) AS n FROM graft_dedup_clusters
+         GROUP BY label HAVING count(*) > 1""")).collect()
+    assert(r.nonEmpty)
+    // without the flag the cluster tables are not registered
+    val fresh = spark.newSession()
+    Sql.cli(fresh, Seq(SF, "SELECT 1"))
+    assert(!fresh.catalog.tableExists("graft_dedup_clusters"))
+    assert(fresh.catalog.tableExists("graft_minhash_pairs")) // lazy views are
+  }
+
   test("EXPLAIN and SHOW surfaces respond through SQL text") {
     Tables.region(spark, SF).createOrReplaceTempView("region_src")
     val explain = spark.sql("EXPLAIN SELECT count(*) FROM region_src")
