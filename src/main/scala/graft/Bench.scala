@@ -30,7 +30,27 @@ object Bench {
       try spark.read.parquet("/root/testdata/sf0.001/region.parquet")
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      // warm the ImageIO codec path (render → PNG encode → decode →
+      // dHash): the first codec pass pays ~6x its warm cost in class
+      // loading + JIT (r7 committed bench: q93 spread 24.7 s, best
+      // 4.15 s) — without this, the spread column of whichever codec
+      // query runs FIRST (q51/q52/q53/q93/q94) reads as machine noise
+      // instead of real variance
+      locally {
+        import graft.operators.Multimodal
+        val img = Multimodal.renderImage("codec warmup tokens here", 24, 24)
+        val png = Multimodal.encodePng(img)
+        Multimodal.decodeImage(png).foreach { case (d, _) => Multimodal.dHash(d) }
+      }
     }
+    // loadavg sentinel: sample at START and keep the MAX across the run
+    // — r7's end-of-run sample (2.82) missed the external load that had
+    // inflated the file to 198 s and drained before the final sample; a
+    // polluted run must be self-identifying from the JSON alone
+    def loadavg(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadavgStart = loadavg()
+    var loadavgMax = loadavgStart
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
@@ -53,6 +73,7 @@ object Bench {
       // alongside so a reader can separate regression from machine noise
       // without a re-run (the r3 driver box showed 6x noise on one query).
       val runs = Seq(once(), once(), once()).flatten
+      loadavgMax = math.max(loadavgMax, loadavg())
       (name, runs.minOption.getOrElse(-1.0),
         if (runs.size >= 2) runs.max - runs.min else -1.0)
     }
@@ -63,22 +84,19 @@ object Bench {
     // the line past the buffer and its head was cut off. Short keys
     // ("q01".."q88") + 2-decimal values keep 88 queries near 1.2 KB;
     // full names + the max-min spread live in BENCH_LOCAL.json.
-    // 1-minute system load at end of run: a loadavg far above the core
-    // count flags a timing file polluted by external load (the r3/r6
-    // driver-box whipsaws) without needing a judge re-run to prove it.
-    val loadavg = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
     val qsShort = results.map { case (k, v, _) =>
       "\"" + k.split("_")(0) + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    val load =
+      f""""loadavg_start":$loadavgStart%.2f,"loadavg_max":$loadavgMax%.2f"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","loadavg":$loadavg,"queries":$qsShort,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$load,"queries":$qsShort,"sf":"$sfDir"}"""
     println(json)
     val qsFull = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.3f" }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","loadavg":$loadavg,"queries":$qsFull,"spread":$spreads,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$load,"queries":$qsFull,"spread":$spreads,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       full.getBytes("UTF-8"))
     catch { case _: Throwable => () }
