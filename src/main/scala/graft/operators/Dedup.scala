@@ -119,12 +119,18 @@ object Dedup {
   def q41(documents: DataFrame): DataFrame =
     jaccardPairs(documents, JaccardThreshold)
 
-  /** The q41 machinery at an arbitrary threshold `t` — the prefix and
-    * PPJoin filters are threshold-parametric, so lower-similarity
-    * candidate generation (e.g. q84's edit-distance verify at t=0.5)
-    * reuses the same lossless plan, just with a longer prefix. */
-  def jaccardPairs(documents: DataFrame, t: Double): DataFrame = {
-    val g = shingles(documents)
+  /** Rep-level core of the q41 machinery (threshold-parametric): the
+    * prefix/PPJoin candidate join + exact-Jaccard verify, run on ONE
+    * representative per distinct normalized text ([[exactReps]]) —
+    * round 8: the same exact-dup collapse the LSH family got, because
+    * an identical-doc clique defeats the prefix filter identically
+    * (clique members share every shingle, so every member pair is a
+    * candidate and C(N,2) verifications run). Returns (repPairs with
+    * full stats at threshold t, members map, rep shingle frame). */
+  private[graft] def jaccardRepPairs(documents: DataFrame, t: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (reps, members) = exactReps(documents)
+    val g = shingles(reps)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // document frequency as a window over the shingle partition (one
     // shuffle on g) instead of aggregate + join-back (two)
@@ -155,11 +161,64 @@ object Dedup {
           ceil(lit(t / (1 + t)) * (col("a.n") + col("b.n"))))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(g, candidates)
+    val repPairs = verifyJaccard(g, candidates)
       .filter(col("jaccard") > t)
       .select(col("doc_a"), col("doc_b"), col("common"), col("na"), col("nb"),
         col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    (repPairs, members, g)
+  }
+
+  /** The q41 machinery at an arbitrary threshold `t` — the prefix and
+    * PPJoin filters are threshold-parametric, so lower-similarity
+    * candidate generation (e.g. q84's edit-distance verify at t=0.5)
+    * reuses the same lossless plan, just with a longer prefix.
+    * Output is identical to the uncollapsed all-pairs semantics:
+    * cross-clique pairs inherit their rep pair's exact stats
+    * (identical shingle sets per clique), with na/nb following the
+    * least/greatest id normalization; within-clique pairs are
+    * common = na = nb = n, J = 1.0 exactly — for shingled cliques
+    * only, as the uncollapsed join never saw gram-less docs. */
+  def jaccardPairs(documents: DataFrame, t: Double): DataFrame = {
+    val (repPairs, members, g) = jaccardRepPairs(documents, t)
+    val ma = members.select(col("rep").as("doc_a"), col("doc_id").as("da"))
+    val mb = members.select(col("rep").as("doc_b"), col("doc_id").as("db"))
+    val swap = col("da") > col("db")
+    val cross = repPairs.join(ma, "doc_a").join(mb, "doc_b")
+      .select(
+        least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("common"),
+        when(swap, col("nb")).otherwise(col("na")).as("na"),
+        when(swap, col("na")).otherwise(col("nb")).as("nb"),
+        col("jaccard"))
+    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val cm = members.join(
+      sizes.select(col("doc_id").as("rep"), col("n")), "rep")
+    val within = cm.as("x").join(cm.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n").as("common"), col("x.n").as("na"), col("x.n").as("nb"),
+        lit(1.0).as("jaccard"))
+    cross.unionAll(within).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Sparse near-dup EDGE set whose connected components (and min
+    * labels, and vertex set) equal those of the full [[jaccardPairs]]
+    * pair list: verified rep pairs + one (member, rep) STAR edge per
+    * non-rep member of a shingled clique — N edges per clique instead
+    * of C(N,2). The cluster consumers (q64/q65/q105) propagate over
+    * these, so an adversarial duplication clique costs linear edges in
+    * the label-propagation joins too, not just in candidate
+    * generation. Min labels agree because every member's clique rep
+    * is in its component and rep = clique minimum. */
+  private[graft] def neardupEdges(documents: DataFrame,
+                                  t: Double = JaccardThreshold): DataFrame = {
+    val (repPairs, members, g) = jaccardRepPairs(documents, t)
+    val shingled = g.select(col("doc_id").as("rep")).distinct()
+    val star = members.join(shingled, "rep")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("doc_a"), col("rep").as("doc_b"))
+    repPairs.select(col("doc_a"), col("doc_b")).unionAll(star)
   }
 
   /** q84: EDIT-DISTANCE near-dup pairs — shingle-Jaccard blocking at a
@@ -175,16 +234,26 @@ object Dedup {
     * count exactly like q41's verify stage. */
   def q84(documents: DataFrame, blockT: Double = 0.5,
           simFloor: Double = 0.8): DataFrame = {
-    val pairs = jaccardPairs(documents, blockT)
-      .select(col("doc_a"), col("doc_b"))
+    // the O(|a|·|b|) DP runs at REP level — one Levenshtein per
+    // verified clique pair, zero for within-clique pairs (identical
+    // texts: dist 0, sim 1.0 by definition). Before the round-8
+    // collapse, an identical-doc clique cost C(N,2) full DPs over
+    // identical long texts — the most expensive possible no-ops.
+    val (repPairs, members, g) = jaccardRepPairs(documents, blockT)
     val ta = documents.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val tb = documents.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
-    pairs.join(ta, "doc_a").join(tb, "doc_b")
+    val verified = repPairs.select(col("doc_a"), col("doc_b"))
+      .join(ta, "doc_a").join(tb, "doc_b")
       .withColumn("dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
       .withColumn("edit_sim", lit(1.0) - col("dist").cast("double") /
         greatest(length(col("text_a")), length(col("text_b"))))
       .filter(col("edit_sim") >= simFloor)
       .select(col("doc_a"), col("doc_b"), col("dist"), col("edit_sim"))
+    // dist/edit_sim are symmetric, so the least/greatest id swap in
+    // the expansion carries them unchanged
+    expandPairs(verified, members, Seq("dist", "edit_sim"))
+      .unionAll(withinCliquePairs(members, g,
+        Seq(lit(0L).as("dist"), lit(1.0).as("edit_sim"))))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -229,9 +298,11 @@ object Dedup {
   }
 
   /** q64: dedup clusters from the q41 near-dup pairs — one row per doc
-    * in a component, labelled with its cluster's canonical (min) id. */
+    * in a component, labelled with its cluster's canonical (min) id.
+    * Propagates over [[neardupEdges]] (rep pairs + clique star edges):
+    * identical output, linear edges per duplication clique. */
   def q64(documents: DataFrame): DataFrame =
-    clusters(q41(documents).select(col("doc_a"), col("doc_b")))
+    clusters(neardupEdges(documents))
       .orderBy(col("doc_id"))
 
   /** q69: benchmark-contamination detection — the decontamination pass

@@ -36,10 +36,13 @@ object Pipeline {
     val exactKept = norm
       .withColumn("__rn", row_number().over(byText))
       .filter(col("__rn") === 1).drop("__rn")
-    val pairs = precomputedPairs.getOrElse(
-      Dedup.q41(documents).select(col("doc_a"), col("doc_b")))
+    // default path propagates over the sparse rep-pair + star edge set
+    // (round 8: linear edges per duplication clique, same components);
+    // precomputed pair frames from a prior q41 run work unchanged
+    val pairs = precomputedPairs.map(_.select(col("doc_a"), col("doc_b")))
+      .getOrElse(Dedup.neardupEdges(documents))
     val nearDupLosers = Dedup
-      .clusters(pairs.select(col("doc_a"), col("doc_b")))
+      .clusters(pairs)
       .filter(col("label") =!= col("doc_id"))
       .select(col("doc_id"))
     exactKept
@@ -66,9 +69,9 @@ object Pipeline {
     * engines (§6 fixed-order weighted sum). */
   def q105(documents: DataFrame): DataFrame = {
     // clusters() directly, not q64: q64's driver-facing orderBy would
-    // plan a sort that the argmax join immediately destroys
-    val cl = Dedup.clusters(
-        Dedup.q41(documents).select(col("doc_a"), col("doc_b")))
+    // plan a sort that the argmax join immediately destroys; edges are
+    // the round-8 sparse rep-pair + star set (identical components)
+    val cl = Dedup.clusters(Dedup.neardupEdges(documents))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qual = TextAnalysis.q48(documents)
       .select(col("doc_id"), col("quality"))

@@ -185,6 +185,24 @@ class DedupSpec extends GraftSpec {
     val nOut = Dedup.q42(docs)
       .filter(org.apache.spark.sql.functions.col("jaccard") === 1.0).count()
     assert(nOut == 5000L * 4999L / 2)
+    // the q41 prefix-join family collapses too: rep-level verified
+    // pairs are corpus-shaped, the expansion carries the clique
+    val (repPairs, _, _) = Dedup.jaccardRepPairs(docs, Dedup.JaccardThreshold)
+    assert(repPairs.count() == 0)   // 3 unrelated reps
+    assert(Dedup.q41(docs).count() == 5000L * 4999L / 2)
+    // clustering propagates over N star edges, not C(N,2): every clique
+    // member labels to the clique minimum
+    val edges = Dedup.neardupEdges(docs)
+    assert(edges.count() == 4999)   // star only — no rep pairs
+    val labels = Dedup.q64(docs)
+    assert(labels.count() == 5000)
+    assert(labels.filter(org.apache.spark.sql.functions.col("label") =!= 1L)
+      .count() == 0)
+    // q84: identical texts are dist-0 pairs with ZERO Levenshtein DPs
+    // run (rep pairs are empty) — the expansion supplies them
+    val q84n = Dedup.q84(docs)
+      .filter(org.apache.spark.sql.functions.col("dist") === 0L).count()
+    assert(q84n == 5000L * 4999L / 2)
   }
 
   test("q112 band skew report: post-collapse buckets are clique-sized") {
