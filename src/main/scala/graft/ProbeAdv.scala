@@ -52,6 +52,15 @@ object ProbeAdv {
       val n42 = operators.Dedup.q42(df).count()
       spark.catalog.clearCache()
       println(f"[probeadv] $label q42 wall=$t42%.2fs output_pairs=$n42")
+      // q41 family (round 8): prefix-join collapse + sparse cluster edges
+      val t41 = time(operators.Dedup.q41(df))
+      spark.catalog.clearCache()
+      val t64 = time(operators.Dedup.q64(df))
+      spark.catalog.clearCache()
+      val t84 = time(operators.Dedup.q84(df))
+      spark.catalog.clearCache()
+      println(f"[probeadv] $label q41 wall=$t41%.2fs q64 wall=$t64%.2fs " +
+        f"q84 wall=$t84%.2fs")
     }
     spark.stop()
   }

@@ -407,12 +407,17 @@ object Dedup {
     * and degrades to one sort-merge exchange at corpus scale. */
   private[graft] def exactReps(documents: DataFrame): (DataFrame, DataFrame) = {
     val dg = md5(encode(lower(trim(col("text"))), "UTF-8"))
-    val proj = documents.select(col("doc_id"), dg.as("dg"))
-    val cliques = proj.groupBy(col("dg")).agg(min(col("doc_id")).as("rep"))
-    val members = proj.join(cliques, "dg").select(col("doc_id"), col("rep"))
+    // rep via ONE window exchange over the narrow (doc_id, digest)
+    // projection (groupBy + join-back would exchange twice); dup
+    // cliques are small, so the per-group window buffer is bounded
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("dg"))
+    val members = documents.select(col("doc_id"), dg.as("dg"))
+      .withColumn("rep", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("rep"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = documents.join(
-      cliques.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+      members.filter(col("doc_id") === col("rep")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
     (reps, members)
   }
 
