@@ -429,14 +429,15 @@ object Multimodal {
     dHash(img)
   }
 
-  def q93(spark: SparkSession, documents: DataFrame,
-          maxHamming: Int = 3): DataFrame = {
+  /** Rep-level core of [[q93]]: exact-dup collapse (Dedup.exactReps —
+    * identical normalized texts render pixel-identical thumbnails, so
+    * a clique of N byte-variant copies costs ONE codec round-trip and
+    * ONE banding row instead of N quadratically-colliding ones), then
+    * dHash + Hamming banding over the reps. Returns (verified rep
+    * pairs with hamming, members map). */
+  private def phashRepPairs(spark: SparkSession, documents: DataFrame,
+                            maxHamming: Int): (DataFrame, DataFrame) = {
     import spark.implicits._
-    // exact-dup collapse first (Dedup.exactReps): identical normalized
-    // texts render pixel-identical thumbnails, so a clique of N
-    // byte-variant copies costs ONE codec round-trip and ONE banding
-    // row instead of N quadratically-colliding ones; true pairs
-    // re-expand from the members map at output time
     val (reps, members) = graft.operators.Dedup.exactReps(documents)
     val ph = reps
       .select(col("doc_id"), col("text"))
@@ -462,6 +463,12 @@ object Multimodal {
         bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    (repPairs, members)
+  }
+
+  def q93(spark: SparkSession, documents: DataFrame,
+          maxHamming: Int = 3): DataFrame = {
+    val (repPairs, members) = phashRepPairs(spark, documents, maxHamming)
     // cross-clique pairs inherit the rep pair's Hamming distance
     // (identical thumbnails per clique); within-clique pairs are
     // Hamming 0 — every doc renders, so every clique is eligible
@@ -475,6 +482,19 @@ object Multimodal {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         lit(0).cast("integer").as("hamming"))
     cross.unionAll(within).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Sparse perceptual near-dup EDGE set for cluster consumers (q94):
+    * verified rep pairs + one (member, rep) star edge per non-rep
+    * clique member — components, vertex set, and min labels equal
+    * those of the full [[q93]] pair list (every doc renders, so every
+    * multi-member clique is Hamming-0-connected in both). */
+  private def phashEdges(spark: SparkSession, documents: DataFrame,
+                         maxHamming: Int): DataFrame = {
+    val (repPairs, members) = phashRepPairs(spark, documents, maxHamming)
+    val star = members.filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("doc_a"), col("rep").as("doc_b"))
+    repPairs.select(col("doc_a"), col("doc_b")).unionAll(star)
   }
 
   /** q94: multimodal CLEAN-CORPUS verdicts — the media counterpart of
@@ -500,8 +520,10 @@ object Multimodal {
       .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("dg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exactCanon = exact.groupBy(col("dg")).agg(min(col("doc_id")).as("exact_canon"))
+    // propagate over the sparse rep-pair + star edge set (round 8):
+    // identical components and labels, linear edges per clique
     val labels = graft.operators.Dedup.clusters(
-      q93(spark, documents, maxHamming).select(col("doc_a"), col("doc_b")))
+      phashEdges(spark, documents, maxHamming))
     exact
       .join(exactCanon, "dg")
       .join(labels, Seq("doc_id"), "left_outer")
