@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, DotProductInt, PolyFingerprint, QualityScore}
+import graft.functions.{BpeEncode, DotProduct, DotProductInt, PolyFingerprint, QualityScore}
 
 /** SQL-surface registration for graft's native expressions: sessions
   * built with `spark.sql.extensions=graft.GraftExtensions` can call
@@ -44,6 +44,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"graft_quality_score(string) takes 1 argument, got ${children.length}")
         QualityScore(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe_encode"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_bpe_encode(string, array<string>) takes 2 arguments, got ${children.length}")
+        BpeEncode(children.head, children(1))
       }))
     // row_number()<=k window-filter → native bounded-heap top-k operator
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)

@@ -129,6 +129,7 @@ object SparkEntry {
     "q108_ann_int8"            -> ((s, d) => Similarity.q108(embeddings(s, d))),
     "q111_split_neardup"       -> ((s, d) => Dedup.q111(documents(s, d))),
     "q112_band_skew"           -> ((s, d) => Dedup.q112(documents(s, d))),
+    "q113_bpe_encode"          -> ((s, d) => TextAnalysis.q113(documents(s, d))),
     // snapshot diff: "old" drops every DiffOldDropMod-th doc, "new"
     // drops every DiffNewDropMod-th and upper-cases every
     // DiffUpperMod-th's text — the mod constants live in Oracles and

@@ -555,6 +555,41 @@ object TextAnalysis {
       .limit(topMerges)
   }
 
+  /** q113: BPE ENCODE — the APPLY half of the tokenizer story. Fits a
+    * merge table on the corpus itself (q98's ranked pair counts, the
+    * public BPE-training criterion) and tokenizes every document with
+    * the native [[graft.functions.BpeEncode]] expression: per-doc
+    * subword count and merge count, the real token currency that
+    * packing (q77), chunking (q87) and token budgeting want in place
+    * of the whitespace proxy (q49).
+    *
+    * Scale shape: model fit → model apply with NO driver collect —
+    * the ranked merge list folds to ONE row (`collect_list` over
+    * q98's ≤ `topMerges` rows, sorted inside the row by the same
+    * (count desc, pair asc) criterion) and broadcasts to the apply
+    * scan via crossJoin, so the model rides the plan like any other
+    * broadcast dim. The merge loop runs inside whole-stage codegen;
+    * the only shuffle is q98's alphabet²-bounded pair count. rows-only
+    * (greedy BPE is not expressible in portable SQL); BpeEncodeSpec
+    * proves the expression against an independent plain-Scala model
+    * and pins greedy-order semantics. */
+  def q113(documents: DataFrame, topMerges: Int = 50): DataFrame = {
+    val mergeRow = q98(documents, topMerges)
+      .agg(collect_list(struct((-col("cnt")).as("nc"), col("a"), col("b"))).as("ms"))
+      .select(transform(array_sort(col("ms")),
+        s => concat(s.getField("a"), lit(" "), s.getField("b"))).as("merges"))
+    val norm = lower(trim(col("text")))
+    documents
+      .crossJoin(broadcast(mergeRow))
+      .select(col("doc_id"),
+        graft.functions.BpeEncode(col("text"), col("merges")).as("sw"),
+        length(regexp_replace(norm, lit(" "), lit(""))).as("n_cp"))
+      .select(col("doc_id"),
+        size(col("sw")).cast("long").as("n_subwords"),
+        (col("n_cp") - size(col("sw"))).cast("long").as("n_merges"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q100: FEATURE HASHING (the hashing trick) — fixed-width token-count
     * featurization: every token maps to one of `buckets` feature slots
     * via the engine-portable polynomial fingerprint (the q50 hash, a
