@@ -319,20 +319,31 @@ object Dedup {
   def q69(documents: DataFrame, benchmarkSource: String = "src0"): DataFrame = {
     val bench = documents.filter(col("source") === benchmarkSource)
     val corpus = documents.filter(col("source") =!= benchmarkSource)
-    val benchGrams = broadcast(
-      shingles(bench).select(col("g")).distinct().withColumn("hit", lit(1)))
-    // ONE pass over the corpus shingle stream: the broadcast left join
-    // tags benchmark grams in place, and a single partial-aggregated
-    // shuffle counts totals and hits together (benchGrams is distinct on
-    // g, so the left join cannot duplicate corpus rows)
+    contaminationAgainst(corpus, benchmarkGrams(bench)).orderBy(col("doc_id"))
+  }
+
+  /** DISTINCT benchmark gram frame (g, hit=1) for
+    * [[contaminationAgainst]] — the fit-once index side, shared by
+    * batch q69 and the streaming gate st15 (which persists it across
+    * micro-batches). */
+  private[graft] def benchmarkGrams(bench: DataFrame): DataFrame =
+    shingles(bench).select(col("g")).distinct().withColumn("hit", lit(1))
+
+  /** Per-doc contamination of `corpus` against a prepared benchmark
+    * gram frame. ONE pass over the corpus shingle stream: the broadcast
+    * left join tags benchmark grams in place, and a single
+    * partial-aggregated shuffle counts totals and hits together
+    * (benchGrams is distinct on g, so the left join cannot duplicate
+    * corpus rows). Docs with < 3 tokens produce no shingles and no
+    * row — no contamination evidence. */
+  private[graft] def contaminationAgainst(corpus: DataFrame,
+                                          benchGrams: DataFrame): DataFrame =
     shingles(corpus)
-      .join(benchGrams, Seq("g"), "left_outer")
+      .join(broadcast(benchGrams), Seq("g"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("hit_grams"))
       .withColumn("contamination",
         col("hit_grams").cast("double") / col("n_grams"))
-      .orderBy(col("doc_id"))
-  }
 
   /** q109: INCREMENTAL exact dedup — dedup a NEW ingest batch against
     * the already-ingested corpus without comparing any text twice: the

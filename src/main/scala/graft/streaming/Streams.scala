@@ -206,6 +206,42 @@ object Streams {
       .withColumn("score", graft.functions.QualityScore(col("text")))
       .filter(col("score") > 0.0)
 
+  /** st15: streaming DECONTAMINATION gate — batch q69's benchmark-
+    * contamination check applied at INGEST: documents whose distinct
+    * word-3-gram shingles overlap the eval/benchmark suite beyond
+    * `maxContamination` never land in the training lake. The benchmark
+    * gram index is fit ONCE ([[graft.operators.Dedup.benchmarkGrams]],
+    * persisted) and reused by every micro-batch; each batch then runs
+    * the exact batch code path (broadcast gram join + per-doc count
+    * aggregation) via foreachBatch, so stream and batch verdicts
+    * cannot drift — the spec asserts set parity with a batch q69
+    * filter over the same docs.
+    *
+    * Scale shape: eval suites are tiny next to the corpus (MBs vs
+    * 100 TB), so the index broadcasts map-side; per-batch shuffle is
+    * only the partial-aggregated per-doc count, ∝ batch size. Docs
+    * with < 3 tokens carry no contamination evidence and pass. */
+  def startDecontamGate(docs: DataFrame, benchmark: DataFrame,
+                        outDir: String, checkpoint: String,
+                        maxContamination: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val benchGrams = graft.operators.Dedup.benchmarkGrams(benchmark)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val dirty = graft.operators.Dedup
+          .contaminationAgainst(batch, benchGrams)
+          .filter(col("contamination") > maxContamination)
+          .select(col("doc_id"))
+        batch.join(dirty, Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+  }
+
   private def closed(user: Long, s: OpenSession): SessionOut =
     SessionOut(user, s.start_us, s.n, s.last_us - s.start_us, s.total)
 

@@ -313,6 +313,42 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st15 streaming decontamination gate drops benchmark-overlapping docs") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val ms = MemoryStream[(Long, String)]
+    val df = ms.toDF().toDF("doc_id", "text")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-st15").toString + "/out"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-st15-ck").toString
+    val q = Streams.startDecontamGate(df, bench, outDir, ckpt)
+    try {
+      val batch1 = Seq(
+        (1L, "alpha beta gamma delta epsilon"),  // verbatim leak: 3/3 grams
+        (2L, "alpha beta gamma delta zeta"),     // 2/3 grams hit → dropped
+        (3L, "one two three four five"),         // clean → kept
+        (4L, "hi there"))                        // < 3 tokens → no evidence → kept
+      ms.addData(batch1: _*)
+      q.processAllAvailable()
+      // index reused across micro-batches: a later batch still gates
+      ms.addData((5L, "beta gamma delta epsilon eta"),  // 2/3 hit → dropped
+                 (6L, "clean text with nothing shared here"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(outDir)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(kept == Set(3L, 4L, 6L))
+      // parity with the batch code path on the same docs
+      val all = (batch1 ++ Seq((5L, "beta gamma delta epsilon eta"),
+        (6L, "clean text with nothing shared here"))).toDF("doc_id", "text")
+      val batchDirty = graft.operators.Dedup
+        .contaminationAgainst(all, graft.operators.Dedup.benchmarkGrams(bench))
+        .filter(org.apache.spark.sql.functions.col("contamination") > 0.5)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(kept == all.collect().map(_.getAs[Long]("doc_id")).toSet -- batchDirty)
+    } finally q.stop()
+  }
+
   test("st11 toTable sink: micro-batches land in a metastore table visible to SQL") {
     val ms = MemoryStream[StreamEv]
     spark.sql("DROP TABLE IF EXISTS graft_st11_sink")
