@@ -410,6 +410,21 @@ object Oracles {
 
     // same shingle construction as q41, aggregated per SOURCE; exact
     // long counts, one double divide (§6 single-divide discipline)
+    // mirrors q114's two explicit aggregation stages (per-(span,doc)
+    // occurrences, then the per-span rollup) so n_occ stays BIGINT on
+    // both engines — DuckDB's bare SUM would widen to HUGEINT
+    "q114_repeated_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+           FROM documents),
+         pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+           FROM t WHERE len(w) >= 5),
+         wins AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS span FROM pos),
+         perdoc AS (SELECT span, doc_id, COUNT(*) AS occ
+           FROM wins GROUP BY span, doc_id)
+         SELECT span, COUNT(*) AS n_docs, CAST(SUM(occ) AS BIGINT) AS n_occ
+         FROM perdoc GROUP BY span HAVING COUNT(*) >= 2
+         ORDER BY n_occ DESC, span LIMIT 50""",
+
     "q95_source_overlap" ->
       """WITH toks AS (SELECT source, string_split(lower(trim(text)), ' ') AS w
            FROM documents),

@@ -130,6 +130,9 @@ object SparkEntry {
     "q111_split_neardup"       -> ((s, d) => Dedup.q111(documents(s, d))),
     "q112_band_skew"           -> ((s, d) => Dedup.q112(documents(s, d))),
     "q113_bpe_encode"          -> ((s, d) => TextAnalysis.q113(documents(s, d))),
+    // exact=true: the span-string audit form the oracle can mirror;
+    // the scale default hashes spans to 8 bytes before the shuffle
+    "q114_repeated_spans"      -> ((s, d) => Dedup.q114(documents(s, d), exact = true)),
     // snapshot diff: "old" drops every DiffOldDropMod-th doc, "new"
     // drops every DiffNewDropMod-th and upper-cases every
     // DiffUpperMod-th's text — the mod constants live in Oracles and

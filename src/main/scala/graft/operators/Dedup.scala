@@ -322,6 +322,53 @@ object Dedup {
     contaminationAgainst(corpus, benchmarkGrams(bench)).orderBy(col("doc_id"))
   }
 
+  /** q114: REPEATED-SPAN detection — the substring-dedup signal of
+    * Lee et al.'s "Deduplicating Training Data Makes Language Models
+    * Better" at k-token granularity: every k-token window (stride 1,
+    * duplicates KEPT — occurrences matter) across the corpus, ranked
+    * by how often it repeats in ≥ 2 distinct documents. This catches
+    * sub-line boilerplate (license headers, navigation chrome,
+    * templated sentences) that doc-level dedup (q40/q41) and
+    * frequent-LINE boilerplate (q101) both miss.
+    *
+    * Two explicit partial-aggregated stages instead of a
+    * countDistinct expand: (span, doc) occurrence counts first, then
+    * the per-span rollup — the oracle mirrors the same algebra, so
+    * the exact form is hash-exact vs DuckDB.
+    *
+    * Scale shape: the exact form's first shuffle carries the k-token
+    * span STRING — a k× re-keying of the token stream, the honest
+    * audit cost. The DEFAULT (`exact=false`) reduces each span to a
+    * 64-bit `xxhash64` BEFORE the exchange, so shuffle rows are
+    * (8-byte key, doc_id) regardless of k — the form a 100 TB corpus
+    * runs. 64 bits, not the mod-1e9 PolyFingerprint: a 100 TB token
+    * stream has ~1e13 windows, and a 2^30-sized space would drown in
+    * collisions where 2^64 keeps the expected count ~n²/2^65. A
+    * collision can only ADD a rare phantom row or inflate one span's
+    * counts — it can never hide a truly repeated span (recall 1.0).
+    * Both forms are linear in the token stream; no candidate pair
+    * ever materializes. */
+  def q114(documents: DataFrame, k: Int = 5, topK: Int = 50,
+           exact: Boolean = false): DataFrame = {
+    val w = col("w")
+    val winArr = transform(sequence(lit(1), size(w) - lit(k - 1), lit(1)),
+      i => concat_ws(" ", (0 until k).map(j => element_at(w, i + lit(j))): _*))
+    val wins = documents
+      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("w"))
+      .filter(size(w) >= k)
+      .select(col("doc_id"), explode(winArr).as("span"))
+    val keyed =
+      if (exact) wins
+      else wins.select(col("doc_id"), xxhash64(col("span")).as("span"))
+    keyed
+      .groupBy(col("span"), col("doc_id")).agg(count(lit(1)).as("occ"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_occ").desc, col("span"))
+      .limit(topK)
+  }
+
   /** DISTINCT benchmark gram frame (g, hit=1) for
     * [[contaminationAgainst]] — the fit-once index side, shared by
     * batch q69 and the streaming gate st15 (which persists it across

@@ -236,4 +236,30 @@ class DedupSpec extends GraftSpec {
     assert(r.head.getAs[Long]("survivor") == 2L)
     assert(r.head.getAs[Long]("n_members") == 2L)
   }
+
+  test("q114 repeated spans: planted boilerplate surfaces; hashed default matches exact") {
+    import org.apache.spark.sql.functions.col
+    val boiler = "all rights reserved by the graft project authors"
+    val planted = Seq(
+      (9001L, s"$boiler and some trailing words"),
+      (9002L, s"prefix words come first then $boiler"),
+      (9003L, boiler)).toDF("doc_id", "text")
+    val all = Tables.documents(spark, SF)
+      .select(col("doc_id"), col("text")).unionAll(planted)
+    val exact = Dedup.q114(all, topK = 10000, exact = true).collect()
+    // every 5-gram of the planted sentence spans 3 docs, occurrences kept
+    val hit = exact.find(_.getString(0) == "all rights reserved by the")
+    assert(hit.isDefined, "planted span missing")
+    assert(hit.get.getLong(1) == 3L && hit.get.getLong(2) == 3L)
+    // the scale default reduces spans to 8-byte fingerprints BEFORE the
+    // shuffle — stats must be identical, keyed by the span's fingerprint
+    val viaFp = exact.map { r =>
+      (org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)), 42L),
+       r.getLong(1), r.getLong(2))
+    }.toSet
+    val hashed = Dedup.q114(all, topK = 10000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hashed == viaFp)
+  }
 }
