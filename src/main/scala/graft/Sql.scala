@@ -82,6 +82,8 @@ object Sql {
       "graft_split_decontam" -> (() => TextAnalysis.q107(docs)),
       "graft_ann_int8"       -> (() => Similarity.q108(embs)),
       "graft_split_neardup"  -> (() => Dedup.q111(docs)),
+      "graft_bpe_tokens"     -> (() => TextAnalysis.q113(docs)),
+      "graft_repeated_spans" -> (() => Dedup.q114(docs)),
       "graft_incr_dedup"     -> (() => {
         import org.apache.spark.sql.functions.{col, lit, pmod}
         Dedup.q109(

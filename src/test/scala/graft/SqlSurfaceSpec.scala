@@ -97,6 +97,15 @@ class SqlSurfaceSpec extends GraftSpec {
     assert(spark.sql(
       "SELECT doc_id FROM graft_split_decontam WHERE leaked > n_grams")
       .collect().isEmpty)
+    // round-8 operators reachable by SQL text only
+    assert(spark.sql(
+      "SELECT doc_id FROM graft_bpe_tokens WHERE n_merges < 0 OR n_subwords < 0")
+      .collect().isEmpty)   // counts are non-negative
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_bpe_tokens").collect()(0).getLong(0) > 0)
+    assert(spark.sql(
+      "SELECT span FROM graft_repeated_spans WHERE n_docs < 2")
+      .collect().isEmpty)   // only cross-doc repeats qualify
 
     // iterative operators materialize on demand (clusters run a
     // driver fixpoint loop, so they are tables, not lazy views)
