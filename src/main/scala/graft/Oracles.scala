@@ -425,6 +425,26 @@ object Oracles {
          FROM perdoc GROUP BY span HAVING COUNT(*) >= 2
          ORDER BY n_occ DESC, span LIMIT 50""",
 
+    // q115 mirrors q114's window algebra plus a per-span doc_count
+    // window; fractions divide two exactly-representable counts, so
+    // the double is bit-identical on both engines
+    "q115_span_fraction" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+           FROM documents),
+         pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+           FROM t WHERE len(w) >= 5),
+         wins AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS span FROM pos),
+         perdoc AS (SELECT span, doc_id, COUNT(*) AS occ
+           FROM wins GROUP BY span, doc_id),
+         spanstats AS (SELECT doc_id, occ,
+             COUNT(*) OVER (PARTITION BY span) AS n_docs FROM perdoc)
+         SELECT doc_id,
+           CAST(SUM(occ) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN occ ELSE 0 END) AS BIGINT) AS n_repeated,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN occ ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(occ) AS DOUBLE) AS frac_repeated
+         FROM spanstats GROUP BY doc_id ORDER BY doc_id""",
+
     "q95_source_overlap" ->
       """WITH toks AS (SELECT source, string_split(lower(trim(text)), ' ') AS w
            FROM documents),

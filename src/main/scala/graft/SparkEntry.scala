@@ -133,6 +133,7 @@ object SparkEntry {
     // exact=true: the span-string audit form the oracle can mirror;
     // the scale default hashes spans to 8 bytes before the shuffle
     "q114_repeated_spans"      -> ((s, d) => Dedup.q114(documents(s, d), exact = true)),
+    "q115_span_fraction"       -> ((s, d) => Dedup.q115(documents(s, d), exact = true)),
     // snapshot diff: "old" drops every DiffOldDropMod-th doc, "new"
     // drops every DiffNewDropMod-th and upper-cases every
     // DiffUpperMod-th's text — the mod constants live in Oracles and

@@ -84,6 +84,7 @@ object Sql {
       "graft_split_neardup"  -> (() => Dedup.q111(docs)),
       "graft_bpe_tokens"     -> (() => TextAnalysis.q113(docs)),
       "graft_repeated_spans" -> (() => Dedup.q114(docs)),
+      "graft_span_fraction"  -> (() => Dedup.q115(docs)),
       "graft_incr_dedup"     -> (() => {
         import org.apache.spark.sql.functions.{col, lit, pmod}
         Dedup.q109(

@@ -369,6 +369,50 @@ object Dedup {
       .limit(topK)
   }
 
+  /** q115: per-doc REPEATED-SPAN fraction — q114 operationalized into
+    * the keep/drop signal: for each document, the fraction of its
+    * stride-1 k-token windows that also occur in at least one OTHER
+    * document. A license header pasted into thousands of pages gives
+    * every carrier a high frac_repeated; an original document scores
+    * ~0. This is the doc-level verdict column a cleaning pass filters
+    * on, complementing within-doc repetition (q68) and frequent-line
+    * boilerplate (q101).
+    *
+    * Algebra: windows, pre-partitioned by span → per-(span, doc)
+    * occurrence counts AND per-span doc_count (a window function) on
+    * that ONE exchange — hash(span) clusters (span, doc) too, so
+    * neither the aggregation nor the window re-shuffles — then the
+    * per-doc rollup is the only other exchange. "Repeated" counts
+    * OCCURRENCES: a window string appearing twice in doc A and once in
+    * doc B contributes 2 repeated occurrences to A. The DEFAULT
+    * (`exact=false`) keys windows by 64-bit xxhash64 exactly like
+    * q114 — 8-byte exchange rows at any k; the exact form is the
+    * oracle-mirrored audit path the driver registers. */
+  def q115(documents: DataFrame, k: Int = 5, exact: Boolean = false): DataFrame = {
+    val w = col("w")
+    val winArr = transform(sequence(lit(1), size(w) - lit(k - 1), lit(1)),
+      i => concat_ws(" ", (0 until k).map(j => element_at(w, i + lit(j))): _*))
+    val wins = documents
+      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("w"))
+      .filter(size(w) >= k)
+      .select(col("doc_id"), explode(winArr).as("span"))
+    val keyed =
+      if (exact) wins
+      else wins.select(col("doc_id"), xxhash64(col("span")).as("span"))
+    val perDoc = keyed.repartition(col("span"))
+      .groupBy(col("span"), col("doc_id")).agg(count(lit(1)).as("occ"))
+    val spanW = org.apache.spark.sql.expressions.Window.partitionBy(col("span"))
+    perDoc
+      .withColumn("n_docs", count(lit(1)).over(spanW))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("occ")).cast("long").as("n_windows"),
+        sum(when(col("n_docs") >= 2, col("occ")).otherwise(lit(0L)))
+          .cast("long").as("n_repeated"))
+      .withColumn("frac_repeated",
+        col("n_repeated").cast("double") / col("n_windows"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DISTINCT benchmark gram frame (g, hit=1) for
     * [[contaminationAgainst]] — the fit-once index side, shared by
     * batch q69 and the streaming gate st15 (which persists it across

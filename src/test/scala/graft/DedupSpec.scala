@@ -262,4 +262,29 @@ class DedupSpec extends GraftSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(hashed == viaFp)
   }
+
+  test("q115 span fraction: full copies score 1.0, originals ~0, hashed matches exact") {
+    import org.apache.spark.sql.functions.col
+    val boiler = "one two three four five six seven"
+    val d = Seq(
+      (1L, boiler),                               // copy of 2 → every window repeated
+      (2L, boiler),
+      (3L, s"$boiler unique0 unique1 unique2 unique3 unique4 unique5 unique6 unique7"),
+      (4L, "entirely original body of text with no shared window at all"),
+      (5L, "too short"))                          // < k tokens → absent
+    .toDF("doc_id", "text")
+    val r = Dedup.q115(d, exact = true).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2),
+        x.getAs[Double]("frac_repeated"))).toMap
+    assert(!r.contains(5L))
+    assert(r(1L)._3 == 1.0 && r(2L)._3 == 1.0)
+    // doc 3: 11 windows, the 3 fully inside the boilerplate prefix repeat
+    assert(r(3L)._1 == 11L && r(3L)._2 == 3L)
+    assert(r(4L)._3 == 0.0)
+    // hashed default computes identical stats on this corpus
+    val h = Dedup.q115(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2),
+        x.getAs[Double]("frac_repeated"))).toMap
+    assert(h == r)
+  }
 }

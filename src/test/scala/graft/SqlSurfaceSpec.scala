@@ -106,6 +106,10 @@ class SqlSurfaceSpec extends GraftSpec {
     assert(spark.sql(
       "SELECT span FROM graft_repeated_spans WHERE n_docs < 2")
       .collect().isEmpty)   // only cross-doc repeats qualify
+    assert(spark.sql(
+      """SELECT doc_id FROM graft_span_fraction
+         WHERE frac_repeated < 0 OR frac_repeated > 1 OR n_repeated > n_windows""")
+      .collect().isEmpty)   // a fraction of occurrences stays in [0, 1]
 
     // iterative operators materialize on demand (clusters run a
     // driver fixpoint loop, so they are tables, not lazy views)
