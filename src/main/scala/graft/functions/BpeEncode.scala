@@ -62,7 +62,10 @@ object BpeEncode {
 
   /** Last-seen merge table per thread: (owned entry copies, rank map).
     * Byte-equality guarded, so a changed table can never serve stale
-    * ranks; the guard is a no-alloc UTF8String compare per entry. */
+    * ranks; the guard is a no-alloc UTF8String compare per entry. (No
+    * reference-identity fast path on purpose: ArrayData instances can
+    * be reused row buffers whose CONTENT changes under the same
+    * reference, and a stale rank map silently mis-tokenizes.) */
   private final class Table(val entries: Array[UTF8String],
                             val rank: java.util.HashMap[String, Integer])
   private val memo = new ThreadLocal[Table]

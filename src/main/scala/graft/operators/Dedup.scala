@@ -348,8 +348,12 @@ object Dedup {
     * counts — it can never hide a truly repeated span (recall 1.0).
     * Both forms are linear in the token stream; no candidate pair
     * ever materializes. */
-  def q114(documents: DataFrame, k: Int = 5, topK: Int = 50,
-           exact: Boolean = false): DataFrame = {
+  /** (doc_id, span) rows for every stride-1 k-token window, duplicates
+    * kept; `exact=false` keys spans by 64-bit xxhash64 so downstream
+    * exchanges carry 8-byte keys (see [[q114]] for the collision
+    * contract). Shared by q114/q115. */
+  private def spanWindows(documents: DataFrame, k: Int,
+                          exact: Boolean): DataFrame = {
     val w = col("w")
     val winArr = transform(sequence(lit(1), size(w) - lit(k - 1), lit(1)),
       i => concat_ws(" ", (0 until k).map(j => element_at(w, i + lit(j))): _*))
@@ -357,10 +361,13 @@ object Dedup {
       .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("w"))
       .filter(size(w) >= k)
       .select(col("doc_id"), explode(winArr).as("span"))
-    val keyed =
-      if (exact) wins
-      else wins.select(col("doc_id"), xxhash64(col("span")).as("span"))
-    keyed
+    if (exact) wins
+    else wins.select(col("doc_id"), xxhash64(col("span")).as("span"))
+  }
+
+  def q114(documents: DataFrame, k: Int = 5, topK: Int = 50,
+           exact: Boolean = false): DataFrame = {
+    spanWindows(documents, k, exact)
       .groupBy(col("span"), col("doc_id")).agg(count(lit(1)).as("occ"))
       .groupBy(col("span"))
       .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occ"))
@@ -389,17 +396,7 @@ object Dedup {
     * q114 — 8-byte exchange rows at any k; the exact form is the
     * oracle-mirrored audit path the driver registers. */
   def q115(documents: DataFrame, k: Int = 5, exact: Boolean = false): DataFrame = {
-    val w = col("w")
-    val winArr = transform(sequence(lit(1), size(w) - lit(k - 1), lit(1)),
-      i => concat_ws(" ", (0 until k).map(j => element_at(w, i + lit(j))): _*))
-    val wins = documents
-      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("w"))
-      .filter(size(w) >= k)
-      .select(col("doc_id"), explode(winArr).as("span"))
-    val keyed =
-      if (exact) wins
-      else wins.select(col("doc_id"), xxhash64(col("span")).as("span"))
-    val perDoc = keyed.repartition(col("span"))
+    val perDoc = spanWindows(documents, k, exact).repartition(col("span"))
       .groupBy(col("span"), col("doc_id")).agg(count(lit(1)).as("occ"))
     val spanW = org.apache.spark.sql.expressions.Window.partitionBy(col("span"))
     perDoc
