@@ -23,6 +23,46 @@ object Oracles {
   private def msum(x: String) =
     s"CAST(ROUND(SUM(CAST($x AS DECIMAL(18,4))),2) AS DOUBLE)"
 
+  // ---- portable ln: the DuckDB replay of GraftMath.portableLn ----
+  // Same constants, same op order → same bits as the Spark side on
+  // every input (601 703-point sweep, zero mismatches). See
+  // functions/GraftMath.scala for the algorithm and the measurement
+  // that rules out any libm-based parity.
+  private val LnS2  = "1.4142135623730951"   // = 2*LnS05 exactly
+  private val LnS05 = "0.7071067811865476"
+  private val LnHi  = "0.6931471803691238"
+  private val LnLo  = "1.9082149292705877e-10"
+  private def lnHorner(t2: String): String =
+    s"1.0 + $t2*(0.3333333333333333 + $t2*(0.2 + $t2*(0.14285714285714285 + " +
+    s"$t2*(0.1111111111111111 + $t2*(0.09090909090909091 + $t2*(0.07692307692307693 + " +
+    s"$t2*(0.06666666666666667 + $t2*(0.058823529411764705 + $t2*(0.05263157894736842 + " +
+    s"$t2*(0.047619047619047616 + $t2*0.043478260869565216))))))))))"
+
+  /** Emits a CTE chain `{p}_l1 … {p}_l7, {p}` computing, for each
+    * (xExpr → outName) in `ins`, outName = portable-ln(xExpr) with
+    * xExpr evaluated against `src` (which may be a join); `carry`
+    * columns pass through to the final CTE `{p}`. Canonicalization
+    * seeds k from floor(log2(x)) — the two exact halve/double steps
+    * absorb any ±1 seed difference vs the Spark side's getExponent,
+    * landing both engines on the identical (k, m). */
+  private def lnChain(p: String, src: String, carry: Seq[String],
+                      ins: Seq[(String, String)]): String = {
+    val c = if (carry.isEmpty) "" else carry.mkString(", ") + ", "
+    def g(i: Int, s: String) = s"g$i$s"
+    def sel(body: Int => String) = ins.indices.map(body).mkString(", ")
+    def canon(m: String, k: String, mOut: String, kOut: String) =
+      s"CASE WHEN $m >= $LnS2 THEN $m/2.0 WHEN $m < $LnS05 THEN $m*2.0 ELSE $m END AS $mOut, " +
+      s"CASE WHEN $m >= $LnS2 THEN $k+1 WHEN $m < $LnS05 THEN $k-1 ELSE $k END AS $kOut"
+    s"""${p}_l1 AS (SELECT $c${sel(i => s"${ins(i)._1} AS ${g(i, "x")}")} FROM $src),
+       ${p}_l2 AS (SELECT $c${sel(i => s"${g(i, "x")}, CAST(floor(log2(${g(i, "x")})) AS BIGINT) AS ${g(i, "kr")}")} FROM ${p}_l1),
+       ${p}_l3 AS (SELECT $c${sel(i => s"${g(i, "kr")}, ${g(i, "x")} / pow(2.0, CAST(${g(i, "kr")} AS DOUBLE)) AS ${g(i, "mr")}")} FROM ${p}_l2),
+       ${p}_l4 AS (SELECT $c${sel(i => canon(g(i, "mr"), g(i, "kr"), g(i, "m1"), g(i, "k1")))} FROM ${p}_l3),
+       ${p}_l5 AS (SELECT $c${sel(i => canon(g(i, "m1"), g(i, "k1"), g(i, "m"), g(i, "k")))} FROM ${p}_l4),
+       ${p}_l6 AS (SELECT $c${sel(i => s"${g(i, "k")}, (${g(i, "m")} - 1.0)/(${g(i, "m")} + 1.0) AS ${g(i, "t")}")} FROM ${p}_l5),
+       ${p}_l7 AS (SELECT $c${sel(i => s"${g(i, "k")}, ${g(i, "t")}, ${g(i, "t")}*${g(i, "t")} AS ${g(i, "t2")}")} FROM ${p}_l6),
+       $p AS (SELECT $c${sel(i => s"CAST(${g(i, "k")} AS DOUBLE)*$LnHi + (CAST(${g(i, "k")} AS DOUBLE)*$LnLo + 2.0*(${g(i, "t")}*(${lnHorner(g(i, "t2"))}))) AS ${ins(i)._2}")} FROM ${p}_l7)"""
+  }
+
   /** q41's SQL, shared verbatim by the q64 cluster oracle's pair CTE. */
   private val Q41Sql =
     """WITH toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
@@ -445,6 +485,112 @@ object Oracles {
              / CAST(SUM(occ) AS DOUBLE) AS frac_repeated
          FROM spanstats GROUP BY doc_id ORDER BY doc_id""",
 
+    // qt VALUES mirrors SparkEntry's literal 3-query batch verbatim;
+    // per-query contributions fold in query-position order (q86 idiom);
+    // idf ln via the portable chain (bitwise == Spark's PortableLn)
+    "q116_bm25_search" ->
+      s"""WITH qt(query_id, pos, term) AS (VALUES
+             (CAST(1 AS BIGINT), CAST(0 AS INTEGER), 'data'), (1, 1, 'spark'),
+             (2, 0, 'fast'), (2, 1, 'join'), (2, 2, 'scan'),
+             (3, 0, 'customer'), (3, 1, 'vector'), (3, 2, 'stream')),
+         toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents),
+         dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+         stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_toks FROM dl),
+         tf AS (SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+           WHERE tok IN (SELECT DISTINCT term FROM qt) GROUP BY doc_id, tok),
+         dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         pre AS (SELECT qt.query_id, qt.pos, tf.doc_id, tf.tf, dfs.df, dl.dl,
+             s.n_docs, s.total_toks
+           FROM qt JOIN tf ON qt.term = tf.term JOIN dfs ON qt.term = dfs.term
+           JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s),
+         ${lnChain("lnidf", "pre",
+            Seq("query_id", "pos", "doc_id", "tf", "df", "dl", "n_docs", "total_toks"),
+            Seq("(CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0" -> "idf"))},
+         contrib AS (SELECT query_id, pos, doc_id,
+             idf * (CAST(tf AS DOUBLE) * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 *
+                   (CAST(dl AS DOUBLE) / (CAST(total_toks AS DOUBLE) / n_docs)))) AS c
+           FROM lnidf),
+         per AS (SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+             list_sort(list(struct_pack(pos := pos, c := c))) AS xs
+           FROM contrib GROUP BY query_id, doc_id),
+         folded AS (SELECT query_id, doc_id, n_hit,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(xs, s -> struct_extract(s, 'c'))), (a, b) -> a + b) AS score
+           FROM per),
+         ranked AS (SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS BIGINT) AS "rank",
+             doc_id, n_hit, score FROM folded)
+         SELECT query_id, "rank", doc_id, n_hit, score FROM ranked
+         WHERE "rank" <= 10 ORDER BY query_id, "rank"""",
+
+    // hash twin = q100's (h*31+c mod 1e9+7) chain, then mod 64 buckets;
+    // per-doc fold runs in bucket order; top-100 keep set via LIMIT
+    "q117_dsir" ->
+      s"""WITH toks AS (SELECT doc_id, source,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(tok, ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (h, c) -> (h*31 + c) % 1000000007) % 64 AS b
+           FROM (SELECT doc_id, source,
+               unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents)),
+         raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM toks GROUP BY b),
+         tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM toks
+           WHERE source = 'src0' GROUP BY b),
+         rt AS (SELECT CAST(COUNT(*) AS BIGINT) AS r_total FROM toks),
+         tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_total FROM toks WHERE source = 'src0'),
+         prelr AS (SELECT raw.b, COALESCE(tgt.ct, 0) AS ct, raw.cr,
+             tt.t_total, rt.r_total
+           FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN rt CROSS JOIN tt),
+         ${lnChain("lnlr", "prelr", Seq("b"), Seq(
+           "(CAST(ct AS DOUBLE) + 1.0) / (CAST(t_total AS DOUBLE) + 64.0)" -> "lt",
+           "(CAST(cr AS DOUBLE) + 1.0) / (CAST(r_total AS DOUBLE) + 64.0)" -> "lraw"))},
+         lr AS (SELECT b, lt - lraw AS lr FROM lnlr),
+         db AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc_id, b),
+         per AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+             list_sort(list(struct_pack(b := db.b, c := CAST(db.n AS DOUBLE) * lr.lr))) AS xs
+           FROM db JOIN lr ON db.b = lr.b GROUP BY doc_id),
+         folded AS (SELECT doc_id, n_tokens,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(xs, s -> struct_extract(s, 'c'))), (a, x) -> a + x) AS weight
+           FROM per),
+         top AS (SELECT doc_id FROM folded ORDER BY weight DESC, doc_id LIMIT 100)
+         SELECT f.doc_id, f.n_tokens, f.weight, (t.doc_id IS NOT NULL) AS keep
+         FROM folded f LEFT JOIN top t ON f.doc_id = t.doc_id ORDER BY f.doc_id""",
+
+    // q86's per-doc logprob verbatim, then per-language ntile(3)
+    "q118_perplexity_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents),
+         td AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY doc_id, tok),
+         ct AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+         tt AS (SELECT COUNT(*) AS t FROM toks),
+         terms0 AS (SELECT td.doc_id, td.tok, td.n,
+             CAST(ct.c AS DOUBLE) / tt.t AS pr
+           FROM td JOIN ct ON td.tok = ct.tok CROSS JOIN tt),
+         ${lnChain("lnp", "terms0", Seq("doc_id", "tok", "n"), Seq("pr" -> "lnpr"))},
+         terms AS (SELECT doc_id, tok, n, n * lnpr AS lp FROM lnp),
+         per AS (SELECT doc_id,
+             CAST(SUM(n) AS BIGINT) AS n_tokens,
+             list_sort(list(struct_pack(tok := tok, lp := lp))) AS xs
+           FROM terms GROUP BY doc_id),
+         folded AS (SELECT doc_id, n_tokens,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(xs, s -> struct_extract(s, 'lp'))), (a, b) -> a + b) AS logp
+           FROM per),
+         scored AS (SELECT f.doc_id, d.lang, f.n_tokens,
+             f.logp / f.n_tokens AS avg_logp
+           FROM folded f JOIN documents d ON f.doc_id = d.doc_id),
+         binned AS (SELECT doc_id, lang, n_tokens, avg_logp,
+             CAST(ntile(3) OVER (PARTITION BY lang
+               ORDER BY avg_logp DESC, doc_id) AS BIGINT) AS tertile
+           FROM scored)
+         SELECT doc_id, lang, n_tokens, avg_logp, tertile,
+           CASE WHEN tertile = 1 THEN 'head' WHEN tertile = 2 THEN 'middle'
+             ELSE 'tail' END AS bucket
+         FROM binned ORDER BY doc_id""",
+
     "q95_source_overlap" ->
       """WITH toks AS (SELECT source, string_split(lower(trim(text)), ' ') AS w
            FROM documents),
@@ -790,7 +936,7 @@ object Oracles {
          WHERE edit_sim >= 0.8 ORDER BY doc_a, doc_b""",
 
     "q85_bm25" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents),
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents),
          dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
          tf AS (SELECT doc_id,
              CAST(SUM(CASE WHEN tok = 'data' THEN 1 ELSE 0 END) AS BIGINT) AS tf0,
@@ -800,31 +946,38 @@ object Oracles {
              CAST(SUM(dl) AS BIGINT) AS total_toks FROM dl),
          dfs AS (SELECT CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
              CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1 FROM tf),
-         scored AS (SELECT tf.doc_id, CAST(dl.dl AS BIGINT) AS dl, tf.tf0, tf.tf1,
-             (CASE WHEN tf.tf0 > 0 THEN
-               ln((CAST(s.n_docs AS DOUBLE) - d.df0 + 0.5) / (d.df0 + 0.5) + 1.0)
-                 * (CAST(tf.tf0 AS DOUBLE) * 2.2)
-                 / (tf.tf0 + 1.2 * (0.25 + 0.75 *
-                     (CAST(dl.dl AS DOUBLE) / (CAST(s.total_toks AS DOUBLE) / s.n_docs))))
+         pre AS (SELECT tf.doc_id, CAST(dl.dl AS BIGINT) AS dl, tf.tf0, tf.tf1,
+             d.df0, d.df1, s.n_docs, s.total_toks
+           FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s CROSS JOIN dfs d),
+         ${lnChain("lnidf", "pre",
+            Seq("doc_id", "dl", "tf0", "tf1", "n_docs", "total_toks"), Seq(
+           "(CAST(n_docs AS DOUBLE) - df0 + 0.5) / (df0 + 0.5) + 1.0" -> "idf0",
+           "(CAST(n_docs AS DOUBLE) - df1 + 0.5) / (df1 + 0.5) + 1.0" -> "idf1"))},
+         scored AS (SELECT doc_id, dl, tf0, tf1,
+             (CASE WHEN tf0 > 0 THEN
+               idf0 * (CAST(tf0 AS DOUBLE) * 2.2)
+                 / (tf0 + 1.2 * (0.25 + 0.75 *
+                     (CAST(dl AS DOUBLE) / (CAST(total_toks AS DOUBLE) / n_docs))))
                ELSE 0.0 END)
-             + (CASE WHEN tf.tf1 > 0 THEN
-               ln((CAST(s.n_docs AS DOUBLE) - d.df1 + 0.5) / (d.df1 + 0.5) + 1.0)
-                 * (CAST(tf.tf1 AS DOUBLE) * 2.2)
-                 / (tf.tf1 + 1.2 * (0.25 + 0.75 *
-                     (CAST(dl.dl AS DOUBLE) / (CAST(s.total_toks AS DOUBLE) / s.n_docs))))
+             + (CASE WHEN tf1 > 0 THEN
+               idf1 * (CAST(tf1 AS DOUBLE) * 2.2)
+                 / (tf1 + 1.2 * (0.25 + 0.75 *
+                     (CAST(dl AS DOUBLE) / (CAST(total_toks AS DOUBLE) / n_docs))))
                ELSE 0.0 END) AS score
-           FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s CROSS JOIN dfs d)
+           FROM lnidf)
          SELECT doc_id, dl, tf0, tf1, score FROM scored
          ORDER BY score DESC, doc_id LIMIT 50""",
 
     "q86_unigram_logprob" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents),
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents),
          td AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY doc_id, tok),
          ct AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
          tt AS (SELECT COUNT(*) AS t FROM toks),
-         terms AS (SELECT td.doc_id, td.tok, td.n,
-             td.n * ln(CAST(ct.c AS DOUBLE) / tt.t) AS lp
+         terms0 AS (SELECT td.doc_id, td.tok, td.n,
+             CAST(ct.c AS DOUBLE) / tt.t AS pr
            FROM td JOIN ct ON td.tok = ct.tok CROSS JOIN tt),
+         ${lnChain("lnp", "terms0", Seq("doc_id", "tok", "n"), Seq("pr" -> "lnpr"))},
+         terms AS (SELECT doc_id, tok, n, n * lnpr AS lp FROM lnp),
          per AS (SELECT doc_id,
              CAST(SUM(n) AS BIGINT) AS n_tokens,
              list_sort(list(struct_pack(tok := tok, lp := lp))) AS xs
@@ -926,20 +1079,22 @@ object Oracles {
          CAST(MIN(octet_length(encode(text))) AS BIGINT) AS payload_bytes
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",
 
-    // smoothed idf ln((N+1)/(df+1))+1; DuckDB ln == PlatformLn bit-wise
+    // smoothed idf ln((N+1)/(df+1))+1 via the portable-ln chain (§6)
     // over the live range (§6, probe-verified with q85/q86)
     "q89_tfidf" ->
-      """WITH td AS (SELECT doc_id, tok, COUNT(*) AS tf
+      s"""WITH td AS (SELECT doc_id, tok, COUNT(*) AS tf
            FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
                  FROM documents)
            GROUP BY doc_id, tok),
          dfr AS (SELECT tok, COUNT(*) AS df FROM td GROUP BY tok),
          nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM td),
-         scored AS (SELECT td.doc_id, td.tok, td.tf, dfr.df,
-             CAST(td.tf AS DOUBLE) *
-               (ln((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(dfr.df AS DOUBLE) + 1.0))
-                + 1.0) AS score
+         pre AS (SELECT td.doc_id, td.tok, td.tf, dfr.df, n.n_docs
            FROM td JOIN dfr ON td.tok = dfr.tok CROSS JOIN nd n),
+         ${lnChain("lnidf", "pre", Seq("doc_id", "tok", "tf", "df"), Seq(
+           "(CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)" -> "lidf"))},
+         scored AS (SELECT doc_id, tok, tf, df,
+             CAST(tf AS DOUBLE) * (lidf + 1.0) AS score
+           FROM lnidf),
          r AS (SELECT doc_id, tok, tf, df, score,
              CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok)
                AS BIGINT) AS rk
@@ -948,7 +1103,7 @@ object Oracles {
          WHERE rk <= 3 ORDER BY doc_id, rk""",
 
     "q90_pmi_cooccur" ->
-      """WITH dt AS (SELECT doc_id, tok, COUNT(*) AS tf
+      s"""WITH dt AS (SELECT doc_id, tok, COUNT(*) AS tf
            FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
                  FROM documents)
            GROUP BY doc_id, tok),
@@ -960,12 +1115,13 @@ object Oracles {
          nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d FROM dt),
          pr AS (SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS c_ab
            FROM vdt a JOIN vdt b ON a.doc_id = b.doc_id AND a.tok < b.tok
-           GROUP BY a.tok, b.tok HAVING COUNT(*) >= 5)
-         SELECT pr.tok_a, pr.tok_b, pr.c_ab, ca.c AS c_a, cb.c AS c_b,
-           ln((CAST(pr.c_ab AS DOUBLE) * CAST(n.d AS DOUBLE)) /
-              (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))) AS pmi
-         FROM pr JOIN cf ca ON ca.tok = pr.tok_a
-                 JOIN cf cb ON cb.tok = pr.tok_b CROSS JOIN nd n
+           GROUP BY a.tok, b.tok HAVING COUNT(*) >= 5),
+         pre AS (SELECT pr.tok_a, pr.tok_b, pr.c_ab, ca.c AS c_a, cb.c AS c_b, n.d
+           FROM pr JOIN cf ca ON ca.tok = pr.tok_a
+                   JOIN cf cb ON cb.tok = pr.tok_b CROSS JOIN nd n),
+         ${lnChain("lnpmi", "pre", Seq("tok_a", "tok_b", "c_ab", "c_a", "c_b"), Seq(
+           "(CAST(c_ab AS DOUBLE) * CAST(d AS DOUBLE)) / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))" -> "pmi"))}
+         SELECT tok_a, tok_b, c_ab, c_a, c_b, pmi FROM lnpmi
          ORDER BY c_ab DESC, tok_a, tok_b LIMIT 100""",
 
     // same Knuth multiplicative hash as q58/q80/q88, its own salt —
@@ -1043,9 +1199,9 @@ object Oracles {
          ORDER BY cnt DESC, a, b LIMIT 50""",
 
     // add-one-smoothed bigram nll; position-sorted strict fold per doc;
-    // DuckDB ln == PlatformLn bit-wise over the live range (§6)
+    // ln via the portable chain — bitwise == Spark on every input (§6)
     "q99_bigram_logprob" ->
-      """WITH d AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS l
+      s"""WITH d AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS l
                     FROM documents),
          pr AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
                   l[CAST(i AS INT)] AS tok, l[CAST(i AS INT) + 1] AS tok2
@@ -1056,11 +1212,13 @@ object Oracles {
          big AS (SELECT tok, tok2, COUNT(*) AS c12 FROM pr GROUP BY tok, tok2),
          vs AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
                 FROM (SELECT unnest(l) AS tok FROM d)),
-         sc AS (SELECT pr.doc_id, pr.pos,
-             -ln((CAST(big.c12 AS DOUBLE) + 1.0) /
-                 (CAST(uni.c1 AS DOUBLE) + CAST(vs.v AS DOUBLE))) AS nll
+         pre AS (SELECT pr.doc_id, pr.pos,
+             (CAST(big.c12 AS DOUBLE) + 1.0) /
+                 (CAST(uni.c1 AS DOUBLE) + CAST(vs.v AS DOUBLE)) AS arg
            FROM pr JOIN big ON pr.tok = big.tok AND pr.tok2 = big.tok2
                    JOIN uni ON pr.tok = uni.tok CROSS JOIN vs),
+         ${lnChain("lnb", "pre", Seq("doc_id", "pos"), Seq("arg" -> "lnarg"))},
+         sc AS (SELECT doc_id, pos, -lnarg AS nll FROM lnb),
          g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
              list_sort(list(struct_pack(pos := pos, nll := nll))) AS xs
            FROM sc GROUP BY doc_id),

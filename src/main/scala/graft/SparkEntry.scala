@@ -134,6 +134,16 @@ object SparkEntry {
     // the scale default hashes spans to 8 bytes before the shuffle
     "q114_repeated_spans"      -> ((s, d) => Dedup.q114(documents(s, d), exact = true)),
     "q115_span_fraction"       -> ((s, d) => Dedup.q115(documents(s, d), exact = true)),
+    // default 3-query batch mirrored literally by the oracle's VALUES
+    "q116_bm25_search"         -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.q116(documents(s, d), Seq(
+        (1L, Seq("data", "spark")),
+        (2L, Seq("fast", "join", "scan")),
+        (3L, Seq("customer", "vector", "stream"))).toDF("query_id", "terms"))
+    }),
+    "q117_dsir"                -> ((s, d) => TextAnalysis.q117(documents(s, d))),
+    "q118_perplexity_buckets"  -> ((s, d) => TextAnalysis.q118(documents(s, d))),
     // snapshot diff: "old" drops every DiffOldDropMod-th doc, "new"
     // drops every DiffNewDropMod-th and upper-cases every
     // DiffUpperMod-th's text — the mod constants live in Oracles and

@@ -257,10 +257,10 @@ object TextAnalysis {
     val dfs = tf.agg(
       sum(when(col("tf0") > 0, 1L).otherwise(0L)).as("df0"),
       sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"))
-    // PlatformLn, not functions.log: Spark's log is StrictMath-based and
-    // drifts a last ulp from the oracle's libm on some idf inputs
+    // PortableLn, not functions.log: bitwise cross-engine ln — the
+    // oracle replays the same double-op sequence in generated SQL
     def idf(dfc: Column, n: Column): Column =
-      graft.functions.PlatformLn(
+      graft.functions.PortableLn(
         (n.cast("double") - dfc + lit(0.5)) / (dfc + lit(0.5)) + lit(1.0))
     def part(tfc: Column, idfc: Column, dlc: Column, avgdl: Column): Column =
       when(tfc > 0,
@@ -300,7 +300,7 @@ object TextAnalysis {
     td.join(ct, "tok")
       .crossJoin(broadcast(total))
       .withColumn("lp", col("n") *
-        graft.functions.PlatformLn(col("c").cast("double") / col("t")))
+        graft.functions.PortableLn(col("c").cast("double") / col("t")))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("n")).cast("long").as("n_tokens"),
@@ -405,7 +405,7 @@ object TextAnalysis {
     * feeds the (doc, term) counts; document frequency and the corpus
     * doc count both derive from that same aggregate (no second corpus
     * pass), with the single-row doc count broadcast back. idf uses the
-    * smoothed form ln((N+1)/(df+1)) + 1, [[graft.functions.PlatformLn]]
+    * smoothed form ln((N+1)/(df+1)) + 1, [[graft.functions.PortableLn]]
     * for cross-engine bit parity (§6); the per-doc top-3 window is
     * capped by WindowGroupLimit, so per-doc state never exceeds k.
     * Ranking by score is deterministic because scores are bit-identical
@@ -418,7 +418,7 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = td.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nd = td.agg(countDistinct(col("doc_id")).as("n_docs"))
-    val idf = graft.functions.PlatformLn(
+    val idf = graft.functions.PortableLn(
       (col("n_docs").cast("double") + lit(1.0)) /
         (col("df").cast("double") + lit(1.0))) + lit(1.0)
     val w = org.apache.spark.sql.expressions.Window
@@ -441,7 +441,7 @@ object TextAnalysis {
     * co-occurrence job stays shuffle-bounded at corpus scale. Pairs are
     * document-level (distinct tokens, a<b ordering); counts are exact
     * longs; pmi = ln(c_ab·D / (c_a·c_b)) with one fixed expression tree
-    * through [[graft.functions.PlatformLn]] (§6).
+    * through [[graft.functions.PortableLn]] (§6).
     *
     * Pair generation is one shuffle on doc_id: the token stream is
     * hash-partitioned by doc_id ONCE (the (doc_id, tok) aggregate and
@@ -480,7 +480,7 @@ object TextAnalysis {
       .select(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
       .groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minPair)
-    val pmi = graft.functions.PlatformLn(
+    val pmi = graft.functions.PortableLn(
       (col("c_ab").cast("double") * col("d").cast("double")) /
         (col("c_a").cast("double") * col("c_b").cast("double")))
     pairs
@@ -801,7 +801,7 @@ object TextAnalysis {
     * that shuffle is vocab²-bounded — so the token stream itself
     * shuffles once, on (tok, tok2). Float determinism (§6): the
     * per-doc sum folds in POSITION order via sort_array + strict left
-    * fold; ln goes through [[graft.functions.PlatformLn]] (bit parity
+    * fold; ln goes through [[graft.functions.PortableLn]] (bit parity
     * probe-verified over the live range by the q85/q86 family). Docs
     * with fewer than two tokens have no bigrams and drop out — same
     * rule in both engines. */
@@ -820,7 +820,7 @@ object TextAnalysis {
     val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
     val vsz = toks.agg(countDistinct(col("tok")).as("v"))
     val stats = big.join(uni, "tok")
-    val nll = -graft.functions.PlatformLn(
+    val nll = -graft.functions.PortableLn(
       (col("c12").cast("double") + lit(1.0)) /
         (col("c1").cast("double") + col("v").cast("double")))
     pairs.join(stats, Seq("tok", "tok2"))
@@ -833,6 +833,169 @@ object TextAnalysis {
         aggregate(col("xs"), lit(0.0), (a, x) => a + x.getField("nll")))
       .select(col("doc_id"), col("n_bigrams"), col("nll_sum"),
         (col("nll_sum") / col("n_bigrams").cast("double")).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q116: multi-query BM25 SEARCH — the serving half of q85. q85
+    * scores one fixed query against the corpus; this takes a BATCH of
+    * queries (`query_id`, `terms: array<string>`) and returns the
+    * top-`k` documents per query, the shape a retrieval-augmented
+    * curation pass ("pull the best docs for each of these 10k topics")
+    * actually runs.
+    *
+    * Plan shape at scale: ONE token-explode scan feeds doc lengths and
+    * term frequencies. The query vocabulary (distinct terms across all
+    * queries) broadcasts into the tf filter, so the per-doc tf table is
+    * |docs containing a query term| × |terms| — never the full corpus
+    * posting list. Per-term document frequencies and the two scalar
+    * corpus stats broadcast back into the scoring join; per-query top-k
+    * plans as a rank-≤-k window (WindowGroupLimit pushes the limit
+    * map-side). Shuffles carry (query_id, doc_id, double) rows.
+    *
+    * Float determinism (§6): a query's per-term contributions fold in
+    * QUERY-POSITION order via sort_array + strict left fold (the q86
+    * idiom), never a nondeterministic SUM, so both engines add the same
+    * doubles in the same order; ln goes through
+    * [[graft.functions.PortableLn]]. Docs matching no query term drop
+    * out (inner join) — same rule in the oracle. */
+  def q116(documents: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(col("dl")).cast("long").as("total_toks"))
+    val qterms = queries.select(col("query_id"),
+        posexplode(col("terms")).as(Seq("pos", "term")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = qterms.select(col("term")).distinct()
+    val tf = toks.join(broadcast(vocab), toks("tok") === vocab("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("total_toks").cast("double") / col("n_docs")
+    val idf = graft.functions.PortableLn(
+      (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0))
+    val contrib = idf * (col("tf").cast("double") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+        (col("dl").cast("double") / avgdl)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    qterms.join(tf, "term")
+      .join(broadcast(dfs), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("c", contrib)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_hit"),
+        sort_array(collect_list(struct(col("pos"), col("c")))).as("xs"))
+      .withColumn("score",
+        aggregate(col("xs"), lit(0.0), (a, x) => a + x.getField("c")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_hit"),
+        col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q117: DSIR importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") — score every raw
+    * document by how target-domain-like its hashed-unigram profile is:
+    *   weight(d) = Σ_b n_b(d) · ( ln p̂_target(b) − ln p̂_raw(b) )
+    * over `buckets` hashed feature buckets, Laplace-smoothed
+    * ((count+1)/(total+B)) so empty target cells stay finite. The
+    * top-`topN` docs by weight are the importance-resampled selection a
+    * pretraining mix would promote.
+    *
+    * Plan shape at scale: one token scan → per-(doc, bucket) counts
+    * (the only data-sized shuffle, 8-byte bucket keys); the target and
+    * raw bucket distributions are ≤ `buckets` rows each and fold into
+    * ONE broadcast log-ratio table, so scoring is a map-side broadcast
+    * join. The per-doc fold runs in bucket order (sort_array + strict
+    * left fold, q86 idiom) — deterministic doubles in both engines.
+    * Hashing is the engine-portable [[graft.functions.PolyFingerprint]]
+    * mod `buckets` (q100's oracle twin). Selection is NOT a global rank
+    * window (that would funnel every row through one partition): the
+    * top-N ids come from orderBy+limit — TakeOrderedAndProject, a
+    * per-partition N-heap + driver merge of N rows — and broadcast back
+    * as a membership flag. */
+  def q117(documents: DataFrame, targetSource: String = "src0",
+           buckets: Int = 64, topN: Int = 100): DataFrame = {
+    val bCol = pmod(graft.functions.PolyFingerprint(col("tok")),
+      lit(buckets.toLong)).as("b")
+    val toks = documents.select(col("doc_id"), col("source"),
+        explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .select(col("doc_id"), col("source"), bCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = toks.filter(col("source") === targetSource)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    // one ≤`buckets`-row log-ratio table; buckets absent from the
+    // target corpus smooth to ct=0 via the left join
+    val lr = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(toks.agg(
+        count(lit(1)).cast("long").as("r_total"))))
+      .crossJoin(broadcast(toks.filter(col("source") === targetSource)
+        .agg(count(lit(1)).cast("long").as("t_total"))))
+      .select(col("b"),
+        (graft.functions.PortableLn(
+          (coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0)) /
+            (col("t_total").cast("double") + lit(buckets.toDouble))) -
+          graft.functions.PortableLn(
+            (col("cr").cast("double") + lit(1.0)) /
+              (col("r_total").cast("double") + lit(buckets.toDouble))))
+          .as("lr"))
+    val scored = toks.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(lr), "b")
+      .withColumn("c", col("n").cast("double") * col("lr"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("long").as("n_tokens"),
+        sort_array(collect_list(struct(col("b"), col("c")))).as("xs"))
+      .withColumn("weight",
+        aggregate(col("xs"), lit(0.0), (a, x) => a + x.getField("c")))
+      .select(col("doc_id"), col("n_tokens"), col("weight"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = scored.orderBy(col("weight").desc, col("doc_id"))
+      .limit(topN).select(col("doc_id").as("keep_id"))
+    scored.join(broadcast(top), scored("doc_id") === col("keep_id"), "left")
+      .withColumn("keep", col("keep_id").isNotNull)
+      .select(col("doc_id"), col("n_tokens"), col("weight"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q118: perplexity BUCKETING (CCNet, Wenzek et al. 2020) — rank every
+    * document by its unigram-LM average log-probability (q86's score)
+    * WITHIN its language, and split each language into head / middle /
+    * tail tertiles. CCNet keeps head+middle and drops (or down-weights)
+    * tail; the bucket column is that verdict. Per-language ntile, not a
+    * global cut, because perplexity scales differ by language — the
+    * whole point of CCNet's per-language buckets.
+    *
+    * Plan shape at scale: q86 does the heavy lifting (token-stream
+    * shuffles, deterministic per-doc fold); this adds one broadcast-size
+    * join for the language column and one ntile window partitioned by
+    * lang — at 100 TB the window input is |docs| scored rows, not
+    * tokens, and partitioning by lang is ~5 partitions of |docs|/5
+    * (skew-safe here: the rank basis is doc-count, and a per-lang
+    * 2-level ntile composition would cover a 90%-one-language corpus).
+    * ntile(3) is the standard SQL distribution (first `n mod 3` groups
+    * get the extra row) in both engines; ties in avg_logp break by
+    * doc_id, so the tertile boundary is deterministic. */
+  def q118(documents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("avg_logp").desc, col("doc_id"))
+    q86(documents)
+      .join(documents.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("tertile", ntile(3).over(w).cast("long"))
+      .withColumn("bucket",
+        when(col("tertile") === 1L, "head")
+          .when(col("tertile") === 2L, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("avg_logp"), col("tertile"), col("bucket"))
       .orderBy(col("doc_id"))
   }
 }

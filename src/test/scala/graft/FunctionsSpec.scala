@@ -130,4 +130,35 @@ class FunctionsSpec extends GraftSpec {
     val b = spark.sql("SELECT graft_fingerprint('12') AS f").collect().head.getLong(0)
     assert(a == b)
   }
+
+  test("portableLn: exact at 1.0, faithful (≤3 ulp) across the live ranges") {
+    import graft.functions.GraftMath.portableLn
+    assert(portableLn(1.0) == 0.0)
+    // ln(2^k) recomposes from the split constant alone (t == 0 branch)
+    assert(math.abs(portableLn(2.0) - 0.6931471805599453) <= math.ulp(1.0))
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 20000) {
+      // idf-style (1, 1000] and probability-style [1e-12, 1) draws
+      val x =
+        if (rnd.nextBoolean()) math.exp(rnd.nextDouble() * math.log(1000.0))
+        else math.exp(-rnd.nextDouble() * 27.6)
+      val got = portableLn(x)
+      val ref = StrictMath.log(x)
+      assert(math.abs(got - ref) <= 3 * math.ulp(ref),
+        s"portableLn($x) = $got vs $ref")
+    }
+    // the q116 regression input that broke Math.log-based parity
+    val x = 1.2572145545796738
+    assert(math.abs(portableLn(x) - StrictMath.log(x)) <= math.ulp(1.0))
+  }
+
+  test("PortableLn codegen path equals the eval-path static on a column") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val xs = Seq(1.2572145545796738, 1.3306772908366533, 0.001, 7.25, 500.5)
+    val got = xs.toDF("x")
+      .select(graft.functions.PortableLn(col("x")).as("y"))
+      .collect().map(_.getDouble(0))
+    assert(got.sameElements(xs.map(graft.functions.GraftMath.portableLn)))
+  }
 }

@@ -350,4 +350,61 @@ class TextAnalysisSpec extends GraftSpec {
       assert(keep == (s > 0.0))
     }
   }
+
+  test("q116 search: both-term doc outranks single-term doc, k caps per query") {
+    val d = Seq(
+      (1L, "alpha beta alpha beta"),   // both query terms, twice each
+      (2L, "alpha noise noise noise"), // one term
+      (3L, "noise noise noise noise"), // no terms → absent
+      (4L, "beta noise noise noise")
+    ).toDF("doc_id", "text")
+    val q = Seq((7L, Seq("alpha", "beta"))).toDF("query_id", "terms")
+    val r = TextAnalysis.q116(d, q, k = 2).collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L)) // k=2 caps
+    assert(r.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L))
+    val byDoc = r.map(x => x.getAs[Long]("doc_id") ->
+      (x.getAs[Long]("n_hit"), x.getAs[Double]("score"))).toMap
+    assert(byDoc(1L)._1 == 2L && byDoc(2L)._1 == 1L)
+    assert(byDoc(1L)._2 > byDoc(2L)._2)
+  }
+
+  test("q117 DSIR: target-like docs weigh higher and fill the keep set") {
+    val d = Seq(
+      (1L, "alpha alpha alpha alpha", "tgt"),
+      (2L, "alpha alpha alpha alpha", "web"),  // target-like raw doc
+      (3L, "beta beta beta beta", "web"),
+      (4L, "beta beta gamma gamma", "web")
+    ).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.q117(d, targetSource = "tgt", buckets = 16, topN = 2)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Double]("weight"),
+          x.getAs[Boolean]("keep"))).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 4L))
+    assert(r.values.forall(_._1 == 4L))
+    // docs made of the target token score above the off-target ones
+    assert(r(2L)._2 > r(3L)._2 && r(2L)._2 > r(4L)._2)
+    assert(r(1L)._2 == r(2L)._2) // same text → same weight
+    assert(r(1L)._3 && r(2L)._3 && !r(3L)._3 && !r(4L)._3) // topN = 2
+  }
+
+  test("q118 buckets: per-language tertiles with the ntile distribution") {
+    // lang A: 6 docs with strictly decreasing avg_logp (more rare tokens
+    // → lower avg logprob); lang B: 1 doc — must get its own tertile 1
+    val d = Seq(
+      (1L, "c c c", "A"), (2L, "c c r1", "A"), (3L, "c r1 r2", "A"),
+      (4L, "r1 r2 r3", "A"), (5L, "r4 r5 r6", "A"), (6L, "r7 r8 r9", "A"),
+      (7L, "c c c", "B")
+    ).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.q118(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("tertile"), x.getAs[String]("bucket"),
+          x.getAs[Double]("avg_logp"))).toMap
+    assert(r(7L)._1 == 1L && r(7L)._2 == "head")
+    // 6 docs → tertiles of 2/2/2 in avg_logp-desc order
+    assert(Seq(1L, 2L, 3L, 4L, 5L, 6L).map(r(_)._1) == Seq(1L, 1L, 2L, 2L, 3L, 3L))
+    assert(r(1L)._2 == "head" && r(3L)._2 == "middle" && r(6L)._2 == "tail")
+    // ordering basis really is avg_logp descending
+    val lp = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(r(_)._3)
+    assert(lp == lp.sorted.reverse)
+  }
 }
