@@ -485,6 +485,38 @@ object Oracles {
              / CAST(SUM(occ) AS DOUBLE) AS frac_repeated
          FROM spanstats GROUP BY doc_id ORDER BY doc_id""",
 
+    // token coverage via the bounded ROWS window (positions are dense,
+    // so a k-1-row frame == a k-position frame); rebuild preserves the
+    // normalized token stream exactly (empty tokens round-trip)
+    "q119_span_scrub" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+         starts AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
+             array_to_string(w[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS span
+           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+                 FROM d WHERE len(w) >= 5)),
+         rep AS (SELECT span FROM starts GROUP BY span
+                 HAVING COUNT(DISTINCT doc_id) >= 2),
+         marked AS (SELECT st.doc_id, st.s FROM starts st JOIN rep USING (span)),
+         toks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[CAST(i AS INT)] AS tok
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM d)),
+         flags AS (SELECT t.doc_id, t.pos, t.tok,
+             CASE WHEN m.s IS NULL THEN 0 ELSE 1 END AS rep
+           FROM toks t LEFT JOIN marked m ON t.doc_id = m.doc_id AND t.pos = m.s),
+         cov AS (SELECT doc_id, pos, tok,
+             MAX(rep) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS covered
+           FROM flags),
+         kept AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+           FROM cov WHERE covered = 0 GROUP BY doc_id),
+         nt AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM d)
+         SELECT nt.doc_id, nt.n_tokens,
+           CAST(nt.n_tokens - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+           CAST(nt.n_tokens - COALESCE(k.n_kept, 0) AS DOUBLE) / nt.n_tokens
+             AS removed_frac,
+           COALESCE(k.clean_text, '') AS clean_text
+         FROM nt LEFT JOIN kept k ON nt.doc_id = k.doc_id ORDER BY nt.doc_id""",
+
     // qt VALUES mirrors SparkEntry's literal 3-query batch verbatim;
     // per-query contributions fold in query-position order (q86 idiom);
     // idf ln via the portable chain (bitwise == Spark's PortableLn)

@@ -85,6 +85,16 @@ object Sql {
       "graft_bpe_tokens"     -> (() => TextAnalysis.q113(docs)),
       "graft_repeated_spans" -> (() => Dedup.q114(docs)),
       "graft_span_fraction"  -> (() => Dedup.q115(docs)),
+      "graft_span_scrub"     -> (() => Dedup.q119(docs)),
+      "graft_dsir"           -> (() => TextAnalysis.q117(docs)),
+      "graft_ppl_buckets"    -> (() => TextAnalysis.q118(docs)),
+      "graft_bm25_search"    -> (() => {
+        import spark.implicits._
+        TextAnalysis.q116(docs, Seq(
+          (1L, Seq("data", "spark")),
+          (2L, Seq("fast", "join", "scan")),
+          (3L, Seq("customer", "vector", "stream"))).toDF("query_id", "terms"))
+      }),
       "graft_incr_dedup"     -> (() => {
         import org.apache.spark.sql.functions.{col, lit, pmod}
         Dedup.q109(

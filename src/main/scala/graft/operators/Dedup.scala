@@ -410,6 +410,74 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q119: repeated-span SCRUB — the rewrite q114's signal exists for
+    * (Lee et al. 2022's substring dedup removes the repeated bytes, it
+    * does not drop whole documents): every stride-1 k-token span that
+    * occurs in ≥ 2 documents is cut from EVERY document carrying it,
+    * overlapping cuts merge, and the surviving tokens reassemble into a
+    * cleaned (lowercase-normalized) text. Output per doc: token count,
+    * removed count, removed fraction, and the cleaned text ('' when the
+    * whole doc was boilerplate).
+    *
+    * Plan shape at scale: span rows (8-byte xxhash64 keys in the scale
+    * default) aggregate to the cross-doc repeated set; a semi join
+    * marks each doc's repeated START positions. Token coverage is then
+    * ONE bounded window — covered(pos) = max(flag) over the last k
+    * start positions — never an interval join (a boilerplate-heavy doc
+    * would make tokens × islands quadratic), and the window / rebuild
+    * rollup share the doc_id exchange. Token rows shuffle twice
+    * ((doc,pos) join, doc window); spans shuffle as hashes. No pair
+    * listing anywhere — a clique of N identical docs just raises span
+    * doc-counts (q114's clique-proof shape) and scrubs to N empty
+    * outputs. Everything is integer/string arithmetic — no floats
+    * except the final fraction divide (§6). */
+  def q119(documents: DataFrame, k: Int = 5, exact: Boolean = false): DataFrame = {
+    val w = col("w")
+    val winArr = transform(sequence(lit(1), size(w) - lit(k - 1), lit(1)),
+      i => concat_ws(" ", (0 until k).map(j => element_at(w, i + lit(j))): _*))
+    val toked = documents
+      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val starts = toked.filter(size(w) >= k)
+      .select(col("doc_id"), posexplode(winArr).as(Seq("start", "span")))
+    val keyedStarts =
+      if (exact) starts
+      else starts.select(col("doc_id"), col("start"),
+        xxhash64(col("span")).as("span"))
+    val repeated = keyedStarts.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("span"))
+    val marked = keyedStarts.join(repeated, Seq("span"), "left_semi")
+      .select(col("doc_id"), col("start"), lit(1).as("rep"))
+    val toks = toked.select(col("doc_id"),
+      posexplode(col("w")).as(Seq("pos", "tok")))
+    val covW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(k - 1), 0)
+    val kept = toks
+      .join(marked, toks("doc_id") === marked("doc_id") &&
+        toks("pos") === marked("start"), "left")
+      .select(toks("doc_id"), col("pos"), col("tok"),
+        coalesce(col("rep"), lit(0)).as("rep"))
+      .withColumn("covered", max(col("rep")).over(covW))
+      .filter(col("covered") === 0)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        sort_array(collect_list(struct(col("pos"), col("tok")))).as("xs"))
+      .withColumn("clean_text",
+        array_join(transform(col("xs"), x => x.getField("tok")), " "))
+      .select(col("doc_id"), col("n_kept"), col("clean_text"))
+    toked.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .cast("long").as("n_removed"),
+        ((col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("double") /
+          col("n_tokens")).as("removed_frac"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DISTINCT benchmark gram frame (g, hit=1) for
     * [[contaminationAgainst]] — the fit-once index side, shared by
     * batch q69 and the streaming gate st15 (which persists it across

@@ -920,20 +920,29 @@ object TextAnalysis {
     * top-N ids come from orderBy+limit — TakeOrderedAndProject, a
     * per-partition N-heap + driver merge of N rows — and broadcast back
     * as a membership flag. */
-  def q117(documents: DataFrame, targetSource: String = "src0",
-           buckets: Int = 64, topN: Int = 100): DataFrame = {
-    val bCol = pmod(graft.functions.PolyFingerprint(col("tok")),
-      lit(buckets.toLong)).as("b")
-    val toks = documents.select(col("doc_id"), col("source"),
-        explode(split(lower(trim(col("text"))), " ")).as("tok"))
-      .select(col("doc_id"), col("source"), bCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Hashed-unigram bucket stream (doc_id [, extra cols], b) — the
+    * shared feature derivation for the DSIR fit and apply halves. */
+  private def dsirBuckets(docs: DataFrame, buckets: Int,
+                          extra: Seq[String]): DataFrame = {
+    val cols = (Seq("doc_id") ++ extra).map(col)
+    docs.select(cols :+
+        explode(split(lower(trim(col("text"))), " ")).as("tok"): _*)
+      .select(cols :+ pmod(graft.functions.PolyFingerprint(col("tok")),
+        lit(buckets.toLong)).as("b"): _*)
+  }
+
+  /** DSIR fit: the ≤`buckets`-row Laplace-smoothed log-likelihood-ratio
+    * table ln p̂_target − ln p̂_raw over a pre-bucketed (source, b)
+    * stream. Fit ONCE, broadcast everywhere — batch q117 and the st16
+    * streaming gate share this exact code path. */
+  private def dsirLogRatiosFromBuckets(toks: DataFrame, targetSource: String,
+                                       buckets: Int): DataFrame = {
     val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
     val tgt = toks.filter(col("source") === targetSource)
       .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    // one ≤`buckets`-row log-ratio table; buckets absent from the
-    // target corpus smooth to ct=0 via the left join
-    val lr = raw.join(tgt, Seq("b"), "left")
+    // buckets absent from the target corpus smooth to ct=0 via the
+    // left join
+    raw.join(tgt, Seq("b"), "left")
       .crossJoin(broadcast(toks.agg(
         count(lit(1)).cast("long").as("r_total"))))
       .crossJoin(broadcast(toks.filter(col("source") === targetSource)
@@ -946,7 +955,22 @@ object TextAnalysis {
             (col("cr").cast("double") + lit(1.0)) /
               (col("r_total").cast("double") + lit(buckets.toDouble))))
           .as("lr"))
-    val scored = toks.groupBy(col("doc_id"), col("b"))
+  }
+
+  /** DSIR fit over a reference corpus with a `source` column. */
+  def dsirFit(reference: DataFrame, targetSource: String = "src0",
+              buckets: Int = 64): DataFrame =
+    dsirLogRatiosFromBuckets(
+      dsirBuckets(reference, buckets, Seq("source")), targetSource, buckets)
+
+  /** DSIR apply: per-doc importance weight from a fitted log-ratio
+    * table — one map-side broadcast join, per-doc fold in bucket order
+    * (deterministic doubles, §6). */
+  def dsirApply(docs: DataFrame, lr: DataFrame, buckets: Int = 64): DataFrame =
+    dsirScoreFromBuckets(dsirBuckets(docs, buckets, Nil), lr)
+
+  private def dsirScoreFromBuckets(toks: DataFrame, lr: DataFrame): DataFrame =
+    toks.groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).as("n"))
       .join(broadcast(lr), "b")
       .withColumn("c", col("n").cast("double") * col("lr"))
@@ -956,6 +980,15 @@ object TextAnalysis {
       .withColumn("weight",
         aggregate(col("xs"), lit(0.0), (a, x) => a + x.getField("c")))
       .select(col("doc_id"), col("n_tokens"), col("weight"))
+
+  def q117(documents: DataFrame, targetSource: String = "src0",
+           buckets: Int = 64, topN: Int = 100): DataFrame = {
+    // one token scan serves both the fit and the apply (persisted
+    // bucket stream with the source column carried through)
+    val toks = dsirBuckets(documents, buckets, Seq("source"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lr = dsirLogRatiosFromBuckets(toks, targetSource, buckets)
+    val scored = dsirScoreFromBuckets(toks.select(col("doc_id"), col("b")), lr)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val top = scored.orderBy(col("weight").desc, col("doc_id"))
       .limit(topN).select(col("doc_id").as("keep_id"))

@@ -242,6 +242,43 @@ object Streams {
       .start()
   }
 
+  /** st16: streaming DSIR gate — q117's importance weighting applied
+    * at INGEST: the target-vs-raw log-ratio table is fit ONCE from a
+    * static reference corpus ([[graft.operators.TextAnalysis.dsirFit]],
+    * persisted) and every micro-batch scores its documents through the
+    * exact batch apply path (broadcast ≤buckets-row join + per-doc
+    * bucket-ordered fold) via foreachBatch — stream and batch weights
+    * are bit-identical by construction, so a gate threshold tuned on
+    * the batch side transfers exactly. Docs below `minWeight` never
+    * land in the lake.
+    *
+    * Scale shape: the fitted table is ≤ `buckets` rows (broadcast,
+    * map-side); per-batch shuffle is the per-doc bucket aggregation,
+    * ∝ batch size. Stateless — no state store, no watermark, valid in
+    * append mode at any ingest rate. */
+  def startDsirGate(docs: DataFrame, reference: DataFrame,
+                    outDir: String, checkpoint: String,
+                    targetSource: String = "src0", buckets: Int = 64,
+                    minWeight: Double = 0.0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val lr = graft.operators.TextAnalysis
+      .dsirFit(reference, targetSource, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val keep = graft.operators.TextAnalysis
+          .dsirApply(batch, lr, buckets)
+          .filter(col("weight") > minWeight)
+          .select(col("doc_id"))
+        batch.join(keep, Seq("doc_id"), "left_semi")
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+  }
+
   private def closed(user: Long, s: OpenSession): SessionOut =
     SessionOut(user, s.start_us, s.n, s.last_us - s.start_us, s.total)
 

@@ -287,4 +287,34 @@ class DedupSpec extends GraftSpec {
         x.getAs[Double]("frac_repeated"))).toMap
     assert(h == r)
   }
+
+  test("q119 scrub: shared spans cut with overlap merge, originals untouched") {
+    val boiler = "all rights reserved by the graft project authors"
+    val d = Seq(
+      (1L, s"alpha beta $boiler gamma delta"),          // boiler mid-doc
+      (2L, s"$boiler"),                                 // pure boilerplate
+      (3L, "epsilon zeta eta theta iota kappa lambda"), // untouched
+      (4L, s"one two three four $boiler")               // boiler at tail
+    ).toDF("doc_id", "text")
+    val r = Dedup.q119(d, exact = true).collect()
+      .map(x => (x.getAs[Long]("doc_id"),
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("n_removed"),
+          x.getAs[String]("clean_text")))).toMap
+    // the 8 boiler tokens vanish from every carrier — overlapping
+    // 5-token windows merged into one cut, neighbours survive
+    assert(r(1L) == ((12L, 8L, "alpha beta gamma delta")))
+    assert(r(2L) == ((8L, 8L, "")))  // fully scrubbed, empty not null
+    assert(r(3L) == ((7L, 0L, "epsilon zeta eta theta iota kappa lambda")))
+    assert(r(4L) == ((12L, 8L, "one two three four")))
+    // hashed scale default rewrites identically
+    val h = Dedup.q119(d).collect()
+      .map(x => (x.getAs[Long]("doc_id"),
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("n_removed"),
+          x.getAs[String]("clean_text")))).toMap
+    assert(h == r)
+    // a doc shorter than k tokens can never be scrubbed
+    val short = Seq((1L, "tiny doc"), (2L, "tiny doc")).toDF("doc_id", "text")
+    val s = Dedup.q119(short, exact = true).collect()
+    assert(s.forall(_.getAs[Long]("n_removed") == 0L))
+  }
 }

@@ -110,6 +110,18 @@ class SqlSurfaceSpec extends GraftSpec {
       """SELECT doc_id FROM graft_span_fraction
          WHERE frac_repeated < 0 OR frac_repeated > 1 OR n_repeated > n_windows""")
       .collect().isEmpty)   // a fraction of occurrences stays in [0, 1]
+    assert(spark.sql(
+      "SELECT doc_id FROM graft_span_scrub WHERE n_removed > n_tokens OR n_removed < 0")
+      .collect().isEmpty)   // the scrub never removes more than it saw
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_dsir WHERE keep").collect()(0).getLong(0) > 0)
+    assert(spark.sql(
+      """SELECT lang FROM graft_ppl_buckets GROUP BY lang
+         HAVING count(DISTINCT bucket) > 3""")
+      .collect().isEmpty)   // at most head/middle/tail per language
+    assert(spark.sql(
+      "SELECT query_id FROM graft_bm25_search WHERE `rank` > 10")
+      .collect().isEmpty)   // k caps every query's hit list
 
     // iterative operators materialize on demand (clusters run a
     // driver fixpoint loop, so they are tables, not lazy views)

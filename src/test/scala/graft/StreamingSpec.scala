@@ -349,6 +349,42 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st16 streaming DSIR gate keeps target-like docs, bit parity with batch") {
+    // reference: target source speaks 'alpha', the raw web speaks 'beta'
+    val ref = Seq(
+      (100L, "alpha alpha alpha alpha", "tgt"),
+      (101L, "beta beta beta beta", "web"),
+      (102L, "beta beta beta alpha", "web")
+    ).toDF("doc_id", "text", "source")
+    val ms = MemoryStream[(Long, String)]
+    val df = ms.toDF().toDF("doc_id", "text")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-st16").toString + "/out"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-st16-ck").toString
+    val q = Streams.startDsirGate(df, ref, outDir, ckpt,
+      targetSource = "tgt", buckets = 16)
+    try {
+      ms.addData((1L, "alpha alpha alpha"),      // target-like → kept
+                 (2L, "beta beta beta beta"))    // raw-like → dropped
+      q.processAllAvailable()
+      ms.addData((3L, "alpha alpha"),            // target-like → kept
+                 (4L, "alpha beta"))             // beta penalty dominates → dropped
+      q.processAllAvailable()
+      val kept = spark.read.parquet(outDir)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(kept == Set(1L, 3L))
+      // bit parity: the stream's verdicts equal the batch apply's
+      val all = Seq((1L, "alpha alpha alpha"), (2L, "beta beta beta beta"),
+        (3L, "alpha alpha"), (4L, "alpha beta")).toDF("doc_id", "text")
+      val batchKeep = graft.operators.TextAnalysis
+        .dsirApply(all, graft.operators.TextAnalysis.dsirFit(ref, "tgt", 16), 16)
+        .filter(org.apache.spark.sql.functions.col("weight") > 0.0)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(kept == batchKeep)
+    } finally q.stop()
+  }
+
   test("st11 toTable sink: micro-batches land in a metastore table visible to SQL") {
     val ms = MemoryStream[StreamEv]
     spark.sql("DROP TABLE IF EXISTS graft_st11_sink")
