@@ -20,6 +20,30 @@ object Oracles {
   val DiffNewDropMod = 5L  // q110: "new" snapshot drops every 5th doc
   val DiffUpperMod = 11L   // q110: "new" upper-cases every 11th's text
 
+  /** q114/q115/q119 span length — the operator defaults AND the
+    * oracle window arithmetic derive from this one value. */
+  val SpanK = 5
+
+  /** q116's driver query batch — SparkEntry builds the DataFrame from
+    * this and the oracle interpolates it as VALUES, so the two sides
+    * cannot drift. */
+  val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("data", "spark"),
+    2L -> Seq("fast", "join", "scan"),
+    3L -> Seq("customer", "vector", "stream"))
+  private def bm25QueryValues: String =
+    Bm25Queries.flatMap { case (q, ts) =>
+      ts.zipWithIndex.map { case (t, p) => (q, p, t) }
+    }.zipWithIndex.map {
+      case ((q, p, t), 0) => s"(CAST($q AS BIGINT), CAST($p AS INTEGER), '$t')"
+      case ((q, p, t), _) => s"($q, $p, '$t')"
+    }.mkString(", ")
+
+  /** q117/st16 DSIR parameters, shared with the oracle SQL. */
+  val DsirTargetSource = "src0"
+  val DsirBuckets = 64
+  val DsirTopN = 100
+
   private def msum(x: String) =
     s"CAST(ROUND(SUM(CAST($x AS DECIMAL(18,4))),2) AS DOUBLE)"
 
@@ -454,11 +478,11 @@ object Oracles {
     // occurrences, then the per-span rollup) so n_occ stays BIGINT on
     // both engines — DuckDB's bare SUM would widen to HUGEINT
     "q114_repeated_spans" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+      s"""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
            FROM documents),
-         pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
-           FROM t WHERE len(w) >= 5),
-         wins AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS span FROM pos),
+         pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${SpanK - 1})) AS i
+           FROM t WHERE len(w) >= $SpanK),
+         wins AS (SELECT doc_id, array_to_string(w[i:i+${SpanK - 1}], ' ') AS span FROM pos),
          perdoc AS (SELECT span, doc_id, COUNT(*) AS occ
            FROM wins GROUP BY span, doc_id)
          SELECT span, COUNT(*) AS n_docs, CAST(SUM(occ) AS BIGINT) AS n_occ
@@ -469,11 +493,11 @@ object Oracles {
     // window; fractions divide two exactly-representable counts, so
     // the double is bit-identical on both engines
     "q115_span_fraction" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+      s"""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
            FROM documents),
-         pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
-           FROM t WHERE len(w) >= 5),
-         wins AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS span FROM pos),
+         pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${SpanK - 1})) AS i
+           FROM t WHERE len(w) >= $SpanK),
+         wins AS (SELECT doc_id, array_to_string(w[i:i+${SpanK - 1}], ' ') AS span FROM pos),
          perdoc AS (SELECT span, doc_id, COUNT(*) AS occ
            FROM wins GROUP BY span, doc_id),
          spanstats AS (SELECT doc_id, occ,
@@ -489,11 +513,11 @@ object Oracles {
     // so a k-1-row frame == a k-position frame); rebuild preserves the
     // normalized token stream exactly (empty tokens round-trip)
     "q119_span_scrub" ->
-      """WITH d AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+      s"""WITH d AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
          starts AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
-             array_to_string(w[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS span
-           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
-                 FROM d WHERE len(w) >= 5)),
+             array_to_string(w[CAST(i AS INT):CAST(i AS INT)+${SpanK - 1}], ' ') AS span
+           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${SpanK - 1})) AS i
+                 FROM d WHERE len(w) >= $SpanK)),
          rep AS (SELECT span FROM starts GROUP BY span
                  HAVING COUNT(DISTINCT doc_id) >= 2),
          marked AS (SELECT st.doc_id, st.s FROM starts st JOIN rep USING (span)),
@@ -504,7 +528,7 @@ object Oracles {
            FROM toks t LEFT JOIN marked m ON t.doc_id = m.doc_id AND t.pos = m.s),
          cov AS (SELECT doc_id, pos, tok,
              MAX(rep) OVER (PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS covered
+               ROWS BETWEEN ${SpanK - 1} PRECEDING AND CURRENT ROW) AS covered
            FROM flags),
          kept AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
              string_agg(tok, ' ' ORDER BY pos) AS clean_text
@@ -521,10 +545,7 @@ object Oracles {
     // per-query contributions fold in query-position order (q86 idiom);
     // idf ln via the portable chain (bitwise == Spark's PortableLn)
     "q116_bm25_search" ->
-      s"""WITH qt(query_id, pos, term) AS (VALUES
-             (CAST(1 AS BIGINT), CAST(0 AS INTEGER), 'data'), (1, 1, 'spark'),
-             (2, 0, 'fast'), (2, 1, 'join'), (2, 2, 'scan'),
-             (3, 0, 'customer'), (3, 1, 'vector'), (3, 2, 'stream')),
+      s"""WITH qt(query_id, pos, term) AS (VALUES $bm25QueryValues),
          toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents),
          dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
          stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -565,20 +586,20 @@ object Oracles {
              list_reduce(list_prepend(CAST(0 AS BIGINT),
                list_transform(string_split(tok, ''),
                  c -> CAST(unicode(c) AS BIGINT))),
-               (h, c) -> (h*31 + c) % 1000000007) % 64 AS b
+               (h, c) -> (h*31 + c) % 1000000007) % $DsirBuckets AS b
            FROM (SELECT doc_id, source,
                unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents)),
          raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM toks GROUP BY b),
          tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM toks
-           WHERE source = 'src0' GROUP BY b),
+           WHERE source = '$DsirTargetSource' GROUP BY b),
          rt AS (SELECT CAST(COUNT(*) AS BIGINT) AS r_total FROM toks),
-         tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_total FROM toks WHERE source = 'src0'),
+         tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_total FROM toks WHERE source = '$DsirTargetSource'),
          prelr AS (SELECT raw.b, COALESCE(tgt.ct, 0) AS ct, raw.cr,
              tt.t_total, rt.r_total
            FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN rt CROSS JOIN tt),
          ${lnChain("lnlr", "prelr", Seq("b"), Seq(
-           "(CAST(ct AS DOUBLE) + 1.0) / (CAST(t_total AS DOUBLE) + 64.0)" -> "lt",
-           "(CAST(cr AS DOUBLE) + 1.0) / (CAST(r_total AS DOUBLE) + 64.0)" -> "lraw"))},
+           s"(CAST(ct AS DOUBLE) + 1.0) / (CAST(t_total AS DOUBLE) + $DsirBuckets.0)" -> "lt",
+           s"(CAST(cr AS DOUBLE) + 1.0) / (CAST(r_total AS DOUBLE) + $DsirBuckets.0)" -> "lraw"))},
          lr AS (SELECT b, lt - lraw AS lr FROM lnlr),
          db AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc_id, b),
          per AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
@@ -588,7 +609,7 @@ object Oracles {
              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                list_transform(xs, s -> struct_extract(s, 'c'))), (a, x) -> a + x) AS weight
            FROM per),
-         top AS (SELECT doc_id FROM folded ORDER BY weight DESC, doc_id LIMIT 100)
+         top AS (SELECT doc_id FROM folded ORDER BY weight DESC, doc_id LIMIT $DsirTopN)
          SELECT f.doc_id, f.n_tokens, f.weight, (t.doc_id IS NOT NULL) AS keep
          FROM folded f LEFT JOIN top t ON f.doc_id = t.doc_id ORDER BY f.doc_id""",
 

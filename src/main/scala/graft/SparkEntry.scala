@@ -134,13 +134,12 @@ object SparkEntry {
     // the scale default hashes spans to 8 bytes before the shuffle
     "q114_repeated_spans"      -> ((s, d) => Dedup.q114(documents(s, d), exact = true)),
     "q115_span_fraction"       -> ((s, d) => Dedup.q115(documents(s, d), exact = true)),
-    // default 3-query batch mirrored literally by the oracle's VALUES
+    // query batch = Oracles.Bm25Queries, interpolated into the
+    // oracle's VALUES from the same definition
     "q116_bm25_search"         -> ((s, d) => {
       import s.implicits._
-      TextAnalysis.q116(documents(s, d), Seq(
-        (1L, Seq("data", "spark")),
-        (2L, Seq("fast", "join", "scan")),
-        (3L, Seq("customer", "vector", "stream"))).toDF("query_id", "terms"))
+      TextAnalysis.q116(documents(s, d),
+        Oracles.Bm25Queries.toDF("query_id", "terms"))
     }),
     "q117_dsir"                -> ((s, d) => TextAnalysis.q117(documents(s, d))),
     "q118_perplexity_buckets"  -> ((s, d) => TextAnalysis.q118(documents(s, d))),

@@ -90,10 +90,7 @@ object Sql {
       "graft_ppl_buckets"    -> (() => TextAnalysis.q118(docs)),
       "graft_bm25_search"    -> (() => {
         import spark.implicits._
-        TextAnalysis.q116(docs, Seq(
-          (1L, Seq("data", "spark")),
-          (2L, Seq("fast", "join", "scan")),
-          (3L, Seq("customer", "vector", "stream"))).toDF("query_id", "terms"))
+        TextAnalysis.q116(docs, graft.Oracles.Bm25Queries.toDF("query_id", "terms"))
       }),
       "graft_incr_dedup"     -> (() => {
         import org.apache.spark.sql.functions.{col, lit, pmod}

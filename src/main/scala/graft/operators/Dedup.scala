@@ -365,7 +365,7 @@ object Dedup {
     else wins.select(col("doc_id"), xxhash64(col("span")).as("span"))
   }
 
-  def q114(documents: DataFrame, k: Int = 5, topK: Int = 50,
+  def q114(documents: DataFrame, k: Int = graft.Oracles.SpanK, topK: Int = 50,
            exact: Boolean = false): DataFrame = {
     spanWindows(documents, k, exact)
       .groupBy(col("span"), col("doc_id")).agg(count(lit(1)).as("occ"))
@@ -395,7 +395,7 @@ object Dedup {
     * (`exact=false`) keys windows by 64-bit xxhash64 exactly like
     * q114 — 8-byte exchange rows at any k; the exact form is the
     * oracle-mirrored audit path the driver registers. */
-  def q115(documents: DataFrame, k: Int = 5, exact: Boolean = false): DataFrame = {
+  def q115(documents: DataFrame, k: Int = graft.Oracles.SpanK, exact: Boolean = false): DataFrame = {
     val perDoc = spanWindows(documents, k, exact).repartition(col("span"))
       .groupBy(col("span"), col("doc_id")).agg(count(lit(1)).as("occ"))
     val spanW = org.apache.spark.sql.expressions.Window.partitionBy(col("span"))
@@ -431,7 +431,7 @@ object Dedup {
     * doc-counts (q114's clique-proof shape) and scrubs to N empty
     * outputs. Everything is integer/string arithmetic — no floats
     * except the final fraction divide (§6). */
-  def q119(documents: DataFrame, k: Int = 5, exact: Boolean = false): DataFrame = {
+  def q119(documents: DataFrame, k: Int = graft.Oracles.SpanK, exact: Boolean = false): DataFrame = {
     val w = col("w")
     val winArr = transform(sequence(lit(1), size(w) - lit(k - 1), lit(1)),
       i => concat_ws(" ", (0 until k).map(j => element_at(w, i + lit(j))): _*))

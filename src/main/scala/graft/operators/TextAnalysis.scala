@@ -958,15 +958,17 @@ object TextAnalysis {
   }
 
   /** DSIR fit over a reference corpus with a `source` column. */
-  def dsirFit(reference: DataFrame, targetSource: String = "src0",
-              buckets: Int = 64): DataFrame =
+  def dsirFit(reference: DataFrame,
+              targetSource: String = graft.Oracles.DsirTargetSource,
+              buckets: Int = graft.Oracles.DsirBuckets): DataFrame =
     dsirLogRatiosFromBuckets(
       dsirBuckets(reference, buckets, Seq("source")), targetSource, buckets)
 
   /** DSIR apply: per-doc importance weight from a fitted log-ratio
     * table — one map-side broadcast join, per-doc fold in bucket order
     * (deterministic doubles, §6). */
-  def dsirApply(docs: DataFrame, lr: DataFrame, buckets: Int = 64): DataFrame =
+  def dsirApply(docs: DataFrame, lr: DataFrame,
+                buckets: Int = graft.Oracles.DsirBuckets): DataFrame =
     dsirScoreFromBuckets(dsirBuckets(docs, buckets, Nil), lr)
 
   private def dsirScoreFromBuckets(toks: DataFrame, lr: DataFrame): DataFrame =
@@ -981,8 +983,10 @@ object TextAnalysis {
         aggregate(col("xs"), lit(0.0), (a, x) => a + x.getField("c")))
       .select(col("doc_id"), col("n_tokens"), col("weight"))
 
-  def q117(documents: DataFrame, targetSource: String = "src0",
-           buckets: Int = 64, topN: Int = 100): DataFrame = {
+  def q117(documents: DataFrame,
+           targetSource: String = graft.Oracles.DsirTargetSource,
+           buckets: Int = graft.Oracles.DsirBuckets,
+           topN: Int = graft.Oracles.DsirTopN): DataFrame = {
     // one token scan serves both the fit and the apply (persisted
     // bucket stream with the source column carried through)
     val toks = dsirBuckets(documents, buckets, Seq("source"))
