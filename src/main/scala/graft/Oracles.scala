@@ -44,6 +44,12 @@ object Oracles {
   val DsirBuckets = 64
   val DsirTopN = 100
 
+  /** q120 temperature-mix parameters (α, doc budget, hash salt),
+    * shared with the oracle SQL. */
+  val MixAlpha = 0.7
+  val MixBudget = 200L
+  val MixSalt = 59359L
+
   private def msum(x: String) =
     s"CAST(ROUND(SUM(CAST($x AS DECIMAL(18,4))),2) AS DOUBLE)"
 
@@ -61,6 +67,32 @@ object Oracles {
     s"$t2*(0.1111111111111111 + $t2*(0.09090909090909091 + $t2*(0.07692307692307693 + " +
     s"$t2*(0.06666666666666667 + $t2*(0.058823529411764705 + $t2*(0.05263157894736842 + " +
     s"$t2*(0.047619047619047616 + $t2*0.043478260869565216))))))))))"
+
+  private val ExpInvLn2 = "1.4426950408889634"
+  private def expHorner(r: String): String =
+    s"1.0 + $r*(1.0 + $r*(0.5 + $r*(0.16666666666666666 + $r*(0.041666666666666664 + " +
+    s"$r*(0.008333333333333333 + $r*(0.001388888888888889 + $r*(0.0001984126984126984 + " +
+    s"$r*(2.48015873015873e-05 + $r*(2.7557319223985893e-06 + $r*(2.755731922398589e-07 + " +
+    s"$r*(2.505210838544172e-08 + $r*(2.08767569878681e-09 + $r*(1.6059043836821613e-10 + " +
+    s"$r*(1.1470745597729725e-11 + $r*(7.647163731819816e-13 + " +
+    s"$r*4.779477332387385e-14)))))))))))))))"
+
+  /** exp twin of [[lnChain]] — replays GraftMath.portableExp in SQL:
+    * `{p}_e1 … {p}_e3, {p}` with outName = portable-exp(xExpr).
+    * k = floor(x/ln2 + 1/2) (floor in both engines — SQL round() is
+    * half-away, Java's is half-up, so neither is shared), r via the
+    * split ln2, 16-term Horner, exact 2^k scale. 500 409-point sweep:
+    * zero cross-engine mismatches. */
+  private def expChain(p: String, src: String, carry: Seq[String],
+                       ins: Seq[(String, String)]): String = {
+    val c = if (carry.isEmpty) "" else carry.mkString(", ") + ", "
+    def g(i: Int, s: String) = s"e$i$s"
+    def sel(body: Int => String) = ins.indices.map(body).mkString(", ")
+    s"""${p}_e1 AS (SELECT $c${sel(i => s"${ins(i)._1} AS ${g(i, "x")}")} FROM $src),
+       ${p}_e2 AS (SELECT $c${sel(i => s"${g(i, "x")}, floor(${g(i, "x")} * $ExpInvLn2 + 0.5) AS ${g(i, "kd")}")} FROM ${p}_e1),
+       ${p}_e3 AS (SELECT $c${sel(i => s"${g(i, "kd")}, (${g(i, "x")} - ${g(i, "kd")} * $LnHi) - ${g(i, "kd")} * $LnLo AS ${g(i, "r")}")} FROM ${p}_e2),
+       $p AS (SELECT $c${sel(i => s"pow(2.0, ${g(i, "kd")}) * (${expHorner(g(i, "r"))}) AS ${ins(i)._2}")} FROM ${p}_e3)"""
+  }
 
   /** Emits a CTE chain `{p}_l1 … {p}_l7, {p}` computing, for each
     * (xExpr → outName) in `ins`, outName = portable-ln(xExpr) with
@@ -508,6 +540,31 @@ object Oracles {
            CAST(SUM(CASE WHEN n_docs >= 2 THEN occ ELSE 0 END) AS DOUBLE)
              / CAST(SUM(occ) AS DOUBLE) AS frac_repeated
          FROM spanstats GROUP BY doc_id ORDER BY doc_id""",
+
+    // n^α = portable-exp(α · portable-ln(n)); Σ n_s^α folds in source
+    // order; keep via the q91 Knuth hash against floor(rate·10^6)
+    "q120_temperature_mix" ->
+      s"""WITH counts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS src_docs
+           FROM documents GROUP BY source),
+         ${lnChain("lnsrc", "counts", Seq("source", "src_docs"),
+            Seq("CAST(src_docs AS DOUBLE)" -> "lnv"))},
+         pre AS (SELECT source, src_docs, $MixAlpha * lnv AS ax FROM lnsrc),
+         ${expChain("powed", "pre", Seq("source", "src_docs"),
+            Seq("ax" -> "w"))},
+         tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list_sort(list(struct_pack(source := source, w := w))),
+               s -> struct_extract(s, 'w'))), (a, b) -> a + b) AS tot
+           FROM powed),
+         rates AS (SELECT source, src_docs, w / t.tot AS mix_weight,
+             least(1.0, $MixBudget.0 * (w / t.tot) / CAST(src_docs AS DOUBLE)) AS rate,
+             CAST(floor(least(1.0, $MixBudget.0 * (w / t.tot) / CAST(src_docs AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS thresh
+           FROM powed CROSS JOIN tot t)
+         SELECT d.doc_id, d.source, r.src_docs, r.mix_weight, r.rate,
+           ((((d.doc_id % 1000000007) * 2654435761) % 1000000007 + $MixSalt)
+             % 1000000) < r.thresh AS keep
+         FROM documents d JOIN rates r ON d.source = r.source
+         ORDER BY d.doc_id""",
 
     // token coverage via the bounded ROWS window (positions are dense,
     // so a k-1-row frame == a k-position frame); rebuild preserves the

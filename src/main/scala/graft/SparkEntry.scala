@@ -144,6 +144,7 @@ object SparkEntry {
     "q117_dsir"                -> ((s, d) => TextAnalysis.q117(documents(s, d))),
     "q118_perplexity_buckets"  -> ((s, d) => TextAnalysis.q118(documents(s, d))),
     "q119_span_scrub"          -> ((s, d) => Dedup.q119(documents(s, d), exact = true)),
+    "q120_temperature_mix"     -> ((s, d) => TextAnalysis.q120(documents(s, d))),
     // snapshot diff: "old" drops every DiffOldDropMod-th doc, "new"
     // drops every DiffNewDropMod-th and upper-cases every
     // DiffUpperMod-th's text — the mod constants live in Oracles and

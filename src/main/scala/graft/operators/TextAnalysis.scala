@@ -1020,6 +1020,53 @@ object TextAnalysis {
     * ntile(3) is the standard SQL distribution (first `n mod 3` groups
     * get the extra row) in both engines; ties in avg_logp break by
     * doc_id, so the tertile boundary is deterministic. */
+  /** q120: TEMPERATURE-scaled source sampling — the multilingual /
+    * multi-source mixing rule (XLM, mBART: p_s ∝ n_s^α, α < 1 flattens
+    * the source distribution so small sources are not drowned): per
+    * source, mix weight q_s = n_s^α / Σ n_s^α, sampling rate
+    * min(1, budget·q_s / n_s), and a deterministic per-doc keep via the
+    * q58/q91 Knuth multiplicative hash against floor(rate·10^6) — the
+    * same integer-threshold idiom, so the verdict is reproducible and
+    * partition-layout-invariant.
+    *
+    * n^α computes as portableExp(α · portableLn(n)) — the portable pair
+    * closes pow with cross-engine bit parity (§6), and the Σ n_s^α fold
+    * runs in source order (q86 idiom). Plan shape: one corpus scan for
+    * the per-source counts (broadcast-sized: sources are 10s–100s at
+    * any corpus volume), everything per-doc is a broadcast join + one
+    * integer hash — no second scan, no data-sized shuffle. */
+  def q120(documents: DataFrame, alpha: Double = graft.Oracles.MixAlpha,
+           budget: Long = graft.Oracles.MixBudget): DataFrame = {
+    val counts = documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("src_docs"))
+    val powed = counts.withColumn("w",
+      graft.functions.PortableExp(lit(alpha) *
+        graft.functions.PortableLn(col("src_docs").cast("double"))))
+    val tot = powed
+      .agg(sort_array(collect_list(struct(col("source"), col("w")))).as("xs"))
+      .select(aggregate(col("xs"), lit(0.0),
+        (a, x) => a + x.getField("w")).as("tot"))
+    val rates = powed.crossJoin(broadcast(tot))
+      .withColumn("mix_weight", col("w") / col("tot"))
+      .withColumn("rate", least(lit(1.0),
+        lit(budget.toDouble) * col("mix_weight") /
+          col("src_docs").cast("double")))
+      .withColumn("thresh",
+        floor(col("rate") * lit(1000000.0)).cast("long"))
+      .select(col("source"), col("src_docs"), col("mix_weight"),
+        col("rate"), col("thresh"))
+    val h = pmod(
+      pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L),
+        lit(1000000007L)) + lit(graft.Oracles.MixSalt),
+      lit(1000000L))
+    documents.select(col("doc_id"), col("source"))
+      .join(broadcast(rates), "source")
+      .withColumn("keep", h < col("thresh"))
+      .select(col("doc_id"), col("source"), col("src_docs"),
+        col("mix_weight"), col("rate"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   def q118(documents: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))

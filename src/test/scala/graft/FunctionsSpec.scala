@@ -161,4 +161,44 @@ class FunctionsSpec extends GraftSpec {
       .collect().map(_.getDouble(0))
     assert(got.sameElements(xs.map(graft.functions.GraftMath.portableLn)))
   }
+
+  test("portableExp: exact at 0, faithful (≤3 ulp) across the live range") {
+    import graft.functions.GraftMath.portableExp
+    assert(portableExp(0.0) == 1.0)
+    val rnd = new scala.util.Random(43)
+    for (_ <- 1 to 20000) {
+      // α·ln(n) style inputs: |x| up to ~20 covers n^α for any count
+      // a corpus can hold; also sweep the k·ln2 rounding boundaries
+      val x = (rnd.nextDouble() * 40.0) - 20.0
+      val got = portableExp(x)
+      val ref = StrictMath.exp(x)
+      assert(math.abs(got - ref) <= 3 * math.ulp(ref),
+        s"portableExp($x) = $got vs $ref")
+    }
+    // boundary: x where x/ln2 + 0.5 sits at an integer edge
+    for (k <- -8 to 8) {
+      val x = (k + 0.5) * 0.6931471805599453
+      val got = portableExp(x)
+      val ref = StrictMath.exp(x)
+      assert(math.abs(got - ref) <= 3 * math.ulp(ref))
+    }
+    // out-of-domain falls back to Math.exp
+    assert(portableExp(710.0) == Math.exp(710.0))
+    assert(portableExp(-710.0) == Math.exp(-710.0))
+  }
+
+  test("PortableExp codegen path equals the eval-path static; pow closes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val xs = Seq(-5.5, -0.1, 0.0, 0.7, 3.25, 14.0)
+    val got = xs.toDF("x")
+      .select(graft.functions.PortableExp(col("x")).as("y"))
+      .collect().map(_.getDouble(0))
+    assert(got.sameElements(xs.map(graft.functions.GraftMath.portableExp)))
+    // n^α via exp(α·ln n) is deterministic and ~exact: 8^0.5 vs sqrt 8
+    val p = Seq(8.0).toDF("n").select(graft.functions.PortableExp(
+      lit(0.5) * graft.functions.PortableLn(col("n"))).as("p"))
+      .collect().head.getDouble(0)
+    assert(math.abs(p - math.sqrt(8.0)) <= 4 * math.ulp(math.sqrt(8.0)))
+  }
 }

@@ -407,4 +407,32 @@ class TextAnalysisSpec extends GraftSpec {
     val lp = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(r(_)._3)
     assert(lp == lp.sorted.reverse)
   }
+
+  test("q120 temperature mix: α<1 flattens, rates bounded, keep = hash rule") {
+    // source A: 8 docs, source B: 1 doc — raw share 8/9 vs 1/9
+    val d = (1L to 8L).map(i => (i, "A")) :+ ((9L, "B"))
+    val df = d.toDF("doc_id", "source")
+    val r = TextAnalysis.q120(df, alpha = 0.7, budget = 4L).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[String]("source"), x.getAs[Double]("mix_weight"),
+          x.getAs[Double]("rate"), x.getAs[Boolean]("keep"))).toMap
+    assert(r.size == 9)
+    val (wA, wB) = (r(1L)._2, r(9L)._2)
+    // temperature flattening: B's mix share exceeds its raw 1/9 share,
+    // A's drops below its raw 8/9; weights normalize to 1
+    assert(wB > 1.0 / 9.0 && wA < 8.0 / 9.0)
+    assert(math.abs((wA + wB) - 1.0) < 1e-12)
+    // closed form: w_s = n^0.7 / Σ
+    val pa = math.pow(8.0, 0.7)
+    assert(math.abs(wA - pa / (pa + 1.0)) < 1e-9)
+    // rate = min(1, budget·q/n), within [0,1]
+    assert(r.values.forall(v => v._3 >= 0.0 && v._3 <= 1.0))
+    assert(math.abs(r(1L)._3 - math.min(1.0, 4.0 * wA / 8.0)) < 1e-12)
+    // keep verdict replays the Knuth-hash threshold exactly
+    r.foreach { case (id, (_, _, rate, keep)) =>
+      val h = (((id % 1000000007L) * 2654435761L) % 1000000007L +
+        graft.Oracles.MixSalt) % 1000000L
+      assert(keep == (h < math.floor(rate * 1000000.0).toLong))
+    }
+  }
 }
