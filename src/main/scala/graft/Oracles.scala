@@ -566,6 +566,51 @@ object Oracles {
          FROM documents d JOIN rates r ON d.source = r.source
          ORDER BY d.doc_id""",
 
+    // per-token terms floor-scale to exact LONGs (entropy ×1e12, Zipf
+    // moments ×1e8) so the per-source sums are order-independent
+    // integer arithmetic — no ordered fold needed; ln via the portable
+    // chain, finals are one shared double-op sequence
+    "q121_source_diversity" ->
+      s"""WITH tf AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM (SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS tok
+                 FROM documents)
+           GROUP BY source, tok),
+         st AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS vocab FROM tf GROUP BY source),
+         ranked AS (SELECT f.source, f.cnt, s.tot, s.vocab,
+             CAST(row_number() OVER (PARTITION BY f.source
+               ORDER BY f.cnt DESC, f.tok) AS BIGINT) AS rnk,
+             CAST(f.cnt AS DOUBLE) / CAST(s.tot AS DOUBLE) AS p
+           FROM tf f JOIN st s ON f.source = s.source),
+         ${lnChain("lns", "ranked", Seq("source", "tot", "vocab", "p"),
+            Seq("p" -> "lnp", "CAST(rnk AS DOUBLE)" -> "lnr",
+              "CAST(cnt AS DOUBLE)" -> "lny"))},
+         terms AS (SELECT source, tot, vocab,
+             CAST(floor(-(p * lnp) * 1.0e12) AS BIGINT) AS e12,
+             CAST(floor(lnr * 1.0e8) AS BIGINT) AS x8,
+             CAST(floor(lny * 1.0e8) AS BIGINT) AS y8,
+             CAST(floor(lnr * lny * 1.0e8) AS BIGINT) AS xy8,
+             CAST(floor(lnr * lnr * 1.0e8) AS BIGINT) AS xx8
+           FROM lns),
+         sums AS (SELECT source, tot, vocab,
+             CAST(SUM(e12) AS BIGINT) AS se, CAST(SUM(x8) AS BIGINT) AS sx,
+             CAST(SUM(y8) AS BIGINT) AS sy, CAST(SUM(xy8) AS BIGINT) AS sxy,
+             CAST(SUM(xx8) AS BIGINT) AS sxx
+           FROM terms GROUP BY source, tot, vocab),
+         fin AS (SELECT source, tot, vocab, CAST(vocab AS DOUBLE) AS vd,
+             CAST(sx AS DOUBLE) / 1.0e8 AS sxd,
+             CAST(sy AS DOUBLE) / 1.0e8 AS syd,
+             CAST(sxy AS DOUBLE) / 1.0e8 AS sxyd,
+             CAST(sxx AS DOUBLE) / 1.0e8 AS sxxd, se
+           FROM sums)
+         SELECT source, tot AS n_tokens, vocab,
+           vd / CAST(tot AS DOUBLE) AS ttr,
+           CAST(se AS DOUBLE) / 1.0e12 AS entropy,
+           CASE WHEN vd * sxxd - sxd * sxd <> 0.0
+             THEN (vd * sxyd - sxd * syd) / (vd * sxxd - sxd * sxd)
+             ELSE NULL END AS zipf_slope
+         FROM fin ORDER BY source""",
+
     // token coverage via the bounded ROWS window (positions are dense,
     // so a k-1-row frame == a k-position frame); rebuild preserves the
     // normalized token stream exactly (empty tokens round-trip)

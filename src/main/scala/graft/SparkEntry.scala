@@ -145,6 +145,7 @@ object SparkEntry {
     "q118_perplexity_buckets"  -> ((s, d) => TextAnalysis.q118(documents(s, d))),
     "q119_span_scrub"          -> ((s, d) => Dedup.q119(documents(s, d), exact = true)),
     "q120_temperature_mix"     -> ((s, d) => TextAnalysis.q120(documents(s, d))),
+    "q121_source_diversity"    -> ((s, d) => TextAnalysis.q121(documents(s, d))),
     // snapshot diff: "old" drops every DiffOldDropMod-th doc, "new"
     // drops every DiffNewDropMod-th and upper-cases every
     // DiffUpperMod-th's text — the mod constants live in Oracles and

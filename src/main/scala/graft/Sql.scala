@@ -89,6 +89,7 @@ object Sql {
       "graft_dsir"           -> (() => TextAnalysis.q117(docs)),
       "graft_ppl_buckets"    -> (() => TextAnalysis.q118(docs)),
       "graft_temp_mix"       -> (() => TextAnalysis.q120(docs)),
+      "graft_src_diversity"  -> (() => TextAnalysis.q121(docs)),
       "graft_bm25_search"    -> (() => {
         import spark.implicits._
         TextAnalysis.q116(docs, graft.Oracles.Bm25Queries.toDF("query_id", "terms"))

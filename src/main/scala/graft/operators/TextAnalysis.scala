@@ -1067,6 +1067,70 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q121: per-source DIVERSITY profile — the templated/low-diversity
+    * source detector every corpus audit runs: unigram Shannon entropy
+    * H = −Σ p·ln p, type-token ratio V/N, and the Zipf slope (OLS of
+    * ln freq on ln rank — natural text ≈ −1; boilerplate/templated
+    * sources flatten or cliff). Complements q106 (length stats only).
+    *
+    * Cross-engine determinism WITHOUT per-source ordered folds: each
+    * per-token term (−p·ln p, ln r, ln f, products) is a fixed double
+    * sequence over [[graft.functions.PortableLn]] outputs, then
+    * floor-scaled to an exact LONG (entropy ×1e12 — Σ ≤ H_max·1e12 ≈
+    * 2e13; Zipf moments ×1e8 — Σ(ln r)² ≤ V(ln V)²·1e8 ≈ 3.4e18 at a
+    * 1e8-term vocab, inside int64), so the per-source SUMs are
+    * order-independent integer arithmetic and the final doubles are
+    * one short shared op sequence. Scale shape: one token-explode
+    * shuffle to (source, token) with map-side combine; everything
+    * after is VOCAB-sized, never corpus-sized; the rank window
+    * partitions by source over vocab rows (bounded by language
+    * vocabulary, not corpus volume). */
+  def q121(documents: DataFrame): DataFrame = {
+    import graft.functions.PortableLn
+    val tf = documents
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val st = tf.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("vocab"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("cnt").desc, col("tok"))
+    val ranked = tf
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .join(broadcast(st), "source")
+      .withColumn("p", col("cnt").cast("double") / col("tot").cast("double"))
+      .withColumn("lnp", PortableLn(col("p")))
+      .withColumn("lnr", PortableLn(col("rnk").cast("double")))
+      .withColumn("lny", PortableLn(col("cnt").cast("double")))
+    val sums = ranked
+      .select(col("source"), col("tot"), col("vocab"),
+        floor(-(col("p") * col("lnp")) * lit(1.0e12)).cast("long").as("e12"),
+        floor(col("lnr") * lit(1.0e8)).cast("long").as("x8"),
+        floor(col("lny") * lit(1.0e8)).cast("long").as("y8"),
+        floor(col("lnr") * col("lny") * lit(1.0e8)).cast("long").as("xy8"),
+        floor(col("lnr") * col("lnr") * lit(1.0e8)).cast("long").as("xx8"))
+      .groupBy(col("source"), col("tot"), col("vocab"))
+      .agg(sum("e12").as("se"), sum("x8").as("sx"), sum("y8").as("sy"),
+        sum("xy8").as("sxy"), sum("xx8").as("sxx"))
+    sums
+      .withColumn("vd", col("vocab").cast("double"))
+      .withColumn("sxd", col("sx").cast("double") / lit(1.0e8))
+      .withColumn("syd", col("sy").cast("double") / lit(1.0e8))
+      .withColumn("sxyd", col("sxy").cast("double") / lit(1.0e8))
+      .withColumn("sxxd", col("sxx").cast("double") / lit(1.0e8))
+      .withColumn("den",
+        col("vd") * col("sxxd") - col("sxd") * col("sxd"))
+      .select(col("source"), col("tot").as("n_tokens"), col("vocab"),
+        (col("vd") / col("tot").cast("double")).as("ttr"),
+        (col("se").cast("double") / lit(1.0e12)).as("entropy"),
+        // single-vocab source → 0/0; NULL beats ANSI throw / NaN
+        when(col("den") =!= 0.0,
+          (col("vd") * col("sxyd") - col("sxd") * col("syd")) / col("den"))
+          .as("zipf_slope"))
+      .orderBy(col("source"))
+  }
+
   def q118(documents: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))

@@ -435,4 +435,37 @@ class TextAnalysisSpec extends GraftSpec {
       assert(keep == (h < math.floor(rate * 1000000.0).toLong))
     }
   }
+
+  test("q121 diversity: entropy/TTR/Zipf match closed forms per source") {
+    val d = Seq(
+      (1L, "a b c d", "div"),       // 4 distinct tokens, uniform
+      (2L, "x x x x", "tmpl"),      // 1 token repeated
+      (3L, "w w w w v v u", "zipf") // counts 4,2,1
+    ).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.q121(d).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("vocab"),
+          x.getAs[Double]("ttr"), x.getAs[Double]("entropy"),
+          Option(x.getAs[java.lang.Double]("zipf_slope")))).toMap
+    assert(r.keySet == Set("div", "tmpl", "zipf"))
+    // uniform: H = ln V, TTR = 1, slope 0 (all freqs equal)
+    assert(r("div")._1 == 4L && r("div")._2 == 4L && r("div")._3 == 1.0)
+    assert(math.abs(r("div")._4 - math.log(4.0)) < 1e-6)
+    assert(r("div")._5.contains(0.0))
+    // templated: H = 0, TTR = 1/4, slope undefined (single vocab row)
+    assert(r("tmpl")._4 == 0.0 && r("tmpl")._3 == 0.25)
+    assert(r("tmpl")._5.isEmpty)
+    // 4/2/1 counts: closed-form entropy and OLS slope of ln f on ln r
+    val ps = Seq(4.0 / 7, 2.0 / 7, 1.0 / 7)
+    val h = -ps.map(p => p * math.log(p)).sum
+    assert(math.abs(r("zipf")._4 - h) < 1e-6)
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(4.0, 2.0, 1.0).map(math.log)
+    val n = 3.0
+    val slope = (n * xs.zip(ys).map { case (x, y) => x * y }.sum -
+      xs.sum * ys.sum) / (n * xs.map(x => x * x).sum - xs.sum * xs.sum)
+    assert(math.abs(r("zipf")._5.get - slope) < 1e-6)
+    // diversity ordering: diverse > zipf > templated
+    assert(r("div")._4 > r("zipf")._4 && r("zipf")._4 > r("tmpl")._4)
+  }
 }
