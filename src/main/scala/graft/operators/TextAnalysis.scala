@@ -1036,8 +1036,19 @@ object TextAnalysis {
     * any corpus volume), everything per-doc is a broadcast join + one
     * integer hash — no second scan, no data-sized shuffle. */
   def q120(documents: DataFrame, alpha: Double = graft.Oracles.MixAlpha,
-           budget: Long = graft.Oracles.MixBudget): DataFrame = {
-    val counts = documents.groupBy(col("source"))
+           budget: Long = graft.Oracles.MixBudget): DataFrame =
+    tempMixApply(documents, tempMixRates(documents, alpha, budget))
+      .orderBy(col("doc_id"))
+
+  /** Fit half of q120: the per-source rate table (source, src_docs,
+    * mix_weight, rate, thresh) — sources-sized (10s–100s rows), so it
+    * broadcasts. Streaming fits this ONCE from a static reference
+    * ([[graft.streaming.Streams.startTempMixGate]]) and every
+    * micro-batch applies the same thresholds — stream and batch
+    * verdicts bit-identical. */
+  def tempMixRates(reference: DataFrame, alpha: Double,
+                   budget: Long): DataFrame = {
+    val counts = reference.groupBy(col("source"))
       .agg(count(lit(1)).as("src_docs"))
     val powed = counts.withColumn("w",
       graft.functions.PortableExp(lit(alpha) *
@@ -1046,7 +1057,7 @@ object TextAnalysis {
       .agg(sort_array(collect_list(struct(col("source"), col("w")))).as("xs"))
       .select(aggregate(col("xs"), lit(0.0),
         (a, x) => a + x.getField("w")).as("tot"))
-    val rates = powed.crossJoin(broadcast(tot))
+    powed.crossJoin(broadcast(tot))
       .withColumn("mix_weight", col("w") / col("tot"))
       .withColumn("rate", least(lit(1.0),
         lit(budget.toDouble) * col("mix_weight") /
@@ -1055,16 +1066,21 @@ object TextAnalysis {
         floor(col("rate") * lit(1000000.0)).cast("long"))
       .select(col("source"), col("src_docs"), col("mix_weight"),
         col("rate"), col("thresh"))
+  }
+
+  /** Apply half of q120: deterministic per-doc keep via the q91 Knuth
+    * hash against the fitted integer thresholds — a broadcast join +
+    * one integer hash per doc, stateless. */
+  def tempMixApply(docs: DataFrame, rates: DataFrame): DataFrame = {
     val h = pmod(
       pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L),
         lit(1000000007L)) + lit(graft.Oracles.MixSalt),
       lit(1000000L))
-    documents.select(col("doc_id"), col("source"))
+    docs.select(col("doc_id"), col("source"))
       .join(broadcast(rates), "source")
       .withColumn("keep", h < col("thresh"))
       .select(col("doc_id"), col("source"), col("src_docs"),
         col("mix_weight"), col("rate"), col("keep"))
-      .orderBy(col("doc_id"))
   }
 
   /** q121: per-source DIVERSITY profile — the templated/low-diversity

@@ -279,6 +279,40 @@ object Streams {
       .start()
   }
 
+  /** st17: streaming TEMPERATURE-MIX gate — q120's source-balanced
+    * sampling applied at ingest: the per-source rate table (n_s^α
+    * mixing weights + integer keep thresholds) is fit ONCE from a
+    * static reference corpus ([[graft.operators.TextAnalysis
+    * .tempMixRates]], sources-sized, persisted) and every micro-batch
+    * runs the exact batch apply path (broadcast join + one integer
+    * Knuth hash per doc) — stream and batch keep-verdicts are
+    * bit-identical, so the mix tuned batch-side transfers exactly.
+    * Stateless: no state store, no watermark, append mode at any
+    * ingest rate; per-batch work is ∝ batch size with no shuffle
+    * (the rate side broadcasts). */
+  def startTempMixGate(docs: DataFrame, reference: DataFrame,
+                       outDir: String, checkpoint: String,
+                       alpha: Double = graft.Oracles.MixAlpha,
+                       budget: Long = graft.Oracles.MixBudget)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val rates = graft.operators.TextAnalysis
+      .tempMixRates(reference, alpha, budget)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val keep = graft.operators.TextAnalysis
+          .tempMixApply(batch, rates)
+          .filter(col("keep"))
+          .select(col("doc_id"))
+        batch.join(keep, Seq("doc_id"), "left_semi")
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+  }
+
   private def closed(user: Long, s: OpenSession): SessionOut =
     SessionOut(user, s.start_us, s.n, s.last_us - s.start_us, s.total)
 

@@ -385,6 +385,38 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st17 streaming temperature-mix gate: verdict bit parity with batch") {
+    // reference: source A is 8x larger than B — α=0.7 flattens, so B's
+    // per-doc keep rate ends up higher than A's
+    val ref = ((1L to 16L).map(i => (i, "A")) ++ Seq((17L, "B"), (18L, "B")))
+      .toDF("doc_id", "source")
+    val ms = MemoryStream[(Long, String)]
+    val df = ms.toDF().toDF("doc_id", "source")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-st17").toString + "/out"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-st17-ck").toString
+    val q = Streams.startTempMixGate(df, ref, outDir, ckpt,
+      alpha = 0.7, budget = 10L)
+    try {
+      val docs = (1L to 30L).map(i => (i, if (i % 3 == 0) "B" else "A"))
+      ms.addData(docs.take(15): _*)
+      q.processAllAvailable()
+      ms.addData(docs.drop(15): _*)
+      q.processAllAvailable()
+      val kept = spark.read.parquet(outDir)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      // bit parity with the batch apply on the same fitted rates
+      val rates = graft.operators.TextAnalysis.tempMixRates(ref, 0.7, 10L)
+      val batchKeep = graft.operators.TextAnalysis
+        .tempMixApply(docs.toDF("doc_id", "source"), rates)
+        .filter(org.apache.spark.sql.functions.col("keep"))
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(kept == batchKeep)
+      assert(kept.nonEmpty && kept.size < 30) // gate actually samples
+    } finally q.stop()
+  }
+
   test("st11 toTable sink: micro-batches land in a metastore table visible to SQL") {
     val ms = MemoryStream[StreamEv]
     spark.sql("DROP TABLE IF EXISTS graft_st11_sink")
