@@ -611,6 +611,49 @@ object Oracles {
              ELSE NULL END AS zipf_slope
          FROM fin ORDER BY source""",
 
+    // all statistics via floor-scaled exact-long sums (q121 idiom):
+    // centroid dim sums x1e8, d-squared moments x1e6 — order-independent
+    // in both engines, no per-group collect; sqrt is IEEE-exact
+    "q122_embed_outliers" ->
+      """WITH b AS (SELECT vec_id, label,
+           CAST(embedding[1] AS DOUBLE) AS x0, CAST(embedding[2] AS DOUBLE) AS x1,
+           CAST(embedding[3] AS DOUBLE) AS x2, CAST(embedding[4] AS DOUBLE) AS x3
+           FROM embeddings),
+         cent AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(CAST(floor(x0 * 1.0e8) AS BIGINT)) AS BIGINT) AS sx0,
+             CAST(SUM(CAST(floor(x1 * 1.0e8) AS BIGINT)) AS BIGINT) AS sx1,
+             CAST(SUM(CAST(floor(x2 * 1.0e8) AS BIGINT)) AS BIGINT) AS sx2,
+             CAST(SUM(CAST(floor(x3 * 1.0e8) AS BIGINT)) AS BIGINT) AS sx3
+           FROM b GROUP BY label),
+         cm AS (SELECT label,
+             (CAST(sx0 AS DOUBLE) / 1.0e8) / CAST(n_vecs AS DOUBLE) AS m0,
+             (CAST(sx1 AS DOUBLE) / 1.0e8) / CAST(n_vecs AS DOUBLE) AS m1,
+             (CAST(sx2 AS DOUBLE) / 1.0e8) / CAST(n_vecs AS DOUBLE) AS m2,
+             (CAST(sx3 AS DOUBLE) / 1.0e8) / CAST(n_vecs AS DOUBLE) AS m3
+           FROM cent),
+         scored AS (SELECT b.vec_id, b.label,
+             (b.x0 - cm.m0) * (b.x0 - cm.m0) + (b.x1 - cm.m1) * (b.x1 - cm.m1)
+               + (b.x2 - cm.m2) * (b.x2 - cm.m2) + (b.x3 - cm.m3) * (b.x3 - cm.m3)
+               AS dist2
+           FROM b JOIN cm ON b.label = cm.label),
+         mo AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(dist2 * 1.0e6) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(floor(dist2 * dist2 * 1.0e6) AS BIGINT)) AS BIGINT) AS s2
+           FROM scored GROUP BY label),
+         ms AS (SELECT label, n, s2,
+             (CAST(s1 AS DOUBLE) / 1.0e6) / CAST(n AS DOUBLE) AS mu FROM mo),
+         mv AS (SELECT label, mu,
+             (CAST(s2 AS DOUBLE) / 1.0e6) / CAST(n AS DOUBLE) - mu * mu AS vr
+           FROM ms)
+         SELECT s.vec_id, s.label, s.dist2,
+           CASE WHEN m.vr > 0.0 THEN (s.dist2 - m.mu) / sqrt(m.vr)
+             ELSE NULL END AS z,
+           CASE WHEN m.vr > 0.0
+             THEN (s.dist2 - m.mu) / sqrt(m.vr) > 3.0
+             ELSE FALSE END AS is_outlier
+         FROM scored s JOIN mv m ON s.label = m.label
+         ORDER BY s.vec_id""",
+
     // token coverage via the bounded ROWS window (positions are dense,
     // so a k-1-row frame == a k-position frame); rebuild preserves the
     // normalized token stream exactly (empty tokens round-trip)

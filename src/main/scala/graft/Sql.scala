@@ -66,6 +66,7 @@ object Sql {
       "graft_phash_pairs"    -> (() => Multimodal.q93(spark, docs)),
       "graft_source_overlap" -> (() => Dedup.q95(docs)),
       "graft_ann_topk"       -> (() => Similarity.q44(embs)),
+      "graft_embed_outliers" -> (() => Similarity.q122(embs)),
       "graft_langid"         -> (() => TextAnalysis.q47(docs)),
       "graft_quality"        -> (() => TextAnalysis.q48(docs)),
       "graft_token_counts"   -> (() => TextAnalysis.q49(docs)),

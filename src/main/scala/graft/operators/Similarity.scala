@@ -598,4 +598,61 @@ object Similarity {
         .orderBy(col("i"), col("j"))
     }
   }
+
+  /** q122: embedding OUTLIER scrub — flag vectors whose squared
+    * distance to their own label's centroid z-scores above `zMax`
+    * (mis-embedded / garbage docs; the standard pre-training embedding
+    * sanity filter).
+    *
+    * Scale-safe AND oracle-exact with NO per-group collect: every sum
+    * the statistics need (per-dim centroid sums ×1e8, d² moments ×1e6)
+    * floor-scales each term to an exact LONG first, so the aggregations
+    * are order-independent integer arithmetic (q121 idiom) — map-side
+    * combine works, group state is constant, and both engines see
+    * identical bits. d² is a fixed left-associated double op sequence
+    * over the (exact) float→double dims; σ = sqrt(population var) is
+    * IEEE-exact; σ² ≤ 0 (degenerate all-equal group) → z NULL,
+    * is_outlier false. Two scans of the vectors (centroid fit, then
+    * score) with a broadcast labels-sized stats table between — no
+    * data-sized shuffle beyond the per-label partial aggregates. */
+  def q122(embeddings: DataFrame, dims: Int = 4,
+           zMax: Double = 3.0): DataFrame = {
+    val b = embeddings.select(
+      (Seq(col("vec_id"), col("label")) ++
+        (0 until dims).map(i =>
+          col("embedding")(i).cast("double").as(s"x$i"))): _*)
+    val cent = b.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (0 until dims).map(i =>
+          sum(floor(col(s"x$i") * lit(1.0e8)).cast("long")).as(s"sx$i")): _*)
+      .select((Seq(col("label"), col("n_vecs")) ++
+        (0 until dims).map(i =>
+          ((col(s"sx$i").cast("double") / lit(1.0e8)) /
+            col("n_vecs").cast("double")).as(s"m$i"))): _*)
+    val d2 = (0 until dims).map { i =>
+      (col(s"x$i") - col(s"m$i")) * (col(s"x$i") - col(s"m$i"))
+    }.reduceLeft(_ + _)
+    val scored = b.join(broadcast(cent), "label")
+      .withColumn("dist2", d2)
+      .select(col("vec_id"), col("label"), col("dist2"))
+    val mo = scored.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("dist2") * lit(1.0e6)).cast("long")).as("s1"),
+        sum(floor(col("dist2") * col("dist2") * lit(1.0e6)).cast("long"))
+          .as("s2"))
+      .withColumn("mu",
+        (col("s1").cast("double") / lit(1.0e6)) / col("n").cast("double"))
+      .withColumn("vr",
+        (col("s2").cast("double") / lit(1.0e6)) / col("n").cast("double") -
+          col("mu") * col("mu"))
+      .select(col("label"), col("mu"), col("vr"))
+    scored.join(broadcast(mo), "label")
+      .withColumn("z",
+        when(col("vr") > 0.0, (col("dist2") - col("mu")) / sqrt(col("vr"))))
+      .withColumn("is_outlier",
+        when(col("vr") > 0.0, col("z") > lit(zMax)).otherwise(lit(false)))
+      .select(col("vec_id"), col("label"), col("dist2"), col("z"),
+        col("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
 }

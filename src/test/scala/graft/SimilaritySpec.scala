@@ -292,4 +292,30 @@ class SimilaritySpec extends GraftSpec {
     assert(r.head.getAs[Int]("pred_label") == 1)
     assert(r.head.getAs[Long]("votes") == 2L)
   }
+
+  test("q122 embed outliers: planted far vector flagged, degenerate label safe") {
+    import spark.implicits._
+    // label 0: 10 near-origin inliers + one planted far vector
+    val inliers = (1L to 10L).map { i =>
+      (i, Array(0.01f * i, 0f, 0f, 0f), 0)
+    }
+    val far = Seq((99L, Array(10f, 10f, 10f, 10f), 0))
+    // label 1: all identical → zero variance → z NULL, not outlier
+    val degen = (200L to 203L).map(i => (i, Array(1f, 1f, 1f, 1f), 1))
+    val e = (inliers ++ far ++ degen).toDF("vec_id", "embedding", "label")
+    val r = Similarity.q122(e).collect()
+      .map(x => x.getAs[Long]("vec_id") ->
+        (Option(x.getAs[java.lang.Double]("z")),
+          x.getAs[Boolean]("is_outlier"))).toMap
+    assert(r.size == 15)
+    assert(r(99L)._2, "planted far vector must be flagged")
+    assert(inliers.map(_._1).forall(i => !r(i)._2))
+    // degenerate label: z undefined, never flagged
+    (200L to 203L).foreach { i =>
+      assert(r(i)._1.isEmpty && !r(i)._2)
+    }
+    // z of the planted point is the extreme one
+    val zs = r.collect { case (_, (Some(z), _)) => z }
+    assert(math.abs(r(99L)._1.get - zs.max) < 1e-12)
+  }
 }
