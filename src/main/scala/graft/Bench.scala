@@ -7,6 +7,11 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional arg (local probes only; the driver passes none):
+    // comma-separated name substrings — bench just the matching queries.
+    // A filtered run NEVER writes BENCH_LOCAL.json (partial totals must
+    // not masquerade as the committed 122-query baseline).
+    val only = args.headOption.map(_.split(",").toSeq)
     val spark = GraftSession.local()
     // JIT/codegen warmup over SYNTHETIC data (no table file is touched):
     // exercises the hot execution classes — decimal partial aggregation,
@@ -51,7 +56,9 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     val loadavgStart = loadavg()
     var loadavgMax = loadavgStart
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .map { case (name, fn) =>
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
         val ok =
@@ -97,9 +104,10 @@ object Bench {
       .mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec",$load,"queries":$qsFull,"spread":$spreads,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      full.getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        full.getBytes("UTF-8"))
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }

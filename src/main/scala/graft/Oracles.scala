@@ -758,7 +758,9 @@ object Oracles {
          SELECT f.doc_id, f.n_tokens, f.weight, (t.doc_id IS NOT NULL) AS keep
          FROM folded f LEFT JOIN top t ON f.doc_id = t.doc_id ORDER BY f.doc_id""",
 
-    // q86's per-doc logprob verbatim, then per-language ntile(3)
+    // q86's per-doc logprob verbatim, then per-language tertile CUTOFF
+    // scores (quantile_cont == Spark exact `percentile`, §6) assigned by
+    // floor-scaled comparison — mirrors q118's broadcast-cutoff plan
     "q118_perplexity_buckets" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents),
          td AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY doc_id, tok),
@@ -780,11 +782,18 @@ object Oracles {
          scored AS (SELECT f.doc_id, d.lang, f.n_tokens,
              f.logp / f.n_tokens AS avg_logp
            FROM folded f JOIN documents d ON f.doc_id = d.doc_id),
-         binned AS (SELECT doc_id, lang, n_tokens, avg_logp,
-             CAST(ntile(3) OVER (PARTITION BY lang
-               ORDER BY avg_logp DESC, doc_id) AS BIGINT) AS tertile
-           FROM scored)
-         SELECT doc_id, lang, n_tokens, avg_logp, tertile,
+         cuts AS (SELECT lang,
+             quantile_cont(avg_logp, CAST(1 AS DOUBLE)/3) AS c_lo,
+             quantile_cont(avg_logp, CAST(2 AS DOUBLE)/3) AS c_hi
+           FROM scored GROUP BY lang),
+         binned AS (SELECT s.doc_id, s.lang, s.n_tokens, s.avg_logp,
+             CASE WHEN CAST(floor(s.avg_logp * 1.0e8) AS BIGINT)
+                    >= CAST(floor(c.c_hi * 1.0e8) AS BIGINT) THEN 1
+                  WHEN CAST(floor(s.avg_logp * 1.0e8) AS BIGINT)
+                    >= CAST(floor(c.c_lo * 1.0e8) AS BIGINT) THEN 2
+                  ELSE 3 END AS tertile
+           FROM scored s JOIN cuts c ON s.lang = c.lang)
+         SELECT doc_id, lang, n_tokens, avg_logp, CAST(tertile AS BIGINT) AS tertile,
            CASE WHEN tertile = 1 THEN 'head' WHEN tertile = 2 THEN 'middle'
              ELSE 'tail' END AS bucket
          FROM binned ORDER BY doc_id""",

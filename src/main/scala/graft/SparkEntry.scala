@@ -142,7 +142,7 @@ object SparkEntry {
         Oracles.Bm25Queries.toDF("query_id", "terms"))
     }),
     "q117_dsir"                -> ((s, d) => TextAnalysis.q117(documents(s, d))),
-    "q118_perplexity_buckets"  -> ((s, d) => TextAnalysis.q118(documents(s, d))),
+    "q118_perplexity_buckets"  -> ((s, d) => TextAnalysis.q118(documents(s, d), exact = true)),
     "q119_span_scrub"          -> ((s, d) => Dedup.q119(documents(s, d), exact = true)),
     "q120_temperature_mix"     -> ((s, d) => TextAnalysis.q120(documents(s, d))),
     "q121_source_diversity"    -> ((s, d) => TextAnalysis.q121(documents(s, d))),

@@ -60,7 +60,7 @@ object Similarity {
     * re-rank scales with the cluster exactly like the bucketing stage.
     * DotProduct folds left-to-right like the primitive kernel, so the
     * scores are bit-identical to a local re-rank. */
-  private def rerankTopK(candidates: DataFrame, qtab: DataFrame, ntab: DataFrame,
+  private[operators] def rerankTopK(candidates: DataFrame, qtab: DataFrame, ntab: DataFrame,
       k: Int): DataFrame = {
     val q = qtab.select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
     val n = ntab.select(col("vec_id").as("nid"), col("v").as("nv"), col("norm").as("nn"))
@@ -140,7 +140,7 @@ object Similarity {
     * by a primitive per-partition loop (see [[q45]] on why not a
     * Catalyst expression tree). Shared by the self-similarity operator
     * [[q45]] and the external-query entry [[search]]. */
-  private def sigRows(vecs: org.apache.spark.sql.Dataset[(Long, Array[Double], Double)])
+  private[operators] def sigRows(vecs: org.apache.spark.sql.Dataset[(Long, Array[Double], Double)])
       : org.apache.spark.sql.Dataset[(Long, Array[Long])] = {
     val spark = vecs.sparkSession
     import spark.implicits._
@@ -164,28 +164,42 @@ object Similarity {
     }
   }
 
-  /** (qid, nid) candidate pairs from a (t, bucket) equi-join of query
-    * signatures (multi-probed at Hamming distance 1) against index
-    * signatures. Only 24-byte id rows shuffle — never vectors. */
-  private def lshCandidates(
-      querySigs: org.apache.spark.sql.Dataset[(Long, Array[Long])],
+  /** Index-side LSH posting rows (nid, t, bucket) — one per table per
+    * vector. This is the frame [[AnnIndex]] persists as the bucketed
+    * postings table. */
+  private[operators] def lshPostings(
       indexSigs: org.apache.spark.sql.Dataset[(Long, Array[Long])]): DataFrame = {
-    val spark = querySigs.sparkSession
+    val spark = indexSigs.sparkSession
     import spark.implicits._
-    val index = indexSigs.flatMap { case (id, buckets) =>
+    indexSigs.flatMap { case (id, buckets) =>
       buckets.iterator.zipWithIndex.map { case (b, t) => (id, t, b) }
     }.toDF("nid", "t", "bucket")
-    val probes = querySigs.flatMap { case (id, buckets) =>
+  }
+
+  /** Query-side LSH probe rows: the home bucket plus every bucket at
+    * Hamming distance 1 (multi-probe, see [[q45]]). */
+  private[operators] def lshProbes(
+      querySigs: org.apache.spark.sql.Dataset[(Long, Array[Long])]): DataFrame = {
+    val spark = querySigs.sparkSession
+    import spark.implicits._
+    querySigs.flatMap { case (id, buckets) =>
       buckets.iterator.zipWithIndex.flatMap { case (b, t) =>
         Iterator.single((id, t, b)) ++
           (0 until PlanesPerTable).iterator.map(j => (id, t, b ^ (1L << j)))
       }
     }.toDF("qid", "t", "bucket")
-    probes
-      .join(index, Seq("t", "bucket"))
+  }
+
+  /** (qid, nid) candidate pairs from a (t, bucket) equi-join of query
+    * probes against index postings. Only 24-byte id rows shuffle —
+    * never vectors. */
+  private def lshCandidates(
+      querySigs: org.apache.spark.sql.Dataset[(Long, Array[Long])],
+      indexSigs: org.apache.spark.sql.Dataset[(Long, Array[Long])]): DataFrame =
+    lshProbes(querySigs)
+      .join(lshPostings(indexSigs), Seq("t", "bucket"))
       .select(col("qid"), col("nid"))
       .distinct()  // same pair can collide in several tables/probes
-  }
 
   /** External-query ANN: top-k corpus neighbors for EACH query vector —
     * the "top-k for THIS new batch of vectors" entry a training/serving
@@ -444,7 +458,7 @@ object Similarity {
     * joins over only candidate ids ([[rerankTopK]]). Verified by a
     * recall spec against the exact baseline q44. */
   /** Per-vector int8 codes + integer norm for [[searchInt8]]. */
-  private def int8Codes(embeddings: DataFrame): DataFrame = {
+  private[operators] def int8Codes(embeddings: DataFrame): DataFrame = {
     val v = transform(col("embedding"), x => x.cast("double"))
     val amax = array_max(transform(v, x => abs(x)))
     val scale = when(amax > 0.0, amax / 127.0).otherwise(lit(1.0))

@@ -1002,24 +1002,41 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** q118: perplexity BUCKETING (CCNet, Wenzek et al. 2020) — rank every
-    * document by its unigram-LM average log-probability (q86's score)
-    * WITHIN its language, and split each language into head / middle /
-    * tail tertiles. CCNet keeps head+middle and drops (or down-weights)
-    * tail; the bucket column is that verdict. Per-language ntile, not a
-    * global cut, because perplexity scales differ by language — the
-    * whole point of CCNet's per-language buckets.
+  /** q118: perplexity BUCKETING (CCNet, Wenzek et al. 2020) — score every
+    * document by its unigram-LM average log-probability (q86) and split
+    * each LANGUAGE into head / middle / tail by comparing the score
+    * against that language's tertile CUTOFFS. CCNet keeps head+middle
+    * and drops (or down-weights) tail; the bucket column is that
+    * verdict. Per-language cutoffs, not a global cut, because perplexity
+    * scales differ by language — the whole point of CCNet's buckets.
     *
-    * Plan shape at scale: q86 does the heavy lifting (token-stream
-    * shuffles, deterministic per-doc fold); this adds one broadcast-size
-    * join for the language column and one ntile window partitioned by
-    * lang — at 100 TB the window input is |docs| scored rows, not
-    * tokens, and partitioning by lang is ~5 partitions of |docs|/5
-    * (skew-safe here: the rank basis is doc-count, and a per-lang
-    * 2-level ntile composition would cover a 90%-one-language corpus).
-    * ntile(3) is the standard SQL distribution (first `n mod 3` groups
-    * get the extra row) in both engines; ties in avg_logp break by
-    * doc_id, so the tertile boundary is deterministic. */
+    * Plan shape at scale (r9 rewrite): q86 does the heavy lifting; this
+    * adds one broadcast join for the language column, ONE
+    * partial-aggregated shuffle to compute per-lang cutoff scores
+    * (lang-count rows), and a broadcast join assigning buckets by
+    * comparison. No window over a corpus-sized partition anywhere — the
+    * r8 form's per-lang ntile(3) sorted |docs|/|langs| rows in a single
+    * task, which at 10¹¹ docs is a tens-of-billions-row one-task sort.
+    *
+    * Exact/default split (q92/q97/q114 convention): `exact = true` (the
+    * driver-registered audit form) computes cutoffs with interpolated
+    * `percentile` — per-lang state ∝ distinct scores, the honest audit
+    * cost — and is hash-exact vs DuckDB's `quantile_cont` (same
+    * p·(n−1) rule, §6). The DEFAULT uses `percentile_approx` (bounded
+    * sketch state), the form a 100 TB corpus runs.
+    *
+    * Float discipline at the boundary: the two engines' interpolation
+    * can differ in the last ulp when p·(n−1) lands within ulps of an
+    * integer (p = 1/3 with (n−1) ≡ 0 mod 3 puts the cutoff within ulps
+    * of a DATA value), so buckets compare floor-scaled longs —
+    * floor(score·10⁸) ≥ floor(cutoff·10⁸) — making an ulp of cutoff
+    * disagreement invisible unless a score·10⁸ lands exactly on the
+    * straddled integer (measure-zero for ln-derived doubles). Scores
+    * themselves are bit-identical cross-engine (q86 is hash-exact).
+    * Ties at a cutoff land in the same bucket — deterministic, no
+    * order dependence. Tertile sizes are ~n/3 rather than ntile's
+    * exact n/3±1; for a filtering verdict the by-value boundary is the
+    * better semantics anyway (equal scores get equal verdicts). */
   /** q120: TEMPERATURE-scaled source sampling — the multilingual /
     * multi-source mixing rule (XLM, mBART: p_s ∝ n_s^α, α < 1 flattens
     * the source distribution so small sources are not drowned): per
@@ -1100,7 +1117,15 @@ object TextAnalysis {
     * shuffle to (source, token) with map-side combine; everything
     * after is VOCAB-sized, never corpus-sized; the rank window
     * partitions by source over vocab rows (bounded by language
-    * vocabulary, not corpus volume). */
+    * vocabulary, not corpus volume — ~1e8 rows worst case, int64-safe
+    * by the bound above). Escape hatch if a tokenization ever made
+    * vocab NOT small (e.g. byte n-grams): replace `row_number` with a
+    * two-stage rank — per-partition `row_number` within
+    * (source, partition) + a broadcast per-partition row-count offset
+    * (the q118-style aggregate-then-broadcast shape) — so no single
+    * task ever sorts a source's full vocabulary. Not wired in: at the
+    * declared vocab bounds the one-task sort is ~GBs, and the
+    * two-stage form costs an extra shuffle every run. */
   def q121(documents: DataFrame): DataFrame = {
     import graft.functions.PortableLn
     val tf = documents
@@ -1147,13 +1172,24 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
-  def q118(documents: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"))
-      .orderBy(col("avg_logp").desc, col("doc_id"))
-    q86(documents)
+  def q118(documents: DataFrame, exact: Boolean = false): DataFrame = {
+    val scored = q86(documents)
       .join(documents.select(col("doc_id"), col("lang")), "doc_id")
-      .withColumn("tertile", ntile(3).over(w).cast("long"))
+    val cuts =
+      if (exact)
+        scored.groupBy(col("lang")).agg(
+          expr("percentile(avg_logp, CAST(1 AS DOUBLE)/3)").as("c_lo"),
+          expr("percentile(avg_logp, CAST(2 AS DOUBLE)/3)").as("c_hi"))
+      else
+        scored.groupBy(col("lang")).agg(
+          expr("percentile_approx(avg_logp, CAST(1 AS DOUBLE)/3, 10000)").as("c_lo"),
+          expr("percentile_approx(avg_logp, CAST(2 AS DOUBLE)/3, 10000)").as("c_hi"))
+    scored.join(broadcast(cuts), "lang")
+      .withColumn("s8", floor(col("avg_logp") * lit(1.0e8)).cast("long"))
+      .withColumn("tertile",
+        when(col("s8") >= floor(col("c_hi") * lit(1.0e8)).cast("long"), 1L)
+          .when(col("s8") >= floor(col("c_lo") * lit(1.0e8)).cast("long"), 2L)
+          .otherwise(3L))
       .withColumn("bucket",
         when(col("tertile") === 1L, "head")
           .when(col("tertile") === 2L, "middle")

@@ -387,7 +387,7 @@ class TextAnalysisSpec extends GraftSpec {
     assert(r(1L)._3 && r(2L)._3 && !r(3L)._3 && !r(4L)._3) // topN = 2
   }
 
-  test("q118 buckets: per-language tertiles with the ntile distribution") {
+  test("q118 buckets: per-language tertile cutoffs, exact audit form") {
     // lang A: 6 docs with strictly decreasing avg_logp (more rare tokens
     // → lower avg logprob); lang B: 1 doc — must get its own tertile 1
     val d = Seq(
@@ -395,17 +395,42 @@ class TextAnalysisSpec extends GraftSpec {
       (4L, "r1 r2 r3", "A"), (5L, "r4 r5 r6", "A"), (6L, "r7 r8 r9", "A"),
       (7L, "c c c", "B")
     ).toDF("doc_id", "text", "lang")
-    val r = TextAnalysis.q118(d).collect()
+    val r = TextAnalysis.q118(d, exact = true).collect()
       .map(x => x.getAs[Long]("doc_id") ->
         (x.getAs[Long]("tertile"), x.getAs[String]("bucket"),
           x.getAs[Double]("avg_logp"))).toMap
     assert(r(7L)._1 == 1L && r(7L)._2 == "head")
-    // 6 docs → tertiles of 2/2/2 in avg_logp-desc order
+    // 6 strictly-ordered docs → interpolated 1/3 and 2/3 cutoffs fall
+    // strictly between the 2nd/3rd and 4th/5th order statistics → 2/2/2
     assert(Seq(1L, 2L, 3L, 4L, 5L, 6L).map(r(_)._1) == Seq(1L, 1L, 2L, 2L, 3L, 3L))
     assert(r(1L)._2 == "head" && r(3L)._2 == "middle" && r(6L)._2 == "tail")
     // ordering basis really is avg_logp descending
     val lp = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(r(_)._3)
     assert(lp == lp.sorted.reverse)
+    // no window over a corpus-sized partition in the plan (the r8 form's
+    // scale funnel): cutoffs aggregate + broadcast back instead
+    val plan = TextAnalysis.q118(d, exact = true).queryExecution.optimizedPlan
+    assert(!plan.toString.contains("windowspecdefinition"),
+      "q118 must not use a rank window for bucketing")
+  }
+
+  test("q118 default (approx) form: same invariants, bucket monotone in score") {
+    val d = Seq(
+      (1L, "c c c", "A"), (2L, "c c r1", "A"), (3L, "c r1 r2", "A"),
+      (4L, "r1 r2 r3", "A"), (5L, "r4 r5 r6", "A"), (6L, "r7 r8 r9", "A"),
+      (7L, "c c c", "B")
+    ).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.q118(d).collect()
+    assert(r.length == 7)
+    // within each language, a better (higher) avg_logp never lands in a
+    // worse (higher-numbered) tertile — cutoff comparison is monotone
+    r.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(-_.getAs[Double]("avg_logp"))
+      val terts = sorted.map(_.getAs[Long]("tertile")).toSeq
+      assert(terts == terts.sorted, s"non-monotone tertiles: $terts")
+    }
+    // single-doc language sits at its own cutoff → head
+    assert(r.find(_.getAs[Long]("doc_id") == 7L).get.getAs[String]("bucket") == "head")
   }
 
   test("q120 temperature mix: α<1 flattens, rates bounded, keep = hash rule") {
