@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Sources
+
+/** Persisted ANN index artifact — fit / save / load / search.
+  *
+  * The live-path operators (q45/q55/q83/q108 and the external-query
+  * APIs [[Similarity.search]] / [[Similarity.searchInt8]]) re-derive
+  * signatures, centroid lists, and int8 codes from the corpus on every
+  * invocation — right for a one-shot audit, wrong for a serving
+  * deployment where the corpus is fixed and query batches keep
+  * arriving. [[fit]] materializes every derived artifact ONCE as
+  * bucketed lake tables ([[Sources.writeBucketed]]); the `search*`
+  * entries here serve any later query batch from those tables alone —
+  * the plan reads the index tables and NEVER scans the corpus.
+  *
+  * Artifacts for an index named `name` (a SQL identifier):
+  *   - `<name>_vectors`       (vec_id, v: array<double>, norm) —
+  *     [[Similarity.vecRows]] output, the exact-cosine re-rank side;
+  *     bucketed on vec_id (the re-rank join key).
+  *   - `<name>_lsh_postings`  (nid, t, bucket) — one posting per hash
+  *     table per vector; bucketed on `bucket`, so an incoming batch's
+  *     probe keys prune the scan to the touched bucket files.
+  *   - `<name>_ivf_centroids` (list, centroid: array<double>) —
+  *     [[Similarity.IvfLists]] rows, the kmeans|| coarse quantizer.
+  *   - `<name>_ivf_lists`     (vec_id, list) nearest-list assignment;
+  *     bucketed on `list` (probed lists prune to their bucket files).
+  *   - `<name>_int8_codes`    (vec_id, qv: array<int>, inorm) —
+  *     [[Similarity.int8Codes]] output for the integer serving path.
+  *
+  * Bit-for-bit contract (specced): every artifact is exactly what the
+  * live path derives — doubles/ints round-trip parquet losslessly, the
+  * LSH planes are data-independent constants, the IVF fit is the same
+  * seeded kmeans|| — so `searchLsh`/`searchInt8` against a loaded
+  * index return byte-identical frames to [[Similarity.search]] /
+  * [[Similarity.searchInt8]] run fresh on the corpus.
+  *
+  * 100 TB shape: fit is one corpus scan per artifact family with
+  * write-side shuffles only (the bucketing exchanges — amortized over
+  * every query batch served). Serving shuffles carry only id-sized
+  * probe/candidate rows plus the re-rank joins; the one driver-side
+  * step is collecting an incoming batch's DISTINCT probe keys for
+  * bucket pruning — bounded by 2^[[Similarity.PlanesPerTable]] LSH
+  * buckets / [[Similarity.IvfLists]] list ids, metadata-sized at any
+  * corpus or batch volume (the m02 partition-list class, not a data
+  * collect). */
+object AnnIndex {
+
+  def vectorsTable(name: String): String      = s"${name}_vectors"
+  def lshTable(name: String): String          = s"${name}_lsh_postings"
+  def ivfCentroidsTable(name: String): String = s"${name}_ivf_centroids"
+  def ivfListsTable(name: String): String     = s"${name}_ivf_lists"
+  def int8Table(name: String): String         = s"${name}_int8_codes"
+
+  /** Default bucket count for the index tables. Sized for the test
+    * warehouse; a production fit passes executors×cores-ish. */
+  val DefaultBuckets = 8
+
+  /** Fit the full index family on `corpus` (vec_id, embedding) and
+    * persist every artifact under `name`. One materialized corpus scan
+    * feeds all five tables. */
+  def fit(corpus: DataFrame, name: String,
+          buckets: Int = DefaultBuckets): Unit = {
+    val spark = corpus.sparkSession
+    val vecs = Similarity.vecRows(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Sources.writeBucketed(vecs.toDF("vec_id", "v", "norm"),
+        vectorsTable(name), "vec_id", buckets)
+      Sources.writeBucketed(Similarity.lshPostings(Similarity.sigRows(vecs)),
+        lshTable(name), "bucket", buckets)
+      val cents = Similarity.ivfFit(corpus)
+      spark.createDataFrame(cents.toIndexedSeq.zipWithIndex
+          .map { case (c, i) => (i, c.toIndexedSeq) })
+        .toDF("list", "centroid")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").saveAsTable(ivfCentroidsTable(name))
+      Sources.writeBucketed(Similarity.ivfAssign(vecs, cents, 1),
+        ivfListsTable(name), "list", math.min(buckets, Similarity.IvfLists))
+      Sources.writeBucketed(Similarity.int8Codes(corpus),
+        int8Table(name), "vec_id", buckets)
+    } finally { vecs.unpersist(); () }
+  }
+
+  /** Drop every table of index `name` (idempotent). */
+  def drop(spark: SparkSession, name: String): Unit =
+    Seq(vectorsTable(name), lshTable(name), ivfCentroidsTable(name),
+      ivfListsTable(name), int8Table(name))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  /** LSH top-k against a loaded index — [[Similarity.search]] served
+    * from the persisted postings + vectors tables: the query batch is
+    * signed and multi-probed fresh, candidates come from the (t,
+    * bucket) equi-join against the postings TABLE, the re-rank joins
+    * the vectors TABLE. No corpus scan in the plan. `prune` collects
+    * the batch's distinct probe buckets (≤ 2^8 values) and pushes an
+    * IN filter so the bucketed postings scan reads only touched
+    * bucket files. */
+  def searchLsh(queries: DataFrame, name: String, k: Int = 5,
+                prune: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    val qv = Similarity.vecRows(queries)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = Similarity.lshProbes(Similarity.sigRows(qv))
+    val postings = spark.table(lshTable(name))
+    val pruned =
+      if (prune) {
+        val keys = probes.select(col("bucket")).distinct()
+          .collect().map(_.getLong(0))  // ≤ 2^PlanesPerTable values
+        postings.filter(col("bucket").isin(keys.toIndexedSeq: _*))
+      } else postings
+    val cands = probes.join(pruned, Seq("t", "bucket"))
+      .select(col("qid"), col("nid")).distinct()
+    Similarity.rerankTopK(cands, qv.toDF("vec_id", "v", "norm"),
+      spark.table(vectorsTable(name)), k)
+  }
+
+  /** IVF top-k against a loaded index: centroids load driver-side
+    * ([[Similarity.IvfLists]] rows — metadata), the batch assigns its
+    * probe lists via the same primitive kernel, candidates come from
+    * the `list` equi-join against the assignments TABLE (IN-pruned to
+    * the probed lists' bucket files), re-rank from the vectors TABLE. */
+  def searchIvf(queries: DataFrame, name: String, k: Int = 5): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = loadCentroids(spark, name)
+    val qv = Similarity.vecRows(queries)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = Similarity.ivfAssign(qv, cents, Similarity.IvfProbes)
+      .select(col("vec_id").as("qid"), col("list"))
+    val probedLists = probes.select(col("list")).distinct()
+      .collect().map(_.getInt(0))  // ≤ IvfLists values
+    val cands = probes
+      .join(spark.table(ivfListsTable(name))
+          .filter(col("list").isin(probedLists.toIndexedSeq: _*))
+          .select(col("vec_id").as("nid"), col("list")),
+        Seq("list"))
+      .select(col("qid"), col("nid")).distinct()
+    Similarity.rerankTopK(cands, qv.toDF("vec_id", "v", "norm"),
+      spark.table(vectorsTable(name)), k)
+  }
+
+  /** Int8 serving against a loaded index — [[Similarity.searchInt8]]
+    * with the corpus side's codes and re-rank vectors read from the
+    * index tables. The query batch quantizes fresh (quantization is
+    * per-vector) and broadcasts; the codes table streams
+    * partition-local through the integer scorer. */
+  def searchInt8(queries: DataFrame, name: String, k: Int = 5,
+                 nCandidates: Int = 50): DataFrame = {
+    val spark = queries.sparkSession
+    val q = Similarity.int8Codes(queries)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("inorm").as("qn"))
+    val c = spark.table(int8Table(name))
+      .select(col("vec_id").as("nid"), col("qv").as("nqv"), col("inorm").as("nn"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("approx_cos").desc, col("nid"))
+    val cands = broadcast(q).join(c, lit(true))
+      .withColumn("approx_cos",
+        graft.functions.DotProductInt(col("qqv"), col("nqv")).cast("double") /
+          (col("qn") * col("nn")))
+      .withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= nCandidates)
+      .select(col("qid"), col("nid"))
+    Similarity.rerankTopK(cands,
+      Similarity.normalized(queries).select(col("vec_id"), col("v"), col("norm")),
+      spark.table(vectorsTable(name)), k)
+  }
+
+  /** Centroid arrays from the persisted table, ordered by list id. */
+  private def loadCentroids(spark: SparkSession, name: String): Array[Array[Double]] =
+    spark.table(ivfCentroidsTable(name)).orderBy(col("list")).collect()
+      .map(_.getSeq[Double](1).toArray)
+}

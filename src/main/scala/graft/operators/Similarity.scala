@@ -60,7 +60,7 @@ object Similarity {
     * re-rank scales with the cluster exactly like the bucketing stage.
     * DotProduct folds left-to-right like the primitive kernel, so the
     * scores are bit-identical to a local re-rank. */
-  private[operators] def rerankTopK(candidates: DataFrame, qtab: DataFrame, ntab: DataFrame,
+  private[graft] def rerankTopK(candidates: DataFrame, qtab: DataFrame, ntab: DataFrame,
       k: Int): DataFrame = {
     val q = qtab.select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
     val n = ntab.select(col("vec_id").as("nid"), col("v").as("nv"), col("norm").as("nn"))
@@ -140,7 +140,7 @@ object Similarity {
     * by a primitive per-partition loop (see [[q45]] on why not a
     * Catalyst expression tree). Shared by the self-similarity operator
     * [[q45]] and the external-query entry [[search]]. */
-  private[operators] def sigRows(vecs: org.apache.spark.sql.Dataset[(Long, Array[Double], Double)])
+  private[graft] def sigRows(vecs: org.apache.spark.sql.Dataset[(Long, Array[Double], Double)])
       : org.apache.spark.sql.Dataset[(Long, Array[Long])] = {
     val spark = vecs.sparkSession
     import spark.implicits._
@@ -167,7 +167,7 @@ object Similarity {
   /** Index-side LSH posting rows (nid, t, bucket) — one per table per
     * vector. This is the frame [[AnnIndex]] persists as the bucketed
     * postings table. */
-  private[operators] def lshPostings(
+  private[graft] def lshPostings(
       indexSigs: org.apache.spark.sql.Dataset[(Long, Array[Long])]): DataFrame = {
     val spark = indexSigs.sparkSession
     import spark.implicits._
@@ -178,7 +178,7 @@ object Similarity {
 
   /** Query-side LSH probe rows: the home bucket plus every bucket at
     * Hamming distance 1 (multi-probe, see [[q45]]). */
-  private[operators] def lshProbes(
+  private[graft] def lshProbes(
       querySigs: org.apache.spark.sql.Dataset[(Long, Array[Long])]): DataFrame = {
     val spark = querySigs.sparkSession
     import spark.implicits._
@@ -263,22 +263,44 @@ object Similarity {
     * the one-time training pass. Candidates re-rank distributed
     * ([[rerankTopK]], exact cosine, no driver collect); top-5 per query. */
   def q55(embeddings: DataFrame): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     // shared materialized scan: list assignment (×2) + re-rank joins (×2)
     val vecs = vecRows(embeddings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val feat = embeddings.select(col("vec_id").cast("long").as("vec_id"),
-      array_to_vector(transform(col("embedding"), x => x.cast("double"))).as("features"))
-    val model = new KMeans().setK(IvfLists).setMaxIter(5).setSeed(20260812L)
-      .fit(feat)
-    val centroids = model.clusterCenters.map(_.toArray)
-    val bcC = spark.sparkContext.broadcast(centroids)
+    val centroids = ivfFit(embeddings)
     // index side: each vector in its single nearest list; query side:
     // probe the IvfProbes nearest lists
-    def lists(probes: Int) = vecs.flatMap { case (id, v, _) =>
+    val index = ivfAssign(vecs, centroids, 1).select(col("vec_id").as("nid"), col("list"))
+    val probes = ivfAssign(vecs, centroids, IvfProbes).select(col("vec_id").as("qid"), col("list"))
+    val candidates = probes.join(index, Seq("list"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid")).distinct()
+    val vtab = vecs.toDF("vec_id", "v", "norm")
+    rerankTopK(candidates, vtab, vtab, 5)
+  }
+
+  /** IVF coarse quantizer fit: kmeans|| (distributed), fixed seed. The
+    * returned centroid arrays are the index artifact [[AnnIndex]]
+    * persists. */
+  private[graft] def ivfFit(embeddings: DataFrame): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      array_to_vector(transform(col("embedding"), x => x.cast("double"))).as("features"))
+    new KMeans().setK(IvfLists).setMaxIter(5).setSeed(20260812L)
+      .fit(feat).clusterCenters.map(_.toArray)
+  }
+
+  /** Nearest-`probes` IVF list assignment per vector — primitive loop
+    * against the broadcast centroid array (see [[q55]]); (vec_id, list)
+    * rows out. probes=1 builds the index side, probes=[[IvfProbes]] the
+    * query side. */
+  private[graft] def ivfAssign(
+      vecs: org.apache.spark.sql.Dataset[(Long, Array[Double], Double)],
+      centroids: Array[Array[Double]], probes: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(centroids)
+    vecs.flatMap { case (id, v, _) =>
       val c = bcC.value
       val d2 = Array.tabulate(c.length) { ci =>
         var s = 0.0; var i = 0
@@ -287,13 +309,6 @@ object Similarity {
       }
       d2.sortBy(_._1).take(probes).map { case (_, ci) => (id, ci) }
     }.toDF("vec_id", "list")
-    val index = lists(1).select(col("vec_id").as("nid"), col("list"))
-    val probes = lists(IvfProbes).select(col("vec_id").as("qid"), col("list"))
-    val candidates = probes.join(index, Seq("list"))
-      .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid")).distinct()
-    val vtab = vecs.toDF("vec_id", "v", "norm")
-    rerankTopK(candidates, vtab, vtab, 5)
   }
 
   /** q74: int8 scalar quantization of the embedding column — the 4×
@@ -458,7 +473,7 @@ object Similarity {
     * joins over only candidate ids ([[rerankTopK]]). Verified by a
     * recall spec against the exact baseline q44. */
   /** Per-vector int8 codes + integer norm for [[searchInt8]]. */
-  private[operators] def int8Codes(embeddings: DataFrame): DataFrame = {
+  private[graft] def int8Codes(embeddings: DataFrame): DataFrame = {
     val v = transform(col("embedding"), x => x.cast("double"))
     val amax = array_max(transform(v, x => abs(x)))
     val scale = when(amax > 0.0, amax / 127.0).otherwise(lit(1.0))

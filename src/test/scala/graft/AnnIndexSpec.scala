@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.{AnnIndex, Similarity}
+
+/** s11: persisted ANN index artifact — fit/save/load/search. The two
+  * contract assertions the design owes:
+  *   1. serving from a LOADED index is byte-identical to the live
+  *      fit-and-search path on the same corpus;
+  *   2. a later query batch against a loaded index plans NO scan of
+  *      the corpus — only the index tables (plus the batch itself). */
+class AnnIndexSpec extends GraftSpec {
+
+  private lazy val corpusPath = {
+    val p = java.nio.file.Files.createTempDirectory("graft-annidx").toString + "/emb"
+    Tables.embeddings(spark, SF).write.parquet(p)
+    p
+  }
+  private def corpus: DataFrame = spark.read.parquet(corpusPath)
+  // an "external" batch: re-keyed ids in their own namespace
+  private def batch(lo: Int, hi: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    corpus.filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+  }
+
+  private val Name = "graft_annix"
+  private lazy val fitted: Unit = AnnIndex.fit(corpus, Name)
+
+  private def rows(df: DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1),
+      java.lang.Double.doubleToRawLongBits(r.getDouble(2)), r.getInt(3))).toSeq
+
+  test("s11 LSH: loaded-index search == live fit-and-search, bit for bit") {
+    fitted
+    val q = batch(0, 10)
+    assert(rows(AnnIndex.searchLsh(q, Name)) ==
+      rows(Similarity.search(q, corpus)))
+    // pruning off must not change results either
+    assert(rows(AnnIndex.searchLsh(q, Name, prune = false)) ==
+      rows(Similarity.search(q, corpus)))
+  }
+
+  test("s11 int8: loaded-index search == live searchInt8, bit for bit") {
+    fitted
+    val q = batch(5, 15)
+    assert(rows(AnnIndex.searchInt8(q, Name)) ==
+      rows(Similarity.searchInt8(q, corpus)))
+  }
+
+  test("s11 IVF: loaded-index search == serving from the fit-time artifacts") {
+    fitted
+    import org.apache.spark.sql.functions._
+    val q = batch(0, 10)
+    // reference: same persisted centroids, but assignment/re-rank built
+    // directly from the corpus — proves the lists + vectors tables
+    // round-trip the live computation faithfully
+    val cents = spark.table(AnnIndex.ivfCentroidsTable(Name))
+      .orderBy(col("list")).collect().map(_.getSeq[Double](1).toArray)
+    val qv = Similarity.vecRows(q)
+    val cv = Similarity.vecRows(corpus)
+    val probes = Similarity.ivfAssign(qv, cents, Similarity.IvfProbes)
+      .select(col("vec_id").as("qid"), col("list"))
+    val cands = probes
+      .join(Similarity.ivfAssign(cv, cents, 1)
+        .select(col("vec_id").as("nid"), col("list")), Seq("list"))
+      .select(col("qid"), col("nid")).distinct()
+    val ref = Similarity.rerankTopK(cands, qv.toDF("vec_id", "v", "norm"),
+      cv.toDF("vec_id", "v", "norm"), 5)
+    assert(rows(AnnIndex.searchIvf(q, Name)) == rows(ref))
+  }
+
+  test("s11 a second batch served from the loaded index never scans the corpus") {
+    fitted
+    // a genuinely external batch: its own parquet file, so any corpus
+    // bytes in the serving plan could only come from the serving path
+    val qPath = java.nio.file.Files.createTempDirectory("graft-annidx-q")
+      .toString + "/q2"
+    batch(20, 30).write.parquet(qPath)
+    val q2 = spark.read.parquet(qPath)
+    for (plan <- Seq(AnnIndex.searchLsh(q2, Name),
+                     AnnIndex.searchIvf(q2, Name),
+                     AnnIndex.searchInt8(q2, Name)).map(formattedPlan)) {
+      assert(!plan.contains(corpusPath), "serving plan scans the corpus:\n" + plan)
+    }
+    // the probe-key IN filter reaches the postings SCAN (pushed, bucket
+    // set computed) — at 8 test buckets a 10-query probe set touches
+    // every bucket file, so the count only drops below n/n at
+    // production bucket counts; the mechanism is what's asserted
+    val lshPlan = formattedPlan(AnnIndex.searchLsh(q2, Name))
+    assert(lshPlan.contains("PushedFilters: [In(bucket") &&
+      lshPlan.contains("SelectedBucketsCount"),
+      "probe keys not pushed into the postings scan:\n" + lshPlan)
+    // and the bucketed layout really prunes: a single-bucket predicate
+    // reads 1 of the 8 bucket files (auto-bucketed-scan off: the
+    // planner otherwise drops bucketed reading for a bare filter scan,
+    // which also drops pruning)
+    import org.apache.spark.sql.functions.col
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val one = formattedPlan(
+        spark.table(AnnIndex.lshTable(Name)).filter(col("bucket") === 0L))
+      assert(one.contains("SelectedBucketsCount: 1 out of 8"), one)
+    } finally spark.conf.set(key, prev)
+  }
+}
