@@ -611,6 +611,37 @@ object Oracles {
              ELSE NULL END AS zipf_slope
          FROM fin ORDER BY source""",
 
+    // exact-dup collapse (min-id rep per identical normalized text),
+    // then q41's prefix machinery verbatim — df window, (df, g) rank,
+    // n − ceil(t·n) + 1 prefix — rolled up per blocking shingle; the
+    // 0.8 casts to DOUBLE so ceil sees the same IEEE product as Spark
+    "q123_prefix_skew" ->
+      """WITH m AS (SELECT doc_id, text,
+           MIN(doc_id) OVER (PARTITION BY lower(trim(text))) AS rep
+           FROM documents),
+         reps AS (SELECT doc_id, text FROM m WHERE doc_id = rep),
+         toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM reps),
+         grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+           FROM toks WHERE len(w) >= 3),
+         win AS (SELECT doc_id, g,
+             COUNT(*) OVER (PARTITION BY g) AS df,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+           FROM grams),
+         ranked AS (SELECT doc_id, g, n,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, g) AS pos
+           FROM win),
+         prefix AS (SELECT doc_id, g FROM ranked
+           WHERE pos <= n - CEIL(CAST(0.8 AS DOUBLE) * n) + 1),
+         blocks AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS block_docs
+           FROM prefix GROUP BY g),
+         tot AS (SELECT CAST(SUM(block_docs) AS BIGINT) AS total_rows FROM blocks)
+         SELECT g, block_docs,
+           CAST(block_docs AS DOUBLE) / total_rows AS share,
+           CAST(block_docs * (block_docs - 1) / 2 AS BIGINT) AS cand_pairs
+         FROM blocks CROSS JOIN tot
+         ORDER BY block_docs DESC, g LIMIT 10""",
+
     // all statistics via floor-scaled exact-long sums (q121 idiom):
     // centroid dim sums x1e8, d-squared moments x1e6 — order-independent
     // in both engines, no per-group collect; sqrt is IEEE-exact

@@ -147,6 +147,7 @@ object SparkEntry {
     "q120_temperature_mix"     -> ((s, d) => TextAnalysis.q120(documents(s, d))),
     "q121_source_diversity"    -> ((s, d) => TextAnalysis.q121(documents(s, d))),
     "q122_embed_outliers"      -> ((s, d) => Similarity.q122(embeddings(s, d))),
+    "q123_prefix_skew"         -> ((s, d) => Dedup.q123(documents(s, d))),
     // snapshot diff: "old" drops every DiffOldDropMod-th doc, "new"
     // drops every DiffNewDropMod-th and upper-cases every
     // DiffUpperMod-th's text — the mod constants live in Oracles and

@@ -119,6 +119,26 @@ object Dedup {
   def q41(documents: DataFrame): DataFrame =
     jaccardPairs(documents, JaccardThreshold)
 
+  /** PPJoin prefix rows (doc_id, g, n, pos) at threshold `t` — the
+    * blocking keys the q41-family candidate join actually joins on:
+    * each doc's `n − ⌈t·n⌉ + 1` rarest shingles (df ascending, g as the
+    * deterministic tie-break). Document frequency comes from a window
+    * over the shingle partition (one shuffle on g) instead of
+    * aggregate + join-back (two). Shared by [[jaccardRepPairs]] and the
+    * q123 skew report, so the report measures EXACTLY the keys the
+    * join will block on. */
+  private[graft] def prefixRows(g: DataFrame, t: Double): DataFrame = {
+    val wG = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    g.withColumn("df", count(lit(1)).over(wG))
+      .withColumn("pos", row_number().over(wDoc))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .filter(col("pos") <= col("n") - ceil(lit(t) * col("n")) + 1)
+      .select(col("doc_id"), col("g"), col("n"), col("pos"))
+  }
+
   /** Rep-level core of the q41 machinery (threshold-parametric): the
     * prefix/PPJoin candidate join + exact-Jaccard verify, run on ONE
     * representative per distinct normalized text ([[exactReps]]) —
@@ -132,18 +152,7 @@ object Dedup {
     val (reps, members) = exactReps(documents)
     val g = shingles(reps)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // document frequency as a window over the shingle partition (one
-    // shuffle on g) instead of aggregate + join-back (two)
-    val wG = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
-    val ranked = g.withColumn("df", count(lit(1)).over(wG))
-      .withColumn("pos", row_number().over(wDoc))
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
-    val prefix = ranked
-      .filter(col("pos") <= col("n") - ceil(lit(t) * col("n")) + 1)
-      .select(col("doc_id"), col("g"), col("n"), col("pos"))
+    val prefix = prefixRows(g, t)
     // Two lossless candidate filters evaluated INSIDE the equi-join
     // (PPJoin, Xiao et al., WWW'08), so pruned pairs never shuffle:
     //  - LENGTH: J ≥ t forces |A| ≥ t·|B| and |B| ≥ t·|A|
@@ -831,6 +840,41 @@ object Dedup {
         (col("bucket_docs") * (col("bucket_docs") - 1) / 2).cast("long")
           .as("cand_pairs"))
       .orderBy(col("bucket_docs").desc, col("band"), col("band_key"))
+      .limit(topK)
+  }
+
+  /** q123: PREFIX-JOIN blocking-key skew report — q112's pre-flight
+    * diagnostic retargeted at the OTHER near-dup candidate family: the
+    * rarest-shingle prefix keys the q41/q84 PPJoin blocks on
+    * ([[prefixRows]], shared with the live join so the report measures
+    * exactly the join's keys). Post-collapse by construction (the
+    * prefix runs on [[exactReps]] output), so what it surfaces is
+    * precisely the residual mode the collapse CANNOT absorb:
+    * near-identical-but-not-byte-identical docs (templated pages,
+    * boilerplate wraps with a unique slug each) whose shared template
+    * shingles land in every member's prefix — a block of m such docs
+    * feeds C(m,2) candidate checks to the verify stage even though the
+    * positional/length filters pass them all. The report names the
+    * heaviest blocking shingles with their doc count, share of all
+    * prefix rows, and the candidate ceiling C(m,2), so the corpus side
+    * can be pre-filtered (q101 boilerplate / q119 span scrub) or the
+    * block handled separately BEFORE a multi-hour 100 TB run, not
+    * after. Plan shape: the prefix machinery's two window shuffles
+    * (both on corpus-sized but narrow (doc_id, g) rows), then one
+    * partial-aggregated rollup on g + broadcast total + top-k. */
+  def q123(documents: DataFrame, t: Double = JaccardThreshold,
+           topK: Int = 10): DataFrame = {
+    val (reps, _) = exactReps(documents)
+    val perBlock = prefixRows(shingles(reps), t)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("block_docs"))
+    val total = perBlock.agg(sum(col("block_docs")).as("total_rows"))
+    perBlock.crossJoin(broadcast(total))
+      .select(col("g"), col("block_docs"),
+        (col("block_docs").cast("double") / col("total_rows")).as("share"),
+        (col("block_docs") * (col("block_docs") - 1) / 2).cast("long")
+          .as("cand_pairs"))
+      .orderBy(col("block_docs").desc, col("g"))
       .limit(topK)
   }
 }

@@ -221,6 +221,31 @@ class DedupSpec extends GraftSpec {
     assert(shareSum <= 1.0 + 1e-9)
   }
 
+  test("q123 prefix skew report: near-identical clique the collapse can't absorb") {
+    // 40 templated docs sharing a 22-word body, each with a UNIQUE final
+    // slug — byte-distinct, so exactReps keeps all 40, yet every pair is
+    // a true near-dup: exactly the residual hot-block mode q123 exists
+    // to surface pre-flight. n = 21 distinct grams/doc (20 template + 1
+    // slug gram), prefix length 21 − ⌈0.8·21⌉ + 1 = 5: the df=1 slug
+    // gram plus the SAME 4 lexically-first template grams in all 40
+    // docs → 4 blocks of 40 docs, C(40,2) = 780 candidates each.
+    val template = (1 to 22).map(i => f"tpl$i%02d").mkString(" ")
+    val clique = (1L to 40L).map(i => (i, s"$template slug$i"))
+    val others = Seq(
+      (9001L, "some other distinct document body entirely one"),
+      (9002L, "yet another unrelated piece of corpus text two"))
+    val top = Dedup.q123((clique ++ others).toDF("doc_id", "text")).collect()
+    val hot = top.filter(_.getAs[Long]("block_docs") == 40L)
+    assert(hot.length == 4, top.map(_.mkString(",")).mkString("\n"))
+    assert(hot.forall(_.getAs[Long]("cand_pairs") == 780L))
+    assert(hot.forall(_.getAs[String]("g").startsWith("tpl")))
+    // contrast: a byte-IDENTICAL clique IS absorbed by the collapse —
+    // its blocks stay rep-sized
+    val ident = (1L to 40L).map(i => (i, template))
+    val identTop = Dedup.q123((ident ++ others).toDF("doc_id", "text")).collect()
+    assert(identTop.forall(_.getAs[Long]("block_docs") <= 3L))
+  }
+
   test("q105 canonical pick: the higher-quality member survives, not the min id") {
     import graft.operators.Pipeline
     // docs 1/2 share 8 of 9 3-grams (J = 8/9 > 0.8); doc 2 is one token
