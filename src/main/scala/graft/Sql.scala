@@ -87,6 +87,8 @@ object Sql {
       "graft_repeated_spans" -> (() => Dedup.q114(docs)),
       "graft_span_fraction"  -> (() => Dedup.q115(docs)),
       "graft_span_scrub"     -> (() => Dedup.q119(docs)),
+      "graft_clean_scrubbed" -> (() =>
+        graft.operators.Pipeline.cleanCorpus(docs, scrubSpans = true)),
       "graft_dsir"           -> (() => TextAnalysis.q117(docs)),
       "graft_ppl_buckets"    -> (() => TextAnalysis.q118(docs)),
       "graft_temp_mix"       -> (() => TextAnalysis.q120(docs)),

@@ -23,10 +23,30 @@ object Pipeline {
     * run that also reports q41 pairs or q64 clusters computes them ONCE
     * and feeds all three consumers, instead of re-running the most
     * expensive sub-plan per consumer. Default recomputes (each driver
-    * bench query must stay self-contained for per-query attribution). */
+    * bench query must stay self-contained for per-query attribution;
+    * with `scrubSpans` on, a precomputed frame must come from the
+    * SCRUBBED corpus — pairs on unscrubbed text would resurrect the
+    * boilerplate-induced near-dups the scrub just removed).
+    *
+    * `scrubSpans` (round 9): substring-level dedup as a pipeline stage
+    * — q119 removes every cross-document repeated k-token span (Lee et
+    * al.: the bytes, not the docs) BEFORE the doc-level stages, so
+    * shared license headers / navigation chrome stop gluing otherwise-
+    * distinct docs into near-dup clusters, and surviving docs keep
+    * their unique content instead of being dropped whole. Exactly the
+    * q119-then-clean composition (specced equal); q119's hashed scale
+    * default keys spans as 8-byte xxhash64 ([[Dedup.q114]] collision
+    * contract), so the added exchanges stay id-sized at any corpus. */
   def cleanCorpus(documents: DataFrame,
-                  precomputedPairs: Option[DataFrame] = None): DataFrame = {
-    val norm = TextAnalysis.q54(documents) // doc_id, clean_text, clean_tokens
+                  precomputedPairs: Option[DataFrame] = None,
+                  scrubSpans: Boolean = false,
+                  spanK: Int = graft.Oracles.SpanK): DataFrame = {
+    val base =
+      if (scrubSpans)
+        Dedup.q119(documents, spanK)
+          .select(col("doc_id"), col("clean_text").as("text"))
+      else documents
+    val norm = TextAnalysis.q54(base) // doc_id, clean_text, clean_tokens
     // exact dedup as ONE window pass over the normalized corpus: rank
     // within each clean_text group, keep the min doc_id row — one scan
     // + one shuffle, versus aggregate-then-semi-join which scans and
@@ -40,7 +60,7 @@ object Pipeline {
     // (round 8: linear edges per duplication clique, same components);
     // precomputed pair frames from a prior q41 run work unchanged
     val pairs = precomputedPairs.map(_.select(col("doc_a"), col("doc_b")))
-      .getOrElse(Dedup.neardupEdges(documents))
+      .getOrElse(Dedup.neardupEdges(base))
     val nearDupLosers = Dedup
       .clusters(pairs)
       .filter(col("label") =!= col("doc_id"))

@@ -81,6 +81,36 @@ class DedupSpec extends GraftSpec {
     pairs.unpersist()
   }
 
+  test("cleanCorpus scrubSpans == q119-then-clean; header stops gluing docs") {
+    import graft.operators.Pipeline
+    import org.apache.spark.sql.functions.col
+    // two docs sharing a 6-token license header glued onto distinct
+    // 8-token bodies: doc-level near-dup misses them (J well under
+    // 0.8), but the header is pure cross-doc repeated-span noise
+    val hdr = "standard license header tokens appear verbatim"
+    val d = Seq(
+      (1L, s"$hdr unique body one alpha beta gamma delta epsilon"),
+      (2L, s"$hdr unique body two zeta eta theta iota kappa"),
+      (3L, "an unrelated document with its own words entirely here now")
+    ).toDF("doc_id", "text")
+    // the pipeline variant IS the q119-then-clean composition
+    val scrubbed = Pipeline.cleanCorpus(d, scrubSpans = true).collect().toSeq
+    val composed = Pipeline.cleanCorpus(
+      Dedup.q119(d).select(col("doc_id"), col("clean_text").as("text")))
+      .collect().toSeq
+    assert(scrubbed == composed)
+    // all three docs survive, and the header bytes are gone from 1/2
+    assert(scrubbed.map(_.getAs[Long]("doc_id")) == Seq(1L, 2L, 3L))
+    val texts = scrubbed.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(!texts(1L).contains("license") && !texts(2L).contains("license"))
+    assert(texts(1L).contains("alpha") && texts(2L).contains("zeta"))
+    // without the scrub stage the header survives in the kept docs
+    val plain = Pipeline.cleanCorpus(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(plain(1L).contains("license"))
+  }
+
   test("q69 contamination flags the doc that copies benchmark shingles") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta", "src0"),   // benchmark

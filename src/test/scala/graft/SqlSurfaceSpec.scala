@@ -114,6 +114,10 @@ class SqlSurfaceSpec extends GraftSpec {
       "SELECT doc_id FROM graft_span_scrub WHERE n_removed > n_tokens OR n_removed < 0")
       .collect().isEmpty)   // the scrub never removes more than it saw
     assert(spark.sql(
+      s"""SELECT doc_id FROM graft_clean_scrubbed
+         WHERE clean_tokens < ${graft.operators.Pipeline.MinTokens}""")
+      .collect().isEmpty)   // scrubbed pipeline still enforces the floor
+    assert(spark.sql(
       "SELECT count(*) FROM graft_dsir WHERE keep").collect()(0).getLong(0) > 0)
     assert(spark.sql(
       """SELECT lang FROM graft_ppl_buckets GROUP BY lang
