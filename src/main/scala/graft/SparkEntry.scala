@@ -148,6 +148,10 @@ object SparkEntry {
     "q121_source_diversity"    -> ((s, d) => TextAnalysis.q121(documents(s, d))),
     "q122_embed_outliers"      -> ((s, d) => Similarity.q122(embeddings(s, d))),
     "q123_prefix_skew"         -> ((s, d) => Dedup.q123(documents(s, d))),
+    // rows-only like q113: greedy BPE apply is not portable SQL; the
+    // bucketing/chunking algebra on top is specced against q113 counts
+    "q124_pack_bpe"            -> ((s, d) => TextAnalysis.q77Bpe(documents(s, d))),
+    "q125_chunk_bpe"           -> ((s, d) => TextAnalysis.q87Bpe(documents(s, d))),
     // snapshot diff: "old" drops every DiffOldDropMod-th doc, "new"
     // drops every DiffNewDropMod-th and upper-cases every
     // DiffUpperMod-th's text — the mod constants live in Oracles and

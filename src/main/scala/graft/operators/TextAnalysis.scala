@@ -322,11 +322,19 @@ object TextAnalysis {
     * output sort), `slice` materializes each window. ceil-division in
     * pure int64 (`div`) keeps both engines exact; the short tail window
     * is emitted (slice clamps), matching training practice. */
-  def q87(documents: DataFrame, window: Int = 64, stride: Int = 48): DataFrame = {
+  def q87(documents: DataFrame, window: Int = 64, stride: Int = 48): DataFrame =
+    chunkWindows(documents
+      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("w")),
+      window, stride)
+
+  /** The chunking algebra over ANY per-doc token-array frame
+    * ((doc_id, w) rows) — shared by q87 (whitespace tokens) and
+    * [[q87Bpe]] (BPE subwords). */
+  private[graft] def chunkWindows(toks: DataFrame, window: Int,
+                                  stride: Int): DataFrame = {
     val nchunks = expr(
       s"CASE WHEN n > $window THEN (CAST(n AS BIGINT) - $window + ${stride - 1}) div $stride ELSE 0 END")
-    documents
-      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("w"))
+    toks
       .withColumn("n", size(col("w")))
       .withColumn("k", explode(sequence(lit(0L), nchunks, lit(1L))))
       .withColumn("chunk",
@@ -336,6 +344,22 @@ object TextAnalysis {
         array_join(col("chunk"), " ").as("chunk_text"))
       .orderBy(col("doc_id"), col("chunk_id"))
   }
+
+  /** q87 in SUBWORD currency (q125): windows/strides measured in fn05
+    * BPE subwords (a "64-token chunk" means 64 of the MODEL's tokens,
+    * not 64 whitespace words that might each explode into several
+    * subwords and overflow the context window). chunk_text joins
+    * subwords with single spaces — lossless, since subwords never
+    * contain spaces. Same one-scan shape as q87 with the broadcast
+    * merge-table apply in front; the short tail window is emitted,
+    * matching training practice. */
+  def q87Bpe(documents: DataFrame, window: Int = 64, stride: Int = 48,
+             topMerges: Int = 50): DataFrame =
+    chunkWindows(
+      documents.crossJoin(broadcast(bpeMergeRow(documents, topMerges)))
+        .select(col("doc_id"),
+          graft.functions.BpeEncode(col("text"), col("merges")).as("w")),
+      window, stride)
 
   /** q88: deterministic corpus SHUFFLE-SHARD — assign every document a
     * shard and an in-shard position by the engine-portable
@@ -362,19 +386,44 @@ object TextAnalysis {
   /** q77: sequence-length packing plan — bucket documents by token
     * count into power-of-two length classes and report volume per
     * bucket, the histogram a training pipeline uses to pack sequences
-    * into fixed-length batches. Integer arithmetic end to end. */
-  def q77(documents: DataFrame): DataFrame = {
-    val n = size(split(trim(col("text")), " ")).cast("long")
+    * into fixed-length batches. Integer arithmetic end to end.
+    * Parameterized on the token-count currency via [[packBuckets]]:
+    * the driver form counts whitespace tokens; [[q77Bpe]] counts real
+    * BPE subwords (fn05) — the currency a model's batch packer
+    * actually bills in. */
+  def q77(documents: DataFrame): DataFrame =
+    packBuckets(documents
+      .select(size(split(trim(col("text")), " ")).cast("long").as("n_tokens")))
+
+  /** The packing histogram over ANY per-doc token-count frame
+    * (`n_tokens` column) — the bucketing algebra q77 and q77Bpe
+    * share. One partial-aggregated shuffle of bucket-count rows. */
+  private[graft] def packBuckets(tokenCounts: DataFrame): DataFrame = {
+    val n = col("n_tokens")
     val bucketLo = when(n < 16, 0L).when(n < 32, 16L).when(n < 64, 32L)
       .when(n < 128, 64L).when(n < 256, 128L).when(n < 512, 256L)
       .otherwise(512L)
-    documents
+    tokenCounts
       .select(n.as("n_tokens"), bucketLo.as("bucket_lo"))
       .groupBy(col("bucket_lo"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
         max(col("n_tokens")).as("max_tokens"))
       .orderBy(col("bucket_lo"))
   }
+
+  /** q77 in SUBWORD currency (q124): the same packing histogram with
+    * n_tokens = fn05 BPE subword count per document (q113's
+    * n_subwords) — whitespace tokens under-bill long words and
+    * over-bill punctuation runs, and a batch packer that pads to the
+    * model's real sequence length wants the model's own token count.
+    * Plan: q113's broadcast merge-table apply scan feeds the same
+    * bucketing aggregate — no extra shuffle over q77 beyond q98's
+    * alphabet²-bounded fit. */
+  def q77Bpe(documents: DataFrame, topMerges: Int = 50): DataFrame =
+    packBuckets(
+      documents.crossJoin(broadcast(bpeMergeRow(documents, topMerges)))
+        .select(size(graft.functions.BpeEncode(col("text"), col("merges")))
+          .cast("long").as("n_tokens")))
 
   /** q80: deterministic per-key sampling — exactly `k` pseudo-random
     * docs per source (corpus curation's "cap every source at N"). The
@@ -573,11 +622,18 @@ object TextAnalysis {
     * (greedy BPE is not expressible in portable SQL); BpeEncodeSpec
     * proves the expression against an independent plain-Scala model
     * and pins greedy-order semantics. */
-  def q113(documents: DataFrame, topMerges: Int = 50): DataFrame = {
-    val mergeRow = q98(documents, topMerges)
+  /** One-row broadcastable merge table fitted on the corpus (q98's
+    * ranked pairs, (count desc, pair asc) order) — the model frame
+    * every BPE-apply consumer (q113, [[q77Bpe]], [[q87Bpe]])
+    * crossJoin-broadcasts. */
+  private[graft] def bpeMergeRow(documents: DataFrame, topMerges: Int): DataFrame =
+    q98(documents, topMerges)
       .agg(collect_list(struct((-col("cnt")).as("nc"), col("a"), col("b"))).as("ms"))
       .select(transform(array_sort(col("ms")),
         s => concat(s.getField("a"), lit(" "), s.getField("b"))).as("merges"))
+
+  def q113(documents: DataFrame, topMerges: Int = 50): DataFrame = {
+    val mergeRow = bpeMergeRow(documents, topMerges)
     val norm = lower(trim(col("text")))
     documents
       .crossJoin(broadcast(mergeRow))

@@ -433,6 +433,48 @@ class TextAnalysisSpec extends GraftSpec {
     assert(r.find(_.getAs[Long]("doc_id") == 7L).get.getAs[String]("bucket") == "head")
   }
 
+  test("q124/q125: packing and chunking bill in BPE subword currency") {
+    val d = Seq(
+      (1L, "aaaa bbbb aaaa bbbb aaaa"),
+      (2L, "cc dd"),
+      (3L, "aaaa aaaa bbbb bbbb aaaa aaaa bbbb bbbb aaaa aaaa bbbb bbbb")
+    ).toDF("doc_id", "text")
+    val counts = TextAnalysis.q113(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_subwords")).toMap
+    // sanity: merges fired, so subword counts differ from whitespace counts
+    assert(counts.values.sum > 0)
+    // q77Bpe bucket boundaries == manual bucketing of q113's counts
+    def lo(n: Long) = if (n < 16) 0L else if (n < 32) 16L else if (n < 64) 32L
+      else if (n < 128) 64L else if (n < 256) 128L else if (n < 512) 256L else 512L
+    val expect = counts.values.groupBy(lo).map { case (b, ns) =>
+      b -> (ns.size.toLong, ns.sum, ns.max) }
+    val got = TextAnalysis.q77Bpe(d).collect()
+      .map(r => r.getAs[Long]("bucket_lo") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"),
+          r.getAs[Long]("max_tokens"))).toMap
+    assert(got == expect)
+    // q87Bpe: chunk boundaries line up with the BPE sequence — window 4,
+    // stride 3, so chunk k covers subwords [3k, 3k+4)
+    val W = 4; val S = 3
+    val chunks = TextAnalysis.q87Bpe(d, window = W, stride = S)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    val whole = TextAnalysis.q87Bpe(d, window = 100000, stride = 100000)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("chunk_text").split(" ").toSeq).toMap
+    for ((id, n) <- counts) {
+      val exp = if (n > W) (n - W + S - 1) / S + 1 else 1L
+      val rows = chunks(id).sortBy(_.getAs[Long]("chunk_id"))
+      assert(rows.length.toLong == exp, s"doc $id: ${rows.length} chunks, want $exp")
+      assert(rows.forall(_.getAs[Int]("chunk_tokens") <= W))
+      // stride-aware reconstruction: the first S subwords of every chunk
+      // but the last, plus the last chunk whole, is the full sequence
+      val toks = rows.map(_.getAs[String]("chunk_text").split(" ").toSeq)
+      val rebuilt = (toks.init.flatMap(_.take(S)) ++ toks.last).toSeq
+      assert(rebuilt == whole(id), s"doc $id chunk boundaries off")
+      assert(whole(id).length.toLong == n) // whole-doc chunk == q113 count
+    }
+  }
+
   test("q120 temperature mix: α<1 flattens, rates bounded, keep = hash rule") {
     // source A: 8 docs, source B: 1 doc — raw share 8/9 vs 1/9
     val d = (1L to 8L).map(i => (i, "A")) :+ ((9L, "B"))
