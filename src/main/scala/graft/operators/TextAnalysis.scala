@@ -1229,8 +1229,11 @@ object TextAnalysis {
   }
 
   def q118(documents: DataFrame, exact: Boolean = false): DataFrame = {
+    // scored feeds BOTH the cutoff aggregate and the bucket join —
+    // persist so q86's token-stream aggregation runs once, not twice
     val scored = q86(documents)
       .join(documents.select(col("doc_id"), col("lang")), "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cuts =
       if (exact)
         scored.groupBy(col("lang")).agg(
