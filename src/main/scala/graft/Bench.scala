@@ -104,10 +104,15 @@ object Bench {
       .mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec",$load,"queries":$qsFull,"spread":$spreads,"sf":"$sfDir"}"""
-    if (only.isEmpty)
+    // loadavg guard: a polluted run must never become the committed
+    // baseline (r8/r9 both shipped load-inflated files) — refuse to
+    // write BENCH_LOCAL.json unless the box was idle at start
+    if (only.isEmpty && loadavgStart <= 2.0)
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
         full.getBytes("UTF-8"))
       catch { case _: Throwable => () }
+    else if (only.isEmpty)
+      System.err.println(f"[bench] NOT writing BENCH_LOCAL.json: loadavg_start $loadavgStart%.2f > 2.0 (polluted box)")
     spark.stop()
   }
 }

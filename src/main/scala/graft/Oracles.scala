@@ -638,7 +638,7 @@ object Oracles {
          tot AS (SELECT CAST(SUM(block_docs) AS BIGINT) AS total_rows FROM blocks)
          SELECT g, block_docs,
            CAST(block_docs AS DOUBLE) / total_rows AS share,
-           CAST(block_docs * (block_docs - 1) / 2 AS BIGINT) AS cand_pairs
+           CAST(block_docs * (block_docs - 1) // 2 AS BIGINT) AS cand_pairs
          FROM blocks CROSS JOIN tot
          ORDER BY block_docs DESC, g LIMIT 10""",
 

@@ -59,8 +59,11 @@ object AnnIndex {
   val DefaultBuckets = 8
 
   /** Fit the full index family on `corpus` (vec_id, embedding) and
-    * persist every artifact under `name`. One materialized corpus scan
-    * feeds all five tables. */
+    * persist every artifact under `name`. The vector-derived artifacts
+    * (vectors, LSH postings, IVF assignments) share the one persisted
+    * `vecs` scan; the kmeans|| fit and the int8 quantizer read the raw
+    * corpus directly (the quantizer is per-vector on the raw doubles,
+    * and kmeans iterates — neither gains from the normalized frame). */
   def fit(corpus: DataFrame, name: String,
           buckets: Int = DefaultBuckets): Unit = {
     val spark = corpus.sparkSession
@@ -97,12 +100,18 @@ object AnnIndex {
     * the vectors TABLE. No corpus scan in the plan. `prune` collects
     * the batch's distinct probe buckets (≤ 2^8 values) and pushes an
     * IN filter so the bucketed postings scan reads only touched
-    * bucket files. */
+    * bucket files.
+    *
+    * The query-batch frame `qv` is deliberately NOT persisted: it is a
+    * cheap per-row projection over a batch-sized input, and a serving
+    * loop calling this per batch would leak one cached RDD per call
+    * (a lazy return has no post-action hook to release it). The probe
+    * collect and the re-rank join each re-derive it — batch-sized
+    * arithmetic, no corpus I/O. */
   def searchLsh(queries: DataFrame, name: String, k: Int = 5,
                 prune: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
     val qv = Similarity.vecRows(queries)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = Similarity.lshProbes(Similarity.sigRows(qv))
     val postings = spark.table(lshTable(name))
     val pruned =
@@ -121,12 +130,12 @@ object AnnIndex {
     * ([[Similarity.IvfLists]] rows — metadata), the batch assigns its
     * probe lists via the same primitive kernel, candidates come from
     * the `list` equi-join against the assignments TABLE (IN-pruned to
-    * the probed lists' bucket files), re-rank from the vectors TABLE. */
+    * the probed lists' bucket files), re-rank from the vectors TABLE.
+    * `qv` unpersisted by design — see [[searchLsh]]. */
   def searchIvf(queries: DataFrame, name: String, k: Int = 5): DataFrame = {
     val spark = queries.sparkSession
     val cents = loadCentroids(spark, name)
     val qv = Similarity.vecRows(queries)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = Similarity.ivfAssign(qv, cents, Similarity.IvfProbes)
       .select(col("vec_id").as("qid"), col("list"))
     val probedLists = probes.select(col("list")).distinct()

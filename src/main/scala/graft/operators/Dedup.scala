@@ -837,7 +837,10 @@ object Dedup {
     perBucket.crossJoin(broadcast(total))
       .select(col("band"), col("band_key"), col("bucket_docs"),
         (col("bucket_docs").cast("double") / col("total_rows")).as("share"),
-        (col("bucket_docs") * (col("bucket_docs") - 1) / 2).cast("long")
+        // integer `div`, not Divide: double division loses exactness
+        // past 2^53 (~9.5e7-doc buckets — precisely the skew regime
+        // this report exists to flag)
+        expr("bucket_docs * (bucket_docs - 1) div 2").cast("long")
           .as("cand_pairs"))
       .orderBy(col("bucket_docs").desc, col("band"), col("band_key"))
       .limit(topK)
@@ -872,7 +875,8 @@ object Dedup {
     perBlock.crossJoin(broadcast(total))
       .select(col("g"), col("block_docs"),
         (col("block_docs").cast("double") / col("total_rows")).as("share"),
-        (col("block_docs") * (col("block_docs") - 1) / 2).cast("long")
+        // integer `div` — same exactness rationale as q112
+        expr("block_docs * (block_docs - 1) div 2").cast("long")
           .as("cand_pairs"))
       .orderBy(col("block_docs").desc, col("g"))
       .limit(topK)

@@ -1229,11 +1229,15 @@ object TextAnalysis {
   }
 
   def q118(documents: DataFrame, exact: Boolean = false): DataFrame = {
-    // scored feeds BOTH the cutoff aggregate and the bucket join —
-    // persist so q86's token-stream aggregation runs once, not twice
+    // scored feeds BOTH the cutoff aggregate and the bucket join. No
+    // persist: both consumers live in the ONE returned plan, so
+    // ReuseExchange dedupes the identical q86 exchange subtrees — the
+    // expensive token-stream map side runs once and only the cheap
+    // post-shuffle reduction replays per consumer. (A persist here
+    // leaked one sf-sized cache per invocation in long-lived sessions
+    // because a lazy operator has no post-action hook to release it.)
     val scored = q86(documents)
       .join(documents.select(col("doc_id"), col("lang")), "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cuts =
       if (exact)
         scored.groupBy(col("lang")).agg(

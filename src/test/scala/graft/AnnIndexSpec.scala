@@ -105,4 +105,30 @@ class AnnIndexSpec extends GraftSpec {
       assert(one.contains("SelectedBucketsCount: 1 out of 8"), one)
     } finally spark.conf.set(key, prev)
   }
+
+  test("cache hygiene: serving calls and q118 leave no new persisted RDDs behind") {
+    fitted
+    import graft.operators.TextAnalysis
+    // the r9 advisory's leak class: one cached RDD per serving call /
+    // per q118 invocation accumulating in a long-lived session
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    AnnIndex.searchLsh(batch(0, 10), Name).collect()
+    AnnIndex.searchIvf(batch(0, 10), Name).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"serving calls left persisted RDDs behind: $leaked")
+    // q118 builds on q86, whose internal token-explode persist (three
+    // consumers on three different shuffle keys — not ReuseExchange-
+    // dedupable) is the documented building-block cache; q118 itself
+    // must add NOTHING beyond it
+    val docs = Tables.documents(spark, SF)
+    spark.catalog.clearCache()
+    TextAnalysis.q86(docs).collect()
+    val q86Caches = (spark.sparkContext.getPersistentRDDs.keySet -- before).size
+    spark.catalog.clearCache()
+    TextAnalysis.q118(docs).collect()
+    val q118Caches = (spark.sparkContext.getPersistentRDDs.keySet -- before).size
+    assert(q118Caches <= q86Caches,
+      s"q118 caches $q118Caches frames vs q86's $q86Caches — its own persist is back")
+  }
 }
