@@ -84,6 +84,10 @@ object Sql {
       "graft_ann_int8"       -> (() => Similarity.q108(embs)),
       "graft_split_neardup"  -> (() => Dedup.q111(docs)),
       "graft_bpe_tokens"     -> (() => TextAnalysis.q113(docs)),
+      "graft_pack_bpe"       -> (() => TextAnalysis.q77Bpe(docs)),
+      "graft_chunk_bpe"      -> (() => TextAnalysis.q87Bpe(docs)),
+      "graft_band_skew"      -> (() => Dedup.q112(docs)),
+      "graft_prefix_skew"    -> (() => Dedup.q123(docs)),
       "graft_repeated_spans" -> (() => Dedup.q114(docs)),
       "graft_span_fraction"  -> (() => Dedup.q115(docs)),
       "graft_span_scrub"     -> (() => Dedup.q119(docs)),

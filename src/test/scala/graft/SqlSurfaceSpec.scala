@@ -126,6 +126,26 @@ class SqlSurfaceSpec extends GraftSpec {
     assert(spark.sql(
       "SELECT query_id FROM graft_bm25_search WHERE `rank` > 10")
       .collect().isEmpty)   // k caps every query's hit list
+    // round-9 operators reachable by SQL text only
+    assert(spark.sql(
+      """SELECT bucket_lo FROM graft_pack_bpe
+         WHERE n_docs < 1 OR max_tokens > sum_tokens""")
+      .collect().isEmpty)   // histogram invariants in subword currency
+    assert(spark.sql(
+      "SELECT doc_id FROM graft_chunk_bpe WHERE chunk_tokens > 64")
+      .collect().isEmpty)   // no chunk exceeds the window in BPE tokens
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_chunk_bpe").collect()(0).getLong(0) > 0)
+    // both skew reports: C(m,2) ceilings consistent with their doc counts
+    assert(spark.sql(
+      """SELECT band_key FROM graft_band_skew
+         WHERE cand_pairs <> bucket_docs * (bucket_docs - 1) DIV 2""")
+      .collect().isEmpty)
+    assert(spark.sql(
+      """SELECT g FROM graft_prefix_skew
+         WHERE cand_pairs <> block_docs * (block_docs - 1) DIV 2
+            OR share < 0 OR share > 1""")
+      .collect().isEmpty)
 
     // iterative operators materialize on demand (clusters run a
     // driver fixpoint loop, so they are tables, not lazy views)
