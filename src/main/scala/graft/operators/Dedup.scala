@@ -441,22 +441,65 @@ object Dedup {
     * outputs. Everything is integer/string arithmetic — no floats
     * except the final fraction divide (§6). */
   def q119(documents: DataFrame, k: Int = graft.Oracles.SpanK, exact: Boolean = false): DataFrame = {
+    val toked = spanToked(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scrubToked(toked, repeatedFrom(spanStarts(toked, k, exact)), k, exact)
+  }
+
+  /** Per-doc lowercase token arrays — the tokenization every span-scrub
+    * path shares (fused q119 persists it; the streaming gate's
+    * per-batch apply deliberately does not). */
+  private def spanToked(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), split(lower(trim(col("text"))), " ").as("w"))
+
+  /** (doc_id, start, span) for every stride-1 k-token window of a
+    * tokenized frame; hashed 8-byte span keys in the scale default. */
+  private def spanStarts(toked: DataFrame, k: Int, exact: Boolean): DataFrame = {
     val w = col("w")
     val winArr = transform(sequence(lit(1), size(w) - lit(k - 1), lit(1)),
       i => concat_ws(" ", (0 until k).map(j => element_at(w, i + lit(j))): _*))
-    val toked = documents
-      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val starts = toked.filter(size(w) >= k)
       .select(col("doc_id"), posexplode(winArr).as(Seq("start", "span")))
-    val keyedStarts =
-      if (exact) starts
-      else starts.select(col("doc_id"), col("start"),
-        xxhash64(col("span")).as("span"))
-    val repeated = keyedStarts.groupBy(col("span"))
+    if (exact) starts
+    else starts.select(col("doc_id"), col("start"),
+      xxhash64(col("span")).as("span"))
+  }
+
+  /** The cross-doc repeated filter over a span-start frame. */
+  private def repeatedFrom(keyedStarts: DataFrame): DataFrame =
+    keyedStarts.groupBy(col("span"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select(col("span"))
-    val marked = keyedStarts.join(repeated, Seq("span"), "left_semi")
+
+  /** st18 FIT side: the cross-doc repeated-span key set of a static
+    * reference corpus — [[q119]]'s internal repeated set exposed so the
+    * streaming gate can fit it ONCE, persist it, and scrub every
+    * micro-batch against it. Same keying contract as q119 (`exact`
+    * false ⇒ xxhash64 8-byte keys). */
+  private[graft] def repeatedSpanSet(reference: DataFrame,
+                                     k: Int = graft.Oracles.SpanK,
+                                     exact: Boolean = false): DataFrame =
+    repeatedFrom(spanStarts(spanToked(reference), k, exact))
+
+  /** st18 APPLY side: scrub `batch` against a PREPARED repeated-span
+    * frame through the exact q119 rewrite path — [[q119]] IS
+    * `spanScrubApply(docs, repeatedSpanSet(docs))` modulo its fused
+    * tokenization cache, so stream and batch outputs cannot drift. No
+    * persist here: the input is micro-batch-sized, its three consumers
+    * re-scan cheap batch-local arithmetic, and a per-batch persist
+    * would leak one cached RDD per micro-batch. */
+  private[graft] def spanScrubApply(batch: DataFrame, repeated: DataFrame,
+                                    k: Int = graft.Oracles.SpanK,
+                                    exact: Boolean = false): DataFrame =
+    scrubToked(spanToked(batch), repeated, k, exact)
+
+  /** The q119 rewrite core over a tokenized frame and a repeated-span
+    * frame: mark repeated start positions, cover via the ONE bounded
+    * window, rebuild surviving tokens, report per-doc counts. */
+  private def scrubToked(toked: DataFrame, repeated: DataFrame,
+                         k: Int, exact: Boolean): DataFrame = {
+    val marked = spanStarts(toked, k, exact)
+      .join(repeated, Seq("span"), "left_semi")
       .select(col("doc_id"), col("start"), lit(1).as("rep"))
     val toks = toked.select(col("doc_id"),
       posexplode(col("w")).as(Seq("pos", "tok")))

@@ -313,6 +313,45 @@ object Streams {
       .start()
   }
 
+  /** st18: streaming SPAN-SCRUB gate — q119's substring-level dedup
+    * applied at INGEST: the cross-doc repeated-span key set is fit ONCE
+    * from a static reference corpus ([[graft.operators.Dedup
+    * .repeatedSpanSet]] — q119's own fit side, persisted across
+    * micro-batches) and every micro-batch is rewritten through the
+    * exact q119 scrub path ([[graft.operators.Dedup.spanScrubApply]])
+    * via foreachBatch: repeated k-token spans are cut, overlapping cuts
+    * merge, surviving tokens reassemble — so a license header that
+    * plagues the historical corpus never enters the lake on new
+    * documents, and stream and batch outputs are bit-identical by
+    * shared code, not by parallel reimplementation (the spec asserts
+    * equality with batch q119 across two micro-batches).
+    *
+    * Scale shape: the fitted span set carries 8-byte xxhash64 keys
+    * (q119's scale default) — span-count-sized, not corpus-sized; the
+    * per-batch work is the q119 plan on batch-sized input (two narrow
+    * batch-local shuffles, one bounded window). Stateless beyond the
+    * fitted frame — no state store, no watermark, append mode at any
+    * ingest rate. Like st15/st16/st17 the gate trades freshness for a
+    * fixed reference: spans first repeated ACROSS new batches are
+    * caught at the next refit, exactly the q109-style incremental
+    * cadence the engine already champions. */
+  def startSpanScrubGate(docs: DataFrame, reference: DataFrame,
+                         outDir: String, checkpoint: String,
+                         k: Int = graft.Oracles.SpanK)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val repeated = graft.operators.Dedup.repeatedSpanSet(reference, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        graft.operators.Dedup.spanScrubApply(batch, repeated, k)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+  }
+
   private def closed(user: Long, s: OpenSession): SessionOut =
     SessionOut(user, s.start_us, s.n, s.last_us - s.start_us, s.total)
 

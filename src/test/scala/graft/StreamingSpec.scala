@@ -417,6 +417,47 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st18 streaming span-scrub gate == batch q119 across two micro-batches") {
+    // four docs, two carrying a shared 3-token header, one that IS the
+    // header, one original — the reference the span set is fit from is
+    // the same doc population the stream later delivers
+    val allDocs = Seq(
+      (1L, "shared header tokens then alpha body"),
+      (2L, "shared header tokens then beta body"),
+      (3L, "an original document nothing repeats"),
+      (4L, "shared header tokens")
+    )
+    val ref = allDocs.toDF("doc_id", "text")
+    val ms = MemoryStream[(Long, String)]
+    val df = ms.toDF().toDF("doc_id", "text")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-st18").toString + "/out"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-st18-ck").toString
+    val q = Streams.startSpanScrubGate(df, ref, outDir, ckpt, k = 3)
+    try {
+      ms.addData(allDocs(0), allDocs(2))
+      q.processAllAvailable()
+      ms.addData(allDocs(1), allDocs(3))
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_removed"),
+          java.lang.Double.doubleToRawLongBits(r.getAs[Double]("removed_frac")),
+          r.getAs[String]("clean_text"))
+      val streamed = spark.read.parquet(outDir).collect().map(key).toSet
+      val batch = graft.operators.Dedup.q119(ref, k = 3).collect().map(key).toSet
+      assert(streamed == batch)
+      // and the scrub really bit: the header carriers lost tokens, the
+      // all-header doc emptied, the original is untouched
+      val byId = spark.read.parquet(outDir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(byId(1L).getAs[Long]("n_removed") > 0)
+      assert(byId(3L).getAs[Long]("n_removed") == 0)
+      assert(byId(4L).getAs[String]("clean_text") == "")
+    } finally q.stop()
+  }
+
   test("st11 toTable sink: micro-batches land in a metastore table visible to SQL") {
     val ms = MemoryStream[StreamEv]
     spark.sql("DROP TABLE IF EXISTS graft_st11_sink")
