@@ -45,6 +45,7 @@ object Probe100 {
     val pipelines: Seq[(String, DataFrame => DataFrame)] = Seq(
       "q64_dedup_clusters" -> (d => operators.Dedup.q64(d)),
       "q65_clean_corpus"   -> (d => operators.Pipeline.cleanCorpus(d)),
+      "q65_clean_scrubbed" -> (d => operators.Pipeline.cleanCorpus(d, scrubSpans = true)),
       "q84_dedup_editdist" -> (d => operators.Dedup.q84(d)),
       "q94_media_clean"    -> (d => operators.Multimodal.q94(spark, d)),
       "q105_canonical"     -> (d => operators.Pipeline.q105(d)))

@@ -63,9 +63,16 @@ object AnnIndex {
     * (vectors, LSH postings, IVF assignments) share the one persisted
     * `vecs` scan; the kmeans|| fit and the int8 quantizer read the raw
     * corpus directly (the quantizer is per-vector on the raw doubles,
-    * and kmeans iterates — neither gains from the normalized frame). */
+    * and kmeans iterates — neither gains from the normalized frame).
+    *
+    * `centroids` pins the IVF coarse quantizer instead of re-running
+    * kmeans|| — the refit half of the incremental-maintenance contract
+    * (see [[append]]): a scheduled refit that keeps the quantizer reuses
+    * the previous index's centroids, making `fit(old) + append(new)`
+    * vs `fit(full, centroids = old quantizer)` bit-identical. */
   def fit(corpus: DataFrame, name: String,
-          buckets: Int = DefaultBuckets): Unit = {
+          buckets: Int = DefaultBuckets,
+          centroids: Option[Array[Array[Double]]] = None): Unit = {
     val spark = corpus.sparkSession
     val vecs = Similarity.vecRows(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -74,7 +81,7 @@ object AnnIndex {
         vectorsTable(name), "vec_id", buckets)
       Sources.writeBucketed(Similarity.lshPostings(Similarity.sigRows(vecs)),
         lshTable(name), "bucket", buckets)
-      val cents = Similarity.ivfFit(corpus)
+      val cents = centroids.getOrElse(Similarity.ivfFit(corpus))
       spark.createDataFrame(cents.toIndexedSeq.zipWithIndex
           .map { case (c, i) => (i, c.toIndexedSeq) })
         .toDF("list", "centroid")
@@ -85,6 +92,62 @@ object AnnIndex {
       Sources.writeBucketed(Similarity.int8Codes(corpus),
         int8Table(name), "vec_id", buckets)
     } finally { vecs.unpersist(); () }
+  }
+
+  /** Incremental maintenance: upsert a batch of NEW vectors into the
+    * index `name` without refitting — the daily-ingest pattern (q109's
+    * cadence) applied to the serving index. Every per-vector artifact
+    * (re-rank vectors, LSH postings, IVF list assignment, int8 codes)
+    * is derived for the batch alone through the SAME kernels `fit`
+    * uses and APPENDED into the bucketed tables with the tables' own
+    * bucket spec, so appended rows hash into exactly the bucket files
+    * a probe of their key would read — bucket pruning keeps working.
+    * The IVF centroids stay FIXED between refits (standard ANN
+    * practice: assignments drift slightly as the corpus distribution
+    * moves, which is recall erosion, not wrongness — the exact re-rank
+    * stage is unaffected). REFIT TRIGGER: re-run [[fit]] (optionally
+    * pinning `centroids` to keep bit-compatibility) when appended
+    * volume is no longer small vs the fitted corpus (rule of thumb
+    * ~20–30%) or measured recall on a probe set sags; an appended
+    * batch costs one batch-sized scan per artifact, never a corpus
+    * scan.
+    *
+    * Contract (specced): `fit(old); append(new)` produces tables whose
+    * contents — and therefore every `search*` result — are
+    * bit-identical to `fit(full, centroids = old quantizer)`.
+    * `batch` must carry vec_ids not already in the index (new docs);
+    * rewriting an EXISTING id is the m02 keyed-upsert problem
+    * ([[Sources.upsertPartitioned]]) and intentionally out of scope
+    * for the append fast path. */
+  def append(batch: DataFrame, name: String): Unit = {
+    val spark = batch.sparkSession
+    val vecs = Similarity.vecRows(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      appendBucketed(spark, vecs.toDF("vec_id", "v", "norm"),
+        vectorsTable(name), "vec_id")
+      appendBucketed(spark, Similarity.lshPostings(Similarity.sigRows(vecs)),
+        lshTable(name), "bucket")
+      appendBucketed(spark,
+        Similarity.ivfAssign(vecs, loadCentroids(spark, name), 1),
+        ivfListsTable(name), "list")
+      appendBucketed(spark, Similarity.int8Codes(batch),
+        int8Table(name), "vec_id")
+    } finally { vecs.unpersist(); () }
+  }
+
+  /** Append `df` into an existing bucketed table, reading the bucket
+    * count from the table's own catalog metadata so the appended files
+    * join the fitted layout (Spark refuses a mismatched spec). */
+  private def appendBucketed(spark: SparkSession, df: DataFrame,
+                             table: String, bucketCol: String): Unit = {
+    val n = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(sys.error(s"$table is not bucketed — not an index table"))
+    df.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(n, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
   }
 
   /** Drop every table of index `name` (idempotent). */

@@ -106,6 +106,48 @@ class AnnIndexSpec extends GraftSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("s11 append: fit(old)+append(new) == pinned-centroid full refit, bit for bit") {
+    import org.apache.spark.sql.functions._
+    val IncName = "graft_annix_inc"
+    val RefName = "graft_annix_ref"
+    AnnIndex.drop(spark, IncName); AnnIndex.drop(spark, RefName)
+    val old = corpus.filter(col("vec_id") < 400)
+    val fresh = corpus.filter(col("vec_id") >= 400)
+    AnnIndex.fit(old, IncName)
+    AnnIndex.append(fresh, IncName)
+    // the refit half of the contract: full fit with the incremental
+    // index's own (old-corpus) quantizer pinned
+    val cents = spark.table(AnnIndex.ivfCentroidsTable(IncName))
+      .orderBy(col("list")).collect().map(_.getSeq[Double](1).toArray)
+    AnnIndex.fit(corpus, RefName, centroids = Some(cents))
+    val q = batch(0, 10)
+    assert(rows(AnnIndex.searchLsh(q, IncName)) ==
+      rows(AnnIndex.searchLsh(q, RefName)))
+    assert(rows(AnnIndex.searchIvf(q, IncName)) ==
+      rows(AnnIndex.searchIvf(q, RefName)))
+    assert(rows(AnnIndex.searchInt8(q, IncName)) ==
+      rows(AnnIndex.searchInt8(q, RefName)))
+    // per-vector artifacts are centroid-free, so the incremental index
+    // serves the LIVE full-corpus answer too
+    assert(rows(AnnIndex.searchLsh(q, IncName)) ==
+      rows(Similarity.search(q, corpus)))
+    // appended rows landed in their bucket files: single-bucket scans
+    // still prune to 1 of 8 files and see the appended postings there
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val b = spark.table(AnnIndex.lshTable(IncName))
+        .filter(col("nid") >= 400).select(col("bucket")).head.getLong(0)
+      val one = spark.table(AnnIndex.lshTable(IncName))
+        .filter(col("bucket") === b)
+      val plan = formattedPlan(one)
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"), plan)
+      assert(one.filter(col("nid") >= 400).count() > 0,
+        "appended posting not visible under single-bucket pruning")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("cache hygiene: serving calls and q118 leave no new persisted RDDs behind") {
     fitted
     import graft.operators.TextAnalysis
