@@ -12,6 +12,17 @@ object Bench {
     // A filtered run NEVER writes BENCH_LOCAL.json (partial totals must
     // not masquerade as the committed 122-query baseline).
     val only = args.headOption.map(_.split(",").toSeq)
+    // loadavg sentinel: sample BEFORE the session/warmup — the warmup
+    // itself drives 32 threads, so a post-warmup sample conflates the
+    // bench's own load with external pollution (r10: clean launches
+    // read 1.3–2.5 post-warmup and tripped the guard; a truly loaded
+    // box reads 4–12 either way). Keep the MAX across the run too —
+    // it includes self-load by design, the spread column separates a
+    // mid-run burst from a real regression.
+    def loadavg(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadavgStart = loadavg()
+    var loadavgMax = loadavgStart
     val spark = GraftSession.local()
     // JIT/codegen warmup over SYNTHETIC data (no table file is touched):
     // exercises the hot execution classes — decimal partial aggregation,
@@ -48,14 +59,7 @@ object Bench {
         Multimodal.decodeImage(png).foreach { case (d, _) => Multimodal.dHash(d) }
       }
     }
-    // loadavg sentinel: sample at START and keep the MAX across the run
-    // — r7's end-of-run sample (2.82) missed the external load that had
-    // inflated the file to 198 s and drained before the final sample; a
-    // polluted run must be self-identifying from the JSON alone
-    def loadavg(): Double = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
-    val loadavgStart = loadavg()
-    var loadavgMax = loadavgStart
+    loadavgMax = math.max(loadavgMax, loadavg())
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .map { case (name, fn) =>

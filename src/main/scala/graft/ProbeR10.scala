@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-10 10× volume probes (SURVEY §5): the round-9/10 additions
+  * with no probe notes yet — the scrubbed pipeline stage and the s11
+  * persisted-index lifecycle (fit once, serve query batches, append an
+  * ingest increment) — timed at sf0.01 vs sf0.1 (10× docs/vectors),
+  * warm best-of-2 per side like Probe100. The bench-covered r9 queries
+  * (q123/q124/q125) are probed through the Bench name filter instead,
+  * so their numbers share the committed harness.
+  *
+  * Not part of the driver contract — run manually per round:
+  *   sbt "runMain graft.ProbeR10"
+  */
+object ProbeR10 {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(f: => Unit): Double =
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        f
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val walls = scala.collection.mutable.Map[(String, String), Double]()
+    for ((sf, tag) <- Seq("/root/testdata/sf0.01" -> "sf0.01",
+                          "/root/testdata/sf0.1"  -> "sf0.1")) {
+      val docs = Tables.documents(spark, sf)
+      val emb  = Tables.embeddings(spark, sf)
+
+      walls(("clean_scrubbed", tag)) =
+        time(noop(operators.Pipeline.cleanCorpus(docs, scrubSpans = true)))
+
+      // s11 lifecycle: fit is eager (writes the five tables) — time one
+      // full fit; then serve a 100-vector external batch per path; then
+      // append a 5% increment
+      val name = "probe_annix_" + tag.replace(".", "")
+      val nVec = emb.count()
+      val qBatch = emb.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 100000000L).as("vec_id"), col("embedding"))
+      val incCut = (nVec * 95) / 100
+      val fitPart = emb.filter(col("vec_id") < incCut)
+      val incPart = emb.filter(col("vec_id") >= incCut)
+        .select((col("vec_id") + 200000000L).as("vec_id"), col("embedding"))
+      walls(("s11_fit", tag)) = time {
+        operators.AnnIndex.drop(spark, name)
+        operators.AnnIndex.fit(emb, name)
+      }
+      walls(("s11_searchLsh", tag)) =
+        time(noop(operators.AnnIndex.searchLsh(qBatch, name)))
+      walls(("s11_searchIvf", tag)) =
+        time(noop(operators.AnnIndex.searchIvf(qBatch, name)))
+      walls(("s11_searchInt8", tag)) =
+        time(noop(operators.AnnIndex.searchInt8(qBatch, name)))
+      // append timed alone on a fresh fit each iteration (an append
+      // into an already-appended index would double the increment)
+      walls(("s11_append5pct", tag)) = (1 to 2).map { _ =>
+        operators.AnnIndex.drop(spark, name + "_inc")
+        operators.AnnIndex.fit(fitPart, name + "_inc")
+        val t0 = System.nanoTime()
+        operators.AnnIndex.append(incPart, name + "_inc")
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(s"[probeR10] $tag done (n_vec=$nVec)")
+    }
+    for (op <- Seq("clean_scrubbed", "s11_fit", "s11_searchLsh",
+                   "s11_searchIvf", "s11_searchInt8", "s11_append5pct")) {
+      val s = walls((op, "sf0.01")); val b = walls((op, "sf0.1"))
+      println(f"[probeR10] $op%-16s sf0.01=$s%7.2fs sf0.1=$b%7.2fs " +
+        f"ratio=${b / s}%5.2fx")
+    }
+    spark.stop()
+  }
+}
