@@ -20,6 +20,22 @@ object Oracles {
   val DiffNewDropMod = 5L  // q110: "new" snapshot drops every 5th doc
   val DiffUpperMod = 11L   // q110: "new" upper-cases every 11th's text
 
+  /** q126 derivation constants: q109's corpus/batch split plus planted
+    * re-ingests so all three statuses exist at sf0.01 (the natural
+    * corpus has no exact dups there) — corpus docs with
+    * doc_id % BloomReingestMod == BloomReingestRem re-enter the batch
+    * as id+BloomIdOffsetA copies (→ dup_corpus) and every
+    * BloomDupBatchMod-th doc enters twice (id+BloomIdOffsetB copy →
+    * dup_batch). */
+  val BloomReingestMod = 7L
+  val BloomReingestRem = 3L
+  val BloomDupBatchMod = 15L
+  val BloomIdOffsetA = 1000000000L
+  val BloomIdOffsetB = 2000000000L
+
+  /** q128 per-source quality quota (docs kept per source). */
+  val SourceQuota = 20
+
   /** q114/q115/q119 span length — the operator defaults AND the
     * oracle window arithmetic derive from this one value. */
   val SpanK = 5
@@ -1676,6 +1692,70 @@ object Oracles {
                 WHEN o.dg = n.dg THEN 'unchanged'
                 ELSE 'modified' END AS status
          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // the bloom prefilter moves work, never answers (false positives
+    // die in the verify join, false negatives cannot exist) — so the
+    // oracle is the PLAIN q109 logic over the q126 batch derivation;
+    // split + plant constants shared with SparkEntry
+    "q126_bloom_dedup" ->
+      s"""WITH corpus AS (SELECT md5(lower(trim(text))) AS dg FROM documents
+                         WHERE doc_id % $IngestBatchMod <> 0),
+         ingested AS (SELECT DISTINCT dg, 1 AS hit FROM corpus),
+         b AS (SELECT doc_id, md5(lower(trim(text))) AS dg FROM documents
+               WHERE doc_id % $IngestBatchMod = 0
+               UNION ALL
+               SELECT doc_id + $BloomIdOffsetA, md5(lower(trim(text))) FROM documents
+               WHERE doc_id % $BloomReingestMod = $BloomReingestRem
+                 AND doc_id % $IngestBatchMod <> 0
+               UNION ALL
+               SELECT doc_id + $BloomIdOffsetB, md5(lower(trim(text))) FROM documents
+               WHERE doc_id % $BloomDupBatchMod = 0),
+         r AS (SELECT b.doc_id, b.dg, ingested.hit,
+             ROW_NUMBER() OVER (PARTITION BY b.dg ORDER BY b.doc_id) AS rn
+           FROM b LEFT JOIN ingested USING(dg))
+         SELECT doc_id, dg,
+           CASE WHEN hit IS NOT NULL THEN 'dup_corpus'
+                WHEN rn > 1 THEN 'dup_batch'
+                ELSE 'new' END AS status
+         FROM r ORDER BY doc_id""",
+
+    "q127_dup_profile" ->
+      """WITH pd AS (SELECT source, md5(lower(trim(text))) AS dg, COUNT(*) AS n
+                    FROM documents GROUP BY 1, 2),
+         sp AS (SELECT dg, COUNT(*) AS n_sources FROM pd GROUP BY 1)
+         SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_texts,
+           CAST(SUM(n - 1) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(n - 1) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS dup_frac,
+           CAST(MAX(n) AS BIGINT) AS max_cluster,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_clusters,
+           CAST(SUM(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_texts
+         FROM pd JOIN sp USING(dg) GROUP BY source ORDER BY source""",
+
+    // q48's quality expression verbatim; the rank key floor-scales the
+    // (bit-identical) double to a long so ordering is integer in both
+    // engines — quota constant shared with SparkEntry
+    "q128_quota_topk" ->
+      s"""WITH b AS (SELECT doc_id, source,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT) AS n_distinct,
+           CAST(len(list_filter(string_split(trim(text), ' '),
+             t -> lower(t) IN ('the','a','and','of','data','row'))) AS BIGINT) AS n_stop
+           FROM documents),
+         r AS (SELECT doc_id, source,
+           CAST(n_distinct AS DOUBLE)/n_tokens AS ttr,
+           least(1.0, CAST(n_tokens AS DOUBLE)/100.0) AS len_score,
+           CAST(n_stop AS DOUBLE)/n_tokens AS stop_ratio
+           FROM b),
+         q AS (SELECT doc_id, source,
+           ttr*0.4 + len_score*0.3 + stop_ratio*0.3 AS quality FROM r),
+         rk AS (SELECT source, doc_id, quality,
+           ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY CAST(floor(quality * 1e8) AS BIGINT) DESC, doc_id) AS rk
+           FROM q)
+         SELECT source, doc_id, quality FROM rk WHERE rk <= $SourceQuota
+         ORDER BY source, doc_id"""
   )
 }

@@ -152,6 +152,28 @@ object SparkEntry {
     // bucketing/chunking algebra on top is specced against q113 counts
     "q124_pack_bpe"            -> ((s, d) => TextAnalysis.q77Bpe(documents(s, d))),
     "q125_chunk_bpe"           -> ((s, d) => TextAnalysis.q87Bpe(documents(s, d))),
+    // bloom-prefiltered incremental ingest: q109's corpus/batch split
+    // plus planted re-ingests (constants shared with the oracle via
+    // Oracles) so dup_corpus/dup_batch/new all occur at sf0.01
+    "q126_bloom_dedup"         -> ((s, d) => {
+      val docs = documents(s, d)
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val corpus = docs
+        .filter(pmod(col("doc_id"), lit(Oracles.IngestBatchMod)) =!= 0L)
+      val batch = docs
+        .filter(pmod(col("doc_id"), lit(Oracles.IngestBatchMod)) === 0L)
+        .select(col("doc_id"), col("text"))
+        .unionAll(docs
+          .filter(pmod(col("doc_id"), lit(Oracles.BloomReingestMod)) === Oracles.BloomReingestRem &&
+            pmod(col("doc_id"), lit(Oracles.IngestBatchMod)) =!= 0L)
+          .select((col("doc_id") + Oracles.BloomIdOffsetA).as("doc_id"), col("text")))
+        .unionAll(docs
+          .filter(pmod(col("doc_id"), lit(Oracles.BloomDupBatchMod)) === 0L)
+          .select((col("doc_id") + Oracles.BloomIdOffsetB).as("doc_id"), col("text")))
+      Dedup.q126(corpus, batch)
+    }),
+    "q127_dup_profile"         -> ((s, d) => Dedup.q127(documents(s, d))),
+    "q128_quota_topk"          -> ((s, d) => TextAnalysis.q128(documents(s, d))),
     // snapshot diff: "old" drops every DiffOldDropMod-th doc, "new"
     // drops every DiffNewDropMod-th and upper-cases every
     // DiffUpperMod-th's text — the mod constants live in Oracles and

@@ -106,7 +106,9 @@ object Sql {
         Dedup.q109(
           docs.filter(pmod(col("doc_id"), lit(Oracles.IngestBatchMod)) =!= 0L),
           docs.filter(pmod(col("doc_id"), lit(Oracles.IngestBatchMod)) === 0L))
-      })
+      }),
+      "graft_dup_profile"    -> (() => Dedup.q127(docs)),
+      "graft_quota_topk"     -> (() => TextAnalysis.q128(docs))
     )
     views.map { case (name, mk) => mk().createOrReplaceTempView(name); name }
   }
@@ -124,7 +126,17 @@ object Sql {
       "graft_dedup_clusters" -> (() => Dedup.q64(docs)),
       "graft_media_clean"    -> (() => Multimodal.q94(spark, docs)),
       "graft_embed_clusters" -> (() => graft.operators.Similarity.q96(spark.table("embeddings"))),
-      "graft_canonical_pick" -> (() => graft.operators.Pipeline.q105(docs))
+      "graft_canonical_pick" -> (() => graft.operators.Pipeline.q105(docs)),
+      // eager like the fixpoint tables: q126's bloom FIT collects the
+      // serialized filter before the plan can be built, so it cannot
+      // be a lazy view (same corpus/batch derivation as
+      // graft_incr_dedup — the two reports are comparable rows)
+      "graft_bloom_dedup"    -> (() => {
+        import org.apache.spark.sql.functions.{col, lit, pmod}
+        Dedup.q126(
+          docs.filter(pmod(col("doc_id"), lit(Oracles.IngestBatchMod)) =!= 0L),
+          docs.filter(pmod(col("doc_id"), lit(Oracles.IngestBatchMod)) === 0L))
+      })
     )
     tables.map { case (name, mk) => mk().createOrReplaceTempView(name); name }
   }

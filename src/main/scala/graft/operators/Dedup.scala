@@ -607,6 +607,131 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Fit a Bloom filter over the corpus' distinct normalized-text
+    * digests: ONE distributed aggregate (Spark's native
+    * `BloomFilterAggregate`, the same sketch the optimizer's runtime
+    * row-level filters use) over `xxhash64(digest)` keys, returning the
+    * serialized filter — the fit-once sidecar [[q126]] and any ingest
+    * gate probes with `might_contain`. Returns null for an empty
+    * corpus (no member can exist). Sizing: `expectedItems` defaults to
+    * the corpus row count (a safe overestimate of distinct digests —
+    * one `count()` action, the fit's only extra pass); bits come from
+    * the standard optimum for `fpp` and are clamped to Spark's
+    * runtime-filter creation cap (64 Mbit), which bounds the artifact
+    * at 8 MB — at 1e9-digest scale a production deployment raises the
+    * cap or shards the filter by digest prefix; false positives only
+    * cost verify-join probes, never correctness. */
+  private[graft] def bloomFitDigests(corpusDg: DataFrame,
+                                     fpp: Double = 0.01,
+                                     expectedItems: Long = 0L): Array[Byte] = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val n = math.max(1L,
+      if (expectedItems > 0L) expectedItems else corpusDg.count())
+    val nItems = math.min(n, 4000000L)
+    val nBits = math.min(
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nItems, fpp),
+      67108864L)
+    val agg = new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(col("dg"))),
+      org.apache.spark.sql.catalyst.expressions.Literal(nItems),
+      org.apache.spark.sql.catalyst.expressions.Literal(nBits))
+      .toAggregateExpression()
+    corpusDg.select(ColumnBridge.column(agg).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+  }
+
+  /** `might_contain(bloom, xxhash64(dg))` as a Column — the probe side
+    * of [[bloomFitDigests]] (Spark's native `BloomFilterMightContain`,
+    * codegen'd, evaluated map-side with zero shuffle). A null filter
+    * (empty corpus) admits nothing. */
+  private[graft] def bloomMightContain(bloom: Array[Byte], dgCol: Column): Column =
+    if (bloom == null) lit(false)
+    else org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.graft.ColumnBridge.expression(lit(bloom)),
+        org.apache.spark.sql.graft.ColumnBridge.expression(xxhash64(dgCol))))
+
+  /** q126: BLOOM-prefiltered incremental exact dedup — [[q109]]'s
+    * daily-ingest dedup with a Bloom-filter first pass, the shape that
+    * survives when the ingested corpus is 100 TB and the daily batch is
+    * mostly NEW text (the healthy-crawl regime): q109 probes EVERY
+    * batch digest against the corpus digest table, so each ingest pays
+    * a corpus-sized join no matter how few duplicates it carries; q126
+    * fits an m-bit Bloom filter over the corpus digests once
+    * ([[bloomFitDigests]] — refreshed at the same cadence the digest
+    * table itself is maintained, amortized over every batch in
+    * between) and evaluates `might_contain` map-side on the batch, so
+    * definitely-new documents (the overwhelming majority) never touch
+    * the corpus table at all. Only the bloom's candidates — true
+    * duplicates plus an fpp-bounded sliver of false positives — reach
+    * the authoritative semi-join, and with the corpus digest table
+    * bucketed on digest, only the buckets holding candidate digests
+    * are read. False positives are eliminated by that verify join and
+    * false negatives cannot exist, so the output is bit-identical to
+    * q109 at ANY fpp (the spec asserts it at fpp=0.5); the filter only
+    * moves work, never answers. Within-batch duplicate ranking is
+    * unchanged from q109 (digest-partitioned row_number — duplicate
+    * sets are inherently small groups). */
+  def q126(corpus: DataFrame, batch: DataFrame, fpp: Double = 0.01): DataFrame = {
+    val dg = md5(encode(lower(trim(col("text"))), "UTF-8"))
+    val corpusDg = corpus.select(dg.as("dg"))
+    val bloom = bloomFitDigests(corpusDg, fpp)
+    val batchDg = batch.select(col("doc_id"), dg.as("dg"))
+    val candDg = batchDg.filter(bloomMightContain(bloom, col("dg")))
+      .select(col("dg")).distinct()
+    val hitDg = corpusDg.distinct()
+      .join(candDg, Seq("dg"), "left_semi")
+      .withColumn("hit", lit(1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dg")).orderBy(col("doc_id"))
+    batchDg.join(hitDg, Seq("dg"), "left_outer")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("dg"),
+        when(col("hit").isNotNull, lit("dup_corpus"))
+          .when(col("rn") > 1, lit("dup_batch"))
+          .otherwise(lit("new")).as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q127: per-source DUPLICATION PROFILE — the report a curation team
+    * reads before choosing dedup scope and thresholds: for each source,
+    * how much exact duplication exists WITHIN it (docs minus distinct
+    * normalized texts, largest identical-text cluster, number of
+    * duplicated clusters) and how much of it is CROSS-source (distinct
+    * texts that also appear in at least one other source — the signal
+    * that per-source dedup is not enough and a global q40/q64 pass is
+    * needed; two crawls of the same sites light this up long before
+    * near-dup analysis runs).
+    *
+    * Scale shape: everything reduces to 16-byte digests before any
+    * shuffle — per-(source, digest) counts and the digest-level
+    * source-spread count are both map-side-combined aggregations; the
+    * spread joins back on digest (digest-sized, not corpus-sized).
+    * Text is scanned once and never shuffles. */
+  def q127(documents: DataFrame): DataFrame = {
+    val dg = md5(encode(lower(trim(col("text"))), "UTF-8"))
+    val perSrcDg = documents.select(col("source"), dg.as("dg"))
+      .groupBy(col("source"), col("dg")).agg(count(lit(1)).as("n"))
+    val spread = perSrcDg.groupBy(col("dg"))
+      .agg(count(lit(1)).as("n_sources"))
+    perSrcDg.join(spread, Seq("dg"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_distinct_texts"),
+        sum(col("n") - 1).cast("long").as("n_dup_docs"),
+        max(col("n")).cast("long").as("max_cluster"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).cast("long").as("n_dup_clusters"),
+        sum(when(col("n_sources") > 1, 1L).otherwise(0L)).cast("long")
+          .as("n_cross_texts"))
+      .withColumn("dup_frac",
+        col("n_dup_docs").cast("double") / col("n_docs"))
+      .select(col("source"), col("n_docs"), col("n_distinct_texts"),
+        col("n_dup_docs"), col("dup_frac"), col("max_cluster"),
+        col("n_dup_clusters"), col("n_cross_texts"))
+      .orderBy(col("source"))
+  }
+
   /** EXACT-DUP COLLAPSE before LSH banding (the scale guard for
     * q42/q43/q111 and Multimodal.q93): a boilerplate-heavy corpus puts
     * thousands of byte-identical docs into the same band bucket, and a

@@ -1261,4 +1261,49 @@ object TextAnalysis {
         col("avg_logp"), col("tertile"), col("bucket"))
       .orderBy(col("doc_id"))
   }
+
+  /** q128: per-source QUALITY QUOTA — keep the top `quota` documents
+    * of every source ranked by the q48 quality score, the per-domain
+    * cap a crawl-curation pipeline applies so no single site/source
+    * floods the training mix with its worst pages (the complement of
+    * q80's RANDOM per-key sample: here the quota keeps each source's
+    * BEST documents, deterministically).
+    *
+    * Ranking discipline (§6): the q48 score is a fixed-order IEEE
+    * double, bit-identical cross-engine, but the rank key floor-scales
+    * it to a long anyway (q118's trick) — integer ordering keys keep
+    * the oracle comparison trivially exact AND let the TopKRewrite
+    * rule replace the rank window with the native bounded-heap
+    * [[graft.plans.TopKPerKeyExec]] (the rule bails on floating-point
+    * ordering keys because NormalizeFloatingNumbers rewrites them):
+    * per-source partial heaps of `quota` rows run BEFORE the exchange,
+    * so shuffle volume is quota·sources, not the corpus — the property
+    * that makes a per-domain cap runnable over 100 TB with millions of
+    * domains. The rewrite requires the rank column to be projected
+    * away, which is why the output is the kept SET (source, doc_id,
+    * quality), not ranked rows — a consumer that wants ranks re-ranks
+    * the quota·sources-sized result, not the corpus. Ties break by
+    * doc_id, so the kept set is reproducible anywhere. */
+  def q128(documents: DataFrame, quota: Int = graft.Oracles.SourceQuota): DataFrame = {
+    val toks = split(trim(col("text")), " ")
+    val scored = documents
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
+      .withColumn("n_stop",
+        size(filter(toks, t => lower(t).isin(Stopwords: _*))).cast("long"))
+      .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("len_score",
+        least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        col("ttr") * 0.4 + col("len_score") * 0.3 + col("stop_ratio") * 0.3)
+      .withColumn("q8", floor(col("quality") * lit(1e8)).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("q8").desc, col("doc_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quota)
+      .select(col("source"), col("doc_id"), col("quality"))
+      .orderBy(col("source"), col("doc_id"))
+  }
 }

@@ -352,6 +352,47 @@ object Streams {
       .start()
   }
 
+  /** st19: streaming EMBEDDING-DEDUP gate — semantic near-dup dedup at
+    * INGEST against the s11 persisted ANN index: each micro-batch's
+    * embeddings run the exact int8 serving path
+    * ([[graft.operators.AnnIndex.searchInt8]] — integer candidate
+    * scoring against the index's bucketed code table, exact-cosine
+    * re-rank from its vector table) and a document whose nearest
+    * indexed neighbor reaches `minCosine` never lands in the lake.
+    * This closes the streaming-twin set over the last batch dedup
+    * family (q46/q96 semantic dedup; st10 exact, st13 perceptual,
+    * st18 substring are the other granularities) and is the serving
+    * scenario s11 exists for: the index is fit ONCE offline and every
+    * batch reads only the bucketed tables — no corpus scan, no state
+    * store, no watermark; per-batch work is the searchInt8 plan on a
+    * batch-sized broadcast query side. Stream and batch verdicts are
+    * bit-identical by shared code (the spec asserts parity with batch
+    * searchInt8 across two micro-batches).
+    *
+    * The gate reads the index, it does not grow it: admitted documents
+    * join the index at the ingest job's own [[graft.operators.AnnIndex
+    * .append]] cadence — the same freshness trade st15–st18 make
+    * (near-dups WITHIN the not-yet-appended window are caught by the
+    * batch-side q46/q64 pass at the next append/refit). */
+  def startEmbDedupGate(docs: DataFrame, indexName: String,
+                        outDir: String, checkpoint: String,
+                        minCosine: Double = 0.95)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val dup = graft.operators.AnnIndex.searchInt8(
+            batch.select(col("doc_id").as("vec_id"), col("embedding")),
+            indexName, k = 1)
+          .filter(col("cos") >= minCosine)
+          .select(col("qid").as("doc_id"))
+        batch.join(dup, Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
   private def closed(user: Long, s: OpenSession): SessionOut =
     SessionOut(user, s.start_us, s.n, s.last_us - s.start_us, s.total)
 

@@ -372,4 +372,80 @@ class DedupSpec extends GraftSpec {
     val s = Dedup.q119(short, exact = true).collect()
     assert(s.forall(_.getAs[Long]("n_removed") == 0L))
   }
+
+  private lazy val bloomCorpus = (1L to 300L)
+    .map(i => (i, s"corpus doc text number ${i % 120}"))
+    .toDF("doc_id", "text")
+  private lazy val bloomBatch = Seq(
+    (1001L, "corpus doc text number 5"),  // dup_corpus
+    (1002L, "batch only text alpha"),     // new
+    (1003L, "batch only text alpha"),     // dup_batch (1002 is earlier)
+    (1004L, "batch only text beta"),      // new
+    (1005L, "corpus doc text number 7")   // dup_corpus
+  ).toDF("doc_id", "text")
+
+  private def statusRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("dg"),
+      r.getAs[String]("status"))).toSeq
+
+  test("q126 bloom-prefiltered incremental dedup == q109 at any fpp") {
+    val plain = statusRows(Dedup.q109(bloomCorpus, bloomBatch))
+    assert(statusRows(Dedup.q126(bloomCorpus, bloomBatch)) == plain)
+    // a deliberately terrible filter (every other probe a false
+    // positive) only sends more candidates to the verify join — the
+    // answer cannot move
+    assert(statusRows(Dedup.q126(bloomCorpus, bloomBatch, fpp = 0.5)) == plain)
+    val byId = plain.map(r => r._1 -> r._3).toMap
+    assert(byId(1001L) == "dup_corpus" && byId(1005L) == "dup_corpus")
+    assert(byId(1002L) == "new" && byId(1004L) == "new")
+    assert(byId(1003L) == "dup_batch")
+    // empty corpus: nothing can be dup_corpus, within-batch rank still runs
+    val empty = bloomCorpus.filter(org.apache.spark.sql.functions.lit(false))
+    assert(statusRows(Dedup.q126(empty, bloomBatch)) ==
+      statusRows(Dedup.q109(empty, bloomBatch)))
+  }
+
+  test("bloom sidecar: no false negatives, false positives bounded by fpp") {
+    import org.apache.spark.sql.functions._
+    val dg = md5(encode(lower(trim(col("text"))), "UTF-8"))
+    val corpusDg = bloomCorpus.select(dg.as("dg"))
+    val bloom = Dedup.bloomFitDigests(corpusDg, fpp = 0.01)
+    // every ingested digest must probe true — a false negative would
+    // silently re-admit a duplicate
+    val members = corpusDg.distinct()
+      .withColumn("mc", Dedup.bloomMightContain(bloom, col("dg")))
+      .collect()
+    assert(members.length == 120 && members.forall(_.getAs[Boolean]("mc")))
+    // 1000 novel digests: expected ~10 false positives at fpp=0.01;
+    // assert an order-of-magnitude ceiling, not the expectation
+    val novel = (1L to 1000L).map(i => (i, s"novel text $i"))
+      .toDF("doc_id", "text").select(dg.as("dg"))
+      .withColumn("mc", Dedup.bloomMightContain(bloom, col("dg")))
+    assert(novel.filter(col("mc")).count() < 100L)
+  }
+
+  test("q127 per-source duplication profile: within- and cross-source counts") {
+    val d = Seq(
+      (1L, "shared across sources", "srcA"),
+      (2L, "shared across sources", "srcB"),   // cross-source text
+      (3L, "doubled inside srca", "srcA"),
+      (4L, "doubled inside srca", "srcA"),     // within-source cluster of 2
+      (5L, "unique in srca", "srcA"),
+      (6L, "unique in srcb", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val r = Dedup.q127(d).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    val a = r("srcA")
+    assert(a.getAs[Long]("n_docs") == 4L)
+    assert(a.getAs[Long]("n_distinct_texts") == 3L)
+    assert(a.getAs[Long]("n_dup_docs") == 1L)
+    assert(a.getAs[Long]("max_cluster") == 2L)
+    assert(a.getAs[Long]("n_dup_clusters") == 1L)
+    assert(a.getAs[Long]("n_cross_texts") == 1L)
+    assert(a.getAs[Double]("dup_frac") == 0.25)
+    val b = r("srcB")
+    assert(b.getAs[Long]("n_docs") == 2L)
+    assert(b.getAs[Long]("n_dup_docs") == 0L)
+    assert(b.getAs[Long]("n_cross_texts") == 1L)
+  }
 }

@@ -146,11 +146,32 @@ class SqlSurfaceSpec extends GraftSpec {
          WHERE cand_pairs <> block_docs * (block_docs - 1) DIV 2
             OR share < 0 OR share > 1""")
       .collect().isEmpty)
+    // round-10 operators reachable by SQL text only
+    assert(spark.sql(
+      """SELECT source FROM graft_dup_profile
+         WHERE n_dup_docs <> n_docs - n_distinct_texts
+            OR dup_frac < 0 OR dup_frac > 1 OR max_cluster < 1""")
+      .collect().isEmpty)   // profile identities hold per source
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_dup_profile").collect()(0).getLong(0) > 0)
+    assert(spark.sql(
+      s"""SELECT source FROM graft_quota_topk GROUP BY source
+         HAVING count(*) > ${graft.Oracles.SourceQuota}""")
+      .collect().isEmpty)   // the quota binds per source
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_quota_topk").collect()(0).getLong(0) > 0)
 
     // iterative operators materialize on demand (clusters run a
     // driver fixpoint loop, so they are tables, not lazy views)
     val tables = Sql.materializePipelineTables(spark)
     assert(tables.contains("graft_dedup_clusters"))
+    // q126's bloom fit is eager, so it rides the materialize call; its
+    // verdict column is the closed q109 status set
+    assert(tables.contains("graft_bloom_dedup"))
+    assert(spark.sql(
+      """SELECT status FROM graft_bloom_dedup
+         WHERE status NOT IN ('new', 'dup_batch', 'dup_corpus')""")
+      .collect().isEmpty)
     val clustered = spark.sql(
       """SELECT label, count(*) AS n FROM graft_dedup_clusters
          GROUP BY label HAVING count(*) > 1""").collect()

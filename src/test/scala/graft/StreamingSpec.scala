@@ -458,6 +458,52 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st19 streaming embedding-dedup gate == batch searchInt8 verdicts") {
+    import org.apache.spark.sql.functions.col
+    // index corpus lives on dims 0..31; the novel stream vector is
+    // one-hot on dim 63 → cosine 0 against every indexed vector
+    def v(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.tabulate(64)(d => if (d < 32) r.nextGaussian().toFloat else 0.0f)
+    }
+    val novel: Seq[Float] = Seq.tabulate(64)(d => if (d == 63) 1.0f else 0.0f)
+    val corpus = (0 until 40).map(i => (i.toLong, v(i))).toDF("vec_id", "embedding")
+    val ixName = "graft_st19_ix"
+    graft.operators.AnnIndex.drop(spark, ixName)
+    graft.operators.AnnIndex.fit(corpus, ixName)
+    val allDocs = Seq(
+      (1001L, v(7), "dup of indexed 7"),
+      (1002L, novel, "novel direction"),
+      (1003L, v(13), "dup of indexed 13"),
+      (1004L, novel, "novel again"))
+    val ms = MemoryStream[(Long, Seq[Float], String)]
+    val df = ms.toDF().toDF("doc_id", "embedding", "text")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-st19").toString + "/out"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-st19-ck").toString
+    val q = Streams.startEmbDedupGate(df, ixName, outDir, ckpt, minCosine = 0.95)
+    try {
+      ms.addData(allDocs(0), allDocs(1))
+      q.processAllAvailable()
+      ms.addData(allDocs(2), allDocs(3))
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // parity: the batch-side verdicts through the same serving path
+      val batchDf = allDocs.toDF("doc_id", "embedding", "text")
+      val dupIds = graft.operators.AnnIndex.searchInt8(
+          batchDf.select(col("doc_id").as("vec_id"), col("embedding")), ixName, k = 1)
+        .filter(col("cos") >= 0.95)
+        .select("qid").collect().map(_.getLong(0)).toSet
+      assert(streamed == allDocs.map(_._1).toSet -- dupIds)
+      // and the verdicts are the planted ones: exact copies of indexed
+      // vectors blocked, the orthogonal direction admitted (twice — the
+      // gate checks the INDEX, not the stream's own history)
+      assert(streamed == Set(1002L, 1004L))
+    } finally q.stop()
+  }
+
   test("st11 toTable sink: micro-batches land in a metastore table visible to SQL") {
     val ms = MemoryStream[StreamEv]
     spark.sql("DROP TABLE IF EXISTS graft_st11_sink")

@@ -535,4 +535,36 @@ class TextAnalysisSpec extends GraftSpec {
     // diversity ordering: diverse > zipf > templated
     assert(r("div")._4 > r("zipf")._4 && r("zipf")._4 > r("tmpl")._4)
   }
+
+  test("q128 per-source quality quota: top-N by score, native top-k plan") {
+    import org.apache.spark.sql.functions._
+    // srcA: 4 docs with strictly ordered quality (longer + more
+    // distinct tokens score higher); srcB under quota entirely
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "srcA"),
+      (2L, "alpha alpha alpha alpha", "srcA"),
+      (3L, "one two three four five six seven eight nine ten", "srcA"),
+      (4L, "data data", "srcA"),
+      (5L, "solitary document", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val kept = TextAnalysis.q128(d, quota = 2)
+    val ids = kept.collect().map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSeq
+    // reference: plain window over the same q48 scores
+    val q = TextAnalysis.q48(d)
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(floor(col("quality") * lit(1e8)).cast("long").desc, col("doc_id"))
+    val ref = q.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .select(col("source"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(ids.sorted == ref)
+    assert(ids.count(_._1 == "srcA") == 2)   // quota binds
+    assert(ids.contains(("srcB", 5L)))       // under-quota source intact
+    // the rank window compiled to the native bounded-heap operator
+    val plan = formattedPlan(TextAnalysis.q128(d, quota = 2))
+    assert(plan.contains("TopKPerKey"), plan)
+  }
 }
