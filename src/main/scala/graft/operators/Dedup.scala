@@ -569,13 +569,28 @@ object Dedup {
     * within-batch rank is a WindowGroupLimit-free window partitioned
     * by digest (groups are duplicate sets, inherently small). */
   def q109(corpus: DataFrame, batch: DataFrame): DataFrame = {
-    val dg = md5(encode(lower(trim(col("text"))), "UTF-8"))
-    val ingested = corpus.select(dg.as("dg")).distinct()
+    val ingested = corpus.select(normDigest.as("dg")).distinct()
       .withColumn("hit", lit(1))
+    ingestStatus(batch.select(col("doc_id"), normDigest.as("dg")), ingested)
+  }
+
+  /** The normalized-text content digest every exact-dedup surface keys
+    * on (q40/q109/q110/q126/[[DedupIndex]]/st10): md5 of the
+    * lower-trimmed text — factored so the batch operators, the
+    * persisted index, and the oracle derivations cannot drift. */
+  private[graft] def normDigest: Column =
+    md5(encode(lower(trim(col("text"))), "UTF-8"))
+
+  /** Shared verdict tail of the incremental-dedup family: given the
+    * batch's (doc_id, dg) projection and a DISTINCT (dg, hit) frame of
+    * already-ingested digests, emit dup_corpus / dup_batch / new per
+    * batch doc. The within-batch rank is a digest-partitioned
+    * row_number — duplicate sets are inherently small groups. */
+  private[graft] def ingestStatus(batchDg: DataFrame, hitDg: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("dg")).orderBy(col("doc_id"))
-    batch.select(col("doc_id"), dg.as("dg"))
-      .join(ingested, Seq("dg"), "left_outer")
+    batchDg
+      .join(hitDg, Seq("dg"), "left_outer")
       .withColumn("rn", row_number().over(w))
       .select(col("doc_id"), col("dg"),
         when(col("hit").isNotNull, lit("dup_corpus"))
@@ -624,20 +639,37 @@ object Dedup {
   private[graft] def bloomFitDigests(corpusDg: DataFrame,
                                      fpp: Double = 0.01,
                                      expectedItems: Long = 0L): Array[Byte] = {
-    import org.apache.spark.sql.graft.ColumnBridge
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val n = math.max(1L,
       if (expectedItems > 0L) expectedItems else corpusDg.count())
-    val nItems = math.min(n, 4000000L)
+    val (nItems, nBits) = bloomParams(n, fpp)
+    bloomAggregate(corpusDg, nItems, nBits)
+  }
+
+  /** (estimatedItems, numBits) for a digest bloom — the capacity pair
+    * that fully determines the filter's layout (numHashFunctions
+    * derives from it), so two filters built with the SAME pair are
+    * mergeable ([[DedupIndex.append]] relies on this). Clamped to
+    * Spark's runtime-filter creation caps. */
+  private[graft] def bloomParams(n: Long, fpp: Double): (Long, Long) = {
+    val nItems = math.min(math.max(1L, n), 4000000L)
     val nBits = math.min(
       org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nItems, fpp),
       67108864L)
+    (nItems, nBits)
+  }
+
+  /** One distributed `BloomFilterAggregate` over xxhash64(dg) with a
+    * FIXED capacity pair; null on empty input. */
+  private[graft] def bloomAggregate(dgFrame: DataFrame,
+                                    nItems: Long, nBits: Long): Array[Byte] = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val agg = new BloomFilterAggregate(
       ColumnBridge.expression(xxhash64(col("dg"))),
       org.apache.spark.sql.catalyst.expressions.Literal(nItems),
       org.apache.spark.sql.catalyst.expressions.Literal(nBits))
       .toAggregateExpression()
-    corpusDg.select(ColumnBridge.column(agg).as("bf"))
+    dgFrame.select(ColumnBridge.column(agg).as("bf"))
       .head().getAs[Array[Byte]]("bf")
   }
 
@@ -674,24 +706,15 @@ object Dedup {
     * unchanged from q109 (digest-partitioned row_number — duplicate
     * sets are inherently small groups). */
   def q126(corpus: DataFrame, batch: DataFrame, fpp: Double = 0.01): DataFrame = {
-    val dg = md5(encode(lower(trim(col("text"))), "UTF-8"))
-    val corpusDg = corpus.select(dg.as("dg"))
+    val corpusDg = corpus.select(normDigest.as("dg"))
     val bloom = bloomFitDigests(corpusDg, fpp)
-    val batchDg = batch.select(col("doc_id"), dg.as("dg"))
+    val batchDg = batch.select(col("doc_id"), normDigest.as("dg"))
     val candDg = batchDg.filter(bloomMightContain(bloom, col("dg")))
       .select(col("dg")).distinct()
     val hitDg = corpusDg.distinct()
       .join(candDg, Seq("dg"), "left_semi")
       .withColumn("hit", lit(1))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("dg")).orderBy(col("doc_id"))
-    batchDg.join(hitDg, Seq("dg"), "left_outer")
-      .withColumn("rn", row_number().over(w))
-      .select(col("doc_id"), col("dg"),
-        when(col("hit").isNotNull, lit("dup_corpus"))
-          .when(col("rn") > 1, lit("dup_batch"))
-          .otherwise(lit("new")).as("status"))
-      .orderBy(col("doc_id"))
+    ingestStatus(batchDg, hitDg)
   }
 
   /** q127: per-source DUPLICATION PROFILE — the report a curation team

@@ -393,6 +393,45 @@ object Streams {
       }
       .start()
 
+  /** st20: streaming CORPUS-dedup gate over the persisted s12 index —
+    * exact dedup at ingest where the dedup STATE lives in the LAKE
+    * instead of a per-query state store: each micro-batch runs
+    * [[graft.operators.DedupIndex.dedup]] (bloom map-side, bucketed
+    * digest-table verify, the exact batch q109/q126 verdict tail),
+    * admits only `status = 'new'` docs (first copy within the batch
+    * wins; corpus dups and later in-batch copies drop), and — unlike
+    * the fixed-reference gates st15–st19 — then REGISTERS the admitted
+    * docs' digests via [[graft.operators.DedupIndex.append]], so a
+    * duplicate arriving three batches later is caught against the
+    * grown index. This is st10's semantics with the state externalized:
+    * the digest table is readable/compactable/shared by every batch
+    * job, survives the query, and the RocksDB store holds nothing.
+    *
+    * Delivery: the append's anti-join makes digest registration
+    * idempotent under foreachBatch replay (a replayed batch can only
+    * no-op), so verdicts stay conservative — a replay can never
+    * double-ADMIT; pair the parquet sink with the st06 idempotent-sink
+    * pattern for exactly-once output files. */
+  def startCorpusDedupGate(docs: DataFrame, indexName: String,
+                           outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val keep = graft.operators.DedupIndex.dedup(batch, indexName)
+          .filter(col("status") === "new")
+          .select(col("doc_id"))
+        val kept = batch.join(keep, Seq("doc_id"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          kept.write.mode("append").parquet(outDir)
+          graft.operators.DedupIndex.append(kept, indexName)
+        } finally { kept.unpersist(); () }
+        ()
+      }
+      .start()
+
   private def closed(user: Long, s: OpenSession): SessionOut =
     SessionOut(user, s.start_us, s.n, s.last_us - s.start_us, s.total)
 

@@ -504,6 +504,43 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st20 streaming corpus-dedup gate: lake-resident state catches cross-batch dups") {
+    import org.apache.spark.sql.functions.col
+    val ixName = "graft_st20_ix"
+    graft.operators.DedupIndex.drop(spark, ixName)
+    graft.operators.DedupIndex.fit(
+      Seq((1L, "historical corpus document")).toDF("doc_id", "text"), ixName)
+    val ms = MemoryStream[(Long, String)]
+    val df = ms.toDF().toDF("doc_id", "text")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-st20").toString + "/out"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-st20-ck").toString
+    val q = Streams.startCorpusDedupGate(df, ixName, outDir, ckpt)
+    try {
+      ms.addData(
+        (10L, "historical corpus document"),  // dup vs the fitted index
+        (11L, "streamed text alpha"),         // new → registers
+        (12L, "streamed text alpha"))         // dup WITHIN the batch
+      q.processAllAvailable()
+      ms.addData(
+        (20L, "streamed text alpha"),         // dup vs BATCH 1 — the
+                                              // lake state, not a store
+        (21L, "streamed text beta"))          // new
+      q.processAllAvailable()
+      val kept = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(11L, 21L))
+      // the admitted digests are IN the lake table (3 = historical +
+      // alpha + beta), visible to any batch job
+      assert(spark.table(graft.operators.DedupIndex.digestsTable(ixName))
+        .count() == 3L)
+      // and no streaming state store was involved — stateless query
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("st11 toTable sink: micro-batches land in a metastore table visible to SQL") {
     val ms = MemoryStream[StreamEv]
     spark.sql("DROP TABLE IF EXISTS graft_st11_sink")
