@@ -1756,6 +1756,31 @@ object Oracles {
              ORDER BY CAST(floor(quality * 1e8) AS BIGINT) DESC, doc_id) AS rk
            FROM q)
          SELECT source, doc_id, quality FROM rk WHERE rk <= $SourceQuota
-         ORDER BY source, doc_id"""
+         ORDER BY source, doc_id""",
+
+    // value-based doc-id tranches against the max id (integer div in
+    // both engines — no ntile window anywhere); each distinct token
+    // attributes to its first-appearance tranche
+    "q130_vocab_growth" ->
+      """WITH t AS (SELECT doc_id,
+             unnest(string_split(lower(trim(text)), ' ')) AS tok
+           FROM documents),
+         mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+         fs AS (SELECT tok, MIN(doc_id) AS first_doc FROM t GROUP BY tok),
+         nt AS (SELECT (first_doc * 10) // (mx + 1) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS new_tokens FROM fs, mx GROUP BY 1),
+         tv AS (SELECT (doc_id * 10) // (mx + 1) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS token_volume FROM t, mx GROUP BY 1),
+         dc AS (SELECT (doc_id * 10) // (mx + 1) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents, mx GROUP BY 1)
+         SELECT dc.bucket, n_docs,
+           COALESCE(token_volume, 0) AS token_volume,
+           COALESCE(new_tokens, 0) AS new_tokens,
+           CAST(SUM(COALESCE(new_tokens, 0)) OVER (ORDER BY dc.bucket
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab,
+           CAST(COALESCE(new_tokens, 0) AS DOUBLE) /
+             CAST(token_volume AS DOUBLE) AS novelty_rate
+         FROM dc LEFT JOIN tv USING(bucket) LEFT JOIN nt USING(bucket)
+         ORDER BY dc.bucket"""
   )
 }

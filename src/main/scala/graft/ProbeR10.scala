@@ -18,6 +18,15 @@ object ProbeR10 {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
+    // a previous probe JVM's table DIRECTORIES outlive its in-memory
+    // catalog, and CTAS refuses an existing managed location — wipe
+    // the probe namespaces before fitting
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
+      f.delete(); ()
+    }
+    Option(new java.io.File("spark-warehouse").listFiles)
+      .foreach(_.filter(_.getName.startsWith("probe_")).foreach(rmrf))
 
     def time(f: => Unit): Double =
       (1 to 2).map { _ =>
@@ -68,10 +77,35 @@ object ProbeR10 {
         operators.AnnIndex.append(incPart, name + "_inc")
         (System.nanoTime() - t0) / 1e9
       }.min
-      println(s"[probeR10] $tag done (n_vec=$nVec)")
+
+      // s12 lifecycle: fit the digest index on the doc corpus, serve a
+      // 20% re-keyed batch, append a 5% novel increment (suffix-salted
+      // so its digests are genuinely new)
+      val dixName = "probe_dedupix_" + tag.replace(".", "")
+      val nDoc = docs.count()
+      val dedupBatch = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
+      val incDocs = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 200000000L).as("doc_id"),
+          concat(col("text"), lit(" probe salt "), col("doc_id")).as("text"))
+      walls(("s12_fit", tag)) = time {
+        operators.DedupIndex.drop(spark, dixName)
+        operators.DedupIndex.fit(docs, dixName)
+      }
+      walls(("s12_dedup20pct", tag)) =
+        time(noop(operators.DedupIndex.dedup(dedupBatch, dixName)))
+      walls(("s12_append5pct", tag)) = (1 to 2).map { _ =>
+        operators.DedupIndex.drop(spark, dixName + "_inc")
+        operators.DedupIndex.fit(docs, dixName + "_inc")
+        val t0 = System.nanoTime()
+        operators.DedupIndex.append(incDocs, dixName + "_inc")
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(s"[probeR10] $tag done (n_vec=$nVec, n_doc=$nDoc)")
     }
     for (op <- Seq("clean_scrubbed", "s11_fit", "s11_searchLsh",
-                   "s11_searchIvf", "s11_searchInt8", "s11_append5pct")) {
+                   "s11_searchIvf", "s11_searchInt8", "s11_append5pct",
+                   "s12_fit", "s12_dedup20pct", "s12_append5pct")) {
       val s = walls((op, "sf0.01")); val b = walls((op, "sf0.1"))
       println(f"[probeR10] $op%-16s sf0.01=$s%7.2fs sf0.1=$b%7.2fs " +
         f"ratio=${b / s}%5.2fx")

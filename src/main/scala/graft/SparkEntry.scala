@@ -174,6 +174,11 @@ object SparkEntry {
     }),
     "q127_dup_profile"         -> ((s, d) => Dedup.q127(documents(s, d))),
     "q128_quota_topk"          -> ((s, d) => TextAnalysis.q128(documents(s, d))),
+    // rows-only: the next-fit packer is a sequential per-shard walk —
+    // not portable SQL; invariants are specced (capacity, contiguous
+    // offsets, dense bins, determinism, q88 shard parity)
+    "q129_pack_assign"         -> ((s, d) => TextAnalysis.q129(documents(s, d))),
+    "q130_vocab_growth"        -> ((s, d) => TextAnalysis.q130(documents(s, d))),
     // snapshot diff: "old" drops every DiffOldDropMod-th doc, "new"
     // drops every DiffNewDropMod-th and upper-cases every
     // DiffUpperMod-th's text — the mod constants live in Oracles and

@@ -108,7 +108,9 @@ object Sql {
           docs.filter(pmod(col("doc_id"), lit(Oracles.IngestBatchMod)) === 0L))
       }),
       "graft_dup_profile"    -> (() => Dedup.q127(docs)),
-      "graft_quota_topk"     -> (() => TextAnalysis.q128(docs))
+      "graft_quota_topk"     -> (() => TextAnalysis.q128(docs)),
+      "graft_pack_assign"    -> (() => TextAnalysis.q129(docs)),
+      "graft_vocab_growth"   -> (() => TextAnalysis.q130(docs))
     )
     views.map { case (name, mk) => mk().createOrReplaceTempView(name); name }
   }

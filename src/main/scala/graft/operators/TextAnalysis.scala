@@ -1284,6 +1284,101 @@ object TextAnalysis {
     * quality), not ranked rows — a consumer that wants ranks re-ranks
     * the quota·sources-sized result, not the corpus. Ties break by
     * doc_id, so the kept set is reproducible anywhere. */
+  /** q129: deterministic PACKING ASSIGNMENT — the executable half of
+    * the q77/q124 packing story: assign every document to a concrete
+    * (shard, bin, offset) so fixed-capacity training rows can be
+    * materialized, not just histogrammed. Docs ride q88's
+    * deterministic shard hash, and WITHIN a shard a next-fit packer
+    * walks the hash order (the order a shard writer consumes anyway):
+    * a doc opens a new bin when it would overflow `capacity`; a doc
+    * longer than `capacity` occupies a bin alone (overflow bin —
+    * `offset = 0 && n_tokens > capacity`, the chunker q87/q125 is the
+    * upstream fix for those).
+    *
+    * Scale shape: ONE shuffle (hash repartition by shard), then the
+    * packer is a sequential per-partition walk — inherently serial
+    * within a shard (each bin decision depends on the previous), which
+    * is why this is a justified `mapPartitions`: the sequence is
+    * shard-local, shards are the parallelism unit, and no state
+    * crosses partitions. Deterministic end to end (hash order + greedy
+    * walk), so the same corpus packs identically anywhere — the
+    * reproducibility contract q88/q91 establish. */
+  def q129(documents: DataFrame, shards: Int = 32,
+           capacity: Int = 256): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val h = pmod(
+      pmod(col("doc_id") + lit(20260812L), lit(1000000007L)) * lit(2654435761L),
+      lit(1000000007L))
+    documents
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens"),
+        h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
+      .select(col("shard"), col("h"), col("doc_id"), col("n_tokens"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("h"), col("doc_id"))
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var curShard = -1L
+        var bin = 0L
+        var fill = 0L
+        it.map { case (shard, _, docId, n) =>
+          if (shard != curShard) { curShard = shard; bin = 0L; fill = 0L }
+          else if (fill > 0L && fill + n > capacity) { bin += 1L; fill = 0L }
+          val off = fill
+          fill += n
+          (docId, shard, bin, off, n)
+        }
+      }
+      .toDF("doc_id", "shard", "bin", "offset", "n_tokens")
+      .orderBy(col("shard"), col("bin"), col("offset"))
+  }
+
+  /** q130: VOCABULARY-GROWTH / novelty curve — how much NEW vocabulary
+    * each tranche of the corpus contributes (Heaps-law curve): the
+    * crawl-exhaustion diagnostic a data team reads before paying for
+    * another ingest round (a flattening curve means new data is
+    * re-treading old vocabulary). Doc-id space splits into `buckets`
+    * value-based tranches (integer arithmetic against the broadcast
+    * max id — NO global ntile window, the q118 lesson); each distinct
+    * token attributes to the tranche of its FIRST appearance.
+    *
+    * Scale shape: the token stream aggregates once on tok (map-side
+    * combined min/count), everything after is ≤ buckets rows; the
+    * cumulative-vocab window orders `buckets` rows, not the corpus. */
+  def q130(documents: DataFrame, buckets: Int = 10): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), " ")).as("tok"))
+    val mx = documents.agg(max(col("doc_id")).cast("long").as("mx"))
+    def bucketOf(name: String): Column =
+      expr(s"($name * $buckets) div (mx + 1)")
+    val firstSeen = toks.groupBy(col("tok"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(mx))
+      .groupBy(bucketOf("first_doc").as("bucket"))
+      .agg(count(lit(1)).as("new_tokens"))
+    val volume = toks.crossJoin(broadcast(mx))
+      .groupBy(bucketOf("doc_id").as("bucket"))
+      .agg(count(lit(1)).as("token_volume"))
+    val nDocs = documents.crossJoin(broadcast(mx))
+      .groupBy(bucketOf("doc_id").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    nDocs
+      .join(volume, Seq("bucket"), "left_outer")
+      .join(firstSeen, Seq("bucket"), "left_outer")
+      .select(col("bucket"), col("n_docs"),
+        coalesce(col("token_volume"), lit(0L)).as("token_volume"),
+        coalesce(col("new_tokens"), lit(0L)).as("new_tokens"))
+      .withColumn("cum_vocab", sum(col("new_tokens")).over(w))
+      .withColumn("novelty_rate",
+        col("new_tokens").cast("double") / col("token_volume").cast("double"))
+      .orderBy(col("bucket"))
+  }
+
   def q128(documents: DataFrame, quota: Int = graft.Oracles.SourceQuota): DataFrame = {
     val toks = split(trim(col("text")), " ")
     val scored = documents

@@ -160,6 +160,15 @@ class SqlSurfaceSpec extends GraftSpec {
       .collect().isEmpty)   // the quota binds per source
     assert(spark.sql(
       "SELECT count(*) FROM graft_quota_topk").collect()(0).getLong(0) > 0)
+    assert(spark.sql(
+      """SELECT shard, bin FROM graft_pack_assign
+         GROUP BY shard, bin
+         HAVING sum(n_tokens) > 256 AND count(*) > 1""")
+      .collect().isEmpty)   // only single-doc overflow bins may exceed capacity
+    assert(spark.sql(
+      """SELECT bucket FROM graft_vocab_growth
+         WHERE new_tokens > token_volume OR novelty_rate < 0 OR novelty_rate > 1""")
+      .collect().isEmpty)   // a tranche can't mint more vocab than it has tokens
 
     // iterative operators materialize on demand (clusters run a
     // driver fixpoint loop, so they are tables, not lazy views)

@@ -567,4 +567,70 @@ class TextAnalysisSpec extends GraftSpec {
     val plan = formattedPlan(TextAnalysis.q128(d, quota = 2))
     assert(plan.contains("TopKPerKey"), plan)
   }
+
+  test("q129 packing assignment: capacity, contiguity, determinism, q88 parity") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, SF)
+    val capacity = 100
+    val r = TextAnalysis.q129(docs, shards = 8, capacity = capacity).collect()
+    // every doc assigned exactly once
+    assert(r.map(_.getAs[Long]("doc_id")).distinct.length == docs.count())
+    val byBin = r.groupBy(x => (x.getAs[Long]("shard"), x.getAs[Long]("bin")))
+    byBin.foreach { case ((_, _), rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("offset"))
+      // offsets are the running token sum — contiguous from 0
+      sorted.foldLeft(0L) { (expect, row) =>
+        assert(row.getAs[Long]("offset") == expect)
+        expect + row.getAs[Long]("n_tokens")
+      }
+      // a bin respects capacity unless it is a single oversized doc
+      val total = rows.map(_.getAs[Long]("n_tokens")).sum
+      assert(total <= capacity ||
+        (rows.length == 1 && rows.head.getAs[Long]("n_tokens") > capacity))
+    }
+    // bins are dense per shard: 0..max with no gaps
+    r.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      val bins = rows.map(_.getAs[Long]("bin")).distinct.sorted
+      assert(bins.sameElements(0L until bins.length.toLong))
+    }
+    // deterministic: a second run packs identically
+    val r2 = TextAnalysis.q129(docs, shards = 8, capacity = capacity).collect()
+    assert(r.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
+    // shard assignment IS q88's hash (the shard-writer order contract)
+    val q88Shards = TextAnalysis.q88(docs, shards = 8).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("shard")).toMap
+    assert(r.forall(x =>
+      q88Shards(x.getAs[Long]("doc_id")) == x.getAs[Long]("shard")))
+    // an oversized doc occupies its own overflow bin
+    val tiny = Seq((1L, Seq.fill(30)("tok").mkString(" ")),
+      (2L, "small doc here"), (3L, "another small doc")).toDF("doc_id", "text")
+    val o = TextAnalysis.q129(tiny, shards = 1, capacity = 10).collect()
+    val big = o.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(big.getAs[Long]("offset") == 0L && big.getAs[Long]("n_tokens") == 30L)
+    assert(o.filter(_.getAs[Long]("bin") == big.getAs[Long]("bin")).length == 1)
+  }
+
+  test("q130 vocabulary growth: tranche attribution and closed-form checks") {
+    import org.apache.spark.sql.functions._
+    // ids 0..9 → 2 tranches at buckets=2; tranche 2 re-treads tranche
+    // 1's vocab plus two novel words
+    val d = (0L to 9L).map { i =>
+      val base = "alpha beta gamma"
+      val text = if (i < 5) s"$base w$i" else s"$base ${if (i == 7) "nu1 nu2" else "w1"}"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val r = TextAnalysis.q130(d, buckets = 2).collect()
+      .map(x => x.getAs[Long]("bucket") ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("token_volume"),
+          x.getAs[Long]("new_tokens"), x.getAs[Long]("cum_vocab"))).toMap
+    // tranche 0: 5 docs × 4 tokens; vocab = alpha beta gamma w0..w4 = 8
+    assert(r(0L) == ((5L, 20L, 8L, 8L)))
+    // tranche 1: only nu1/nu2 are first-seen there (w1 re-treads);
+    // volume = 4 docs × 4 + 1 doc × 5
+    assert(r(1L) == ((5L, 21L, 2L, 10L)))
+    // novelty collapses from 8/20 to 2/21 — the exhaustion signal
+    val rates = TextAnalysis.q130(d, buckets = 2).collect()
+      .map(_.getAs[Double]("novelty_rate"))
+    assert(rates(0) > rates(1))
+  }
 }
