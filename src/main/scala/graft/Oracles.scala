@@ -1781,6 +1781,38 @@ object Oracles {
            CAST(COALESCE(new_tokens, 0) AS DOUBLE) /
              CAST(token_volume AS DOUBLE) AS novelty_rate
          FROM dc LEFT JOIN tv USING(bucket) LEFT JOIN nt USING(bucket)
-         ORDER BY dc.bucket"""
+         ORDER BY dc.bucket""",
+
+    // q132: drift between the q110 snapshot derivations. The KL total
+    // is the q121 fixed-point sum (floor to 1e-12 longs — order-free
+    // exact); ln goes through the shared lnChain; ranking ties break
+    // on the exact long then token.
+    "q132_token_drift" ->
+      s"""WITH o AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+           FROM documents WHERE doc_id % $DiffOldDropMod <> 0),
+         nw AS (SELECT unnest(string_split(lower(trim(
+             CASE WHEN doc_id % $DiffUpperMod = 0 THEN upper(text) ELSE text END)), ' ')) AS tok
+           FROM documents WHERE doc_id % $DiffNewDropMod <> 0),
+         oc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_old FROM o GROUP BY tok),
+         nc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_new FROM nw GROUP BY tok),
+         j AS (SELECT COALESCE(oc.tok, nc.tok) AS tok,
+             COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+           FROM oc FULL OUTER JOIN nc ON oc.tok = nc.tok),
+         t AS (SELECT CAST(SUM(n_old) AS BIGINT) AS t_old,
+             CAST(SUM(n_new) AS BIGINT) AS t_new, COUNT(*) AS v FROM j),
+         p0 AS (SELECT tok, n_old, n_new,
+             (CAST(n_old AS DOUBLE) + 0.5) / (CAST(t_old AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)) AS p_old,
+             (CAST(n_new AS DOUBLE) + 0.5) / (CAST(t_new AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)) AS p_new
+           FROM j CROSS JOIN t),
+         ${lnChain("lnp", "p0", Seq("tok", "n_old", "n_new", "p_old", "p_new"),
+           Seq("p_new / p_old" -> "lnr"))},
+         c AS (SELECT tok, n_old, n_new, p_old, p_new,
+             p_new * lnr AS contrib,
+             CAST(floor(p_new * lnr * 1.0e12) AS BIGINT) AS c12
+           FROM lnp),
+         k AS (SELECT CAST(SUM(c12) AS DOUBLE) / 1.0e12 AS kl_total FROM c)
+         SELECT tok, n_old, n_new, p_old, p_new, contrib, kl_total
+         FROM c CROSS JOIN k
+         ORDER BY abs(c12) DESC, tok LIMIT 50"""
   )
 }

@@ -101,11 +101,34 @@ object ProbeR10 {
         operators.DedupIndex.append(incDocs, dixName + "_inc")
         (System.nanoTime() - t0) / 1e9
       }.min
+      // s13 lifecycle: fit the near-dup index, serve a 20% batch whose
+      // odd rows are one-word rewrites (so the near path does real
+      // verify work), append a 5% novel increment
+      val nixName = "probe_neardupix_" + tag.replace(".", "")
+      val nearBatch = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000000L).as("doc_id"),
+          when(col("doc_id") % 2 === 0,
+            concat(col("text"), lit(" probenear tail")))
+            .otherwise(col("text")).as("text"))
+      walls(("s13_fit", tag)) = time {
+        operators.NearDupIndex.drop(spark, nixName)
+        operators.NearDupIndex.fit(docs, nixName)
+      }
+      walls(("s13_dedup20pct", tag)) =
+        time(noop(operators.NearDupIndex.dedup(nearBatch, nixName)))
+      walls(("s13_append5pct", tag)) = (1 to 2).map { _ =>
+        operators.NearDupIndex.drop(spark, nixName + "_inc")
+        operators.NearDupIndex.fit(docs, nixName + "_inc")
+        val t0 = System.nanoTime()
+        operators.NearDupIndex.append(incDocs, nixName + "_inc")
+        (System.nanoTime() - t0) / 1e9
+      }.min
       println(s"[probeR10] $tag done (n_vec=$nVec, n_doc=$nDoc)")
     }
     for (op <- Seq("clean_scrubbed", "s11_fit", "s11_searchLsh",
                    "s11_searchIvf", "s11_searchInt8", "s11_append5pct",
-                   "s12_fit", "s12_dedup20pct", "s12_append5pct")) {
+                   "s12_fit", "s12_dedup20pct", "s12_append5pct",
+                   "s13_fit", "s13_dedup20pct", "s13_append5pct")) {
       val s = walls((op, "sf0.01")); val b = walls((op, "sf0.1"))
       println(f"[probeR10] $op%-16s sf0.01=$s%7.2fs sf0.1=$b%7.2fs " +
         f"ratio=${b / s}%5.2fx")

@@ -172,6 +172,28 @@ object SparkEntry {
           .select((col("doc_id") + Oracles.BloomIdOffsetB).as("doc_id"), col("text")))
       Dedup.q126(corpus, batch)
     }),
+    // incremental NEAR-dup ingest (s13's table-free twin): q109's
+    // corpus/batch split plus planted exact re-ingests AND one-word
+    // rewrites of corpus docs, so dup_corpus / near_corpus / new all
+    // occur; rows-only (MinHash banding is not portable SQL) + the
+    // NearDupIndexSpec planted-status/parity specs
+    "q131_neardup_ingest"      -> ((s, d) => {
+      val docs = documents(s, d)
+      import org.apache.spark.sql.functions.{col, lit, pmod, concat}
+      val corpus = docs
+        .filter(pmod(col("doc_id"), lit(Oracles.IngestBatchMod)) =!= 0L)
+      val batch = docs
+        .filter(pmod(col("doc_id"), lit(Oracles.IngestBatchMod)) === 0L)
+        .select(col("doc_id"), col("text"))
+        .unionAll(corpus
+          .filter(pmod(col("doc_id"), lit(Oracles.BloomReingestMod)) === Oracles.BloomReingestRem)
+          .select((col("doc_id") + Oracles.BloomIdOffsetA).as("doc_id"), col("text")))
+        .unionAll(corpus
+          .filter(pmod(col("doc_id"), lit(Oracles.BloomDupBatchMod)) === 0L)
+          .select((col("doc_id") + Oracles.BloomIdOffsetB).as("doc_id"),
+            concat(col("text"), lit(" graftnear tail")).as("text")))
+      Dedup.q131(corpus, batch)
+    }),
     "q127_dup_profile"         -> ((s, d) => Dedup.q127(documents(s, d))),
     "q128_quota_topk"          -> ((s, d) => TextAnalysis.q128(documents(s, d))),
     // rows-only: the next-fit packer is a sequential per-shard walk —
@@ -194,6 +216,20 @@ object SparkEntry {
           when(pmod(col("doc_id"), lit(Oracles.DiffUpperMod)) === 0L, upper(col("text")))
             .otherwise(col("text")).as("text"))
       Dedup.q110(old, newer)
+    }),
+    // token-distribution drift between the q110 snapshots (same
+    // derivation constants, so the two reports describe the same pair
+    // of corpus versions — q110 row-level, q132 distribution-level)
+    "q132_token_drift"         -> ((s, d) => {
+      val docs = documents(s, d)
+      import org.apache.spark.sql.functions.{col, lit, pmod, when, upper}
+      val old  = docs.filter(pmod(col("doc_id"), lit(Oracles.DiffOldDropMod)) =!= 0L)
+        .select(col("doc_id"), col("text"))
+      val newer = docs.filter(pmod(col("doc_id"), lit(Oracles.DiffNewDropMod)) =!= 0L)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(Oracles.DiffUpperMod)) === 0L, upper(col("text")))
+            .otherwise(col("text")).as("text"))
+      TextAnalysis.q132(old, newer)
     }),
     // incremental ingest: every IngestBatchMod-th doc arrives as the
     // "new batch", the rest are the already-ingested corpus (constant

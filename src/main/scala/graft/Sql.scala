@@ -110,7 +110,26 @@ object Sql {
       "graft_dup_profile"    -> (() => Dedup.q127(docs)),
       "graft_quota_topk"     -> (() => TextAnalysis.q128(docs)),
       "graft_pack_assign"    -> (() => TextAnalysis.q129(docs)),
-      "graft_vocab_growth"   -> (() => TextAnalysis.q130(docs))
+      "graft_vocab_growth"   -> (() => TextAnalysis.q130(docs)),
+      // near-dup ingest (q131) is fully lazy — no bloom fit, no
+      // fixpoint — so unlike graft_bloom_dedup it can be a view;
+      // same corpus/batch derivation as graft_incr_dedup
+      "graft_near_ingest"    -> (() => {
+        import org.apache.spark.sql.functions.{col, lit, pmod}
+        Dedup.q131(
+          docs.filter(pmod(col("doc_id"), lit(Oracles.IngestBatchMod)) =!= 0L),
+          docs.filter(pmod(col("doc_id"), lit(Oracles.IngestBatchMod)) === 0L))
+      }),
+      // drift between the q110 snapshot derivations (see Oracles)
+      "graft_token_drift"    -> (() => {
+        import org.apache.spark.sql.functions.{col, lit, pmod, when, upper}
+        TextAnalysis.q132(
+          docs.filter(pmod(col("doc_id"), lit(Oracles.DiffOldDropMod)) =!= 0L),
+          docs.filter(pmod(col("doc_id"), lit(Oracles.DiffNewDropMod)) =!= 0L)
+            .select(col("doc_id"),
+              when(pmod(col("doc_id"), lit(Oracles.DiffUpperMod)) === 0L,
+                upper(col("text"))).otherwise(col("text")).as("text")))
+      })
     )
     views.map { case (name, mk) => mk().createOrReplaceTempView(name); name }
   }

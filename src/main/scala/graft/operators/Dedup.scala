@@ -717,6 +717,25 @@ object Dedup {
     ingestStatus(batchDg, hitDg)
   }
 
+  /** q131: incremental NEAR-dup ingest — [[q109]]'s daily-ingest
+    * question asked at the near-duplicate level: judge each batch doc
+    * against an already-ingested corpus, flagging exact re-ingests
+    * (`dup_corpus`/`dup_batch` — q109's verdicts, same precedence) AND
+    * light rewrites of corpus text (`near_corpus`, shingle Jaccard ≥ t
+    * via the same MinHash-LSH banding + exact-verify machinery as q42,
+    * but batch×corpus instead of self-join — the re-crawl/paraphrase
+    * mode exact digests can't see), else `new`. This is the table-free
+    * twin of the s13 persisted index ([[NearDupIndex]]): both feed the
+    * same verdict core, so the spec can assert bit parity between
+    * "fit then serve from lake tables" and "compute live". Shuffle is
+    * band collisions + candidate shingles — never |batch|·|corpus|,
+    * and corpus text is scanned once (collapsed to one representative
+    * per distinct digest) no matter how duplicated it is. rows-only
+    * (MinHash banding is not portable SQL) + planted-status spec. */
+  def q131(corpus: DataFrame, batch: DataFrame,
+           t: Double = MinhashJaccardThreshold): DataFrame =
+    NearDupIndex.nearIngest(NearDupIndex.artifacts(corpus), batch, t)
+
   /** q127: per-source DUPLICATION PROFILE — the report a curation team
     * reads before choosing dedup scope and thresholds: for each source,
     * how much exact duplication exists WITHIN it (docs minus distinct
@@ -845,7 +864,7 @@ object Dedup {
     * are verified with exact Jaccard; output pairs with J > 0.7. */
   /** (doc_id, n, band, band_key) rows from a (doc_id, sig, n)
     * signature frame — the LSH blocking keys q42 and q111 join on. */
-  private def bandKeys(sigs: DataFrame): DataFrame =
+  private[graft] def bandKeys(sigs: DataFrame): DataFrame =
     sigs
       .select(col("doc_id"), col("n"), explode(array((0 until Bands).map { b =>
         struct(lit(b).as("band"), xxhash64(

@@ -95,7 +95,7 @@ object DedupIndex {
       val estItems = meta.getAs[Long]("est_items")
       val numBits = meta.getAs[Long]("num_bits")
       val inc = Dedup.bloomAggregate(newDg, estItems, numBits)
-      appendBucketed(spark, newDg, digestsTable(name))
+      graft.sources.Sources.appendBucketed(newDg, digestsTable(name), "dg")
       val merged = org.apache.spark.util.sketch.BloomFilter
         .readFrom(meta.getAs[Array[Byte]]("bloom"))
       merged.mergeInPlace(
@@ -122,18 +122,5 @@ object DedupIndex {
       .toDF("n_digests", "est_items", "num_bits", "fpp", "bloom")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(bloomTable(name))
-  }
-
-  /** Append into the bucketed digest table under its own catalog
-    * bucket spec (mismatched specs are refused by Spark). */
-  private def appendBucketed(spark: SparkSession, df: DataFrame,
-                             table: String): Unit = {
-    val n = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .bucketSpec.map(_.numBuckets)
-      .getOrElse(sys.error(s"$table is not bucketed — not an index table"))
-    df.write.mode(org.apache.spark.sql.SaveMode.Append)
-      .bucketBy(n, "dg").sortBy("dg")
-      .format("parquet").saveAsTable(table)
   }
 }

@@ -1401,4 +1401,68 @@ object TextAnalysis {
       .select(col("source"), col("doc_id"), col("quality"))
       .orderBy(col("source"), col("doc_id"))
   }
+
+  /** q132: corpus token-distribution DRIFT — the statistical complement
+    * of q110's row-level snapshot diff: q110 says WHICH docs changed
+    * between two corpus versions, q132 says whether the LANGUAGE
+    * changed — KL divergence KL(new ‖ old) between the snapshots'
+    * smoothed unigram distributions, with the top-K tokens by absolute
+    * contribution (the "what drifted" attribution a curation team
+    * reads when a crawler update / new source / dedup-threshold change
+    * shifts the mix — the distribution-shift check run before the new
+    * snapshot is allowed to train). Additive smoothing λ over the
+    * UNION vocabulary keeps both distributions strictly positive (and
+    * summing to 1), so tokens that vanished or appeared contribute
+    * finitely instead of ±∞.
+    *
+    * Float discipline (§6): ln via [[graft.functions.PortableLn]]; the
+    * headline KL total is the q121 fixed-point trick — per-token
+    * contributions floor-scale to 1e-12-resolution longs whose SUM is
+    * order-free exact, so both engines add the same integers (int64
+    * holds it to ~1e6-token vocabularies; past that, shard the sum by
+    * token range). Ranking ties break on the exact long then token.
+    *
+    * Scale shape: one map-side-combined token count per side (the only
+    * corpus-sized stage), then everything is vocab-sized: the full
+    * outer join, the one-row totals broadcast, the KL aggregate, and a
+    * TakeOrdered top-K. Both consumers of the joined counts live in
+    * the ONE returned plan, so ReuseExchange dedupes the count
+    * exchanges (q118's lesson — no persist to leak). */
+  def q132(oldCorpus: DataFrame, newCorpus: DataFrame, topK: Int = 50,
+           lambda: Double = 0.5): DataFrame = {
+    import graft.functions.PortableLn
+    def counts(c: DataFrame, out: String) = c
+      .select(explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as(out))
+    val joined = counts(oldCorpus, "n_old")
+      .join(counts(newCorpus, "n_new"), Seq("tok"), "full_outer")
+      .select(col("tok"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val tot = joined.agg(
+      sum(col("n_old")).cast("long").as("t_old"),
+      sum(col("n_new")).cast("long").as("t_new"),
+      count(lit(1)).as("v"))
+    val per = joined.crossJoin(broadcast(tot))
+      .withColumn("p_old",
+        (col("n_old").cast("double") + lit(lambda)) /
+          (col("t_old").cast("double") + lit(lambda) * col("v").cast("double")))
+      .withColumn("p_new",
+        (col("n_new").cast("double") + lit(lambda)) /
+          (col("t_new").cast("double") + lit(lambda) * col("v").cast("double")))
+      .withColumn("contrib",
+        col("p_new") * PortableLn(col("p_new") / col("p_old")))
+      .withColumn("c12", floor(col("contrib") * lit(1.0e12)).cast("long"))
+    val kl = per.agg(
+      (sum(col("c12")).cast("double") / lit(1.0e12)).as("kl_total"))
+    per
+      .orderBy(abs(col("c12")).desc, col("tok"))
+      .limit(topK)
+      .crossJoin(broadcast(kl))
+      .select(col("tok"), col("n_old"), col("n_new"),
+        col("p_old"), col("p_new"), col("contrib"), col("kl_total"))
+      // re-derive the rank key (c12 was projected away): same exact long
+      .orderBy(abs(floor(col("contrib") * lit(1.0e12)).cast("long")).desc,
+        col("tok"))
+  }
 }

@@ -51,6 +51,20 @@ object Sources {
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
 
+  /** Append into an existing bucketed table under its OWN catalog
+    * bucket spec (read back so the caller cannot drift the bucket
+    * count — Spark refuses mismatched specs, this makes the match
+    * automatic). Shared by the persisted-index appends (s12/s13). */
+  def appendBucketed(df: DataFrame, table: String, bucketCol: String): Unit = {
+    val n = df.sparkSession.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(sys.error(s"$table is not bucketed — not an index table"))
+    df.write.mode(SaveMode.Append)
+      .bucketBy(n, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
+  }
+
   /** Avro round-trip (s08) — the classic Hive-lake row-interchange
     * format. The standalone `spark-avro` datasource module is not on
     * this cluster's jar path, so the supported route is the one a Hive

@@ -432,6 +432,43 @@ object Streams {
       }
       .start()
 
+  /** st21: streaming NEAR-dup gate over the persisted s13 index — the
+    * near-duplicate twin of st20, completing the lake-state pair: each
+    * micro-batch runs [[graft.operators.NearDupIndex.dedup]] (LSH
+    * band-postings join + exact-Jaccard verify against the bucketed
+    * gram table — the full q131 verdict), admits only `status = 'new'`
+    * docs (exact re-ingests AND light rewrites of anything indexed
+    * both drop), then REGISTERS the admitted docs via
+    * [[graft.operators.NearDupIndex.append]] — so a paraphrase of a
+    * doc admitted three batches earlier is caught against the grown
+    * index, which no fixed-reference gate (st15–st19) can do. State
+    * lives entirely in the lake tables (digests/bands/grams): no
+    * state store, per-batch work ∝ batch + band collisions. Same
+    * replay story as st20: append can only no-op, a replay never
+    * double-admits. Within-batch NEAR pairs are out of contract
+    * (both admit — [[graft.operators.Dedup.q42]] on the admitted
+    * stream closes that window at compaction cadence). */
+  def startNearDupGate(docs: DataFrame, indexName: String,
+                       outDir: String, checkpoint: String,
+                       t: Double = graft.operators.Dedup.MinhashJaccardThreshold)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val keep = graft.operators.NearDupIndex.dedup(batch, indexName, t)
+          .filter(col("status") === "new")
+          .select(col("doc_id"))
+        val kept = batch.join(keep, Seq("doc_id"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          kept.write.mode("append").parquet(outDir)
+          graft.operators.NearDupIndex.append(kept, indexName)
+        } finally { kept.unpersist(); () }
+        ()
+      }
+      .start()
+
   private def closed(user: Long, s: OpenSession): SessionOut =
     SessionOut(user, s.start_us, s.n, s.last_us - s.start_us, s.total)
 

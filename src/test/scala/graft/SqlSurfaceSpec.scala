@@ -169,6 +169,23 @@ class SqlSurfaceSpec extends GraftSpec {
       """SELECT bucket FROM graft_vocab_growth
          WHERE new_tokens > token_volume OR novelty_rate < 0 OR novelty_rate > 1""")
       .collect().isEmpty)   // a tranche can't mint more vocab than it has tokens
+    // near-dup ingest verdicts are the closed q131 status set, and
+    // match columns ride ONLY on near_corpus rows
+    assert(spark.sql(
+      """SELECT status FROM graft_near_ingest
+         WHERE status NOT IN ('new', 'dup_batch', 'dup_corpus', 'near_corpus')
+            OR (status <> 'near_corpus' AND match_dg IS NOT NULL)
+            OR (status = 'near_corpus' AND (match_dg IS NULL OR jaccard < 0.7))""")
+      .collect().isEmpty)
+    // drift: smoothed probabilities are strictly positive and KL(new‖old)
+    // is non-negative (Gibbs) — same constant on every attribution row
+    assert(spark.sql(
+      """SELECT tok FROM graft_token_drift
+         WHERE p_old <= 0 OR p_new <= 0 OR kl_total < 0""")
+      .collect().isEmpty)
+    assert(spark.sql(
+      "SELECT COUNT(DISTINCT kl_total) FROM graft_token_drift")
+      .collect()(0).getLong(0) <= 1L)
 
     // iterative operators materialize on demand (clusters run a
     // driver fixpoint loop, so they are tables, not lazy views)

@@ -541,6 +541,47 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st21 streaming near-dup gate: paraphrases of lake-state docs drop cross-batch") {
+    import org.apache.spark.sql.functions.col
+    val ixName = "graft_st21_ix"
+    def text(tag: String) =
+      (1 to 15).map(w => s"${tag}_w$w term$w").mkString(" ")
+    graft.operators.NearDupIndex.drop(spark, ixName)
+    graft.operators.NearDupIndex.fit(
+      Seq((1L, text("hist"))).toDF("doc_id", "text"), ixName)
+    val ms = MemoryStream[(Long, String)]
+    val df = ms.toDF().toDF("doc_id", "text")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-st21").toString + "/out"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-st21-ck").toString
+    val q = Streams.startNearDupGate(df, ixName, outDir, ckpt)
+    try {
+      ms.addData(
+        (10L, text("hist") + " tail"),  // NEAR dup vs the fitted index
+        (11L, text("alpha")),           // new → registers
+        (12L, text("alpha")))           // exact dup WITHIN the batch
+      q.processAllAvailable()
+      ms.addData(
+        (20L, text("alpha") + " tail"), // NEAR dup vs a BATCH-1 admit —
+                                        // caught only because append
+                                        // grew the lake-resident index
+        (21L, text("hist")),            // exact dup vs the fitted index
+        (22L, text("beta")))            // new
+      q.processAllAvailable()
+      val kept = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(11L, 22L))
+      // lake state grew to hist + alpha + beta, visible to any batch job
+      assert(spark.table(graft.operators.NearDupIndex.digestsTable(ixName))
+        .count() == 3L)
+      // verdict parity with batch q131 over the same grown corpus: the
+      // gate IS the batch operator run per micro-batch
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("st11 toTable sink: micro-batches land in a metastore table visible to SQL") {
     val ms = MemoryStream[StreamEv]
     spark.sql("DROP TABLE IF EXISTS graft_st11_sink")

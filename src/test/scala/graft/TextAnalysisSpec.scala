@@ -633,4 +633,28 @@ class TextAnalysisSpec extends GraftSpec {
       .map(_.getAs[Double]("novelty_rate"))
     assert(rates(0) > rates(1))
   }
+
+  test("q132 token drift: closed-form KL and attribution ordering") {
+    // old = "a a b", new = "a b b": union vocab {a,b}, both totals 3.
+    // λ=0.5 smoothing → p_old = (2.5/4, 1.5/4), p_new = (1.5/4, 2.5/4);
+    // KL(new‖old) = 0.25·ln(5/3) ≈ 0.1277 (fixed-point floor ≤ 2e-12 off)
+    val old   = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val newer = Seq((1L, "a b b")).toDF("doc_id", "text")
+    val r = TextAnalysis.q132(old, newer).collect()
+    assert(r.length == 2)
+    val expected = 0.25 * math.log(5.0 / 3.0)
+    assert(math.abs(r(0).getAs[Double]("kl_total") - expected) < 1e-9)
+    // kl_total is one constant across attribution rows
+    assert(r.map(_.getAs[Double]("kl_total")).distinct.length == 1)
+    // b gained mass → largest |contribution| and positive; a lost → negative
+    assert(r(0).getAs[String]("tok") == "b" && r(0).getAs[Double]("contrib") > 0)
+    assert(r(1).getAs[String]("tok") == "a" && r(1).getAs[Double]("contrib") < 0)
+    // probabilities are smoothed over the union vocab: strictly positive
+    // even for a token absent on one side
+    val gone = TextAnalysis.q132(old, Seq((1L, "c c c")).toDF("doc_id", "text"))
+      .collect()
+    assert(gone.forall(x => x.getAs[Double]("p_old") > 0 &&
+      x.getAs[Double]("p_new") > 0))
+    assert(gone.head.getAs[Double]("kl_total") > 0)
+  }
 }
