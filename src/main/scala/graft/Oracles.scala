@@ -1813,6 +1813,47 @@ object Oracles {
          k AS (SELECT CAST(SUM(c12) AS DOUBLE) / 1.0e12 AS kl_total FROM c)
          SELECT tok, n_old, n_new, p_old, p_new, contrib, kl_total
          FROM c CROSS JOIN k
-         ORDER BY abs(c12) DESC, tok LIMIT 50"""
+         ORDER BY abs(c12) DESC, tok LIMIT 50""",
+
+    // q133: the funnel's stage populations are exactly the q65 oracle's
+    // CTEs — the report just counts them, so its equivalence argument
+    // is q65's
+    "q133_clean_funnel" ->
+      s"""WITH RECURSIVE pairs AS ($Q41Sql),
+         e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+               UNION SELECT doc_b, doc_a FROM pairs),
+         reach(u, v) AS (
+           SELECT u, v FROM e
+           UNION
+           SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u WHERE e2.v <> r.u),
+         losers AS (SELECT u AS doc_id FROM reach GROUP BY u
+                    HAVING LEAST(u, MIN(v)) <> u),
+         norm AS (SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean_text,
+           CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS clean_tokens
+           FROM documents),
+         keep1 AS (SELECT MIN(doc_id) AS keep_id FROM norm GROUP BY clean_text),
+         ex AS (SELECT doc_id, clean_tokens FROM norm
+                WHERE doc_id IN (SELECT keep_id FROM keep1)),
+         nd AS (SELECT doc_id, clean_tokens FROM ex
+                WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+         qf AS (SELECT doc_id, clean_tokens FROM nd WHERE clean_tokens >= 5),
+         u AS (
+           SELECT CAST(1 AS BIGINT) AS stage_id, 'ingest' AS stage,
+             CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(clean_tokens) AS BIGINT) AS n_tokens FROM norm
+           UNION ALL SELECT 2, 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(clean_tokens) AS BIGINT) FROM ex
+           UNION ALL SELECT 3, 'near_dedup', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(clean_tokens) AS BIGINT) FROM nd
+           UNION ALL SELECT 4, 'quality_floor', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(clean_tokens) AS BIGINT) FROM qf),
+         l AS (SELECT stage_id, stage, n_docs, n_tokens,
+             LAG(n_docs) OVER (ORDER BY stage_id) AS prev FROM u)
+         SELECT stage_id, stage, n_docs, n_tokens,
+           CASE WHEN prev IS NULL THEN CAST(0 AS BIGINT)
+                ELSE prev - n_docs END AS dropped_docs,
+           CASE WHEN prev IS NULL THEN 0.0
+                ELSE CAST(prev - n_docs AS DOUBLE) / CAST(prev AS DOUBLE) END AS drop_frac
+         FROM l ORDER BY stage_id"""
   )
 }

@@ -123,12 +123,33 @@ object ProbeR10 {
         operators.NearDupIndex.append(incDocs, nixName + "_inc")
         (System.nanoTime() - t0) / 1e9
       }.min
+      // s14 lifecycle: fit the BM25 inverted index, serve the driver's
+      // standing query batch, append a 5% novel increment
+      val bixName = "probe_bm25ix_" + tag.replace(".", "")
+      val bmQueries = {
+        import spark.implicits._
+        graft.Oracles.Bm25Queries.toDF("query_id", "terms")
+      }
+      walls(("s14_fit", tag)) = time {
+        operators.Bm25Index.drop(spark, bixName)
+        operators.Bm25Index.fit(docs, bixName)
+      }
+      walls(("s14_search", tag)) =
+        time(noop(operators.Bm25Index.search(bmQueries, bixName)))
+      walls(("s14_append5pct", tag)) = (1 to 2).map { _ =>
+        operators.Bm25Index.drop(spark, bixName + "_inc")
+        operators.Bm25Index.fit(docs, bixName + "_inc")
+        val t0 = System.nanoTime()
+        operators.Bm25Index.append(incDocs, bixName + "_inc")
+        (System.nanoTime() - t0) / 1e9
+      }.min
       println(s"[probeR10] $tag done (n_vec=$nVec, n_doc=$nDoc)")
     }
     for (op <- Seq("clean_scrubbed", "s11_fit", "s11_searchLsh",
                    "s11_searchIvf", "s11_searchInt8", "s11_append5pct",
                    "s12_fit", "s12_dedup20pct", "s12_append5pct",
-                   "s13_fit", "s13_dedup20pct", "s13_append5pct")) {
+                   "s13_fit", "s13_dedup20pct", "s13_append5pct",
+                   "s14_fit", "s14_search", "s14_append5pct")) {
       val s = walls((op, "sf0.01")); val b = walls((op, "sf0.1"))
       println(f"[probeR10] $op%-16s sf0.01=$s%7.2fs sf0.1=$b%7.2fs " +
         f"ratio=${b / s}%5.2fx")

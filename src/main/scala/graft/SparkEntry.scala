@@ -195,6 +195,7 @@ object SparkEntry {
       Dedup.q131(corpus, batch)
     }),
     "q127_dup_profile"         -> ((s, d) => Dedup.q127(documents(s, d))),
+    "q133_clean_funnel"        -> ((s, d) => Pipeline.q133(documents(s, d))),
     "q128_quota_topk"          -> ((s, d) => TextAnalysis.q128(documents(s, d))),
     // rows-only: the next-fit packer is a sequential per-shard walk —
     // not portable SQL; invariants are specced (capacity, contiguous

@@ -157,7 +157,10 @@ object Sql {
         Dedup.q126(
           docs.filter(pmod(col("doc_id"), lit(Oracles.IngestBatchMod)) =!= 0L),
           docs.filter(pmod(col("doc_id"), lit(Oracles.IngestBatchMod)) === 0L))
-      })
+      }),
+      // the funnel embeds the same iterative clustering as
+      // graft_dedup_clusters — eager for the same reason
+      "graft_clean_funnel"   -> (() => graft.operators.Pipeline.q133(docs))
     )
     tables.map { case (name, mk) => mk().createOrReplaceTempView(name); name }
   }

@@ -72,6 +72,55 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** q133: pipeline ATTRITION FUNNEL — the per-stage survival report
+    * for the [[cleanCorpus]] composition: docs and token volume after
+    * ingest → exact dedup → near-dup drop → quality floor, with each
+    * stage's dropped-doc count and drop fraction. The one-page answer
+    * to "where did my corpus go?" a curation run publishes next to its
+    * output (and the guardrail that catches a mis-tuned stage — a 60%
+    * near-dup drop on a fresh crawl is a threshold bug, not dedup).
+    * Token volume is billed in the NORMALIZED currency (q54
+    * clean_tokens) at every stage so the stages are comparable.
+    *
+    * Scale shape: the stage frames are cleanCorpus's own plans — the
+    * report adds only four count/sum aggregates (map-side partial,
+    * one row each) and a 4-row window; nothing new touches the
+    * corpus. Oracle-exact: the stage populations compose the SAME
+    * CTEs the q65 oracle proves, so the funnel's counts inherit q65's
+    * cross-engine equivalence argument. */
+  def q133(documents: DataFrame): DataFrame = {
+    val norm = TextAnalysis.q54(documents)
+    val byText = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("clean_text")).orderBy(col("doc_id"))
+    val exactKept = norm
+      .withColumn("__rn", row_number().over(byText))
+      .filter(col("__rn") === 1).drop("__rn")
+    val losers = Dedup.clusters(Dedup.neardupEdges(documents))
+      .filter(col("label") =!= col("doc_id")).select(col("doc_id"))
+    val nearKept = exactKept.join(losers, Seq("doc_id"), "left_anti")
+    val floorKept = nearKept.filter(col("clean_tokens") >= MinTokens)
+    def stage(df: DataFrame, id: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("clean_tokens")).cast("long").as("n_tokens"))
+        .select(lit(id).cast("long").as("stage_id"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    // 4 one-row aggregates + a 4-row window — the lag runs on a
+    // bounded frame, never on data
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("stage_id"))
+    stage(norm, 1, "ingest")
+      .unionAll(stage(exactKept, 2, "exact_dedup"))
+      .unionAll(stage(nearKept, 3, "near_dedup"))
+      .unionAll(stage(floorKept, 4, "quality_floor"))
+      .withColumn("prev", lag(col("n_docs"), 1).over(w))
+      .select(col("stage_id"), col("stage"), col("n_docs"), col("n_tokens"),
+        when(col("prev").isNull, lit(0L))
+          .otherwise(col("prev") - col("n_docs")).as("dropped_docs"),
+        when(col("prev").isNull, lit(0.0))
+          .otherwise((col("prev") - col("n_docs")).cast("double") /
+            col("prev").cast("double")).as("drop_frac"))
+      .orderBy(col("stage_id"))
+  }
+
   /** q105: CANONICAL SELECTION — pick each near-dup cluster's survivor
     * by QUALITY instead of min-id: the survivorship policy a production
     * dedup actually wants ("keep the best copy", not "keep the first

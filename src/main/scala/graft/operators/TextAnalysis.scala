@@ -928,6 +928,19 @@ object TextAnalysis {
     val tf = toks.join(broadcast(vocab), toks("tok") === vocab("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    bm25Tail(qterms, tf, dfs, dl, stats, k)
+  }
+
+  /** The BM25 scoring tail shared by q116 (live corpus statistics) and
+    * the s14 persisted index ([[Bm25Index.search]] feeds it the SAME
+    * four shapes loaded from lake tables — bit parity by construction).
+    * Inputs: qterms (query_id, pos, term), tf (doc_id, term, tf), dfs
+    * (term, df), dl (doc_id, dl), stats one row (n_docs, total_toks).
+    * idf derives here at query time, so index appends that change df/N
+    * re-price every term automatically. */
+  private[graft] def bm25Tail(qterms: DataFrame, tf: DataFrame,
+                              dfs: DataFrame, dl: DataFrame,
+                              stats: DataFrame, k: Int): DataFrame = {
     val avgdl = col("total_toks").cast("double") / col("n_docs")
     val idf = graft.functions.PortableLn(
       (col("n_docs").cast("double") - col("df") + lit(0.5)) /

@@ -111,6 +111,32 @@ class DedupSpec extends GraftSpec {
     assert(plain(1L).contains("license"))
   }
 
+  test("q133 funnel: stage counts match the planted attrition closed-form") {
+    import graft.operators.Pipeline
+    // 6 docs: 2+1 exact-dup clique (drops 2 at exact dedup), a near-dup
+    // pair (one loser drops at near dedup), and a 3-token shorty
+    // (drops at the quality floor). All stage populations hand-counted.
+    val base = "the quick brown fox jumps over the lazy dog again today"
+    val d = Seq(
+      (1L, base),                         // clique rep, also near-dup label
+      (2L, base),                         // exact dup of 1
+      (3L, base),                         // exact dup of 1
+      (4L, base + " extended"),           // near-dup of 1 (J = 9/10): loser
+      (5L, "tiny doc here"),              // survives dedup, fails floor (3 < 5)
+      (6L, "a completely different document with plenty of fresh words")
+    ).toDF("doc_id", "text")
+    val f = Pipeline.q133(d).collect()
+      .map(r => r.getAs[Long]("stage_id") ->
+        (r.getAs[String]("stage"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("dropped_docs"), r.getAs[Double]("drop_frac"))).toMap
+    assert(f(1L) == (("ingest", 6L, 0L, 0.0)))
+    assert(f(2L) == (("exact_dedup", 4L, 2L, 2.0 / 6.0)))
+    assert(f(3L) == (("near_dedup", 3L, 1L, 1.0 / 4.0)))
+    assert(f(4L) == (("quality_floor", 2L, 1L, 1.0 / 3.0)))
+    // the funnel's final stage IS cleanCorpus's output cardinality
+    assert(Pipeline.cleanCorpus(d).count() == 2L)
+  }
+
   test("q69 contamination flags the doc that copies benchmark shingles") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta", "src0"),   // benchmark
