@@ -196,6 +196,10 @@ object SparkEntry {
     }),
     "q127_dup_profile"         -> ((s, d) => Dedup.q127(documents(s, d))),
     "q133_clean_funnel"        -> ((s, d) => Pipeline.q133(documents(s, d))),
+    // rows-only: a driver-side eigensolve is not portable SQL; the
+    // spec proves orthonormality, variance ordering, full-rank
+    // isometry, and planted-axis recovery
+    "q134_pca_project"         -> ((s, d) => Similarity.q134(embeddings(s, d))),
     "q128_quota_topk"          -> ((s, d) => TextAnalysis.q128(documents(s, d))),
     // rows-only: the next-fit packer is a sequential per-shard walk —
     // not portable SQL; invariants are specced (capacity, contiguous

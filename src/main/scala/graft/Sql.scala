@@ -160,7 +160,11 @@ object Sql {
       }),
       // the funnel embeds the same iterative clustering as
       // graft_dedup_clusters — eager for the same reason
-      "graft_clean_funnel"   -> (() => graft.operators.Pipeline.q133(docs))
+      "graft_clean_funnel"   -> (() => graft.operators.Pipeline.q133(docs)),
+      // the PCA fit collects the moment cells before the projection
+      // plan exists — eager like graft_bloom_dedup
+      "graft_pca_proj"       -> (() =>
+        graft.operators.Similarity.q134(spark.table("embeddings")))
     )
     tables.map { case (name, mk) => mk().createOrReplaceTempView(name); name }
   }

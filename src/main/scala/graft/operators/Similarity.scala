@@ -684,4 +684,154 @@ object Similarity {
         col("is_outlier"))
       .orderBy(col("vec_id"))
   }
+
+  /** q134: distributed PCA PROJECTION — reduce the embedding column to
+    * its top-k principal components: the standard pre-ANN / pre-cluster
+    * dimensionality reduction (shorter codes → cheaper q44/q55/q108
+    * distance math, and the denoising step before q92/q96 centroids on
+    * noisy embeddings). Classic big-data PCA decomposition: the D×D
+    * second-moment matrix aggregates DISTRIBUTED (the q97 Gram cell
+    * explode — map-side partial sums, shuffle ≤ partitions·D(D+1)/2
+    * cells, corpus size never reaches the exchange), the eigensolve
+    * runs on the DRIVER on that D×D matrix (cyclic Jacobi — D=64 ⇒
+    * microseconds, constant in corpus size, the same "driver does the
+    * metadata-sized math" contract as s11's ≤16-row centroid collect),
+    * and the k×D projection broadcasts back for a one-pass primitive-
+    * loop map (the vecRows pattern — no interpreted lambda per dim).
+    *
+    * Determinism: eigenvectors are sign-fixed (largest-|entry| made
+    * positive) and ordered by descending eigenvalue, so the same
+    * corpus projects identically on any cluster. rows-only (an
+    * eigensolve is not portable SQL); the spec proves orthonormality,
+    * descending explained variance, full-rank isometry (k = D
+    * preserves pairwise distances), and axis recovery on a planted
+    * anisotropic set. */
+  def q134(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (comps, _, mean) = pcaFit(embeddings, k)
+    val bc = spark.sparkContext.broadcast((comps, mean))
+    embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, e) =>
+        val (cs, mu) = bc.value
+        val proj = new Array[Double](cs.length)
+        var c = 0
+        while (c < cs.length) {
+          val row = cs(c); var s = 0.0; var i = 0
+          while (i < row.length) { s += row(i) * (e(i) - mu(i)); i += 1 }
+          proj(c) = s; c += 1
+        }
+        (id, proj)
+      }
+      .toDF("vec_id", "proj")
+      .orderBy(col("vec_id"))
+  }
+
+  /** PCA fit: (top-k components as k rows of length D, all D
+    * eigenvalues descending, per-dim mean). The distributed part is
+    * two aggregations (per-dim sums for the mean, q97-style pair-cell
+    * sums for the second moments); both collects are D- and
+    * D(D+1)/2-sized — metadata, not data. */
+  private[graft] def pcaFit(embeddings: DataFrame,
+                            k: Int): (Array[Array[Double]], Array[Double], Array[Double]) = {
+    val d = embeddings.select(size(col("embedding"))).head().getInt(0)
+    val n = embeddings.count().toDouble
+    val v = col("embedding")
+    val meanRows = embeddings
+      .select(posexplode(v).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(sum(col("x").cast("double")).as("s"))
+      .collect().map(r => r.getAs[Int]("i") -> r.getAs[Double]("s")).toMap
+    val mu = Array.tabulate(d)(i => meanRows(i) / n)
+    val cellArr = flatten(transform(v, (xi, i) =>
+      transform(slice(v, i + lit(1), size(v)), (xj, j) =>
+        struct(i.cast("long").as("i"), (i + j).cast("long").as("j"),
+          (xi.cast("double") * xj.cast("double")).as("prod")))))
+    val moments = embeddings
+      .select(explode(cellArr).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(sum(col("p.prod")).as("s"))
+      .collect()
+      .map(r => (r.getAs[Long]("i").toInt, r.getAs[Long]("j").toInt) ->
+        r.getAs[Double]("s")).toMap
+    // population covariance from raw moments: E[xx'] − μμ'
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      moments((a, b)) / n - mu(i) * mu(j)
+    }
+    val (evals, evecs) = jacobiEigen(cov) // eigenvectors = columns
+    val order = evals.indices.sortBy(i => -evals(i))
+    val comps = order.take(k).map { c =>
+      val vec = Array.tabulate(d)(i => evecs(i)(c))
+      // sign convention: largest-|entry| positive
+      val m = vec.indices.maxBy(i => math.abs(vec(i)))
+      if (vec(m) < 0) vec.map(-_) else vec
+    }.toArray
+    (comps, order.map(evals).toArray, mu)
+  }
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix (driver-side,
+    * O(D³) per sweep on a D×D input — constant in corpus size).
+    * Returns (eigenvalues, eigenvector matrix with eigenvectors as
+    * COLUMNS). */
+  private def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone)
+    val vm = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var done = false
+    while (sweep < 64 && !done) {
+      var off = 0.0
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { off += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      if (off < 1e-20) done = true
+      else {
+        var p = 0
+        while (p < n) {
+          var q = p + 1
+          while (q < n) {
+            val apq = a(p)(q)
+            if (math.abs(apq) > 1e-18) {
+              val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+              val t =
+                if (theta == 0.0) 1.0
+                else math.signum(theta) /
+                  (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+              val c = 1.0 / math.sqrt(t * t + 1.0)
+              val s = t * c
+              var r = 0
+              while (r < n) {
+                val arp = a(r)(p); val arq = a(r)(q)
+                a(r)(p) = c * arp - s * arq
+                a(r)(q) = s * arp + c * arq
+                r += 1
+              }
+              r = 0
+              while (r < n) {
+                val apr = a(p)(r); val aqr = a(q)(r)
+                a(p)(r) = c * apr - s * aqr
+                a(q)(r) = s * apr + c * aqr
+                r += 1
+              }
+              r = 0
+              while (r < n) {
+                val vrp = vm(r)(p); val vrq = vm(r)(q)
+                vm(r)(p) = c * vrp - s * vrq
+                vm(r)(q) = s * vrp + c * vrq
+                r += 1
+              }
+            }
+            q += 1
+          }
+          p += 1
+        }
+        sweep += 1
+      }
+    }
+    (Array.tabulate(n)(i => a(i)(i)), vm)
+  }
 }

@@ -469,6 +469,48 @@ object Streams {
       }
       .start()
 
+  case class QuotaDoc(doc_id: Long, source: String)
+
+  /** st22: streaming per-source ADMISSION-QUOTA gate — cap how many
+    * documents each source may land at ingest (the live form of
+    * q128's per-domain cap: one hijacked/looping crawler cannot flood
+    * the day's mix). Unlike the lake-state gates (st20/st21) the state
+    * here is ONE LONG per source — admitted-so-far — which is exactly
+    * what a keyed state store is for: `flatMapGroupsWithState` keyed
+    * by source, admitting until the counter hits `quota`. Within a
+    * micro-batch admission is deterministic (smallest doc_id first —
+    * an in-memory sort bounded by the batch's per-source rows);
+    * across batches the counter persists, so a source that filled its
+    * quota in batch 1 admits nothing ever after. Semantics vs batch
+    * q128: q128 ranks by QUALITY over the whole corpus (can't be done
+    * online — future docs are unseen); st22 admits FIRST-N in arrival
+    * order — run q128 over the landed lake at compaction cadence when
+    * quality-ranked survivorship matters. */
+  def startQuotaGate(docs: DataFrame, quota: Long,
+                     outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("source"))
+      .as[QuotaDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[QuotaDoc], state: GroupState[Long]) =>
+          val used = state.getOption.getOrElse(0L)
+          val room = math.max(0L, quota - used).toInt
+          val keep = it.toSeq.sortBy(_.doc_id).take(room)
+          state.update(used + keep.length)
+          keep.iterator
+      }
+      .toDF()
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+  }
+
   private def closed(user: Long, s: OpenSession): SessionOut =
     SessionOut(user, s.start_us, s.n, s.last_us - s.start_us, s.total)
 

@@ -318,4 +318,52 @@ class SimilaritySpec extends GraftSpec {
     val zs = r.collect { case (_, (Some(z), _)) => z }
     assert(math.abs(r(99L)._1.get - zs.max) < 1e-12)
   }
+
+  test("q134 PCA: orthonormal components, descending variance, axis recovery") {
+    // anisotropic planted set: variance 'a' along dim 3, 'b' along dim
+    // 7, noise-free elsewhere → components must recover dims 3 then 7
+    val rng = new scala.util.Random(7)
+    val rows = (0L until 200L).map { i =>
+      val e = new Array[Float](64)
+      e(3) = (rng.nextGaussian() * 10.0).toFloat
+      e(7) = (rng.nextGaussian() * 3.0).toFloat
+      (i, e)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val (comps, evals, _) = Similarity.pcaFit(emb, 4)
+    // eigenvalues descending, non-negative (within eigensolver eps)
+    evals.sliding(2).foreach(p => assert(p(0) >= p(1) - 1e-9))
+    assert(evals.forall(_ > -1e-9))
+    // top-2 components align with the planted axes (sign-fixed)
+    assert(math.abs(comps(0)(3)) > 0.999 && comps(0)(3) > 0)
+    assert(math.abs(comps(1)(7)) > 0.999 && comps(1)(7) > 0)
+    // orthonormality
+    for (i <- comps.indices; j <- comps.indices) {
+      val dot = comps(i).zip(comps(j)).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9)
+    }
+  }
+
+  test("q134 full-rank projection is an isometry (pairwise distances kept)") {
+    val emb = Tables.embeddings(spark, SF).limit(30)
+    import org.apache.spark.sql.functions.col
+    val orig = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    val proj = Similarity.q134(emb, k = 64).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Double]]("proj").toArray)
+      .toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = orig.keys.toSeq.sorted.take(10)
+    for (a <- ids; b <- ids if a < b) {
+      val od = d2(orig(a).map(_.toDouble), orig(b).map(_.toDouble))
+      val pd = d2(proj(a), proj(b))
+      // rotation + translation preserves distances (centering cancels)
+      assert(math.abs(od - pd) < 1e-6 * math.max(1.0, od))
+    }
+    // k < D output really is k-dimensional
+    assert(Similarity.q134(emb, k = 8).head()
+      .getAs[scala.collection.Seq[Double]]("proj").length == 8)
+  }
 }

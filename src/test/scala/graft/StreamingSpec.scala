@@ -582,6 +582,32 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st22 per-source quota gate: the admission counter survives across batches") {
+    val ms = MemoryStream[(Long, String)]
+    val df = ms.toDF().toDF("doc_id", "source")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-st22").toString + "/out"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-st22-ck").toString
+    val q = Streams.startQuotaGate(df, quota = 3L, outDir, ckpt)
+    try {
+      // batch 1: A under quota, B OVER quota in one batch (smallest
+      // ids win the in-batch tie)
+      ms.addData((11L, "A"), (10L, "A"),
+        (23L, "B"), (20L, "B"), (22L, "B"), (21L, "B"))
+      q.processAllAvailable()
+      // batch 2: A has room for ONE more; B admits nothing ever after
+      ms.addData((12L, "A"), (13L, "A"), (24L, "B"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(10L, 11L, 12L, 20L, 21L, 22L))
+      // this gate IS stateful — one counter per source in the store
+      // (contrast: the lake-state gates st20/st21 assert EMPTY here)
+      assert(q.lastProgress.stateOperators.nonEmpty)
+    } finally q.stop()
+  }
+
   test("st11 toTable sink: micro-batches land in a metastore table visible to SQL") {
     val ms = MemoryStream[StreamEv]
     spark.sql("DROP TABLE IF EXISTS graft_st11_sink")
