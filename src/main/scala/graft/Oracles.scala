@@ -16,6 +16,7 @@ object Oracles {
     * SparkEntry derivations and the oracle SQL below (interpolated),
     * so a change on either side can't silently break the pairing. */
   val IngestBatchMod = 5L  // q109: batch = doc_id % 5 == 0, corpus = rest
+  val TokenBudget = 10000L // q135: whitespace-token selection budget
   val DiffOldDropMod = 7L  // q110: "old" snapshot drops every 7th doc
   val DiffNewDropMod = 5L  // q110: "new" snapshot drops every 5th doc
   val DiffUpperMod = 11L   // q110: "new" upper-cases every 11th's text
@@ -1854,6 +1855,29 @@ object Oracles {
                 ELSE prev - n_docs END AS dropped_docs,
            CASE WHEN prev IS NULL THEN 0.0
                 ELSE CAST(prev - n_docs AS DOUBLE) / CAST(prev AS DOUBLE) END AS drop_frac
-         FROM l ORDER BY stage_id"""
+         FROM l ORDER BY stage_id""",
+
+    // q135: the oracle is the plain window-cumsum form; the engine's
+    // registered SCALE plan (bucketed verdicts + boundary-bucket local
+    // sum) selects the identical prefix of the same total order, so
+    // the two agree bit-for-bit
+    "q135_token_budget" ->
+      s"""WITH b AS (SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT) AS n_distinct,
+           CAST(len(list_filter(string_split(trim(text), ' '),
+             t -> lower(t) IN ('the','a','and','of','data','row'))) AS BIGINT) AS n_stop
+           FROM documents),
+         r AS (SELECT doc_id, n_tokens,
+           (CAST(n_distinct AS DOUBLE)/n_tokens)*0.4 +
+             least(1.0, CAST(n_tokens AS DOUBLE)/100.0)*0.3 +
+             (CAST(n_stop AS DOUBLE)/n_tokens)*0.3 AS quality
+           FROM b),
+         s AS (SELECT *, CAST(floor(quality * 1.0e8) AS BIGINT) AS q8 FROM r),
+         c AS (SELECT *, SUM(n_tokens) OVER (ORDER BY q8 DESC, doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum FROM s)
+         SELECT doc_id, n_tokens, quality FROM c
+         WHERE cum - n_tokens < $TokenBudget
+         ORDER BY q8 DESC, doc_id"""
   )
 }

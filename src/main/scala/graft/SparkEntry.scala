@@ -200,6 +200,10 @@ object SparkEntry {
     // spec proves orthonormality, variance ordering, full-rank
     // isometry, and planted-axis recovery
     "q134_pca_project"         -> ((s, d) => Similarity.q134(embeddings(s, d))),
+    // the SCALE form is registered (bucketed verdicts, no global
+    // window) — it provably selects the same prefix the oracle's
+    // window-cumsum does, so it is oracle-checked directly
+    "q135_token_budget"        -> ((s, d) => TextAnalysis.q135(documents(s, d))),
     "q128_quota_topk"          -> ((s, d) => TextAnalysis.q128(documents(s, d))),
     // rows-only: the next-fit packer is a sequential per-shard walk —
     // not portable SQL; invariants are specced (capacity, contiguous

@@ -1415,6 +1415,83 @@ object TextAnalysis {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** q135: TOKEN-BUDGET corpus selection — "give me the best `budget`
+    * tokens": keep the highest-quality documents (q48's deterministic
+    * score, floor-scaled to an exact long rank key — the q128 idiom)
+    * until the whitespace-token budget fills; the final assembly step
+    * a training run executes once curation is done ("the best 1B
+    * tokens of this lake"), and the greedy dual of q128 (q128 caps
+    * per source, q135 caps the total). A document is selected iff the
+    * budget was not yet exhausted when its turn came in the global
+    * (q8 desc, doc_id) order — so the boundary document may overshoot
+    * the budget (training practice: truncation is the packer's job,
+    * q129's overflow bins).
+    *
+    * Two plans, provably identical output: `exact = true` is the
+    * audit form — a global running-sum window, ONE task at any scale
+    * (the q118 hazard, opt-in only). The DEFAULT buckets the rank key
+    * at 1e4 resolution: per-bucket token sums aggregate map-side
+    * (≤ 1e4 rows — the only window runs on that bounded frame), a
+    * broadcast verdict keeps whole buckets strictly under the budget
+    * line, drops whole buckets past it, and ONLY the single boundary
+    * bucket pays a bucket-local running sum. Same total order, same
+    * prefix, bit-identical rows — which is why the driver registers
+    * the SCALE form and still oracle-checks it against the plain
+    * window-cumsum SQL. Degenerate case: a corpus whose quality mass
+    * collapses into one 1e-4 slice makes the boundary bucket
+    * corpus-sized — use the audit form or a finer step there. */
+  def q135(documents: DataFrame, budget: Long = graft.Oracles.TokenBudget,
+           exact: Boolean = false): DataFrame = {
+    val toks = split(trim(col("text")), " ")
+    val scored = documents
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
+      .withColumn("n_stop",
+        size(filter(toks, t => lower(t).isin(Stopwords: _*))).cast("long"))
+      .withColumn("quality",
+        (col("n_distinct").cast("double") / col("n_tokens")) * 0.4 +
+          least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)) * 0.3 +
+          (col("n_stop").cast("double") / col("n_tokens")) * 0.3)
+      .withColumn("q8", floor(col("quality") * lit(1.0e8)).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("quality"), col("q8"))
+    val selected =
+      if (exact) {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("q8").desc, col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        scored.withColumn("cum", sum(col("n_tokens")).over(w))
+          .filter(col("cum") - col("n_tokens") < budget)
+      } else {
+        val b = scored.withColumn("bucket", expr("q8 div 10000"))
+        val wb = org.apache.spark.sql.expressions.Window
+          .orderBy(col("bucket").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        // ≤ 1e4 rows: the only unpartitioned window in the default plan
+        val verdict = b.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("btoks"))
+          .withColumn("cum", sum(col("btoks")).over(wb))
+          .withColumn("base", col("cum") - col("btoks"))
+          .select(col("bucket"), col("base"),
+            when(col("cum") <= budget, lit("all"))
+              .when(col("base") >= budget, lit("none"))
+              .otherwise(lit("part")).as("v"))
+        val withV = b.join(broadcast(verdict), "bucket")
+        val wpart = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bucket")).orderBy(col("q8").desc, col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        withV.filter(col("v") === "all")
+          .unionAll(withV.filter(col("v") === "part")
+            .withColumn("lcum", sum(col("n_tokens")).over(wpart))
+            .filter(col("base") + col("lcum") - col("n_tokens") < budget)
+            .drop("lcum"))
+      }
+    selected
+      .orderBy(col("q8").desc, col("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+  }
+
   /** q132: corpus token-distribution DRIFT — the statistical complement
     * of q110's row-level snapshot diff: q110 says WHICH docs changed
     * between two corpus versions, q132 says whether the LANGUAGE

@@ -51,6 +51,34 @@ object Sources {
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
 
+  /** Compact a BUCKETED table back to one file per bucket — the s06
+    * small-files maintenance applied to the persisted indexes
+    * (s12/s13/s14 appends each add one file per touched bucket; after
+    * N ingest cycles a probe reads N files where one would do). The
+    * rewrite goes to a sibling table then swaps via catalog RENAME, so
+    * the data is never read and overwritten in one plan and a crash
+    * leaves either the old or the new table intact. Clustering the
+    * rewrite on the bucket column lets the planner's bucketed-write
+    * exchange land each bucket in one task → one file per bucket.
+    * Bucket count, columns, and sort spec are read from the table's
+    * own metadata — compaction cannot change the layout contract. */
+  def compactBucketed(spark: SparkSession, table: String): Unit = {
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec
+      .getOrElse(sys.error(s"$table is not bucketed — nothing to compact"))
+    val bucketCol = spec.bucketColumnNames.head
+    val tmp = table + "_compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    spark.table(table)
+      .repartition(col(bucketCol))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(spec.numBuckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
   /** Append into an existing bucketed table under its OWN catalog
     * bucket spec (read back so the caller cannot drift the bucket
     * count — Spark refuses mismatched specs, this makes the match

@@ -74,4 +74,35 @@ class DedupIndexSpec extends GraftSpec {
     assert(spark.table(DedupIndex.bloomTable(Name)).head()
       .getAs[Long]("n_digests") == before + 2)
   }
+
+  test("s06 compaction applies to the index tables: files collapse, verdicts identical") {
+    import org.apache.spark.sql.functions.{col, input_file_name, concat, lit}
+    val ixName = "graft_dedupix_cmp"
+    DedupIndex.drop(spark, ixName)
+    DedupIndex.fit(corpus, ixName)
+    // three ingest cycles: each append adds a file per touched bucket
+    (1 to 3).foreach { r =>
+      DedupIndex.append(corpus.limit(40)
+        .select(col("doc_id"), concat(col("text"), lit(s" cycle $r")).as("text")),
+        ixName)
+    }
+    val t = DedupIndex.digestsTable(ixName)
+    def files = spark.table(t).select(input_file_name()).distinct().count()
+    assert(files > DedupIndex.DefaultBuckets.toLong)
+    val before = DedupIndex.dedup(batch, ixName).collect().toSeq
+    val rowsBefore = spark.table(t).count()
+    graft.sources.Sources.compactBucketed(spark, t)
+    // one file per bucket, same rows, same bucket layout, same verdicts
+    assert(files == DedupIndex.DefaultBuckets.toLong)
+    assert(spark.table(t).count() == rowsBefore)
+    assert(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t))
+      .bucketSpec.exists(_.numBuckets == DedupIndex.DefaultBuckets))
+    assert(DedupIndex.dedup(batch, ixName).collect().toSeq == before)
+    // and the compacted table still accepts bucketed appends
+    DedupIndex.append(corpus.limit(5)
+      .select(col("doc_id"), concat(col("text"), lit(" post-compact")).as("text")),
+      ixName)
+    assert(spark.table(t).count() == rowsBefore + 5)
+  }
 }

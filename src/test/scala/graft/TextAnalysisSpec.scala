@@ -634,6 +634,33 @@ class TextAnalysisSpec extends GraftSpec {
     assert(rates(0) > rates(1))
   }
 
+  test("q135 token budget: scale form == audit form, boundary semantics") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, SF)
+    for (budget <- Seq(500L, 3000L, 1L, 100000000L)) {
+      val scale = TextAnalysis.q135(docs, budget).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("quality"))).toSeq
+      val audit = TextAnalysis.q135(docs, budget, exact = true).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("quality"))).toSeq
+      assert(scale == audit, s"forms diverge at budget=$budget")
+      // greedy boundary: everything but the last selected doc fits
+      // strictly inside the budget; with the last, we meet or pass it
+      // (unless the whole corpus fits)
+      val toks = scale.map(_._2)
+      if (toks.nonEmpty) assert(toks.dropRight(1).sum < budget)
+      val allToks = docs.select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.trim(col("text")), " "))
+          .cast("long")).collect().map(_.getLong(0)).sum
+      if (allToks > budget) assert(toks.sum >= budget)
+      else assert(toks.sum == allToks)
+    }
+    // budget 1 admits exactly the single best document
+    assert(TextAnalysis.q135(docs, 1L).count() == 1L)
+  }
+
   test("q132 token drift: closed-form KL and attribution ordering") {
     // old = "a a b", new = "a b b": union vocab {a,b}, both totals 3.
     // λ=0.5 smoothing → p_old = (2.5/4, 1.5/4), p_new = (1.5/4, 2.5/4);
