@@ -1878,6 +1878,20 @@ object Oracles {
              ROWS UNBOUNDED PRECEDING) AS cum FROM s)
          SELECT doc_id, n_tokens, quality FROM c
          WHERE cum - n_tokens < $TokenBudget
-         ORDER BY q8 DESC, doc_id"""
+         ORDER BY q8 DESC, doc_id""",
+
+    // q136: the oracle is the PLAIN non-equi range join — the engine's
+    // bin-blocked equi-join plan must produce the identical match set
+    "q136_range_join" ->
+      """WITH p AS (SELECT event_id AS point_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS x
+           FROM events WHERE event_type = 'view'),
+         i AS (SELECT event_id AS interval_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) - 300000000 AS lo,
+             epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS hi
+           FROM events WHERE event_type = 'purchase')
+         SELECT point_id, interval_id FROM p JOIN i
+           ON x >= lo AND x <= hi
+         ORDER BY point_id, interval_id"""
   )
 }

@@ -64,6 +64,7 @@ object SparkEntry {
     "q38_time_window"      -> ((s, d) => graft.streaming.Streams.q38(events(s, d))),
     "q39_session_window"   -> ((s, d) => Events.q39(events(s, d))),
     "q60_asof_join"        -> ((s, d) => Events.q60(events(s, d))),
+    "q136_range_join"      -> ((s, d) => Events.q136(events(s, d))),
     "q61_interval_join"    -> ((s, d) => graft.streaming.Streams.conversions(events(s, d))
                                  .orderBy("user_id", "view_ts", "buy_ts")),
     "q56_native_topk"      -> ((s, d) => Events.q56(orders(s, d))),

@@ -342,4 +342,61 @@ object Events {
       .groupBy(col("k_mod"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("k_mod"))
+
+  /** Generic POINT-IN-INTERVAL join WITHOUT an equi key, made
+    * shuffle-joinable by BIN BLOCKING — the classic fix for the plan
+    * Spark otherwise produces for a pure range predicate
+    * (BroadcastNestedLoopJoin if one side is small, a cartesian
+    * filter if neither is): every interval explodes into the
+    * fixed-width bins it overlaps, every point maps to its ONE bin,
+    * and the match becomes a hash equi-join on bin followed by the
+    * exact bounds filter. No dedup is needed — a point can meet an
+    * interval only in the point's own bin. True floor-division
+    * binning (x − pmod(x, w)) div w, so negative domains bin
+    * consistently.
+    *
+    * Scale: shuffle ∝ |points| + Σ(span/w) interval replicas — pick
+    * `binWidth` near the typical span so replication stays O(1) per
+    * interval; a degenerate giant interval costs span/w replicas
+    * (cap spans upstream, or union a broadcast side-channel for the
+    * handful of whales — the q71 salting argument applied to ranges).
+    *
+    * `points`: (point_id, x); `intervals`: (interval_id, lo, hi),
+    * bounds inclusive. */
+  def rangeJoinBinned(points: DataFrame, intervals: DataFrame,
+                      binWidth: Long): DataFrame = {
+    def binOf(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(binWidth))) / lit(binWidth)).cast("long")
+    val ib = intervals.withColumn("bin",
+      explode(sequence(binOf(col("lo")), binOf(col("hi")))))
+    val pb = points.withColumn("bin", binOf(col("x")))
+    pb.join(ib, Seq("bin"))
+      .filter(col("x") >= col("lo") && col("x") <= col("hi"))
+      .select(col("point_id"), col("x"), col("interval_id"),
+        col("lo"), col("hi"))
+  }
+
+  /** q136: incident-window RANGE JOIN over the event log — which VIEW
+    * events (any user — deliberately NO equi key) fall inside the
+    * ±`windowUs` incident window around each PURCHASE: the forensics
+    * query "what else was happening around the conversions" that a
+    * pure range predicate answers with a nested-loop plan and
+    * [[rangeJoinBinned]] answers with a hash join. Oracle is the
+    * plain non-equi join (DuckDB can afford it at test SF); the spec
+    * additionally asserts the binned plan contains a real equi join
+    * and no nested-loop/cartesian node. */
+  def q136(events: DataFrame, windowUs: Long = 300000000L,
+           binWidth: Long = 600000000L): DataFrame = {
+    val e = withTs(events)
+    val points = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("point_id"),
+        unix_micros(col("ts")).as("x"))
+    val intervals = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("interval_id"),
+        (unix_micros(col("ts")) - windowUs).as("lo"),
+        (unix_micros(col("ts")) + windowUs).as("hi"))
+    rangeJoinBinned(points, intervals, binWidth)
+      .select(col("point_id"), col("interval_id"))
+      .orderBy(col("point_id"), col("interval_id"))
+  }
 }

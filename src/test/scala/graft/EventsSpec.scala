@@ -38,6 +38,40 @@ class EventsSpec extends GraftSpec {
     assert(r.getAs[Double]("rate_purchase") == 1.0 / 2)
   }
 
+  test("q136 binned range join == naive non-equi join, and plans a real equi join") {
+    import org.apache.spark.sql.functions.col
+    // intervals spanning 1 and 3+ bins, points on exact bounds, a
+    // point in two overlapping intervals, points in no interval
+    val points = Seq(
+      (1L, 5L), (2L, 10L), (3L, 25L), (4L, 99L), (5L, 40L), (6L, 250L)
+    ).toDF("point_id", "x")
+    val intervals = Seq(
+      (100L, 10L, 30L),   // spans bins 0..3 at w=10 (10..30)
+      (101L, 25L, 99L),   // overlaps 100 at 25..30; spans many bins
+      (102L, 300L, 310L)  // matches nothing
+    ).toDF("interval_id", "lo", "hi")
+    val binned = Events.rangeJoinBinned(points, intervals, binWidth = 10L)
+      .select(col("point_id"), col("interval_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(intervals,
+        col("x") >= col("lo") && col("x") <= col("hi")).collect()
+      .map(r => (r.getAs[Long]("point_id"), r.getAs[Long]("interval_id"))).toSet
+    assert(binned == naive)
+    assert(binned == Set((2L, 100L), (3L, 100L), (3L, 101L), (4L, 101L),
+      (5L, 101L)))
+    // the binned plan is a hash/sort-merge EQUI join — never the
+    // nested-loop/cartesian Spark gives a bare range predicate
+    val plan = formattedPlan(
+      Events.rangeJoinBinned(points, intervals, binWidth = 10L))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+    assert(plan.contains("Join") || plan.contains("HashJoin"))
+    // negative domain bins consistently (true floor division)
+    val negP = Seq((7L, -15L)).toDF("point_id", "x")
+    val negI = Seq((200L, -20L, -10L)).toDF("interval_id", "lo", "hi")
+    assert(Events.rangeJoinBinned(negP, negI, 10L).count() == 1L)
+  }
+
   test("q73 hour_value is null exactly on gap hours, filled_value carries forward") {
     val rows = Seq(
       ev(1, 9, "2026-01-01T10:15:00Z", "view"),
