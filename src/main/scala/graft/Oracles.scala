@@ -17,6 +17,7 @@ object Oracles {
     * so a change on either side can't silently break the pairing. */
   val IngestBatchMod = 5L  // q109: batch = doc_id % 5 == 0, corpus = rest
   val TokenBudget = 10000L // q135: whitespace-token selection budget
+  val WeightedSampleN = 100 // q137: weighted-sample size
   val DiffOldDropMod = 7L  // q110: "old" snapshot drops every 7th doc
   val DiffNewDropMod = 5L  // q110: "new" snapshot drops every 5th doc
   val DiffUpperMod = 11L   // q110: "new" upper-cases every 11th's text
@@ -1892,6 +1893,28 @@ object Oracles {
            FROM events WHERE event_type = 'purchase')
          SELECT point_id, interval_id FROM p JOIN i
            ON x >= lo AND x <= hi
-         ORDER BY point_id, interval_id"""
+         ORDER BY point_id, interval_id""",
+
+    // q137: Efraimidis–Spirakis keys over the q48 quality weights; u
+    // from the shared Knuth-multiply hash, ln via the shared chain
+    "q137_weighted_sample" ->
+      s"""WITH b AS (SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT) AS n_distinct,
+           CAST(len(list_filter(string_split(trim(text), ' '),
+             t -> lower(t) IN ('the','a','and','of','data','row'))) AS BIGINT) AS n_stop
+           FROM documents),
+         r AS (SELECT doc_id,
+           (CAST(n_distinct AS DOUBLE)/n_tokens)*0.4 +
+             least(1.0, CAST(n_tokens AS DOUBLE)/100.0)*0.3 +
+             (CAST(n_stop AS DOUBLE)/n_tokens)*0.3 AS quality
+           FROM b),
+         s0 AS (SELECT doc_id, quality,
+           (CAST(((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000000000 AS DOUBLE) + 1.0) / 1.0e9 AS u
+           FROM r),
+         ${lnChain("lnp", "s0", Seq("doc_id", "quality"), Seq("u" -> "lnu"))},
+         k AS (SELECT doc_id, quality, lnu / quality AS sample_key FROM lnp)
+         SELECT doc_id, quality, sample_key FROM k
+         ORDER BY sample_key DESC, doc_id LIMIT $WeightedSampleN"""
   )
 }

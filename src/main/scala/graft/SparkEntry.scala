@@ -205,6 +205,7 @@ object SparkEntry {
     // window) — it provably selects the same prefix the oracle's
     // window-cumsum does, so it is oracle-checked directly
     "q135_token_budget"        -> ((s, d) => TextAnalysis.q135(documents(s, d))),
+    "q137_weighted_sample"     -> ((s, d) => TextAnalysis.q137(documents(s, d))),
     "q128_quota_topk"          -> ((s, d) => TextAnalysis.q128(documents(s, d))),
     // rows-only: the next-fit packer is a sequential per-shard walk —
     // not portable SQL; invariants are specced (capacity, contiguous

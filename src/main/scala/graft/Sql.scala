@@ -121,6 +121,7 @@ object Sql {
           docs.filter(pmod(col("doc_id"), lit(Oracles.IngestBatchMod)) === 0L))
       }),
       "graft_token_budget"   -> (() => TextAnalysis.q135(docs)),
+      "graft_weighted_sample" -> (() => TextAnalysis.q137(docs)),
       // drift between the q110 snapshot derivations (see Oracles)
       "graft_token_drift"    -> (() => {
         import org.apache.spark.sql.functions.{col, lit, pmod, when, upper}

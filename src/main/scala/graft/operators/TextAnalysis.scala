@@ -1415,6 +1415,46 @@ object TextAnalysis {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** q137: deterministic WEIGHTED sampling WITHOUT replacement —
+    * Efraimidis–Spirakis A-Res (IPL 2006): draw `n` documents with
+    * inclusion probability proportional to their q48 quality by
+    * ranking on key = ln(u)/w with u a per-doc uniform — the top-n
+    * keys ARE a weighted sample without replacement. The sampling
+    * step quality-aware mixes want when q135's hard greedy cut is too
+    * blunt (greedy takes ONLY the best docs; weighted sampling keeps
+    * diversity while still favoring quality — the soft/hard pair,
+    * like q120 temperature vs q128 quota).
+    *
+    * Deterministic and engine-portable: u derives from the
+    * pre-reduced Knuth-multiply hash of doc_id (the q58/q80/q91
+    * discipline — reproduce-anywhere sampling), ln goes through
+    * [[graft.functions.PortableLn]], and the top-n is orderBy+limit —
+    * TakeOrderedAndProject (per-partition n-heaps + driver merge of n
+    * rows), never a global sort or rank window. Same corpus, same
+    * sample, any cluster. */
+  def q137(documents: DataFrame, n: Int = graft.Oracles.WeightedSampleN): DataFrame = {
+    import graft.functions.PortableLn
+    val P = 1000000007L
+    val h = pmod(pmod(pmod(col("doc_id"), lit(P)) * lit(2654435761L), lit(P)),
+      lit(1000000000L))
+    val toks = split(trim(col("text")), " ")
+    documents
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
+      .withColumn("n_stop",
+        size(filter(toks, t => lower(t).isin(Stopwords: _*))).cast("long"))
+      .withColumn("quality",
+        (col("n_distinct").cast("double") / col("n_tokens")) * 0.4 +
+          least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)) * 0.3 +
+          (col("n_stop").cast("double") / col("n_tokens")) * 0.3)
+      .withColumn("u", (h.cast("double") + lit(1.0)) / lit(1.0e9)) // (0, 1]
+      .withColumn("sample_key", PortableLn(col("u")) / col("quality"))
+      .orderBy(col("sample_key").desc, col("doc_id"))
+      .limit(n)
+      .select(col("doc_id"), col("quality"), col("sample_key"))
+      .orderBy(col("sample_key").desc, col("doc_id"))
+  }
+
   /** q135: TOKEN-BUDGET corpus selection — "give me the best `budget`
     * tokens": keep the highest-quality documents (q48's deterministic
     * score, floor-scaled to an exact long rank key — the q128 idiom)

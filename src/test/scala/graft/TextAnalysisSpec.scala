@@ -634,6 +634,31 @@ class TextAnalysisSpec extends GraftSpec {
     assert(rates(0) > rates(1))
   }
 
+  test("q137 weighted sample: quality actually biases inclusion, deterministic") {
+    // two weight classes with equal counts: long diverse docs (high
+    // q48 quality) vs tiny low-quality docs — the sample must
+    // overrepresent the high class well beyond its 50% count share
+    val rng = new scala.util.Random(3)
+    val docs = (0L until 400L).map { i =>
+      // low class: repeated non-stopword token → quality ≈ 0.14 vs the
+      // high class's ≈ 0.7 — a ~5× weight ratio
+      val text =
+        if (i % 2 == 0) (1 to 120).map(_ => s"tok${rng.nextInt(100000)}").mkString(" ")
+        else "zzz zzz zzz"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val sample = TextAnalysis.q137(docs, n = 100).collect()
+    assert(sample.length == 100)
+    val high = sample.count(_.getAs[Long]("doc_id") % 2 == 0)
+    assert(high > 70, s"high-quality class got only $high/100")
+    // deterministic: same corpus, same sample, any run
+    val again = TextAnalysis.q137(docs, n = 100).collect()
+    assert(sample.map(_.getAs[Long]("doc_id")).toSeq ==
+      again.map(_.getAs[Long]("doc_id")).toSeq)
+    // n larger than the corpus degrades to "all docs"
+    assert(TextAnalysis.q137(docs.limit(10), n = 100).count() == 10L)
+  }
+
   test("q135 token budget: scale form == audit form, boundary semantics") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, SF)
