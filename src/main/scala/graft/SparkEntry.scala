@@ -114,6 +114,14 @@ object SparkEntry {
     "q92_embed_centroids"      -> ((s, d) => Similarity.q92(embeddings(s, d), exact = true)),
     "q93_phash_neardup"        -> ((s, d) => Multimodal.q93(s, documents(s, d))),
     "q94_media_clean"          -> ((s, d) => Multimodal.q94(s, documents(s, d))),
+    // rows-only: gear-hash chunk boundaries are not portable SQL; the
+    // spec pins shift-stability, span reconstruction, determinism, and
+    // a planted shared-region pair
+    "q139_cdc_dedup"           -> ((s, d) => Multimodal.q139(s, documents(s, d))),
+    // rows-only: sketch contents depend on merge order for
+    // sub-threshold tokens; the spec pins the Misra-Gries guarantee
+    // against exact counts at several partitionings
+    "q140_heavy_hitters"       -> ((s, d) => TextAnalysis.q140(documents(s, d))),
     "q95_source_overlap"       -> ((s, d) => Dedup.q95(documents(s, d))),
     "q96_embed_clusters"       -> ((s, d) => Similarity.q96(embeddings(s, d))),
     "q97_gram_matrix"          -> ((s, d) => Similarity.q97(embeddings(s, d), exact = true)),
@@ -201,6 +209,10 @@ object SparkEntry {
     // spec proves orthonormality, variance ordering, full-rank
     // isometry, and planted-axis recovery
     "q134_pca_project"         -> ((s, d) => Similarity.q134(embeddings(s, d))),
+    // rows-only: per-subspace k-means codebooks are not portable SQL;
+    // the spec pins recall@5 vs exact q44, code shape/range, and
+    // encode determinism
+    "q138_pq_ann"              -> ((s, d) => Similarity.q138(embeddings(s, d))),
     // the SCALE form is registered (bucketed verdicts, no global
     // window) — it provably selects the same prefix the oracle's
     // window-cumsum does, so it is oracle-checked directly

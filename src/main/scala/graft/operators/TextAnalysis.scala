@@ -204,6 +204,32 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("tok"))
       .limit(100)
 
+  /** q140: HEAVY-HITTER tokens via the native Misra-Gries sketch
+    * ([[graft.functions.FreqSketch]], fn06) — q75's question answered
+    * the way a 100 TB corpus can afford: q75's exact table shuffles
+    * one row per DISTINCT TOKEN (the vocabulary — unbounded, long-tail
+    * heavy); the sketch keeps ≤ `capacity` counters per partial, so
+    * the exchange carries capacity-sized summaries regardless of
+    * vocabulary size, and the Mergeable-Summaries merge makes the
+    * result partitioning-independent in its GUARANTEE (any token with
+    * true count > n/(capacity+1) is present; est ≤ true ≤ est+err).
+    * Output: top-`topK` reported tokens with their lower-bound
+    * estimate and the sketch's data-dependent error mass. rows-only
+    * (sketch contents depend on merge order for sub-threshold tokens);
+    * the spec pins the MG guarantee against exact counts at several
+    * partitionings. */
+  def q140(documents: DataFrame, capacity: Int = 256,
+           topK: Int = 32): DataFrame = {
+    val sk = documents
+      .select(explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .agg(graft.functions.FreqSketch(col("tok"), capacity).as("sk"))
+    sk.select(posexplode(col("sk")).as(Seq("rank", "hh")))
+      .filter(col("rank") < topK)
+      .select((col("rank") + 1).cast("long").as("rank"), col("hh.token").as("token"),
+        col("hh.est").as("est"), col("hh.err").as("err"))
+      .orderBy(col("rank"))
+  }
+
   /** q76: bigram language-model statistics — P(w2 | w1) for the corpus'
     * most frequent bigrams (the classic MapReduce LM-prep job). The
     * unigram denominator is a window SUM over the bigram aggregate

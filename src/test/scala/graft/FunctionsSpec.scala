@@ -201,4 +201,74 @@ class FunctionsSpec extends GraftSpec {
       .collect().head.getDouble(0)
     assert(math.abs(p - math.sqrt(8.0)) <= 4 * math.ulp(math.sqrt(8.0)))
   }
+
+  test("FreqSketch: Misra-Gries guarantee vs exact counts, partitioning-independent") {
+    val docs = Tables.documents(spark, SF)
+    val toks = docs.select(
+      explode(split(lower(trim(col("text"))), " ")).as("tok"))
+    val exact = toks.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val cap = 16
+    val threshold = n.toDouble / (cap + 1)
+    for (parts <- Seq(1, 7, 32)) {
+      val sketch = toks.repartition(parts)
+        .agg(graft.functions.FreqSketch(col("tok"), cap).as("sk"))
+        .select(explode(col("sk")).as("hh"))
+        .select(col("hh.token"), col("hh.est"), col("hh.err"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(sketch.size <= cap)
+      // every true heavy hitter (count > n/(cap+1)) must be reported
+      exact.foreach { case (tok, c) =>
+        if (c > threshold)
+          assert(sketch.contains(tok),
+            s"parts=$parts: heavy token '$tok' (count $c > $threshold) missing")
+      }
+      // every estimate is a lower bound within its error mass
+      sketch.foreach { case (tok, (est, err)) =>
+        val t = exact.getOrElse(tok, 0L)
+        assert(est <= t, s"parts=$parts: '$tok' est $est > true $t")
+        assert(t <= est + err,
+          s"parts=$parts: '$tok' true $t > est $est + err $err")
+        assert(err <= threshold.toLong + 1,
+          s"parts=$parts: err $err exceeds the n/(k+1) ceiling")
+      }
+    }
+  }
+
+  test("FreqSketch: planted dominant token is rank 1 with a tight estimate") {
+    val rows = (1 to 5000).map { i =>
+      if (i % 2 == 0) "dominant" else s"noise${i % 997}"
+    }
+    val toks = rows.toDF("tok")
+    val hh = toks.repartition(11)
+      .agg(graft.functions.FreqSketch(col("tok"), 32).as("sk"))
+      .select(explode(col("sk")).as("hh"))
+      .select(col("hh.token"), col("hh.est")).collect()
+    assert(hh.head.getString(0) == "dominant")
+    // half the stream is one token: the MG lower bound stays within
+    // the decrement ceiling n/(k+1) of the true 2500
+    assert(hh.head.getLong(1) >= 2500 - 5000 / 33 - 1)
+    assert(hh.head.getLong(1) <= 2500)
+  }
+
+  test("q140 heavy hitters: ranked output, est descending, ties on token") {
+    val out = graft.operators.TextAnalysis.q140(
+      Tables.documents(spark, SF)).collect()
+    assert(out.nonEmpty && out.length <= 32)
+    assert(out.map(_.getAs[Long]("rank")).toSeq == (1L to out.length).toSeq)
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        val (ea, eb) = (a.getAs[Long]("est"), b.getAs[Long]("est"))
+        assert(ea > eb ||
+          (ea == eb && a.getAs[String]("token") < b.getAs[String]("token")))
+      case _ =>
+    }
+    // with capacity 256 on the small corpus the sketch is effectively
+    // exact: rank-1 matches the true most frequent token
+    val exactTop = graft.operators.TextAnalysis.q75(
+      Tables.documents(spark, SF)).head()
+    assert(out.head.getAs[String]("token") == exactTop.getAs[String]("tok"))
+  }
 }
