@@ -122,6 +122,8 @@ object Sql {
       }),
       "graft_token_budget"   -> (() => TextAnalysis.q135(docs)),
       "graft_weighted_sample" -> (() => TextAnalysis.q137(docs)),
+      "graft_cdc_dedup"      -> (() => Multimodal.q139(spark, docs)),
+      "graft_heavy_hitters"  -> (() => TextAnalysis.q140(docs)),
       // drift between the q110 snapshot derivations (see Oracles)
       "graft_token_drift"    -> (() => {
         import org.apache.spark.sql.functions.{col, lit, pmod, when, upper}
@@ -166,7 +168,11 @@ object Sql {
       // the PCA fit collects the moment cells before the projection
       // plan exists — eager like graft_bloom_dedup
       "graft_pca_proj"       -> (() =>
-        graft.operators.Similarity.q134(spark.table("embeddings")))
+        graft.operators.Similarity.q134(spark.table("embeddings"))),
+      // the PQ codebook fit collects its bounded training sample
+      // before the search plan exists — eager for the same reason
+      "graft_pq_ann"         -> (() =>
+        graft.operators.Similarity.q138(spark.table("embeddings")))
     )
     tables.map { case (name, mk) => mk().createOrReplaceTempView(name); name }
   }

@@ -186,6 +186,18 @@ class SqlSurfaceSpec extends GraftSpec {
     assert(spark.sql(
       "SELECT COUNT(DISTINCT kl_total) FROM graft_token_drift")
       .collect()(0).getLong(0) <= 1L)
+    // CDC block dedup: owner-billed and shared bytes bounded by payload
+    assert(spark.sql(
+      """SELECT doc_id FROM graft_cdc_dedup
+         WHERE owned_bytes > payload_bytes OR shared_bytes > payload_bytes
+            OR dedup_ratio < 0 OR dedup_ratio > 1""")
+      .collect().isEmpty)
+    // heavy hitters: ranked, lower-bound estimates positive
+    assert(spark.sql(
+      """SELECT rank FROM graft_heavy_hitters
+         WHERE est <= 0 OR err < 0""").collect().isEmpty)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_heavy_hitters").collect()(0).getLong(0) > 0)
 
     // iterative operators materialize on demand (clusters run a
     // driver fixpoint loop, so they are tables, not lazy views)
@@ -194,6 +206,13 @@ class SqlSurfaceSpec extends GraftSpec {
     // q126's bloom fit is eager, so it rides the materialize call; its
     // verdict column is the closed q109 status set
     assert(tables.contains("graft_bloom_dedup"))
+    // PQ ANN rides the materialize call (sample collect before plan);
+    // every query reports a full ranked top-5
+    assert(tables.contains("graft_pq_ann"))
+    assert(spark.sql(
+      """SELECT qid FROM graft_pq_ann
+         GROUP BY qid HAVING count(*) <> 5 OR max(rk) <> 5""")
+      .collect().isEmpty)
     assert(spark.sql(
       """SELECT status FROM graft_bloom_dedup
          WHERE status NOT IN ('new', 'dup_batch', 'dup_corpus')""")
