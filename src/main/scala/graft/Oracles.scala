@@ -1915,6 +1915,59 @@ object Oracles {
          ${lnChain("lnp", "s0", Seq("doc_id", "quality"), Seq("u" -> "lnu"))},
          k AS (SELECT doc_id, quality, lnu / quality AS sample_key FROM lnp)
          SELECT doc_id, quality, sample_key FROM k
-         ORDER BY sample_key DESC, doc_id LIMIT $WeightedSampleN"""
+         ORDER BY sample_key DESC, doc_id LIMIT $WeightedSampleN""",
+
+    // q141: per-source z-calibration of the q48 quality score; moments
+    // accumulate as 1e-8 fixed-point longs (order-free exact) so
+    // mean/variance/z are bit-identical across engines
+    "q141_source_calibrate" ->
+      """WITH b AS (SELECT doc_id, source,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT) AS n_distinct,
+           CAST(len(list_filter(string_split(trim(text), ' '),
+             t -> lower(t) IN ('the','a','and','of','data','row'))) AS BIGINT) AS n_stop
+           FROM documents),
+         r AS (SELECT doc_id, source,
+           (CAST(n_distinct AS DOUBLE)/n_tokens)*0.4 +
+             least(1.0, CAST(n_tokens AS DOUBLE)/100.0)*0.3 +
+             (CAST(n_stop AS DOUBLE)/n_tokens)*0.3 AS quality
+           FROM b),
+         st AS (SELECT source, COUNT(*) AS n_docs,
+             SUM(CAST(floor(quality * 1.0e8) AS BIGINT)) AS s1,
+             SUM(CAST(floor(quality * quality * 1.0e8) AS BIGINT)) AS s2
+           FROM r GROUP BY source),
+         m AS (SELECT source, n_docs,
+             (CAST(s1 AS DOUBLE)/1.0e8) / CAST(n_docs AS DOUBLE) AS src_mean,
+             (CAST(s2 AS DOUBLE)/1.0e8) / CAST(n_docs AS DOUBLE) -
+               ((CAST(s1 AS DOUBLE)/1.0e8) / CAST(n_docs AS DOUBLE)) *
+               ((CAST(s1 AS DOUBLE)/1.0e8) / CAST(n_docs AS DOUBLE)) AS src_var
+           FROM st)
+         SELECT r.doc_id, r.source, r.quality, m.src_mean,
+           CASE WHEN m.src_var > 1.0e-6
+                THEN (r.quality - m.src_mean) / sqrt(m.src_var) END AS cal_z
+         FROM r JOIN m ON r.source = m.source
+         ORDER BY r.doc_id""",
+
+    // q142: retention cohort matrix — first-activity week per user,
+    // distinct returning users per (cohort, week offset), retention
+    // fraction against the offset-0 cohort size
+    "q142_retention" ->
+      """WITH e AS (SELECT user_id,
+             CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+           FROM events),
+         c AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY user_id),
+         cells AS (SELECT c.cohort_week,
+             CAST(date_diff('day', c.cohort_week, e.wk) // 7 AS INT) AS week_offset,
+             COUNT(DISTINCT e.user_id) AS n_users
+           FROM e JOIN c ON e.user_id = c.user_id
+           GROUP BY 1, 2),
+         sz AS (SELECT cohort_week, n_users AS cohort_size FROM cells
+           WHERE week_offset = 0)
+         SELECT cells.cohort_week, cells.week_offset, cells.n_users,
+           sz.cohort_size,
+           CAST(cells.n_users AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE)
+             AS retention
+         FROM cells JOIN sz ON cells.cohort_week = sz.cohort_week
+         ORDER BY cells.cohort_week, cells.week_offset"""
   )
 }

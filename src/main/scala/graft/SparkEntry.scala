@@ -65,6 +65,7 @@ object SparkEntry {
     "q39_session_window"   -> ((s, d) => Events.q39(events(s, d))),
     "q60_asof_join"        -> ((s, d) => Events.q60(events(s, d))),
     "q136_range_join"      -> ((s, d) => Events.q136(events(s, d))),
+    "q142_retention"       -> ((s, d) => Events.q142(events(s, d))),
     "q61_interval_join"    -> ((s, d) => graft.streaming.Streams.conversions(events(s, d))
                                  .orderBy("user_id", "view_ts", "buy_ts")),
     "q56_native_topk"      -> ((s, d) => Events.q56(orders(s, d))),
@@ -122,6 +123,7 @@ object SparkEntry {
     // sub-threshold tokens; the spec pins the Misra-Gries guarantee
     // against exact counts at several partitionings
     "q140_heavy_hitters"       -> ((s, d) => TextAnalysis.q140(documents(s, d))),
+    "q141_source_calibrate"    -> ((s, d) => TextAnalysis.q141(documents(s, d))),
     "q95_source_overlap"       -> ((s, d) => Dedup.q95(documents(s, d))),
     "q96_embed_clusters"       -> ((s, d) => Similarity.q96(embeddings(s, d))),
     "q97_gram_matrix"          -> ((s, d) => Similarity.q97(embeddings(s, d), exact = true)),

@@ -399,4 +399,39 @@ object Events {
       .select(col("point_id"), col("interval_id"))
       .orderBy(col("point_id"), col("interval_id"))
   }
+
+  /** q142: RETENTION COHORTS — the classic product-analytics matrix:
+    * users grouped by their first-activity week (the cohort), each
+    * later week reporting how many came back (`n_users`) and what
+    * fraction of the cohort that is (`retention`). Plan shape at any
+    * scale: one map-side-combined min-aggregate for each user's cohort
+    * week, one shuffle join back on user_id (co-partitioned with the
+    * aggregate — AQE plans it against the same exchange), one
+    * count-distinct aggregate on (cohort, offset), and a weeks-sized
+    * broadcast of cohort sizes (offset-0 rows) for the denominator.
+    * No windows, nothing corpus-sized on one task. Week offsets use
+    * integer day arithmetic (datediff/7 — exact in both engines);
+    * retention is one double divide of exact longs (§6). */
+  def q142(events: DataFrame): DataFrame = {
+    val e = withTs(events)
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+    val cohorts = e.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_week"))
+    val cells = e.join(cohorts, "user_id")
+      .select(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("int")
+          .as("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val sizes = cells.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_users").as("cohort_size"))
+    cells.join(broadcast(sizes), "cohort_week")
+      .withColumn("retention",
+        col("n_users").cast("double") / col("cohort_size").cast("double"))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        col("cohort_size"), col("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
 }

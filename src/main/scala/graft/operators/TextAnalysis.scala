@@ -230,6 +230,49 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** q141: per-source QUALITY CALIBRATION — z-normalize each doc's q48
+    * quality against its OWN source's distribution, so scores compare
+    * across sources whose raw quality profiles differ (a 0.6 from a
+    * curated source and a 0.6 from a crawl mean different things; the
+    * mixing/quota stages q102/q128/q135 consume calibrated scores when
+    * sources must compete fairly). Deliberately NOT a per-source
+    * percent_rank window: sources are few and large (the q118 lesson —
+    * a 20-partition window over a 100 TB corpus is 20 giant
+    * single-task sorts); the z-form needs ONE map-side-combined
+    * aggregate (count + fixed-point sum + sum of squares per source),
+    * a sources-sized broadcast join back, and zero windows.
+    *
+    * Float discipline (§6): per-source moments accumulate as
+    * 1e-8-resolution longs (exact, order-free — the q121/q122 fixed-
+    * point pattern), so mean/variance/z are bit-identical in both
+    * engines. Degenerate source (no score spread) ⇒ cal_z NULL; the
+    * guard is var > 1e-6, not > 0, because the fixed-point floors
+    * leave ~1e-8 residual variance on an all-identical source (both
+    * engines compute the identical residual — the threshold only has
+    * to sit above it and below any real spread). */
+  def q141(documents: DataFrame): DataFrame = {
+    val q = q48(documents).select(col("doc_id"), col("quality"))
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+    val stats = q.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(floor(col("quality") * lit(1.0e8)).cast("long")).as("s1"),
+        sum(floor(col("quality") * col("quality") * lit(1.0e8)).cast("long"))
+          .as("s2"))
+      .withColumn("src_mean",
+        (col("s1").cast("double") / lit(1.0e8)) / col("n_docs").cast("double"))
+      .withColumn("src_var",
+        (col("s2").cast("double") / lit(1.0e8)) / col("n_docs").cast("double") -
+          col("src_mean") * col("src_mean"))
+      .select(col("source"), col("n_docs"), col("src_mean"), col("src_var"))
+    q.join(broadcast(stats), "source")
+      .withColumn("cal_z",
+        when(col("src_var") > lit(1.0e-6),
+          (col("quality") - col("src_mean")) / sqrt(col("src_var"))))
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("src_mean"), col("cal_z"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q76: bigram language-model statistics — P(w2 | w1) for the corpus'
     * most frequent bigrams (the classic MapReduce LM-prep job). The
     * unigram denominator is a window SUM over the bigram aggregate

@@ -84,4 +84,32 @@ class EventsSpec extends GraftSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("hour_value")))
     assert(out.forall(r => r.getAs[Double]("filled_value") == 1.0))
   }
+
+  test("q142 retention cohorts: planted return pattern, offset-0 full, fractions exact") {
+    // 2026-01-05 and 2026-01-12 are Mondays: cohort A = users 1,2,3
+    // (first seen wk0); user 1 returns wk1 and wk2, user 2 returns wk1;
+    // cohort B = user 4 (first seen wk1), never returns
+    val rows = Seq(
+      ev(1, 1, "2026-01-05T10:00:00Z", "view"),
+      ev(2, 2, "2026-01-06T10:00:00Z", "view"),
+      ev(3, 3, "2026-01-07T10:00:00Z", "view"),
+      ev(4, 1, "2026-01-12T10:00:00Z", "view"),
+      ev(5, 2, "2026-01-13T10:00:00Z", "view"),
+      ev(6, 1, "2026-01-19T10:00:00Z", "view"),
+      ev(7, 4, "2026-01-14T10:00:00Z", "view"),
+      // a second event of user 3 in its cohort week: no double count
+      ev(8, 3, "2026-01-08T11:00:00Z", "view")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Events.q142(rows).collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_week").toString,
+        r.getAs[Int]("week_offset")) ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("cohort_size"),
+          r.getAs[Double]("retention"))).toMap
+    assert(out(("2026-01-05", 0)) == ((3L, 3L, 1.0)))
+    assert(out(("2026-01-05", 1)) == ((2L, 3L, 2.0 / 3)))
+    assert(out(("2026-01-05", 2)) == ((1L, 3L, 1.0 / 3)))
+    assert(out(("2026-01-12", 0)) == ((1L, 1L, 1.0)))
+    // no phantom cells: only the four planted (cohort, offset) pairs
+    assert(out.size == 4)
+  }
 }

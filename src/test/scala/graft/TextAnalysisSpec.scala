@@ -709,4 +709,37 @@ class TextAnalysisSpec extends GraftSpec {
       x.getAs[Double]("p_new") > 0))
     assert(gone.head.getAs[Double]("kl_total") > 0)
   }
+
+  test("q141 calibration: z stats per source, degenerate source NULL, order kept") {
+    val real = TextAnalysis.q141(Tables.documents(spark, SF)).collect()
+    val bySrc = real.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (src, rows) =>
+      val zs = rows.filterNot(_.isNullAt(rows.head.fieldIndex("cal_z")))
+        .map(_.getAs[Double]("cal_z"))
+      // z-normalization: mean ~0, variance ~1 (fixed-point moments
+      // introduce ≤1e-8 resolution error per term)
+      val mu = zs.sum / zs.length
+      val vr = zs.map(z => (z - mu) * (z - mu)).sum / zs.length
+      assert(math.abs(mu) < 1e-4, s"$src mean=$mu")
+      assert(math.abs(vr - 1.0) < 1e-3, s"$src var=$vr")
+      // calibration is monotone in the raw score within a source
+      val sorted = rows.sortBy(_.getAs[Double]("quality"))
+      sorted.map(_.getAs[Double]("cal_z")).sliding(2).foreach {
+        case Array(a, b) => assert(a <= b)
+        case _ =>
+      }
+    }
+    // a zero-variance source calibrates to NULL, others unaffected
+    val planted = Seq(
+      (1L, "same text here", "flat"), (2L, "same text here", "flat"),
+      (3L, "alpha beta gamma delta", "mixed"), (4L, "alpha alpha alpha alpha", "mixed"))
+      .toDF("doc_id", "text", "source")
+    val p = TextAnalysis.q141(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(p(1L).isNullAt(p(1L).fieldIndex("cal_z")))
+    assert(p(2L).isNullAt(p(2L).fieldIndex("cal_z")))
+    assert(!p(3L).isNullAt(p(3L).fieldIndex("cal_z")))
+    assert(p(3L).getAs[Double]("cal_z") > 0)   // the higher-TTR doc
+    assert(p(4L).getAs[Double]("cal_z") < 0)
+  }
 }
