@@ -29,6 +29,12 @@ import graft.sources.Sources
   *     bucketed on `list` (probed lists prune to their bucket files).
   *   - `<name>_int8_codes`    (vec_id, qv: array<int>, inorm) —
   *     [[Similarity.int8Codes]] output for the integer serving path.
+  *   - `<name>_pq_codebook`   (m, c, centroid) — the M·K product-
+  *     quantizer sub-centroids (metadata-sized, pinned between refits
+  *     like the IVF quantizer).
+  *   - `<name>_pq_codes`      (vec_id, codes: array<int>) —
+  *     [[Similarity.pqEncode]] output, the 64×-compressed ADC serving
+  *     currency; bucketed on vec_id.
   *
   * Bit-for-bit contract (specced): every artifact is exactly what the
   * live path derives — doubles/ints round-trip parquet losslessly, the
@@ -53,6 +59,8 @@ object AnnIndex {
   def ivfCentroidsTable(name: String): String = s"${name}_ivf_centroids"
   def ivfListsTable(name: String): String     = s"${name}_ivf_lists"
   def int8Table(name: String): String         = s"${name}_int8_codes"
+  def pqCodebookTable(name: String): String   = s"${name}_pq_codebook"
+  def pqCodesTable(name: String): String      = s"${name}_pq_codes"
 
   /** Default bucket count for the index tables. Sized for the test
     * warehouse; a production fit passes executors×cores-ish. */
@@ -72,7 +80,8 @@ object AnnIndex {
     * vs `fit(full, centroids = old quantizer)` bit-identical. */
   def fit(corpus: DataFrame, name: String,
           buckets: Int = DefaultBuckets,
-          centroids: Option[Array[Array[Double]]] = None): Unit = {
+          centroids: Option[Array[Array[Double]]] = None,
+          pqCodebooks: Option[Array[Array[Array[Double]]]] = None): Unit = {
     val spark = corpus.sparkSession
     val vecs = Similarity.vecRows(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -91,6 +100,20 @@ object AnnIndex {
         ivfListsTable(name), "list", math.min(buckets, Similarity.IvfLists))
       Sources.writeBucketed(Similarity.int8Codes(corpus),
         int8Table(name), "vec_id", buckets)
+      // PQ artifacts: the codebook rows are M·K metadata (the IVF-
+      // centroid class); the code table is the 64×-compressed serving
+      // currency. The codebook pins between refits exactly like the
+      // IVF quantizer (same contract, same spec).
+      val cb = pqCodebooks.getOrElse(Similarity.pqFit(corpus))
+      spark.createDataFrame(
+          for ((sub, m) <- cb.toIndexedSeq.zipWithIndex;
+               (cent, c) <- sub.toIndexedSeq.zipWithIndex)
+            yield (m, c, cent.toIndexedSeq))
+        .toDF("m", "c", "centroid")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").saveAsTable(pqCodebookTable(name))
+      Sources.writeBucketed(Similarity.pqEncode(corpus, cb),
+        pqCodesTable(name), "vec_id", buckets)
     } finally { vecs.unpersist(); () }
   }
 
@@ -133,6 +156,9 @@ object AnnIndex {
         ivfListsTable(name), "list")
       appendBucketed(spark, Similarity.int8Codes(batch),
         int8Table(name), "vec_id")
+      appendBucketed(spark,
+        Similarity.pqEncode(batch, loadPqCodebook(spark, name)),
+        pqCodesTable(name), "vec_id")
     } finally { vecs.unpersist(); () }
   }
 
@@ -153,7 +179,8 @@ object AnnIndex {
   /** Drop every table of index `name` (idempotent). */
   def drop(spark: SparkSession, name: String): Unit =
     Seq(vectorsTable(name), lshTable(name), ivfCentroidsTable(name),
-      ivfListsTable(name), int8Table(name))
+      ivfListsTable(name), int8Table(name), pqCodebookTable(name),
+      pqCodesTable(name))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
   /** LSH top-k against a loaded index — [[Similarity.search]] served
@@ -239,8 +266,39 @@ object AnnIndex {
       spark.table(vectorsTable(name)), k)
   }
 
+  /** PQ serving against a loaded index — [[Similarity.searchPq]] with
+    * the codebook and code table read from the index: the batch's ADC
+    * lookup tables build fresh (per-query arithmetic), the code table
+    * streams partition-local through the shared
+    * [[Similarity.pqAdcCands]] scorer — 64× less I/O than the vector
+    * table, the reason a RAM-resident 100 TB serving tier holds PQ
+    * codes and pages exact vectors only for the `nCandidates` re-rank
+    * rows. A linear scan over compressed codes is PQ's serving model —
+    * no bucket pruning applies (pair with the IVF lists for an IVF-PQ
+    * composition when even the code scan must shrink). */
+  def searchPq(queries: DataFrame, name: String, k: Int = 5,
+               nCandidates: Int = 50): DataFrame = {
+    val spark = queries.sparkSession
+    val cands = Similarity.pqAdcCands(queries, spark.table(pqCodesTable(name)),
+      loadPqCodebook(spark, name), nCandidates, excludeSelf = false)
+    Similarity.rerankTopK(cands,
+      Similarity.normalized(queries).select(col("vec_id"), col("v"), col("norm")),
+      spark.table(vectorsTable(name)), k)
+  }
+
   /** Centroid arrays from the persisted table, ordered by list id. */
   private def loadCentroids(spark: SparkSession, name: String): Array[Array[Double]] =
     spark.table(ivfCentroidsTable(name)).orderBy(col("list")).collect()
       .map(_.getSeq[Double](1).toArray)
+
+  /** PQ codebook from the persisted table — M·K rows, metadata-sized
+    * (the [[loadCentroids]] collect class). */
+  private def loadPqCodebook(spark: SparkSession,
+                             name: String): Array[Array[Array[Double]]] = {
+    val rows = spark.table(pqCodebookTable(name))
+      .orderBy(col("m"), col("c")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3)).toArray
+  }
 }

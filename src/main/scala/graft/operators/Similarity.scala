@@ -1012,13 +1012,29 @@ object Similarity {
   def searchPq(queries: DataFrame, corpus: DataFrame, k: Int = 5,
                nCandidates: Int = 50, excludeSelf: Boolean = false): DataFrame = {
     val cb = pqFit(corpus)
+    val codes = pqEncode(corpus, cb)
+    val cands = pqAdcCands(queries, codes, cb, nCandidates, excludeSelf)
+    rerankTopK(cands,
+      normalized(queries).select(col("vec_id"), col("v"), col("norm")),
+      normalized(corpus).select(col("vec_id"), col("v"), col("norm")), k)
+  }
+
+  /** ADC candidate stage shared by the live [[searchPq]] and the
+    * persisted-index serving path ([[AnnIndex.searchPq]]): per-query
+    * M×K inner-product lookup tables built in-plan (Catalyst
+    * `transform` — codegen'd, no UDF), every code row scored with M
+    * array lookups, per-query top-`nCandidates` window. `codes` is any
+    * (vec_id, codes) frame — freshly encoded or read from the index
+    * table; returns (qid, nid) candidate pairs. */
+  private[graft] def pqAdcCands(queries: DataFrame, codes: DataFrame,
+                                cb: Array[Array[Array[Double]]],
+                                nCandidates: Int,
+                                excludeSelf: Boolean): DataFrame = {
     val m = cb.length; val kk = cb(0).length; val dsub = cb(0)(0).length
     // codebook as one flat in-plan literal: lutFlat[(m·K + c)·dsub + i]
     val cbFlat = typedLit(cb.flatten.flatten.toSeq)
-    // query side: unit vector → flat M×K ADC table, all Catalyst
-    // (transform/aggregate — codegen'd, no UDF); lut[m·K + c] =
+    // query side: unit vector → flat M×K ADC table; lut[m·K + c] =
     // ⟨u_sub(m), codebook(m)(c)⟩
-    val u = transform(col("v"), x => x / col("norm"))
     val lut = transform(sequence(lit(0), lit(m * kk - 1)), mc =>
       aggregate(
         zip_with(
@@ -1027,10 +1043,8 @@ object Similarity {
           (a, b) => a * b),
         lit(0.0), (acc, x) => acc + x))
     val q = normalized(queries)
-      .withColumn("u", u)
+      .withColumn("u", transform(col("v"), x => x / col("norm")))
       .select(col("vec_id").as("qid"), lut.as("qlut"))
-    val codes = pqEncode(corpus, cb)
-      .select(col("vec_id").as("nid"), col("codes"))
     val joinCond = if (excludeSelf) col("qid") =!= col("nid") else lit(true)
     // ADC score: M array lookups + adds per (query, code-row)
     val adc = aggregate(
@@ -1039,13 +1053,10 @@ object Similarity {
       lit(0.0), (acc, x) => acc + x)
     val wc = Window.partitionBy(col("qid"))
       .orderBy(col("approx_cos").desc, col("nid"))
-    val cands = broadcast(q).join(codes, joinCond)
+    broadcast(q).join(codes.select(col("vec_id").as("nid"), col("codes")), joinCond)
       .withColumn("approx_cos", adc)
       .withColumn("crk", row_number().over(wc))
       .filter(col("crk") <= nCandidates)
       .select(col("qid"), col("nid"))
-    rerankTopK(cands,
-      normalized(queries).select(col("vec_id"), col("v"), col("norm")),
-      normalized(corpus).select(col("vec_id"), col("v"), col("norm")), k)
   }
 }

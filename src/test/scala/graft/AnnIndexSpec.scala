@@ -48,6 +48,16 @@ class AnnIndexSpec extends GraftSpec {
       rows(Similarity.searchInt8(q, corpus)))
   }
 
+  test("s11 PQ: loaded-index search == live searchPq, bit for bit") {
+    fitted
+    val q = batch(5, 15)
+    // pqFit's training sample is deterministic in the corpus ids, so
+    // the persisted codebook equals a fresh fit's and the served ADC
+    // candidates — hence the exact re-rank — match the live path
+    assert(rows(AnnIndex.searchPq(q, Name)) ==
+      rows(Similarity.searchPq(q, corpus)))
+  }
+
   test("s11 IVF: loaded-index search == serving from the fit-time artifacts") {
     fitted
     import org.apache.spark.sql.functions._
@@ -80,7 +90,8 @@ class AnnIndexSpec extends GraftSpec {
     val q2 = spark.read.parquet(qPath)
     for (plan <- Seq(AnnIndex.searchLsh(q2, Name),
                      AnnIndex.searchIvf(q2, Name),
-                     AnnIndex.searchInt8(q2, Name)).map(formattedPlan)) {
+                     AnnIndex.searchInt8(q2, Name),
+                     AnnIndex.searchPq(q2, Name)).map(formattedPlan)) {
       assert(!plan.contains(corpusPath), "serving plan scans the corpus:\n" + plan)
     }
     // the probe-key IN filter reaches the postings SCAN (pushed, bucket
@@ -119,7 +130,16 @@ class AnnIndexSpec extends GraftSpec {
     // index's own (old-corpus) quantizer pinned
     val cents = spark.table(AnnIndex.ivfCentroidsTable(IncName))
       .orderBy(col("list")).collect().map(_.getSeq[Double](1).toArray)
-    AnnIndex.fit(corpus, RefName, centroids = Some(cents))
+    // the PQ codebook pins exactly like the IVF quantizer: append
+    // encodes against the fitted (old-corpus) codebook, so the refit
+    // reference must reuse it for bit parity
+    val cb = spark.table(AnnIndex.pqCodebookTable(IncName))
+      .orderBy(col("m"), col("c")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3)).toArray
+    AnnIndex.fit(corpus, RefName, centroids = Some(cents),
+      pqCodebooks = Some(cb))
     val q = batch(0, 10)
     assert(rows(AnnIndex.searchLsh(q, IncName)) ==
       rows(AnnIndex.searchLsh(q, RefName)))
@@ -127,6 +147,8 @@ class AnnIndexSpec extends GraftSpec {
       rows(AnnIndex.searchIvf(q, RefName)))
     assert(rows(AnnIndex.searchInt8(q, IncName)) ==
       rows(AnnIndex.searchInt8(q, RefName)))
+    assert(rows(AnnIndex.searchPq(q, IncName)) ==
+      rows(AnnIndex.searchPq(q, RefName)))
     // per-vector artifacts are centroid-free, so the incremental index
     // serves the LIVE full-corpus answer too
     assert(rows(AnnIndex.searchLsh(q, IncName)) ==
