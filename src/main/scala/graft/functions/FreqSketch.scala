@@ -19,6 +19,31 @@ private[graft] class MgBuffer(val counts: mutable.HashMap[String, Long],
   def this() = this(mutable.HashMap.empty, 0L)
 }
 
+/** The sequential Misra-Gries update step, shared by the batch
+  * aggregate ([[FreqSketch]]) and the streaming monitor (st23) so both
+  * surfaces maintain the IDENTICAL sketch for the same token sequence. */
+private[graft] object MisraGries {
+  /** Fold one token into the counter map; returns the decrement mass
+    * this step added (0, or 1 when the full map forced the classic
+    * decrement-all round). */
+  def updateOne(counts: mutable.HashMap[String, Long], capacity: Int,
+                tok: String): Long =
+    counts.get(tok) match {
+      case Some(c) => counts.update(tok, c + 1); 0L
+      case None if counts.size < capacity => counts.update(tok, 1L); 0L
+      case None =>
+        // classic MG decrement step: every counter pays 1, zeros drop;
+        // amortized O(1) — each decrement consumes a prior increment
+        val dead = mutable.ArrayBuffer[String]()
+        counts.keysIterator.foreach { k =>
+          val nc = counts(k) - 1
+          if (nc == 0) dead += k else counts.update(k, nc)
+        }
+        dead.foreach(counts.remove)
+        1L
+    }
+}
+
 /** fn06: native MISRA-GRIES frequent-items sketch (heavy hitters) as a
   * Catalyst `TypedImperativeAggregate` — the missing member of the
   * sketch family (HLL cardinality = q24, quantiles = q62, Bloom
@@ -63,23 +88,9 @@ case class FreqSketch(child: Expression, capacity: Int,
 
   override def update(buf: MgBuffer, input: InternalRow): MgBuffer = {
     val v = child.eval(input)
-    if (v != null) {
-      val tok = v.asInstanceOf[UTF8String].toString
-      buf.counts.get(tok) match {
-        case Some(c) => buf.counts.update(tok, c + 1)
-        case None if buf.counts.size < capacity => buf.counts.update(tok, 1L)
-        case None =>
-          // classic MG decrement step: every counter pays 1, zeros drop;
-          // amortized O(1) — each decrement consumes a prior increment
-          buf.dec += 1
-          val dead = mutable.ArrayBuffer[String]()
-          buf.counts.keysIterator.foreach { k =>
-            val nc = buf.counts(k) - 1
-            if (nc == 0) dead += k else buf.counts.update(k, nc)
-          }
-          dead.foreach(buf.counts.remove)
-      }
-    }
+    if (v != null)
+      buf.dec += MisraGries.updateOne(buf.counts, capacity,
+        v.asInstanceOf[UTF8String].toString)
     buf
   }
 

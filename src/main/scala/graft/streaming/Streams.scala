@@ -579,4 +579,63 @@ object Streams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(sessionFn)
   }
+
+  case class MonDoc(doc_id: Long, source: String, toks: Seq[String])
+  case class MgState(toks: Array[String], counts: Array[Long],
+                     dec: Long, seen: Long)
+  case class HhRow(source: String, rank: Int, token: String,
+                   est: Long, err: Long, seen: Long)
+
+  /** st23: streaming per-source TOKEN-FREQUENCY monitor — the live
+    * form of q140's heavy-hitters report: what is each source feeding
+    * the pipeline RIGHT NOW (a looping crawler, a template flood, a
+    * language shift show up here batches before any batch audit runs).
+    * Keyed state is one Misra-Gries sketch per source — BOUNDED at
+    * `capacity` counters no matter how many tokens stream through,
+    * the other workload a keyed state store is actually for (st22's
+    * counter being the first). Tokens fold through the SAME
+    * [[graft.functions.MisraGries]] kernel as the fn06 batch
+    * aggregate, in deterministic order (docs sorted by doc_id inside
+    * each micro-batch, token order within a doc), so the maintained
+    * sketch for a given arrival sequence is reproducible and carries
+    * the standard MG guarantee over everything seen so far (est ≤
+    * true ≤ est + err, any token with true count > seen/(capacity+1)
+    * present). Each micro-batch APPENDS the source's current top-`k`
+    * (stamped with `seen`, the sketch's cumulative token count, so
+    * consecutive snapshots of one source are distinguishable). */
+  def startFreqMonitor(docs: DataFrame, capacity: Int = 64, k: Int = 10,
+                       outDir: String = null, checkpoint: String = null)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        split(lower(trim(col("text"))), " ").as("toks"))
+      .as[MonDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, it: Iterator[MonDoc], state: GroupState[MgState]) =>
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          var dec = 0L; var seen = 0L
+          state.getOption.foreach { s =>
+            s.toks.zip(s.counts).foreach { case (t, c) => m.update(t, c) }
+            dec = s.dec; seen = s.seen
+          }
+          it.toSeq.sortBy(_.doc_id).foreach(_.toks.foreach { tok =>
+            dec += graft.functions.MisraGries.updateOne(m, capacity, tok)
+            seen += 1
+          })
+          val snap = m.toArray.sortBy { case (t, c) => (-c, t) }
+          state.update(MgState(snap.map(_._1), snap.map(_._2), dec, seen))
+          snap.take(k).zipWithIndex.map { case ((tok, est), i) =>
+            HhRow(src, i + 1, tok, est, dec, seen)
+          }.iterator
+      }
+      .toDF()
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+  }
 }

@@ -608,6 +608,64 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st23 freq monitor: sketch state accumulates across batches, MG guarantee holds") {
+    val ms = MemoryStream[(Long, String, String)]
+    val df = ms.toDF().toDF("doc_id", "source", "text")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-st23").toString + "/out"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-st23-ck").toString
+    // capacity above the planted vocab: the sketch is exact, so the
+    // cross-batch accumulation is assertable to the token
+    val q = Streams.startFreqMonitor(df, capacity = 16, k = 3, outDir, ckpt)
+    try {
+      ms.addData((1L, "A", "x x y"), (2L, "A", "x z"),
+                 (10L, "B", "only b tokens"))
+      q.processAllAvailable()
+      ms.addData((3L, "A", "y y y y"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(outDir).collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("seen"),
+          r.getAs[Int]("rank")) ->
+          (r.getAs[String]("token"), r.getAs[Long]("est"))).toMap
+      // batch 1 snapshot of A (5 tokens): x leads with 3
+      assert(out(("A", 5L, 1)) == (("x", 3L)))
+      // batch 2 snapshot (9 tokens): the STATE carried x's 3 and y's 1
+      // across the restart boundary — y now leads 5 to 3
+      assert(out(("A", 9L, 1)) == (("y", 5L)))
+      assert(out(("A", 9L, 2)) == (("x", 3L)))
+      assert(out(("A", 9L, 3)) == (("z", 1L)))
+      // B's sketch is isolated from A's
+      assert(out(("B", 3L, 1))._2 == 1L)
+      assert(q.lastProgress.stateOperators.nonEmpty)
+    } finally q.stop()
+
+    // small capacity on a skewed stream: the guarantee (not exactness)
+    // — dominant token present with est ≤ true ≤ est + err
+    val ms2 = MemoryStream[(Long, String, String)]
+    val df2 = ms2.toDF().toDF("doc_id", "source", "text")
+    val out2 = java.nio.file.Files
+      .createTempDirectory("graft-st23b").toString + "/out"
+    val ck2 = java.nio.file.Files
+      .createTempDirectory("graft-st23b-ck").toString
+    val q2 = Streams.startFreqMonitor(df2, capacity = 4, k = 2, out2, ck2)
+    try {
+      val noisy = (0 until 40).map(i => s"n$i").grouped(8)
+        .map(_.mkString(" ")).toSeq
+      ms2.addData((1L, "S", ("hot " * 30).trim))
+      ms2.addData(noisy.zipWithIndex.map { case (t, i) => (10L + i, "S", t) }: _*)
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out2).collect()
+        .filter(_.getAs[Long]("seen") == 70L)
+        .map(r => r.getAs[String]("token") ->
+          (r.getAs[Long]("est"), r.getAs[Long]("err"))).toMap
+      // 30 of 70 tokens are 'hot' — far above seen/(cap+1) = 14
+      assert(rows.contains("hot"), rows)
+      val (est, err) = rows("hot")
+      assert(est <= 30L && 30L <= est + err, s"est=$est err=$err")
+    } finally q2.stop()
+  }
+
   test("st11 toTable sink: micro-batches land in a metastore table visible to SQL") {
     val ms = MemoryStream[StreamEv]
     spark.sql("DROP TABLE IF EXISTS graft_st11_sink")
