@@ -1968,6 +1968,29 @@ object Oracles {
            CAST(cells.n_users AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE)
              AS retention
          FROM cells JOIN sz ON cells.cohort_week = sz.cohort_week
-         ORDER BY cells.cohort_week, cells.week_offset"""
+         ORDER BY cells.cohort_week, cells.week_offset""",
+
+    // q143: per-benchmark-item containment (the q69 gram machinery,
+    // denominator flipped to the benchmark item's gram count)
+    "q143_bench_containment" ->
+      """WITH bt AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+                     FROM documents WHERE source = 'src0'),
+         bgrams AS (SELECT doc_id AS bench_id, unnest(list_distinct(list_transform(
+             range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+           FROM bt WHERE len(w) >= 3),
+         bsizes AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS bench_grams
+           FROM bgrams GROUP BY bench_id),
+         ct AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+                FROM documents WHERE source <> 'src0'),
+         cgrams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+           FROM ct WHERE len(w) >= 3),
+         hits AS (SELECT bench_id, doc_id, CAST(COUNT(*) AS BIGINT) AS shared_grams
+                  FROM cgrams JOIN bgrams USING (g) GROUP BY bench_id, doc_id)
+         SELECT h.bench_id, h.doc_id, h.shared_grams, s.bench_grams,
+           CAST(h.shared_grams AS DOUBLE) / s.bench_grams AS containment
+         FROM hits h JOIN bsizes s ON h.bench_id = s.bench_id
+         WHERE CAST(h.shared_grams AS DOUBLE) / s.bench_grams >= 0.5
+         ORDER BY h.bench_id, h.doc_id"""
   )
 }

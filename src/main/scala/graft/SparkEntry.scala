@@ -87,6 +87,7 @@ object SparkEntry {
     "q67_pii_scrub"            -> ((s, d) => TextAnalysis.q67(documents(s, d))),
     "q68_repetition"           -> ((s, d) => TextAnalysis.q68(documents(s, d))),
     "q69_contamination"        -> ((s, d) => Dedup.q69(documents(s, d))),
+    "q143_bench_containment"   -> ((s, d) => Dedup.q143(documents(s, d))),
     "q70_mix_stats"            -> ((s, d) => TextAnalysis.q70(documents(s, d))),
     "q71_salted_join"          -> ((s, d) => Skew.q71(lineitem(s, d), supplier(s, d))),
     "q72_corr_moments"         -> ((s, d) => Relational.q72(lineitem(s, d))),

@@ -331,6 +331,43 @@ object Dedup {
     contaminationAgainst(corpus, benchmarkGrams(bench)).orderBy(col("doc_id"))
   }
 
+  /** q143: per-benchmark-item CONTAINMENT — q69's question asked in
+    * the OTHER direction. q69 scores each corpus doc by how much of
+    * ITS text is benchmark material; the decontamination policies the
+    * big-model reports actually specify (GPT-3 appendix C, PaLM)
+    * ask per benchmark ITEM: is ≥τ of THIS item's n-grams present in
+    * some single training doc — the "short quiz question quoted inside
+    * a long forum dump" mode, which both q69's denominator (the LONG
+    * doc's grams) and any Jaccard-style resemblance (union dominated
+    * by the long doc) structurally miss. Containment
+    * |G_b ∩ G_d| / |G_b| uses the ITEM's gram count as denominator,
+    * so a verbatim quote scores 1.0 no matter how large the host doc.
+    *
+    * Plan shape: the benchmark gram table is small by definition (the
+    * q69 broadcast contract); the corpus gram stream joins it on the
+    * gram key map-side, the per-(item, doc) counts partial-aggregate,
+    * and everything after is hit-pair-sized. Output: every (bench
+    * item, corpus doc) pair with containment ≥ `minContainment`,
+    * plus the counts to audit the ratio. */
+  def q143(documents: DataFrame, benchmarkSource: String = "src0",
+           minContainment: Double = 0.5): DataFrame = {
+    val bench = shingles(documents.filter(col("source") === benchmarkSource))
+      .select(col("doc_id").as("bench_id"), col("g"))
+    val bsizes = bench.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("bench_grams")) // shingles() is per-doc distinct
+    val corpus = shingles(documents.filter(col("source") =!= benchmarkSource))
+    corpus.join(broadcast(bench), Seq("g"))
+      .groupBy(col("bench_id"), col("doc_id"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(broadcast(bsizes), "bench_id")
+      .withColumn("containment",
+        col("shared_grams").cast("double") / col("bench_grams"))
+      .filter(col("containment") >= minContainment)
+      .select(col("bench_id"), col("doc_id"), col("shared_grams"),
+        col("bench_grams"), col("containment"))
+      .orderBy(col("bench_id"), col("doc_id"))
+  }
+
   /** q114: REPEATED-SPAN detection — the substring-dedup signal of
     * Lee et al.'s "Deduplicating Training Data Makes Language Models
     * Better" at k-token granularity: every k-token window (stride 1,

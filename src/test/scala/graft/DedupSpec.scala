@@ -474,4 +474,29 @@ class DedupSpec extends GraftSpec {
     assert(b.getAs[Long]("n_dup_docs") == 0L)
     assert(b.getAs[Long]("n_cross_texts") == 1L)
   }
+
+  test("q143 containment: a short item quoted inside a long doc scores 1.0 where q69 stays low") {
+    val quiz = "what is the capital of france answered in one line"
+    val filler = (1 to 200).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (1L, quiz, "src0"),                        // the benchmark item
+      (2L, s"$filler $quiz $filler", "forum"),   // quotes it verbatim
+      (3L, filler, "forum"),                     // no overlap
+      (4L, "what is the capital of spain answered today", "blog"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.Dedup.q143(docs).collect()
+      .map(r => (r.getAs[Long]("bench_id"), r.getAs[Long]("doc_id")) -> r).toMap
+    // the verbatim quote: every benchmark gram present ⇒ containment 1.0
+    assert(out.contains((1L, 2L)), out.keys)
+    assert(out((1L, 2L)).getAs[Double]("containment") == 1.0)
+    // partial-phrase doc 4 shares <50% of the item's grams ⇒ filtered
+    assert(!out.contains((1L, 4L)))
+    assert(!out.contains((1L, 3L)))
+    // the SAME quote is nearly invisible to q69's direction: doc 2's
+    // own gram count is filler-dominated, so its contamination
+    // fraction sits far below any plausible threshold
+    val q69row = graft.operators.Dedup.q69(docs).collect()
+      .find(_.getAs[Long]("doc_id") == 2L).get
+    assert(q69row.getAs[Double]("contamination") < 0.05)
+  }
 }
