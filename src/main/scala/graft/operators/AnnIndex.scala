@@ -286,6 +286,41 @@ object AnnIndex {
       spark.table(vectorsTable(name)), k)
   }
 
+  /** IVF-PQ serving — the Faiss composition: the IVF coarse quantizer
+    * prunes WHICH codes are scored (probed lists only — the
+    * `list`-bucketed assignments table IN-prunes to probed bucket
+    * files), PQ ADC prunes HOW MUCH each scoring costs (M lookups vs D
+    * mults over 64×-smaller rows). Per query the scored set is
+    * ∝ corpus·probes/lists in code-sized rows — the shape that serves
+    * a 100 TB vector lake interactively: [[searchPq]] still scans
+    * every code; this scans ~probes/lists of them. Same exact re-rank
+    * tail; recall is capped by the IVF probe recall exactly as
+    * [[searchIvf]]'s is. */
+  def searchIvfPq(queries: DataFrame, name: String, k: Int = 5,
+                  nCandidates: Int = 50): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = loadCentroids(spark, name)
+    val qv = Similarity.vecRows(queries)
+    val probes = Similarity.ivfAssign(qv, cents, Similarity.IvfProbes)
+      .select(col("vec_id").as("qid"), col("list"))
+    val probedLists = probes.select(col("list")).distinct()
+      .collect().map(_.getInt(0))  // ≤ IvfLists values
+    val candIds = probes
+      .join(spark.table(ivfListsTable(name))
+          .filter(col("list").isin(probedLists.toIndexedSeq: _*))
+          .select(col("vec_id").as("nid"), col("list")),
+        Seq("list"))
+      .select(col("qid"), col("nid")).distinct()
+    val cb = loadPqCodebook(spark, name)
+    val scored = candIds
+      .join(spark.table(pqCodesTable(name)).select(col("vec_id").as("nid"),
+        col("codes")), "nid")
+      .join(broadcast(Similarity.pqLuts(queries, cb)), "qid")
+    Similarity.rerankTopK(Similarity.pqTopN(scored, cb, nCandidates),
+      qv.toDF("vec_id", "v", "norm"),
+      spark.table(vectorsTable(name)), k)
+  }
+
   /** Centroid arrays from the persisted table, ordered by list id. */
   private def loadCentroids(spark: SparkSession, name: String): Array[Array[Double]] =
     spark.table(ivfCentroidsTable(name)).orderBy(col("list")).collect()

@@ -1030,11 +1030,19 @@ object Similarity {
                                 cb: Array[Array[Array[Double]]],
                                 nCandidates: Int,
                                 excludeSelf: Boolean): DataFrame = {
+    val joinCond = if (excludeSelf) col("qid") =!= col("nid") else lit(true)
+    val scored = broadcast(pqLuts(queries, cb))
+      .join(codes.select(col("vec_id").as("nid"), col("codes")), joinCond)
+    pqTopN(scored, cb, nCandidates)
+  }
+
+  /** Per-query flat M×K ADC lookup tables (qid, qlut), built in-plan:
+    * lut[m·K + c] = ⟨u_sub(m), codebook(m)(c)⟩ over the query's unit
+    * vector; the codebook rides as one flat literal. */
+  private[graft] def pqLuts(queries: DataFrame,
+                            cb: Array[Array[Array[Double]]]): DataFrame = {
     val m = cb.length; val kk = cb(0).length; val dsub = cb(0)(0).length
-    // codebook as one flat in-plan literal: lutFlat[(m·K + c)·dsub + i]
     val cbFlat = typedLit(cb.flatten.flatten.toSeq)
-    // query side: unit vector → flat M×K ADC table; lut[m·K + c] =
-    // ⟨u_sub(m), codebook(m)(c)⟩
     val lut = transform(sequence(lit(0), lit(m * kk - 1)), mc =>
       aggregate(
         zip_with(
@@ -1042,18 +1050,26 @@ object Similarity {
           slice(cbFlat, mc * dsub + 1, lit(dsub)),
           (a, b) => a * b),
         lit(0.0), (acc, x) => acc + x))
-    val q = normalized(queries)
+    normalized(queries)
       .withColumn("u", transform(col("v"), x => x / col("norm")))
       .select(col("vec_id").as("qid"), lut.as("qlut"))
-    val joinCond = if (excludeSelf) col("qid") =!= col("nid") else lit(true)
-    // ADC score: M array lookups + adds per (query, code-row)
+  }
+
+  /** ADC score + per-query top-`nCandidates` over any (qid, qlut,
+    * nid, codes) frame — M array lookups + adds per row, then the
+    * WindowGroupLimit-capped candidate window. Shared by the full-scan
+    * ([[pqAdcCands]]) and IVF-pruned ([[AnnIndex.searchIvfPq]]) paths. */
+  private[graft] def pqTopN(scoredInput: DataFrame,
+                            cb: Array[Array[Array[Double]]],
+                            nCandidates: Int): DataFrame = {
+    val m = cb.length; val kk = cb(0).length
     val adc = aggregate(
       zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
         (c, s) => element_at(col("qlut"), s * kk + c + 1)),
       lit(0.0), (acc, x) => acc + x)
     val wc = Window.partitionBy(col("qid"))
       .orderBy(col("approx_cos").desc, col("nid"))
-    broadcast(q).join(codes.select(col("vec_id").as("nid"), col("codes")), joinCond)
+    scoredInput
       .withColumn("approx_cos", adc)
       .withColumn("crk", row_number().over(wc))
       .filter(col("crk") <= nCandidates)

@@ -58,6 +58,44 @@ class AnnIndexSpec extends GraftSpec {
       rows(Similarity.searchPq(q, corpus)))
   }
 
+  test("s11 IVF-PQ: pruned scoring keeps recall, scores only probed lists") {
+    fitted
+    import org.apache.spark.sql.functions.col
+    val q = batch(0, 20)
+    val exact = Similarity.searchExact(
+      q, corpus.select(col("vec_id"), col("embedding")), 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = AnnIndex.searchIvfPq(q, Name)
+    val got = ivfpq.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.size == exact.size)
+    // recall capped by the IVF probe recall (q55 spec floor), PQ only
+    // reorders candidates the probes already admitted
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall@5=$recall (expected >=0.6)")
+    // the plan reads the IVF assignments AND the PQ code table (the
+    // corpus-scan absence is asserted on a genuinely external batch in
+    // the dedicated serving test below)
+    val plan = formattedPlan(ivfpq)
+    assert(plan.contains(AnnIndex.ivfListsTable(Name)))
+    assert(plan.contains(AnnIndex.pqCodesTable(Name)))
+    // every returned neighbor shares a probed list with its query —
+    // the candidate universe really is IVF-restricted
+    val cents = spark.table(AnnIndex.ivfCentroidsTable(Name))
+      .orderBy(col("list")).collect().map(_.getSeq[Double](1).toArray)
+    val probed = Similarity.ivfAssign(Similarity.vecRows(q), cents,
+        Similarity.IvfProbes).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).groupBy(_._1)
+      .map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    val assigned = Similarity.ivfAssign(Similarity.vecRows(
+        corpus.select(col("vec_id"), col("embedding"))), cents, 1).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { case (qid, nid) =>
+      assert(probed(qid).contains(assigned(nid)),
+        s"neighbor $nid of $qid outside the probed lists")
+    }
+  }
+
   test("s11 IVF: loaded-index search == serving from the fit-time artifacts") {
     fitted
     import org.apache.spark.sql.functions._
@@ -91,7 +129,8 @@ class AnnIndexSpec extends GraftSpec {
     for (plan <- Seq(AnnIndex.searchLsh(q2, Name),
                      AnnIndex.searchIvf(q2, Name),
                      AnnIndex.searchInt8(q2, Name),
-                     AnnIndex.searchPq(q2, Name)).map(formattedPlan)) {
+                     AnnIndex.searchPq(q2, Name),
+                     AnnIndex.searchIvfPq(q2, Name)).map(formattedPlan)) {
       assert(!plan.contains(corpusPath), "serving plan scans the corpus:\n" + plan)
     }
     // the probe-key IN filter reaches the postings SCAN (pushed, bucket
