@@ -17,6 +17,7 @@ object Oracles {
     * so a change on either side can't silently break the pairing. */
   val IngestBatchMod = 5L  // q109: batch = doc_id % 5 == 0, corpus = rest
   val TokenBudget = 10000L // q135: whitespace-token selection budget
+  val NeymanBudget = 200L  // q144: total sample-size budget to allocate
   val WeightedSampleN = 100 // q137: weighted-sample size
   val DiffOldDropMod = 7L  // q110: "old" snapshot drops every 7th doc
   val DiffNewDropMod = 5L  // q110: "new" snapshot drops every 5th doc
@@ -1991,6 +1992,49 @@ object Oracles {
            CAST(h.shared_grams AS DOUBLE) / s.bench_grams AS containment
          FROM hits h JOIN bsizes s ON h.bench_id = s.bench_id
          WHERE CAST(h.shared_grams AS DOUBLE) / s.bench_grams >= 0.5
-         ORDER BY h.bench_id, h.doc_id"""
+         ORDER BY h.bench_id, h.doc_id""",
+
+    // q144: Neyman allocation over the q48 quality spread; moments and
+    // the N_h·σ_h weights are fixed-point longs so the denominator sum
+    // is order-free exact
+    "q144_neyman_alloc" ->
+      s"""WITH b AS (SELECT doc_id, source,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT) AS n_distinct,
+           CAST(len(list_filter(string_split(trim(text), ' '),
+             t -> lower(t) IN ('the','a','and','of','data','row'))) AS BIGINT) AS n_stop
+           FROM documents),
+         r AS (SELECT doc_id, source,
+           (CAST(n_distinct AS DOUBLE)/n_tokens)*0.4 +
+             least(1.0, CAST(n_tokens AS DOUBLE)/100.0)*0.3 +
+             (CAST(n_stop AS DOUBLE)/n_tokens)*0.3 AS quality
+           FROM b),
+         st AS (SELECT source, COUNT(*) AS n_docs,
+             SUM(CAST(floor(quality * 1.0e8) AS BIGINT)) AS s1,
+             SUM(CAST(floor(quality * quality * 1.0e8) AS BIGINT)) AS s2
+           FROM r GROUP BY source),
+         m AS (SELECT source, n_docs,
+             (CAST(s2 AS DOUBLE)/1.0e8) / CAST(n_docs AS DOUBLE) -
+               ((CAST(s1 AS DOUBLE)/1.0e8) / CAST(n_docs AS DOUBLE)) *
+               ((CAST(s1 AS DOUBLE)/1.0e8) / CAST(n_docs AS DOUBLE)) AS vr
+           FROM st),
+         g AS (SELECT source, n_docs,
+             CASE WHEN vr > 1.0e-12 THEN sqrt(vr) ELSE 0.0 END AS sigma_q
+           FROM m),
+         w AS (SELECT source, n_docs, sigma_q,
+             CAST(floor(CAST(n_docs AS DOUBLE) * sigma_q * 1.0e6) AS BIGINT) AS wgt
+           FROM g),
+         t AS (SELECT SUM(wgt) AS wtot FROM w)
+         SELECT w.source, w.n_docs, w.sigma_q,
+           CASE WHEN t.wtot > 0
+                THEN CAST(floor($NeymanBudget *
+                  (CAST(w.wgt AS DOUBLE) / CAST(t.wtot AS DOUBLE))) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS alloc_n,
+           CAST(CASE WHEN t.wtot > 0
+                THEN CAST(floor($NeymanBudget *
+                  (CAST(w.wgt AS DOUBLE) / CAST(t.wtot AS DOUBLE))) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS DOUBLE) / CAST(w.n_docs AS DOUBLE)
+             AS alloc_frac
+         FROM w, t ORDER BY w.source"""
   )
 }

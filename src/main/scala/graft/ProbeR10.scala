@@ -68,6 +68,10 @@ object ProbeR10 {
         time(noop(operators.AnnIndex.searchIvf(qBatch, name)))
       walls(("s11_searchInt8", tag)) =
         time(noop(operators.AnnIndex.searchInt8(qBatch, name)))
+      walls(("s11_searchPq", tag)) =
+        time(noop(operators.AnnIndex.searchPq(qBatch, name)))
+      walls(("s11_searchIvfPq", tag)) =
+        time(noop(operators.AnnIndex.searchIvfPq(qBatch, name)))
       // append timed alone on a fresh fit each iteration (an append
       // into an already-appended index would double the increment)
       walls(("s11_append5pct", tag)) = (1 to 2).map { _ =>
@@ -146,7 +150,8 @@ object ProbeR10 {
       println(s"[probeR10] $tag done (n_vec=$nVec, n_doc=$nDoc)")
     }
     for (op <- Seq("clean_scrubbed", "s11_fit", "s11_searchLsh",
-                   "s11_searchIvf", "s11_searchInt8", "s11_append5pct",
+                   "s11_searchIvf", "s11_searchInt8", "s11_searchPq",
+                   "s11_searchIvfPq", "s11_append5pct",
                    "s12_fit", "s12_dedup20pct", "s12_append5pct",
                    "s13_fit", "s13_dedup20pct", "s13_append5pct",
                    "s14_fit", "s14_search", "s14_append5pct")) {

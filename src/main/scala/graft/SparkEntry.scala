@@ -125,6 +125,7 @@ object SparkEntry {
     // against exact counts at several partitionings
     "q140_heavy_hitters"       -> ((s, d) => TextAnalysis.q140(documents(s, d))),
     "q141_source_calibrate"    -> ((s, d) => TextAnalysis.q141(documents(s, d))),
+    "q144_neyman_alloc"        -> ((s, d) => TextAnalysis.q144(documents(s, d))),
     "q95_source_overlap"       -> ((s, d) => Dedup.q95(documents(s, d))),
     "q96_embed_clusters"       -> ((s, d) => Similarity.q96(embeddings(s, d))),
     "q97_gram_matrix"          -> ((s, d) => Similarity.q97(embeddings(s, d), exact = true)),

@@ -273,6 +273,54 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q144: NEYMAN-OPTIMAL sampling allocation — how many docs to
+    * sample from each source when the total audit/eval budget is
+    * fixed: n_h ∝ N_h·σ_h (stratum size × quality-score spread), the
+    * classic survey-sampling result that minimizes the estimator
+    * variance of the corpus-mean quality. Proportional sampling (q58)
+    * over-samples big uniform sources and starves small noisy ones;
+    * this is the report a curation team reads before spending an
+    * annotation budget. One map-side-combined moment aggregate (the
+    * q141 fixed-point discipline — count/sum/sumsq as 1e-8-resolution
+    * longs), then everything is sources-sized. The N_h·σ_h products
+    * re-quantize to 1e-6 longs before the denominator sum so the
+    * total is order-free exact and the allocation is bit-identical in
+    * both engines; a zero-variance stratum gets allocation 0 (one doc
+    * tells you everything a thousand would). */
+  def q144(documents: DataFrame, budget: Long = graft.Oracles.NeymanBudget): DataFrame = {
+    val q = q48(documents).select(col("doc_id"), col("quality"))
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+    val stats = q.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(floor(col("quality") * lit(1.0e8)).cast("long")).as("s1"),
+        sum(floor(col("quality") * col("quality") * lit(1.0e8)).cast("long"))
+          .as("s2"))
+      .withColumn("mu",
+        (col("s1").cast("double") / lit(1.0e8)) / col("n_docs").cast("double"))
+      .withColumn("vr",
+        (col("s2").cast("double") / lit(1.0e8)) / col("n_docs").cast("double") -
+          col("mu") * col("mu"))
+      .withColumn("sigma_q",
+        when(col("vr") > lit(1.0e-12), sqrt(col("vr"))).otherwise(lit(0.0)))
+      // N_h·σ_h as an exact 1e-6 long so the total sums order-free
+      .withColumn("wgt",
+        floor(col("n_docs").cast("double") * col("sigma_q") * lit(1.0e6))
+          .cast("long"))
+    val total = stats.agg(sum(col("wgt")).as("wtot"))
+    stats.crossJoin(broadcast(total))
+      .withColumn("alloc_n",
+        when(col("wtot") > 0,
+          floor(lit(budget).cast("double") *
+            (col("wgt").cast("double") / col("wtot").cast("double")))
+            .cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("alloc_frac",
+        col("alloc_n").cast("double") / col("n_docs").cast("double"))
+      .select(col("source"), col("n_docs"), col("sigma_q"),
+        col("alloc_n"), col("alloc_frac"))
+      .orderBy(col("source"))
+  }
+
   /** q76: bigram language-model statistics — P(w2 | w1) for the corpus'
     * most frequent bigrams (the classic MapReduce LM-prep job). The
     * unigram denominator is a window SUM over the bigram aggregate

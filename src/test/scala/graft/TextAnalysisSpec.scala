@@ -742,4 +742,32 @@ class TextAnalysisSpec extends GraftSpec {
     assert(p(3L).getAs[Double]("cal_z") > 0)   // the higher-TTR doc
     assert(p(4L).getAs[Double]("cal_z") < 0)
   }
+
+  test("q144 Neyman allocation: zero-variance stratum gets 0, spread wins, budget conserved") {
+    val planted = Seq(
+      // 4 identical docs: σ = 0 — sampling one tells you everything
+      (1L, "flat flat flat", "uni"), (2L, "flat flat flat", "uni"),
+      (3L, "flat flat flat", "uni"), (4L, "flat flat flat", "uni"),
+      // 2 docs with very different quality: all the variance lives here
+      (5L, "alpha beta gamma delta epsilon", "noisy"),
+      (6L, "x x x x x x x x x x x x", "noisy"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.q144(planted, budget = 100L).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("uni").getAs[Long]("alloc_n") == 0L)
+    assert(out("uni").getAs[Double]("sigma_q") == 0.0)
+    assert(out("noisy").getAs[Long]("alloc_n") == 100L)
+    // real corpus: floor-allocation never exceeds the budget, every
+    // stratum appears, and allocation orders by N_h·σ_h
+    val real = TextAnalysis.q144(Tables.documents(spark, SF)).collect()
+    assert(real.map(_.getAs[Long]("alloc_n")).sum <= graft.Oracles.NeymanBudget)
+    assert(real.length ==
+      Tables.documents(spark, SF).select("source").distinct().count())
+    val byWgt = real.sortBy(r =>
+      -r.getAs[Long]("n_docs") * r.getAs[Double]("sigma_q"))
+    assert(byWgt.map(_.getAs[Long]("alloc_n")).sliding(2).forall {
+      case Array(a, b) => a >= b - 1 // floor can flip adjacent equals by 1
+      case _ => true
+    })
+  }
 }
