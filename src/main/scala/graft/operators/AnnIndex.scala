@@ -321,6 +321,48 @@ object AnnIndex {
       spark.table(vectorsTable(name)), k)
   }
 
+  /** Index-health RECALL PROBE — the measurement behind [[append]]'s
+    * refit trigger ("refit when measured recall on a probe set sags"),
+    * made operational: sample `nProbes` indexed vectors
+    * deterministically (smallest xxhash64(vec_id) — the same probe set
+    * every run, so successive reports are comparable), compute exact
+    * top-k ground truth from the VECTORS table, and score every
+    * approximate serving path against it. One row per path:
+    * (path, k, n_probes, recall). Run it at the append cadence; when a
+    * path's recall drifts below its SLO, that is the refit signal —
+    * after an IVF refit the quantizer adapts to the drifted
+    * distribution and recall recovers. Cost: the probe batch is
+    * metadata-sized, each path pays one serving call, ground truth is
+    * one [[Similarity.searchExact]] over the probe batch — nothing
+    * corpus-quadratic. */
+  def recallProbe(spark: SparkSession, name: String, k: Int = 5,
+                  nProbes: Int = 20): DataFrame = {
+    import spark.implicits._
+    val probes = spark.table(vectorsTable(name))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nProbes)
+      .select(col("vec_id"),
+        transform(col("v"), x => x.cast("float")).as("embedding"))
+    val corpus = spark.table(vectorsTable(name))
+      .select(col("vec_id"), transform(col("v"), x => x.cast("float")).as("embedding"))
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("qid"), col("nid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.searchExact(probes, corpus, k))
+    val paths = Seq(
+      "lsh"    -> (() => AnnIndex.searchLsh(probes, name, k)),
+      "ivf"    -> (() => AnnIndex.searchIvf(probes, name, k)),
+      "int8"   -> (() => AnnIndex.searchInt8(probes, name, k)),
+      "pq"     -> (() => AnnIndex.searchPq(probes, name, k)),
+      "ivf_pq" -> (() => AnnIndex.searchIvfPq(probes, name, k)))
+    paths.map { case (path, run) =>
+      val got = pairs(run())
+      (path, k, truth.size,
+        if (truth.isEmpty) 1.0
+        else (truth intersect got).size.toDouble / truth.size)
+    }.toDF("path", "k", "n_truth", "recall")
+  }
+
   /** Centroid arrays from the persisted table, ordered by list id. */
   private def loadCentroids(spark: SparkSession, name: String): Array[Array[Double]] =
     spark.table(ivfCentroidsTable(name)).orderBy(col("list")).collect()

@@ -209,6 +209,23 @@ class AnnIndexSpec extends GraftSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("s11 recall probe: per-path index health report, deterministic probe set") {
+    fitted
+    val rep = AnnIndex.recallProbe(spark, Name).collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[Double]("recall")).toMap
+    assert(rep.keySet == Set("lsh", "ivf", "int8", "pq", "ivf_pq"))
+    rep.values.foreach(r => assert(r >= 0.0 && r <= 1.0))
+    // the quantized paths hold their spec floors on the probe set too
+    assert(rep("int8") >= 0.9, rep)
+    assert(rep("pq") >= 0.8, rep)
+    assert(rep("lsh") >= 0.5 && rep("ivf") >= 0.6 && rep("ivf_pq") >= 0.6, rep)
+    // same probe set every run ⇒ identical report (the comparability
+    // contract successive health checks rely on)
+    val again = AnnIndex.recallProbe(spark, Name).collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[Double]("recall")).toMap
+    assert(again == rep)
+  }
+
   test("cache hygiene: serving calls and q118 leave no new persisted RDDs behind") {
     fitted
     import graft.operators.TextAnalysis
