@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BpeEncode, DotProduct, DotProductInt, PolyFingerprint, QualityScore}
+import graft.functions.{BpeEncode, DotProduct, DotProductInt, FreqSketch, PolyFingerprint, QualityScore}
 
 /** SQL-surface registration for graft's native expressions: sessions
   * built with `spark.sql.extensions=graft.GraftExtensions` can call
@@ -52,6 +52,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"graft_bpe_encode(string, array<string>) takes 2 arguments, got ${children.length}")
         BpeEncode(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_freq_sketch"),
+      new ExpressionInfo(classOf[FreqSketch].getName, "graft_freq_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_freq_sketch(string, capacity) takes 2 arguments, got ${children.length}")
+        val cap = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+            if v != null => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_freq_sketch capacity must be an integer literal, got $other")
+        }
+        FreqSketch(children.head, cap)
       }))
     // row_number()<=k window-filter → native bounded-heap top-k operator
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)

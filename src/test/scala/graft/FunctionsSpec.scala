@@ -253,6 +253,20 @@ class FunctionsSpec extends GraftSpec {
     assert(hh.head.getLong(1) <= 2500)
   }
 
+  test("graft_freq_sketch is callable from SQL text via GraftExtensions") {
+    Seq("a", "a", "a", "b", "b", "c").toDF("tok").createOrReplaceTempView("fs_toks")
+    val hh = spark.sql(
+      """SELECT hh.token, hh.est FROM (
+           SELECT explode(graft_freq_sketch(tok, 8)) AS hh FROM fs_toks)""")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(hh.head == ("a" -> 3L))   // capacity above vocab: exact counts
+    assert(hh.toMap == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+    // a non-literal capacity fails loudly at resolution, not at runtime
+    intercept[Exception] {
+      spark.sql("SELECT graft_freq_sketch(tok, length(tok)) FROM fs_toks").collect()
+    }
+  }
+
   test("q140 heavy hitters: ranked output, est descending, ties on token") {
     val out = graft.operators.TextAnalysis.q140(
       Tables.documents(spark, SF)).collect()
