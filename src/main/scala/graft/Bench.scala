@@ -10,7 +10,7 @@ object Bench {
     // optional arg (local probes only; the driver passes none):
     // comma-separated name substrings — bench just the matching queries.
     // A filtered run NEVER writes BENCH_LOCAL.json (partial totals must
-    // not masquerade as the committed 122-query baseline).
+    // not masquerade as the committed full-query-set baseline).
     val only = args.headOption.map(_.split(",").toSeq)
     // loadavg sentinel: sample BEFORE the session/warmup — the warmup
     // itself drives 32 threads, so a post-warmup sample conflates the

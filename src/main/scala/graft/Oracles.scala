@@ -2027,12 +2027,12 @@ object Oracles {
          t AS (SELECT SUM(wgt) AS wtot FROM w)
          SELECT w.source, w.n_docs, w.sigma_q,
            CASE WHEN t.wtot > 0
-                THEN CAST(floor($NeymanBudget *
-                  (CAST(w.wgt AS DOUBLE) / CAST(t.wtot AS DOUBLE))) AS BIGINT)
+                THEN least(w.n_docs, CAST(floor($NeymanBudget *
+                  (CAST(w.wgt AS DOUBLE) / CAST(t.wtot AS DOUBLE))) AS BIGINT))
                 ELSE CAST(0 AS BIGINT) END AS alloc_n,
            CAST(CASE WHEN t.wtot > 0
-                THEN CAST(floor($NeymanBudget *
-                  (CAST(w.wgt AS DOUBLE) / CAST(t.wtot AS DOUBLE))) AS BIGINT)
+                THEN least(w.n_docs, CAST(floor($NeymanBudget *
+                  (CAST(w.wgt AS DOUBLE) / CAST(t.wtot AS DOUBLE))) AS BIGINT))
                 ELSE CAST(0 AS BIGINT) END AS DOUBLE) / CAST(w.n_docs AS DOUBLE)
              AS alloc_frac
          FROM w, t ORDER BY w.source"""

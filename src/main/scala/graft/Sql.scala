@@ -124,6 +124,10 @@ object Sql {
       "graft_weighted_sample" -> (() => TextAnalysis.q137(docs)),
       "graft_cdc_dedup"      -> (() => Multimodal.q139(spark, docs)),
       "graft_heavy_hitters"  -> (() => TextAnalysis.q140(docs)),
+      "graft_calibrate"      -> (() => TextAnalysis.q141(docs)),
+      "graft_retention"      -> (() => graft.operators.Events.q142(spark.table("events"))),
+      "graft_bench_containment" -> (() => Dedup.q143(docs)),
+      "graft_neyman_alloc"   -> (() => TextAnalysis.q144(docs)),
       // drift between the q110 snapshot derivations (see Oracles)
       "graft_token_drift"    -> (() => {
         import org.apache.spark.sql.functions.{col, lit, pmod, when, upper}

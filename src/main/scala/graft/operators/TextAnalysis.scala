@@ -286,7 +286,8 @@ object TextAnalysis {
     * re-quantize to 1e-6 longs before the denominator sum so the
     * total is order-free exact and the allocation is bit-identical in
     * both engines; a zero-variance stratum gets allocation 0 (one doc
-    * tells you everything a thousand would). */
+    * tells you everything a thousand would), and an allocation caps at
+    * the stratum's population. */
   def q144(documents: DataFrame, budget: Long = graft.Oracles.NeymanBudget): DataFrame = {
     val q = q48(documents).select(col("doc_id"), col("quality"))
       .join(documents.select(col("doc_id"), col("source")), "doc_id")
@@ -310,9 +311,10 @@ object TextAnalysis {
     stats.crossJoin(broadcast(total))
       .withColumn("alloc_n",
         when(col("wtot") > 0,
-          floor(lit(budget).cast("double") *
-            (col("wgt").cast("double") / col("wtot").cast("double")))
-            .cast("long"))
+          least(col("n_docs"),  // can't sample more than the stratum holds
+            floor(lit(budget).cast("double") *
+              (col("wgt").cast("double") / col("wtot").cast("double")))
+              .cast("long")))
           .otherwise(lit(0L)))
       .withColumn("alloc_frac",
         col("alloc_n").cast("double") / col("n_docs").cast("double"))

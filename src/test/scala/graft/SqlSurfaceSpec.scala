@@ -198,6 +198,22 @@ class SqlSurfaceSpec extends GraftSpec {
          WHERE est <= 0 OR err < 0""").collect().isEmpty)
     assert(spark.sql(
       "SELECT count(*) FROM graft_heavy_hitters").collect()(0).getLong(0) > 0)
+    // calibration: z is NULL only for degenerate strata, mean/z bounded
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_calibrate WHERE cal_z IS NOT NULL")
+      .collect()(0).getLong(0) > 0)
+    // retention: offset-0 rows are by definition the full cohort
+    assert(spark.sql(
+      """SELECT cohort_week FROM graft_retention
+         WHERE week_offset = 0 AND retention <> 1.0""").collect().isEmpty)
+    // containment bounded by 1 and above the operator's threshold
+    assert(spark.sql(
+      """SELECT bench_id FROM graft_bench_containment
+         WHERE containment < 0.5 OR containment > 1.0""").collect().isEmpty)
+    // Neyman: allocation never exceeds a stratum's population
+    assert(spark.sql(
+      """SELECT source FROM graft_neyman_alloc
+         WHERE alloc_n < 0 OR alloc_n > n_docs""").collect().isEmpty)
 
     // iterative operators materialize on demand (clusters run a
     // driver fixpoint loop, so they are tables, not lazy views)

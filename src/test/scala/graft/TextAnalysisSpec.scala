@@ -756,7 +756,10 @@ class TextAnalysisSpec extends GraftSpec {
       .map(r => r.getAs[String]("source") -> r).toMap
     assert(out("uni").getAs[Long]("alloc_n") == 0L)
     assert(out("uni").getAs[Double]("sigma_q") == 0.0)
-    assert(out("noisy").getAs[Long]("alloc_n") == 100L)
+    // all the weight lands on 'noisy', but allocation caps at the
+    // stratum's population — you can't sample 100 docs from 2
+    assert(out("noisy").getAs[Long]("alloc_n") == 2L)
+    assert(out("noisy").getAs[Double]("alloc_frac") == 1.0)
     // real corpus: floor-allocation never exceeds the budget, every
     // stratum appears, and allocation orders by N_h·σ_h
     val real = TextAnalysis.q144(Tables.documents(spark, SF)).collect()
