@@ -126,6 +126,9 @@ object SparkEntry {
     "q140_heavy_hitters"       -> ((s, d) => TextAnalysis.q140(documents(s, d))),
     "q141_source_calibrate"    -> ((s, d) => TextAnalysis.q141(documents(s, d))),
     "q144_neyman_alloc"        -> ((s, d) => TextAnalysis.q144(documents(s, d))),
+    // rows-only: greedy BPE (q113's gate) / no gzip in portable SQL
+    "q145_subword_fertility"   -> ((s, d) => TextAnalysis.q145(documents(s, d))),
+    "q146_compress_ratio"      -> ((s, d) => TextAnalysis.q146(s, documents(s, d))),
     "q95_source_overlap"       -> ((s, d) => Dedup.q95(documents(s, d))),
     "q96_embed_clusters"       -> ((s, d) => Similarity.q96(embeddings(s, d))),
     "q97_gram_matrix"          -> ((s, d) => Similarity.q97(embeddings(s, d), exact = true)),

@@ -765,6 +765,86 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q145: SUBWORD FERTILITY per source — the tokenizer-health report
+    * read after fitting/refreshing a BPE model (q98→fn05): fertility
+    * (subwords per whitespace word) is THE standard metric for how
+    * well a tokenizer fits a corpus slice — a source whose fertility
+    * is far above the corpus mean is paying more context window per
+    * word (wrong language for the vocab, code, noisy text), the
+    * signal that drives per-source vocab budgets or a refit. Per
+    * source: word volume, fn05 subword volume, fertility, merge rate
+    * (fraction of adjacent code-point pairs the model merged — 0 means
+    * the vocab does nothing for this source), and chars per subword.
+    * Plan: the same one-pass broadcast-merge-table encode as q113,
+    * then ONE map-side-combined aggregate to sources-sized rows.
+    * rows-only (greedy BPE is not portable SQL — q113's gate); the
+    * spec pins the algebra against q113's per-doc counts and plants a
+    * vocab-mismatched source. */
+  def q145(documents: DataFrame, topMerges: Int = 50): DataFrame = {
+    val mergeRow = bpeMergeRow(documents, topMerges)
+    val norm = lower(trim(col("text")))
+    documents
+      .crossJoin(broadcast(mergeRow))
+      .select(col("source"),
+        size(split(norm, " ")).cast("long").as("n_words"),
+        size(graft.functions.BpeEncode(col("text"), col("merges")))
+          .cast("long").as("n_subwords"),
+        length(regexp_replace(norm, lit(" "), lit(""))).cast("long").as("n_cp"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_words")).as("n_words"),
+        sum(col("n_subwords")).as("n_subwords"),
+        sum(col("n_cp")).as("n_codepoints"))
+      .withColumn("fertility",
+        col("n_subwords").cast("double") / col("n_words").cast("double"))
+      .withColumn("merge_rate",
+        (col("n_codepoints") - col("n_subwords")).cast("double") /
+          col("n_codepoints").cast("double"))
+      .withColumn("chars_per_subword",
+        col("n_codepoints").cast("double") / col("n_subwords").cast("double"))
+      .select(col("source"), col("n_words"), col("n_subwords"),
+        col("fertility"), col("merge_rate"), col("chars_per_subword"))
+      .orderBy(col("source"))
+  }
+
+  /** q146: COMPRESSIBILITY quality signal — per-doc gzip ratio, the
+    * Gopher/MassiveText heuristic: highly compressible text is
+    * repetitive template/spam (q68 measures token-level repetition;
+    * this catches byte-level structure n-gram stats miss — long-range
+    * repeats, encoded blobs, boilerplate markup), and NEAR-incompressible
+    * "text" is often not text at all (base64, minified bundles) — both
+    * tails get flagged. Deflate runs partition-local inside
+    * mapPartitions (one reused Deflater per partition, the Multimodal
+    * batching discipline); bytes never shuffle — only (doc_id, sizes,
+    * ratio, verdict) rows come out. Deflate's fixed header skews
+    * ratios high on very short docs — the thresholds are tuned for
+    * document-length text, not tweets. rows-only (no gzip in portable
+    * SQL); the spec plants repetitive / diverse / random-blob docs. */
+  def q146(spark: org.apache.spark.sql.SparkSession, documents: DataFrame,
+           minRatio: Double = 0.25, maxRatio: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+        val buf = new Array[Byte](8192)
+        it.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          d.reset(); d.setInput(raw); d.finish()
+          var comp = 0L
+          while (!d.finished()) comp += d.deflate(buf)
+          (id, raw.length.toLong, comp)
+        }
+      }
+      .toDF("doc_id", "raw_bytes", "gz_bytes")
+      .withColumn("gz_ratio",
+        col("gz_bytes").cast("double") / col("raw_bytes").cast("double"))
+      .withColumn("verdict",
+        when(col("gz_ratio") < minRatio, lit("too_compressible"))
+          .when(col("gz_ratio") > maxRatio, lit("incompressible"))
+          .otherwise(lit("ok")))
+      .orderBy(col("doc_id"))
+  }
+
   /** q100: FEATURE HASHING (the hashing trick) — fixed-width token-count
     * featurization: every token maps to one of `buckets` feature slots
     * via the engine-portable polynomial fingerprint (the q50 hash, a

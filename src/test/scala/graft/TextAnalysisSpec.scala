@@ -773,4 +773,64 @@ class TextAnalysisSpec extends GraftSpec {
       case _ => true
     })
   }
+
+  test("q145 fertility: algebra matches q113 per-doc counts, mismatched source reads high") {
+    val real = Tables.documents(spark, SF)
+    val fert = TextAnalysis.q145(real).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // source totals re-derive from q113's per-doc subword counts
+    val perDoc = TextAnalysis.q113(real).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_subwords")).toMap
+    val srcOf = real.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySrc = perDoc.groupBy { case (id, _) => srcOf(id) }
+      .map { case (s, m) => s -> m.values.sum }
+    fert.foreach { case (s, r) =>
+      assert(r.getAs[Long]("n_subwords") == bySrc(s),
+        s"$s subword total drifted from q113")
+      assert(r.getAs[Double]("fertility") >= 1.0) // a word is ≥1 subword
+      val mr = r.getAs[Double]("merge_rate")
+      assert(mr >= 0.0 && mr < 1.0)
+    }
+    // planted mismatch: a source the vocab was never fit for merges
+    // nothing (merge_rate 0) and pays maximal fertility per character
+    val planted = Seq(
+      (1L, "aa aa aa aa aa aa aa aa", "fits"),   // one dominant pair
+      (2L, "aa aa aa aa aa aa aa aa", "fits"),
+      (3L, "zq xv wk jy zq xv wk jy", "alien"))  // pairs below the merge cut
+      .toDF("doc_id", "text", "source")
+    val p = TextAnalysis.q145(planted, topMerges = 1).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(p("fits").getAs[Double]("merge_rate") > 0.0)
+    assert(p("fits").getAs[Double]("fertility") == 1.0) // "aa" → 1 subword
+    assert(p("alien").getAs[Double]("merge_rate") == 0.0)
+    assert(p("alien").getAs[Double]("fertility") == 2.0) // every pair unmerged
+  }
+
+  test("q146 compressibility: repetitive flags low, random blob flags high, prose ok") {
+    val rng = new scala.util.Random(3)
+    val blob = (1 to 400).map(_ => rng.nextPrintableChar()).mkString
+    val docs = Seq(
+      (1L, "spam spam spam spam " * 50),                       // too_compressible
+      // mid-entropy "prose" stand-in: random draws from a 500-word
+      // vocabulary deflate to ~0.4 — word repeats compress, order
+      // doesn't — squarely inside the ok band
+      (2L, { val r2 = new scala.util.Random(9)
+             (1 to 300).map(_ => s"w${r2.nextInt(500)}").mkString(" ") }),
+      (3L, blob))                                              // incompressible
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.q146(spark, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("verdict") == "too_compressible",
+      out(1L).toString)
+    assert(out(2L).getAs[String]("verdict") == "ok", out(2L).toString)
+    assert(out(3L).getAs[String]("verdict") == "incompressible",
+      out(3L).toString)
+    // ratios are real deflate output: deterministic across runs
+    val again = TextAnalysis.q146(spark, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("gz_ratio")).toMap
+    out.foreach { case (id, r) =>
+      assert(r.getAs[Double]("gz_ratio") == again(id))
+    }
+  }
 }
