@@ -88,6 +88,9 @@ object SparkEntry {
     "q68_repetition"           -> ((s, d) => TextAnalysis.q68(documents(s, d))),
     "q69_contamination"        -> ((s, d) => Dedup.q69(documents(s, d))),
     "q143_bench_containment"   -> ((s, d) => Dedup.q143(documents(s, d))),
+    // rows-only: the bottom-k estimate is hash-sampling-dependent; the
+    // spec pins per-pair error vs exact q95 and the native top-k plan
+    "q147_overlap_sketch"      -> ((s, d) => Dedup.q147(documents(s, d))),
     "q70_mix_stats"            -> ((s, d) => TextAnalysis.q70(documents(s, d))),
     "q71_salted_join"          -> ((s, d) => Skew.q71(lineitem(s, d), supplier(s, d))),
     "q72_corr_moments"         -> ((s, d) => Relational.q72(lineitem(s, d))),

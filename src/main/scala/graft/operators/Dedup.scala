@@ -331,6 +331,54 @@ object Dedup {
     contaminationAgainst(corpus, benchmarkGrams(bench)).orderBy(col("doc_id"))
   }
 
+  /** q147: SKETCHED source-overlap — [[q95]]'s answer at the cost a
+    * 100 TB corpus can pay. q95 is EXACT: it shuffles every distinct
+    * (source, gram) pair and self-joins on the gram string — right for
+    * an audit, but the exchange is the full distinct-gram volume. This
+    * reduces each source to its BOTTOM-K signature — the k smallest
+    * xxhash64 values of its distinct grams (the KMV sketch of
+    * Bar-Yossef et al. '02 / Beyer et al. '07) — after which
+    * cross-source comparison touches k·sources longs no matter how big
+    * the corpus: per pair, the classic bottom-k estimator
+    * Ĵ = |X ∩ A ∩ B| / |X| with X = the k smallest of A ∪ B, unbiased
+    * with σ ≈ 1/√k. The per-source bottom-k compiles to the native
+    * bounded-heap `TopKPerKeyExec` (ascending-long rank key →
+    * TopKRewrite fires), so the exchange after the distinct carries k
+    * rows per source, never the gram stream; the pairwise stage is a
+    * sources²-row broadcast self-join over k-length arrays. A source
+    * with fewer than k grams keeps its whole set and the estimator is
+    * exact there. rows-only (the estimate is hash-sampling-dependent);
+    * the spec pins |Ĵ − J_exact| per pair against q95 and asserts the
+    * native top-k plan. */
+  def q147(documents: DataFrame, k: Int = 256): DataFrame = {
+    val hg = shingles(documents)
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), xxhash64(col("g")).as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"))
+    val sk = hg
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(col("h"))).as("sig"),
+        count(lit(1)).as("n_sig"))
+    val pairs = sk.select(col("source").as("source_a"), col("sig").as("sig_a"))
+      .join(broadcast(sk.select(col("source").as("source_b"), col("sig").as("sig_b"))),
+        col("source_a") < col("source_b"))
+    val union = array_sort(array_union(col("sig_a"), col("sig_b")))
+    pairs
+      .withColumn("x", slice(union, 1, k))
+      .withColumn("shared",
+        size(array_intersect(array_intersect(col("x"), col("sig_a")),
+          col("sig_b"))).cast("long"))
+      .withColumn("est_jaccard",
+        col("shared").cast("double") / least(lit(k), size(col("x"))).cast("double"))
+      .select(col("source_a"), col("source_b"), col("shared"),
+        col("est_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** q143: per-benchmark-item CONTAINMENT — q69's question asked in
     * the OTHER direction. q69 scores each corpus doc by how much of
     * ITS text is benchmark material; the decontamination policies the

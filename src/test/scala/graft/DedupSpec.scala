@@ -499,4 +499,31 @@ class DedupSpec extends GraftSpec {
       .find(_.getAs[Long]("doc_id") == 2L).get
     assert(q69row.getAs[Double]("contamination") < 0.05)
   }
+
+  test("q147 sketched overlap tracks exact q95 jaccard within bottom-k error") {
+    val docs = Tables.documents(spark, SF)
+    val exact = graft.operators.Dedup.q95(docs).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val est = graft.operators.Dedup.q147(docs).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Double]("est_jaccard")).toMap
+    assert(est.keySet == exact.keySet)   // every pair estimated
+    // bottom-k with k=256: σ ≈ 1/√k ≈ 0.06 — allow 3σ per pair
+    est.foreach { case (pair, e) =>
+      assert(math.abs(e - exact(pair)) <= 0.19,
+        s"$pair est=$e exact=${exact(pair)}")
+    }
+    // the per-source bottom-k really plans as the native bounded heap,
+    // not a full per-source sort
+    val plan = formattedPlan(graft.operators.Dedup.q147(docs))
+    assert(plan.contains("TopKPerKey"), plan)
+    // a tiny corpus (< k grams per source) estimates EXACTLY
+    val tiny = Seq(
+      (1L, "a b c d e f", "s1"), (2L, "a b c d x y", "s2"))
+      .toDF("doc_id", "text", "source")
+    val tex = graft.operators.Dedup.q95(tiny).head().getAs[Double]("jaccard")
+    val tes = graft.operators.Dedup.q147(tiny).head().getAs[Double]("est_jaccard")
+    assert(tes == tex)
+  }
 }
