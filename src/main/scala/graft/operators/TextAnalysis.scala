@@ -820,7 +820,18 @@ object TextAnalysis {
     * document-length text, not tweets. rows-only (no gzip in portable
     * SQL); the spec plants repetitive / diverse / random-blob docs. */
   def q146(spark: org.apache.spark.sql.SparkSession, documents: DataFrame,
-           minRatio: Double = 0.25, maxRatio: Double = 0.8): DataFrame = {
+           minRatio: Double = 0.25, maxRatio: Double = 0.8): DataFrame =
+    compressScored(spark, documents, minRatio, maxRatio)
+      .drop("text")
+      .orderBy(col("doc_id"))
+
+  /** The q146 kernel without the batch-report ordering — streaming-
+    * legal (stateless mapPartitions + projection), shared with st24's
+    * ingest gate so stream and batch verdicts cannot drift. Keeps the
+    * text column so a gate can land admitted docs intact. */
+  private[graft] def compressScored(spark: org.apache.spark.sql.SparkSession,
+                                    documents: DataFrame, minRatio: Double,
+                                    maxRatio: Double): DataFrame = {
     import spark.implicits._
     documents.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
@@ -832,17 +843,16 @@ object TextAnalysis {
           d.reset(); d.setInput(raw); d.finish()
           var comp = 0L
           while (!d.finished()) comp += d.deflate(buf)
-          (id, raw.length.toLong, comp)
+          (id, text, raw.length.toLong, comp)
         }
       }
-      .toDF("doc_id", "raw_bytes", "gz_bytes")
+      .toDF("doc_id", "text", "raw_bytes", "gz_bytes")
       .withColumn("gz_ratio",
         col("gz_bytes").cast("double") / col("raw_bytes").cast("double"))
       .withColumn("verdict",
         when(col("gz_ratio") < minRatio, lit("too_compressible"))
           .when(col("gz_ratio") > maxRatio, lit("incompressible"))
           .otherwise(lit("ok")))
-      .orderBy(col("doc_id"))
   }
 
   /** q100: FEATURE HASHING (the hashing trick) — fixed-width token-count

@@ -206,6 +206,23 @@ object Streams {
       .withColumn("score", graft.functions.QualityScore(col("text")))
       .filter(col("score") > 0.0)
 
+  /** st24: streaming COMPRESSIBILITY gate — q146's byte-level quality
+    * signal applied at INGEST: each micro-batch deflates partition-
+    * local (the exact batch kernel,
+    * [[graft.operators.TextAnalysis.compressScored]] — stream and
+    * batch verdicts cannot drift) and only `ok`-band docs land;
+    * template/spam (too compressible) and non-text blobs
+    * (incompressible) never reach the lake. STATELESS like st14: no
+    * shuffle, no state store, no watermark — valid in append mode at
+    * any ingest rate, bytes never leave their partition. The spec
+    * asserts verdict bit parity with batch q146 on the same docs. */
+  def compressGateStream(docs: DataFrame, minRatio: Double = 0.25,
+                         maxRatio: Double = 0.8): DataFrame =
+    graft.operators.TextAnalysis
+      .compressScored(docs.sparkSession, docs, minRatio, maxRatio)
+      .filter(col("verdict") === "ok")
+      .select(col("doc_id"), col("text"), col("gz_ratio"))
+
   /** st15: streaming DECONTAMINATION gate — batch q69's benchmark-
     * contamination check applied at INGEST: documents whose distinct
     * word-3-gram shingles overlap the eval/benchmark suite beyond

@@ -313,6 +313,31 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st24 streaming compressibility gate: verdict parity with batch q146, both tails drop") {
+    val docs = Tables.documents(spark, SF)
+    val expected = graft.operators.TextAnalysis.q146(spark, docs)
+      .filter(org.apache.spark.sql.functions.col("verdict") === "ok")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val ms = MemoryStream[(Long, String)]
+    val df = ms.toDF().toDF("doc_id", "text")
+    val q = Streams.compressGateStream(df)
+      .writeStream.format("memory").queryName("st24_out").outputMode("append").start()
+    try {
+      val rows = docs.select("doc_id", "text").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      ms.addData(rows.toSeq: _*)
+      // plus both planted tails: spam (too compressible) and a blob
+      val rng = new scala.util.Random(3)
+      ms.addData((900001L, "spam spam spam spam " * 50),
+        (900002L, (1 to 400).map(_ => rng.nextPrintableChar()).mkString))
+      q.processAllAvailable()
+      val kept = spark.table("st24_out").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(kept == expected)            // same deflate kernel, same verdicts
+      assert(!kept.contains(900001L) && !kept.contains(900002L))
+      assert(q.lastProgress.stateOperators.isEmpty) // stateless like st14
+    } finally q.stop()
+  }
+
   test("st15 streaming decontamination gate drops benchmark-overlapping docs") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon"))
       .toDF("doc_id", "text")
