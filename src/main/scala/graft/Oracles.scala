@@ -1396,52 +1396,42 @@ object Oracles {
            CAST(SUM(n_toks) AS BIGINT) AS n_tokens
          FROM s GROUP BY source, split ORDER BY source, split""",
 
-    // sorted-vec_id strict fold per dimension == Spark's sort_array +
-    // aggregate fold (q86 discipline); single double divide at the end
+    // q122 fixed-point idiom: floor-scaled 1e-8-granular longs, integer
+    // SUM (order-free == Spark's partial-aggregated sum), one double
+    // divide — bit-identical across engines with constant group state
     "q92_embed_centroids" ->
-      """WITH b AS (SELECT label, vec_id,
+      """WITH b AS (SELECT label,
            CAST(embedding[1] AS DOUBLE) AS x0, CAST(embedding[2] AS DOUBLE) AS x1,
            CAST(embedding[3] AS DOUBLE) AS x2, CAST(embedding[4] AS DOUBLE) AS x3
-           FROM embeddings),
-         g AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           list_sort(list(struct_pack(vec_id := vec_id, x0 := x0, x1 := x1,
-             x2 := x2, x3 := x3))) AS xs
-           FROM b GROUP BY label)
-         SELECT label, n_vecs,
-           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list_transform(xs, s -> struct_extract(s, 'x0'))), (a,b) -> a+b)
-             / CAST(n_vecs AS DOUBLE) AS mean_0,
-           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list_transform(xs, s -> struct_extract(s, 'x1'))), (a,b) -> a+b)
-             / CAST(n_vecs AS DOUBLE) AS mean_1,
-           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list_transform(xs, s -> struct_extract(s, 'x2'))), (a,b) -> a+b)
-             / CAST(n_vecs AS DOUBLE) AS mean_2,
-           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list_transform(xs, s -> struct_extract(s, 'x3'))), (a,b) -> a+b)
-             / CAST(n_vecs AS DOUBLE) AS mean_3
-         FROM g ORDER BY label""",
+           FROM embeddings)
+         SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           (CAST(SUM(CAST(floor(x0 * 100000000.0) AS BIGINT)) AS DOUBLE)
+             / 100000000.0) / CAST(COUNT(*) AS DOUBLE) AS mean_0,
+           (CAST(SUM(CAST(floor(x1 * 100000000.0) AS BIGINT)) AS DOUBLE)
+             / 100000000.0) / CAST(COUNT(*) AS DOUBLE) AS mean_1,
+           (CAST(SUM(CAST(floor(x2 * 100000000.0) AS BIGINT)) AS DOUBLE)
+             / 100000000.0) / CAST(COUNT(*) AS DOUBLE) AS mean_2,
+           (CAST(SUM(CAST(floor(x3 * 100000000.0) AS BIGINT)) AS DOUBLE)
+             / 100000000.0) / CAST(COUNT(*) AS DOUBLE) AS mean_3
+         FROM b GROUP BY label ORDER BY label""",
 
-    // upper-triangle Gram cells; sorted-vec_id strict fold per cell ==
-    // Spark's sort_array + aggregate fold (q92 discipline). The test
-    // embeddings are 64-dim; Spark derives d from the data.
+    // upper-triangle Gram cells; q122 fixed-point idiom (floor-scaled
+    // 1e-6-granular longs, order-free integer SUM, one double divide)
+    // == Spark's partial-aggregated fixed-point sum bit-for-bit. The
+    // test embeddings are 64-dim; Spark derives d from the data.
     "q97_gram_matrix" ->
-      """WITH p AS (SELECT vec_id, CAST(ii.i AS BIGINT) AS i,
+      """WITH p AS (SELECT CAST(ii.i AS BIGINT) AS i,
              CAST(jj.j AS BIGINT) AS j,
              CAST(embedding[CAST(ii.i AS INT) + 1] AS DOUBLE) *
                CAST(embedding[CAST(jj.j AS INT) + 1] AS DOUBLE) AS prod
            FROM embeddings
            CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ii
            CROSS JOIN (SELECT unnest(range(0, 64)) AS j) jj
-           WHERE jj.j >= ii.i),
-         g AS (SELECT i, j,
-             list_sort(list(struct_pack(vec_id := vec_id, prod := prod))) AS xs
-           FROM p GROUP BY i, j)
+           WHERE jj.j >= ii.i)
          SELECT i, j,
-           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list_transform(xs, s -> struct_extract(s, 'prod'))),
-             (a,b) -> a+b) AS gram
-         FROM g ORDER BY i, j""",
+           CAST(SUM(CAST(floor(prod * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 AS gram
+         FROM p GROUP BY i, j ORDER BY i, j""",
 
     // adjacent char pairs per word occurrence; substr is character-based
     // and 1-indexed in both engines; range(1, len) = 1..len-1
@@ -2035,6 +2025,90 @@ object Oracles {
                   (CAST(w.wgt AS DOUBLE) / CAST(t.wtot AS DOUBLE))) AS BIGINT))
                 ELSE CAST(0 AS BIGINT) END AS DOUBLE) / CAST(w.n_docs AS DOUBLE)
              AS alloc_frac
-         FROM w, t ORDER BY w.source"""
+         FROM w, t ORDER BY w.source""",
+
+    // q148–q151 URL/domain curation. The synthetic URL + normalization
+    // algebra mirrors UrlCuration.withUrl/normalizeUrl/domainOf exactly
+    // (same residues, same regex subset); UrlNormCte is the shared
+    // prefix so the four oracles cannot drift from each other.
+    "q148_url_normalize" ->
+      s"""$UrlNormCte
+         SELECT doc_id, url, url_norm, domain FROM nrm ORDER BY doc_id""",
+
+    // blocklist literals = UrlCuration.DefaultBlocklist
+    "q149_domain_blocklist" ->
+      s"""$UrlNormCte
+         SELECT doc_id, domain,
+           domain IN ('src1.org', 'src3.com', 'src7.net', 'src12.com')
+             AS blocked
+         FROM nrm ORDER BY doc_id""",
+
+    // per-domain quota 12, survivors by the multiplicative hash
+    // (salt 148151 = UrlCuration.q150)
+    "q150_domain_quota" ->
+      s"""$UrlNormCte,
+         sel AS (SELECT doc_id, domain,
+             (((doc_id % 1000000007) * 2654435761) % 1000000007 + 148151)
+               % 1000000007 AS h
+           FROM nrm),
+         rk AS (SELECT doc_id, domain,
+             CAST(ROW_NUMBER() OVER (PARTITION BY domain ORDER BY h, doc_id)
+               AS BIGINT) AS rk
+           FROM sel)
+         SELECT doc_id, domain, rk FROM rk WHERE rk <= 12
+         ORDER BY domain, rk""",
+
+    "q151_url_dedup" ->
+      s"""$UrlNormCte
+         SELECT doc_id, url_norm,
+           MIN(doc_id) OVER (PARTITION BY url_norm) AS canon_id,
+           COUNT(*) OVER (PARTITION BY url_norm) AS n_variants,
+           CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY url_norm)
+                THEN 'canonical' ELSE 'dup_url' END AS status
+         FROM nrm ORDER BY doc_id"""
   )
+
+  /** Shared URL-derivation + normalization CTE for q148–q151 — the SQL
+    * mirror of [[graft.operators.UrlCuration.withUrl]] (residues) and
+    * `normalizeUrl`/`domainOf` (split_part/regexp algebra). Plain
+    * concatenated string (no s-interpolation) so the regex
+    * backreferences stay literal. */
+  // lazy: textually after `sql`, which forces it during object init
+  private lazy val UrlNormCte: String =
+    "WITH u AS (\n" +
+    "  SELECT doc_id,\n" +
+    "    (CASE WHEN doc_id % 7 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||\n" +
+    "    (CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END) ||\n" +
+    "    source || '.' ||\n" +
+    "    (CASE WHEN doc_id % 3 = 0 THEN 'com' WHEN doc_id % 3 = 1 THEN 'org'\n" +
+    "          ELSE 'net' END) ||\n" +
+    "    (CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END) ||\n" +
+    "    '/page/' || CAST(doc_id % 12 AS VARCHAR) ||\n" +
+    "    (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) ||\n" +
+    "    (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&utm_campaign=crawl'\n" +
+    "          WHEN doc_id % 5 = 1 THEN '?ref=home' ELSE '' END) ||\n" +
+    "    (CASE WHEN doc_id % 9 = 0 THEN '#section-2' ELSE '' END) AS url\n" +
+    "  FROM documents),\n" +
+    "n AS (SELECT doc_id, url,\n" +
+    "    lower(split_part(url, '://', 1)) AS scheme,\n" +
+    "    substr(url, strpos(url, '://') + 3) AS rest\n" +
+    "  FROM u),\n" +
+    "h AS (SELECT *, split_part(rest, '/', 1) AS host_port FROM n),\n" +
+    "p AS (SELECT doc_id, url, scheme,\n" +
+    "    regexp_replace(regexp_replace(lower(host_port), '^www\\.', ''),\n" +
+    "      ':(443|80)$', '') AS host,\n" +
+    "    substr(rest, length(host_port) + 1) AS pathqf\n" +
+    "  FROM h),\n" +
+    "q AS (SELECT doc_id, url, scheme, host,\n" +
+    "    regexp_replace(\n" +
+    "      regexp_replace(\n" +
+    "        regexp_replace(split_part(pathqf, '#', 1),\n" +
+    "          '[?&]utm_[^&#]*', '', 'g'),\n" +
+    "        '^([^?]*)&', '\\1?'),\n" +
+    "      '/+(\\?|$)', '\\1') AS np\n" +
+    "  FROM p),\n" +
+    "nrm AS (SELECT doc_id, url,\n" +
+    "    scheme || '://' || host || np AS url_norm,\n" +
+    "    array_to_string(string_split(host, '.')[-2:], '.') AS domain\n" +
+    "  FROM q)"
 }

@@ -116,7 +116,7 @@ object SparkEntry {
     "q89_tfidf"                -> ((s, d) => TextAnalysis.q89(documents(s, d))),
     "q90_pmi_cooccur"          -> ((s, d) => TextAnalysis.q90(documents(s, d))),
     "q91_train_split"          -> ((s, d) => TextAnalysis.q91(documents(s, d))),
-    "q92_embed_centroids"      -> ((s, d) => Similarity.q92(embeddings(s, d), exact = true)),
+    "q92_embed_centroids"      -> ((s, d) => Similarity.q92(embeddings(s, d))),
     "q93_phash_neardup"        -> ((s, d) => Multimodal.q93(s, documents(s, d))),
     "q94_media_clean"          -> ((s, d) => Multimodal.q94(s, documents(s, d))),
     // rows-only: gear-hash chunk boundaries are not portable SQL; the
@@ -134,7 +134,7 @@ object SparkEntry {
     "q146_compress_ratio"      -> ((s, d) => TextAnalysis.q146(s, documents(s, d))),
     "q95_source_overlap"       -> ((s, d) => Dedup.q95(documents(s, d))),
     "q96_embed_clusters"       -> ((s, d) => Similarity.q96(embeddings(s, d))),
-    "q97_gram_matrix"          -> ((s, d) => Similarity.q97(embeddings(s, d), exact = true)),
+    "q97_gram_matrix"          -> ((s, d) => Similarity.q97(embeddings(s, d))),
     "q98_bpe_merges"           -> ((s, d) => TextAnalysis.q98(documents(s, d))),
     "q99_bigram_logprob"       -> ((s, d) => TextAnalysis.q99(documents(s, d))),
     "q100_feature_hash"        -> ((s, d) => TextAnalysis.q100(documents(s, d))),
@@ -218,7 +218,7 @@ object SparkEntry {
     // rows-only: a driver-side eigensolve is not portable SQL; the
     // spec proves orthonormality, variance ordering, full-rank
     // isometry, and planted-axis recovery
-    "q134_pca_project"         -> ((s, d) => Similarity.q134(embeddings(s, d))),
+    "q134_pca_project"         -> ((s, d) => Similarity.q134Driver(embeddings(s, d))),
     // rows-only: per-subspace k-means codebooks are not portable SQL;
     // the spec pins recall@5 vs exact q44, code shape/range, and
     // encode determinism
@@ -284,7 +284,13 @@ object SparkEntry {
       val e = embeddings(s, d)
       Similarity.search(e.filter(org.apache.spark.sql.functions.col("vec_id") < 20),
         e.filter(org.apache.spark.sql.functions.col("vec_id") >= 20), 5)
-    })
+    }),
+    // URL/domain curation (synthetic URL derived from (source, doc_id)
+    // with the same algebra in the oracle — see UrlCuration.withUrl)
+    "q148_url_normalize"       -> ((s, d) => UrlCuration.q148(documents(s, d))),
+    "q149_domain_blocklist"    -> ((s, d) => UrlCuration.q149(documents(s, d))),
+    "q150_domain_quota"        -> ((s, d) => UrlCuration.q150(documents(s, d))),
+    "q151_url_dedup"           -> ((s, d) => UrlCuration.q151(documents(s, d)))
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -19,6 +19,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      Pins.release()             // the per-query owner of operator pins
       spark.catalog.clearCache() // don't let one operator's persist tax the rest
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -6,7 +6,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.ColumnBridge
@@ -72,11 +72,15 @@ private[graft] object MisraGries {
 case class FreqSketch(child: Expression, capacity: Int,
                       mutableAggBufferOffset: Int = 0,
                       inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[MgBuffer] {
+    extends TypedImperativeAggregate[MgBuffer] with ExpectsInputTypes {
 
   require(capacity > 0, "FreqSketch capacity must be positive")
 
   override def children: Seq[Expression] = Seq(child)
+  // analysis-time contract: a non-string column registered through the
+  // SQL surface fails with a clear type error, not a runtime
+  // ClassCastException in update()'s UTF8String cast
+  override def inputTypes = Seq(StringType)
   override def nullable: Boolean = false
   override def prettyName: String = "graft_freq_sketch"
   override def dataType: DataType = ArrayType(StructType(Seq(

@@ -82,6 +82,7 @@ object AnnIndex {
           buckets: Int = DefaultBuckets,
           centroids: Option[Array[Array[Double]]] = None,
           pqCodebooks: Option[Array[Array[Array[Double]]]] = None): Unit = {
+    LakeLock.withWriter(corpus.sparkSession, name) {
     val spark = corpus.sparkSession
     val vecs = Similarity.vecRows(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -116,6 +117,7 @@ object AnnIndex {
         pqCodesTable(name), "vec_id", buckets)
     } finally { vecs.unpersist(); () }
   }
+  }
 
   /** Incremental maintenance: upsert a batch of NEW vectors into the
     * index `name` without refitting — the daily-ingest pattern (q109's
@@ -143,6 +145,7 @@ object AnnIndex {
     * ([[Sources.upsertPartitioned]]) and intentionally out of scope
     * for the append fast path. */
   def append(batch: DataFrame, name: String): Unit = {
+    LakeLock.withWriter(batch.sparkSession, name) {
     val spark = batch.sparkSession
     val vecs = Similarity.vecRows(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -160,6 +163,7 @@ object AnnIndex {
         Similarity.pqEncode(batch, loadPqCodebook(spark, name)),
         pqCodesTable(name), "vec_id")
     } finally { vecs.unpersist(); () }
+  }
   }
 
   /** Append `df` into an existing bucketed table, reading the bucket

@@ -54,6 +54,7 @@ object Bm25Index {
 
   def fit(corpus: DataFrame, name: String,
           buckets: Int = DefaultBuckets): Unit = {
+    LakeLock.withWriter(corpus.sparkSession, name) {
     val spark = corpus.sparkSession
     // postings materialize first; df/dl/stats then derive from the
     // postings TABLE (df = docs per term, dl = Σ tf per doc), so the
@@ -73,6 +74,7 @@ object Bm25Index {
       spark.table(dlTable(name))
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum(col("dl")).cast("long").as("total_toks")).head())
+  }
   }
 
   /** q116 against the fitted tables — same scoring tail, no corpus
@@ -102,6 +104,7 @@ object Bm25Index {
 
   /** Register NEW documents into the fitted index (see scaladoc). */
   def append(docs: DataFrame, name: String): Unit = {
+    LakeLock.withWriter(docs.sparkSession, name) {
     val spark = docs.sparkSession
     // registry anti-join: only not-yet-indexed doc_ids register —
     // localCheckpoint because the derivation READS tables the appends
@@ -140,6 +143,7 @@ object Bm25Index {
           old.getAs[Long]("total_toks") + incStats.getAs[Long]("tt")))
       } finally { inc.unpersist(); () }
     }
+  }
   }
 
   def drop(spark: SparkSession, name: String): Unit =

@@ -54,7 +54,7 @@ object Dedup {
       // neither re-exchanges the cached frame
       .repartition(col("g"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val inter = sg.as("a")
       .join(sg.as("b"),
@@ -151,7 +151,7 @@ object Dedup {
       : (DataFrame, DataFrame, DataFrame) = {
     val (reps, members) = exactReps(documents)
     val g = shingles(reps)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val prefix = prefixRows(g, t)
     // Two lossless candidate filters evaluated INSIDE the equi-join
     // (PPJoin, Xiao et al., WWW'08), so pruned pairs never shuffle:
@@ -357,12 +357,16 @@ object Dedup {
       .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("h"))
+    // persist the k-row-per-source signatures (tiny: sources × k longs)
+    // so the corpus-sized shingle→distinct→bottom-k pipeline above runs
+    // ONCE, not once per side of the pairwise self-join below
     val sk = hg
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .groupBy(col("source"))
       .agg(sort_array(collect_list(col("h"))).as("sig"),
         count(lit(1)).as("n_sig"))
+      .transform(graft.Pins.pin)
     val pairs = sk.select(col("source").as("source_a"), col("sig").as("sig_a"))
       .join(broadcast(sk.select(col("source").as("source_b"), col("sig").as("sig_b"))),
         col("source_a") < col("source_b"))
@@ -527,7 +531,7 @@ object Dedup {
     * except the final fraction divide (§6). */
   def q119(documents: DataFrame, k: Int = graft.Oracles.SpanK, exact: Boolean = false): DataFrame = {
     val toked = spanToked(documents)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     scrubToked(toked, repeatedFrom(spanStarts(toked, k, exact)), k, exact)
   }
 
@@ -885,7 +889,7 @@ object Dedup {
     val members = documents.select(col("doc_id"), dg.as("dg"))
       .withColumn("rep", min(col("doc_id")).over(w))
       .select(col("doc_id"), col("rep"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val reps = documents.join(
       members.filter(col("doc_id") === col("rep")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
@@ -987,7 +991,7 @@ object Dedup {
     // MEMORY_AND_DISK) spills gracefully at scale; the ContextCleaner
     // drops it once the plan's RDDs are unreferenced.
     val g = shingles(reps)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val repPairs = verifyJaccard(g, minhashCandidates(g, MinhashJaccardThreshold))
       .filter(col("jaccard") > MinhashJaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -1031,9 +1035,9 @@ object Dedup {
     val testM  = m.filter(col("h") >= 90).select(col("doc_id"), col("rep"))
     val trainM = m.filter(col("h") < 80).select(col("doc_id"), col("rep"))
     val g = shingles(reps)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val banded = bandKeys(minhashSignature(g))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val test  = banded.join(testM.select(col("rep").as("doc_id")).distinct(),
       Seq("doc_id"), "left_semi")
     val train = banded.join(trainM.select(col("rep").as("doc_id")).distinct(),

@@ -48,6 +48,7 @@ object DedupIndex {
 
   def fit(corpus: DataFrame, name: String,
           buckets: Int = DefaultBuckets, fpp: Double = 0.01): Unit = {
+    LakeLock.withWriter(corpus.sparkSession, name) {
     val spark = corpus.sparkSession
     val dgs = corpus.select(Dedup.normDigest.as("dg")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -58,6 +59,7 @@ object DedupIndex {
       writeBloomRow(spark, name, n, nItems, nBits, fpp,
         Dedup.bloomAggregate(dgs, nItems, nBits))
     } finally { dgs.unpersist(); () }
+  }
   }
 
   /** q126 against the persisted tables — same bloom-prefilter shape,
@@ -78,6 +80,7 @@ object DedupIndex {
     * construction (the anti-join drops digests already present), so a
     * foreachBatch replay can only no-op, never double-register. */
   def append(docs: DataFrame, name: String): Unit = {
+    LakeLock.withWriter(docs.sparkSession, name) {
     val spark = docs.sparkSession
     val meta = spark.table(bloomTable(name)).head()
     // localCheckpoint, not persist: the anti-join READS the table the
@@ -105,6 +108,7 @@ object DedupIndex {
       writeBloomRow(spark, name, meta.getAs[Long]("n_digests") + nNew,
         estItems, numBits, meta.getAs[Double]("fpp"), bos.toByteArray)
     }
+  }
   }
 
   def drop(spark: SparkSession, name: String): Unit =

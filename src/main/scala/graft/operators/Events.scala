@@ -89,7 +89,7 @@ object Events {
     val base = orders.select(col("o_totalprice"), col("o_orderkey"))
       .repartitionByRange(sortCols: _*)
       .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val hist = base.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
     // prefix-sum over the O(numShufflePartitions)-row histogram as a
     // triangular self-join (partition p's offset = Σ pn of partitions

@@ -518,7 +518,7 @@ object Multimodal {
     // scale that is a second 100 TB pass for a 24-byte-per-row frame
     val exact = documents
       .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("dg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val exactCanon = exact.groupBy(col("dg")).agg(min(col("doc_id")).as("exact_canon"))
     // propagate over the sparse rep-pair + star edge set (round 8):
     // identical components and labels, linear edges per clique

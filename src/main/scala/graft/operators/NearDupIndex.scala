@@ -91,6 +91,7 @@ object NearDupIndex {
 
   def fit(corpus: DataFrame, name: String,
           buckets: Int = DefaultBuckets): Unit = {
+    LakeLock.withWriter(corpus.sparkSession, name) {
     val spark = corpus.sparkSession
     // persist the rep-level shingle stream's PARENT (the distinct-text
     // frame): all three artifact derivations re-scan rep, not the corpus
@@ -114,6 +115,7 @@ object NearDupIndex {
       } finally { g.unpersist(); () }
     } finally { rep.unpersist(); () }
   }
+  }
 
   /** Near-dup ingest verdicts for a batch against the fitted index —
     * served from the tables alone. */
@@ -133,12 +135,11 @@ object NearDupIndex {
     val newRep = batch.select(Dedup.normDigest.as("dg"), col("text"))
       .dropDuplicates("dg")
       .join(art.digests.select(col("dg")), Seq("dg"), "left_anti")
-    // persisted because THREE subtrees consume it (signature, the
-    // verify side, sizes); the returned frame is lazy, so lifetime is
-    // the plan's — the ContextCleaner reclaims it once unreferenced
-    // (q42's pattern)
+    // pinned because THREE subtrees consume it (signature, the
+    // verify side, sizes); the returned frame is lazy, so the caller's
+    // loop owns the release (graft.Pins contract)
     val gB = Dedup.shingles(newRep.select(col("dg").as("doc_id"), col("text")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val bandsB = Dedup.bandKeys(Dedup.minhashSignature(gB))
     // candidate generation: band-key equi-join with the LOSSLESS length
     // filter inside the join (sets whose sizes differ by more than the
@@ -203,6 +204,7 @@ object NearDupIndex {
     * [[DedupIndex.append]]: the anti-join READS the digest table the
     * append WRITES, and the commit would invalidate a lazy plan. */
   def append(docs: DataFrame, name: String): Unit = {
+    LakeLock.withWriter(docs.sparkSession, name) {
     val spark = docs.sparkSession
     val newRep = docs.select(Dedup.normDigest.as("dg"), col("text"))
       .dropDuplicates("dg")
@@ -223,6 +225,7 @@ object NearDupIndex {
           gramsTable(name), "dg")
       } finally { g.unpersist(); () }
     }
+  }
   }
 
   def drop(spark: SparkSession, name: String): Unit =

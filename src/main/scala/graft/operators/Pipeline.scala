@@ -141,7 +141,7 @@ object Pipeline {
     // plan a sort that the argmax join immediately destroys; edges are
     // the round-8 sparse rep-pair + star set (identical components)
     val cl = Dedup.clusters(Dedup.neardupEdges(documents))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val qual = TextAnalysis.q48(documents)
       .select(col("doc_id"), col("quality"))
     val members = cl.groupBy(col("label")).agg(count(lit(1)).as("n_members"))

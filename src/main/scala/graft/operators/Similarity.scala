@@ -127,9 +127,9 @@ object Similarity {
     // both sides of the re-rank joins (vecRows' norm is the same
     // left-to-right fold as DotProduct(v,v), so sharing it is bit-exact)
     val vecs = vecRows(embeddings)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val sigs = sigRows(vecs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val vtab = vecs.toDF("vec_id", "v", "norm")
     val candidates = lshCandidates(sigs, sigs)
       .filter(col("qid") =!= col("nid"))
@@ -213,9 +213,9 @@ object Similarity {
     * corpus is a legitimate hit, so no self-filter here). */
   def search(queries: DataFrame, corpus: DataFrame, k: Int = 5): DataFrame = {
     val qv = vecRows(queries)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val cv = vecRows(corpus)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val candidates = lshCandidates(sigRows(qv), sigRows(cv))
     rerankTopK(candidates, qv.toDF("vec_id", "v", "norm"),
       cv.toDF("vec_id", "v", "norm"), k)
@@ -265,7 +265,7 @@ object Similarity {
   def q55(embeddings: DataFrame): DataFrame = {
     // shared materialized scan: list assignment (×2) + re-rank joins (×2)
     val vecs = vecRows(embeddings)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val centroids = ivfFit(embeddings)
     // index side: each vector in its single nearest list; query side:
     // probe the IvfProbes nearest lists
@@ -372,7 +372,7 @@ object Similarity {
     // and the per-partition scan below all read one materialized scan of
     // the source instead of three
     val vecs = vecRows(embeddings)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val nRows = vecs.count()
     if (nRows > maxRows) {
       vecs.unpersist() // don't leave the oversized table pinned after refusing
@@ -416,41 +416,33 @@ object Similarity {
     * mean-vector dashboards). Reports each label's vector count and the
     * centroid components of the first `dims` dimensions.
     *
-    * Float discipline (§6): the DEFAULT form is plain per-dimension
-    * AVG — partial-aggregated map-side, constant per-group state, the
-    * form that survives a label with billions of vectors. The
-    * `exact = true` audit variant folds each dimension in SORTED
-    * vec_id order via sort_array + a strict left fold — bit-identical
-    * to DuckDB's list_reduce — then divides once in double; its
-    * per-label state is ∝ group size, so it exists for cross-engine
-    * oracle verification (the driver's q92 entry), not for scale runs.
-    * Q92Spec asserts the two agree to 1e-9 on the test embeddings. */
-  def q92(embeddings: DataFrame, dims: Int = 4,
-          exact: Boolean = false): DataFrame = {
+    * Float discipline (§6): ONE form, both scale-safe and oracle-exact
+    * (the q122 fixed-point idiom). Each component floor-scales to an
+    * exact 1e-8-granular long BEFORE aggregation, so the per-label sum
+    * is order-independent integer arithmetic: map-side combine works,
+    * group state is constant, and DuckDB computes bit-identical values
+    * (floor of one IEEE multiply, then an integer SUM). One double
+    * divide at the end. Headroom: |x|·1e8 ≲ 1e9 per term leaves room
+    * for ~1e9 vectors per label before int64 overflow — beyond that,
+    * lower the scale a decade per 10× (the granularity is a parameter
+    * of the audit, not an accuracy loss: error ≤ n·1e-8/n = 1e-8 per
+    * mean). Replaces the former sort_array + strict-fold audit variant,
+    * whose per-label state grew with the group. */
+  def q92(embeddings: DataFrame, dims: Int = 4): DataFrame = {
     val xs = (0 until dims).map(i =>
       col("embedding")(i).cast("double").as(s"x$i"))
     val base = embeddings.select(
       (Seq(col("label"), col("vec_id")) ++ xs): _*)
-    if (!exact) {
-      base
-        .groupBy(col("label"))
-        .agg(count(lit(1)).as("n_vecs"),
-          (0 until dims).map(i => avg(col(s"x$i")).as(s"mean_$i")): _*)
-        .orderBy(col("label"))
-    } else {
-      val packed = struct((Seq(col("vec_id")) ++
-        (0 until dims).map(i => col(s"x$i"))): _*)
-      def mean(i: Int): Column =
-        (aggregate(col("xs"), lit(0.0), (acc, s) => acc + s.getField(s"x$i")) /
-          col("n_vecs").cast("double")).as(s"mean_$i")
-      base
-        .groupBy(col("label"))
-        .agg(count(lit(1)).as("n_vecs"),
-          sort_array(collect_list(packed)).as("xs"))
-        .select((Seq(col("label"), col("n_vecs")) ++
-          (0 until dims).map(mean)): _*)
-        .orderBy(col("label"))
-    }
+    base
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (0 until dims).map(i =>
+          sum(floor(col(s"x$i") * lit(1.0e8)).cast("long")).as(s"sx$i")): _*)
+      .select((Seq(col("label"), col("n_vecs")) ++
+        (0 until dims).map(i =>
+          ((col(s"sx$i").cast("double") / lit(1.0e8)) /
+            col("n_vecs").cast("double")).as(s"mean_$i"))): _*)
+      .orderBy(col("label"))
   }
 
   /** q108: INT8-QUANTIZED ANN — the serving-path composition q74's
@@ -596,36 +588,33 @@ object Similarity {
     * corpus size. d comes from the data (`size(embedding)`), not a
     * parameter.
     *
-    * Float discipline (§6): the DEFAULT is plain SUM — partial-
-    * aggregated, constant per-cell state, the form that survives a
-    * 100 TB corpus. The `exact = true` audit variant folds each cell
-    * in SORTED vec_id order (q92 discipline) for cross-engine bit
-    * parity; its per-cell state is ∝ corpus size, so it exists for
-    * the DuckDB oracle, not for scale runs. GramSpec asserts the two
-    * agree to 1e-6 on the test embeddings. */
-  def q97(embeddings: DataFrame, exact: Boolean = false): DataFrame = {
+    * Float discipline (§6): ONE form, both scale-safe and oracle-exact
+    * (the q122 fixed-point idiom). Each product floor-scales to an
+    * exact 1e-6-granular long BEFORE aggregation, so the per-cell sum
+    * is order-independent integer arithmetic — partial-aggregated,
+    * constant per-cell state, bit-identical in DuckDB (floor of one
+    * IEEE multiply, then an integer SUM), one double divide at the
+    * end. Headroom: |prod|·1e6 ≲ 1e8 per term leaves ~1e10 vectors
+    * before int64 overflow; beyond that, drop `fpScale` a decade per
+    * 10× (granularity, not accuracy: error per cell ≤ n/fpScale,
+    * vanishing relative to a Σ of n products). Replaces the former
+    * sort_array + strict-fold audit variant, whose per-cell state grew
+    * with the corpus — this form IS the 100 TB plan. */
+  def q97(embeddings: DataFrame, fpScale: Double = 1.0e6): DataFrame = {
     val v = col("embedding")
     val cellArr = flatten(transform(v, (xi, i) =>
       transform(slice(v, i + lit(1), size(v)), (xj, j) =>
         struct(i.cast("long").as("i"), (i + j).cast("long").as("j"),
           (xi.cast("double") * xj.cast("double")).as("prod")))))
-    val cells = embeddings
-      .select(col("vec_id"), explode(cellArr).as("p"))
-      .select(col("vec_id"), col("p.i").as("i"), col("p.j").as("j"),
+    embeddings
+      .select(explode(cellArr).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
         col("p.prod").as("prod"))
-    if (!exact) {
-      cells.groupBy(col("i"), col("j"))
-        .agg(sum(col("prod")).as("gram"))
-        .orderBy(col("i"), col("j"))
-    } else {
-      cells.groupBy(col("i"), col("j"))
-        .agg(sort_array(collect_list(struct(col("vec_id"), col("prod"))))
-          .as("xs"))
-        .withColumn("gram",
-          aggregate(col("xs"), lit(0.0), (a, x) => a + x.getField("prod")))
-        .select(col("i"), col("j"), col("gram"))
-        .orderBy(col("i"), col("j"))
-    }
+      .groupBy(col("i"), col("j"))
+      .agg(sum(floor(col("prod") * lit(fpScale)).cast("long")).as("s"))
+      .select(col("i"), col("j"),
+        (col("s").cast("double") / lit(fpScale)).as("gram"))
+      .orderBy(col("i"), col("j"))
   }
 
   /** q122: embedding OUTLIER scrub — flag vectors whose squared
@@ -727,6 +716,17 @@ object Similarity {
       .toDF("vec_id", "proj")
       .orderBy(col("vec_id"))
   }
+
+  /** Driver-facing projection of [[q134]]: the `proj array<double>`
+    * column is exploded to scalar `(vec_id, component, value)` rows —
+    * the driver's check harness sorts every column in pandas, and a
+    * numpy array column is unhashable there (the q74 → [[q74Driver]]
+    * lesson). Stays rows-only (a Jacobi eigensolve is not portable
+    * SQL); real consumers call [[q134]] for the packed vectors. */
+  def q134Driver(embeddings: DataFrame, k: Int = 8): DataFrame =
+    q134(embeddings, k)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("component", "value")))
+      .orderBy(col("vec_id"), col("component"))
 
   /** PCA fit: (top-k components as k rows of length D, all D
     * eigenvalues descending, per-dim mean). The distributed part is
@@ -894,7 +894,10 @@ object Similarity {
     import spark.implicits._
     val sample: Array[Array[Double]] = normalized(corpus)
       .select(col("vec_id"),
-        transform(col("v"), x => x / col("norm")).as("u"))
+        // zero-vector guard (pqEncode discipline): an all-zero row in
+        // the deterministic sample must not inject NaN into the k-means
+        transform(col("v"),
+          x => x / when(col("norm") > 0.0, col("norm")).otherwise(1.0)).as("u"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(PqFitSample)
       .select(col("u")).as[Array[Double]].collect()
@@ -1051,7 +1054,8 @@ object Similarity {
           (a, b) => a * b),
         lit(0.0), (acc, x) => acc + x))
     normalized(queries)
-      .withColumn("u", transform(col("v"), x => x / col("norm")))
+      .withColumn("u", transform(col("v"),
+        x => x / when(col("norm") > 0.0, col("norm")).otherwise(1.0)))
       .select(col("vec_id").as("qid"), lut.as("qlut"))
   }
 

@@ -177,7 +177,7 @@ object TextAnalysis {
     // The corpus is still scanned exactly once (totals derive from the
     // pinned aggregate, not a second pass) and every operator in the
     // plan has defined partitioning — no single-partition WindowExec.
-    val perP = per.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perP = per.transform(graft.Pins.pin)
     val tot = perP.agg(sum(col("n_tokens")).as("tot_tokens"),
       count(lit(1)).as("n_sources"))
     perP
@@ -363,7 +363,7 @@ object TextAnalysis {
           terms: (String, String) = ("data", "spark")): DataFrame = {
     val toks = documents.select(col("doc_id"),
         explode(split(lower(trim(col("text"))), " ")).as("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val tf = toks.filter(col("tok").isin(terms._1, terms._2))
       .groupBy(col("doc_id"))
@@ -412,7 +412,7 @@ object TextAnalysis {
   def q86(documents: DataFrame): DataFrame = {
     val toks = documents.select(col("doc_id"),
         explode(split(lower(trim(col("text"))), " ")).as("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val td = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
     val ct = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val total = toks.agg(count(lit(1)).as("t"))
@@ -583,7 +583,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(split(lower(trim(col("text"))), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val df = td.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nd = td.agg(countDistinct(col("doc_id")).as("n_docs"))
     val idf = graft.functions.PortableLn(
@@ -630,7 +630,7 @@ object TextAnalysis {
         explode(split(lower(trim(col("text"))), " ")).as("tok"))
       .repartition(col("doc_id"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val top = dt.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
       .orderBy(col("cnt").desc, col("tok")).limit(vocab)
       .select(col("tok"))
@@ -838,12 +838,24 @@ object TextAnalysis {
       .mapPartitions { it =>
         val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
         val buf = new Array[Byte](8192)
-        it.map { case (id, text) =>
-          val raw = text.getBytes("UTF-8")
-          d.reset(); d.setInput(raw); d.finish()
-          var comp = 0L
-          while (!d.finished()) comp += d.deflate(buf)
-          (id, text, raw.length.toLong, comp)
+        // Deflater holds NATIVE memory: end() it when the partition is
+        // exhausted (st24 runs this every micro-batch — leaking it per
+        // task would accumulate unreleased native buffers for the life
+        // of the stream, invisible to the JVM heap).
+        new Iterator[(Long, String, Long, Long)] {
+          def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h) d.end()
+            h
+          }
+          def next(): (Long, String, Long, Long) = {
+            val (id, text) = it.next()
+            val raw = text.getBytes("UTF-8")
+            d.reset(); d.setInput(raw); d.finish()
+            var comp = 0L
+            while (!d.finished()) comp += d.deflate(buf)
+            (id, text, raw.length.toLong, comp)
+          }
         }
       }
       .toDF("doc_id", "text", "raw_bytes", "gz_bytes")
@@ -896,7 +908,7 @@ object TextAnalysis {
     * longs; the fraction is one double divide (§6). */
   def q101(documents: DataFrame, minDf: Long = 5L): DataFrame = {
     val grams = graft.operators.Dedup.shingles(documents)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     grams.join(df, "g")
       .groupBy(col("doc_id"))
@@ -933,9 +945,9 @@ object TextAnalysis {
       pmod(pmod(col("doc_id"), lit(P)) * lit(2654435761L), lit(P)) +
         lit(77003L), lit(P))
     val proj = documents.select(col("source"), h.as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val per = proj.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val tot = per.agg(sum(col("n_docs")).as("tot"),
       count(lit(1)).as("n_sources"))
     val rates = per.crossJoin(broadcast(tot))
@@ -1041,7 +1053,7 @@ object TextAnalysis {
       lit(100L))
     val sg = graft.operators.Dedup.shingles(documents)
       .withColumn("h", h(col("doc_id")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val trainG = sg.filter(col("h") < 80)
       .select(col("g")).distinct().withColumn("hit", lit(1))
     sg.filter(col("h") >= 90)
@@ -1074,13 +1086,13 @@ object TextAnalysis {
     val toks = documents
       .select(col("doc_id"),
         posexplode(split(lower(trim(col("text"))), " ")).as(Seq("pos", "tok")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val pairs = toks
       .withColumn("tok2", lead(col("tok"), 1).over(w))
       .filter(col("tok2").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val big = pairs.groupBy(col("tok"), col("tok2")).agg(count(lit(1)).as("c12"))
     val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
     val vsz = toks.agg(countDistinct(col("tok")).as("v"))
@@ -1126,13 +1138,13 @@ object TextAnalysis {
   def q116(documents: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
     val toks = documents.select(col("doc_id"),
         explode(split(lower(trim(col("text"))), " ")).as("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"),
       sum(col("dl")).cast("long").as("total_toks"))
     val qterms = queries.select(col("query_id"),
         posexplode(col("terms")).as(Seq("pos", "term")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val vocab = qterms.select(col("term")).distinct()
     val tf = toks.join(broadcast(vocab), toks("tok") === vocab("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -1268,10 +1280,10 @@ object TextAnalysis {
     // one token scan serves both the fit and the apply (persisted
     // bucket stream with the source column carried through)
     val toks = dsirBuckets(documents, buckets, Seq("source"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val lr = dsirLogRatiosFromBuckets(toks, targetSource, buckets)
     val scored = dsirScoreFromBuckets(toks.select(col("doc_id"), col("b")), lr)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val top = scored.orderBy(col("weight").desc, col("doc_id"))
       .limit(topN).select(col("doc_id").as("keep_id"))
     scored.join(broadcast(top), scored("doc_id") === col("keep_id"), "left")

@@ -265,6 +265,12 @@ class FunctionsSpec extends GraftSpec {
     intercept[Exception] {
       spark.sql("SELECT graft_freq_sketch(tok, length(tok)) FROM fs_toks").collect()
     }
+    // a non-string input fails at ANALYSIS (ExpectsInputTypes), not as a
+    // runtime ClassCastException inside the aggregate's update loop
+    Seq(1L, 2L, 2L).toDF("n").createOrReplaceTempView("fs_longs")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_freq_sketch(n, 8) FROM fs_longs").collect()
+    }
   }
 
   test("q140 heavy hitters: ranked output, est descending, ties on token") {

@@ -1,10 +1,18 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterEach
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared fixture: one SparkSession for the whole JVM test run. */
-trait GraftSpec extends AnyFunSuite {
+trait GraftSpec extends AnyFunSuite with BeforeAndAfterEach {
+
+  /** Per-test owner of operator pins (the Verify/Bench contract):
+    * storage stays flat across the whole suite run. */
+  override protected def afterEach(): Unit = {
+    Pins.release()
+    super.afterEach()
+  }
   lazy val spark: SparkSession = {
     // hive-enabled so HiveSurfaceSpec (ddl02) exercises the real
     // metastore-backed catalog; every other spec is catalog-agnostic

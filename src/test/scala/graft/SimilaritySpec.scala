@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Similarity
 import graft.Tables
+import org.apache.spark.sql.functions.col
 
 /** Embedding similarity specs (§2c): planted-neighbor correctness for
   * the brute-force baseline, and recall of the LSH scale path against
@@ -185,22 +186,29 @@ class SimilaritySpec extends GraftSpec {
     assert(rows == Map(0L -> 0L, 1L -> 0L, 3L -> 0L)) // 2 is orthogonal: absent
   }
 
-  test("q92 centroids: scale-safe AVG default agrees with exact fold to 1e-9") {
+  test("q92 centroids: fixed-point means agree with driver-side double sums") {
     val emb = Tables.embeddings(spark, SF)
-    def keyed(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map { r =>
-        r.getAs[Any]("label") ->
-          (r.getAs[Long]("n_vecs"),
-            (0 until 4).map(i => r.getAs[Double](s"mean_$i")))
-      }.toMap
-    val approx = keyed(Similarity.q92(emb))
-    val exact = keyed(Similarity.q92(emb, exact = true))
-    assert(approx.keySet == exact.keySet)
-    approx.foreach { case (label, (n, means)) =>
-      val (ne, me) = exact(label)
+    // reference: exact double sums computed on the driver
+    val ref = emb.select(col("label"), col("embedding")).collect()
+      .map(r => r.getAs[Int]("label") ->
+        r.getSeq[Float](1).take(4).map(_.toDouble))
+      .groupBy(_._1)
+      .map { case (l, xs) =>
+        l -> (xs.length.toLong,
+          (0 until 4).map(i => xs.map(_._2(i)).sum / xs.length))
+      }
+    val got = Similarity.q92(emb).collect().map { r =>
+      r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_vecs"),
+          (0 until 4).map(i => r.getAs[Double](s"mean_$i")))
+    }.toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (label, (n, means)) =>
+      val (ne, me) = ref(label)
       assert(n == ne)
       means.zip(me).foreach { case (a, e) =>
-        assert(math.abs(a - e) < 1e-9, s"label=$label avg=$a fold=$e")
+        // floor granularity 1e-8 per term; mean error ≤ 1e-8 + fp noise
+        assert(math.abs(a - e) < 1e-7, s"label=$label fixed=$a ref=$e")
       }
     }
   }
@@ -208,24 +216,27 @@ class SimilaritySpec extends GraftSpec {
   test("q97 gram matrix: exact upper-triangle values on a tiny corpus") {
     val e = Seq((1L, Array(1f, 2f), 0), (2L, Array(3f, 4f), 0))
       .toDF("vec_id", "embedding", "label")
-    // G = [[1+9, 2+12], [., 4+16]] upper triangle
-    val r = Similarity.q97(e, exact = true).collect()
+    // G = [[1+9, 2+12], [., 4+16]] upper triangle — integer products,
+    // so the 1e-6 fixed-point grid represents them exactly
+    val r = Similarity.q97(e).collect()
       .map(x => (x.getAs[Long]("i"), x.getAs[Long]("j")) -> x.getAs[Double]("gram"))
     assert(r.toSeq == Seq((0L, 0L) -> 10.0, (0L, 1L) -> 14.0, (1L, 1L) -> 20.0))
   }
 
-  test("q97 scale-safe SUM default agrees with the sorted fold to 1e-6") {
+  test("q97 fixed-point cells agree with driver-side double sums") {
     val emb = Tables.embeddings(spark, SF)
-    def keyed(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r =>
+    val vecs = emb.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length
+    val got = Similarity.q97(emb).collect()
+      .map(r =>
         (r.getAs[Long]("i"), r.getAs[Long]("j")) -> r.getAs[Double]("gram")).toMap
-    val approx = keyed(Similarity.q97(emb))
-    val exact = keyed(Similarity.q97(emb, exact = true))
-    assert(approx.keySet == exact.keySet)
-    assert(approx.size == 64 * 65 / 2)     // full upper triangle, d from data
-    approx.foreach { case (ij, a) =>
-      val x = exact(ij)
-      assert(math.abs(a - x) < 1e-6, s"cell=$ij sum=$a fold=$x")
+    assert(got.size == 64 * 65 / 2)        // full upper triangle, d from data
+    // floor granularity 1e-6 per term → cell error bounded by n·1e-6
+    val tol = n * 1e-6 + 1e-9
+    got.foreach { case ((i, j), g) =>
+      val ref = vecs.map(v => v(i.toInt) * v(j.toInt)).sum
+      assert(math.abs(g - ref) <= tol, s"cell=($i,$j) fixed=$g ref=$ref")
     }
   }
 

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.UrlCuration
+
+/** URL/domain curation specs (q148–q151): normalization algebra on
+  * adversarial hand-built URLs, blocklist/quota/dedup semantics on the
+  * synthetic URL corpus. */
+class UrlCurationSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def norm(url: String): String =
+    Seq(url).toDF("url")
+      .select(UrlCuration.normalizeUrl(col("url")).as("n"))
+      .head().getString(0)
+
+  test("q148 normalization: scheme/host case, www, port, utm, fragment, slash") {
+    assert(norm("HTTPS://WWW.Example.COM:443/A/b/?utm_source=x#f") ==
+      "https://example.com/A/b")
+    assert(norm("https://example.org/page/3?ref=home") ==
+      "https://example.org/page/3?ref=home") // non-utm params survive
+    assert(norm("https://example.org:80/p?utm_a=1&keep=2&utm_b=3") ==
+      "https://example.org/p?keep=2")        // utm stripped, ? repaired
+    assert(norm("https://www.sub.example.net/x/") ==
+      "https://sub.example.net/x")           // only ONE leading www. strips
+    assert(norm("https://example.com/") == "https://example.com")
+  }
+
+  test("q148 domain: registered domain = last two host labels") {
+    val rows = Seq(
+      "https://a.b.example.com/x",
+      "https://example.org/y?q=1",
+      "https://src5.net/page/1"
+    ).toDF("u")
+      .select(UrlCuration.domainOf(col("u")).as("d"))
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("example.com", "example.org", "src5.net"))
+  }
+
+  private lazy val docs = Tables.documents(spark, SF)
+
+  test("q148 synthetic URLs: one per doc, derivable and re-normalizable") {
+    val out = UrlCuration.q148(docs).collect()
+    assert(out.length == docs.count())
+    // every normalized URL is lowercase-scheme, no www., no :443, no #
+    out.foreach { r =>
+      val n = r.getAs[String]("url_norm")
+      assert(n.startsWith("https://"), n)
+      assert(!n.contains("www."), n)
+      assert(!n.contains(":443"), n)
+      assert(!n.contains("#"), n)
+      assert(!n.contains("utm_"), n)
+      assert(!n.endsWith("/"), n)
+      val d = r.getAs[String]("domain")
+      assert(d.count(_ == '.') == 1 && n.contains(d), s"$n / $d")
+    }
+    // normalization is idempotent: norm(norm(u)) == norm(u)
+    val again = UrlCuration.q148(docs)
+      .select(col("url_norm"),
+        UrlCuration.normalizeUrl(col("url_norm")).as("twice"))
+      .filter(col("url_norm") =!= col("twice"))
+    assert(again.count() == 0L)
+  }
+
+  test("q149 blocklist: verdicts match a set-membership recompute") {
+    val out = UrlCuration.q149(docs).collect()
+    val bl = UrlCuration.DefaultBlocklist.toSet
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("blocked") == bl(r.getAs[String]("domain")))
+    }
+    assert(out.exists(_.getAs[Boolean]("blocked"))) // list actually hits
+  }
+
+  test("q150 quota: no domain exceeds the cap; survivors deterministic") {
+    val cap = 3
+    val out = UrlCuration.q150(docs, cap)
+    val per = out.groupBy(col("domain")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("domain") -> r.getAs[Long]("n"))
+    per.foreach { case (d, n) => assert(n <= cap, s"$d over cap: $n") }
+    // layout-invariant (deterministic hash, not rand())
+    val re = UrlCuration.q150(docs.repartition(7), cap)
+      .collect().map(_.toSeq).toSet
+    assert(re == out.collect().map(_.toSeq).toSet)
+  }
+
+  test("q151 url dedup: canonical is the min id of its group; groups consistent") {
+    // synthesize enough docs that the 60-cycle produces real dup groups
+    val many = (0L until 200L)
+      .map(i => (i, s"text $i", s"src${i % 20}"))
+      .toDF("doc_id", "text", "source")
+    val out = UrlCuration.q151(many).collect()
+    val byNorm = out.groupBy(_.getAs[String]("url_norm"))
+    byNorm.foreach { case (_, rows) =>
+      val ids = rows.map(_.getAs[Long]("doc_id"))
+      val canon = rows.map(_.getAs[Long]("canon_id")).distinct
+      assert(canon.toSeq == Seq(ids.min))
+      assert(rows.forall(_.getAs[Long]("n_variants") == rows.length))
+      rows.foreach { r =>
+        val expected =
+          if (r.getAs[Long]("doc_id") == ids.min) "canonical" else "dup_url"
+        assert(r.getAs[String]("status") == expected)
+      }
+    }
+    // the 60-doc cycle: doc 0 and doc 60 canonicalize identically
+    val m = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("url_norm")).toMap
+    assert(m(0L) == m(60L) && m(0L) == m(120L))
+    assert(out.count(_.getAs[String]("status") == "dup_url") > 0)
+  }
+}
