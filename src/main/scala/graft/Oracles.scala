@@ -2065,7 +2065,38 @@ object Oracles {
            COUNT(*) OVER (PARTITION BY url_norm) AS n_variants,
            CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY url_norm)
                 THEN 'canonical' ELSE 'dup_url' END AS status
-         FROM nrm ORDER BY doc_id"""
+         FROM nrm ORDER BY doc_id""",
+
+    // domain-granular split: the q50 polynomial fingerprint folded over
+    // the DOMAIN string (same list_reduce form as q50's oracle), salted
+    // 52151, mod 100 -> 80/10/10
+    "q152_domain_split" ->
+      s"""$UrlNormCte,
+         s AS (SELECT doc_id, domain,
+             (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(domain, ''),
+                  c -> CAST(unicode(c) AS BIGINT))),
+                (h, c) -> (h*31 + c) % 1000000007) + 52151) % 100 AS hh
+           FROM nrm)
+         SELECT doc_id, domain,
+           CASE WHEN hh < 80 THEN 'train'
+                WHEN hh < 90 THEN 'valid'
+                ELSE 'test' END AS split
+         FROM s ORDER BY doc_id""",
+
+    "q153_domain_profile" ->
+      s"""$UrlNormCte
+         SELECT n.domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT n.url_norm) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT lower(trim(d.text))) AS BIGINT) AS n_texts,
+           CAST(1.0 AS DOUBLE) -
+             CAST(COUNT(DISTINCT n.url_norm) AS DOUBLE) /
+             CAST(COUNT(*) AS DOUBLE) AS url_dup_rate,
+           CAST(1.0 AS DOUBLE) -
+             CAST(COUNT(DISTINCT lower(trim(d.text))) AS DOUBLE) /
+             CAST(COUNT(*) AS DOUBLE) AS text_dup_rate
+         FROM nrm n JOIN documents d USING(doc_id)
+         GROUP BY n.domain ORDER BY n.domain"""
   )
 
   /** Shared URL-derivation + normalization CTE for q148–q151 — the SQL

@@ -290,7 +290,9 @@ object SparkEntry {
     "q148_url_normalize"       -> ((s, d) => UrlCuration.q148(documents(s, d))),
     "q149_domain_blocklist"    -> ((s, d) => UrlCuration.q149(documents(s, d))),
     "q150_domain_quota"        -> ((s, d) => UrlCuration.q150(documents(s, d))),
-    "q151_url_dedup"           -> ((s, d) => UrlCuration.q151(documents(s, d)))
+    "q151_url_dedup"           -> ((s, d) => UrlCuration.q151(documents(s, d))),
+    "q152_domain_split"        -> ((s, d) => UrlCuration.q152(documents(s, d))),
+    "q153_domain_profile"      -> ((s, d) => UrlCuration.q153(documents(s, d)))
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

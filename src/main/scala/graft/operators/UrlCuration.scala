@@ -152,4 +152,47 @@ object UrlCuration {
         col("n_variants"), col("status"))
       .orderBy(col("doc_id"))
   }
+
+  /** q152: LEAKAGE-SAFE train/valid/test split by DOMAIN — q91's split
+    * assigned at DOMAIN granularity, not per document: URL variants,
+    * re-crawls, and template near-dups overwhelmingly live within one
+    * domain, so a per-doc split leaks them across the train/test
+    * boundary (exactly the q111 failure mode); hashing the domain puts
+    * every page of a site on the SAME side. The hash is the portable
+    * polynomial fingerprint over the domain STRING ([[graft.functions
+    * .PolyFingerprint]], the q50 kernel — native codegen'd, mirrored
+    * in the oracle as a list_reduce fold), salted, mod 100 → 80/10/10.
+    * Stateless map over q148; no exchange. */
+  def q152(documents: DataFrame): DataFrame = {
+    val h = pmod(graft.functions.PolyFingerprint(col("domain")) +
+      lit(52151L), lit(100L))
+    q148(documents)
+      .withColumn("split",
+        when(h < 80, "train").when(h < 90, "valid").otherwise("test"))
+      .select(col("doc_id"), col("domain"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q153: per-domain CRAWL-HEALTH profile — the dashboard a crawl
+    * operator reads before q149/q150 policy decisions: per domain,
+    * fetch count, distinct normalized URLs, distinct normalized texts,
+    * and the two dup rates (URL-variant re-fetch rate vs text-level
+    * mirror/template rate — a domain can be clean on one axis and
+    * pathological on the other). One scan + one map-side-combined
+    * aggregate on domain; counts are exact longs, rates one double
+    * divide (§6). At 100 TB count_distinct's per-group state is the
+    * distinct-key set — swap in approx_count_distinct per the q24
+    * sketch discipline when ±2% suffices. */
+  def q153(documents: DataFrame): DataFrame =
+    q148(documents)
+      .join(documents.select(col("doc_id"), col("text")), "doc_id")
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url_norm")).as("n_urls"),
+        countDistinct(lower(trim(col("text")))).as("n_texts"))
+      .withColumn("url_dup_rate",
+        lit(1.0) - col("n_urls").cast("double") / col("n_docs").cast("double"))
+      .withColumn("text_dup_rate",
+        lit(1.0) - col("n_texts").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("domain"))
 }

@@ -486,6 +486,62 @@ object Streams {
       }
       .start()
 
+  /** st25: streaming URL-DEDUP gate — the crawl-frontier twin of st20,
+    * keyed on the CANONICAL URL instead of the text digest: each
+    * micro-batch normalizes its `url` column ([[graft.operators
+    * .UrlCuration.normalizeUrl]] — the q148/q151 kernel, so stream and
+    * batch verdicts cannot drift), admits only the first fetch of each
+    * normalized URL (within-batch: smallest doc_id; across batches:
+    * anti-join against the lake-resident seen-URL table), and
+    * registers admitted URLs so a variant fetched three batches later
+    * drops. This is what a crawler's dedup frontier does — and unlike
+    * a state store, the seen table is a plain bucketed lake table any
+    * batch job can read, compact, or bootstrap from a q151 run.
+    *
+    * State rows are the URL's xxhash64 (8 bytes/URL at any corpus
+    * size); a 64-bit collision can only FALSE-DROP a genuinely new
+    * page (~n²/2⁶⁵ — the q114 collision contract), never re-admit a
+    * dup. Registration appends under the [[graft.operators.LakeLock]]
+    * single-writer contract and the anti-join makes replays no-op, so
+    * a foreachBatch retry can never double-admit (the st20 delivery
+    * story). */
+  def startUrlDedupGate(docs: DataFrame, indexName: String,
+                        outDir: String, checkpoint: String,
+                        buckets: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val spark = batch.sparkSession
+        val seen = s"${indexName}_urlseen"
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("uh")).orderBy(col("doc_id"))
+        val firsts = batch
+          .withColumn("uh",
+            xxhash64(graft.operators.UrlCuration.normalizeUrl(col("url"))))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1).drop("rk")
+        val exists = spark.catalog.tableExists(seen)
+        val kept0 =
+          if (exists) firsts.join(spark.table(seen), Seq("uh"), "left_anti")
+          else firsts
+        // eager checkpoint: the admit set READS the table the register
+        // step WRITES (the s12 append rationale)
+        val kept = kept0.localCheckpoint(true)
+        kept.drop("uh").write.mode("append").parquet(outDir)
+        graft.operators.LakeLock.withWriter(spark, seen) {
+          if (exists)
+            graft.sources.Sources.appendBucketed(
+              kept.select(col("uh")), seen, "uh")
+          else
+            graft.sources.Sources.writeBucketed(
+              kept.select(col("uh")), seen, "uh", buckets)
+        }
+        ()
+      }
+      .start()
+
   case class QuotaDoc(doc_id: Long, source: String)
 
   /** st22: streaming per-source ADMISSION-QUOTA gate — cap how many

@@ -607,6 +607,38 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st25 streaming url-dedup gate: variant fetches drop across batches") {
+    import org.apache.spark.sql.functions.col
+    val ixName = "graft_st25_ix"
+    spark.sql(s"DROP TABLE IF EXISTS ${ixName}_urlseen")
+    val ms = MemoryStream[(Long, String, String)]
+    val df = ms.toDF().toDF("doc_id", "text", "url")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-st25").toString + "/out"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-st25-ck").toString
+    val q = Streams.startUrlDedupGate(df, ixName, outDir, ckpt)
+    try {
+      ms.addData(
+        (10L, "page one",  "https://www.siteA.com:443/p/1?utm_source=x"),
+        (11L, "page one b","HTTPS://sitea.com/p/1#frag"),  // same canonical URL, in-batch
+        (12L, "page two",  "https://siteB.org/p/2"))       // new
+      q.processAllAvailable()
+      ms.addData(
+        (20L, "page one c","https://sitea.com/p/1/"),      // variant of BATCH-1 admit
+        (21L, "page three","https://siteC.net/p/3"))       // new
+      q.processAllAvailable()
+      val kept = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(10L, 12L, 21L))
+      // the seen-URL registry is a plain lake table: 3 canonical URLs
+      assert(spark.table(s"${ixName}_urlseen").count() == 3L)
+      // replaying the same batch can only no-op (idempotent append)
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("st22 per-source quota gate: the admission counter survives across batches") {
     val ms = MemoryStream[(Long, String)]
     val df = ms.toDF().toDF("doc_id", "source")

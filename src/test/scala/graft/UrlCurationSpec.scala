@@ -106,4 +106,44 @@ class UrlCurationSpec extends GraftSpec {
     assert(m(0L) == m(60L) && m(0L) == m(120L))
     assert(out.count(_.getAs[String]("status") == "dup_url") > 0)
   }
+
+  test("q152 domain split: every doc of a domain lands on the SAME side") {
+    val out = UrlCuration.q152(docs).collect()
+    val byDomain = out.groupBy(_.getAs[String]("domain"))
+    byDomain.foreach { case (d, rows) =>
+      assert(rows.map(_.getAs[String]("split")).distinct.length == 1,
+        s"domain $d straddles splits")
+    }
+    assert(out.map(_.getAs[String]("split")).toSet.subsetOf(
+      Set("train", "valid", "test")))
+    // deterministic: same corpus, any layout -> same assignment
+    val re = UrlCuration.q152(docs.repartition(5)).collect().map(_.toSeq).toSet
+    assert(re == out.map(_.toSeq).toSet)
+  }
+
+  test("q153 domain profile: counts and rates re-derive from q148/q151") {
+    val many = (0L until 200L)
+      .map(i => (i, s"text ${i % 30}", s"src${i % 20}"))
+      .toDF("doc_id", "text", "source")
+    val out = UrlCuration.q153(many).collect()
+    val base = UrlCuration.q148(many)
+      .join(many.select(col("doc_id"), col("text")), "doc_id")
+      .collect()
+    val byDomain = base.groupBy(_.getAs[String]("domain"))
+    out.foreach { r =>
+      val d = r.getAs[String]("domain")
+      val rows = byDomain(d)
+      val nDocs = rows.length.toLong
+      val nUrls = rows.map(_.getAs[String]("url_norm")).distinct.length.toLong
+      val nTexts = rows.map(_.getAs[String]("text").trim.toLowerCase)
+        .distinct.length.toLong
+      assert(r.getAs[Long]("n_docs") == nDocs)
+      assert(r.getAs[Long]("n_urls") == nUrls)
+      assert(r.getAs[Long]("n_texts") == nTexts)
+      assert(r.getAs[Double]("url_dup_rate") == 1.0 - nUrls.toDouble / nDocs)
+      assert(r.getAs[Double]("text_dup_rate") == 1.0 - nTexts.toDouble / nDocs)
+    }
+    // the 60-cycle corpus has real URL dup mass somewhere
+    assert(out.exists(_.getAs[Double]("url_dup_rate") > 0.0))
+  }
 }
