@@ -2096,8 +2096,56 @@ object Oracles {
              CAST(COUNT(DISTINCT lower(trim(d.text))) AS DOUBLE) /
              CAST(COUNT(*) AS DOUBLE) AS text_dup_rate
          FROM nrm n JOIN documents d USING(doc_id)
-         GROUP BY n.domain ORDER BY n.domain"""
+         GROUP BY n.domain ORDER BY n.domain""",
+
+    // fixed-iteration fixed-point PageRank — ten UNROLLED chained CTEs
+    // (DuckDB recursion cannot aggregate per step); each iteration's
+    // contribution floor-scales to 1e-12 longs so the sum is order-free
+    // and every round is bit-identical to Spark's (Graphs.pagerank)
+    "q154_domain_pagerank" -> pageRankSql
   )
+
+  /** Unrolled PageRank oracle over the [[UrlNormCte]] domains: the
+    * crawl-chain edge derivation (doc i's domain → doc i+1's domain,
+    * max wraps to min) then `PageRankIters` damped rounds mirroring
+    * `Graphs.pagerank`'s IEEE op sequence exactly. */
+  private def PageRankIters = 10 // def: immune to object-init ordering
+  private lazy val pageRankSql: String = {
+    val head = UrlNormCte + """,
+         d AS (SELECT doc_id, domain FROM nrm),
+         bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM d),
+         ed AS (
+           SELECT a.domain AS src, b.domain AS dst
+           FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+           UNION ALL
+           SELECT a.domain AS src, b.domain AS dst
+           FROM d a, bounds, d b
+           WHERE a.doc_id = bounds.hi AND b.doc_id = bounds.lo),
+         nodes AS (SELECT DISTINCT node FROM
+           (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+         nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+         outd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od
+                  FROM ed GROUP BY src),
+         r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS pr
+                FROM nodes, nn)"""
+    val iters = (1 to PageRankIters).map { k =>
+      s""",
+         c$k AS (SELECT ed.dst AS node,
+             SUM(CAST(floor(r.pr / CAST(outd.od AS DOUBLE) *
+               1000000000000.0) AS BIGINT)) AS s
+           FROM ed JOIN r${k - 1} r ON ed.src = r.node
+           JOIN outd ON ed.src = outd.src
+           GROUP BY ed.dst),
+         r$k AS (SELECT nodes.node,
+             (CAST(1.0 AS DOUBLE) - 0.85) / nn.n +
+               0.85 * (CAST(COALESCE(c$k.s, 0) AS DOUBLE) /
+                 1000000000000.0) AS pr
+           FROM nodes CROSS JOIN nn LEFT JOIN c$k
+             ON nodes.node = c$k.node)"""
+    }.mkString
+    head + iters +
+      s"\n         SELECT node AS domain, pr FROM r$PageRankIters ORDER BY domain"
+  }
 
   /** Shared URL-derivation + normalization CTE for q148–q151 — the SQL
     * mirror of [[graft.operators.UrlCuration.withUrl]] (residues) and

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Round-11 10× volume probes (SURVEY §5): the URL/domain curation
+  * family q148–q153 at sf0.01 vs sf0.1 (10× docs), warm best-of-2 per
+  * side like Probe100/ProbeR10. All six are one-scan plans whose only
+  * exchanges carry (short-key, id) rows, so the expectation is ratios
+  * well under 10× (scan-dominated, sublinear wall growth).
+  *
+  * Not part of the driver contract — run manually per round:
+  *   sbt "runMain graft.ProbeR11"
+  */
+object ProbeR11 {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(f: => Unit): Double =
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        f
+        Pins.release()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val walls = scala.collection.mutable.Map[(String, String), Double]()
+    for ((sf, tag) <- Seq("/root/testdata/sf0.01" -> "sf0.01",
+                          "/root/testdata/sf0.1"  -> "sf0.1")) {
+      val docs = Tables.documents(spark, sf)
+      walls(("q148_url_normalize", tag)) =
+        time(noop(operators.UrlCuration.q148(docs)))
+      walls(("q149_blocklist", tag)) =
+        time(noop(operators.UrlCuration.q149(docs)))
+      walls(("q150_domain_quota", tag)) =
+        time(noop(operators.UrlCuration.q150(docs)))
+      walls(("q151_url_dedup", tag)) =
+        time(noop(operators.UrlCuration.q151(docs)))
+      walls(("q152_domain_split", tag)) =
+        time(noop(operators.UrlCuration.q152(docs)))
+      walls(("q153_domain_profile", tag)) =
+        time(noop(operators.UrlCuration.q153(docs)))
+      walls(("q154_domain_pagerank", tag)) =
+        time(noop(operators.Graphs.q154(docs)))
+      println(s"[probeR11] $tag done (n_doc=${docs.count()})")
+    }
+    for (op <- Seq("q148_url_normalize", "q149_blocklist",
+                   "q150_domain_quota", "q151_url_dedup",
+                   "q152_domain_split", "q153_domain_profile",
+                   "q154_domain_pagerank")) {
+      val s = walls((op, "sf0.01")); val b = walls((op, "sf0.1"))
+      println(f"[probeR11] $op%-20s sf0.01=$s%7.2fs sf0.1=$b%7.2fs " +
+        f"ratio=${b / s}%5.2fx")
+    }
+    spark.stop()
+  }
+}

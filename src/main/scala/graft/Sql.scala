@@ -128,6 +128,14 @@ object Sql {
       "graft_retention"      -> (() => graft.operators.Events.q142(spark.table("events"))),
       "graft_bench_containment" -> (() => Dedup.q143(docs)),
       "graft_neyman_alloc"   -> (() => TextAnalysis.q144(docs)),
+      // URL/domain curation (q148–q153)
+      "graft_urls"           -> (() => graft.operators.UrlCuration.q148(docs)),
+      "graft_domain_blocked" -> (() => graft.operators.UrlCuration.q149(docs)),
+      "graft_domain_quota"   -> (() => graft.operators.UrlCuration.q150(docs)),
+      "graft_url_dups"       -> (() => graft.operators.UrlCuration.q151(docs)),
+      "graft_domain_split"   -> (() => graft.operators.UrlCuration.q152(docs)),
+      "graft_domain_profile" -> (() => graft.operators.UrlCuration.q153(docs)),
+      "graft_domain_rank"    -> (() => graft.operators.Graphs.q154(docs)),
       // drift between the q110 snapshot derivations (see Oracles)
       "graft_token_drift"    -> (() => {
         import org.apache.spark.sql.functions.{col, lit, pmod, when, upper}

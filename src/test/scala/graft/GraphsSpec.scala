@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graphs
+
+/** q154 / Graphs.pagerank: fixed-point damped PageRank — planted
+  * graphs with analytically-known stationary behavior, mass
+  * conservation, determinism, and the q154 crawl-chain derivation. */
+class GraphsSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(String, String)], iters: Int = 10) =
+    Graphs.pagerank(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getAs[String]("node") -> r.getAs[Double]("pr"))
+      .toMap
+
+  test("two-node cycle: symmetric ranks of 0.5 each") {
+    val r = ranks(Seq("a" -> "b", "b" -> "a"))
+    assert(math.abs(r("a") - 0.5) < 1e-9, r)
+    assert(math.abs(r("b") - 0.5) < 1e-9, r)
+  }
+
+  test("star: the hub out-ranks every spoke, mass conserved") {
+    // spokes all link the hub; hub links one spoke (no dangling).
+    // 50 rounds: the a↔b exchange oscillates with amplitude ~0.85^k,
+    // far below the 0.03 fixpoint gap by k=50 (10 rounds is not enough)
+    val r = ranks(Seq("b" -> "a", "c" -> "a", "d" -> "a", "a" -> "b"), iters = 50)
+    assert(r("a") > r("b") && r("b") > r("c"), r)  // b gets the hub's mass
+    assert(r("c") == r("d"), r)                    // symmetric spokes tie
+    // damped PageRank with no dangling nodes conserves total mass
+    // (up to the 1e-12 fixed-point truncation per round)
+    assert(math.abs(r.values.sum - 1.0) < 1e-6, r.values.sum)
+  }
+
+  test("ranks are layout-invariant and iteration-deterministic") {
+    val edges = (0 until 50).map(i => (s"n$i", s"n${(i * 7 + 3) % 50}"))
+    val df = edges.toDF("src", "dst")
+    val a = Graphs.pagerank(df, 10).collect().map(_.toSeq).toSet
+    val b = Graphs.pagerank(df.repartition(13), 10).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("q154 crawl-chain: every domain ranked, mass conserved, deterministic") {
+    val docs = Tables.documents(spark, SF)
+    val out = Graphs.q154(docs).collect()
+    val domains = graft.operators.UrlCuration.q148(docs)
+      .select(col("domain")).distinct().count()
+    assert(out.length == domains)
+    assert(math.abs(out.map(_.getAs[Double]("pr")).sum - 1.0) < 1e-6)
+    assert(out.forall(_.getAs[Double]("pr") > 0.0))
+    val re = Graphs.q154(docs.repartition(7)).collect().map(_.toSeq).toSet
+    assert(re == out.map(_.toSeq).toSet)
+  }
+}

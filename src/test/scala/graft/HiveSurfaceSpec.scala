@@ -146,4 +146,45 @@ class HiveSurfaceSpec extends GraftSpec {
       .collect()(0).getLong(0) == Tables.region(spark, SF).count())
     spark.sql("DROP TABLE graft_persist_region")
   }
+
+  test("ddl07: Hive multi-insert — FROM src INSERT INTO t1 ... INSERT INTO t2 ...") {
+    // the classic Hive one-scan fan-out: one FROM clause feeding
+    // several INSERTs — the ETL shape that splits a staging table into
+    // per-consumer tables without re-reading the source
+    Tables.nation(spark, SF).createOrReplaceTempView("mi_src")
+    spark.sql("DROP TABLE IF EXISTS graft_mi_low")
+    spark.sql("DROP TABLE IF EXISTS graft_mi_high")
+    spark.sql(
+      "CREATE TABLE graft_mi_low  USING parquet AS SELECT * FROM mi_src WHERE 1=0")
+    spark.sql(
+      "CREATE TABLE graft_mi_high USING parquet AS SELECT * FROM mi_src WHERE 1=0")
+    spark.sql(
+      """FROM mi_src
+         INSERT INTO graft_mi_low  SELECT * WHERE n_regionkey < 2
+         INSERT INTO graft_mi_high SELECT * WHERE n_regionkey >= 2""")
+    val low  = spark.table("graft_mi_low").collect()
+    val high = spark.table("graft_mi_high").collect()
+    assert(low.forall(_.getAs[Number]("n_regionkey").longValue < 2))
+    assert(high.forall(_.getAs[Number]("n_regionkey").longValue >= 2))
+    assert(low.length + high.length == Tables.nation(spark, SF).count())
+    spark.sql("DROP TABLE graft_mi_low")
+    spark.sql("DROP TABLE graft_mi_high")
+  }
+
+  test("ddl08: Hive TRANSFORM pipes rows through an external script") {
+    // SELECT TRANSFORM(...) USING '<script>' — the Hive streaming-script
+    // escape hatch (legacy ETL that shells out to awk/python). Rows
+    // serialize tab-delimited to the script's stdin; its stdout parses
+    // back as (key, value) strings. /bin/cat = identity transform.
+    Tables.region(spark, SF).createOrReplaceTempView("tr_src")
+    val out = spark.sql(
+      """SELECT TRANSFORM(r_regionkey, r_name)
+           USING '/bin/cat' AS (k, v)
+         FROM tr_src""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val exp = Tables.region(spark, SF)
+      .collect().map(r => (r.getAs[Number]("r_regionkey").toString,
+        r.getAs[String]("r_name"))).toSet
+    assert(out == exp)
+  }
 }

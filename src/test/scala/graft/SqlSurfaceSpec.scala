@@ -214,6 +214,24 @@ class SqlSurfaceSpec extends GraftSpec {
     assert(spark.sql(
       """SELECT source FROM graft_neyman_alloc
          WHERE alloc_n < 0 OR alloc_n > n_docs""").collect().isEmpty)
+    // URL curation: canonical URLs carry no tracking/fragment debris,
+    // every dup group's canon is its min id, splits are domain-pure
+    assert(spark.sql(
+      """SELECT doc_id FROM graft_urls
+         WHERE url_norm LIKE '%utm_%' OR url_norm LIKE '%#%'
+            OR url_norm LIKE '%www.%'""").collect().isEmpty)
+    assert(spark.sql(
+      """SELECT url_norm FROM graft_url_dups
+         GROUP BY url_norm HAVING min(canon_id) <> min(doc_id)""")
+      .collect().isEmpty)
+    assert(spark.sql(
+      """SELECT domain FROM graft_domain_split
+         GROUP BY domain HAVING COUNT(DISTINCT split) > 1""")
+      .collect().isEmpty)
+    assert(spark.sql(
+      """SELECT domain FROM graft_domain_profile
+         WHERE n_urls > n_docs OR url_dup_rate < 0 OR url_dup_rate > 1""")
+      .collect().isEmpty)
 
     // iterative operators materialize on demand (clusters run a
     // driver fixpoint loop, so they are tables, not lazy views)
