@@ -495,8 +495,9 @@ object Streams {
     * anti-join against the lake-resident seen-URL table), and
     * registers admitted URLs so a variant fetched three batches later
     * drops. This is what a crawler's dedup frontier does — and unlike
-    * a state store, the seen table is a plain bucketed lake table any
-    * batch job can read, compact, or bootstrap from a q151 run.
+    * a state store, the seen table is the s15 persisted URL index
+    * ([[graft.operators.UrlIndex]]): a plain bucketed lake table any
+    * batch job can read, compact, or pre-fit from an existing crawl.
     *
     * State rows are the URL's xxhash64 (8 bytes/URL at any corpus
     * size); a 64-bit collision can only FALSE-DROP a genuinely new
@@ -507,37 +508,27 @@ object Streams {
     * story). */
   def startUrlDedupGate(docs: DataFrame, indexName: String,
                         outDir: String, checkpoint: String,
-                        buckets: Int = 8)
+                        buckets: Int = graft.operators.UrlIndex.DefaultBuckets)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        _: Long) =>
         val spark = batch.sparkSession
-        val seen = s"${indexName}_urlseen"
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("uh")).orderBy(col("doc_id"))
-        val firsts = batch
-          .withColumn("uh",
-            xxhash64(graft.operators.UrlCuration.normalizeUrl(col("url"))))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1).drop("rk")
-        val exists = spark.catalog.tableExists(seen)
-        val kept0 =
-          if (exists) firsts.join(spark.table(seen), Seq("uh"), "left_anti")
-          else firsts
-        // eager checkpoint: the admit set READS the table the register
-        // step WRITES (the s12 append rationale)
-        val kept = kept0.localCheckpoint(true)
-        kept.drop("uh").write.mode("append").parquet(outDir)
-        graft.operators.LakeLock.withWriter(spark, seen) {
-          if (exists)
-            graft.sources.Sources.appendBucketed(
-              kept.select(col("uh")), seen, "uh")
-          else
-            graft.sources.Sources.writeBucketed(
-              kept.select(col("uh")), seen, "uh", buckets)
-        }
+        import graft.operators.UrlIndex
+        // first batch bootstraps an empty registry (a pre-fitted s15
+        // index — e.g. from an existing crawl — is picked up as-is)
+        if (!spark.catalog.tableExists(UrlIndex.urlsTable(indexName)))
+          UrlIndex.fit(batch.limit(0), indexName, buckets)
+        val keep = UrlIndex.dedup(batch, indexName)
+          .filter(col("status") === "new")
+          .select(col("doc_id"))
+        val kept = batch.join(keep, Seq("doc_id"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          kept.write.mode("append").parquet(outDir)
+          UrlIndex.append(kept, indexName)
+        } finally { kept.unpersist(); () }
         ()
       }
       .start()
