@@ -2102,8 +2102,64 @@ object Oracles {
     // (DuckDB recursion cannot aggregate per step); each iteration's
     // contribution floor-scales to 1e-12 longs so the sum is order-free
     // and every round is bit-identical to Spark's (Graphs.pagerank)
-    "q154_domain_pagerank" -> pageRankSql
+    "q154_domain_pagerank" -> pageRankSql,
+
+    // fixed-round Lloyd's with integer-domain distances — five UNROLLED
+    // rounds; argmin compares longs, means are q122 fixed-point, empty
+    // clusters COALESCE to the previous centroid (KMeans.q155)
+    "q155_kmeans" -> kmeansSql
   )
+
+  /** Unrolled distributed-k-means oracle mirroring
+    * [[graft.operators.KMeans.q155]]: seed = k smallest vec_ids,
+    * dist = Σ floor((x−c)²·1e8) longs, argmin ties on lower cluster,
+    * fixed-point means, empty-cluster carry. */
+  private def KmeansK = 8
+  private def KmeansIters = 5
+  private lazy val kmeansSql: String = {
+    val head = s"""WITH e AS (SELECT vec_id, CAST(ii.i AS INTEGER) AS i,
+             CAST(embedding[CAST(ii.i AS INTEGER) + 1] AS DOUBLE) AS x
+           FROM embeddings
+           CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ii),
+         seed AS (SELECT vec_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS ck
+           FROM embeddings ORDER BY vec_id LIMIT $KmeansK),
+         c0 AS (SELECT s.ck, e.i, e.x AS c
+                FROM seed s JOIN e ON e.vec_id = s.vec_id)"""
+    val rounds = (1 to KmeansIters).map { r =>
+      s""",
+         d$r AS (SELECT e.vec_id, c.ck,
+             CAST(SUM(CAST(floor((e.x - c.c) * (e.x - c.c) * 100000000.0)
+               AS BIGINT)) AS BIGINT) AS dist
+           FROM e JOIN c${r - 1} c ON c.i = e.i
+           GROUP BY e.vec_id, c.ck),
+         a$r AS (SELECT vec_id, ck FROM (
+             SELECT vec_id, ck,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY dist, ck) AS rn
+             FROM d$r) WHERE rn = 1),
+         m$r AS (SELECT a.ck, e.i,
+             (CAST(SUM(CAST(floor(e.x * 100000000.0) AS BIGINT)) AS DOUBLE)
+               / 100000000.0) / CAST(COUNT(*) AS DOUBLE) AS m
+           FROM a$r a JOIN e ON e.vec_id = a.vec_id
+           GROUP BY a.ck, e.i),
+         c$r AS (SELECT p.ck, p.i, COALESCE(m.m, p.c) AS c
+           FROM c${r - 1} p LEFT JOIN m$r m
+             ON m.ck = p.ck AND m.i = p.i)"""
+    }.mkString
+    val fin = s""",
+         df AS (SELECT e.vec_id, c.ck,
+             CAST(SUM(CAST(floor((e.x - c.c) * (e.x - c.c) * 100000000.0)
+               AS BIGINT)) AS BIGINT) AS dist
+           FROM e JOIN c$KmeansIters c ON c.i = e.i
+           GROUP BY e.vec_id, c.ck)
+         SELECT vec_id, CAST(ck AS INTEGER) AS cluster, dist FROM (
+           SELECT vec_id, ck, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY dist, ck) AS rn
+           FROM df) WHERE rn = 1 ORDER BY vec_id"""
+    head + rounds + fin
+  }
 
   /** Unrolled PageRank oracle over the [[UrlNormCte]] domains: the
     * crawl-chain edge derivation (doc i's domain → doc i+1's domain,

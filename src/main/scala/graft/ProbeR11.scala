@@ -45,12 +45,15 @@ object ProbeR11 {
         time(noop(operators.UrlCuration.q153(docs)))
       walls(("q154_domain_pagerank", tag)) =
         time(noop(operators.Graphs.q154(docs)))
+      val emb = Tables.embeddings(spark, sf)
+      walls(("q155_kmeans", tag)) =
+        time(noop(operators.KMeans.q155(emb)))
       println(s"[probeR11] $tag done (n_doc=${docs.count()})")
     }
     for (op <- Seq("q148_url_normalize", "q149_blocklist",
                    "q150_domain_quota", "q151_url_dedup",
                    "q152_domain_split", "q153_domain_profile",
-                   "q154_domain_pagerank")) {
+                   "q154_domain_pagerank", "q155_kmeans")) {
       val s = walls((op, "sf0.01")); val b = walls((op, "sf0.1"))
       println(f"[probeR11] $op%-20s sf0.01=$s%7.2fs sf0.1=$b%7.2fs " +
         f"ratio=${b / s}%5.2fx")

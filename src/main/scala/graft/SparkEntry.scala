@@ -293,7 +293,8 @@ object SparkEntry {
     "q151_url_dedup"           -> ((s, d) => UrlCuration.q151(documents(s, d))),
     "q152_domain_split"        -> ((s, d) => UrlCuration.q152(documents(s, d))),
     "q153_domain_profile"      -> ((s, d) => UrlCuration.q153(documents(s, d))),
-    "q154_domain_pagerank"     -> ((s, d) => Graphs.q154(documents(s, d)))
+    "q154_domain_pagerank"     -> ((s, d) => Graphs.q154(documents(s, d))),
+    "q155_kmeans"              -> ((s, d) => KMeans.q155(embeddings(s, d)))
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

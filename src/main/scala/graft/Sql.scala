@@ -136,6 +136,7 @@ object Sql {
       "graft_domain_split"   -> (() => graft.operators.UrlCuration.q152(docs)),
       "graft_domain_profile" -> (() => graft.operators.UrlCuration.q153(docs)),
       "graft_domain_rank"    -> (() => graft.operators.Graphs.q154(docs)),
+      "graft_kmeans"         -> (() => graft.operators.KMeans.q155(embs)),
       // drift between the q110 snapshot derivations (see Oracles)
       "graft_token_drift"    -> (() => {
         import org.apache.spark.sql.functions.{col, lit, pmod, when, upper}

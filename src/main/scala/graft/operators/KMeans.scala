@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** q155: ORACLE-EXACT distributed k-means (fixed-round Lloyd's) over
+  * the embedding corpus — the workhorse clustering a curation pipeline
+  * runs for SemDeDup-style semantic buckets, topic mixes, or IVF coarse
+  * quantizers (q55/s11 fit on a driver sample; this is the full-corpus
+  * distributed form).
+  *
+  * The second member of the fixed-point ITERATIVE family (q154's
+  * induction argument, §6): every round is bit-identical across
+  * engines because
+  *  - DISTANCES live in the integer domain: dist(v,c) =
+  *    Σ_i floor((v_i−c_i)²·1e8) summed as longs — each term is a fixed
+  *    IEEE op sequence over identical inputs, the sum is order-free,
+  *    and the ARGMIN compares integers (no last-ulp assignment lottery
+  *    ever), ties break on the lower centroid id;
+  *  - CENTROID UPDATES are the q122 fixed-point mean: per-dimension
+  *    sums of floor(x·1e8) longs, one double divide;
+  *  - an EMPTY cluster keeps its previous centroid (both engines);
+  *  - the round count is FIXED (the oracle unrolls rounds as chained
+  *    CTEs; a float convergence test would be a cross-engine lottery).
+  *
+  * Plan shape per round: assignment is a per-partition primitive loop
+  * over the BROADCAST k×D centroid matrix (k·D multiply-adds per row —
+  * no shuffle, no per-pair materialization); the update is one
+  * map-side-combined aggregate over (cluster, dim) cells (≤ k·D rows
+  * per partition reach the exchange); the k×D new centroids collect to
+  * the driver (metadata, the s11/pcaFit contract) and broadcast back.
+  * Corpus size never reaches an exchange. */
+object KMeans {
+
+  /** (vec_id, cluster, dist) after `iters` rounds of Lloyd's from the
+    * deterministic seed (the k smallest vec_ids' vectors). `dist` is
+    * the fixed-point long distance to the final centroid. */
+  def q155(embeddings: DataFrame, k: Int = 8, iters: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = graft.Pins.pin(
+      embeddings.select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])])
+
+    // deterministic seed: the k smallest vec_ids' vectors (same rule in
+    // the oracle); collect is k×D — metadata
+    var centroids: Array[Array[Double]] = vecs
+      .orderBy(col("vec_id")).limit(k).collect()
+      .map { case (_, e) => e.map(_.toDouble) }
+
+    // kernel carries the vector through so the update pass needs no
+    // join back to the corpus — assignment is shuffle-free, the only
+    // exchange per round is the k×D cell aggregate
+    def assign(cs: Array[Array[Double]]) = {
+      val bc = spark.sparkContext.broadcast(cs)
+      vecs.map { case (id, e) =>
+        val c = bc.value
+        var bestK = 0; var bestD = Long.MaxValue
+        var kk = 0
+        while (kk < c.length) {
+          val row = c(kk); var s = 0L; var i = 0
+          while (i < row.length) {
+            val d = e(i).toDouble - row(i)
+            s += math.floor(d * d * 1.0e8).toLong
+            i += 1
+          }
+          if (s < bestD) { bestD = s; bestK = kk } // strict <: ties → lower k
+          kk += 1
+        }
+        (id, bestK, bestD, e)
+      }.toDF("vec_id", "cluster", "dist", "embedding")
+    }
+
+    for (_ <- 1 to iters) {
+      // fixed-point per-dimension means, map-side combined to k×D cells
+      val means = assign(centroids)
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("cluster"), col("i"))
+        .agg(sum(floor(col("x").cast("double") * lit(1.0e8)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cluster"), col("i"),
+          ((col("s").cast("double") / lit(1.0e8)) /
+            col("n").cast("double")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone()) // empty cluster keeps its centroid
+      means.foreach { r =>
+        next(r.getAs[Int]("cluster"))(r.getAs[Int]("i")) = r.getAs[Double]("m")
+      }
+      centroids = next
+    }
+    assign(centroids)
+      .select(col("vec_id"), col("cluster"), col("dist"))
+      .orderBy(col("vec_id"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.KMeans
+
+/** q155: fixed-round distributed k-means — planted-cluster recovery,
+  * layout invariance (integer-domain argmin: no float assignment
+  * lottery), and the empty-cluster carry rule. */
+class KMeansSpec extends GraftSpec {
+  import spark.implicits._
+
+  /** 3 well-separated planted blobs of 20 vectors each, deterministic
+    * offsets (no RNG — reproducibility is the point). Blobs INTERLEAVE
+    * across vec_ids (id = j·3 + blob) so the deterministic seed — the
+    * k smallest ids — starts one centroid per blob; seeding all k
+    * inside one blob is the classic Lloyd's local minimum and not what
+    * this test is about. */
+  private lazy val planted = {
+    val rows = for {
+      c <- 0 until 3
+      j <- 0 until 20
+    } yield {
+      val base = Array.tabulate(64)(i => if (i == c * 2) 10.0f else 0.0f)
+      base(63) = (j % 5) * 0.01f // small within-cluster jitter
+      ((j * 3 + c).toLong, base)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("planted blobs: each blob lands in ONE cluster, blobs in different clusters") {
+    val out = KMeans.q155(planted, k = 3, iters = 5).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    val byBlob = (0 until 3).map(c =>
+      (0 until 20).map(j => out((j * 3 + c).toLong)).distinct)
+    byBlob.foreach(cs => assert(cs.length == 1, s"blob split: $byBlob"))
+    assert(byBlob.map(_.head).distinct.length == 3, s"blobs merged: $byBlob")
+  }
+
+  test("assignments are layout-invariant (integer argmin, no float lottery)") {
+    val a = KMeans.q155(planted, k = 3, iters = 5).collect().map(_.toSeq).toSet
+    val b = KMeans.q155(planted.repartition(11), k = 3, iters = 5)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("k larger than the natural cluster count: empty clusters keep their seed") {
+    // 2 tight blobs, k=4: at least one centroid ends empty; the run
+    // must not throw and every vector still gets a nearest centroid
+    val out = KMeans.q155(planted.filter(pmod(col("vec_id"), lit(3)) < 2),
+      k = 4, iters = 5).collect()
+    assert(out.length == 40)
+    assert(out.map(_.getAs[Int]("cluster")).distinct.length >= 2)
+  }
+
+  test("real embeddings: full assignment, non-trivial clustering, deterministic") {
+    val emb = Tables.embeddings(spark, SF)
+    val out = KMeans.q155(emb).collect()
+    assert(out.length == emb.count())
+    val sizes = out.groupBy(_.getAs[Int]("cluster")).map(_._2.length)
+    assert(sizes.size > 1, s"degenerate single cluster: $sizes")
+    assert(out.forall(_.getAs[Long]("dist") >= 0L))
+  }
+}

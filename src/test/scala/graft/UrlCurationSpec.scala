@@ -83,6 +83,14 @@ class UrlCurationSpec extends GraftSpec {
     assert(re == out.collect().map(_.toSeq).toSet)
   }
 
+  test("q150 plan: the quota rank is WindowGroupLimit-capped (bounded per-key state)") {
+    // adversarial shape: one domain holds ~all docs — the group-limit
+    // pushdown is what keeps the window's per-key state at `cap`
+    // instead of the domain's full row count at 100 TB
+    val plan = formattedPlan(UrlCuration.q150(docs, cap = 5))
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("q151 url dedup: canonical is the min id of its group; groups consistent") {
     // synthesize enough docs that the 60-cycle produces real dup groups
     val many = (0L until 200L)
