@@ -2107,7 +2107,10 @@ object Oracles {
     // fixed-round Lloyd's with integer-domain distances — five UNROLLED
     // rounds; argmin compares longs, means are q122 fixed-point, empty
     // clusters COALESCE to the previous centroid (KMeans.q155)
-    "q155_kmeans" -> kmeansSql
+    "q155_kmeans" -> kmeansAssignSql,
+
+    // per-cluster health profile over the SAME unrolled assignment
+    "q156_cluster_profile" -> kmeansProfileSql
   )
 
   /** Unrolled distributed-k-means oracle mirroring
@@ -2116,7 +2119,7 @@ object Oracles {
     * fixed-point means, empty-cluster carry. */
   private def KmeansK = 8
   private def KmeansIters = 5
-  private lazy val kmeansSql: String = {
+  private lazy val kmeansCoreSql: String = {
     val head = s"""WITH e AS (SELECT vec_id, CAST(ii.i AS INTEGER) AS i,
              CAST(embedding[CAST(ii.i AS INTEGER) + 1] AS DOUBLE) AS x
            FROM embeddings
@@ -2152,14 +2155,30 @@ object Oracles {
              CAST(SUM(CAST(floor((e.x - c.c) * (e.x - c.c) * 100000000.0)
                AS BIGINT)) AS BIGINT) AS dist
            FROM e JOIN c$KmeansIters c ON c.i = e.i
-           GROUP BY e.vec_id, c.ck)
-         SELECT vec_id, CAST(ck AS INTEGER) AS cluster, dist FROM (
+           GROUP BY e.vec_id, c.ck),
+         fin AS (SELECT vec_id, ck, dist FROM (
            SELECT vec_id, ck, dist,
              ROW_NUMBER() OVER (PARTITION BY vec_id
                ORDER BY dist, ck) AS rn
-           FROM df) WHERE rn = 1 ORDER BY vec_id"""
+           FROM df) WHERE rn = 1)"""
     head + rounds + fin
   }
+
+  /** q155 oracle: the final per-vector assignment. */
+  private lazy val kmeansAssignSql: String =
+    kmeansCoreSql + """
+         SELECT vec_id, CAST(ck AS INTEGER) AS cluster, dist
+         FROM fin ORDER BY vec_id"""
+
+  /** q156 oracle: per-cluster profile over the same assignment. */
+  private lazy val kmeansProfileSql: String =
+    kmeansCoreSql + """
+         SELECT CAST(ck AS INTEGER) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           (CAST(SUM(dist) AS DOUBLE) / 100000000.0) /
+             CAST(COUNT(*) AS DOUBLE) AS mean_dist,
+           CAST(MAX(dist) AS BIGINT) AS max_dist
+         FROM fin GROUP BY ck ORDER BY cluster"""
 
   /** Unrolled PageRank oracle over the [[UrlNormCte]] domains: the
     * crawl-chain edge derivation (doc i's domain → doc i+1's domain,

@@ -137,6 +137,7 @@ object Sql {
       "graft_domain_profile" -> (() => graft.operators.UrlCuration.q153(docs)),
       "graft_domain_rank"    -> (() => graft.operators.Graphs.q154(docs)),
       "graft_kmeans"         -> (() => graft.operators.KMeans.q155(embs)),
+      "graft_cluster_profile" -> (() => graft.operators.KMeans.q156(embs)),
       // drift between the q110 snapshot derivations (see Oracles)
       "graft_token_drift"    -> (() => {
         import org.apache.spark.sql.functions.{col, lit, pmod, when, upper}

@@ -92,4 +92,24 @@ object KMeans {
       .select(col("vec_id"), col("cluster"), col("dist"))
       .orderBy(col("vec_id"))
   }
+
+  /** q156: CLUSTER PROFILE — the health dashboard read after a q155
+    * fit (and before trusting its buckets for SemDeDup/mix decisions):
+    * per cluster, member count, mean distance-to-centroid (cohesion)
+    * and max distance (worst member). A bloated mean or a huge max
+    * flags a cluster that needs a re-fit with larger k or an outlier
+    * scrub (q122) first. One map-side-combined aggregate over q155's
+    * assignment; dist stays in the exact integer domain until the one
+    * mean divide, so the report is oracle hash-exact like its input. */
+  def q156(embeddings: DataFrame, k: Int = 8, iters: Int = 5): DataFrame =
+    q155(embeddings, k, iters)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("dist")).as("td"),
+        max(col("dist")).as("max_dist"))
+      .select(col("cluster"), col("n_vecs"),
+        ((col("td").cast("double") / lit(1.0e8)) /
+          col("n_vecs").cast("double")).as("mean_dist"),
+        col("max_dist"))
+      .orderBy(col("cluster"))
 }

@@ -52,6 +52,22 @@ class KMeansSpec extends GraftSpec {
     assert(out.map(_.getAs[Int]("cluster")).distinct.length >= 2)
   }
 
+  test("q156 profile re-derives from the q155 assignment") {
+    val emb = Tables.embeddings(spark, SF)
+    val asg = KMeans.q155(emb).collect()
+    val prof = KMeans.q156(emb).collect()
+      .map(r => r.getAs[Int]("cluster") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("mean_dist"),
+          r.getAs[Long]("max_dist"))).toMap
+    asg.groupBy(_.getAs[Int]("cluster")).foreach { case (c, rows) =>
+      val ds = rows.map(_.getAs[Long]("dist"))
+      val (n, mean, mx) = prof(c)
+      assert(n == rows.length)
+      assert(mx == ds.max)
+      assert(mean == (ds.sum.toDouble / 1.0e8) / ds.length)
+    }
+  }
+
   test("real embeddings: full assignment, non-trivial clustering, deterministic") {
     val emb = Tables.embeddings(spark, SF)
     val out = KMeans.q155(emb).collect()
