@@ -2110,8 +2110,40 @@ object Oracles {
     "q155_kmeans" -> kmeansAssignSql,
 
     // per-cluster health profile over the SAME unrolled assignment
-    "q156_cluster_profile" -> kmeansProfileSql
+    "q156_cluster_profile" -> kmeansProfileSql,
+
+    // Zipf slope: PortableLn via lnChain, regression terms floor-scaled
+    // to 1e-9 longs (order-free sums), slope/intercept = fixed IEEE op
+    // sequence mirroring TextAnalysis.q157
+    "q157_zipf_fit" -> zipfSql
   )
+
+  private lazy val zipfSql: String = {
+    def ds(c: String) = s"(CAST($c AS DOUBLE) / 1000000000.0)"
+    val slope =
+      s"((CAST(n AS DOUBLE) * ${ds("sfxy")} - ${ds("sfx")} * ${ds("sfy")}) / " +
+      s"(CAST(n AS DOUBLE) * ${ds("sfxx")} - ${ds("sfx")} * ${ds("sfx")}))"
+    s"""WITH tokens AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+           FROM documents),
+         vc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM tokens GROUP BY tok),
+         topv AS (SELECT tok, cnt FROM vc ORDER BY cnt DESC, tok LIMIT 100),
+         zv AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok)
+             AS BIGINT) AS rank, cnt FROM topv),
+         ${lnChain("zln", "zv", Seq("rank", "cnt"), Seq(
+            "CAST(rank AS DOUBLE)" -> "lr",
+            "CAST(cnt AS DOUBLE)" -> "lc"))},
+         sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(lr * 1000000000.0) AS BIGINT)) AS BIGINT) AS sfx,
+             CAST(SUM(CAST(floor(lc * 1000000000.0) AS BIGINT)) AS BIGINT) AS sfy,
+             CAST(SUM(CAST(floor((lr * lc) * 1000000000.0) AS BIGINT)) AS BIGINT) AS sfxy,
+             CAST(SUM(CAST(floor((lr * lr) * 1000000000.0) AS BIGINT)) AS BIGINT) AS sfxx
+           FROM zln)
+         SELECT n AS n_terms, -($slope) AS alpha,
+           ((${ds("sfy")} - $slope * ${ds("sfx")}) / CAST(n AS DOUBLE))
+             AS intercept
+         FROM sums"""
+  }
 
   /** Unrolled distributed-k-means oracle mirroring
     * [[graft.operators.KMeans.q155]]: seed = k smallest vec_ids,

@@ -204,6 +204,53 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("tok"))
       .limit(100)
 
+  /** q157: ZIPF-SLOPE fit — least-squares α of the rank-frequency
+    * power law ln(cnt) ≈ intercept − α·ln(rank) over the top-`topN`
+    * vocabulary: the corpus-health scalar that flags template/spam
+    * corpora (α drifts far from ~1) and gives mixing decisions a
+    * single distributional number per corpus. The ONE-ROW regression
+    * report downstream dashboards consume, companion to q75/q130/q140.
+    *
+    * Exactness (§6): both ln's go through [[graft.functions
+    * .PortableLn]] (bit-identical in the oracle's lnChain replay);
+    * each regression term (x, y, x·y, x²) floor-scales to 1e-9 longs
+    * so Σ's are order-free integers; the slope/intercept algebra is a
+    * fixed IEEE op sequence over those exact sums → hash-exact.
+    *
+    * Plan shape: the vocab top-N is the q75 TakeOrderedAndProject
+    * (per-partition heaps, no global sort); everything after runs on
+    * topN rows — the rank window is a single-partition window over
+    * metadata-sized input by construction, not a scale hazard. */
+  def q157(documents: DataFrame, topN: Int = 100): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("tok"))
+    val vocab = documents
+      .select(explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(topN)
+      .withColumn("rank", row_number().over(w).cast("long"))
+    val x = graft.functions.PortableLn(col("rank").cast("double"))
+    val y = graft.functions.PortableLn(col("cnt").cast("double"))
+    val sums = vocab
+      .select(
+        floor(x * lit(1.0e9)).cast("long").as("fx"),
+        floor(y * lit(1.0e9)).cast("long").as("fy"),
+        floor((x * y) * lit(1.0e9)).cast("long").as("fxy"),
+        floor((x * x) * lit(1.0e9)).cast("long").as("fxx"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("fx")).as("sfx"), sum(col("fy")).as("sfy"),
+        sum(col("fxy")).as("sfxy"), sum(col("fxx")).as("sfxx"))
+    val nD  = col("n").cast("double")
+    val sx  = col("sfx").cast("double") / lit(1.0e9)
+    val sy  = col("sfy").cast("double") / lit(1.0e9)
+    val sxy = col("sfxy").cast("double") / lit(1.0e9)
+    val sxx = col("sfxx").cast("double") / lit(1.0e9)
+    val slope = (nD * sxy - sx * sy) / (nD * sxx - sx * sx)
+    sums.select(col("n").as("n_terms"),
+      (-slope).as("alpha"),
+      ((sy - slope * sx) / nD).as("intercept"))
+  }
+
   /** q140: HEAVY-HITTER tokens via the native Misra-Gries sketch
     * ([[graft.functions.FreqSketch]], fn06) — q75's question answered
     * the way a 100 TB corpus can afford: q75's exact table shuffles

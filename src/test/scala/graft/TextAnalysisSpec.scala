@@ -833,4 +833,21 @@ class TextAnalysisSpec extends GraftSpec {
       assert(r.getAs[Double]("gz_ratio") == again(id))
     }
   }
+
+  test("q157 zipf fit: planted power-law recovers its exponent; layout-invariant") {
+    import org.apache.spark.sql.functions.col
+    // corpus where token t_r appears ~ C/r^1.2 times (top-30 ranks)
+    val rows = for {
+      r <- 1 to 30
+      k <- 1 to math.max(1, math.round(3000.0 / math.pow(r, 1.2)).toInt)
+    } yield (r.toLong * 1000 + k, s"tok$r")
+    val docs = rows.toDF("doc_id", "text") // one token per doc
+    val out = graft.operators.TextAnalysis.q157(docs, topN = 30).collect().head
+    assert(out.getAs[Long]("n_terms") == 30L)
+    val alpha = out.getAs[Double]("alpha")
+    assert(math.abs(alpha - 1.2) < 0.05, s"alpha=$alpha")
+    val re = graft.operators.TextAnalysis.q157(docs.repartition(9), topN = 30)
+      .collect().head
+    assert(re.getAs[Double]("alpha") == alpha) // bit-identical, any layout
+  }
 }
