@@ -2115,7 +2115,28 @@ object Oracles {
     // Zipf slope: PortableLn via lnChain, regression terms floor-scaled
     // to 1e-9 longs (order-free sums), slope/intercept = fixed IEEE op
     // sequence mirroring TextAnalysis.q157
-    "q157_zipf_fit" -> zipfSql
+    "q157_zipf_fit" -> zipfSql,
+
+    // skyline via the O(n^2) NOT EXISTS dominance definition — the
+    // naive-but-obviously-correct form; the engine ships the
+    // order-statistics plan (Relational.skyline2d), same answer
+    "q158_skyline" ->
+      """WITH b AS (SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT) AS n_distinct,
+           CAST(len(list_filter(string_split(trim(text), ' '),
+             t -> lower(t) IN ('the','a','and','of','data','row'))) AS BIGINT) AS n_stop
+           FROM documents),
+         r AS (SELECT doc_id, n_tokens,
+           (CAST(n_distinct AS DOUBLE)/n_tokens)*0.4 +
+             least(1.0, CAST(n_tokens AS DOUBLE)/100.0)*0.3 +
+             (CAST(n_stop AS DOUBLE)/n_tokens)*0.3 AS quality
+           FROM b)
+         SELECT doc_id, n_tokens, quality FROM r t
+         WHERE NOT EXISTS (SELECT 1 FROM r o
+           WHERE o.n_tokens >= t.n_tokens AND o.quality >= t.quality
+             AND (o.n_tokens > t.n_tokens OR o.quality > t.quality))
+         ORDER BY doc_id"""
   )
 
   private lazy val zipfSql: String = {

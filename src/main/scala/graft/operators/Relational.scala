@@ -441,4 +441,46 @@ object Relational {
       WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
       ORDER BY s_suppkey""")
   }
+
+  /** Generic 2-D SKYLINE (Pareto maxima: keep rows no other row beats
+    * on BOTH axes with a strict win on at least one) — the classic
+    * multi-criteria OLAP operator (Börzsönyi et al., ICDE'01; Spark
+    * SQL integration studied in EDBT'23, see PAPERS.md).
+    *
+    * The naive form is an O(n²) self-join — never shipped here.
+    * For two dimensions dominance collapses to order statistics:
+    * a row (x, y) is skyline iff y equals its x-group's max AND
+    * every STRICTLY greater x has group-max < y. Plan: one map-side-
+    * combined per-x aggregate (≤ distinct-x rows), a running max over
+    * the distinct-x frame ordered by x desc (single-partition window
+    * over GROUP-sized input — distinct doc lengths, not the corpus),
+    * then one broadcast join back: the corpus is scanned twice and
+    * never self-joined, at any scale. Ties on both axes are mutually
+    * non-dominating and all kept (matching NOT EXISTS semantics). */
+  def skyline2d(points: DataFrame, xc: String, yc: String): DataFrame = {
+    val perX = points.groupBy(col(xc)).agg(max(col(yc)).as("_maxy"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(xc).desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val th = perX.withColumn("_gtmax", max(col("_maxy")).over(w))
+    points.join(broadcast(th), xc)
+      .filter(col(yc) === col("_maxy") &&
+        (col("_gtmax").isNull || col("_gtmax") < col(yc)))
+      .drop("_maxy", "_gtmax")
+  }
+
+  /** q158: the DOCUMENT skyline — Pareto-optimal docs on
+    * (n_tokens ↑, q48 quality ↑): the multi-criteria shortlist a
+    * curation review samples from ("longest docs that are also the
+    * highest-quality at their length"), and the suite's resident
+    * skyline-operator exemplar. quality is the oracle-exact q48
+    * double, so dominance comparisons agree bit-for-bit across
+    * engines; the oracle verifies with the O(n²) NOT EXISTS form —
+    * same answer, naive plan. */
+  def q158(documents: DataFrame): DataFrame =
+    skyline2d(
+      TextAnalysis.q48(documents)
+        .select(col("doc_id"), col("n_tokens"), col("quality")),
+      "n_tokens", "quality")
+      .orderBy(col("doc_id"))
 }

@@ -78,4 +78,27 @@ class RelationalSpec extends GraftSpec {
       assert(math.abs(approx - exact) / exact <= 0.05, s"approx=$approx exact=$exact")
     }
   }
+
+  test("q158 skyline2d == brute-force dominance; ties on both axes kept") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val pts = Seq(
+      (1L, 10L, 0.9), (2L, 20L, 0.8), (3L, 30L, 0.7),  // frontier
+      (4L, 10L, 0.8),                                  // dominated by 1
+      (5L, 20L, 0.8),                                  // tie with 2: kept
+      (6L, 5L, 0.95),                                  // frontier (best y)
+      (7L, 30L, 0.6),                                  // dominated by 3
+      (8L, 30L, 0.7)                                   // tie with 3: kept
+    ).toDF("doc_id", "x", "y")
+    val got = graft.operators.Relational.skyline2d(pts, "x", "y")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // brute force: not dominated
+    val all = pts.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val brute = all.filter { case (_, x, y) =>
+      !all.exists { case (_, xa, ya) =>
+        xa >= x && ya >= y && (xa > x || ya > y) }
+    }.map(_._1).toSet
+    assert(got == brute && got == Set(1L, 2L, 3L, 5L, 6L, 8L), s"$got vs $brute")
+  }
 }
+
