@@ -2117,6 +2117,25 @@ object Oracles {
     // sequence mirroring TextAnalysis.q157
     "q157_zipf_fit" -> zipfSql,
 
+    // lexicons mirror TextAnalysis.PosLexicon/NegLexicon verbatim;
+    // polarity = one double divide over exact long counts
+    "q159_sentiment" ->
+      """WITH b AS (SELECT doc_id,
+           CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+             t -> t IN ('fast','value','good','best','clean'))) AS BIGINT) AS n_pos,
+           CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+             t -> t IN ('slow','small','bad','error','noise'))) AS BIGINT) AS n_neg
+           FROM documents)
+         SELECT doc_id, n_tokens, n_pos, n_neg,
+           CAST(n_pos - n_neg AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS sentiment,
+           CASE WHEN CAST(n_pos - n_neg AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.05
+                THEN 'positive'
+                WHEN CAST(n_pos - n_neg AS DOUBLE) / CAST(n_tokens AS DOUBLE) < -0.05
+                THEN 'negative'
+                ELSE 'neutral' END AS label
+         FROM b ORDER BY doc_id""",
+
     // skyline via the O(n^2) NOT EXISTS dominance definition — the
     // naive-but-obviously-correct form; the engine ships the
     // order-statistics plan (Relational.skyline2d), same answer

@@ -297,7 +297,8 @@ object SparkEntry {
     "q155_kmeans"              -> ((s, d) => KMeans.q155(embeddings(s, d))),
     "q156_cluster_profile"     -> ((s, d) => KMeans.q156(embeddings(s, d))),
     "q157_zipf_fit"            -> ((s, d) => TextAnalysis.q157(documents(s, d))),
-    "q158_skyline"             -> ((s, d) => Relational.q158(documents(s, d)))
+    "q158_skyline"             -> ((s, d) => Relational.q158(documents(s, d))),
+    "q159_sentiment"           -> ((s, d) => TextAnalysis.q159(documents(s, d)))
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

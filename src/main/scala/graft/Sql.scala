@@ -140,6 +140,7 @@ object Sql {
       "graft_cluster_profile" -> (() => graft.operators.KMeans.q156(embs)),
       "graft_zipf_fit"       -> (() => graft.operators.TextAnalysis.q157(docs)),
       "graft_skyline"        -> (() => graft.operators.Relational.q158(docs)),
+      "graft_sentiment"      -> (() => graft.operators.TextAnalysis.q159(docs)),
       // drift between the q110 snapshot derivations (see Oracles)
       "graft_token_drift"    -> (() => {
         import org.apache.spark.sql.functions.{col, lit, pmod, when, upper}

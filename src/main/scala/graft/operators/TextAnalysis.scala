@@ -41,6 +41,40 @@ object TextAnalysis {
 
   private val Stopwords = Seq("the", "a", "and", "of", "data", "row")
 
+  /** q159 demo lexicons — tiny on purpose (a real run broadcasts a
+    * SentiWordNet-class list; the PLAN is identical at any lexicon
+    * size). Mirrored verbatim in the oracle SQL. */
+  private val PosLexicon = Seq("fast", "value", "good", "best", "clean")
+  private val NegLexicon = Seq("slow", "small", "bad", "error", "noise")
+
+  /** q159: LEXICON SENTIMENT scoring (the Spark-at-scale sentiment
+    * pipeline shape — EDBT'16, PAPERS.md): per document, positive/
+    * negative lexicon hits and the normalized polarity
+    * (n_pos − n_neg)/n_tokens with a ±0.05 three-way label. One scan,
+    * per-row array filters against broadcast-sized lexicons, no
+    * exchange at all — the cheapest possible text-signal plan; counts
+    * are exact longs, the polarity is one double divide (§6), so the
+    * label thresholds compare identical doubles in both engines. */
+  def q159(documents: DataFrame): DataFrame = {
+    val toks = split(lower(trim(col("text"))), " ")
+    documents
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_pos",
+        size(filter(toks, t => t.isin(PosLexicon: _*))).cast("long"))
+      .withColumn("n_neg",
+        size(filter(toks, t => t.isin(NegLexicon: _*))).cast("long"))
+      .withColumn("sentiment",
+        (col("n_pos") - col("n_neg")).cast("double") /
+          col("n_tokens").cast("double"))
+      .withColumn("label",
+        when(col("sentiment") > 0.05, "positive")
+          .when(col("sentiment") < -0.05, "negative")
+          .otherwise("neutral"))
+      .select(col("doc_id"), col("n_tokens"), col("n_pos"), col("n_neg"),
+        col("sentiment"), col("label"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q48: document quality scoring — type/token ratio, length saturation,
     * stopword ratio, combined in a fixed-order weighted sum (bit-stable
     * across engines, SURVEY.md §6). */

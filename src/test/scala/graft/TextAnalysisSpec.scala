@@ -850,4 +850,21 @@ class TextAnalysisSpec extends GraftSpec {
       .collect().head
     assert(re.getAs[Double]("alpha") == alpha) // bit-identical, any layout
   }
+
+  test("q159 sentiment: planted polar docs get the right label; neutral in between") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "fast clean best good value pipeline"),   // strongly positive
+      (2L, "slow bad error noise small run"),        // strongly negative
+      (3L, "the table has a column and a row here")  // no lexicon hits
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.q159(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+          r.getAs[String]("label"))).toMap
+    assert(out(1L) == ((5L, 0L, "positive")), out)
+    assert(out(2L) == ((0L, 5L, "negative")), out)
+    assert(out(3L) == ((0L, 0L, "neutral")), out)
+  }
 }
+
