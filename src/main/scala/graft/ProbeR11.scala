@@ -48,12 +48,22 @@ object ProbeR11 {
       val emb = Tables.embeddings(spark, sf)
       walls(("q155_kmeans", tag)) =
         time(noop(operators.KMeans.q155(emb)))
+      walls(("q156_cluster_profile", tag)) =
+        time(noop(operators.KMeans.q156(emb)))
+      walls(("q157_zipf_fit", tag)) =
+        time(noop(operators.TextAnalysis.q157(docs)))
+      walls(("q158_skyline", tag)) =
+        time(noop(operators.Relational.q158(docs)))
+      walls(("q159_sentiment", tag)) =
+        time(noop(operators.TextAnalysis.q159(docs)))
       println(s"[probeR11] $tag done (n_doc=${docs.count()})")
     }
     for (op <- Seq("q148_url_normalize", "q149_blocklist",
                    "q150_domain_quota", "q151_url_dedup",
                    "q152_domain_split", "q153_domain_profile",
-                   "q154_domain_pagerank", "q155_kmeans")) {
+                   "q154_domain_pagerank", "q155_kmeans",
+                   "q156_cluster_profile", "q157_zipf_fit",
+                   "q158_skyline", "q159_sentiment")) {
       val s = walls((op, "sf0.01")); val b = walls((op, "sf0.1"))
       println(f"[probeR11] $op%-20s sf0.01=$s%7.2fs sf0.1=$b%7.2fs " +
         f"ratio=${b / s}%5.2fx")
