@@ -58,6 +58,48 @@ object Oracles {
       case ((q, p, t), _) => s"($q, $p, '$t')"
     }.mkString(", ")
 
+  /** The full BM25 ranking CTE chain (qt … bm25ranked) shared verbatim
+    * by the q116 oracle (top-10 cut) and the q161 hybrid-RRF oracle
+    * (top-`HybridDepth` text list) — the Q41Sql sharing pattern, so the
+    * two oracles cannot drift from each other. */
+  private lazy val bm25RankedCtes: String =
+    s"""qt(query_id, pos, term) AS (VALUES $bm25QueryValues),
+       toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents),
+       dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+       stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS total_toks FROM dl),
+       tf AS (SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+         WHERE tok IN (SELECT DISTINCT term FROM qt) GROUP BY doc_id, tok),
+       dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       pre AS (SELECT qt.query_id, qt.pos, tf.doc_id, tf.tf, dfs.df, dl.dl,
+           s.n_docs, s.total_toks
+         FROM qt JOIN tf ON qt.term = tf.term JOIN dfs ON qt.term = dfs.term
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s),
+       ${lnChain("lnidf", "pre",
+          Seq("query_id", "pos", "doc_id", "tf", "df", "dl", "n_docs", "total_toks"),
+          Seq("(CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0" -> "idf"))},
+       contrib AS (SELECT query_id, pos, doc_id,
+           idf * (CAST(tf AS DOUBLE) * 2.2)
+             / (tf + 1.2 * (0.25 + 0.75 *
+                 (CAST(dl AS DOUBLE) / (CAST(total_toks AS DOUBLE) / n_docs)))) AS c
+         FROM lnidf),
+       per AS (SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+           list_sort(list(struct_pack(pos := pos, c := c))) AS xs
+         FROM contrib GROUP BY query_id, doc_id),
+       folded AS (SELECT query_id, doc_id, n_hit,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(xs, s -> struct_extract(s, 'c'))), (a, b) -> a + b) AS score
+         FROM per),
+       bm25ranked AS (SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, doc_id) AS BIGINT) AS "rank",
+           doc_id, n_hit, score FROM folded)"""
+
+  /** q161 list depth — SparkEntry passes the same value to
+    * Similarity.q161 and the oracle interpolates it, so the two sides
+    * cannot drift. */
+  val HybridDepth = 50
+
   /** q117/st16 DSIR parameters, shared with the oracle SQL. */
   val DsirTargetSource = "src0"
   val DsirBuckets = 64
@@ -740,38 +782,8 @@ object Oracles {
     // per-query contributions fold in query-position order (q86 idiom);
     // idf ln via the portable chain (bitwise == Spark's PortableLn)
     "q116_bm25_search" ->
-      s"""WITH qt(query_id, pos, term) AS (VALUES $bm25QueryValues),
-         toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents),
-         dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
-         stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(dl) AS BIGINT) AS total_toks FROM dl),
-         tf AS (SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
-           WHERE tok IN (SELECT DISTINCT term FROM qt) GROUP BY doc_id, tok),
-         dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
-         pre AS (SELECT qt.query_id, qt.pos, tf.doc_id, tf.tf, dfs.df, dl.dl,
-             s.n_docs, s.total_toks
-           FROM qt JOIN tf ON qt.term = tf.term JOIN dfs ON qt.term = dfs.term
-           JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s),
-         ${lnChain("lnidf", "pre",
-            Seq("query_id", "pos", "doc_id", "tf", "df", "dl", "n_docs", "total_toks"),
-            Seq("(CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0" -> "idf"))},
-         contrib AS (SELECT query_id, pos, doc_id,
-             idf * (CAST(tf AS DOUBLE) * 2.2)
-               / (tf + 1.2 * (0.25 + 0.75 *
-                   (CAST(dl AS DOUBLE) / (CAST(total_toks AS DOUBLE) / n_docs)))) AS c
-           FROM lnidf),
-         per AS (SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
-             list_sort(list(struct_pack(pos := pos, c := c))) AS xs
-           FROM contrib GROUP BY query_id, doc_id),
-         folded AS (SELECT query_id, doc_id, n_hit,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list_transform(xs, s -> struct_extract(s, 'c'))), (a, b) -> a + b) AS score
-           FROM per),
-         ranked AS (SELECT query_id,
-             CAST(row_number() OVER (PARTITION BY query_id
-               ORDER BY score DESC, doc_id) AS BIGINT) AS "rank",
-             doc_id, n_hit, score FROM folded)
-         SELECT query_id, "rank", doc_id, n_hit, score FROM ranked
+      s"""WITH $bm25RankedCtes
+         SELECT query_id, "rank", doc_id, n_hit, score FROM bm25ranked
          WHERE "rank" <= 10 ORDER BY query_id, "rank"""",
 
     // hash twin = q100's (h*31+c mod 1e9+7) chain, then mod 64 buckets;
@@ -2155,7 +2167,75 @@ object Oracles {
          WHERE NOT EXISTS (SELECT 1 FROM r o
            WHERE o.n_tokens >= t.n_tokens AND o.quality >= t.quality
              AND (o.n_tokens > t.n_tokens OR o.quality > t.quality))
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // per-doc Shannon entropy: c·ln(c) terms floor-scaled to 1e-9
+    // longs (order-free per-doc sums), both ln's via lnChain — mirrors
+    // TextAnalysis.q160's fixed IEEE sequence exactly
+    "q160_token_entropy" ->
+      s"""WITH toks AS (SELECT doc_id,
+             unnest(string_split(lower(trim(text)), ' ')) AS tok
+           FROM documents),
+         cnt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM toks GROUP BY doc_id, tok),
+         ${lnChain("clc", "cnt", Seq("doc_id", "c"),
+            Seq("CAST(c AS DOUBLE)" -> "lnc"))},
+         ag AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(CAST(floor((CAST(c AS DOUBLE) * lnc) * 1000000000.0)
+               AS BIGINT)) AS BIGINT) AS sclnc
+           FROM clc GROUP BY doc_id),
+         ${lnChain("dln", "ag",
+            Seq("doc_id", "n_tokens", "n_distinct", "sclnc"),
+            Seq("CAST(n_tokens AS DOUBLE)" -> "lnn",
+                "CAST(n_distinct AS DOUBLE)" -> "lnd"))},
+         e AS (SELECT doc_id, n_tokens, n_distinct,
+             lnn - (CAST(sclnc AS DOUBLE) / 1000000000.0)
+               / CAST(n_tokens AS DOUBLE) AS entropy,
+             lnd
+           FROM dln)
+         SELECT doc_id, n_tokens, n_distinct, entropy,
+           CASE WHEN n_distinct > 1 THEN 1.0 - entropy / lnd
+                ELSE 1.0 END AS redundancy
+         FROM e ORDER BY doc_id""",
+
+    // hybrid RRF: the shared bm25RankedCtes text list fused with the
+    // exact-cosine list of the query's anchor embedding; fusion term
+    // order (text + vector) mirrors Similarity.q161 exactly
+    "q161_hybrid_rrf" ->
+      s"""WITH $bm25RankedCtes,
+         tr AS (SELECT query_id, doc_id, "rank" AS r_text
+           FROM bm25ranked WHERE "rank" <= $HybridDepth),
+         e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(v, x -> x*x)), (a,b) -> a+b)) AS norm FROM e),
+         p AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1,65), i -> q.v[i]*c.v[i])), (a,b) -> a+b)
+             / (q.norm * c.norm) AS cos
+           FROM n q CROSS JOIN n c
+           WHERE q.vec_id IN (SELECT DISTINCT query_id FROM qt)),
+         vr0 AS (SELECT qid, nid, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY cos DESC, nid) AS BIGINT) AS r_vec FROM p),
+         vr AS (SELECT qid AS query_id, nid AS doc_id, r_vec
+           FROM vr0 WHERE r_vec <= $HybridDepth),
+         fused AS (SELECT COALESCE(tr.query_id, vr.query_id) AS query_id,
+             COALESCE(tr.doc_id, vr.doc_id) AS doc_id, tr.r_text, vr.r_vec
+           FROM tr FULL OUTER JOIN vr
+             ON tr.query_id = vr.query_id AND tr.doc_id = vr.doc_id),
+         sc AS (SELECT query_id, doc_id, r_text, r_vec,
+             (CASE WHEN r_text IS NOT NULL
+                   THEN 1.0 / (60.0 + CAST(r_text AS DOUBLE)) ELSE 0.0 END)
+             + (CASE WHEN r_vec IS NOT NULL
+                     THEN 1.0 / (60.0 + CAST(r_vec AS DOUBLE)) ELSE 0.0 END) AS rrf
+           FROM fused),
+         rk AS (SELECT query_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY rrf DESC, doc_id) AS BIGINT) AS "rank",
+             doc_id, r_text, r_vec, rrf FROM sc)
+         SELECT query_id, "rank", doc_id, r_text, r_vec, rrf FROM rk
+         WHERE "rank" <= 10 ORDER BY query_id, "rank""""
   )
 
   private lazy val zipfSql: String = {

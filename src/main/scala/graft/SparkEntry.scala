@@ -298,7 +298,14 @@ object SparkEntry {
     "q156_cluster_profile"     -> ((s, d) => KMeans.q156(embeddings(s, d))),
     "q157_zipf_fit"            -> ((s, d) => TextAnalysis.q157(documents(s, d))),
     "q158_skyline"             -> ((s, d) => Relational.q158(documents(s, d))),
-    "q159_sentiment"           -> ((s, d) => TextAnalysis.q159(documents(s, d)))
+    "q159_sentiment"           -> ((s, d) => TextAnalysis.q159(documents(s, d))),
+    "q160_token_entropy"       -> ((s, d) => TextAnalysis.q160(documents(s, d))),
+    "q161_hybrid_rrf"          -> ((s, d) => {
+      import s.implicits._
+      Similarity.q161(documents(s, d), embeddings(s, d),
+        Oracles.Bm25Queries.toDF("query_id", "terms"),
+        depth = Oracles.HybridDepth)
+    })
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -285,6 +285,54 @@ object TextAnalysis {
       ((sy - slope * sx) / nD).as("intercept"))
   }
 
+  /** q160: per-document TOKEN ENTROPY — Shannon entropy of the
+    * within-doc token distribution, H = ln n − (1/n)·Σ c·ln c over the
+    * per-token counts c, plus the normalized redundancy
+    * 1 − H/ln(n_distinct) (1 = one token repeated, 0 = all-distinct
+    * uniform). The classic information-theoretic quality signal the
+    * suite's ratio heuristics (q48) and repetition detector (q68)
+    * bracket from either side: low entropy flags template/spam text
+    * whatever the tokens are.
+    *
+    * Exactness (§6): ln through [[graft.functions.PortableLn]], each
+    * per-token term c·ln(c) floor-scaled to 1e-9 longs so the per-doc
+    * Σ is an order-free integer sum; the final H / redundancy algebra
+    * is a fixed IEEE sequence over those exact sums → hash-exact.
+    * n_distinct == 1 ⇒ ln = 0; the `when` guard defines redundancy
+    * there as 1.0 (fully redundant) without touching the divide.
+    *
+    * Plan shape: one token scan → (doc_id, tok) counts (the only
+    * data-sized exchange, map-side combined) → per-doc aggregate. No
+    * windows, no joins — the same exchange budget as q48. */
+  def q160(documents: DataFrame): DataFrame = {
+    val counts = documents
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val lnc = graft.functions.PortableLn(col("c").cast("double"))
+    val agg = counts
+      .select(col("doc_id"), col("c"),
+        floor((col("c").cast("double") * lnc) * lit(1.0e9)).cast("long")
+          .as("fclnc"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        sum(col("fclnc")).as("sclnc"))
+    val n = col("n_tokens").cast("double")
+    agg
+      .withColumn("entropy",
+        graft.functions.PortableLn(n) -
+          (col("sclnc").cast("double") / lit(1.0e9)) / n)
+      .withColumn("redundancy",
+        when(col("n_distinct") > 1L,
+          lit(1.0) - col("entropy") /
+            graft.functions.PortableLn(col("n_distinct").cast("double")))
+          .otherwise(lit(1.0)))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("entropy"), col("redundancy"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q140: HEAVY-HITTER tokens via the native Misra-Gries sketch
     * ([[graft.functions.FreqSketch]], fn06) — q75's question answered
     * the way a 100 TB corpus can afford: q75's exact table shuffles

@@ -851,6 +851,35 @@ class TextAnalysisSpec extends GraftSpec {
     assert(re.getAs[Double]("alpha") == alpha) // bit-identical, any layout
   }
 
+  test("q160 entropy: uniform doc hits ln(d), repeated doc hits 0, layout-invariant") {
+    val docs = Seq(
+      (1L, "a b c d"),          // 4 distinct uniform: H = ln 4
+      (2L, "x x x x x"),        // one token type: H = 0, redundancy 1
+      (3L, "a a b b c c d d"),  // uniform over 4: H = ln 4, redundancy 0
+      (4L, "a a a b")           // skewed: 0 < H < ln 2 + eps
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.q160(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("entropy"), r.getAs[Double]("redundancy"))).toMap
+    val ln4 = math.log(4.0)
+    assert(out(1L)._1 == 4L && out(1L)._2 == 4L)
+    assert(math.abs(out(1L)._3 - ln4) < 1e-6, out(1L))
+    assert(math.abs(out(1L)._4) < 1e-6, out(1L)) // uniform => redundancy ~0
+    // floor-scaling truncates c·ln(c) at 1e-9, so H lands within one
+    // truncation step above exact zero — deterministic, not drifting
+    assert(out(2L)._3 >= 0.0 && out(2L)._3 < 1e-9 && out(2L)._4 == 1.0, out(2L))
+    assert(math.abs(out(3L)._3 - ln4) < 1e-6, out(3L))
+    // skewed doc: strictly between 0 and uniform-over-2 entropy... H(3/4,1/4)
+    val h4 = out(4L)._3
+    val expected = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(h4 - expected) < 1e-6, s"h4=$h4")
+    // bit-identical across partition layouts (order-free long sums)
+    val re = graft.operators.TextAnalysis.q160(docs.repartition(7)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("entropy")).toMap
+    assert(re(4L) == h4 && re(1L) == out(1L)._3)
+  }
+
   test("q159 sentiment: planted polar docs get the right label; neutral in between") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
