@@ -241,6 +241,55 @@ object Similarity {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** q161: HYBRID SEARCH via Reciprocal Rank Fusion (Cormack et al.
+    * SIGIR'09 — the fusion every lexical+vector retrieval stack runs):
+    * fuse the BM25 ranking ([[TextAnalysis.q116]], s14's scoring tail)
+    * with the exact-cosine ranking ([[searchExact]]) of the query's
+    * anchor embedding, score = Σ_lists 1/(C + rank), C = 60. Docs
+    * found by only one list contribute that list's term alone — the
+    * standard RRF treatment of unranked docs.
+    *
+    * Exactness (§6): both input rankings are already hash-exact
+    * (integer ranks, ties broken on doc_id), and the fusion is two
+    * double divides + one add in a FIXED order (text term + vector
+    * term) over integer ranks → hash-exact; final ties break on
+    * doc_id.
+    *
+    * Plan shape at scale: each list is a per-query top-`depth`
+    * (bounded by construction), so the fuse joins two ≤ depth-row
+    * frames per query — metadata-sized regardless of corpus size; the
+    * corpus-sized work lives inside the two upstream operators, each
+    * already probed at 10×. The rank window runs on ≤ 2·depth rows
+    * per query. */
+  def q161(documents: DataFrame, embeddings: DataFrame,
+           queries: DataFrame, depth: Int = 50, k: Int = 10,
+           rrfC: Double = 60.0): DataFrame = {
+    val text = TextAnalysis.q116(documents, queries, depth)
+      .select(col("query_id"), col("doc_id"), col("rank").as("r_text"))
+    val qids = queries.select(col("query_id"))
+    val qvecs = embeddings
+      .join(broadcast(qids), col("vec_id") === col("query_id"))
+      .select(col("vec_id"), col("embedding"))
+    val vec = searchExact(qvecs, embeddings, depth)
+      .select(col("qid").as("query_id"), col("nid").as("doc_id"),
+        col("rk").cast("long").as("r_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    text.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        when(col("r_text").isNotNull,
+          lit(1.0) / (lit(rrfC) + col("r_text").cast("double")))
+          .otherwise(lit(0.0)) +
+        when(col("r_vec").isNotNull,
+          lit(1.0) / (lit(rrfC) + col("r_vec").cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("r_text"), col("r_vec"), col("rrf"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Broadcast ceiling for the exact all-pairs operator [[q46]]. Sized
     * in BYTES, not just rows: each collected row is a (Long,
     * Array[Double](64), Double) tuple ≈ 600 B on-heap (512 B of doubles

@@ -433,4 +433,35 @@ class SimilaritySpec extends GraftSpec {
     assert(hit.length == 1)
     assert(hit.head.getAs[Long]("qid") == hit.head.getAs[Long]("nid"))
   }
+
+  test("q161 hybrid RRF: hand-computed fusion of text and vector ranks") {
+    // query 1: text terms ("apple"), anchor embedding = vec_id 1.
+    // BM25 ranks: doc 11 ("apple apple", tf 2) > doc 10 ("apple pie").
+    // Cosine vs [1,0,0,0]: 1 (self) ties 10 at cos=1 (nid breaks), then
+    // 12 (0.9-ish), then 11 (orthogonal). RRF with C=60, depth 50:
+    //   doc 10: 1/62 + 1/62          = 0.032258…  (both lists)
+    //   doc 11: 1/61 + 1/64          = 0.032018…
+    //   doc  1: 0    + 1/61          (anchor itself, no text hit)
+    //   doc 12: 0    + 1/63
+    val docs = Seq(
+      (10L, "apple pie"), (11L, "apple apple"), (12L, "banana split")
+    ).toDF("doc_id", "text")
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val emb = Seq(
+      (1L, v(1, 0, 0, 0)), (10L, v(1, 0, 0, 0)),
+      (11L, v(0, 1, 0, 0)), (12L, v(0.9, 0.1, 0, 0))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Seq("apple"))).toDF("query_id", "terms")
+    val out = graft.operators.Similarity
+      .q161(docs, emb, queries, depth = 50, k = 10)
+      .collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L, 11L, 1L, 12L))
+    val r10 = out.find(_.getAs[Long]("doc_id") == 10L).get
+    assert(r10.getAs[Long]("r_text") == 2L && r10.getAs[Long]("r_vec") == 2L)
+    assert(r10.getAs[Double]("rrf") == 1.0 / 62 + 1.0 / 62)
+    val r1 = out.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(r1.isNullAt(r1.fieldIndex("r_text")) &&
+      r1.getAs[Long]("r_vec") == 1L)
+    assert(r1.getAs[Double]("rrf") == 1.0 / 61)
+  }
 }
