@@ -137,6 +137,40 @@ object Streams {
       }
       .start()
 
+  /** st26: streaming SNAPSHOT-TABLE sink — every micro-batch lands as
+    * ONE atomic s16 commit ([[graft.sources.SnapshotTable]]), closing
+    * the two gaps of v1 file sinks: (a) readers see whole batches or
+    * nothing (a parquet-dir sink exposes part-files one at a time
+    * mid-batch), and (b) replays are EXACTLY-ONCE — each commit's
+    * manifest carries a `stream:<batchId>` operation tag, and a
+    * replayed batch whose tag is already in the table history is
+    * skipped, so offsets-checkpointed-but-crashed-before-commit
+    * reruns (the at-least-once corner every non-transactional file
+    * sink has) cannot double-append. Each batch is also a
+    * time-travelable version: `read(path, Some(v))` reproduces the
+    * table as of any ingestion point — streaming backfill audits for
+    * free. A batch that crashed mid-write leaves only an unreferenced
+    * data dir; `expire()` sweeps it at maintenance cadence. */
+  def startSnapshotSink(df: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val op = s"stream:$batchId"
+          val fresh = graft.sources.SnapshotTable.currentVersion(s, path) == 0L
+          val seen = !fresh && graft.sources.SnapshotTable
+            .history(s, path).exists(_.operation == op)
+          if (!seen) {
+            if (fresh) graft.sources.SnapshotTable.create(s, path, batch.toDF(), op)
+            else graft.sources.SnapshotTable.append(s, path, batch.toDF(), op)
+          }
+        }
+        ()
+      }
+      .start()
+
   /** st10: streaming corpus dedup by CONTENT fingerprint — the
     * ingestion-time twin of batch q40: documents whose text hashes to
     * the same [[graft.functions.PolyFingerprint]] within the watermark

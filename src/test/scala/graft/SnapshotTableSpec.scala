@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.functions.col
+
+/** s16 snapshot tables: atomic commits, time travel, rollback,
+  * copy-on-write delete, compaction, expiry, and the single-writer +
+  * exclusive-commit fences. */
+class SnapshotTableSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-snap-$tag").toString + "/t"
+
+  test("create/read round-trip is version 1") {
+    val p = tmp("create")
+    val v = SnapshotTable.create(spark, p, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    assert(v == 1L)
+    assert(SnapshotTable.currentVersion(spark, p) == 1L)
+    assert(SnapshotTable.read(spark, p).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a"), (2L, "b")))
+    assert(SnapshotTable.history(spark, p).map(_.operation) == Seq("create"))
+  }
+
+  test("append is visible at head; time travel still reads version 1") {
+    val p = tmp("append")
+    SnapshotTable.create(spark, p, Seq((1L, "a")).toDF("id", "s"))
+    val v2 = SnapshotTable.append(spark, p, Seq((2L, "b")).toDF("id", "s"))
+    assert(v2 == 2L)
+    assert(SnapshotTable.read(spark, p).count() == 2L)
+    assert(SnapshotTable.read(spark, p, Some(1L)).collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    // a frame planned at v2 keeps reading v2's immutable files even
+    // after the head moves (snapshot isolation for live readers)
+    val pinned = SnapshotTable.read(spark, p)
+    SnapshotTable.append(spark, p, Seq((3L, "c")).toDF("id", "s"))
+    assert(pinned.count() == 2L)
+    assert(SnapshotTable.read(spark, p).count() == 3L)
+  }
+
+  test("overwrite replaces at head, may change schema; old version keeps both") {
+    val p = tmp("ovw")
+    SnapshotTable.create(spark, p, Seq((1L, "a")).toDF("id", "s"))
+    SnapshotTable.overwrite(spark, p,
+      Seq((10L, "x", 1.5)).toDF("id", "s", "w"))
+    val head = SnapshotTable.read(spark, p)
+    assert(head.columns.toSeq == Seq("id", "s", "w"))
+    assert(head.collect().head.getDouble(2) == 1.5)
+    val v1 = SnapshotTable.read(spark, p, Some(1L))
+    assert(v1.columns.toSeq == Seq("id", "s"))
+    assert(v1.collect().head.getLong(0) == 1L)
+  }
+
+  test("deleteWhere is copy-on-write: gone at head, present in the past") {
+    val p = tmp("del")
+    SnapshotTable.create(spark, p, (1L to 10L).map(i => (i, i % 3)).toDF("id", "m"))
+    SnapshotTable.deleteWhere(spark, p, "m = 0")
+    assert(SnapshotTable.read(spark, p).count() == 7L)
+    assert(SnapshotTable.read(spark, p).filter(col("m") === 0).count() == 0L)
+    assert(SnapshotTable.read(spark, p, Some(1L)).count() == 10L)
+  }
+
+  test("rollback is a new commit that restores the old file set") {
+    val p = tmp("rb")
+    SnapshotTable.create(spark, p, Seq((1L, "a")).toDF("id", "s"))
+    SnapshotTable.append(spark, p, Seq((2L, "b")).toDF("id", "s"))
+    val v3 = SnapshotTable.rollback(spark, p, 1L)
+    assert(v3 == 3L)
+    assert(SnapshotTable.read(spark, p).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // history keeps all three; v2 still time-travels
+    assert(SnapshotTable.history(spark, p).size == 3)
+    assert(SnapshotTable.read(spark, p, Some(2L)).count() == 2L)
+  }
+
+  test("compact rewrites the head into fewer files, content-identical") {
+    val p = tmp("cpt")
+    SnapshotTable.create(spark, p, (1L to 50L).toDF("id").repartition(8))
+    val before = SnapshotTable.snapshot(spark, p, 1L).files.size
+    assert(before >= 2)
+    SnapshotTable.compact(spark, p, 1)
+    val after = SnapshotTable.snapshot(spark, p,
+      SnapshotTable.currentVersion(spark, p)).files.size
+    assert(after == 1)
+    assert(SnapshotTable.read(spark, p).collect().map(_.getLong(0)).sorted
+      .toSeq == (1L to 50L))
+    assert(SnapshotTable.read(spark, p, Some(1L)).count() == 50L)
+  }
+
+  test("expire drops old manifests and deletes now-unreferenced files") {
+    val p = tmp("exp")
+    SnapshotTable.create(spark, p, Seq((1L, "a")).toDF("id", "s"))
+    SnapshotTable.overwrite(spark, p, Seq((2L, "b")).toDF("id", "s"))
+    SnapshotTable.overwrite(spark, p, Seq((3L, "c")).toDF("id", "s"))
+    val (manifests, files) = SnapshotTable.expire(spark, p, keepLast = 1)
+    assert(manifests == 2 && files >= 2, (manifests, files))
+    // head unaffected; expired versions are really gone
+    assert(SnapshotTable.read(spark, p).collect().head.getLong(0) == 3L)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.read(spark, p, Some(1L))
+    }
+    // the kept version's data files survived on disk
+    val dir = new java.io.File(p, "data")
+    assert(dir.listFiles().nonEmpty)
+  }
+
+  test("second writer refuses while the lock is held; break() recovers") {
+    val p = tmp("lock")
+    SnapshotTable.create(spark, p, Seq((1L, "a")).toDF("id", "s"))
+    val name = SnapshotTable.lockName(p)
+    graft.operators.LakeLock.withWriter(spark, name) {
+      val e = intercept[IllegalStateException] {
+        SnapshotTable.append(spark, p, Seq((2L, "b")).toDF("id", "s"))
+      }
+      assert(e.getMessage.contains("SINGLE-WRITER"))
+    }
+    // lock released -> append proceeds
+    SnapshotTable.append(spark, p, Seq((2L, "b")).toDF("id", "s"))
+    assert(SnapshotTable.read(spark, p).count() == 2L)
+  }
+}

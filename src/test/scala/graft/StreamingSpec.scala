@@ -775,4 +775,36 @@ class StreamingSpec extends GraftSpec {
     val got = Streams.q38(ev)
     assert(got.count() > 0)
   }
+
+  test("st26 snapshot sink: atomic batch commits, time travel, replay dedup") {
+    import graft.sources.SnapshotTable
+    val base = java.nio.file.Files.createTempDirectory("st26").toString
+    val path = s"$base/table"
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.startSnapshotSink(ms.toDF().toDF("id", "v"),
+      path, s"$base/ckpt")
+    try {
+      ms.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      ms.addData((3L, "c"))
+      q.processAllAvailable()
+      assert(SnapshotTable.read(spark, path).count() == 3L)
+      // each micro-batch is one time-travelable version
+      val hist = SnapshotTable.history(spark, path)
+      assert(hist.map(_.operation) == Seq("stream:0", "stream:1"))
+      assert(SnapshotTable.read(spark, path, Some(1L)).count() == 2L)
+    } finally q.stop()
+    // replay the same batches against a FRESH checkpoint (the
+    // crashed-before-offsets scenario): batchId-tagged manifests
+    // dedup the re-commit, so the table does not double-append
+    val ms2 = MemoryStream[(Long, String)]
+    val q2 = Streams.startSnapshotSink(ms2.toDF().toDF("id", "v"),
+      path, s"$base/ckpt2")
+    try {
+      ms2.addData((1L, "a"), (2L, "b")) // becomes batchId 0 again
+      q2.processAllAvailable()
+      assert(SnapshotTable.read(spark, path).count() == 3L)
+      assert(SnapshotTable.history(spark, path).size == 2)
+    } finally q2.stop()
+  }
 }
