@@ -100,6 +100,11 @@ object Oracles {
     * cannot drift. */
   val HybridDepth = 50
 
+  /** q162 minimizer window / candidate threshold — SparkEntry passes
+    * these to Dedup.q162 and the oracle interpolates them. */
+  val MinimizerW = 4
+  val MinimizerShared = 2
+
   /** q117/st16 DSIR parameters, shared with the oracle SQL. */
   val DsirTargetSource = "src0"
   val DsirBuckets = 64
@@ -2235,7 +2240,42 @@ object Oracles {
                ORDER BY rrf DESC, doc_id) AS BIGINT) AS "rank",
              doc_id, r_text, r_vec, rrf FROM sc)
          SELECT query_id, "rank", doc_id, r_text, r_vec, rrf FROM rk
-         WHERE "rank" <= 10 ORDER BY query_id, "rank""""
+         WHERE "rank" <= 10 ORDER BY query_id, "rank"""",
+
+    // minimizer sketch: q50's poly hash per positional 3-gram, window
+    // min over w consecutive hashes (tail suffixes included, like the
+    // Spark frame), distinct per doc, equi-join candidates
+    "q162_minimizer_neardup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS wd
+           FROM documents WHERE len(string_split(lower(trim(text)), ' ')) >= 3),
+         g AS (SELECT doc_id, unnest(list_transform(range(1, len(wd)-1),
+             i -> struct_pack(pos := i - 1,
+               g := wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]))) AS s
+           FROM t),
+         ph AS (SELECT doc_id,
+             struct_extract(s, 'pos') AS pos,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(struct_extract(s, 'g'), ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (h, c) -> (h*31 + c) % 1000000007) AS h
+           FROM g),
+         mz AS (SELECT DISTINCT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND ${MinimizerW - 1} FOLLOWING) AS mz
+           FROM ph),
+         sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_min
+           FROM mz GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS shared
+           FROM mz a JOIN mz b ON a.mz = b.mz AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT doc_a, doc_b, shared, sa.n_min AS n_a, sb.n_min AS n_b,
+           CAST(shared AS DOUBLE) / CAST(least(sa.n_min, sb.n_min) AS DOUBLE)
+             AS containment
+         FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE shared >= $MinimizerShared
+         ORDER BY doc_a, doc_b"""
   )
 
   private lazy val zipfSql: String = {

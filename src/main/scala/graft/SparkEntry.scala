@@ -305,7 +305,9 @@ object SparkEntry {
       Similarity.q161(documents(s, d), embeddings(s, d),
         Oracles.Bm25Queries.toDF("query_id", "terms"),
         depth = Oracles.HybridDepth)
-    })
+    }),
+    "q162_minimizer_neardup"   -> ((s, d) => Dedup.q162(documents(s, d),
+      w = Oracles.MinimizerW, minShared = Oracles.MinimizerShared))
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -383,6 +383,66 @@ object Dedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** q162: MINIMIZER-sketch near-dup candidates (Roberts et al. 2004
+    * — the winnowing/minimizer scheme genomics and MinHash-free text
+    * dedup pipelines use): every sliding window of `w` consecutive
+    * shingle hashes keeps only its MINIMUM, so consecutive windows
+    * mostly agree and the kept set shrinks to ~2/(w+1) of the
+    * shingles while any shared substring of ≥ w+2 tokens still forces
+    * a shared minimizer — a density-guaranteed sketch, unlike
+    * MinHash's probabilistic one (q42). Pairs sharing ≥ `minShared`
+    * minimizers are candidates, scored by containment
+    * shared/min(|A|,|B|).
+    *
+    * Exactness (§6): hashes are the portable [[graft.functions
+    * .PolyFingerprint]]; the window-min, distinct, and join are
+    * integer-exact; containment is one double divide → oracle-exact.
+    *
+    * Plan shape at scale: the window partitions BY DOC (per-doc rows
+    * bounded by doc length — no global sort); the candidate join is
+    * an equi-join on minimizer VALUE — the q42 banded-join class, one
+    * shuffle on 8-byte keys, never all-pairs. Same hot-key hazard as
+    * any banding scheme (a boilerplate phrase's minimizer buckets
+    * every doc containing it): collapse exact dups first (q40) and
+    * pre-flight with q112/q123 as usual. Tail windows shorter than
+    * `w` still emit their suffix-min — deterministic, mirrored in the
+    * oracle. */
+  def q162(documents: DataFrame, w: Int = 4, minShared: Int = 2): DataFrame = {
+    val pos = documents
+      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("wd"))
+      .filter(size(col("wd")) >= 3)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("wd")) - 2, lit(1)), i =>
+          concat_ws(" ",
+            element_at(col("wd"), i),
+            element_at(col("wd"), i + 1),
+            element_at(col("wd"), i + 2)))))
+      .toDF("doc_id", "pos", "g")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, w - 1L)
+    val sig = pos
+      .withColumn("h", graft.functions.PolyFingerprint(col("g")))
+      .withColumn("mz", min(col("h")).over(win))
+      .select(col("doc_id"), col("mz")).distinct()
+    val sizes = sig.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_min"))
+    sig.as("a")
+      .join(sig.as("b"),
+        col("a.mz") === col("b.mz") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).cast("long").as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_min").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_min").as("n_b")), "doc_b")
+      .withColumn("containment",
+        col("shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"))
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"),
+        col("n_b"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** q143: per-benchmark-item CONTAINMENT — q69's question asked in
     * the OTHER direction. q69 scores each corpus doc by how much of
     * ITS text is benchmark material; the decontamination policies the

@@ -201,6 +201,24 @@ object SnapshotTable {
       (_, nf) => nf, (head, _) => snapshot(spark, path, head).schema)
   }
 
+  /** MERGE (keyed upsert) as ONE atomic commit: head rows whose key
+    * appears in `updates` are replaced, new keys append — the m02
+    * upsert semantics with snapshot isolation on top (readers see the
+    * pre-merge or post-merge table, never the partition-by-partition
+    * intermediate states v1 `upsertPartitioned` exposes). Copy-on-
+    * write at table granularity, like [[deleteWhere]]; `updates` must
+    * conform to the head schema. */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+            keyCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.col
+    val head = read(spark, path)
+    val merged = head
+      .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(updates.select(head.columns.map(col).toSeq: _*))
+    commit(spark, path, "merge", Some(merged),
+      (_, nf) => nf, (h, _) => snapshot(spark, path, h).schema)
+  }
+
   /** Roll the head back to `toVersion`'s file set — as a NEW commit,
     * so the rollback itself is in the history and can be rolled back. */
   def rollback(spark: SparkSession, path: String, toVersion: Long): Long = {

@@ -526,4 +526,25 @@ class DedupSpec extends GraftSpec {
     val tes = graft.operators.Dedup.q147(tiny).head().getAs[Double]("est_jaccard")
     assert(tes == tex)
   }
+
+  test("q162 minimizers: near-dups share, unrelated don't, sketch shrinks") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 30).map(i => if (i == 15) "CHANGED" else s"tok$i")
+      .mkString(" ")
+    val other = (100 to 130).map(i => s"zz$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.q162(docs).collect()
+    // the 1-2 near-dup pair is the ONLY candidate (shared >= 2)
+    assert(out.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSeq == Seq((1L, 2L)))
+    val r = out.head
+    assert(r.getAs[Double]("containment") > 0.5, r)
+    // density guarantee: minimizer count well under the shingle count
+    assert(r.getAs[Long]("n_a") < 28) // 28 shingles in a 30-token doc
+    // identical docs -> containment exactly 1.0
+    val twins = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val t = graft.operators.Dedup.q162(twins).collect()
+    assert(t.length == 1 && t.head.getAs[Double]("containment") == 1.0)
+  }
 }

@@ -105,6 +105,19 @@ class SnapshotTableSpec extends GraftSpec {
     assert(dir.listFiles().nonEmpty)
   }
 
+  test("merge upserts by key in one atomic commit; the past keeps pre-merge rows") {
+    val p = tmp("mrg")
+    SnapshotTable.create(spark, p, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    SnapshotTable.merge(spark, p, Seq((2L, "B"), (3L, "c")).toDF("id", "s"),
+      keyCols = Seq("id"))
+    assert(SnapshotTable.read(spark, p).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    assert(SnapshotTable.read(spark, p, Some(1L)).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+  }
+
   test("second writer refuses while the lock is held; break() recovers") {
     val p = tmp("lock")
     SnapshotTable.create(spark, p, Seq((1L, "a")).toDF("id", "s"))
