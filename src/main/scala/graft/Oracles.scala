@@ -2275,7 +2275,28 @@ object Oracles {
          FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
            JOIN sizes sb ON sb.doc_id = doc_b
          WHERE shared >= $MinimizerShared
-         ORDER BY doc_a, doc_b"""
+         ORDER BY doc_a, doc_b""",
+
+    // novelty: Q41-style distinct 3-grams -> poly hash -> doc
+    // frequency -> per-doc unique fraction; one double divide
+    "q163_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+         grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+           FROM toks WHERE len(w) >= 3),
+         h AS (SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(g, ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (h, c) -> (h*31 + c) % 1000000007) AS h
+           FROM grams),
+         dfq AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM h GROUP BY h),
+         per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+           FROM h JOIN dfq USING(h) GROUP BY doc_id)
+         SELECT doc_id, n_grams, n_novel,
+           CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE) AS novelty
+         FROM per ORDER BY doc_id"""
   )
 
   private lazy val zipfSql: String = {

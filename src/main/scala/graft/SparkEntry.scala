@@ -307,7 +307,15 @@ object SparkEntry {
         depth = Oracles.HybridDepth)
     }),
     "q162_minimizer_neardup"   -> ((s, d) => Dedup.q162(documents(s, d),
-      w = Oracles.MinimizerW, minShared = Oracles.MinimizerShared))
+      w = Oracles.MinimizerW, minShared = Oracles.MinimizerShared)),
+    "q163_ngram_novelty"       -> ((s, d) => Dedup.q163(documents(s, d))),
+    // rows-only: the greedy MMR recurrence is not portable SQL; the
+    // spec pins redundancy-avoidance on planted clusters
+    "q164_mmr_diversify"       -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.q164(
+        e.filter(org.apache.spark.sql.functions.col("vec_id") < 5), e)
+    })
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -443,6 +443,38 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q163: per-document N-GRAM NOVELTY — the fraction of a doc's
+    * distinct 3-gram shingles that appear in NO other document
+    * (novelty 1 = fully unique content, 0 = everything also said
+    * elsewhere). The inverse lens on q114/q115's repeated-span
+    * machinery: where those measure how much of a doc is boilerplate,
+    * this measures how much is contribution — the signal a curation
+    * mix uses to up-weight docs that add new content rather than
+    * re-covering what the corpus already has.
+    *
+    * Exactness (§6): grams reduce to the portable poly hash and the
+    * doc-frequency/novel counts are exact longs in BOTH engines —
+    * hash collisions, if any, fold identically on both sides — with
+    * one final double divide → oracle-exact. Docs with < 3 tokens
+    * have no grams and are absent (the q41 convention).
+    *
+    * Plan shape at scale: shingle scan → doc-frequency aggregate on
+    * the 8-byte hash (map-side combined) → join back on the SAME key
+    * (exchange reuse) → per-doc aggregate. Text never enters an
+    * exchange; every shuffle key is 8 bytes. */
+  def q163(documents: DataFrame): DataFrame = {
+    val sh = shingles(documents)
+      .select(col("doc_id"), graft.functions.PolyFingerprint(col("g")).as("h"))
+    val dfq = sh.groupBy(col("h")).agg(count(lit(1)).cast("long").as("df"))
+    sh.join(dfq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).cast("long").as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q143: per-benchmark-item CONTAINMENT — q69's question asked in
     * the OTHER direction. q69 scores each corpus doc by how much of
     * ITS text is benchmark material; the decontamination policies the

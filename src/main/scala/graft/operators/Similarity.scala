@@ -290,6 +290,69 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q164: MMR DIVERSIFIED top-k (Carbonell & Goldstein SIGIR'98 —
+    * Maximal Marginal Relevance): re-rank a retrieval pool so the
+    * selected set trades relevance against redundancy,
+    * argmax λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s) — the standard fix
+    * for "the top-10 are ten near-copies of the same passage", which
+    * is exactly what an ANN over a deduplicated-but-still-clustered
+    * corpus returns.
+    *
+    * Plan shape: the DISTRIBUTED part is the pool retrieval
+    * ([[searchExact]] here; any s11 serving path slots in — same
+    * (qid, nid, cos) shape). The greedy selection is inherently
+    * sequential in k, so it runs on the driver over the collected
+    * pool — queries × pool × D doubles, METADATA-sized by
+    * construction (the pcaFit contract: pool ≤ 1000 enforced), never
+    * corpus-sized. rows-only (sequential double recurrences are not
+    * portable SQL); the spec pins redundancy-avoidance on planted
+    * clusters. */
+  def q164(queries: DataFrame, corpus: DataFrame, pool: Int = 50,
+           k: Int = 10, lambda: Double = 0.7): DataFrame = {
+    require(pool <= 1000, s"q164 pool=$pool: the greedy stage collects " +
+      "queries*pool vectors to the driver; keep the pool metadata-sized")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cand = searchExact(queries, corpus, pool)
+    val vecs = normalized(corpus)
+      .select(col("vec_id").as("nid"), col("v"), col("norm"))
+    val rows = cand.join(vecs, "nid")
+      .select(col("qid"), col("nid"), col("cos"), col("v"), col("norm"))
+      .collect()
+    val sel = rows.groupBy(_.getAs[Long]("qid")).toSeq.flatMap {
+      case (qid, rs) =>
+        val cs = rs.map { r =>
+          val v = r.getAs[scala.collection.Seq[Double]]("v").toArray
+          val n = r.getAs[Double]("norm")
+          val u = if (n > 0) v.map(_ / n) else v
+          (r.getAs[Long]("nid"), r.getAs[Double]("cos"), u)
+        }.sortBy(c => (-c._2, c._1))
+        val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+        val remaining = scala.collection.mutable.ArrayBuffer(cs: _*)
+        while (chosen.size < math.min(k, cs.size)) {
+          val scored = remaining.map { case (nid, rel, u) =>
+            val maxSim =
+              if (chosen.isEmpty) 0.0
+              else chosen.map { case (cid, _, _) =>
+                val cu = cs.find(_._1 == cid).get._3
+                var d = 0.0; var i = 0
+                while (i < u.length) { d += u(i) * cu(i); i += 1 }
+                d
+              }.max
+            (nid, rel, lambda * rel - (1.0 - lambda) * maxSim)
+          }
+          val best = scored.minBy { case (nid, _, s) => (-s, nid) }
+          chosen += best
+          remaining.remove(remaining.indexWhere(_._1 == best._1))
+        }
+        chosen.zipWithIndex.map { case ((nid, rel, s), i) =>
+          (qid, (i + 1).toLong, nid, rel, s)
+        }
+    }
+    sel.toDF("query_id", "sel_rank", "doc_id", "relevance", "mmr_score")
+      .orderBy(col("query_id"), col("sel_rank"))
+  }
+
   /** Broadcast ceiling for the exact all-pairs operator [[q46]]. Sized
     * in BYTES, not just rows: each collected row is a (Long,
     * Array[Double](64), Double) tuple ≈ 600 B on-heap (512 B of doubles

@@ -547,4 +547,21 @@ class DedupSpec extends GraftSpec {
     val t = graft.operators.Dedup.q162(twins).collect()
     assert(t.length == 1 && t.head.getAs[Double]("containment") == 1.0)
   }
+
+  test("q163 novelty: unique doc scores 1, twin docs 0, mixed in between") {
+    val a = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, a), (2L, a),                       // twins: nothing novel
+      (3L, "one two three four five six"),    // fully unique
+      (4L, "alpha beta gamma NEW tail words") // shares 1 gram with 1/2
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.q163(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty"))).toMap
+    assert(out(1L)._3 == 0.0 && out(2L)._3 == 0.0, out)
+    assert(out(3L)._3 == 1.0, out)
+    // doc 4: 4 grams, "alpha beta gamma" shared with docs 1/2 -> 3 novel
+    assert(out(4L) == ((4L, 3L, 0.75)), out)
+  }
 }

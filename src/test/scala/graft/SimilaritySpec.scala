@@ -464,4 +464,31 @@ class SimilaritySpec extends GraftSpec {
       r1.getAs[Long]("r_vec") == 1L)
     assert(r1.getAs[Double]("rrf") == 1.0 / 61)
   }
+
+  test("q164 MMR: diversified pick escapes the redundant cluster") {
+    // query [1,0,...]; docs 10-12 a tight highly-relevant cluster
+    // tilted OFF the query axis (so their mutual sim ~1 exceeds their
+    // relevance ~0.9), doc 20 less relevant (0.6) but nearly
+    // orthogonal to the cluster (sim ~0.19). Plain top-3 = the three
+    // clones; MMR round 2 scores 0.7*0.6-0.3*0.19=0.36 for doc 20 vs
+    // 0.7*0.9-0.3*1.0=0.33 for a second clone -> 20 must be picked.
+    def v(x: Double, y: Double) =
+      Array.tabulate(64)(i => if (i == 0) x.toFloat else if (i == 1) y.toFloat else 0.0f)
+    val corpus = Seq(
+      (10L, v(0.9, 0.44)), (11L, v(0.9, 0.45)), (12L, v(0.9, 0.43)),
+      (20L, v(0.6, -0.8))
+    ).toDF("vec_id", "embedding")
+    val q = Seq((1L, v(1.0, 0.0))).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.q164(q, corpus, pool = 4, k = 3)
+      .collect()
+    val picked = out.map(_.getAs[Long]("doc_id")).toSet
+    assert(picked.contains(20L), s"picked=$picked")
+    // rank 1 is still the most relevant doc (a cluster member)
+    assert(out.head.getAs[Long]("sel_rank") == 1L &&
+      Set(10L, 11L, 12L).contains(out.head.getAs[Long]("doc_id")))
+    // pool guard refuses un-collectable pools
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.q164(q, corpus, pool = 5000)
+    }
+  }
 }
