@@ -56,6 +56,23 @@ object ProbeR11 {
         time(noop(operators.Relational.q158(docs)))
       walls(("q159_sentiment", tag)) =
         time(noop(operators.TextAnalysis.q159(docs)))
+      walls(("q160_token_entropy", tag)) =
+        time(noop(operators.TextAnalysis.q160(docs)))
+      walls(("q161_hybrid_rrf", tag)) = time(noop {
+        import spark.implicits._
+        operators.Similarity.q161(docs, emb,
+          Oracles.Bm25Queries.toDF("query_id", "terms"),
+          depth = Oracles.HybridDepth)
+      })
+      walls(("q162_minimizer", tag)) =
+        time(noop(operators.Dedup.q162(docs,
+          w = Oracles.MinimizerW, minShared = Oracles.MinimizerShared)))
+      walls(("q163_novelty", tag)) =
+        time(noop(operators.Dedup.q163(docs)))
+      walls(("q164_mmr", tag)) = time(noop {
+        import org.apache.spark.sql.functions.col
+        operators.Similarity.q164(emb.filter(col("vec_id") < 5), emb)
+      })
       println(s"[probeR11] $tag done (n_doc=${docs.count()})")
     }
     for (op <- Seq("q148_url_normalize", "q149_blocklist",
@@ -63,7 +80,9 @@ object ProbeR11 {
                    "q152_domain_split", "q153_domain_profile",
                    "q154_domain_pagerank", "q155_kmeans",
                    "q156_cluster_profile", "q157_zipf_fit",
-                   "q158_skyline", "q159_sentiment")) {
+                   "q158_skyline", "q159_sentiment",
+                   "q160_token_entropy", "q161_hybrid_rrf",
+                   "q162_minimizer", "q163_novelty", "q164_mmr")) {
       val s = walls((op, "sf0.01")); val b = walls((op, "sf0.1"))
       println(f"[probeR11] $op%-20s sf0.01=$s%7.2fs sf0.1=$b%7.2fs " +
         f"ratio=${b / s}%5.2fx")

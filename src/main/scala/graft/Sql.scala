@@ -141,6 +141,20 @@ object Sql {
       "graft_zipf_fit"       -> (() => graft.operators.TextAnalysis.q157(docs)),
       "graft_skyline"        -> (() => graft.operators.Relational.q158(docs)),
       "graft_sentiment"      -> (() => graft.operators.TextAnalysis.q159(docs)),
+      "graft_entropy"        -> (() => graft.operators.TextAnalysis.q160(docs)),
+      "graft_hybrid_search"  -> (() => {
+        import spark.implicits._
+        Similarity.q161(docs, embs,
+          graft.Oracles.Bm25Queries.toDF("query_id", "terms"),
+          depth = Oracles.HybridDepth)
+      }),
+      "graft_minimizer_pairs" -> (() => Dedup.q162(docs,
+        w = Oracles.MinimizerW, minShared = Oracles.MinimizerShared)),
+      "graft_novelty"        -> (() => Dedup.q163(docs)),
+      "graft_mmr_topk"       -> (() => {
+        import org.apache.spark.sql.functions.col
+        Similarity.q164(embs.filter(col("vec_id") < 5), embs)
+      }),
       // drift between the q110 snapshot derivations (see Oracles)
       "graft_token_drift"    -> (() => {
         import org.apache.spark.sql.functions.{col, lit, pmod, when, upper}
