@@ -2121,6 +2121,10 @@ object Oracles {
     // and every round is bit-identical to Spark's (Graphs.pagerank)
     "q154_domain_pagerank" -> pageRankSql,
 
+    // synchronous LPA, five unrolled rounds, min-label ties — integer
+    // counts + string labels, no floats (Graphs.labelProp)
+    "q165_domain_communities" -> lpaSql,
+
     // fixed-round Lloyd's with integer-domain distances — five UNROLLED
     // rounds; argmin compares longs, means are q122 fixed-point, empty
     // clusters COALESCE to the previous centroid (KMeans.q155)
@@ -2398,6 +2402,45 @@ object Oracles {
     * max wraps to min) then `PageRankIters` damped rounds mirroring
     * `Graphs.pagerank`'s IEEE op sequence exactly. */
   private def PageRankIters = 10 // def: immune to object-init ordering
+  /** q165 round count — SparkEntry passes the same value. `final val`
+    * literal: constant-folded at compile time, so the eager `sql` map
+    * sees 5 regardless of object-init order (the PageRankIters
+    * lesson). */
+  final val LpaIters = 5
+
+  /** q165: synchronous label propagation, five UNROLLED rounds over
+    * the symmetrized q154 crawl-chain edges; counts are exact longs,
+    * labels are domain strings, tie rule = max count then MIN label —
+    * no floats anywhere, bit-exact by construction. */
+  private lazy val lpaSql: String = {
+    val head = UrlNormCte + """,
+         d AS (SELECT doc_id, domain FROM nrm),
+         bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM d),
+         ed AS (
+           SELECT a.domain AS src, b.domain AS dst
+           FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+           UNION ALL
+           SELECT a.domain AS src, b.domain AS dst
+           FROM d a, bounds, d b
+           WHERE a.doc_id = bounds.hi AND b.doc_id = bounds.lo),
+         eu AS (SELECT DISTINCT src, dst FROM
+           (SELECT src, dst FROM ed
+            UNION ALL SELECT dst AS src, src AS dst FROM ed)),
+         l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM eu)"""
+    val rounds = (1 to LpaIters).map { k =>
+      s""",
+         nl$k AS (SELECT eu.dst AS node, l.lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM eu JOIN l${k - 1} l ON eu.src = l.node
+           GROUP BY eu.dst, l.lbl),
+         mx$k AS (SELECT node, MAX(cnt) AS mc FROM nl$k GROUP BY node),
+         l$k AS (SELECT n.node, MIN(n.lbl) AS lbl FROM nl$k n
+           JOIN mx$k m ON n.node = m.node AND n.cnt = m.mc
+           GROUP BY n.node)"""
+    }.mkString
+    head + rounds +
+      s"\n         SELECT node AS domain, lbl AS community FROM l$LpaIters ORDER BY domain"
+  }
+
   private lazy val pageRankSql: String = {
     val head = UrlNormCte + """,
          d AS (SELECT doc_id, domain FROM nrm),

@@ -73,6 +73,8 @@ object ProbeR11 {
         import org.apache.spark.sql.functions.col
         operators.Similarity.q164(emb.filter(col("vec_id") < 5), emb)
       })
+      walls(("q165_lpa", tag)) =
+        time(noop(operators.Graphs.q165(docs, iters = Oracles.LpaIters)))
       println(s"[probeR11] $tag done (n_doc=${docs.count()})")
     }
     for (op <- Seq("q148_url_normalize", "q149_blocklist",
@@ -82,7 +84,8 @@ object ProbeR11 {
                    "q156_cluster_profile", "q157_zipf_fit",
                    "q158_skyline", "q159_sentiment",
                    "q160_token_entropy", "q161_hybrid_rrf",
-                   "q162_minimizer", "q163_novelty", "q164_mmr")) {
+                   "q162_minimizer", "q163_novelty", "q164_mmr",
+                   "q165_lpa")) {
       val s = walls((op, "sf0.01")); val b = walls((op, "sf0.1"))
       println(f"[probeR11] $op%-20s sf0.01=$s%7.2fs sf0.1=$b%7.2fs " +
         f"ratio=${b / s}%5.2fx")

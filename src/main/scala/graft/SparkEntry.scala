@@ -315,7 +315,9 @@ object SparkEntry {
       val e = embeddings(s, d)
       Similarity.q164(
         e.filter(org.apache.spark.sql.functions.col("vec_id") < 5), e)
-    })
+    }),
+    "q165_domain_communities"  -> ((s, d) => Graphs.q165(documents(s, d),
+      iters = Oracles.LpaIters))
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

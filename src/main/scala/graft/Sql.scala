@@ -155,6 +155,8 @@ object Sql {
         import org.apache.spark.sql.functions.col
         Similarity.q164(embs.filter(col("vec_id") < 5), embs)
       }),
+      "graft_domain_communities" -> (() =>
+        graft.operators.Graphs.q165(docs, iters = Oracles.LpaIters)),
       // drift between the q110 snapshot derivations (see Oracles)
       "graft_token_drift"    -> (() => {
         import org.apache.spark.sql.functions.{col, lit, pmod, when, upper}

@@ -73,16 +73,14 @@ object Graphs {
     ranks
   }
 
-  /** q154: DOMAIN-AUTHORITY PageRank — the q148 domains linked along
-    * the crawl path (each document's domain links the next doc_id's
-    * domain, wrapping max→min so every domain has out-edges: no
-    * dangling mass, a strongly-connected chain). A synthetic link
-    * derivation — the documents table has no anchor/href data — but
-    * one that is pure portable column algebra, so the WHOLE iterative
-    * computation is oracle hash-exact, not rows-only: the first
-    * fixed-point-verified iterative operator in the suite. */
-  def q154(documents: DataFrame, iters: Int = 10,
-           alpha: Double = 0.85): DataFrame = {
+  /** The crawl-chain domain edge list shared by q154 and q165: each
+    * document's domain links the next doc_id's domain, wrapping
+    * max→min so every domain has out-edges (no dangling mass, a
+    * strongly-connected chain). A synthetic link derivation — the
+    * documents table has no anchor/href data — but pure portable
+    * column algebra, so the iterative operators over it stay oracle
+    * hash-exact. */
+  private[graft] def crawlEdges(documents: DataFrame): DataFrame = {
     val d = UrlCuration.q148(documents).select(col("doc_id"), col("domain"))
     val succ = d.select((col("doc_id") - 1).as("doc_id"),
       col("domain").as("dst"))
@@ -94,8 +92,66 @@ object Graphs {
       .select(col("domain").as("src"), col("lo"))
       .join(d.select(col("doc_id").as("lo"), col("domain").as("dst")), "lo")
       .select(col("src"), col("dst"))
-    pagerank(chain.unionByName(wrap), iters, alpha)
+    chain.unionByName(wrap)
+  }
+
+  /** q154: DOMAIN-AUTHORITY PageRank over [[crawlEdges]] — the first
+    * fixed-point-verified iterative operator in the suite. */
+  def q154(documents: DataFrame, iters: Int = 10,
+           alpha: Double = 0.85): DataFrame =
+    pagerank(crawlEdges(documents), iters, alpha)
       .withColumnRenamed("node", "domain")
       .orderBy(col("domain"))
+
+  /** Synchronous LABEL PROPAGATION (Raghavan et al. 2007) over an
+    * edge list, made fully deterministic — and therefore oracle-exact
+    * — by fixing every freedom the textbook algorithm leaves open:
+    * SYNCHRONOUS rounds (all nodes update from the previous round's
+    * labels), a FIXED round count, and the tie rule "max neighbor
+    * count, then MIN label". No floats anywhere: counts are longs,
+    * labels are the node ids themselves — the third oracle-exact
+    * iterative operator (PageRank q154, k-means q155), and the
+    * community-detection answer to q64's connected components (CC
+    * merges everything touching; LPA splits a connected graph into
+    * densely-linked groups).
+    *
+    * Plan per round: the pinned symmetrized edge list streams through
+    * ONE broadcast join against the node-sized label table, then a
+    * map-side-combined (node, label) count whose exchange carries ≤
+    * edge-endpoint distinct rows; the argmax is a node-sized
+    * max-count join + min-label aggregate. localCheckpoint per round
+    * (the q64/q154 lineage cut). Billion-node graphs swap the
+    * broadcast hint for a co-partitioned join, same algebra. */
+  def labelProp(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val e = graft.Pins.pin(
+      edges.select(col("src"), col("dst"))
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val nl = e
+        .join(broadcast(labels.withColumnRenamed("node", "src")), "src")
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      val mx = nl.groupBy(col("dst")).agg(max(col("cnt")).as("mc"))
+      labels = nl.join(broadcast(mx), "dst")
+        .filter(col("cnt") === col("mc"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("lbl"))
+        .withColumnRenamed("dst", "node")
+        .localCheckpoint(true)
+    }
+    labels
   }
+
+  /** q165: DOMAIN COMMUNITIES via label propagation over the crawl
+    * graph — the curation signal for "which domain groups travel
+    * together": mirror clusters, boilerplate networks, and content
+    * farms show up as one community long before any per-doc dedup
+    * finds their pairwise overlaps. Oracle unrolls the five rounds as
+    * chained CTEs, like q154/q155. */
+  def q165(documents: DataFrame, iters: Int = 5): DataFrame =
+    labelProp(crawlEdges(documents), iters)
+      .select(col("node").as("domain"), col("lbl").as("community"))
+      .orderBy(col("domain"))
 }

@@ -51,4 +51,37 @@ class GraphsSpec extends GraftSpec {
     val re = Graphs.q154(docs.repartition(7)).collect().map(_.toSeq).toSet
     assert(re == out.map(_.toSeq).toSet)
   }
+
+  test("labelProp: two cliques joined by one bridge split into two communities") {
+    // cliques {a1,a2,a3} and {b1,b2,b3}, bridge a3-b1
+    val edges = Seq(
+      ("a1", "a2"), ("a1", "a3"), ("a2", "a3"),
+      ("b1", "b2"), ("b1", "b3"), ("b2", "b3"),
+      ("a3", "b1")
+    ).toDF("src", "dst")
+    val out = Graphs.labelProp(edges, iters = 5).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.size == 6)
+    // each clique converges to ONE label, and the two differ
+    assert(Set(out("a1"), out("a2"), out("a3")).size == 1, out)
+    assert(Set(out("b1"), out("b2"), out("b3")).size == 1, out)
+    assert(out("a1") != out("b1"), out)
+    // layout-invariant (synchronous rounds + min-label ties)
+    val re = Graphs.labelProp(edges.repartition(5), iters = 5).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(re == out)
+  }
+
+  test("q165 communities cover every crawl domain deterministically") {
+    val docs = Tables.documents(spark, SF)
+    val out = Graphs.q165(docs).collect()
+    val domains = graft.operators.UrlCuration.q148(docs)
+      .select(col("domain")).distinct().count()
+    assert(out.length == domains)
+    // community ids are themselves domains
+    val ds = out.map(_.getString(0)).toSet
+    assert(out.map(_.getString(1)).toSet.subsetOf(ds))
+    val re = Graphs.q165(docs.repartition(7)).collect().map(_.toSeq).toSet
+    assert(re == out.map(_.toSeq).toSet)
+  }
 }
