@@ -35,18 +35,26 @@ object LakeLock {
   def withWriter[T](spark: SparkSession, name: String)(body: => T): T = {
     val p = lockPath(spark, name)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out =
-      try fs.create(p, /* overwrite = */ false)
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: java.io.IOException =>
-          throw new IllegalStateException(
-            s"index '$name' is SINGLE-WRITER: another fit/append holds " +
-            s"$p. Lake tables have no snapshot isolation (the open-table-" +
-            "format dependency wall); retry after the other writer " +
-            "finishes, or LakeLock.break(spark, name) if it died.")
-      }
-    out.close()
+    // local FS: Hadoop's create(overwrite=false) is check-then-act,
+    // NOT atomic — go through java.nio O_EXCL (the SnapshotTable CAS
+    // lesson); HDFS create is NameNode-atomic as-is
+    try {
+      val qp = fs.makeQualified(p)
+      if (qp.toUri.getScheme == "file") {
+        val local = java.nio.file.Paths.get(qp.toUri.getPath)
+        java.nio.file.Files.createDirectories(local.getParent)
+        java.nio.file.Files.createFile(local)
+        ()
+      } else fs.create(p, /* overwrite = */ false).close()
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.io.IOException =>
+        throw new IllegalStateException(
+          s"index '$name' is SINGLE-WRITER: another fit/append holds " +
+          s"$p. Lake tables have no snapshot isolation (the open-table-" +
+          "format dependency wall); retry after the other writer " +
+          "finishes, or LakeLock.break(spark, name) if it died.")
+    }
     try body
     finally { fs.delete(p, false); () }
   }

@@ -76,6 +76,26 @@ object SnapshotTable {
     finally out.close()
   }
 
+  /** ATOMICALLY claim `p` (fail if it exists), then write `body`.
+    * Hadoop's local `FileSystem.create(overwrite = false)` is
+    * check-then-act — two racing writers can BOTH pass the exists
+    * check (observed: four CAS writers all "winning" one version) —
+    * so on `file://` the claim goes through java.nio
+    * `Files.createFile` (O_EXCL, kernel-atomic); on HDFS
+    * `fs.create` is NameNode-atomic already. The claim makes an
+    * EMPTY file visible before the body lands — [[EndSentinel]] +
+    * the [[snapshot]] retry close that window for readers. */
+  private def writeExclusive(f: FileSystem, p: Path, body: String): Unit = {
+    val qp = f.makeQualified(p)
+    if (qp.toUri.getScheme == "file") {
+      val local = java.nio.file.Paths.get(qp.toUri.getPath)
+      java.nio.file.Files.createDirectories(local.getParent)
+      java.nio.file.Files.createFile(local) // throws if it exists
+      java.nio.file.Files.write(local, body.getBytes(StandardCharsets.UTF_8))
+      ()
+    } else writeFile(f, p, body, overwrite = false)
+  }
+
   private def readFile(f: FileSystem, p: Path): String = {
     val in = f.open(p)
     try {
@@ -87,35 +107,57 @@ object SnapshotTable {
     } finally in.close()
   }
 
-  /** Head version, or 0 if the table does not exist yet. */
-  def currentVersion(spark: SparkSession, path: String): Long = {
-    val f = fs(spark, path)
-    val cp = currentPath(path)
-    if (f.exists(cp)) readFile(f, cp).trim.toLong else 0L
+  private def manifestVersions(f: FileSystem, path: String): Seq[Long] = {
+    val sd = snapDir(path)
+    if (!f.exists(sd)) Seq.empty
+    else f.listStatus(sd).map(_.getPath.getName).toSeq
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong).sorted
   }
 
-  /** Load one snapshot's manifest. */
+  /** Head version, or 0 if the table does not exist yet. The source
+    * of truth is the MANIFEST LISTING (the exclusive manifest create
+    * is the commit point — see [[appendOptimistic]]); the `CURRENT`
+    * file is a best-effort human-readable hint, never read here. */
+  def currentVersion(spark: SparkSession, path: String): Long =
+    manifestVersions(fs(spark, path), path).lastOption.getOrElse(0L)
+
+  /** Manifest terminator: the exclusive CREATE claims the version
+    * number atomically, but the body lands through the same stream a
+    * few microseconds later — a racing reader can open the file
+    * in that window. The sentinel makes completeness detectable, and
+    * [[snapshot]] waits it out (bounded) instead of parsing a
+    * half-written manifest. */
+  private val EndSentinel = "#end"
+
+  /** Load one snapshot's manifest. Retries briefly if the manifest is
+    * claimed but its body is still in flight (see [[EndSentinel]]). */
   def snapshot(spark: SparkSession, path: String, version: Long): Snapshot = {
     val f = fs(spark, path)
     val mp = manifestPath(path, version)
     require(f.exists(mp), s"snapshot table $path has no version $version")
-    val lines = readFile(f, mp).split("\n", -1).toSeq
-    Snapshot(lines(0).toLong, lines(1).toLong, lines(2), lines(3).toLong,
-      org.apache.spark.sql.types.DataType.fromJson(lines(4))
-        .asInstanceOf[StructType],
-      lines.drop(5).filter(_.nonEmpty))
+    var attempt = 0
+    while (true) {
+      val lines = readFile(f, mp).split("\n", -1).toSeq
+      if (lines.nonEmpty && lines.last == EndSentinel)
+        return Snapshot(lines(0).toLong, lines(1).toLong, lines(2),
+          lines(3).toLong,
+          org.apache.spark.sql.types.DataType.fromJson(lines(4))
+            .asInstanceOf[StructType],
+          lines.drop(5).dropRight(1).filter(_.nonEmpty))
+      attempt += 1
+      require(attempt < 200,
+        s"manifest $mp incomplete after ${attempt * 20} ms — writer died " +
+        "mid-publish; delete the manifest to roll its claim back")
+      Thread.sleep(20)
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** All snapshots, oldest first — the table's commit history. */
-  def history(spark: SparkSession, path: String): Seq[Snapshot] = {
-    val f = fs(spark, path)
-    val sd = snapDir(path)
-    if (!f.exists(sd)) Seq.empty
-    else
-      f.listStatus(sd).map(_.getPath.getName).toSeq
-        .filter(_.startsWith("v")).sorted
-        .map(n => snapshot(spark, path, n.drop(1).toLong))
-  }
+  def history(spark: SparkSession, path: String): Seq[Snapshot] =
+    manifestVersions(fs(spark, path), path)
+      .map(v => snapshot(spark, path, v))
 
   /** One commit: write `df` (if any) as a fresh immutable data dir,
     * publish manifest v(head+1) with `files`, atomically swap CURRENT.
@@ -136,26 +178,84 @@ object SnapshotTable {
             .filter(_.endsWith(".parquet")).sorted.map(n => s"$dir/$n")
       }
       val v = head + 1
-      val files = filesOf(head, newFiles)
-      val schema = schemaOf(head, newFiles)
-      val body =
-        (Seq(v.toString, head.toString, operation,
-          System.currentTimeMillis().toString, schema.json) ++ files)
-          .mkString("\n")
       // exclusive create: if a racing writer somehow published v first
       // (a broken LakeLock), the COMMIT fails — history never forks
-      writeFile(f, manifestPath(path, v), body, overwrite = false)
+      publishManifest(spark, f, path, v, head, operation,
+        filesOf(head, newFiles), schemaOf(head, newFiles))
+      v
+    }
+
+  /** Publish manifest `v`: an EXCLUSIVE create (the atomic commit
+    * point — at most one writer can ever own a version number), then
+    * a best-effort refresh of the human-readable `CURRENT` hint via
+    * rename-with-OVERWRITE (java.nio REPLACE_EXISTING on local,
+    * NN-atomic on HDFS). Throws if `v` already exists. */
+  private def publishManifest(spark: SparkSession, f: FileSystem,
+                              path: String, v: Long, parent: Long,
+                              operation: String, files: Seq[String],
+                              schema: StructType): Unit = {
+    val body =
+      (Seq(v.toString, parent.toString, operation,
+        System.currentTimeMillis().toString, schema.json) ++ files :+
+        EndSentinel).mkString("\n")
+    writeExclusive(f, manifestPath(path, v), body)
+    try {
       val tmp = new Path(snapDir(path), s"CURRENT.tmp-${UUID.randomUUID()}")
       writeFile(f, tmp, v.toString, overwrite = false)
-      // rename-with-OVERWRITE is the atomic publish (java.nio
-      // REPLACE_EXISTING on local, NN-atomic on HDFS): a reader sees
-      // the old CURRENT or the new one, never neither
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         f.getUri, spark.sparkContext.hadoopConfiguration)
       fc.rename(fc.makeQualified(tmp), fc.makeQualified(currentPath(path)),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      v
+    } catch { case _: java.io.IOException => () } // hint only
+  }
+
+  /** OPTIMISTIC multi-writer append — no lock at all. Appends are
+    * conflict-free by construction (they only ADD files), so the
+    * protocol is a pure compare-and-swap on the version number: write
+    * the immutable data dir, read the head, try to exclusively create
+    * manifest head+1 with (head's files ++ ours); if a racing writer
+    * won that number, re-read the new head (whose file list includes
+    * the racer's files) and try again — every retry REBASES onto the
+    * winner, so no writer's rows are ever lost. This is the
+    * Iceberg/Delta optimistic-commit protocol scoped to the one
+    * operation where rebase is always safe; overwrite/delete/merge
+    * keep the lk01 lock (their rebase needs real conflict
+    * resolution). Exclusive-create is atomic on POSIX/HDFS; on
+    * eventually-consistent object stores use the locked [[append]].
+    *
+    * Mixed-schema caution: the rebase keeps the CURRENT head's
+    * schema, so concurrent appends must share the table schema (same
+    * rule as [[append]]). */
+  def appendOptimistic(spark: SparkSession, path: String, df: DataFrame,
+                       operation: String = "append",
+                       maxRetries: Int = 20): Long = {
+    val f = fs(spark, path)
+    require(currentVersion(spark, path) > 0,
+      s"snapshot table $path does not exist; create() it first")
+    val dir = s"data/${UUID.randomUUID().toString.take(12)}"
+    df.write.parquet(s"$path/$dir")
+    val newFiles = f.listStatus(new Path(path, dir))
+      .map(_.getPath.getName).toSeq
+      .filter(_.endsWith(".parquet")).sorted.map(n => s"$dir/$n")
+    var attempt = 0
+    while (true) {
+      val head = currentVersion(spark, path)
+      val base = snapshot(spark, path, head)
+      try {
+        publishManifest(spark, f, path, head + 1, head, operation,
+          base.files ++ newFiles, base.schema)
+        return head + 1
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.io.IOException =>
+          attempt += 1
+          require(attempt < maxRetries,
+            s"appendOptimistic lost $maxRetries CAS races on $path; " +
+            "writer storm — back off or use the locked append()")
+      }
     }
+    -1L // unreachable
+  }
 
   /** The LakeLock key for a table path (locks live next to the
     * warehouse; key on the table's directory name + a stable hash so
@@ -259,7 +359,7 @@ object SnapshotTable {
     * run it like Iceberg's `expire_snapshots`, as lake maintenance.
     * Returns (manifests dropped, data files deleted). */
   def expire(spark: SparkSession, path: String,
-             keepLast: Int): (Int, Int) =
+             keepLast: Int, orphanGraceMs: Long = 3600000L): (Int, Int) =
     graft.operators.LakeLock.withWriter(spark, lockName(path)) {
       val f = fs(spark, path)
       val all = history(spark, path)
@@ -274,14 +374,18 @@ object SnapshotTable {
         cut.foreach(v => f.delete(manifestPath(path, v), false))
         // sweep unreferenced data dirs: emptied by the per-file deletes
         // above, or orphaned by a failed commit that never published
-        // its manifest. Safe under the writer lock — no commit can be
-        // staging files concurrently.
+        // its manifest. An OPTIMISTIC append stages its data dir
+        // before its manifest exists, so only dirs older than
+        // `orphanGraceMs` are swept — an in-flight writer's staging
+        // can't be mistaken for an orphan.
         val dataDir = new Path(path, "data")
         if (f.exists(dataDir)) {
           val referenced = keep.flatMap(_.files).map(_.split("/")(1)).toSet
-          f.listStatus(dataDir).map(_.getPath).toSeq
-            .filter(p => !referenced.contains(p.getName))
-            .foreach(p => f.delete(p, true))
+          val cutoff = System.currentTimeMillis() - orphanGraceMs
+          f.listStatus(dataDir).toSeq
+            .filter(s => !referenced.contains(s.getPath.getName) &&
+              s.getModificationTime < cutoff)
+            .foreach(s => f.delete(s.getPath, true))
         }
         (cut.size, dead.size)
       }

@@ -118,6 +118,33 @@ class SnapshotTableSpec extends GraftSpec {
       Seq((1L, "a"), (2L, "b")))
   }
 
+  test("appendOptimistic: 8 lock-free concurrent writers, no row lost, linear history") {
+    val p = tmp("cas")
+    SnapshotTable.create(spark, p, Seq((0L, "seed")).toDF("id", "s"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (1 to 8).map { i =>
+      Future(SnapshotTable.appendOptimistic(spark, p,
+        Seq((i.toLong, s"w$i")).toDF("id", "s")))
+    }
+    val versions = Await.result(Future.sequence(writers), 120.seconds)
+    // every writer landed a DISTINCT version (CAS: a version number
+    // can only be won once) and the head saw all of them
+    assert(versions.toSet.size == 8, versions)
+    assert(SnapshotTable.currentVersion(spark, p) == 9L)
+    assert(SnapshotTable.read(spark, p).collect().map(_.getLong(0)).sorted
+      .toSeq == (0L to 8L))
+    // history is a LINEAR chain: each commit's parent is the previous
+    val hist = SnapshotTable.history(spark, p)
+    assert(hist.map(_.version) == (1L to 9L))
+    assert(hist.drop(1).map(_.parent) == (1L to 8L))
+    // every intermediate version is a consistent prefix (monotone rows)
+    val sizes = (1L to 9L).map(v =>
+      SnapshotTable.read(spark, p, Some(v)).count())
+    assert(sizes == sizes.sorted && sizes.head == 1L && sizes.last == 9L)
+  }
+
   test("second writer refuses while the lock is held; break() recovers") {
     val p = tmp("lock")
     SnapshotTable.create(spark, p, Seq((1L, "a")).toDF("id", "s"))
