@@ -2300,7 +2300,56 @@ object Oracles {
            FROM h JOIN dfq USING(h) GROUP BY doc_id)
          SELECT doc_id, n_grams, n_novel,
            CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE) AS novelty
-         FROM per ORDER BY doc_id"""
+         FROM per ORDER BY doc_id""",
+
+    // RAKE: stopword-boundary phrases via a running per-doc window
+    // count, deg/freq word scores, position-ordered phrase fold —
+    // mirrors TextAnalysis.q166 (stopword list = Stopwords verbatim)
+    "q166_rake_keywords" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS wd
+           FROM documents),
+         tok AS (SELECT doc_id, unnest(list_transform(range(1, len(wd)+1),
+             i -> struct_pack(pos := i - 1, w := wd[i]))) AS s FROM t),
+         tk AS (SELECT doc_id, struct_extract(s,'pos') AS pos,
+             struct_extract(s,'w') AS w FROM tok),
+         st AS (SELECT doc_id, pos, w,
+             (w IN ('the','a','and','of','data','row')) AS stop FROM tk),
+         sids AS (SELECT doc_id, pos, w, stop,
+             SUM(CASE WHEN stop THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM st),
+         words AS (SELECT doc_id, sid, pos, w FROM sids WHERE NOT stop),
+         plen AS (SELECT doc_id, sid, CAST(COUNT(*) AS BIGINT) AS plen
+           FROM words GROUP BY doc_id, sid),
+         wstats AS (SELECT wo.doc_id, wo.w, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS deg
+           FROM words wo JOIN plen p
+             ON wo.doc_id = p.doc_id AND wo.sid = p.sid
+           GROUP BY wo.doc_id, wo.w),
+         ws AS (SELECT doc_id, w,
+             CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS wscore
+           FROM wstats),
+         ph AS (SELECT wo.doc_id, wo.sid,
+             list_sort(list(struct_pack(pos := wo.pos, w := wo.w,
+               wscore := ws.wscore))) AS xs
+           FROM words wo JOIN ws
+             ON wo.doc_id = ws.doc_id AND wo.w = ws.w
+           GROUP BY wo.doc_id, wo.sid),
+         sc AS (SELECT doc_id, sid,
+             array_to_string(list_transform(xs,
+               s -> struct_extract(s, 'w')), ' ') AS phrase,
+             CAST(len(xs) AS BIGINT) AS n_words,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(xs, s -> struct_extract(s, 'wscore'))),
+               (a, b) -> a + b) AS score
+           FROM ph),
+         rk AS (SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, phrase) AS BIGINT) AS "rank",
+             phrase, n_words, score FROM sc)
+         SELECT doc_id, "rank", phrase, n_words, score FROM rk
+         WHERE "rank" <= 3 ORDER BY doc_id, "rank""""
   )
 
   private lazy val zipfSql: String = {

@@ -317,7 +317,8 @@ object SparkEntry {
         e.filter(org.apache.spark.sql.functions.col("vec_id") < 5), e)
     }),
     "q165_domain_communities"  -> ((s, d) => Graphs.q165(documents(s, d),
-      iters = Oracles.LpaIters))
+      iters = Oracles.LpaIters)),
+    "q166_rake_keywords"       -> ((s, d) => TextAnalysis.q166(documents(s, d)))
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -333,6 +333,65 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q166: RAKE KEYWORD extraction (Rose et al. 2010 — Rapid
+    * Automatic Keyword Extraction): candidate phrases are maximal
+    * stopword-free token runs; each word scores deg/freq (deg = Σ
+    * lengths of the doc's phrases containing it, freq = its
+    * occurrence count — co-occurring words outrank loners); a phrase
+    * scores the sum of its word scores; top-3 phrases per doc. The
+    * per-doc keyword signal a curation index builds topic facets
+    * from, complementing the corpus-level q75/q89/q90 statistics.
+    *
+    * Exactness (§6): deg/freq are exact longs; the word score is one
+    * double divide; the phrase score folds word scores IN POSITION
+    * ORDER (sort_array + strict left fold, the q86/q116 idiom) —
+    * fixed IEEE sequence → hash-exact. Rank ties break on phrase
+    * text; bit-equal (score, phrase) duplicates are set-identical
+    * whatever rank order they land in.
+    *
+    * Plan shape: one token scan; the phrase id is a running stopword
+    * count over a PER-DOC window (bounded by doc length, no global
+    * sort); word stats and the score join shuffle (doc, word) /
+    * (doc, phrase) keys only. */
+  def q166(documents: DataFrame, topK: Int = 3): DataFrame = {
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val toks = documents
+      .select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), " ")).as(Seq("pos", "w")))
+      .withColumn("stop", col("w").isin(Stopwords: _*))
+      .withColumn("sid", sum(when(col("stop"), 1L).otherwise(0L)).over(wDoc))
+    val words = graft.Pins.pin(
+      toks.filter(!col("stop"))
+        .select(col("doc_id"), col("sid"), col("pos"), col("w")))
+    val plen = words.groupBy(col("doc_id"), col("sid"))
+      .agg(count(lit(1)).cast("long").as("plen"))
+    val wstats = words.join(plen, Seq("doc_id", "sid"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).cast("long").as("freq"),
+        sum(col("plen")).cast("long").as("deg"))
+      .withColumn("wscore", col("deg").cast("double") / col("freq").cast("double"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("phrase"))
+    words.join(wstats.select(col("doc_id"), col("w"), col("wscore")),
+        Seq("doc_id", "w"))
+      .groupBy(col("doc_id"), col("sid"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("w"), col("wscore"))))
+        .as("xs"))
+      .withColumn("phrase",
+        array_join(transform(col("xs"), x => x.getField("w")), " "))
+      .withColumn("n_words", size(col("xs")).cast("long"))
+      .withColumn("score",
+        aggregate(col("xs"), lit(0.0), (a, x) => a + x.getField("wscore")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("phrase"), col("n_words"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** q140: HEAVY-HITTER tokens via the native Misra-Gries sketch
     * ([[graft.functions.FreqSketch]], fn06) — q75's question answered
     * the way a 100 TB corpus can afford: q75's exact table shuffles

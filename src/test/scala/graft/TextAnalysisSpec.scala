@@ -880,6 +880,28 @@ class TextAnalysisSpec extends GraftSpec {
     assert(re(4L) == h4 && re(1L) == out(1L)._3)
   }
 
+  test("q166 RAKE: stopword-split phrases, co-occurring words outrank loners") {
+    // stopwords include "the" and "of". Doc 1 phrases:
+    //   "deep learning" / "deep learning systems" / "fast gpu"
+    // deg(deep)=2+3=5 freq=2 -> 2.5; learning same; systems deg=3 freq=1 -> 3
+    // fast/gpu: deg=2 freq=1 -> 2 each
+    // scores: "deep learning systems" = 2.5+2.5+3 = 8, "deep learning" = 5,
+    //         "fast gpu" = 4
+    val docs = Seq(
+      (1L, "deep learning of deep learning systems the fast gpu")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.q166(docs).collect()
+    assert(out.map(r => (r.getAs[Long]("rank"), r.getAs[String]("phrase"),
+      r.getAs[Double]("score"))).toSeq == Seq(
+      (1L, "deep learning systems", 8.0),
+      (2L, "deep learning", 5.0),
+      (3L, "fast gpu", 4.0)), out.mkString("; "))
+    // all-stopword doc contributes nothing
+    val none = graft.operators.TextAnalysis.q166(
+      Seq((2L, "the of and a")).toDF("doc_id", "text")).collect()
+    assert(none.isEmpty)
+  }
+
   test("q159 sentiment: planted polar docs get the right label; neutral in between") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
