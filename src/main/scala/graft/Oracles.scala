@@ -2349,7 +2349,68 @@ object Oracles {
                ORDER BY score DESC, phrase) AS BIGINT) AS "rank",
              phrase, n_words, score FROM sc)
          SELECT doc_id, "rank", phrase, n_words, score FROM rk
-         WHERE "rank" <= 3 ORDER BY doc_id, "rank""""
+         WHERE "rank" <= 3 ORDER BY doc_id, "rank"""",
+
+    // chi-squared drift: q117's hash-bucket twin, full source×bucket
+    // grid (zero-observation buckets count), bucket-ordered fold
+    "q167_chi2_drift" ->
+      s"""WITH toks AS (SELECT source,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(tok, ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (h, c) -> (h*31 + c) % 1000000007) % $DsirBuckets AS b
+           FROM (SELECT source,
+               unnest(string_split(lower(trim(text)), ' ')) AS tok
+             FROM documents)),
+         sb AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS o
+           FROM toks GROUP BY source, b),
+         cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM sb GROUP BY b),
+         nsrc AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ns
+           FROM sb GROUP BY source),
+         nt AS (SELECT CAST(SUM(o) AS BIGINT) AS nt FROM sb),
+         terms AS (SELECT g.source, g.ns, g.b,
+             COALESCE(sb.o, 0) AS o, g.cb, nt.nt
+           FROM (SELECT nsrc.source, nsrc.ns, cb.b, cb.cb
+                 FROM nsrc CROSS JOIN cb) g
+           LEFT JOIN sb ON sb.source = g.source AND sb.b = g.b
+           CROSS JOIN nt),
+         t2 AS (SELECT source, ns, b,
+             (CAST(o AS DOUBLE) -
+               (CAST(cb AS DOUBLE)*CAST(ns AS DOUBLE))/CAST(nt AS DOUBLE))
+             * (CAST(o AS DOUBLE) -
+               (CAST(cb AS DOUBLE)*CAST(ns AS DOUBLE))/CAST(nt AS DOUBLE))
+             / ((CAST(cb AS DOUBLE)*CAST(ns AS DOUBLE))/CAST(nt AS DOUBLE))
+               AS term
+           FROM terms),
+         folded AS (SELECT source, ns,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list_sort(list(struct_pack(b := b,
+                 term := term))), s -> struct_extract(s, 'term'))),
+               (a, x) -> a + x) AS chi2
+           FROM t2 GROUP BY source, ns)
+         SELECT source, ns AS n_tokens, chi2,
+           chi2 / CAST(ns AS DOUBLE) AS chi2_norm
+         FROM folded ORDER BY source""",
+
+    // Gini over per-domain doc counts; rank ties break on domain,
+    // every sum integer until the one fixed IEEE tail
+    "q168_domain_gini" ->
+      s"""$UrlNormCte,
+         bd AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM nrm GROUP BY domain),
+         rk AS (SELECT domain, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt, domain) AS BIGINT) AS rk
+           FROM bd),
+         s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_domains,
+             CAST(SUM(cnt) AS BIGINT) AS n_docs,
+             CAST(SUM(rk * cnt) AS BIGINT) AS sixi
+           FROM rk)
+         SELECT n_domains, n_docs,
+           (2.0 * CAST(sixi AS DOUBLE)) /
+             (CAST(n_domains AS DOUBLE) * CAST(n_docs AS DOUBLE))
+           - (CAST(n_domains AS DOUBLE) + 1.0) / CAST(n_domains AS DOUBLE)
+             AS gini
+         FROM s"""
   )
 
   private lazy val zipfSql: String = {

@@ -77,6 +77,11 @@ object ProbeR11 {
         time(noop(operators.Graphs.q165(docs, iters = Oracles.LpaIters)))
       walls(("q166_rake", tag)) =
         time(noop(operators.TextAnalysis.q166(docs)))
+      walls(("q167_chi2", tag)) =
+        time(noop(operators.TextAnalysis.q167(docs,
+          buckets = Oracles.DsirBuckets)))
+      walls(("q168_gini", tag)) =
+        time(noop(operators.UrlCuration.q168(docs)))
       println(s"[probeR11] $tag done (n_doc=${docs.count()})")
     }
     for (op <- Seq("q148_url_normalize", "q149_blocklist",
@@ -87,7 +92,8 @@ object ProbeR11 {
                    "q158_skyline", "q159_sentiment",
                    "q160_token_entropy", "q161_hybrid_rrf",
                    "q162_minimizer", "q163_novelty", "q164_mmr",
-                   "q165_lpa", "q166_rake")) {
+                   "q165_lpa", "q166_rake", "q167_chi2",
+                   "q168_gini")) {
       val s = walls((op, "sf0.01")); val b = walls((op, "sf0.1"))
       println(f"[probeR11] $op%-20s sf0.01=$s%7.2fs sf0.1=$b%7.2fs " +
         f"ratio=${b / s}%5.2fx")

@@ -318,7 +318,10 @@ object SparkEntry {
     }),
     "q165_domain_communities"  -> ((s, d) => Graphs.q165(documents(s, d),
       iters = Oracles.LpaIters)),
-    "q166_rake_keywords"       -> ((s, d) => TextAnalysis.q166(documents(s, d)))
+    "q166_rake_keywords"       -> ((s, d) => TextAnalysis.q166(documents(s, d))),
+    "q167_chi2_drift"          -> ((s, d) => TextAnalysis.q167(documents(s, d),
+      buckets = Oracles.DsirBuckets)),
+    "q168_domain_gini"         -> ((s, d) => UrlCuration.q168(documents(s, d)))
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -158,6 +158,9 @@ object Sql {
       "graft_domain_communities" -> (() =>
         graft.operators.Graphs.q165(docs, iters = Oracles.LpaIters)),
       "graft_keywords"       -> (() => TextAnalysis.q166(docs)),
+      "graft_chi2_drift"     -> (() => TextAnalysis.q167(docs,
+        buckets = Oracles.DsirBuckets)),
+      "graft_domain_gini"    -> (() => graft.operators.UrlCuration.q168(docs)),
       // drift between the q110 snapshot derivations (see Oracles)
       "graft_token_drift"    -> (() => {
         import org.apache.spark.sql.functions.{col, lit, pmod, when, upper}

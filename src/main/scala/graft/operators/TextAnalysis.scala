@@ -392,6 +392,53 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** q167: per-source CHI-SQUARED drift — Pearson's χ² of each
+    * source's hashed-unigram bucket distribution against the
+    * corpus-wide expectation e_b = total_b · n_s/n_total: the
+    * classical significance-flavored companion to q132's L1 drift
+    * and q117's DSIR log-ratios, and the per-source "is this source
+    * even the same language as the rest of the mix" gate. χ²/n is
+    * comparable across sources of different sizes.
+    *
+    * Exactness (§6): all counts exact longs (zero-observation
+    * buckets included via the source × corpus-bucket grid); each
+    * bucket term is a fixed IEEE sequence and the per-source fold
+    * runs in bucket order (sort_array + strict left fold, ≤ `buckets`
+    * structs per source — bounded) → hash-exact.
+    *
+    * Plan shape: one token scan → (source, bucket) counts (the only
+    * data-sized exchange, 8-byte-ish keys, map-side combined);
+    * everything after runs on source×buckets rows. */
+  def q167(documents: DataFrame, buckets: Int = 64): DataFrame = {
+    val sb = graft.Pins.pin(
+      documents
+        .select(col("source"),
+          explode(split(lower(trim(col("text"))), " ")).as("tok"))
+        .select(col("source"),
+          pmod(graft.functions.PolyFingerprint(col("tok")),
+            lit(buckets.toLong)).as("b"))
+        .groupBy(col("source"), col("b"))
+        .agg(count(lit(1)).cast("long").as("o")))
+    val cb = sb.groupBy(col("b")).agg(sum(col("o")).cast("long").as("cb"))
+    val ns = sb.groupBy(col("source")).agg(sum(col("o")).cast("long").as("ns"))
+    val nt = sb.agg(sum(col("o")).cast("long").as("nt"))
+    val od = col("o").cast("double")
+    val e = (col("cb").cast("double") * col("ns").cast("double")) /
+      col("nt").cast("double")
+    ns.crossJoin(broadcast(cb))
+      .join(sb, Seq("source", "b"), "left_outer")
+      .crossJoin(broadcast(nt))
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("term", (od - e) * (od - e) / e)
+      .groupBy(col("source"), col("ns"))
+      .agg(sort_array(collect_list(struct(col("b"), col("term")))).as("xs"))
+      .withColumn("chi2",
+        aggregate(col("xs"), lit(0.0), (a, x) => a + x.getField("term")))
+      .select(col("source"), col("ns").as("n_tokens"), col("chi2"),
+        (col("chi2") / col("ns").cast("double")).as("chi2_norm"))
+      .orderBy(col("source"))
+  }
+
   /** q140: HEAVY-HITTER tokens via the native Misra-Gries sketch
     * ([[graft.functions.FreqSketch]], fn06) — q75's question answered
     * the way a 100 TB corpus can afford: q75's exact table shuffles

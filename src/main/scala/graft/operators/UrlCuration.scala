@@ -195,4 +195,34 @@ object UrlCuration {
       .withColumn("text_dup_rate",
         lit(1.0) - col("n_texts").cast("double") / col("n_docs").cast("double"))
       .orderBy(col("domain"))
+
+  /** q168: domain CONCENTRATION (Gini coefficient) of the corpus —
+    * how unequally documents are spread over crawl domains:
+    * G = (2·Σ i·x_i)/(n·Σ x) − (n+1)/n over the ascending-sorted
+    * per-domain doc counts (i = 1-based rank). The one-scalar
+    * concentration dashboard number next to q121's per-source
+    * diversity and q153's per-domain profile: G → 1 means a handful
+    * of domains dominate the corpus (quota/blocklist work pending),
+    * G → 0 means an even spread.
+    *
+    * Exactness (§6): x and Σ i·x_i are exact longs (rank ties broken
+    * on domain), the final G is one fixed IEEE sequence → hash-exact.
+    * The rank window runs over DOMAIN-count rows (already aggregated)
+    * — not a corpus-width sort. */
+  def q168(documents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt"), col("domain"))
+    val byDomain = q148(documents)
+      .groupBy(col("domain")).agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+    val nD = col("n_domains").cast("double")
+    byDomain
+      .agg(count(lit(1)).cast("long").as("n_domains"),
+        sum(col("cnt")).cast("long").as("n_docs"),
+        sum(col("rk") * col("cnt")).cast("long").as("sixi"))
+      .select(col("n_domains"), col("n_docs"),
+        ((lit(2.0) * col("sixi").cast("double")) /
+          (nD * col("n_docs").cast("double")) -
+          (nD + lit(1.0)) / nD).as("gini"))
+  }
 }

@@ -880,6 +880,35 @@ class TextAnalysisSpec extends GraftSpec {
     assert(re(4L) == h4 && re(1L) == out(1L)._3)
   }
 
+  test("q167 chi2: disjoint-vocabulary sources score the closed-form statistic") {
+    // A says only "alpha" (4x), B only "omega" (4x): per source,
+    // own-bucket term (4-2)^2/2 = 2 and other-bucket term (0-2)^2/2
+    // = 2 -> chi2 = 4 exactly (buckets differ for these two tokens)
+    val docs = Seq(
+      (1L, "alpha alpha alpha alpha", "A"),
+      (2L, "omega omega omega omega", "B")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.operators.TextAnalysis.q167(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("chi2"))).toMap
+    assert(out("A") == ((4L, 4.0)) && out("B") == ((4L, 4.0)), out)
+    // a source matching the corpus mix scores lower than a divergent one
+    val mixed = Seq(
+      (1L, "x y x y x y", "balanced"),
+      (2L, "x y x y x y", "alsobalanced"),
+      (3L, "z z z z z z", "divergent")
+    ).toDF("doc_id", "text", "source")
+    val m = graft.operators.TextAnalysis.q167(mixed).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("chi2_norm")).toMap
+    assert(m("divergent") > m("balanced"), m)
+    // layout-invariant
+    val re = graft.operators.TextAnalysis.q167(mixed.repartition(7)).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("chi2")).toMap
+    val orig = graft.operators.TextAnalysis.q167(mixed).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("chi2")).toMap
+    assert(re == orig)
+  }
+
   test("q166 RAKE: stopword-split phrases, co-occurring words outrank loners") {
     // stopwords include "the" and "of". Doc 1 phrases:
     //   "deep learning" / "deep learning systems" / "fast gpu"

@@ -154,4 +154,30 @@ class UrlCurationSpec extends GraftSpec {
     // the 60-cycle corpus has real URL dup mass somewhere
     assert(out.exists(_.getAs[Double]("url_dup_rate") > 0.0))
   }
+
+  test("q168 Gini: uniform domain spread scores exactly 0, skew grows it") {
+    import graft.operators.UrlCuration
+    // one source, doc_ids 0..5 -> domains s.com/s.org/s.net, 2 docs each
+    val uniform = (0L to 5L).map(i => (i, s"text $i", "s"))
+      .toDF("doc_id", "text", "source")
+    val u = UrlCuration.q168(uniform).collect().head
+    assert(u.getAs[Long]("n_domains") == 3L && u.getAs[Long]("n_docs") == 6L)
+    assert(u.getAs[Double]("gini") == 0.0, u)
+    // pile 9 more docs onto one domain (doc_id % 3 == 0 -> .com)
+    val skewed = ((0L to 5L) ++ (6L to 14L).map(_ * 3)).map(i =>
+      (i, s"text $i", "s")).toDF("doc_id", "text", "source")
+    val sgini = UrlCuration.q168(skewed).collect().head.getAs[Double]("gini")
+    assert(sgini > 0.3, s"gini=$sgini")
+    // brute-force cross-check on the real table: collect counts, fold
+    val docs = Tables.documents(spark, SF)
+    val got = UrlCuration.q168(docs).collect().head
+    val counts = UrlCuration.q148(docs).groupBy("domain").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(c => (c._2, c._1))
+    val n = counts.length.toDouble
+    val sx = counts.map(_._2).sum
+    val sixi = counts.zipWithIndex.map { case ((_, x), i) => (i + 1) * x }.sum
+    val expect = (2.0 * sixi) / (n * sx.toDouble) - (n + 1.0) / n
+    assert(got.getAs[Double]("gini") == expect)
+  }
 }
