@@ -39,6 +39,11 @@ object Oracles {
   /** q128 per-source quality quota (docs kept per source). */
   val SourceQuota = 20
 
+  /** q169 semantic-decontamination threshold and benchmark split
+    * (vec_id < this = the benchmark set). */
+  final val SemDecontamTau = 0.9
+  final val SemBenchIds = 10L
+
   /** q114/q115/q119 span length — the operator defaults AND the
     * oracle window arithmetic derive from this one value. */
   val SpanK = 5
@@ -2410,7 +2415,49 @@ object Oracles {
              (CAST(n_domains AS DOUBLE) * CAST(n_docs AS DOUBLE))
            - (CAST(n_domains AS DOUBLE) + 1.0) / CAST(n_domains AS DOUBLE)
              AS gini
-         FROM s"""
+         FROM s""",
+
+    // semantic decontamination: exact max-cosine vs the broadcast
+    // benchmark set (vec_id < SemBenchIds), q44's fold + tie-on-bid
+    "q169_semantic_decontam" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(v, x -> x*x)), (a,b) -> a+b)) AS norm FROM e),
+         p AS (SELECT c.vec_id, b.vec_id AS bid,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1,65), i -> c.v[i]*b.v[i])), (a,x) -> a+x)
+               / (c.norm * b.norm) AS cos
+           FROM n c CROSS JOIN n b
+           WHERE c.vec_id >= $SemBenchIds AND b.vec_id < $SemBenchIds),
+         r AS (SELECT vec_id, bid, cos,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY cos DESC, bid) AS rk FROM p)
+         SELECT vec_id, bid AS nearest_bench, cos AS max_cos,
+           CASE WHEN cos > $SemDecontamTau THEN 'contaminated'
+                ELSE 'clean' END AS status
+         FROM r WHERE rk = 1 ORDER BY vec_id""",
+
+    // temporal split + embargo, integer-derived cutoffs; leak audit =
+    // train∩test distinct users
+    "q170_temporal_split" ->
+      """WITH e AS (SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         b AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM e),
+         t AS (SELECT user_id, us,
+             CASE WHEN us < lo + ((hi - lo) * 7) // 10 THEN 'train'
+                  WHEN us < lo + ((hi - lo) * 8) // 10 THEN 'embargo'
+                  ELSE 'test' END AS split
+           FROM e CROSS JOIN b),
+         leak AS (SELECT CAST(COUNT(*) AS BIGINT) AS leak_users FROM
+           (SELECT DISTINCT user_id FROM t WHERE split = 'train'
+            INTERSECT
+            SELECT DISTINCT user_id FROM t WHERE split = 'test'))
+         SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           leak.leak_users
+         FROM t CROSS JOIN leak
+         GROUP BY split, leak.leak_users ORDER BY split"""
   )
 
   private lazy val zipfSql: String = {

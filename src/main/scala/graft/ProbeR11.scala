@@ -82,6 +82,15 @@ object ProbeR11 {
           buckets = Oracles.DsirBuckets)))
       walls(("q168_gini", tag)) =
         time(noop(operators.UrlCuration.q168(docs)))
+      walls(("q169_sem_decontam", tag)) = time(noop {
+        import org.apache.spark.sql.functions.col
+        operators.Similarity.q169(
+          emb.filter(col("vec_id") >= Oracles.SemBenchIds),
+          emb.filter(col("vec_id") < Oracles.SemBenchIds),
+          tau = Oracles.SemDecontamTau)
+      })
+      walls(("q170_temporal_split", tag)) =
+        time(noop(operators.Events.q170(Tables.events(spark, sf))))
       println(s"[probeR11] $tag done (n_doc=${docs.count()})")
     }
     for (op <- Seq("q148_url_normalize", "q149_blocklist",
@@ -93,7 +102,8 @@ object ProbeR11 {
                    "q160_token_entropy", "q161_hybrid_rrf",
                    "q162_minimizer", "q163_novelty", "q164_mmr",
                    "q165_lpa", "q166_rake", "q167_chi2",
-                   "q168_gini")) {
+                   "q168_gini", "q169_sem_decontam",
+                   "q170_temporal_split")) {
       val s = walls((op, "sf0.01")); val b = walls((op, "sf0.1"))
       println(f"[probeR11] $op%-20s sf0.01=$s%7.2fs sf0.1=$b%7.2fs " +
         f"ratio=${b / s}%5.2fx")

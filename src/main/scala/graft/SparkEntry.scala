@@ -321,7 +321,14 @@ object SparkEntry {
     "q166_rake_keywords"       -> ((s, d) => TextAnalysis.q166(documents(s, d))),
     "q167_chi2_drift"          -> ((s, d) => TextAnalysis.q167(documents(s, d),
       buckets = Oracles.DsirBuckets)),
-    "q168_domain_gini"         -> ((s, d) => UrlCuration.q168(documents(s, d)))
+    "q168_domain_gini"         -> ((s, d) => UrlCuration.q168(documents(s, d))),
+    "q169_semantic_decontam"   -> ((s, d) => {
+      val e = embeddings(s, d)
+      val id = org.apache.spark.sql.functions.col("vec_id")
+      Similarity.q169(e.filter(id >= Oracles.SemBenchIds),
+        e.filter(id < Oracles.SemBenchIds), tau = Oracles.SemDecontamTau)
+    }),
+    "q170_temporal_split"      -> ((s, d) => Events.q170(events(s, d)))
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

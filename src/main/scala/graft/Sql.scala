@@ -161,6 +161,14 @@ object Sql {
       "graft_chi2_drift"     -> (() => TextAnalysis.q167(docs,
         buckets = Oracles.DsirBuckets)),
       "graft_domain_gini"    -> (() => graft.operators.UrlCuration.q168(docs)),
+      "graft_sem_decontam"   -> (() => {
+        import org.apache.spark.sql.functions.col
+        Similarity.q169(embs.filter(col("vec_id") >= Oracles.SemBenchIds),
+          embs.filter(col("vec_id") < Oracles.SemBenchIds),
+          tau = Oracles.SemDecontamTau)
+      }),
+      "graft_temporal_split" -> (() =>
+        graft.operators.Events.q170(spark.table("events"))),
       // drift between the q110 snapshot derivations (see Oracles)
       "graft_token_drift"    -> (() => {
         import org.apache.spark.sql.functions.{col, lit, pmod, when, upper}

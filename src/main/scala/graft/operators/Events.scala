@@ -434,4 +434,41 @@ object Events {
         col("cohort_size"), col("retention"))
       .orderBy(col("cohort_week"), col("week_offset"))
   }
+
+  /** q170: TEMPORAL train/test SPLIT with an EMBARGO gap — the
+    * time-series ML-hygiene operator: train = first 70% of the event
+    * time range, embargo = next 10% (DROPPED — events too close to
+    * the boundary leak near-future information into training), test
+    * = the rest; plus the entity-leakage audit (users present in BOTH
+    * train and test — the cross-contamination a per-event split
+    * ignores and a per-user split over-corrects). Cutoffs derive from
+    * the data's own µs range with INTEGER arithmetic (`div`), so the
+    * assignment is exact in both engines.
+    *
+    * Plan shape: one scan + a broadcast one-row bounds frame; the
+    * leakage audit is two distinct-user sets joined on user_id —
+    * user-sized, not event-sized. */
+  def q170(events: DataFrame): DataFrame = {
+    val e = withTs(events)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val bounds = e.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+    val tagged = e.crossJoin(broadcast(bounds))
+      .withColumn("cut1", col("lo") + expr("((hi - lo) * 7) div 10"))
+      .withColumn("cut2", col("lo") + expr("((hi - lo) * 8) div 10"))
+      .withColumn("split",
+        when(col("us") < col("cut1"), "train")
+          .when(col("us") < col("cut2"), "embargo")
+          .otherwise("test"))
+      .transform(graft.Pins.pin)
+    val leak = tagged.filter(col("split") === "train")
+      .select(col("user_id")).distinct()
+      .join(tagged.filter(col("split") === "test")
+        .select(col("user_id")).distinct(), "user_id")
+      .agg(count(lit(1)).cast("long").as("leak_users"))
+    tagged.groupBy(col("split"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        countDistinct(col("user_id")).cast("long").as("n_users"))
+      .crossJoin(broadcast(leak))
+      .orderBy(col("split"))
+  }
 }

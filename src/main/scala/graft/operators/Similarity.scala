@@ -353,6 +353,41 @@ object Similarity {
       .orderBy(col("query_id"), col("sel_rank"))
   }
 
+  /** q169: SEMANTIC DECONTAMINATION — flag corpus vectors whose max
+    * cosine against ANY benchmark vector exceeds `tau`: the
+    * embedding-space twin of the n-gram decontamination family
+    * (q69/q107/q143), catching paraphrased benchmark leakage that no
+    * token overlap can see (the DataComp / "semantic dedup against
+    * eval sets" pass). Benchmark = an external vector set, small by
+    * definition — BROADCAST; each corpus partition scans locally, so
+    * corpus size never reaches an exchange (the q44 plan class with a
+    * max instead of a top-k).
+    *
+    * Exactness (§6): cosines are the strict-fold [[dot]]; the per-row
+    * MAX over benchmark vectors is order-free (IEEE max is
+    * commutative/associative over distinct finite values and ties are
+    * bit-identical anyway); argmax benchmark id breaks ties on lower
+    * id → hash-exact. */
+  def q169(corpus: DataFrame, benchmark: DataFrame,
+           tau: Double = 0.95): DataFrame = {
+    val c = normalized(corpus)
+      .select(col("vec_id"), col("v").as("cv"), col("norm").as("cn"))
+    val b = normalized(benchmark)
+      .select(col("vec_id").as("bid"), col("v").as("bv"),
+        col("norm").as("bn"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("bid"))
+    c.join(broadcast(b))
+      .withColumn("cos", dot(col("cv"), col("bv")) / (col("cn") * col("bn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("bid").as("nearest_bench"),
+        col("cos").as("max_cos"),
+        when(col("cos") > tau, "contaminated").otherwise("clean")
+          .as("status"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Broadcast ceiling for the exact all-pairs operator [[q46]]. Sized
     * in BYTES, not just rows: each collected row is a (Long,
     * Array[Double](64), Double) tuple ≈ 600 B on-heap (512 B of doubles

@@ -112,4 +112,21 @@ class EventsSpec extends GraftSpec {
     // no phantom cells: only the four planted (cohort, offset) pairs
     assert(out.size == 4)
   }
+
+  test("q170 temporal split: 70/10/20 cutoffs, embargo dropped rows, leak audit") {
+    // range 00:00..01:40 (100 s) -> train < 70 s, embargo < 80 s
+    def at(s: Int) = f"2024-01-01T00:${s / 60}%02d:${s % 60}%02dZ"
+    val rows = Seq(
+      ev(1, 1, at(0), "a"), ev(2, 1, at(95), "a"),   // user 1 leaks
+      ev(3, 2, at(10), "a"), ev(4, 2, at(75), "a"),  // user 2: train+embargo
+      ev(5, 3, at(90), "a")                          // user 3: test only
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Events.q170(rows).collect()
+      .map(r => r.getAs[String]("split") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_users"),
+          r.getAs[Long]("leak_users"))).toMap
+    assert(out("train") == ((2L, 2L, 1L)), out)
+    assert(out("embargo") == ((1L, 1L, 1L)), out)
+    assert(out("test") == ((2L, 2L, 1L)), out)
+  }
 }

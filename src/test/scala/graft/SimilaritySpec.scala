@@ -465,6 +465,23 @@ class SimilaritySpec extends GraftSpec {
     assert(r1.getAs[Double]("rrf") == 1.0 / 61)
   }
 
+  test("q169 semantic decontam: clone of a benchmark vector flagged, orthogonal clean") {
+    def v(x: Double, y: Double) =
+      Array.tabulate(64)(i => if (i == 0) x.toFloat else if (i == 1) y.toFloat else 0.0f)
+    val bench = Seq((1L, v(1, 0)), (2L, v(0, 1))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, v(1, 0)),      // exact clone of bench 1 -> contaminated
+      (11L, v(0.6, 0.8)),  // cos 0.6/0.8 to bench -> clean at tau 0.95
+      (12L, v(0, 1))       // clone of bench 2 -> contaminated
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.q169(corpus, bench, tau = 0.95)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("nearest_bench"), r.getAs[String]("status"))).toMap
+    assert(out(10L) == ((1L, "contaminated")), out)
+    assert(out(11L)._2 == "clean", out)
+    assert(out(12L) == ((2L, "contaminated")), out)
+  }
+
   test("q164 MMR: diversified pick escapes the redundant cluster") {
     // query [1,0,...]; docs 10-12 a tight highly-relevant cluster
     // tilted OFF the query axis (so their mutual sim ~1 exceeds their
