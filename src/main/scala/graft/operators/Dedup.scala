@@ -421,10 +421,13 @@ object Dedup {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(0, w - 1L)
-    val sig = pos
+    // pinned: the shingle scan + window + distinct feeds BOTH sides of
+    // the candidate self-join and the size table (the q147 lesson —
+    // without the pin the corpus-sized pipeline plans three times)
+    val sig = graft.Pins.pin(pos
       .withColumn("h", graft.functions.PolyFingerprint(col("g")))
       .withColumn("mz", min(col("h")).over(win))
-      .select(col("doc_id"), col("mz")).distinct()
+      .select(col("doc_id"), col("mz")).distinct())
     val sizes = sig.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_min"))
     sig.as("a")
@@ -463,8 +466,10 @@ object Dedup {
     * (exchange reuse) → per-doc aggregate. Text never enters an
     * exchange; every shuffle key is 8 bytes. */
   def q163(documents: DataFrame): DataFrame = {
-    val sh = shingles(documents)
-      .select(col("doc_id"), graft.functions.PolyFingerprint(col("g")).as("h"))
+    // pinned: the gram scan feeds both the doc-frequency aggregate and
+    // the join-back (one materialization, not two corpus scans)
+    val sh = graft.Pins.pin(shingles(documents)
+      .select(col("doc_id"), graft.functions.PolyFingerprint(col("g")).as("h")))
     val dfq = sh.groupBy(col("h")).agg(count(lit(1)).cast("long").as("df"))
     sh.join(dfq, "h")
       .groupBy(col("doc_id"))
