@@ -145,6 +145,33 @@ class SnapshotTableSpec extends GraftSpec {
     assert(sizes == sizes.sorted && sizes.head == 1L && sizes.last == 9L)
   }
 
+  test("mv01 materialized view: stale until refresh, atomic rebuild, versioned history") {
+    import graft.sources.MaterializedView
+    val p = tmp("mv")
+    Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 5.0))
+      .toDF("id", "k", "v").createOrReplaceTempView("mv_base")
+    MaterializedView.create(spark, p,
+      "SELECT k, CAST(SUM(v) AS DOUBLE) AS total FROM mv_base GROUP BY k")
+    MaterializedView.register(spark, p, "mv_totals")
+    val v1 = spark.table("mv_totals").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(v1 == Map("a" -> 30.0, "b" -> 5.0))
+    // base moves on; the MV is deliberately STALE until refreshed
+    Seq((1L, "a", 10.0), (4L, "c", 7.0)).toDF("id", "k", "v")
+      .createOrReplaceTempView("mv_base")
+    assert(MaterializedView.read(spark, p).count() == 2L)
+    val v2 = MaterializedView.refresh(spark, p)
+    assert(v2 == 2L)
+    MaterializedView.register(spark, p, "mv_totals")
+    val after = spark.table("mv_totals").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(after == Map("a" -> 10.0, "c" -> 7.0))
+    // last Tuesday's dashboard: version 1 still time-travels
+    assert(MaterializedView.read(spark, p, Some(1L)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap == v1)
+    assert(MaterializedView.definition(spark, p).contains("GROUP BY k"))
+  }
+
   test("second writer refuses while the lock is held; break() recovers") {
     val p = tmp("lock")
     SnapshotTable.create(spark, p, Seq((1L, "a")).toDF("id", "s"))
