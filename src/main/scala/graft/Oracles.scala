@@ -44,6 +44,11 @@ object Oracles {
   final val SemDecontamTau = 0.9
   final val SemBenchIds = 10L
 
+  /** q171 shard-rebalance geometry: N → M shards, vnodes per shard. */
+  final val ShardN = 16
+  final val ShardM = 20
+  final val ShardVnodes = 8
+
   /** q114/q115/q119 span length — the operator defaults AND the
     * oracle window arithmetic derive from this one value. */
   val SpanK = 5
@@ -2457,7 +2462,56 @@ object Oracles {
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
            leak.leak_users
          FROM t CROSS JOIN leak
-         GROUP BY split, leak.leak_users ORDER BY split"""
+         GROUP BY split, leak.leak_users ORDER BY split""",
+
+    // consistent-hash rebalance: vnode positions via the q50 char-fold
+    // hash over the SAME 's:<shard>:<j>' strings, ring lookup = first
+    // element of the sorted (pos, shard) list, N-ring = shards < N
+    "q171_shard_rebalance" ->
+      s"""WITH vn AS (SELECT s.range AS s, j.range AS j,
+             (list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split('s:' || s.range || ':' || j.range, ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (h, c) -> (h*31 + c) % 1000000007)
+               * 2654435761) % 1000000007 AS pos
+           FROM range($ShardM) s, range($ShardVnodes) j),
+         rn AS (SELECT list_sort(list(struct_pack(pos := pos, shard := CAST(s AS BIGINT)))) AS ring
+           FROM vn WHERE s < $ShardN),
+         rm AS (SELECT list_sort(list(struct_pack(pos := pos, shard := CAST(s AS BIGINT)))) AS ring
+           FROM vn),
+         d AS (SELECT
+             (list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (h, c) -> (h*31 + c) % 1000000007)
+               * 2654435761) % 1000000007 AS h
+           FROM documents),
+         a AS (SELECT h,
+             h % $ShardN AS mod_old, h % $ShardM AS mod_new,
+             struct_extract((CASE WHEN len(list_filter(rn.ring,
+                 x -> struct_extract(x, 'pos') >= h)) > 0
+               THEN list_filter(rn.ring, x -> struct_extract(x, 'pos') >= h)
+               ELSE rn.ring END)[1], 'shard') AS ring_old,
+             struct_extract((CASE WHEN len(list_filter(rm.ring,
+                 x -> struct_extract(x, 'pos') >= h)) > 0
+               THEN list_filter(rm.ring, x -> struct_extract(x, 'pos') >= h)
+               ELSE rm.ring END)[1], 'shard') AS ring_new
+           FROM d CROSS JOIN rn CROSS JOIN rm),
+         rep AS (
+           SELECT 'mod' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN mod_old <> mod_new THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+             CAST(SUM(CASE WHEN mod_old <> mod_new AND mod_new >= $ShardN
+               THEN 1 ELSE 0 END) AS BIGINT) AS moved_to_new
+           FROM a
+           UNION ALL
+           SELECT 'ring', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN ring_old <> ring_new THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN ring_old <> ring_new AND ring_new >= $ShardN
+               THEN 1 ELSE 0 END) AS BIGINT)
+           FROM a)
+         SELECT strategy, n_docs, n_moved, moved_to_new,
+           CAST(n_moved AS DOUBLE) / CAST(n_docs AS DOUBLE) AS moved_frac
+         FROM rep ORDER BY strategy"""
   )
 
   private lazy val zipfSql: String = {

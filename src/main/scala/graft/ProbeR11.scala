@@ -91,6 +91,9 @@ object ProbeR11 {
       })
       walls(("q170_temporal_split", tag)) =
         time(noop(operators.Events.q170(Tables.events(spark, sf))))
+      walls(("q171_shard_rebalance", tag)) =
+        time(noop(operators.Sharding.q171(docs, n = Oracles.ShardN,
+          m = Oracles.ShardM, vnodes = Oracles.ShardVnodes)))
       println(s"[probeR11] $tag done (n_doc=${docs.count()})")
     }
     for (op <- Seq("q148_url_normalize", "q149_blocklist",
@@ -103,7 +106,7 @@ object ProbeR11 {
                    "q162_minimizer", "q163_novelty", "q164_mmr",
                    "q165_lpa", "q166_rake", "q167_chi2",
                    "q168_gini", "q169_sem_decontam",
-                   "q170_temporal_split")) {
+                   "q170_temporal_split", "q171_shard_rebalance")) {
       val s = walls((op, "sf0.01")); val b = walls((op, "sf0.1"))
       println(f"[probeR11] $op%-20s sf0.01=$s%7.2fs sf0.1=$b%7.2fs " +
         f"ratio=${b / s}%5.2fx")

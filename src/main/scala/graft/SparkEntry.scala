@@ -328,7 +328,9 @@ object SparkEntry {
       Similarity.q169(e.filter(id >= Oracles.SemBenchIds),
         e.filter(id < Oracles.SemBenchIds), tau = Oracles.SemDecontamTau)
     }),
-    "q170_temporal_split"      -> ((s, d) => Events.q170(events(s, d)))
+    "q170_temporal_split"      -> ((s, d) => Events.q170(events(s, d))),
+    "q171_shard_rebalance"     -> ((s, d) => Sharding.q171(documents(s, d),
+      n = Oracles.ShardN, m = Oracles.ShardM, vnodes = Oracles.ShardVnodes))
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

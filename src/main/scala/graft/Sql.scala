@@ -169,6 +169,9 @@ object Sql {
       }),
       "graft_temporal_split" -> (() =>
         graft.operators.Events.q170(spark.table("events"))),
+      "graft_shard_rebalance" -> (() => graft.operators.Sharding.q171(docs,
+        n = Oracles.ShardN, m = Oracles.ShardM,
+        vnodes = Oracles.ShardVnodes)),
       // drift between the q110 snapshot derivations (see Oracles)
       "graft_token_drift"    -> (() => {
         import org.apache.spark.sql.functions.{col, lit, pmod, when, upper}

@@ -319,6 +319,35 @@ object SnapshotTable {
       (_, nf) => nf, (h, _) => snapshot(spark, path, h).schema)
   }
 
+  /** SNAPSHOT DIFF: keyed change report between two versions —
+    * `added` (key only in `v2`), `removed` (key only in `v1`),
+    * `changed` (key in both, any non-key column differing). The
+    * time-travel twin of q110's content-level corpus diff: because
+    * both sides read immutable manifests, the report is exact and
+    * reproducible forever — the audit a mutation pipeline runs after
+    * every merge/delete wave. Keys must be unique per version (the
+    * merge/upsert contract). One full-outer shuffle join on the key —
+    * the minimal plan for a keyed diff. */
+  def diff(spark: SparkSession, path: String, v1: Long, v2: Long,
+           keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = read(spark, path, Some(v1))
+    val b = read(spark, path, Some(v2))
+    val valCols = a.columns.filterNot(keyCols.contains).toSeq
+    val av = a.select(keyCols.map(col) :+
+      struct(valCols.map(col): _*).as("_va"): _*)
+    val bv = b.select(keyCols.map(col) :+
+      struct(valCols.map(col): _*).as("_vb"): _*)
+    av.join(bv, keyCols, "full_outer")
+      .withColumn("change",
+        when(col("_va").isNull, "added")
+          .when(col("_vb").isNull, "removed")
+          .when(col("_va") =!= col("_vb"), "changed"))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) :+ col("change"): _*)
+      .orderBy(keyCols.map(col): _*)
+  }
+
   /** Roll the head back to `toVersion`'s file set — as a NEW commit,
     * so the rollback itself is in the history and can be rolled back. */
   def rollback(spark: SparkSession, path: String, toVersion: Long): Long = {

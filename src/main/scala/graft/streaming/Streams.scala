@@ -70,6 +70,32 @@ object Streams {
       .select(col("user_id"), col("view_ts"), col("buy_ts"))
   }
 
+  /** st27: stream-stream LEFT OUTER interval join — st05's inner join
+    * answers "which views converted"; the OUTER variant answers the
+    * question funnels actually need: "which views did NOT convert",
+    * emitting the null-padded row only when the WATERMARK closes the
+    * match window (before that, a future purchase could still
+    * arrive — outer results are inherently watermark-delayed, the
+    * standard Spark contract). State on both sides is bounded by the
+    * watermark + interval; the unmatched-view row carries a null
+    * buy_ts, so the downstream conversion-rate aggregate is one
+    * filter away. */
+  def conversionsOuter(events: DataFrame): DataFrame = {
+    val e = Events.withTs(events)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", Watermark)
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("buy_user"), col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", Watermark)
+    views.join(buys,
+      col("user_id") === col("buy_user") &&
+      col("buy_ts") >= col("view_ts") &&
+      col("buy_ts") <= col("view_ts") + expr("interval 1 hour"),
+      "left_outer")
+      .select(col("user_id"), col("view_ts"), col("buy_ts"))
+  }
+
   /** st04: stream-static enrichment — a streaming frame joined to a
     * static dimension. Spark plans the static side as a broadcast per
     * micro-batch; no streaming state is kept. */

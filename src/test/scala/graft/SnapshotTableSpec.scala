@@ -145,6 +145,20 @@ class SnapshotTableSpec extends GraftSpec {
     assert(sizes == sizes.sorted && sizes.head == 1L && sizes.last == 9L)
   }
 
+  test("diff reports added/removed/changed keys between any two versions") {
+    val p = tmp("diff")
+    SnapshotTable.create(spark, p,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+    SnapshotTable.merge(spark, p,
+      Seq((2L, "B"), (4L, "d")).toDF("id", "s"), keyCols = Seq("id"))
+    SnapshotTable.deleteWhere(spark, p, "id = 3")
+    val d = SnapshotTable.diff(spark, p, 1L, 3L, keyCols = Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(2L -> "changed", 3L -> "removed", 4L -> "added"), d)
+    // unchanged keys are absent; diff of a version with itself is empty
+    assert(SnapshotTable.diff(spark, p, 2L, 2L, Seq("id")).count() == 0L)
+  }
+
   test("mv01 materialized view: stale until refresh, atomic rebuild, versioned history") {
     import graft.sources.MaterializedView
     val p = tmp("mv")

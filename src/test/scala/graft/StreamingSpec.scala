@@ -158,6 +158,34 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st27 outer stream-stream join emits unmatched views once the watermark closes") {
+    val ms = MemoryStream[StreamEv]
+    val q = Streams.conversionsOuter(ms.toDF())
+      .writeStream.format("memory").queryName("st27_out").outputMode("append").start()
+    try {
+      ms.addData(
+        ev(1, "2026-01-01T10:00:00Z", "view"),
+        ev(1, "2026-01-01T10:30:00Z", "purchase"),   // converts
+        ev(2, "2026-01-01T10:00:00Z", "view"))       // never converts
+      q.processAllAvailable()
+      // inner results may emit immediately; the user-2 null row must
+      // NOT exist yet (its 1h window + 30m watermark still open)
+      val early = spark.table("st27_out").collect()
+        .filter(_.isNullAt(2)).map(_.getAs[Long]("user_id"))
+      assert(early.isEmpty, early.toSeq)
+      // advance event time far past 11:30 -> watermark closes user 2
+      ms.addData(ev(9, "2026-01-01T20:00:00Z", "view"))
+      q.processAllAvailable()
+      ms.addData(ev(9, "2026-01-02T09:00:00Z", "purchase"))
+      q.processAllAvailable()
+      val out = spark.table("st27_out").collect()
+      val matched = out.filter(!_.isNullAt(2)).map(_.getAs[Long]("user_id"))
+      val unmatched = out.filter(_.isNullAt(2)).map(_.getAs[Long]("user_id"))
+      assert(matched.toSeq == Seq(1L), matched.toSeq)
+      assert(unmatched.contains(2L), out.mkString("; "))
+    } finally q.stop()
+  }
+
   test("st06 foreachBatch sink writes batch-id partitioned parquet idempotently") {
     val out = java.nio.file.Files.createTempDirectory("graft-st06").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-st06-ckpt").toString
