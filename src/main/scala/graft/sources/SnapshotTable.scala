@@ -382,6 +382,95 @@ object SnapshotTable {
         .parquet(s.files.map(fp => s"$path/$fp"): _*)
   }
 
+  /** s17: COLUMN-STAT FILE SKIPPING — the second slice of the
+    * table-format wall (s16's note listed it as still owed). `analyze`
+    * computes per-FILE min/max of a numeric column for every head
+    * file not yet covered and merges them into a sidecar
+    * (`_graft_snapshots/stats.<column>`, one `relpath,min,max` line
+    * per file). Stats are keyed by FILE, not version: data files are
+    * immutable, so a stat line stays valid for every version that
+    * references the file, and appends only ever ADD lines —
+    * `analyze` is incremental by construction. `prunedFiles` keeps
+    * files whose [min,max] overlaps the predicate range plus any file
+    * with no stats yet (conservative — never a false prune), and
+    * `readPruned` plans the scan from that subset. The Iceberg
+    * manifest-stats design scoped to one column; run `analyze` at
+    * compaction cadence like the other lake maintenance. */
+  def analyze(spark: SparkSession, path: String, column: String): Int =
+    graft.operators.LakeLock.withWriter(spark, lockName(path)) {
+      import org.apache.spark.sql.functions.{col, input_file_name, min => fmin, max => fmax}
+      val f = fs(spark, path)
+      val sp = new Path(snapDir(path), s"stats.$column")
+      val existing: Map[String, (Long, Long)] =
+        if (f.exists(sp))
+          readFile(f, sp).split("\n").filter(_.nonEmpty).map { l =>
+            val a = l.split(",")
+            a(0) -> (a(1).toLong, a(2).toLong)
+          }.toMap
+        else Map.empty
+      val head = snapshot(spark, path, currentVersion(spark, path))
+      val todo = head.files.filterNot(existing.contains)
+      if (todo.isEmpty) 0
+      else {
+        val stats = spark.read.schema(head.schema)
+          .parquet(todo.map(fp => s"$path/$fp"): _*)
+          .groupBy(input_file_name().as("f"))
+          .agg(fmin(col(column).cast("long")).as("mn"),
+            fmax(col(column).cast("long")).as("mx"))
+          .collect()
+          .map { r =>
+            val uri = r.getString(0)
+            val rel = todo.find(fp => uri.endsWith(fp))
+              .getOrElse(sys.error(s"unmatched stats file $uri"))
+            rel -> (r.getLong(1), r.getLong(2))
+          }.toMap
+        val merged = existing ++ stats
+        val body = merged.toSeq.sorted
+          .map { case (fp, (mn, mx)) => s"$fp,$mn,$mx" }.mkString("\n")
+        writeFile(f, sp, body, overwrite = true)
+        stats.size
+      }
+    }
+
+  /** The head's file list narrowed by the stats sidecar to files that
+    * can contain `column` ∈ [lo, hi]; files without stats are kept
+    * (conservative). */
+  def prunedFiles(spark: SparkSession, path: String, column: String,
+                  lo: Long, hi: Long): Seq[String] = {
+    val f = fs(spark, path)
+    val sp = new Path(snapDir(path), s"stats.$column")
+    val head = snapshot(spark, path, currentVersion(spark, path))
+    if (!f.exists(sp)) head.files
+    else {
+      val stats = readFile(f, sp).split("\n").filter(_.nonEmpty).map { l =>
+        val a = l.split(","); a(0) -> (a(1).toLong, a(2).toLong)
+      }.toMap
+      head.files.filter { fp =>
+        stats.get(fp) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None           => true
+        }
+      }
+    }
+  }
+
+  /** Scan only the files [[prunedFiles]] keeps, with the residual
+    * range filter applied (stats prune at file granularity; the
+    * filter finishes the job row-wise). */
+  def readPruned(spark: SparkSession, path: String, column: String,
+                 lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val head = snapshot(spark, path, currentVersion(spark, path))
+    val files = prunedFiles(spark, path, column, lo, hi)
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], head.schema)
+      else spark.read.schema(head.schema)
+        .parquet(files.map(fp => s"$path/$fp"): _*)
+    base.filter(col(column).cast("long").between(lo, hi))
+  }
+
   /** Drop all history older than the last `keepLast` versions and
     * delete data files no surviving version references. The one
     * operation that breaks time travel (for the expired range only) —

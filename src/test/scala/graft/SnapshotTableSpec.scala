@@ -159,6 +159,32 @@ class SnapshotTableSpec extends GraftSpec {
     assert(SnapshotTable.diff(spark, p, 2L, 2L, Seq("id")).count() == 0L)
   }
 
+  test("s17 stats: analyze once, prune files by range, incremental after append") {
+    import org.apache.spark.sql.functions.col
+    val p = tmp("stats")
+    // range-partitioned layout -> disjoint id ranges per file
+    SnapshotTable.create(spark, p,
+      (1L to 400L).toDF("id").repartitionByRange(4, col("id")))
+    val covered = SnapshotTable.analyze(spark, p, "id")
+    assert(covered == 4, covered)
+    // a narrow predicate touches a strict subset of files
+    val pruned = SnapshotTable.prunedFiles(spark, p, "id", 10L, 20L)
+    val all = SnapshotTable.snapshot(spark, p, 1L).files
+    assert(pruned.size < all.size, s"${pruned.size} vs ${all.size}")
+    // pruned read == full-scan filter
+    val got = SnapshotTable.readPruned(spark, p, "id", 10L, 20L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (10L to 20L))
+    // append new files: only THEY need analyzing; old stats persist
+    SnapshotTable.append(spark, p, (1000L to 1100L).toDF("id"))
+    assert(SnapshotTable.analyze(spark, p, "id") >= 1)
+    assert(SnapshotTable.analyze(spark, p, "id") == 0) // idempotent
+    assert(SnapshotTable.readPruned(spark, p, "id", 1000L, 1005L)
+      .count() == 6L)
+    // out-of-range predicate prunes everything
+    assert(SnapshotTable.prunedFiles(spark, p, "id", 5000L, 6000L).isEmpty)
+  }
+
   test("mv01 materialized view: stale until refresh, atomic rebuild, versioned history") {
     import graft.sources.MaterializedView
     val p = tmp("mv")
