@@ -762,4 +762,60 @@ object Streams {
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .start()
   }
+
+  case class ThrottleDoc(doc_id: Long, source: String,
+                         ts: java.sql.Timestamp)
+  case class BucketState(milliTokens: Long, lastUs: Long)
+  case class ThrottleOut(doc_id: Long, source: String, ts_us: Long,
+                         status: String)
+
+  /** st28: per-source TOKEN-BUCKET throttle gate — the ingest-side
+    * back-pressure operator st22's quota gate can't express: st22
+    * caps a source's TOTAL admissions forever, the bucket caps its
+    * RATE (refill `ratePerSec`, burst up to `capacity`) so a source
+    * that floods for a minute is clipped to its budget and then
+    * recovers — the standard crawler-politeness / ingest-fairness
+    * primitive. Deterministic by construction: tokens are integer
+    * MILLI-tokens, refill = (Δt_µs · rate) div 1e6 (integer div, no
+    * float drift), events fold in (ts, doc_id) order within each
+    * group — replays produce identical verdicts. Emits EVERY doc with
+    * an admitted/throttled status (observability beats silent drops;
+    * filter downstream). State per source is two longs — bytes-per-
+    * key constant, key count = source count. */
+  def throttleGate(docs: DataFrame, ratePerSec: Long,
+                   capacity: Long): Dataset[ThrottleOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col("doc_id").isNotNull && col("source").isNotNull &&
+        col("ts").isNotNull)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        col("ts"))
+      .as[ThrottleDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[BucketState, ThrottleOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        case (src, it, state) =>
+          val capMilli = capacity * 1000L
+          var s = state.getOption.getOrElse(BucketState(capMilli, Long.MinValue))
+          val out = Seq.newBuilder[ThrottleOut]
+          it.map(d => (d.ts.getTime * 1000L, d.doc_id))
+            .toIndexedSeq.sorted.foreach { case (tsUs, id) =>
+            // milli-tokens: rate tokens/s = rate milli-tokens per ms
+            // = Δt_µs · rate / 1000 (integer division, no float drift)
+            val refill =
+              if (s.lastUs == Long.MinValue) 0L
+              else math.max(0L, (tsUs - s.lastUs) * ratePerSec / 1000L)
+            val toks = math.min(capMilli, s.milliTokens + refill)
+            val admit = toks >= 1000L
+            s = BucketState(if (admit) toks - 1000L else toks,
+              math.max(tsUs, s.lastUs))
+            out += ThrottleOut(id, src, tsUs,
+              if (admit) "admitted" else "throttled")
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
 }

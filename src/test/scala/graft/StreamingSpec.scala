@@ -186,6 +186,38 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st28 token-bucket throttle: burst clipped to capacity, refill recovers") {
+    import java.sql.Timestamp
+    // rate 1 token/s, burst capacity 2. Events at 0.0/0.1/0.2/0.5/3.5s:
+    // the first two drain the full bucket, 0.2/0.5 are throttled
+    // (only 100/300 milli-tokens refilled), 3.5 recovers (full refill).
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val q = graft.streaming.Streams
+      .throttleGate(ms.toDF().toDF("doc_id", "source", "ts"),
+        ratePerSec = 1L, capacity = 2L)
+      .writeStream.format("memory").queryName("st28_out")
+      .outputMode("append").start()
+    def t(ms0: Long) = new Timestamp(ms0)
+    try {
+      ms.addData((1L, "A", t(0)), (2L, "A", t(100)), (3L, "A", t(200)),
+        (4L, "A", t(500)), (5L, "A", t(3500)),
+        (6L, "B", t(200))) // independent bucket per source
+      q.processAllAvailable()
+      val rows = spark.table("st28_out").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+      assert(rows == Map(1L -> "admitted", 2L -> "admitted",
+        3L -> "throttled", 4L -> "throttled", 5L -> "admitted",
+        6L -> "admitted"), rows)
+      // cross-batch state: A's bucket now holds 1000 milli-tokens at
+      // 3.5s -> an event at 3.6s admits, the next at 3.7s throttles
+      ms.addData((7L, "A", t(3600)), (8L, "A", t(3700)))
+      q.processAllAvailable()
+      val again = spark.table("st28_out").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+      assert(again(7L) == "admitted" && again(8L) == "throttled", again)
+    } finally q.stop()
+  }
+
   test("st06 foreachBatch sink writes batch-id partitioned parquet idempotently") {
     val out = java.nio.file.Files.createTempDirectory("graft-st06").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-st06-ckpt").toString
