@@ -2511,7 +2511,51 @@ object Oracles {
            FROM a)
          SELECT strategy, n_docs, n_moved, moved_to_new,
            CAST(n_moved AS DOUBLE) / CAST(n_docs AS DOUBLE) AS moved_frac
-         FROM rep ORDER BY strategy"""
+         FROM rep ORDER BY strategy""",
+
+    // last-touch attribution: per-purchase rank over the user-keyed
+    // touch join, ties touch_us desc then touch_id desc
+    "q172_attribution" ->
+      """WITH e AS (SELECT event_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events),
+         buys AS (SELECT event_id AS purchase_id, user_id,
+             us AS purchase_us FROM e WHERE event_type = 'purchase'),
+         touches AS (SELECT user_id, event_id AS touch_id, us AS touch_us,
+             event_type AS touch_type
+           FROM e WHERE event_type IN ('view', 'click')),
+         j AS (SELECT b.purchase_id, t.touch_id, t.touch_us, t.touch_type,
+             ROW_NUMBER() OVER (PARTITION BY b.purchase_id
+               ORDER BY t.touch_us DESC, t.touch_id DESC) AS rk
+           FROM buys b JOIN touches t ON b.user_id = t.user_id
+             AND t.touch_us <= b.purchase_us
+             AND t.touch_us >= b.purchase_us - 3600000000)
+         SELECT b.purchase_id, b.user_id, b.purchase_us, j.touch_id,
+           j.touch_us, j.touch_type,
+           CASE WHEN j.touch_id IS NOT NULL THEN 'attributed'
+                ELSE 'unattributed' END AS status
+         FROM buys b LEFT JOIN (SELECT * FROM j WHERE rk = 1) j
+           USING (purchase_id)
+         ORDER BY purchase_id""",
+
+    // hourly volume anomaly: integer count moments, one fixed IEEE
+    // z sequence mirroring Events.q173
+    "q173_hourly_anomaly" ->
+      """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY 1),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS nh,
+             CAST(SUM(n_events) AS BIGINT) AS s,
+             CAST(SUM(n_events * n_events) AS BIGINT) AS ss FROM h),
+         zc AS (SELECT hour, n_events,
+             (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / CAST(nh AS DOUBLE))
+             / sqrt(CAST(ss AS DOUBLE) / CAST(nh AS DOUBLE)
+                 - (CAST(s AS DOUBLE) / CAST(nh AS DOUBLE))
+                   * (CAST(s AS DOUBLE) / CAST(nh AS DOUBLE)) + 1e-9) AS z
+           FROM h CROSS JOIN m)
+         SELECT hour, n_events, z,
+           CASE WHEN z > 2.0 THEN 'spike'
+                WHEN z < -2.0 THEN 'drought'
+                ELSE 'normal' END AS flag
+         FROM zc ORDER BY hour"""
   )
 
   private lazy val zipfSql: String = {

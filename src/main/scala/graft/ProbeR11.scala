@@ -94,6 +94,10 @@ object ProbeR11 {
       walls(("q171_shard_rebalance", tag)) =
         time(noop(operators.Sharding.q171(docs, n = Oracles.ShardN,
           m = Oracles.ShardM, vnodes = Oracles.ShardVnodes)))
+      walls(("q172_attribution", tag)) =
+        time(noop(operators.Events.q172(Tables.events(spark, sf))))
+      walls(("q173_hourly_anomaly", tag)) =
+        time(noop(operators.Events.q173(Tables.events(spark, sf))))
       println(s"[probeR11] $tag done (n_doc=${docs.count()})")
     }
     for (op <- Seq("q148_url_normalize", "q149_blocklist",
@@ -106,7 +110,8 @@ object ProbeR11 {
                    "q162_minimizer", "q163_novelty", "q164_mmr",
                    "q165_lpa", "q166_rake", "q167_chi2",
                    "q168_gini", "q169_sem_decontam",
-                   "q170_temporal_split", "q171_shard_rebalance")) {
+                   "q170_temporal_split", "q171_shard_rebalance",
+                   "q172_attribution", "q173_hourly_anomaly")) {
       val s = walls((op, "sf0.01")); val b = walls((op, "sf0.1"))
       println(f"[probeR11] $op%-20s sf0.01=$s%7.2fs sf0.1=$b%7.2fs " +
         f"ratio=${b / s}%5.2fx")

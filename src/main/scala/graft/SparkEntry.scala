@@ -330,7 +330,9 @@ object SparkEntry {
     }),
     "q170_temporal_split"      -> ((s, d) => Events.q170(events(s, d))),
     "q171_shard_rebalance"     -> ((s, d) => Sharding.q171(documents(s, d),
-      n = Oracles.ShardN, m = Oracles.ShardM, vnodes = Oracles.ShardVnodes))
+      n = Oracles.ShardN, m = Oracles.ShardM, vnodes = Oracles.ShardVnodes)),
+    "q172_attribution"         -> ((s, d) => Events.q172(events(s, d))),
+    "q173_hourly_anomaly"      -> ((s, d) => Events.q173(events(s, d)))
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -172,6 +172,10 @@ object Sql {
       "graft_shard_rebalance" -> (() => graft.operators.Sharding.q171(docs,
         n = Oracles.ShardN, m = Oracles.ShardM,
         vnodes = Oracles.ShardVnodes)),
+      "graft_attribution"    -> (() =>
+        graft.operators.Events.q172(spark.table("events"))),
+      "graft_hourly_anomaly" -> (() =>
+        graft.operators.Events.q173(spark.table("events"))),
       // drift between the q110 snapshot derivations (see Oracles)
       "graft_token_drift"    -> (() => {
         import org.apache.spark.sql.functions.{col, lit, pmod, when, upper}

@@ -435,6 +435,80 @@ object Events {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** q172: LAST-TOUCH ATTRIBUTION — every purchase attributed to the
+    * LATEST view/click by the same user within the preceding hour
+    * (the standard marketing/behavior attribution join, and the
+    * event-analytics sibling of q60's as-of join: as-of with a
+    * lookback horizon and a type filter). Purchases with no touch in
+    * the window report `unattributed` — the rows a funnel audit
+    * actually reads.
+    *
+    * Plan shape: one user-keyed equi-join between the purchase and
+    * touch streams with the time predicate as a residual filter, then
+    * a per-purchase rank window — pairs are bounded by per-user
+    * activity (the q36 funnel class), never corpus×corpus. Ties
+    * (same touch ts) break on higher event_id, then the rank window
+    * is fully deterministic. */
+  def q172(events: DataFrame, lookbackUs: Long = 3600L * 1000000L): DataFrame = {
+    val e = withTs(events).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_type"))
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("us").as("purchase_us"))
+    val touches = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("us").as("touch_us"), col("event_type").as("touch_type"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("purchase_id"))
+      .orderBy(col("touch_us").desc, col("touch_id").desc)
+    val attributed = buys.join(touches,
+        buys("user_id") === touches("user_id") &&
+        col("touch_us") <= col("purchase_us") &&
+        col("touch_us") >= col("purchase_us") - lookbackUs)
+      .select(col("purchase_id"), buys("user_id"), col("purchase_us"),
+        col("touch_id"), col("touch_us"), col("touch_type"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+    buys.join(attributed.select(col("purchase_id"), col("touch_id"),
+        col("touch_us"), col("touch_type")), Seq("purchase_id"), "left_outer")
+      .withColumn("status",
+        when(col("touch_id").isNotNull, "attributed")
+          .otherwise("unattributed"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        col("touch_id"), col("touch_us"), col("touch_type"), col("status"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** q173: HOURLY VOLUME ANOMALY flags — events-per-hour z-scored
+    * against the corpus's own hourly mean/variance, |z| > 2 flagged:
+    * the pipeline-monitoring read that catches a stalled producer
+    * (missing hours score low) or a replay storm (spikes score high)
+    * before any content-level check would. Counts and Σc² are exact
+    * longs; mean/var/z are one fixed IEEE sequence over those sums →
+    * hash-exact. The hour aggregate is map-side combined; the
+    * one-row moments frame broadcasts back. */
+  def q173(events: DataFrame, zMax: Double = 2.0): DataFrame = {
+    val hours = withTs(events)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+    val m = hours.agg(count(lit(1)).cast("long").as("nh"),
+      sum(col("n_events")).cast("long").as("s"),
+      sum(col("n_events") * col("n_events")).cast("long").as("ss"))
+    val nhD = col("nh").cast("double")
+    val mean = col("s").cast("double") / nhD
+    val variance = col("ss").cast("double") / nhD - mean * mean
+    hours.crossJoin(broadcast(m))
+      .withColumn("z",
+        (col("n_events").cast("double") - mean) /
+          sqrt(variance + lit(1e-9)))
+      .withColumn("flag",
+        when(col("z") > zMax, "spike")
+          .when(col("z") < -zMax, "drought")
+          .otherwise("normal"))
+      .select(col("hour"), col("n_events"), col("z"), col("flag"))
+      .orderBy(col("hour"))
+  }
+
   /** q170: TEMPORAL train/test SPLIT with an EMBARGO gap — the
     * time-series ML-hygiene operator: train = first 70% of the event
     * time range, embargo = next 10% (DROPPED — events too close to

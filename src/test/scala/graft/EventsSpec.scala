@@ -113,6 +113,39 @@ class EventsSpec extends GraftSpec {
     assert(out.size == 4)
   }
 
+  test("q172 attribution: latest touch within the hour wins, outside-window unattributed") {
+    val rows = Seq(
+      ev(1, 1, "2024-01-01T10:00:00Z", "view"),
+      ev(2, 1, "2024-01-01T10:30:00Z", "click"),    // latest touch
+      ev(3, 1, "2024-01-01T10:45:00Z", "purchase"), // -> touch 2
+      ev(4, 2, "2024-01-01T08:00:00Z", "view"),
+      ev(5, 2, "2024-01-01T10:00:00Z", "purchase"), // 2h gap -> unattributed
+      ev(6, 3, "2024-01-01T11:00:00Z", "purchase")  // no touches at all
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Events.q172(rows).collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        (Option(r.getAs[java.lang.Long]("touch_id")).map(_.toLong),
+          r.getAs[String]("status"))).toMap
+    assert(out(3L) == ((Some(2L), "attributed")), out)
+    assert(out(5L) == ((None, "unattributed")), out)
+    assert(out(6L) == ((None, "unattributed")), out)
+  }
+
+  test("q173 hourly anomaly: planted spike hour flags, steady hours normal") {
+    val steady = (0 until 5).flatMap(h => (0 until 10).map(i =>
+      ev(h * 100L + i, 1, f"2024-01-01T0$h%01d:${i * 5}%02d:00Z", "view")))
+    val spike = (0 until 90).map(i =>
+      ev(9000L + i, 2, f"2024-01-01T05:${i % 60}%02d:${i / 60}%02d`Z".replace("`",""), "view"))
+    val rows = (steady ++ spike)
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Events.q173(rows).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("hour").toString ->
+        (r.getAs[Long]("n_events"), r.getAs[String]("flag"))).toMap
+    assert(out.size == 6)
+    assert(out.exists { case (_, (n, f)) => n == 90L && f == "spike" }, out)
+    assert(out.count { case (_, (_, f)) => f == "normal" } == 5, out)
+  }
+
   test("q170 temporal split: 70/10/20 cutoffs, embargo dropped rows, leak audit") {
     // range 00:00..01:40 (100 s) -> train < 70 s, embargo < 80 s
     def at(s: Int) = f"2024-01-01T00:${s / 60}%02d:${s % 60}%02dZ"
