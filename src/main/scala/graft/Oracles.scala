@@ -2555,7 +2555,39 @@ object Oracles {
            CASE WHEN z > 2.0 THEN 'spike'
                 WHEN z < -2.0 THEN 'drought'
                 ELSE 'normal' END AS flag
-         FROM zc ORDER BY hour"""
+         FROM zc ORDER BY hour""",
+
+    // triangles: NAIVE canonical a<b<c triple join — a different
+    // algorithm than the engine's degree-oriented plan, same counts
+    "q174_triangle_count" ->
+      s"""$UrlNormCte,
+         d AS (SELECT doc_id, domain FROM nrm),
+         bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM d),
+         ed AS (
+           SELECT a.domain AS src, b.domain AS dst
+           FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+           UNION ALL
+           SELECT a.domain AS src, b.domain AS dst
+           FROM d a, bounds, d b
+           WHERE a.doc_id = bounds.hi AND b.doc_id = bounds.lo),
+         und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM ed WHERE src <> dst),
+         deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM
+           (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+           GROUP BY n),
+         tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+           FROM und x JOIN und y ON y.a = x.a AND y.b > x.b
+           JOIN und z ON z.a = x.b AND z.b = y.b),
+         stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(deg) // 2 AS BIGINT) AS n_edges,
+             CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS wedges
+           FROM deg)
+         SELECT n_nodes, n_edges, n_triangles, wedges,
+           CASE WHEN wedges > 0
+                THEN 3.0 * CAST(n_triangles AS DOUBLE)
+                  / CAST(wedges AS DOUBLE)
+                ELSE 0.0 END AS clustering
+         FROM stats CROSS JOIN tri"""
   )
 
   private lazy val zipfSql: String = {

@@ -98,6 +98,8 @@ object ProbeR11 {
         time(noop(operators.Events.q172(Tables.events(spark, sf))))
       walls(("q173_hourly_anomaly", tag)) =
         time(noop(operators.Events.q173(Tables.events(spark, sf))))
+      walls(("q174_triangles", tag)) =
+        time(noop(operators.Graphs.q174(docs)))
       println(s"[probeR11] $tag done (n_doc=${docs.count()})")
     }
     for (op <- Seq("q148_url_normalize", "q149_blocklist",
@@ -111,7 +113,8 @@ object ProbeR11 {
                    "q165_lpa", "q166_rake", "q167_chi2",
                    "q168_gini", "q169_sem_decontam",
                    "q170_temporal_split", "q171_shard_rebalance",
-                   "q172_attribution", "q173_hourly_anomaly")) {
+                   "q172_attribution", "q173_hourly_anomaly",
+                   "q174_triangles")) {
       val s = walls((op, "sf0.01")); val b = walls((op, "sf0.1"))
       println(f"[probeR11] $op%-20s sf0.01=$s%7.2fs sf0.1=$b%7.2fs " +
         f"ratio=${b / s}%5.2fx")

@@ -332,7 +332,8 @@ object SparkEntry {
     "q171_shard_rebalance"     -> ((s, d) => Sharding.q171(documents(s, d),
       n = Oracles.ShardN, m = Oracles.ShardM, vnodes = Oracles.ShardVnodes)),
     "q172_attribution"         -> ((s, d) => Events.q172(events(s, d))),
-    "q173_hourly_anomaly"      -> ((s, d) => Events.q173(events(s, d)))
+    "q173_hourly_anomaly"      -> ((s, d) => Events.q173(events(s, d))),
+    "q174_triangle_count"      -> ((s, d) => Graphs.q174(documents(s, d)))
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

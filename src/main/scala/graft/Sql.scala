@@ -176,6 +176,7 @@ object Sql {
         graft.operators.Events.q172(spark.table("events"))),
       "graft_hourly_anomaly" -> (() =>
         graft.operators.Events.q173(spark.table("events"))),
+      "graft_triangles"      -> (() => graft.operators.Graphs.q174(docs)),
       // drift between the q110 snapshot derivations (see Oracles)
       "graft_token_drift"    -> (() => {
         import org.apache.spark.sql.functions.{col, lit, pmod, when, upper}

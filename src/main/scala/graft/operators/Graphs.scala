@@ -144,6 +144,68 @@ object Graphs {
     labels
   }
 
+  /** q174: TRIANGLE COUNT + global CLUSTERING COEFFICIENT of the
+    * crawl's domain graph — the graph-density read next to q154's
+    * authority and q165's communities (a high coefficient says the
+    * domain neighborhood is clique-y: mirror networks, link farms).
+    *
+    * The REGISTERED plan is the degree-ordered ORIENTATION algorithm
+    * (Chiba–Nishizeki / the MapReduce triangle standard): orient each
+    * undirected edge from its lower (degree, name) endpoint, build
+    * wedges only between ordered out-neighbors, close them with one
+    * equi-join against the oriented edge list. Out-degrees under this
+    * orientation are O(√m), so wedge count is near-optimal — the
+    * reason this survives graphs where naive neighbor-pair joins
+    * explode on hub nodes. The ORACLE counts the same triangles with
+    * the naive canonical a<b<c triple join — two different algorithms
+    * agreeing is the strongest cross-check in the graph family.
+    *
+    * Exactness (§6): everything is integer until the one coefficient
+    * divide 3T/W (W = Σ deg·(deg−1)/2, guarded when 0). */
+  def q174(documents: DataFrame): DataFrame =
+    triangleStats(crawlEdges(documents))
+
+  /** The oriented-wedge triangle core over any (src, dst) edge list —
+    * q174's plan, reusable on arbitrary graphs (spec plants a K4). */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = graft.Pins.pin(
+      edges
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+    val deg = graft.Pins.pin(
+      und.select(col("a").as("n"))
+        .unionByName(und.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).cast("long").as("deg")))
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+    val aLower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = graft.Pins.pin(withDeg.select(
+      when(aLower, col("a")).otherwise(col("b")).as("src"),
+      when(aLower, col("b")).otherwise(col("a")).as("dst"),
+      when(aLower, col("db")).otherwise(col("da")).as("dd")))
+    val e1 = oriented.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+    val e2 = oriented.select(col("src"), col("dst").as("w"), col("dd").as("dw"))
+    val wedgeOrder = col("dv") < col("dw") ||
+      (col("dv") === col("dw") && col("v") < col("w"))
+    val tri = e1.join(e2, "src").filter(wedgeOrder)
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"))
+      .agg(count(lit(1)).cast("long").as("n_triangles"))
+    val stats = deg.agg(count(lit(1)).cast("long").as("n_nodes"),
+      (sum(col("deg")).cast("long") / 2).cast("long").as("n_edges"),
+      sum(expr("deg * (deg - 1) div 2")).cast("long").as("wedges"))
+    stats.crossJoin(broadcast(tri))
+      .withColumn("clustering",
+        when(col("wedges") > 0L,
+          lit(3.0) * col("n_triangles").cast("double") /
+            col("wedges").cast("double")).otherwise(0.0))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        col("wedges"), col("clustering"))
+  }
+
   /** q165: DOMAIN COMMUNITIES via label propagation over the crawl
     * graph — the curation signal for "which domain groups travel
     * together": mirror clusters, boilerplate networks, and content

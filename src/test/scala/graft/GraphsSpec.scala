@@ -72,6 +72,45 @@ class GraphsSpec extends GraftSpec {
     assert(re == out)
   }
 
+  test("q174 triangles: oriented count matches brute force on the crawl graph") {
+    val docs = Tables.documents(spark, SF)
+    val out = Graphs.q174(docs).collect().head
+    val nTri = out.getAs[Long]("n_triangles")
+    // brute-force recount from the same undirected edge set
+    val und = graft.operators.Graphs.crawlEdges(docs)
+      .select(org.apache.spark.sql.functions.least(col("src"), col("dst")).as("a"),
+        org.apache.spark.sql.functions.greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    var brute = 0L
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      if und(( nodes(i), nodes(j) ))
+      k <- (j + 1) until nodes.size
+      if und((nodes(i), nodes(k))) && und((nodes(j), nodes(k)))
+    } brute += 1
+    assert(nTri == brute, s"oriented=$nTri brute=$brute")
+    assert(out.getAs[Long]("n_edges") == und.size)
+    val c = out.getAs[Double]("clustering")
+    assert(c >= 0.0 && c <= 1.0, c)
+  }
+
+  test("triangleStats: planted K4 plus a pendant counts 4 triangles") {
+    // K4 on a,b,c,d (4 triangles, clustering high) + pendant edge d-e
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+      ("c", "d"), ("d", "e")
+    ).toDF("src", "dst")
+    val out = Graphs.triangleStats(edges).collect().head
+    assert(out.getAs[Long]("n_nodes") == 5L)
+    assert(out.getAs[Long]("n_edges") == 7L)
+    assert(out.getAs[Long]("n_triangles") == 4L, out)
+    // wedges: deg a,b,c=3 -> 3 each; d=4 -> 6; e=1 -> 0 => 15
+    assert(out.getAs[Long]("wedges") == 15L)
+    assert(out.getAs[Double]("clustering") == 12.0 / 15.0)
+  }
+
   test("q165 communities cover every crawl domain deterministically") {
     val docs = Tables.documents(spark, SF)
     val out = Graphs.q165(docs).collect()
