@@ -243,6 +243,29 @@ object Sql {
     * execute eagerly at registration (a fixpoint loop can't be a lazy
     * view), so a plain SQL session doesn't pay for clustering it never
     * queries. */
+  /** sql04: SNAPSHOT TABLES on the SQL surface — bind an s16 table
+    * under `name` (head version), `name_history` (the commit log:
+    * version/parent/operation/ts/file count), and optionally
+    * `name_v<V>` time-travel views, so a SQL-only session gets
+    * `SELECT ... FROM t`, `SELECT * FROM t_history`, and
+    * point-in-time reads without touching the Scala API. Re-register
+    * after a commit to move the head view (an already-bound view
+    * keeps its version's immutable files — snapshot isolation). */
+  def registerSnapshot(spark: SparkSession, path: String, name: String,
+                       versions: Seq[Long] = Seq.empty): Unit = {
+    import graft.sources.SnapshotTable
+    SnapshotTable.read(spark, path).createOrReplaceTempView(name)
+    val hist = SnapshotTable.history(spark, path)
+      .map(s => (s.version, s.parent, s.operation, s.tsMillis,
+        s.files.size.toLong))
+    import spark.implicits._
+    hist.toDF("version", "parent", "operation", "ts_millis", "n_files")
+      .createOrReplaceTempView(s"${name}_history")
+    versions.foreach(v =>
+      SnapshotTable.read(spark, path, Some(v))
+        .createOrReplaceTempView(s"${name}_v$v"))
+  }
+
   def cli(spark: SparkSession, args: Seq[String]): DataFrame = {
     val withClusters = args.headOption.contains("--with-clusters")
     val rest = if (withClusters) args.tail else args

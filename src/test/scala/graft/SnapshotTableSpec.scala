@@ -212,6 +212,19 @@ class SnapshotTableSpec extends GraftSpec {
     assert(MaterializedView.definition(spark, p).contains("GROUP BY k"))
   }
 
+  test("sql04: snapshot table + history + time travel through pure SQL views") {
+    val p = tmp("sql")
+    SnapshotTable.create(spark, p, Seq((1L, "a")).toDF("id", "s"))
+    SnapshotTable.append(spark, p, Seq((2L, "b")).toDF("id", "s"))
+    graft.Sql.registerSnapshot(spark, p, "snap_t", versions = Seq(1L))
+    assert(spark.sql("SELECT count(*) FROM snap_t").head().getLong(0) == 2L)
+    assert(spark.sql("SELECT count(*) FROM snap_t_v1").head().getLong(0) == 1L)
+    val hist = spark.sql(
+      "SELECT version, operation FROM snap_t_history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hist == Seq((1L, "create"), (2L, "append")), hist)
+  }
+
   test("second writer refuses while the lock is held; break() recovers") {
     val p = tmp("lock")
     SnapshotTable.create(spark, p, Seq((1L, "a")).toDF("id", "s"))
