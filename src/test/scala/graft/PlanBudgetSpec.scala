@@ -36,6 +36,26 @@ class PlanBudgetSpec extends GraftSpec {
     assert(r.exchanges <= 4, r) // tok-count, doc-agg, final order
   }
 
+  test("q169 semantic decontam: the benchmark side must stay broadcast") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, SF)
+    val r = PlanReport.analyze(graft.operators.Similarity.q169(
+      e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10)))
+    // the benchmark rides a broadcast exchange into a nested-loop
+    // join (no equi-key); a sort-merge join here would shuffle the
+    // corpus per query batch
+    assert(r.broadcastExchanges >= 1, r)
+    assert(r.sortMergeJoins == 0, r)
+  }
+
+  test("q116 BM25: query terms and df stats ride broadcast joins") {
+    import spark.implicits._
+    val r = PlanReport.analyze(graft.operators.TextAnalysis.q116(
+      Tables.documents(spark, SF),
+      Oracles.Bm25Queries.toDF("query_id", "terms")))
+    assert(r.broadcastJoins >= 2, r)
+  }
+
   test("q48 quality scoring is shuffle-free up to the output sort") {
     val r = PlanReport.analyze(TextAnalysis.q48(Tables.documents(spark, SF)))
     assert(r.exchanges <= 1, r) // only the orderBy range exchange
