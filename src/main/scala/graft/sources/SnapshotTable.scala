@@ -178,10 +178,20 @@ object SnapshotTable {
             .filter(_.endsWith(".parquet")).sorted.map(n => s"$dir/$n")
       }
       val v = head + 1
-      // exclusive create: if a racing writer somehow published v first
-      // (a broken LakeLock), the COMMIT fails — history never forks
-      publishManifest(spark, f, path, v, head, operation,
+      // exclusive create: if a racing writer published v first (an
+      // optimistic appender doesn't take this lock), the COMMIT fails
+      // loudly — history never forks; re-running the mutation rebases
+      // it on the new head
+      try publishManifest(spark, f, path, v, head, operation,
         filesOf(head, newFiles), schemaOf(head, newFiles))
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"$operation on $path lost version $v to a concurrent " +
+            "appendOptimistic; nothing was corrupted — re-run the " +
+            "mutation to rebase it on the new head")
+      }
       v
     }
 
