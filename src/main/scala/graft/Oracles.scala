@@ -2135,6 +2135,26 @@ object Oracles {
     // counts + string labels, no floats (Graphs.labelProp)
     "q165_domain_communities" -> lpaSql,
 
+    // BFS k-hop distances, unrolled relax-and-min rounds (Graphs.q175)
+    "q175_khop_distances" -> bfsSql,
+
+    // per-source dedup savings: q40's normalized-text identity, first
+    // doc_id keeps; one double divide
+    "q176_dedup_savings" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lower(trim(text))
+               ORDER BY doc_id) AS rk
+           FROM documents)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
+           CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_docs,
+           CAST(SUM(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS dup_bytes,
+           CAST(SUM(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(n_chars) AS DOUBLE) AS savings_pct
+         FROM r GROUP BY source ORDER BY source""",
+
     // fixed-round Lloyd's with integer-domain distances — five UNROLLED
     // rounds; argmin compares longs, means are q122 fixed-point, empty
     // clusters COALESCE to the previous centroid (KMeans.q155)
@@ -2694,6 +2714,39 @@ object Oracles {
     * sees 5 regardless of object-init order (the PageRankIters
     * lesson). */
   final val LpaIters = 5
+
+  /** q175 hop budget. */
+  final val KhopHops = 6
+
+  /** q175: BFS relax-and-min, `KhopHops` unrolled rounds over the
+    * same symmetrized edges as q165 — all integers, exact. */
+  private lazy val bfsSql: String = {
+    val head = UrlNormCte + """,
+         d AS (SELECT doc_id, domain FROM nrm),
+         bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM d),
+         ed AS (
+           SELECT a.domain AS src, b.domain AS dst
+           FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+           UNION ALL
+           SELECT a.domain AS src, b.domain AS dst
+           FROM d a, bounds, d b
+           WHERE a.doc_id = bounds.hi AND b.doc_id = bounds.lo),
+         eu AS (SELECT DISTINCT src, dst FROM
+           (SELECT src, dst FROM ed
+            UNION ALL SELECT dst AS src, src AS dst FROM ed)),
+         d0 AS (SELECT MIN(src) AS node, CAST(0 AS BIGINT) AS dist FROM eu)"""
+    val rounds = (1 to KhopHops).map { k =>
+      s""",
+         d$k AS (SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+             SELECT node, dist FROM d${k - 1}
+             UNION ALL
+             SELECT eu.dst AS node, p.dist + 1 AS dist
+             FROM eu JOIN d${k - 1} p ON eu.src = p.node)
+           GROUP BY node)"""
+    }.mkString
+    head + rounds +
+      s"\n         SELECT node AS domain, dist AS hop FROM d$KhopHops ORDER BY domain"
+  }
 
   /** q165: synchronous label propagation, five UNROLLED rounds over
     * the symmetrized q154 crawl-chain edges; counts are exact longs,

@@ -100,6 +100,10 @@ object ProbeR11 {
         time(noop(operators.Events.q173(Tables.events(spark, sf))))
       walls(("q174_triangles", tag)) =
         time(noop(operators.Graphs.q174(docs)))
+      walls(("q175_khop", tag)) =
+        time(noop(operators.Graphs.q175(docs, hops = Oracles.KhopHops)))
+      walls(("q176_dedup_savings", tag)) =
+        time(noop(operators.Dedup.q176(docs)))
       println(s"[probeR11] $tag done (n_doc=${docs.count()})")
     }
     for (op <- Seq("q148_url_normalize", "q149_blocklist",
@@ -114,7 +118,8 @@ object ProbeR11 {
                    "q168_gini", "q169_sem_decontam",
                    "q170_temporal_split", "q171_shard_rebalance",
                    "q172_attribution", "q173_hourly_anomaly",
-                   "q174_triangles")) {
+                   "q174_triangles", "q175_khop",
+                   "q176_dedup_savings")) {
       val s = walls((op, "sf0.01")); val b = walls((op, "sf0.1"))
       println(f"[probeR11] $op%-20s sf0.01=$s%7.2fs sf0.1=$b%7.2fs " +
         f"ratio=${b / s}%5.2fx")

@@ -333,7 +333,10 @@ object SparkEntry {
       n = Oracles.ShardN, m = Oracles.ShardM, vnodes = Oracles.ShardVnodes)),
     "q172_attribution"         -> ((s, d) => Events.q172(events(s, d))),
     "q173_hourly_anomaly"      -> ((s, d) => Events.q173(events(s, d))),
-    "q174_triangle_count"      -> ((s, d) => Graphs.q174(documents(s, d)))
+    "q174_triangle_count"      -> ((s, d) => Graphs.q174(documents(s, d))),
+    "q175_khop_distances"      -> ((s, d) => Graphs.q175(documents(s, d),
+      hops = Oracles.KhopHops)),
+    "q176_dedup_savings"       -> ((s, d) => Dedup.q176(documents(s, d)))
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -177,6 +177,9 @@ object Sql {
       "graft_hourly_anomaly" -> (() =>
         graft.operators.Events.q173(spark.table("events"))),
       "graft_triangles"      -> (() => graft.operators.Graphs.q174(docs)),
+      "graft_khop"           -> (() => graft.operators.Graphs.q175(docs,
+        hops = Oracles.KhopHops)),
+      "graft_dedup_savings"  -> (() => Dedup.q176(docs)),
       // drift between the q110 snapshot derivations (see Oracles)
       "graft_token_drift"    -> (() => {
         import org.apache.spark.sql.functions.{col, lit, pmod, when, upper}

@@ -480,6 +480,32 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q176: DEDUP STORAGE-SAVINGS report — per source, how many docs
+    * and bytes exact dedup (q40's normalized-text identity, first
+    * occurrence by doc_id kept) would remove, and the savings
+    * fraction: the capacity-planning dashboard that turns the dedup
+    * family's verdicts into a storage number per source. At 100 TB
+    * the identity key is the 16-byte digest (the q40/q109
+    * discipline); the oracle-portable registered form groups the
+    * normalized text directly — same answer, and the dedup-rank
+    * window is the only text-keyed stage. */
+  def q176(documents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lower(trim(col("text")))).orderBy(col("doc_id"))
+    documents
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_bytes"),
+        sum(when(col("rk") > 1, 1L).otherwise(0L)).cast("long")
+          .as("dup_docs"),
+        sum(when(col("rk") > 1, col("n_chars")).otherwise(0L)).cast("long")
+          .as("dup_bytes"))
+      .withColumn("savings_pct",
+        col("dup_bytes").cast("double") / col("n_bytes").cast("double"))
+      .orderBy(col("source"))
+  }
+
   /** q143: per-benchmark-item CONTAINMENT — q69's question asked in
     * the OTHER direction. q69 scores each corpus doc by how much of
     * ITS text is benchmark material; the decontamination policies the

@@ -206,6 +206,40 @@ object Graphs {
         col("wedges"), col("clustering"))
   }
 
+  /** q175: K-HOP BFS NEIGHBORHOOD of the seed domain (the
+    * lexicographically smallest — deterministic) over the symmetrized
+    * crawl graph: every domain within `hops` hops with its exact hop
+    * distance. The FOURTH oracle-exact iterative operator (authority
+    * q154, communities q165, triangles q174, now distances) — the
+    * "how far does this link neighborhood extend" read behind crawl
+    * frontier budgeting and contamination blast-radius checks. All
+    * integers, fixed round count (oracle unrolls `hops` rounds of
+    * relax-and-min CTEs) → hash-exact by induction.
+    *
+    * Plan per round: edge list × ONE broadcast join against the
+    * reached frontier (node-sized) + a map-side-combined min — the
+    * q154/q165 round shape; localCheckpoint lineage cut. */
+  def q175(documents: DataFrame, hops: Int = 6): DataFrame = {
+    val e = graft.Pins.pin(
+      crawlEdges(documents).select(col("src"), col("dst"))
+        .unionByName(crawlEdges(documents)
+          .select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    val seed = e.agg(min(col("src")).as("node"))
+    var dist = broadcast(seed).withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    for (_ <- 1 to hops) {
+      val relax = e
+        .join(broadcast(dist.withColumnRenamed("node", "src")), "src")
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionByName(relax)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist.select(col("node").as("domain"), col("dist").as("hop"))
+      .orderBy(col("domain"))
+  }
+
   /** q165: DOMAIN COMMUNITIES via label propagation over the crawl
     * graph — the curation signal for "which domain groups travel
     * together": mirror clusters, boilerplate networks, and content

@@ -548,6 +548,21 @@ class DedupSpec extends GraftSpec {
     assert(t.length == 1 && t.head.getAs[Double]("containment") == 1.0)
   }
 
+  test("q176 savings: planted dup bytes counted against the right source") {
+    val docs = Seq(
+      (1L, "same text here", "A", 14L),   // kept (first by doc_id)
+      (2L, "same text here", "B", 14L),   // dup -> B pays
+      (3L, "same text here", "A", 14L),   // dup -> A pays
+      (4L, "unique content", "A", 13L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val out = graft.operators.Dedup.q176(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("dup_docs"),
+          r.getAs[Long]("dup_bytes"), r.getAs[Double]("savings_pct"))).toMap
+    assert(out("A") == ((3L, 1L, 14L, 14.0 / 41.0)), out)
+    assert(out("B") == ((1L, 1L, 14L, 1.0)), out)
+  }
+
   test("q163 novelty: unique doc scores 1, twin docs 0, mixed in between") {
     val a = "alpha beta gamma delta epsilon zeta"
     val docs = Seq(

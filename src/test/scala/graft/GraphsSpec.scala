@@ -111,6 +111,23 @@ class GraphsSpec extends GraftSpec {
     assert(out.getAs[Double]("clustering") == 12.0 / 15.0)
   }
 
+  test("q175 k-hop BFS: seed at 0, hops exact on the crawl cycle, bounded by k") {
+    val docs = Tables.documents(spark, SF)
+    val out = Graphs.q175(docs, hops = 6).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val seed = out.minBy(_._1)._1
+    assert(out.values.min == 0L && out(out.keys.min) >= 0L)
+    assert(out.keys.min == seed || out(seed) == 0L) // smallest domain is the seed...
+    assert(out(out.keys.toSeq.sorted.head) == 0L)   // ...and sits at hop 0
+    assert(out.values.max <= 6L)
+    // monotone frontier: hop h+1 non-empty only if hop h was
+    val hist = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    (0L to out.values.max).foreach(h => assert(hist.contains(h), s"gap at $h"))
+    val re = Graphs.q175(docs.repartition(7), hops = 6).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(re == out)
+  }
+
   test("q165 communities cover every crawl domain deterministically") {
     val docs = Tables.documents(spark, SF)
     val out = Graphs.q165(docs).collect()
