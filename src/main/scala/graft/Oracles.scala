@@ -49,6 +49,18 @@ object Oracles {
   final val ShardM = 20
   final val ShardVnodes = 8
 
+  /** q177 SemDeDup within-cluster cosine threshold (q46's pair
+    * threshold, so the two dedups are comparable). */
+  final val SemDedupTau = 0.4
+
+  /** q179 epoch schedule: budget = factor × corpus tokens, epoch cap. */
+  final val EpochBudgetFactor = 2
+  final val EpochMaxEpochs = 4
+
+  /** q180 HITS round count and integer-renormalization scale. */
+  final val HitsIters = 5
+  final val HitsScale = 1000000L
+
   /** q114/q115/q119 span length — the operator defaults AND the
     * oracle window arithmetic derive from this one value. */
   val SpanK = 5
@@ -2162,6 +2174,72 @@ object Oracles {
 
     // per-cluster health profile over the SAME unrolled assignment
     "q156_cluster_profile" -> kmeansProfileSql,
+
+    // SemDeDup: the unrolled k-means assignment + within-cluster
+    // pairwise strict-fold cosine; dup_of = min earlier id above tau
+    "q177_semdedup" -> semDedupSql,
+
+    // Gopher rule filter: exact longs (word count, integer length
+    // fold, filtered sizes, regexp counts), two IEEE divides
+    "q178_gopher_rules" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS toks,
+             text FROM documents),
+         b AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(toks, t -> CAST(len(t) AS BIGINT))),
+               (a, x) -> a + x) AS sum_wlen,
+             CAST(len(list_filter(toks,
+               t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(toks,
+               t -> lower(t) IN ('the','a','and','of','data','row')))
+               AS BIGINT) AS n_stop,
+             CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT)
+               AS n_sym
+           FROM w),
+         r AS (SELECT doc_id, n_words,
+             CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_wlen,
+             CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_frac,
+             n_stop,
+             CAST(n_sym AS DOUBLE) / CAST(n_words AS DOUBLE) AS sym_ratio
+           FROM b)
+         SELECT doc_id, n_words, mean_wlen, alpha_frac, n_stop, sym_ratio,
+           (n_words >= 50 AND n_words <= 100000) AS r_len,
+           (mean_wlen >= 3.0 AND mean_wlen <= 10.0) AS r_wlen,
+           (alpha_frac >= 0.8) AS r_alpha,
+           (n_stop >= 2) AS r_stop,
+           (sym_ratio <= 0.1) AS r_sym,
+           ((n_words >= 50 AND n_words <= 100000)
+             AND (mean_wlen >= 3.0 AND mean_wlen <= 10.0)
+             AND (alpha_frac >= 0.8) AND (n_stop >= 2)
+             AND (sym_ratio <= 0.1)) AS pass
+         FROM r ORDER BY doc_id""",
+
+    // epoch schedule: all-integer budget split (div / ceildiv / caps),
+    // one final util divide
+    "q179_epoch_schedule" ->
+      s"""WITH s AS (SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+               AS tokens
+           FROM documents GROUP BY source),
+         g AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_sources FROM s),
+         t AS (SELECT s.source, s.n_docs, s.tokens,
+             (g.total_tokens * $EpochBudgetFactor) // g.n_sources
+               AS target_tokens
+           FROM s CROSS JOIN g),
+         e AS (SELECT *, least(CAST($EpochMaxEpochs AS BIGINT),
+             (target_tokens + tokens - 1) // tokens) AS epochs FROM t)
+         SELECT source, n_docs, tokens, target_tokens, epochs,
+           least(target_tokens, epochs * tokens) AS served_tokens,
+           CAST(least(target_tokens, epochs * tokens) AS DOUBLE)
+             / CAST(target_tokens AS DOUBLE) AS util
+         FROM e ORDER BY source""",
+
+    // HITS: unrolled integer-renormalized rounds over the distinct
+    // directed crawl edges — no floats anywhere
+    "q180_hits" -> hitsSql,
 
     // Zipf slope: PortableLn via lnChain, regression terms floor-scaled
     // to 1e-9 longs (order-free sums), slope/intercept = fixed IEEE op

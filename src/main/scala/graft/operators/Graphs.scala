@@ -250,4 +250,70 @@ object Graphs {
     labelProp(crawlEdges(documents), iters)
       .select(col("node").as("domain"), col("lbl").as("community"))
       .orderBy(col("domain"))
+
+  /** Fixed-round HITS (Kleinberg 1999) over a DIRECTED edge list, made
+    * oracle-exact by replacing the textbook's float normalization with
+    * INTEGER renormalization: scores live as longs in [0, scale]; each
+    * half-round sums the opposite score over edges (an order-free long
+    * sum) and renormalizes with `raw·scale div total` — integer
+    * multiply and integer division, so every round is bit-identical
+    * across engines by induction with NO float ops anywhere. The FIFTH
+    * member of the iterative family (authority q154, k-means q155,
+    * communities q165, distances q175) and PageRank's directional
+    * complement: authority finds the linked-TO domains, hub the
+    * link-OUT aggregators (directories, link farms) — the pair a crawl
+    * team reads side by side when deciding seed lists vs blocklists.
+    *
+    * Truncation from the integer div loses < nodes of score mass per
+    * round (each node's floor costs < 1), deterministically the same
+    * in both engines. Overflow bound: raw ≤ edges·scale, and the
+    * renormalize multiplies by scale before dividing, so edges·scale²
+    * must stay < 2⁶³ — at scale=1e6 that is ~9×10⁶ distinct edges; a
+    * larger graph drops scale to 1e4 (same exactness argument, coarser
+    * scores) or splits the multiply-divide as `raw div (total div
+    * scale)` after checking total ≥ scale.
+    *
+    * Plan per round (the q154 shape): the pinned edge list streams
+    * through ONE broadcast join against the node-sized score table,
+    * then a map-side-combined long-sum whose exchange carries ≤ nodes
+    * rows; the total is a one-row broadcast. localCheckpoint per round
+    * cuts lineage. Billion-node graphs swap broadcasts for
+    * co-partitioned joins, same algebra. */
+  def hits(edges: DataFrame, iters: Int = 5,
+           scale: Long = 1000000L): DataFrame = {
+    val e = graft.Pins.pin(edges.select(col("src"), col("dst")).distinct())
+    val nodes = graft.Pins.pin(e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct())
+    var hub = nodes.withColumn("h", lit(scale)).localCheckpoint(true)
+    var auth = nodes.withColumn("a", lit(scale)).localCheckpoint(true)
+    // one half-round: raw(n) = Σ over `joinKey` edges of the opposite
+    // score, then integer renormalize to Σ≈scale
+    def half(scores: DataFrame, scoreCol: String, joinKey: String,
+             outKey: String, outCol: String): DataFrame = {
+      val raw = e
+        .join(broadcast(scores.withColumnRenamed("node", joinKey)), joinKey)
+        .groupBy(col(outKey).as("node"))
+        .agg(sum(col(scoreCol)).as("raw"))
+      val tot = raw.agg(sum(col("raw")).as("t"))
+      nodes.join(broadcast(raw), Seq("node"), "left_outer")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          coalesce(expr(s"(coalesce(raw, 0L) * $scale) div t"), lit(0L))
+            .as(outCol))
+        .localCheckpoint(true)
+    }
+    for (_ <- 1 to iters) {
+      auth = half(hub, "h", "src", "dst", "a")   // a(v) ∝ Σ_{u→v} h(u)
+      hub = half(auth, "a", "dst", "src", "h")   // h(u) ∝ Σ_{u→v} a(v)
+    }
+    hub.join(auth, "node")
+      .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+  }
+
+  /** q180: HUBS & AUTHORITIES over the crawl's domain graph — [[hits]]
+    * on [[crawlEdges]], scores as exact scaled longs. */
+  def q180(documents: DataFrame, iters: Int = 5): DataFrame =
+    hits(crawlEdges(documents), iters)
+      .withColumnRenamed("node", "domain")
+      .orderBy(col("domain"))
 }

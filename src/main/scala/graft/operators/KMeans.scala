@@ -112,4 +112,55 @@ object KMeans {
           col("n_vecs").cast("double")).as("mean_dist"),
         col("max_dist"))
       .orderBy(col("cluster"))
+
+  /** q177: SEMDEDUP (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication") — the
+    * paper's exact recipe: k-means the embedding space ([[q155]]),
+    * then search for near-duplicate pairs ONLY within each cluster and
+    * keep one representative per duplicate relation. The clustering is
+    * what makes semantic dedup tractable at 100 TB: pairwise work is
+    * Σ|C_i|² instead of n², and k grows with the corpus so cluster
+    * sizes stay bounded — each cluster's pair block is an independent
+    * task (the equi-join on `cluster` partitions them). The accepted
+    * approximation (per the paper): a near-dup pair SPLIT ACROSS two
+    * clusters is missed; q46 (guarded exact) and q96 (LSH) are the
+    * recall-complete alternatives at smaller scales.
+    *
+    * Determinism: assignment is oracle-exact ([[q155]]'s integer
+    * argmin); cosines are the strict-fold [[Similarity.dot]] so the
+    * `> tau` compares agree bit-for-bit; the kept representative is
+    * the MINIMUM earlier vec_id among a vector's above-threshold
+    * same-cluster partners (the paper keeps a random/centroid-far one;
+    * min-id is the deterministic choice, same rule in the oracle).
+    *
+    * Plan: q155's rounds (corpus never enters an exchange), one
+    * cluster-keyed self-join whose both sides carry (id, vec) — the
+    * within-cluster pair stream — then a per-id min aggregate and a
+    * left join back to the assignment. A single mega-cluster would
+    * skew the self-join; q156's profile is the pre-flight check, and
+    * re-fitting with larger k is the paper's own remedy. */
+  def q177(embeddings: DataFrame, k: Int = 8, iters: Int = 5,
+           tau: Double = 0.4): DataFrame = {
+    val members = graft.Pins.pin(
+      q155(embeddings, k, iters).select(col("vec_id"), col("cluster"))
+        .join(Similarity.normalized(embeddings), "vec_id"))
+    val a = members.select(col("cluster"), col("vec_id").as("ida"),
+      col("v").as("va"), col("norm").as("na"))
+    val b = members.select(col("cluster"), col("vec_id").as("idb"),
+      col("v").as("vb"), col("norm").as("nb"))
+    val dups = a.join(b, Seq("cluster"))
+      .filter(col("ida") < col("idb"))
+      .withColumn("cos",
+        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") > tau)
+      .groupBy(col("idb").as("vec_id"))
+      .agg(min(col("ida")).as("dup_of"))
+    members.select(col("vec_id"), col("cluster"))
+      .join(dups, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"),
+        when(col("dup_of").isNull, lit("keep")).otherwise(lit("drop"))
+          .as("status"),
+        col("dup_of"))
+      .orderBy(col("vec_id"))
+  }
 }

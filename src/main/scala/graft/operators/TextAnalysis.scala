@@ -2051,4 +2051,102 @@ object TextAnalysis {
       .orderBy(abs(floor(col("contrib") * lit(1.0e12)).cast("long")).desc,
         col("tok"))
   }
+
+  /** q178: GOPHER-STYLE RULE FILTER (Rae et al. 2021, "Scaling Language
+    * Models: … Gopher", Appendix A1.1 — the public heuristic-filter
+    * recipe most curation stacks start from): per document, the five
+    * rule measurements and their pass/fail flags —
+    *  - r_len:   word count within [minWords, maxWords];
+    *  - r_wlen:  mean word length within [3, 10] characters;
+    *  - r_alpha: ≥ 80% of words contain an alphabetic character;
+    *  - r_stop:  at least 2 stopword hits (the q48 stopword list);
+    *  - r_sym:   symbol-to-word ratio ('#' or '...') ≤ 0.1;
+    * plus the conjunction `pass`. Complements q48's continuous quality
+    * score (model-ish signal) with the hard rule gate run FIRST in a
+    * real pipeline — q65's funnel admits docs, this says WHY each
+    * failed.
+    *
+    * Exactness (§6): every count is an exact long (word count, summed
+    * word lengths via an integer fold, filtered-array sizes, regexp
+    * occurrence counts); the two ratios are single IEEE divides over
+    * identical longs, so the threshold compares agree bit-for-bit with
+    * the oracle. Plan: one codegen'd scan, no exchange at all — the
+    * cheapest plan class there is; at 100 TB this is a linear pass
+    * that pushes only (doc_id + flags) upstream. */
+  def q178(documents: DataFrame, minWords: Int = 50,
+           maxWords: Int = 100000): DataFrame = {
+    val toks = split(trim(col("text")), " ")
+    documents
+      .withColumn("n_words", size(toks).cast("long"))
+      .withColumn("sum_wlen",
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long")))
+      .withColumn("n_alpha",
+        size(filter(toks, t => t.rlike("[a-z]"))).cast("long"))
+      .withColumn("n_stop",
+        size(filter(toks, t => lower(t).isin(Stopwords: _*))).cast("long"))
+      .withColumn("n_sym",
+        regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("long"))
+      .withColumn("mean_wlen",
+        col("sum_wlen").cast("double") / col("n_words").cast("double"))
+      .withColumn("alpha_frac",
+        col("n_alpha").cast("double") / col("n_words").cast("double"))
+      .withColumn("sym_ratio",
+        col("n_sym").cast("double") / col("n_words").cast("double"))
+      .withColumn("r_len",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_wlen", col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0)
+      .withColumn("r_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("r_stop", col("n_stop") >= 2L)
+      .withColumn("r_sym", col("sym_ratio") <= 0.1)
+      .withColumn("pass", col("r_len") && col("r_wlen") && col("r_alpha") &&
+        col("r_stop") && col("r_sym"))
+      .select(col("doc_id"), col("n_words"), col("mean_wlen"),
+        col("alpha_frac"), col("n_stop"), col("sym_ratio"),
+        col("r_len"), col("r_wlen"), col("r_alpha"), col("r_stop"),
+        col("r_sym"), col("pass"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q179: DATA-CONSTRAINED EPOCH SCHEDULE (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models" — repeating data up to
+    * ~4 epochs is near-free): given a token budget of
+    * `budgetFactor × corpus tokens` split EQUALLY across sources, how
+    * many epochs (repeat passes, capped at `maxEpochs`) each source
+    * runs and how many tokens it actually serves. The planning read
+    * between measuring the mix (q70/q106) and materializing it
+    * (q102/q120/q137): small sources repeat until the cap, large ones
+    * serve a partial pass, and `util` < 1 flags budget the cap left
+    * unservable.
+    *
+    * Exactness (§6): ALL of it is integer arithmetic — per-source token
+    * sums are longs, `target = budget div n_sources`,
+    * `epochs = min(maxEpochs, ceildiv(target, tokens))` via
+    * `(target + tokens − 1) div tokens`, `served = min(target,
+    * epochs·tokens)` — so every column but the one final `util` divide
+    * is hash-exact by construction. Plan: one map-side-combined
+    * per-source aggregate (the only corpus-sized stage) + a one-row
+    * broadcast of the global budget. */
+  def q179(documents: DataFrame, budgetFactor: Int = 2,
+           maxEpochs: Int = 4): DataFrame = {
+    val perSource = documents
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), " ")).cast("long")).as("tokens"))
+    val globals = perSource.agg(
+      sum(col("tokens")).cast("long").as("total_tokens"),
+      count(lit(1)).cast("long").as("n_sources"))
+    perSource.crossJoin(broadcast(globals))
+      .withColumn("target_tokens",
+        expr(s"(total_tokens * $budgetFactor) div n_sources"))
+      .withColumn("epochs",
+        least(lit(maxEpochs.toLong),
+          expr("(target_tokens + tokens - 1) div tokens")))
+      .withColumn("served_tokens",
+        least(col("target_tokens"), col("epochs") * col("tokens")))
+      .withColumn("util",
+        col("served_tokens").cast("double") / col("target_tokens").cast("double"))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        col("target_tokens"), col("epochs"), col("served_tokens"), col("util"))
+      .orderBy(col("source"))
+  }
 }
