@@ -2782,6 +2782,37 @@ object Oracles {
            CAST(MAX(dist) AS BIGINT) AS max_dist
          FROM fin GROUP BY ck ORDER BY cluster"""
 
+  /** q177 oracle: SemDeDup = the unrolled k-means assignment (`fin`)
+    * plus a within-cluster pairwise strict-fold cosine; dup_of = MIN
+    * earlier vec_id above tau among same-cluster partners — mirrors
+    * [[graft.operators.KMeans.q177]] decision for decision. The
+    * cosine is the same left-to-right `list_reduce` fold as Q46Sql,
+    * so the `> tau` compares agree bit-for-bit with DotProduct. */
+  private lazy val semDedupSql: String =
+    kmeansCoreSql + s""",
+         sv AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         sn AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(v, x -> x*x)), (a,b) -> a+b)) AS norm
+           FROM sv),
+         mem AS (SELECT f.vec_id, f.ck, n.v, n.norm
+           FROM fin f JOIN sn n ON n.vec_id = f.vec_id),
+         pr AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1,65), i -> a.v[i]*b.v[i])),
+               (x,y) -> x+y) / (a.norm * b.norm) AS cos
+           FROM mem a JOIN mem b
+             ON a.ck = b.ck AND a.vec_id < b.vec_id),
+         dups AS (SELECT idb AS vec_id, MIN(ida) AS dup_of
+           FROM pr WHERE cos > $SemDedupTau GROUP BY idb)
+         SELECT m.vec_id, CAST(m.ck AS INTEGER) AS cluster,
+           CASE WHEN d.dup_of IS NULL THEN 'keep' ELSE 'drop' END AS status,
+           d.dup_of
+         FROM mem m LEFT JOIN dups d ON d.vec_id = m.vec_id
+         ORDER BY m.vec_id"""
+
   /** Unrolled PageRank oracle over the [[UrlNormCte]] domains: the
     * crawl-chain edge derivation (doc i's domain → doc i+1's domain,
     * max wraps to min) then `PageRankIters` damped rounds mirroring
@@ -2809,13 +2840,13 @@ object Oracles {
            SELECT a.domain AS src, b.domain AS dst
            FROM d a, bounds, d b
            WHERE a.doc_id = bounds.hi AND b.doc_id = bounds.lo),
-         eu AS (SELECT DISTINCT src, dst FROM
+         eu AS MATERIALIZED (SELECT DISTINCT src, dst FROM
            (SELECT src, dst FROM ed
             UNION ALL SELECT dst AS src, src AS dst FROM ed)),
          d0 AS (SELECT MIN(src) AS node, CAST(0 AS BIGINT) AS dist FROM eu)"""
     val rounds = (1 to KhopHops).map { k =>
       s""",
-         d$k AS (SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+         d$k AS MATERIALIZED (SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
              SELECT node, dist FROM d${k - 1}
              UNION ALL
              SELECT eu.dst AS node, p.dist + 1 AS dist
@@ -2841,13 +2872,13 @@ object Oracles {
            SELECT a.domain AS src, b.domain AS dst
            FROM d a, bounds, d b
            WHERE a.doc_id = bounds.hi AND b.doc_id = bounds.lo),
-         eu AS (SELECT DISTINCT src, dst FROM
+         eu AS MATERIALIZED (SELECT DISTINCT src, dst FROM
            (SELECT src, dst FROM ed
             UNION ALL SELECT dst AS src, src AS dst FROM ed)),
          l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM eu)"""
     val rounds = (1 to LpaIters).map { k =>
       s""",
-         nl$k AS (SELECT eu.dst AS node, l.lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+         nl$k AS MATERIALIZED (SELECT eu.dst AS node, l.lbl, CAST(COUNT(*) AS BIGINT) AS cnt
            FROM eu JOIN l${k - 1} l ON eu.src = l.node
            GROUP BY eu.dst, l.lbl),
          mx$k AS (SELECT node, MAX(cnt) AS mc FROM nl$k GROUP BY node),
@@ -2894,6 +2925,60 @@ object Oracles {
     }.mkString
     head + iters +
       s"\n         SELECT node AS domain, pr FROM r$PageRankIters ORDER BY domain"
+  }
+
+  /** q180 oracle: `HitsIters` unrolled integer-renormalized HITS
+    * rounds over the DISTINCT directed crawl edges — mirrors
+    * [[graft.operators.Graphs.hits]]: each half-round is an exact long
+    * sum of the opposite score followed by `raw·scale // total`
+    * (DuckDB `//` and Spark `div` both truncate; every value is
+    * non-negative, so the rounds are bit-identical by induction with
+    * no float ops anywhere). Round order matters and is preserved:
+    * auth from the PREVIOUS hub, then hub from the NEW auth.
+    *
+    * The multi-referenced CTEs (`eu`, `nodes`, every round) are
+    * `AS MATERIALIZED`: DuckDB 1.0 INLINES every CTE reference, so a
+    * 5-round chain that references `eu` twice a round would expand
+    * the whole URL derivation 2¹⁰ times — materialization is purely
+    * an execution hint, values are unchanged. */
+  private lazy val hitsSql: String = {
+    val head = UrlNormCte + s""",
+         d AS (SELECT doc_id, domain FROM nrm),
+         bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM d),
+         ed AS (
+           SELECT a.domain AS src, b.domain AS dst
+           FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+           UNION ALL
+           SELECT a.domain AS src, b.domain AS dst
+           FROM d a, bounds, d b
+           WHERE a.doc_id = bounds.hi AND b.doc_id = bounds.lo),
+         eu AS MATERIALIZED (SELECT DISTINCT src, dst FROM ed),
+         nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+           (SELECT src AS node FROM eu UNION ALL SELECT dst FROM eu)),
+         h0 AS (SELECT node, CAST($HitsScale AS BIGINT) AS h FROM nodes)"""
+    val rounds = (1 to HitsIters).map { k =>
+      s""",
+         ar$k AS MATERIALIZED (
+           SELECT eu.dst AS node, CAST(SUM(s.h) AS BIGINT) AS raw
+           FROM eu JOIN h${k - 1} s ON eu.src = s.node GROUP BY eu.dst),
+         at$k AS (SELECT CAST(SUM(raw) AS BIGINT) AS t FROM ar$k),
+         a$k AS MATERIALIZED (SELECT n.node,
+             COALESCE((COALESCE(r.raw, CAST(0 AS BIGINT)) *
+               CAST($HitsScale AS BIGINT)) // t, CAST(0 AS BIGINT)) AS a
+           FROM nodes n CROSS JOIN at$k LEFT JOIN ar$k r ON n.node = r.node),
+         hr$k AS MATERIALIZED (
+           SELECT eu.src AS node, CAST(SUM(s.a) AS BIGINT) AS raw
+           FROM eu JOIN a$k s ON eu.dst = s.node GROUP BY eu.src),
+         ht$k AS (SELECT CAST(SUM(raw) AS BIGINT) AS t FROM hr$k),
+         h$k AS MATERIALIZED (SELECT n.node,
+             COALESCE((COALESCE(r.raw, CAST(0 AS BIGINT)) *
+               CAST($HitsScale AS BIGINT)) // t, CAST(0 AS BIGINT)) AS h
+           FROM nodes n CROSS JOIN ht$k LEFT JOIN hr$k r ON n.node = r.node)"""
+    }.mkString
+    head + rounds + s"""
+         SELECT h.node AS domain, h.h AS hub, a.a AS authority
+         FROM h$HitsIters h JOIN a$HitsIters a ON a.node = h.node
+         ORDER BY domain"""
   }
 
   /** Shared URL-derivation + normalization CTE for q148–q151 — the SQL

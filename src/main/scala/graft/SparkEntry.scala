@@ -336,7 +336,15 @@ object SparkEntry {
     "q174_triangle_count"      -> ((s, d) => Graphs.q174(documents(s, d))),
     "q175_khop_distances"      -> ((s, d) => Graphs.q175(documents(s, d),
       hops = Oracles.KhopHops)),
-    "q176_dedup_savings"       -> ((s, d) => Dedup.q176(documents(s, d)))
+    "q176_dedup_savings"       -> ((s, d) => Dedup.q176(documents(s, d))),
+    "q177_semdedup"            -> ((s, d) => KMeans.q177(embeddings(s, d),
+      tau = Oracles.SemDedupTau)),
+    "q178_gopher_rules"        -> ((s, d) => TextAnalysis.q178(documents(s, d))),
+    "q179_epoch_schedule"      -> ((s, d) => TextAnalysis.q179(documents(s, d),
+      budgetFactor = Oracles.EpochBudgetFactor,
+      maxEpochs = Oracles.EpochMaxEpochs)),
+    "q180_hits"                -> ((s, d) => Graphs.q180(documents(s, d),
+      iters = Oracles.HitsIters))
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

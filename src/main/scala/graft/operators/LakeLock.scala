@@ -47,8 +47,12 @@ object LakeLock {
         ()
       } else fs.create(p, /* overwrite = */ false).close()
     } catch {
+      // ONLY the exists-already signals mean "another writer holds it";
+      // a broader IOException catch here misdiagnosed permissions/disk
+      // failures as lock conflicts and sent callers to break()/retry
+      // storms instead of surfacing the real error
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-           _: java.io.IOException =>
+           _: java.nio.file.FileAlreadyExistsException =>
         throw new IllegalStateException(
           s"index '$name' is SINGLE-WRITER: another fit/append holds " +
           s"$p. Lake tables have no snapshot isolation (the open-table-" +

@@ -159,17 +159,24 @@ object SnapshotTable {
     manifestVersions(fs(spark, path), path)
       .map(v => snapshot(spark, path, v))
 
-  /** One commit: write `df` (if any) as a fresh immutable data dir,
-    * publish manifest v(head+1) with `files`, atomically swap CURRENT.
-    * Runs under the table's writer lock. */
+  /** One commit: write `dfOf(head)` (if any) as a fresh immutable
+    * data dir, publish manifest v(head+1) with `files`, atomically
+    * swap CURRENT. Runs under the table's writer lock — and `dfOf`
+    * receives the head AS SEEN UNDER THE LOCK, so a mutation that
+    * derives its payload from the table (delete/merge/compact) plans
+    * against the version it will actually replace. Resolving the base
+    * outside the lock loses any appendOptimistic that lands between
+    * plan and lock (the rows silently vanish from the new head);
+    * resolving inside leaves only the plan→publish window, which the
+    * exclusive manifest create turns into a loud rebase error. */
   private def commit(spark: SparkSession, path: String, operation: String,
-                     df: Option[DataFrame],
+                     dfOf: Long => Option[DataFrame],
                      filesOf: (Long, Seq[String]) => Seq[String],
                      schemaOf: (Long, Seq[String]) => StructType): Long =
-    graft.operators.LakeLock.withWriter(spark, lockName(path)) {
+    graft.operators.LakeLock.withWriter(spark, lockName(spark, path)) {
       val f = fs(spark, path)
       val head = currentVersion(spark, path)
-      val newFiles = df match {
+      val newFiles = dfOf(head) match {
         case None => Seq.empty
         case Some(d) =>
           val dir = s"data/${UUID.randomUUID().toString.take(12)}"
@@ -256,8 +263,11 @@ object SnapshotTable {
           base.files ++ newFiles, base.schema)
         return head + 1
       } catch {
+        // only the exists-already signals are a lost CAS race; any
+        // other IOException (permissions, disk full) is a real failure
+        // and must propagate, not spin the retry loop
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: java.io.IOException =>
+             _: java.nio.file.FileAlreadyExistsException =>
           attempt += 1
           require(attempt < maxRetries,
             s"appendOptimistic lost $maxRetries CAS races on $path; " +
@@ -269,10 +279,17 @@ object SnapshotTable {
 
   /** The LakeLock key for a table path (locks live next to the
     * warehouse; key on the table's directory name + a stable hash so
-    * distinct paths with one name don't share a lock). */
-  private[graft] def lockName(path: String): String = {
-    val h = java.lang.Integer.toHexString(path.hashCode)
-    s"snap_${new Path(path).getName}_$h"
+    * distinct paths with one name don't share a lock). The path is
+    * QUALIFIED first (absolute, scheme'd, no trailing slash) so every
+    * spelling of one table — relative vs absolute, `file://` URI,
+    * trailing `/` — maps to the same lock; hashing the raw string
+    * would hand two spellings two different locks and defeat the
+    * single-writer fence. */
+  private[graft] def lockName(spark: SparkSession, path: String): String = {
+    val qualified = fs(spark, path)
+      .makeQualified(new Path(path)).toUri.toString
+    val h = java.lang.Integer.toHexString(qualified.hashCode)
+    s"snap_${new Path(qualified).getName}_$h"
   }
 
   /** Create the table at `path` with `df` as version 1. The
@@ -282,14 +299,14 @@ object SnapshotTable {
              operation: String = "create"): Long = {
     require(currentVersion(spark, path) == 0L,
       s"snapshot table $path already exists; use append/overwrite")
-    commit(spark, path, operation, Some(df),
+    commit(spark, path, operation, _ => Some(df),
       (_, nf) => nf, (_, _) => df.schema)
   }
 
   /** Append `df`'s rows; old files are reused as-is (no rewrite). */
   def append(spark: SparkSession, path: String, df: DataFrame,
              operation: String = "append"): Long =
-    commit(spark, path, operation, Some(df),
+    commit(spark, path, operation, _ => Some(df),
       (head, nf) => snapshot(spark, path, head).files ++ nf,
       (head, _) => snapshot(spark, path, head).schema)
 
@@ -298,18 +315,17 @@ object SnapshotTable {
     * which destroyed the previous data mid-write). The schema may
     * change; each version carries its own. */
   def overwrite(spark: SparkSession, path: String, df: DataFrame): Long =
-    commit(spark, path, "overwrite", Some(df),
+    commit(spark, path, "overwrite", _ => Some(df),
       (_, nf) => nf, (_, _) => df.schema)
 
   /** Copy-on-write DELETE: rows matching `cond` vanish at the new
     * head; every prior version still has them. (File-granular COW —
     * rewriting only files that contain matches — is the optimization
     * this slice trades away for manifest simplicity.) */
-  def deleteWhere(spark: SparkSession, path: String, cond: String): Long = {
-    val kept = read(spark, path).filter(s"NOT ($cond)")
-    commit(spark, path, "delete", Some(kept),
+  def deleteWhere(spark: SparkSession, path: String, cond: String): Long =
+    commit(spark, path, "delete",
+      head => Some(read(spark, path, Some(head)).filter(s"NOT ($cond)")),
       (_, nf) => nf, (head, _) => snapshot(spark, path, head).schema)
-  }
 
   /** MERGE (keyed upsert) as ONE atomic commit: head rows whose key
     * appears in `updates` are replaced, new keys append — the m02
@@ -321,11 +337,13 @@ object SnapshotTable {
   def merge(spark: SparkSession, path: String, updates: DataFrame,
             keyCols: Seq[String]): Long = {
     import org.apache.spark.sql.functions.col
-    val head = read(spark, path)
-    val merged = head
-      .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
-      .unionByName(updates.select(head.columns.map(col).toSeq: _*))
-    commit(spark, path, "merge", Some(merged),
+    commit(spark, path, "merge",
+      h => {
+        val head = read(spark, path, Some(h))
+        Some(head
+          .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(updates.select(head.columns.map(col).toSeq: _*)))
+      },
       (_, nf) => nf, (h, _) => snapshot(spark, path, h).schema)
   }
 
@@ -362,7 +380,7 @@ object SnapshotTable {
     * so the rollback itself is in the history and can be rolled back. */
   def rollback(spark: SparkSession, path: String, toVersion: Long): Long = {
     val target = snapshot(spark, path, toVersion)
-    commit(spark, path, s"rollback($toVersion)", None,
+    commit(spark, path, s"rollback($toVersion)", _ => None,
       (_, _) => target.files, (_, _) => target.schema)
   }
 
@@ -370,11 +388,10 @@ object SnapshotTable {
     * compaction as one atomic commit, content-identical by
     * construction (same rows, new layout); prior versions keep the
     * uncompacted files. */
-  def compact(spark: SparkSession, path: String, numFiles: Int): Long = {
-    val head = read(spark, path).repartition(numFiles)
-    commit(spark, path, "compact", Some(head),
+  def compact(spark: SparkSession, path: String, numFiles: Int): Long =
+    commit(spark, path, "compact",
+      h => Some(read(spark, path, Some(h)).repartition(numFiles)),
       (_, nf) => nf, (h, _) => snapshot(spark, path, h).schema)
-  }
 
   /** Read the head (or `version`) as a DataFrame. Plans directly from
     * the manifest's file list — no directory listing — with that
@@ -407,7 +424,7 @@ object SnapshotTable {
     * manifest-stats design scoped to one column; run `analyze` at
     * compaction cadence like the other lake maintenance. */
   def analyze(spark: SparkSession, path: String, column: String): Int =
-    graft.operators.LakeLock.withWriter(spark, lockName(path)) {
+    graft.operators.LakeLock.withWriter(spark, lockName(spark, path)) {
       import org.apache.spark.sql.functions.{col, input_file_name, min => fmin, max => fmax}
       val f = fs(spark, path)
       val sp = new Path(snapDir(path), s"stats.$column")
@@ -488,7 +505,7 @@ object SnapshotTable {
     * Returns (manifests dropped, data files deleted). */
   def expire(spark: SparkSession, path: String,
              keepLast: Int, orphanGraceMs: Long = 3600000L): (Int, Int) =
-    graft.operators.LakeLock.withWriter(spark, lockName(path)) {
+    graft.operators.LakeLock.withWriter(spark, lockName(spark, path)) {
       val f = fs(spark, path)
       val all = history(spark, path)
       val cut = all.map(_.version).sorted.dropRight(keepLast)

@@ -176,7 +176,21 @@ object Streams {
     * time-travelable version: `read(path, Some(v))` reproduces the
     * table as of any ingestion point — streaming backfill audits for
     * free. A batch that crashed mid-write leaves only an unreferenced
-    * data dir; `expire()` sweeps it at maintenance cadence. */
+    * data dir; `expire()` sweeps it at maintenance cadence.
+    *
+    * Replay-dedup cost: batchIds are checkpoint-monotonic, so "was
+    * this batch applied?" is a HIGH-WATERMARK compare, not a history
+    * membership scan. The watermark is seeded ONCE per (re)start by
+    * scanning the manifest tags (O(versions), amortized over the
+    * stream's life) and then advances in memory — per-batch dedup is
+    * O(1), where scanning `history()` every batch made a long-lived
+    * stream degrade as O(versions) per batch. foreachBatch runs on
+    * the driver, so the in-memory map is the single source of truth
+    * for this stream; a concurrent second stream to the same path is
+    * outside the sink's contract (same as every file sink). */
+  private val snapshotSinkHwm =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def startSnapshotSink(df: DataFrame, path: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
@@ -185,12 +199,18 @@ object Streams {
         if (!batch.isEmpty) {
           val s = batch.sparkSession
           val op = s"stream:$batchId"
-          val fresh = graft.sources.SnapshotTable.currentVersion(s, path) == 0L
-          val seen = !fresh && graft.sources.SnapshotTable
-            .history(s, path).exists(_.operation == op)
-          if (!seen) {
+          val hwm: Long = snapshotSinkHwm.computeIfAbsent(path, _ =>
+            if (graft.sources.SnapshotTable.currentVersion(s, path) == 0L) -1L
+            else graft.sources.SnapshotTable.history(s, path)
+              .flatMap(h => if (h.operation.startsWith("stream:"))
+                h.operation.drop(7).toLongOption else None)
+              .foldLeft(-1L)(math.max)
+          )
+          if (batchId > hwm) {
+            val fresh = graft.sources.SnapshotTable.currentVersion(s, path) == 0L
             if (fresh) graft.sources.SnapshotTable.create(s, path, batch.toDF(), op)
             else graft.sources.SnapshotTable.append(s, path, batch.toDF(), op)
+            snapshotSinkHwm.put(path, batchId)
           }
         }
         ()

@@ -228,7 +228,7 @@ class SnapshotTableSpec extends GraftSpec {
   test("second writer refuses while the lock is held; break() recovers") {
     val p = tmp("lock")
     SnapshotTable.create(spark, p, Seq((1L, "a")).toDF("id", "s"))
-    val name = SnapshotTable.lockName(p)
+    val name = SnapshotTable.lockName(spark, p)
     graft.operators.LakeLock.withWriter(spark, name) {
       val e = intercept[IllegalStateException] {
         SnapshotTable.append(spark, p, Seq((2L, "b")).toDF("id", "s"))
