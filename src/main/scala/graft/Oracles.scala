@@ -61,6 +61,15 @@ object Oracles {
   final val HitsIters = 5
   final val HitsScale = 1000000L
 
+  /** q181 multiplicative-weights round count (Σw target 1e10 and the
+    * η divisor 1e3 are literals inside both engines' round algebra). */
+  final val ReweightIters = 5
+
+  /** q182 contamination threshold — a doc whose q69 trigram overlap
+    * with the benchmark exceeds this is billed to the contamination
+    * stage (after rules and dedup). */
+  final val RejectContamTau = 0.2
+
   /** q114/q115/q119 span length — the operator defaults AND the
     * oracle window arithmetic derive from this one value. */
   val SpanK = 5
@@ -2241,6 +2250,83 @@ object Oracles {
     // directed crawl edges — no floats anywhere
     "q180_hits" -> hitsSql,
 
+    // DoReMi-style multiplicative weights: per-source excess loss as
+    // floor-scaled 1e-9-nat longs (lnChain + the zipf floor idiom),
+    // then five unrolled all-integer reweight/renormalize rounds
+    "q181_domain_reweight" -> domainReweightSql,
+
+    // per-doc first-failing-stage attribution: q178's rule conjunction,
+    // q64's cluster losers (recursive closure over the Q41 pair set),
+    // q69's contamination divide — same sub-oracles, two left joins
+    "q182_rejection_reasons" ->
+      s"""WITH RECURSIVE pairs AS ($Q41Sql),
+         e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+               UNION SELECT doc_b, doc_a FROM pairs),
+         reach(u, v) AS (
+           SELECT u, v FROM e
+           UNION
+           SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u WHERE e2.v <> r.u),
+         losers AS (SELECT u AS doc_id FROM reach GROUP BY u
+                    HAVING LEAST(u, MIN(v)) <> u),
+         gw AS (SELECT doc_id, string_split(trim(text), ' ') AS toks,
+             text FROM documents),
+         gb AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(toks, t -> CAST(len(t) AS BIGINT))),
+               (a, x) -> a + x) AS sum_wlen,
+             CAST(len(list_filter(toks,
+               t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(toks,
+               t -> lower(t) IN ('the','a','and','of','data','row')))
+               AS BIGINT) AS n_stop,
+             CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT)
+               AS n_sym
+           FROM gw),
+         gp AS (SELECT doc_id,
+             ((n_words >= 50 AND n_words <= 100000)
+              AND (CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+                   AND CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0)
+              AND (CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8)
+              AND (n_stop >= 2)
+              AND (CAST(n_sym AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.1))
+               AS pass
+           FROM gb),
+         cbt AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+                 FROM documents WHERE source = 'src0'),
+         cbg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+             range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+           FROM cbt WHERE len(w) >= 3),
+         cct AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+                 FROM documents WHERE source <> 'src0'),
+         ccg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+           FROM cct WHERE len(w) >= 3),
+         csz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+                 FROM ccg GROUP BY doc_id),
+         cht AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS hit_grams
+                 FROM ccg JOIN cbg USING (g) GROUP BY doc_id),
+         contam AS (SELECT s.doc_id,
+             CAST(COALESCE(hit_grams, 0) AS DOUBLE) / n_grams AS contamination
+           FROM csz s LEFT JOIN cht h ON s.doc_id = h.doc_id)
+         SELECT d.doc_id, d.source,
+           CAST(CASE WHEN NOT g.pass THEN 1
+                WHEN l.doc_id IS NOT NULL THEN 2
+                WHEN d.source <> 'src0'
+                  AND COALESCE(c.contamination, 0.0) > $RejectContamTau THEN 3
+                ELSE 0 END AS BIGINT) AS stage_id,
+           CASE WHEN NOT g.pass THEN 'quality_rules'
+                WHEN l.doc_id IS NOT NULL THEN 'near_dup'
+                WHEN d.source <> 'src0'
+                  AND COALESCE(c.contamination, 0.0) > $RejectContamTau
+                  THEN 'contamination'
+                ELSE 'kept' END AS reason
+         FROM documents d
+         JOIN gp g ON g.doc_id = d.doc_id
+         LEFT JOIN losers l ON l.doc_id = d.doc_id
+         LEFT JOIN contam c ON c.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+
     // Zipf slope: PortableLn via lnChain, regression terms floor-scaled
     // to 1e-9 longs (order-free sums), slope/intercept = fixed IEEE op
     // sequence mirroring TextAnalysis.q157
@@ -2713,6 +2799,60 @@ object Oracles {
            ((${ds("sfy")} - $slope * ${ds("sfx")}) / CAST(n AS DOUBLE))
              AS intercept
          FROM sums"""
+  }
+
+  /** q181 oracle: per-source average negative unigram logprob as an
+    * exact long (PortableLn via lnChain; each term floor-scaled to
+    * 1e-9 nats BEFORE summing, so the per-source sum is order-free —
+    * the zipf idiom), then `ReweightIters` unrolled all-integer
+    * multiplicative-weights rounds mirroring
+    * [[graft.operators.TextAnalysis.q181]]: raw = w·(1e6+e) // 1e6,
+    * renormalize raw·1e8 // Σraw (the q180 precise form). Non-negative
+    * domain throughout, so DuckDB `//` ≡ Spark `div` and every round
+    * is bit-identical by induction. */
+  private lazy val domainReweightSql: String = {
+    val head = s"""WITH toks AS (SELECT source,
+             unnest(string_split(lower(trim(text)), ' ')) AS tok
+           FROM documents),
+         st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+                FROM toks GROUP BY source, tok),
+         ct AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+         tt AS (SELECT COUNT(*) AS t FROM toks),
+         pr0 AS (SELECT st.source, st.n, CAST(ct.c AS DOUBLE) / tt.t AS pr
+           FROM st JOIN ct ON st.tok = ct.tok CROSS JOIN tt),
+         ${lnChain("plp", "pr0", Seq("source", "n"),
+            Seq("pr" -> "lnpr"))},
+         terms AS (SELECT source, n,
+             CAST(floor(CAST(n AS DOUBLE) * lnpr * 1000000000.0) AS BIGINT)
+               AS lp9
+           FROM plp),
+         lo AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tokens,
+             CAST(SUM(lp9) AS BIGINT) AS lp9sum
+           FROM terms GROUP BY source),
+         base0 AS (SELECT source, tokens, (-lp9sum) // tokens AS loss
+           FROM lo),
+         mn AS (SELECT MIN(loss) AS lmin,
+             CAST(COUNT(*) AS BIGINT) AS ns FROM base0),
+         base AS MATERIALIZED (SELECT source, tokens, loss,
+             (loss - mn.lmin) // 1000 AS e
+           FROM base0 CROSS JOIN mn),
+         w0 AS (SELECT b.source, 100000000 // mn.ns AS w
+           FROM base b CROSS JOIN mn)"""
+    val rounds = (1 to ReweightIters).map { k =>
+      s""",
+         r$k AS MATERIALIZED (SELECT b.source,
+             (w.w * (1000000 + b.e)) // 1000000 AS raw
+           FROM w${k - 1} w JOIN base b ON b.source = w.source),
+         s$k AS (SELECT CAST(SUM(raw) AS BIGINT) AS S FROM r$k),
+         w$k AS MATERIALIZED (SELECT r.source,
+             (r.raw * 100000000) // s$k.S AS w
+           FROM r$k r CROSS JOIN s$k)"""
+    }.mkString
+    head + rounds + s"""
+         SELECT b.source, b.tokens, b.loss, w.w AS weight,
+           CAST(w.w AS DOUBLE) / 1.0e8 AS weight_frac
+         FROM base b JOIN w$ReweightIters w ON w.source = b.source
+         ORDER BY b.source"""
   }
 
   /** Unrolled distributed-k-means oracle mirroring

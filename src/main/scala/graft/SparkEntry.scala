@@ -344,7 +344,11 @@ object SparkEntry {
       budgetFactor = Oracles.EpochBudgetFactor,
       maxEpochs = Oracles.EpochMaxEpochs)),
     "q180_hits"                -> ((s, d) => Graphs.q180(documents(s, d),
-      iters = Oracles.HitsIters))
+      iters = Oracles.HitsIters)),
+    "q181_domain_reweight"     -> ((s, d) => TextAnalysis.q181(documents(s, d),
+      iters = Oracles.ReweightIters)),
+    "q182_rejection_reasons"   -> ((s, d) => Pipeline.q182(documents(s, d),
+      tau = Oracles.RejectContamTau))
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -155,4 +155,52 @@ object Pipeline {
         col("quality").as("best_quality"))
       .orderBy(col("label"))
   }
+
+  /** q182: PER-DOCUMENT REJECTION REASONS — q133's aggregate funnel
+    * answered "how many docs did each stage drop"; this answers the
+    * next question every curation debug session asks: "why did THIS
+    * document go away?" Each doc gets its FIRST failing stage in the
+    * pipeline's own order — (1) Gopher rule filter (q178's
+    * conjunction), (2) near-dup cluster loser (q64 components, label ≠
+    * self), (3) benchmark contamination (q69's trigram overlap above
+    * τ; the benchmark source itself is exempt — it IS the benchmark)
+    * — or 'kept'. First-hit-wins mirrors how a staged pipeline
+    * actually executes: a doc the rules drop never reaches the dedup
+    * join, so billing it to the earliest stage reproduces the real
+    * attrition accounting (and makes the report sum to q133's deltas
+    * stage by stage when the stages match).
+    *
+    * All three verdicts are oracle-exact components (q178 booleans,
+    * q64 labels, q69's one-divide contamination), composed with two
+    * id-keyed left joins — so the CASE is hash-exact too. Scale: the
+    * heavy sub-plans are exactly the ones the standalone queries run
+    * (rule scan: no shuffle; dedup: pair join; contamination: gram
+    * join); the composition adds only doc_id-sized exchanges. */
+  def q182(documents: DataFrame, benchmarkSource: String = "src0",
+           tau: Double = 0.2): DataFrame = {
+    val rules = TextAnalysis.q178(documents).select(col("doc_id"), col("pass"))
+    val losers = Dedup.clusters(Dedup.neardupEdges(documents))
+      .filter(col("label") =!= col("doc_id"))
+      .select(col("doc_id"), lit(true).as("is_dup"))
+    val contam = Dedup.q69(documents, benchmarkSource)
+      .select(col("doc_id"), col("contamination"))
+    val contaminated = col("source") =!= benchmarkSource &&
+      coalesce(col("contamination"), lit(0.0)) > tau
+    documents.select(col("doc_id"), col("source"))
+      .join(rules, "doc_id")
+      .join(losers, Seq("doc_id"), "left_outer")
+      .join(contam, Seq("doc_id"), "left_outer")
+      .withColumn("stage_id",
+        when(!col("pass"), lit(1L))
+          .when(col("is_dup"), lit(2L))
+          .when(contaminated, lit(3L))
+          .otherwise(lit(0L)))
+      .withColumn("reason",
+        when(!col("pass"), lit("quality_rules"))
+          .when(col("is_dup"), lit("near_dup"))
+          .when(contaminated, lit("contamination"))
+          .otherwise(lit("kept")))
+      .select(col("doc_id"), col("source"), col("stage_id"), col("reason"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -2149,4 +2149,79 @@ object TextAnalysis {
         col("target_tokens"), col("epochs"), col("served_tokens"), col("util"))
       .orderBy(col("source"))
   }
+
+  /** q181: DOMAIN REWEIGHTING by multiplicative weights (the DoReMi
+    * idea — Xie et al. 2023, "DoReMi: Optimizing Data Mixtures Speeds
+    * Up Language Model Pretraining" — with the proxy-model loss
+    * replaced by a corpus-computable hardness signal): per-source
+    * EXCESS loss (average negative unigram logprob above the easiest
+    * source's, the q86 estimator aggregated per source) drives
+    * `iters` rounds of `w ← w·(1 + η·excess)` then renormalize —
+    * upweighting the domains the corpus model finds hardest, the
+    * standard mixture-tuning step between q70's descriptive mix and
+    * q102/q120's samplers.
+    *
+    * Exactness (the SIXTH oracle-exact iterative operator, after
+    * q154/q155/q165/q175/q180): the only floats are PortableLn and
+    * ONE multiply per (source, token-type) term, immediately
+    * floor-scaled to 1e-9-nat longs whose sums are order-free (the
+    * zipf idiom) — so the per-source loss is an exact long, and every
+    * round is pure integer multiply/divide (`div` ≡ DuckDB `//` on
+    * the non-negative domain) → bit-identical by induction. The
+    * renormalize is the PRECISE q180 form `raw·TotScale div Σraw`, so
+    * Σw lands in (TotScale − sources, TotScale] every round and the
+    * final fractions sum to 1 − O(sources/TotScale).
+    *
+    * Overflow bound: TotScale=1e8 keeps the renormalize multiply under
+    * 2⁶³ as long as any single raw ≤ 9.2e10 — i.e. a per-round
+    * multiplier up to 920×, which needs a 920-NAT excess loss; real
+    * corpora sit under 30 nats. Σraw needs sources·raw < 2⁶³ — fine
+    * past a million sources.
+    *
+    * Plan: corpus-sized work is the ONE (source, tok) aggregate
+    * (map-side combined; the unigram stats ct/tt are q86's); every
+    * round after that runs on the sources-sized weight table — joins
+    * against a broadcast one-row total, localCheckpoint per round
+    * cutting lineage, exchanges bounded by #sources forever. */
+  def q181(documents: DataFrame, iters: Int = 5): DataFrame = {
+    val TotScale = 100000000L // Σw target, 1e8
+    val toks = graft.Pins.pin(documents.select(col("source"),
+      explode(split(lower(trim(col("text"))), " ")).as("tok")))
+    val st = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val ct = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("t"))
+    val loss = st.join(ct, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("lp9", floor(col("n").cast("double") *
+        graft.functions.PortableLn(col("c").cast("double") / col("t")) *
+        lit(1.0e9)).cast("long"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).cast("long").as("tokens"),
+        sum(col("lp9")).cast("long").as("lp9sum"))
+      .withColumn("loss", expr("(-lp9sum) div tokens"))
+      .select(col("source"), col("tokens"), col("loss"))
+    val mins = loss.agg(min(col("loss")).as("lmin"),
+      count(lit(1)).cast("long").as("ns"))
+    val base = graft.Pins.pin(loss.crossJoin(broadcast(mins))
+      .withColumn("e", expr("(loss - lmin) div 1000"))
+      .select(col("source"), col("tokens"), col("loss"), col("e"),
+        expr(s"$TotScale div ns").as("w0")))
+    var w = base.select(col("source"), col("w0").as("w")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val raw = w.join(base.select(col("source"), col("e")), "source")
+        .select(col("source"), expr("(w * (1000000L + e)) div 1000000L").as("raw"))
+      val s = raw.agg(sum(col("raw")).cast("long").as("S"))
+      w = raw.crossJoin(broadcast(s))
+        .select(col("source"),
+          expr(s"(raw * $TotScale) div S").as("w"))
+        .localCheckpoint(true)
+    }
+    base.select(col("source"), col("tokens"), col("loss"))
+      .join(w, "source")
+      .withColumn("weight_frac", col("w").cast("double") / lit(1.0e8))
+      .select(col("source"), col("tokens"), col("loss"),
+        col("w").as("weight"), col("weight_frac"))
+      .orderBy(col("source"))
+  }
 }

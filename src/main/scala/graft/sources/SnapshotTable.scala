@@ -51,9 +51,13 @@ import org.apache.spark.sql.types.StructType
   * append O(new files) lines, and reads plan from the manifest
   * instead of a directory listing — the same reason Iceberg scales
   * on object stores where `ls` is slow or eventually consistent.
-  * What this slice does NOT give (and the wall still owes): column
-  * stats for file skipping, multi-writer CAS commits, and
-  * partition-aware manifests.
+  * Later slices opened more of the wall: s17 column-stat file
+  * skipping (`analyze`/`readPruned` by min-max), s18 partitioned
+  * commits with manifest-level partition pruning
+  * ([[createPartitioned]]/[[readPruned]]), append-only CAS commits
+  * ([[appendOptimistic]]), and the incremental change feed
+  * ([[readChanges]]). Still owed: CAS with rebase for MUTATING
+  * commits (delete/merge conflict resolution).
   */
 object SnapshotTable {
 
@@ -169,10 +173,27 @@ object SnapshotTable {
     * plan and lock (the rows silently vanish from the new head);
     * resolving inside leaves only the plan→publish window, which the
     * exclusive manifest create turns into a loud rebase error. */
+  /** All parquet files under `base`, RECURSIVELY, as base-relative
+    * paths — a partitioned commit nests its files in hive-style
+    * `col=value/` dirs, and the manifest records the full relative
+    * path so partition values survive in metadata. */
+  private def listParquetRec(f: FileSystem, base: Path): Seq[String] = {
+    val qb = f.makeQualified(base).toString
+    val it = f.listFiles(base, /* recursive = */ true)
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet"))
+        buf += f.makeQualified(st.getPath).toString.stripPrefix(qb + "/")
+    }
+    buf.sorted.toSeq
+  }
+
   private def commit(spark: SparkSession, path: String, operation: String,
                      dfOf: Long => Option[DataFrame],
                      filesOf: (Long, Seq[String]) => Seq[String],
-                     schemaOf: (Long, Seq[String]) => StructType): Long =
+                     schemaOf: (Long, Seq[String]) => StructType,
+                     partCols: Seq[String] = Nil): Long =
     graft.operators.LakeLock.withWriter(spark, lockName(spark, path)) {
       val f = fs(spark, path)
       val head = currentVersion(spark, path)
@@ -180,9 +201,9 @@ object SnapshotTable {
         case None => Seq.empty
         case Some(d) =>
           val dir = s"data/${UUID.randomUUID().toString.take(12)}"
-          d.write.parquet(s"$path/$dir")
-          f.listStatus(new Path(path, dir)).map(_.getPath.getName).toSeq
-            .filter(_.endsWith(".parquet")).sorted.map(n => s"$dir/$n")
+          if (partCols.isEmpty) d.write.parquet(s"$path/$dir")
+          else d.write.partitionBy(partCols: _*).parquet(s"$path/$dir")
+          listParquetRec(f, new Path(path, dir)).map(n => s"$dir/$n")
       }
       val v = head + 1
       // exclusive create: if a racing writer published v first (an
@@ -393,20 +414,193 @@ object SnapshotTable {
       h => Some(read(spark, path, Some(h)).repartition(numFiles)),
       (_, nf) => nf, (h, _) => snapshot(spark, path, h).schema)
 
+  /** Hive-style `%xx` path unescape (the partition writer escapes
+    * special chars that way). Hand-rolled: URLDecoder would also turn
+    * a literal `+` into a space, which hive escaping does NOT. */
+  private def unescapePath(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Partition values encoded in one manifest entry's `k=v` path
+    * segments, restricted to keys that are actual columns of `schema`
+    * — a file without such segments (flat commit, or a mutation's
+    * rewrite) carries its partition column as DATA and contributes no
+    * metadata values. */
+  private def partValuesOf(relPath: String,
+                           schema: StructType): Map[String, String] = {
+    val names = schema.fieldNames.toSet
+    relPath.split('/').iterator
+      .filter(_.contains('='))
+      .map { seg =>
+        val i = seg.indexOf('=')
+        seg.take(i) -> unescapePath(seg.drop(i + 1))
+      }
+      .filter { case (k, _) => names(k) }
+      .toMap
+  }
+
+  /** Plan a scan over `files` (manifest-relative), restoring any
+    * partition columns a hive-layout commit moved into the path: each
+    * `k=v` group reads with the schema MINUS its partition keys and
+    * gets them back as cast literals, then everything unions in the
+    * canonical column order. Flat files read as-is. The group count is
+    * bounded by the table's distinct partition tuples, never by its
+    * commit count. */
+  private def readFiles(spark: SparkSession, path: String,
+                        schema: StructType, files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val groups = files.groupBy(fp => partValuesOf(fp, schema))
+      .toSeq.sortBy(_._1.toSeq.sorted.mkString(" "))
+    val parts = groups.map { case (pv, fps) =>
+      val paths = fps.map(fp => s"$path/$fp")
+      if (pv.isEmpty) spark.read.schema(schema).parquet(paths: _*)
+      else {
+        val dataSchema = StructType(schema.filterNot(f => pv.contains(f.name)))
+        val base = spark.read.schema(dataSchema).parquet(paths: _*)
+        pv.foldLeft(base) { case (df, (k, v)) =>
+            df.withColumn(k,
+              lit(v).cast(schema(schema.fieldIndex(k)).dataType))
+          }
+          .select(schema.fieldNames.map(col).toSeq: _*)
+      }
+    }
+    parts.reduce(_ unionByName _)
+  }
+
   /** Read the head (or `version`) as a DataFrame. Plans directly from
     * the manifest's file list — no directory listing — with that
-    * version's own schema. */
+    * version's own schema; partition columns a partitioned commit
+    * encoded in the path come back as columns. */
   def read(spark: SparkSession, path: String,
            version: Option[Long] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, path))
     require(v > 0, s"snapshot table $path does not exist")
     val s = snapshot(spark, path, v)
-    if (s.files.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
-    else
-      spark.read.schema(s.schema)
-        .parquet(s.files.map(fp => s"$path/$fp"): _*)
+    readFiles(spark, path, s.schema, s.files)
+  }
+
+  /** s18: PARTITIONED snapshot commits — the third slice of the
+    * table-format wall (s16's note listed partition-aware manifests
+    * as still owed). The commit writes hive-layout `col=value/` dirs
+    * (ONE write job — Spark's dynamic partition writer), and because
+    * the manifest records full relative paths, every file's partition
+    * tuple lives in METADATA: [[readPruned]] drops non-matching files
+    * before the scan is even planned — the partition-pruning
+    * equivalent of s17's min/max skipping, exact rather than
+    * conservative. At 100 TB this is the difference between scanning
+    * one date's files and listing a million: pruning is a string
+    * filter over the manifest, no directory walk, no footer reads.
+    * Partition values must be non-null (hive's default-partition
+    * escape hatch is not modeled); a later flat mutation (delete/
+    * merge/compact rewrites) keeps the column as data and simply
+    * stops contributing prunable metadata — reads stay correct,
+    * pruning degrades to conservative, exactly the s17 contract. */
+  def createPartitioned(spark: SparkSession, path: String, df: DataFrame,
+                        partCols: Seq[String]): Long = {
+    require(currentVersion(spark, path) == 0L,
+      s"snapshot table $path already exists; use appendPartitioned")
+    requirePartCols(df, partCols)
+    commit(spark, path, "create", _ => Some(df),
+      (_, nf) => nf, (_, _) => df.schema, partCols)
+  }
+
+  /** Append with partitioned layout — see [[createPartitioned]].
+    * `df` must carry the head schema; new partition values just add
+    * new `col=value/` dirs. */
+  def appendPartitioned(spark: SparkSession, path: String, df: DataFrame,
+                        partCols: Seq[String],
+                        operation: String = "append"): Long = {
+    requirePartCols(df, partCols)
+    commit(spark, path, operation, _ => Some(df),
+      (head, nf) => snapshot(spark, path, head).files ++ nf,
+      (head, _) => snapshot(spark, path, head).schema, partCols)
+  }
+
+  private def requirePartCols(df: DataFrame, partCols: Seq[String]): Unit = {
+    require(partCols.nonEmpty, "partCols must be non-empty")
+    partCols.foreach(c => require(df.columns.contains(c),
+      s"partition column $c not in ${df.columns.mkString(",")}"))
+    require(partCols.size < df.columns.length,
+      "at least one non-partition column is required")
+  }
+
+  /** The file subset [[readPruned]] scans: keeps a file iff its
+    * metadata value for `partCol` is in `keep` — or it has none
+    * (flat/mutated file: no metadata, conservatively kept, the s17
+    * no-false-prune contract). */
+  private[graft] def partitionPrunedFiles(spark: SparkSession, path: String,
+                                          partCol: String, keep: Seq[String],
+                                          version: Option[Long] = None): Seq[String] = {
+    val v = version.getOrElse(currentVersion(spark, path))
+    val s = snapshot(spark, path, v)
+    val ks = keep.toSet
+    s.files.filter { fp =>
+      partValuesOf(fp, s.schema).get(partCol).forall(ks.contains)
+    }
+  }
+
+  /** Partition-pruned read: plan the scan ONLY from files whose
+    * manifest path carries `partCol` ∈ `keep` (string form — hive
+    * path encoding, e.g. `"3"` for int 3). Files without partition
+    * metadata are kept conservatively, so the result still needs the
+    * predicate applied if such files can exist; on a purely
+    * partitioned table the prune is exact. */
+  def readPruned(spark: SparkSession, path: String, partCol: String,
+                 keep: Seq[String],
+                 version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(spark, path))
+    require(v > 0, s"snapshot table $path does not exist")
+    val s = snapshot(spark, path, v)
+    readFiles(spark, path, s.schema,
+      partitionPrunedFiles(spark, path, partCol, keep, Some(v)))
+  }
+
+  /** st27 companion: INCREMENTAL CHANGE FEED — the rows each version
+    * in `(fromVersion, toVersion]` ADDED, tagged `_commit_version`;
+    * the Delta-CDF/Iceberg-incremental-read pattern over the same
+    * manifests. Exact because an append-only commit's delta IS its
+    * new-file set (data files are immutable and appends only add):
+    * per version, read `files − parent.files`. Versions whose
+    * operation can rewrite or drop rows (overwrite/delete/merge/
+    * compact/rollback) have no file-level row delta — the feed
+    * REFUSES them and points at [[diff]], which computes keyed
+    * changes between any two versions. A downstream consumer tails
+    * `(lastSeen, head]` each cycle and gets every ingested row
+    * exactly once, without replaying the table. */
+  def readChanges(spark: SparkSession, path: String,
+                  fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromVersion < toVersion,
+      s"readChanges needs fromVersion < toVersion, got $fromVersion ≥ $toVersion")
+    val snaps = (fromVersion + 1 to toVersion)
+      .map(v => snapshot(spark, path, v))
+    snaps.foreach { s =>
+      val appendOnly = s.operation == "create" ||
+        s.operation.startsWith("append") || s.operation.startsWith("stream:")
+      require(appendOnly,
+        s"readChanges: version ${s.version} is '${s.operation}' — its " +
+        "file delta is not a row delta; use diff() for keyed changes " +
+        "across mutating commits")
+    }
+    snaps.map { s =>
+      val parentFiles =
+        if (s.parent <= 0) Set.empty[String]
+        else snapshot(spark, path, s.parent).files.toSet
+      readFiles(spark, path, s.schema, s.files.filterNot(parentFiles))
+        .withColumn("_commit_version", lit(s.version))
+    }.reduce(_ unionByName _)
   }
 
   /** s17: COLUMN-STAT FILE SKIPPING — the second slice of the
@@ -488,14 +682,12 @@ object SnapshotTable {
                  lo: Long, hi: Long): DataFrame = {
     import org.apache.spark.sql.functions.col
     val head = snapshot(spark, path, currentVersion(spark, path))
-    val files = prunedFiles(spark, path, column, lo, hi)
-    val base =
-      if (files.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], head.schema)
-      else spark.read.schema(head.schema)
-        .parquet(files.map(fp => s"$path/$fp"): _*)
-    base.filter(col(column).cast("long").between(lo, hi))
+    // readFiles, not a direct parquet plan: on an s18 partitioned
+    // table the partition column lives in the path, and a direct scan
+    // would resurrect it as nulls
+    readFiles(spark, path, head.schema,
+      prunedFiles(spark, path, column, lo, hi))
+      .filter(col(column).cast("long").between(lo, hi))
   }
 
   /** Drop all history older than the last `keepLast` versions and

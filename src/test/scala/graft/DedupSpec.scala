@@ -579,4 +579,35 @@ class DedupSpec extends GraftSpec {
     // doc 4: 4 grams, "alpha beta gamma" shared with docs 1/2 -> 3 novel
     assert(out(4L) == ((4L, 3L, 0.75)), out)
   }
+
+  test("q182 rejection reasons: each planted doc bills to its first failing stage") {
+    import graft.operators.Pipeline
+    // 55 rule-clean words (stopwords present, lengths 3-5, no symbols)
+    val base = (Seq("the", "data", "row", "and") ++
+      (1 to 51).map(i => s"word${('a' + i % 26).toChar}${('a' + i / 26).toChar}"))
+      .mkString(" ")
+    val bench = (1 to 25).map(i => s"bench${('a' + i % 26).toChar}$i").mkString(" ")
+    // filler for the contaminated doc: rule-clean, disjoint from `base`
+    val filler = (Seq("the", "data", "row", "and") ++
+      (1 to 26).map(i => s"fill${('a' + i % 26).toChar}${('a' + i / 26).toChar}"))
+      .mkString(" ")
+    val docs = Seq(
+      (0L, bench, "src0"),                      // benchmark; 25 words: rules
+      (1L, base, "srcA"),                       // clean survivor
+      (2L, base + " extended words here", "srcA"), // near-dup loser of 1
+      (3L, "short doc", "srcB"),                // rules (first stage wins)
+      (4L, filler + " " + bench, "srcB")        // 30+25 words, ~43% bench grams
+    ).toDF("doc_id", "text", "source")
+    val out = Pipeline.q182(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("stage_id"), r.getAs[String]("reason"))).toMap
+    assert(out(0L) == ((1L, "quality_rules")), out) // rules apply to the bench too
+    assert(out(1L) == ((0L, "kept")), out)
+    assert(out(2L) == ((2L, "near_dup")), out)
+    assert(out(3L) == ((1L, "quality_rules")), out)
+    assert(out(4L) == ((3L, "contamination")), out)
+    // layout invariance
+    val re = Pipeline.q182(docs.repartition(7)).collect().map(_.toSeq).toSet
+    assert(re == Pipeline.q182(docs).collect().map(_.toSeq).toSet)
+  }
 }

@@ -140,4 +140,34 @@ class GraphsSpec extends GraftSpec {
     val re = Graphs.q165(docs.repartition(7)).collect().map(_.toSeq).toSet
     assert(re == out.map(_.toSeq).toSet)
   }
+
+  test("q180 HITS: directory node tops hub, its targets top authority, mass ≈ scale") {
+    // d fans out to a,b,c; x also links a. No other out-links, so d is
+    // the only multi-target hub and a the best-cited authority.
+    val edges = Seq(("d", "a"), ("d", "b"), ("d", "c"), ("x", "a"))
+      .toDF("src", "dst")
+    val out = Graphs.hits(edges, iters = 5).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val hub = out.view.mapValues(_._1).toMap
+    val auth = out.view.mapValues(_._2).toMap
+    assert(hub("d") > hub("x"), s"hub: $hub")
+    assert(Seq("a", "b", "c").forall(n => hub(n) == 0L), s"hub: $hub")
+    assert(auth("a") >= auth("b") && auth("b") == auth("c"), s"auth: $auth")
+    assert(auth("d") == 0L && auth("x") == 0L, s"auth: $auth")
+    // integer renormalization: each score vector sums to scale minus
+    // at most one truncation unit per node
+    val n = out.size
+    assert(math.abs(hub.values.sum - 1000000L) <= n, s"hub mass: $hub")
+    assert(math.abs(auth.values.sum - 1000000L) <= n, s"auth mass: $auth")
+  }
+
+  test("q180 on the crawl graph is layout-invariant and covers every domain") {
+    val docs = Tables.documents(spark, SF)
+    val out = Graphs.q180(docs).collect().map(_.toSeq)
+    val domains = graft.operators.UrlCuration.q148(docs)
+      .select(col("domain")).distinct().count()
+    assert(out.length == domains)
+    val re = Graphs.q180(docs.repartition(7)).collect().map(_.toSeq)
+    assert(re.toSet == out.toSet)
+  }
 }

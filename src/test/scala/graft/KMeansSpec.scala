@@ -76,4 +76,26 @@ class KMeansSpec extends GraftSpec {
     assert(sizes.size > 1, s"degenerate single cluster: $sizes")
     assert(out.forall(_.getAs[Long]("dist") >= 0L))
   }
+
+  test("q177 SemDeDup: within-blob near-dups drop to the blob min, blobs never cross") {
+    // the planted blobs are near-parallel within a blob (cos ≈ 1) and
+    // orthogonal across blobs (cos ≈ 0): SemDeDup must keep exactly
+    // the min id of each blob and never bill a drop across blobs
+    val out = KMeans.q177(planted, k = 3, iters = 5, tau = 0.4).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[String]("status"), Option(r.getAs[java.lang.Long]("dup_of")))).toMap
+    assert(out.size == 60)
+    val keeps = out.filter(_._2._1 == "keep").keys.toSet
+    assert(keeps == Set(0L, 1L, 2L), s"keeps: $keeps") // blob minima (id = j*3 + blob)
+    out.foreach { case (id, (status, dupOf)) =>
+      if (status == "drop") {
+        assert(dupOf.contains(id % 3), s"$id billed across blobs: $dupOf")
+      } else assert(dupOf.isEmpty)
+    }
+    // layout invariance: same verdicts from a different partitioning
+    val re = KMeans.q177(planted.repartition(11), k = 3, iters = 5, tau = 0.4)
+      .collect().map(_.toSeq).toSet
+    assert(re == KMeans.q177(planted, k = 3, iters = 5, tau = 0.4)
+      .collect().map(_.toSeq).toSet)
+  }
 }

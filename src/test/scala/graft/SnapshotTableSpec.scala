@@ -239,4 +239,59 @@ class SnapshotTableSpec extends GraftSpec {
     SnapshotTable.append(spark, p, Seq((2L, "b")).toDF("id", "s"))
     assert(SnapshotTable.read(spark, p).count() == 2L)
   }
+
+  test("s18 partitioned: values survive the path round-trip, pruning skips files") {
+    val p = tmp("part")
+    val d1 = Seq((1L, 10, "a"), (2L, 10, "b"), (3L, 20, "c"))
+      .toDF("id", "day", "s")
+    SnapshotTable.createPartitioned(spark, p, d1, Seq("day"))
+    // partition column comes back typed, full rows intact
+    val got = SnapshotTable.read(spark, p).orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("day"), r.getAs[String]("s")))
+    assert(got.toSeq == Seq((1L, 10, "a"), (2L, 10, "b"), (3L, 20, "c")))
+    // a second partitioned append adds a new day
+    SnapshotTable.appendPartitioned(spark, p,
+      Seq((4L, 30, "d")).toDF("id", "day", "s"), Seq("day"))
+    // pruning day=10: only day-10 files planned, only day-10 rows read
+    val pruned = SnapshotTable.partitionPrunedFiles(spark, p, "day", Seq("10"))
+    assert(pruned.nonEmpty)
+    assert(pruned.forall(_.contains("day=10")), pruned)
+    val all = SnapshotTable.snapshot(spark, p,
+      SnapshotTable.currentVersion(spark, p)).files
+    assert(pruned.size < all.size, s"no files pruned: $all")
+    val rows = SnapshotTable.readPruned(spark, p, "day", Seq("10"))
+      .orderBy("id").collect().map(_.getAs[Long]("id"))
+    assert(rows.toSeq == Seq(1L, 2L))
+    // a flat mutation keeps the table readable and pruning conservative
+    SnapshotTable.deleteWhere(spark, p, "id = 2")
+    val after = SnapshotTable.read(spark, p).orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("day")))
+    assert(after.toSeq == Seq((1L, 10), (3L, 20), (4L, 30)))
+    // rewritten files carry no partition metadata -> kept for any value
+    val cons = SnapshotTable.partitionPrunedFiles(spark, p, "day", Seq("999"))
+    assert(cons == SnapshotTable.snapshot(spark, p,
+      SnapshotTable.currentVersion(spark, p)).files)
+  }
+
+  test("st27 change feed: each appended row arrives once with its commit version") {
+    val p = tmp("cdf")
+    SnapshotTable.create(spark, p, Seq((1L, "a")).toDF("id", "s"))
+    SnapshotTable.append(spark, p, Seq((2L, "b")).toDF("id", "s"))
+    SnapshotTable.append(spark, p, Seq((3L, "c"), (4L, "d")).toDF("id", "s"))
+    val feed = SnapshotTable.readChanges(spark, p, 1L, 3L).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("_commit_version"))
+      .sortBy(_._1)
+    assert(feed.toSeq == Seq(2L -> 2L, 3L -> 3L, 4L -> 3L))
+    // from genesis the create's rows are version-1 changes
+    val full = SnapshotTable.readChanges(spark, p, 0L, 3L).count()
+    assert(full == 4L)
+    // a mutating commit in range refuses loudly and names diff()
+    SnapshotTable.deleteWhere(spark, p, "id = 1")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.readChanges(spark, p, 1L, 4L).collect()
+    }
+    assert(e.getMessage.contains("diff()"), e.getMessage)
+    // the append-only prefix still reads fine after the delete
+    assert(SnapshotTable.readChanges(spark, p, 1L, 3L).count() == 3L)
+  }
 }

@@ -946,5 +946,70 @@ class TextAnalysisSpec extends GraftSpec {
     assert(out(2L) == ((0L, 5L, "negative")), out)
     assert(out(3L) == ((0L, 0L, "neutral")), out)
   }
+
+  /** 60 rule-clean words: lengths 3–5, all alpha, stopwords present,
+    * no #/... symbols — passes every q178 rule. */
+  private def cleanWords: String =
+    (Seq("the", "data", "row", "and") ++
+      (1 to 56).map(i => s"word${('a' + i % 26).toChar}")).mkString(" ")
+
+  test("q178 gopher rules: each planted violator flips exactly its own rule") {
+    val docs = Seq(
+      (1L, cleanWords),                                // passes all five
+      (2L, "too short entirely"),                      // r_len
+      (3L, (Seq("the", "a") ++ (1 to 58)
+        .map(_ => "extraordinarily")).mkString(" ")),  // r_wlen (15 chars)
+      (4L, (Seq("the", "a") ++ (1 to 58)
+        .map(i => (i * 7919).toString)).mkString(" ")),// r_alpha (digits)
+      (5L, (1 to 60).map(i => s"tok${i % 9}").mkString(" ")), // r_stop
+      (6L, cleanWords + " " + (1 to 12).map(_ => "#").mkString(" ")) // r_sym
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.q178(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("r_len"), r.getAs[Boolean]("r_wlen"),
+          r.getAs[Boolean]("r_alpha"), r.getAs[Boolean]("r_stop"),
+          r.getAs[Boolean]("r_sym"), r.getAs[Boolean]("pass"))).toMap
+    assert(out(1L) == ((true, true, true, true, true, true)), out)
+    assert(!out(2L)._1 && !out(2L)._6, out)
+    assert(out(3L)._1 && !out(3L)._2 && !out(3L)._6, out)
+    assert(!out(4L)._3 && !out(4L)._6, out)
+    assert(!out(5L)._4 && !out(5L)._6, out)
+    assert(out(6L)._1 && out(6L)._4 && !out(6L)._5 && !out(6L)._6, out)
+  }
+
+  test("q179 epoch schedule: small source hits the epoch cap, big one saturates") {
+    // A: 90 tokens, B: 10 → total 100, target (×2 over 2 sources) = 100.
+    val docs = Seq(
+      (1L, (1 to 90).map(i => s"w$i").mkString(" "), "srcA"),
+      (2L, (1 to 10).map(i => s"v$i").mkString(" "), "srcB")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.q179(docs, budgetFactor = 2, maxEpochs = 4)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("tokens"), r.getAs[Long]("target_tokens"),
+          r.getAs[Long]("epochs"), r.getAs[Long]("served_tokens"),
+          r.getAs[Double]("util"))).toMap
+    assert(out("srcA") == ((90L, 100L, 2L, 100L, 1.0)), out)
+    assert(out("srcB") == ((10L, 100L, 4L, 40L, 0.4)), out)
+  }
+
+  test("q181 reweighting upweights the hard source; mass ≈ 1; layout-invariant") {
+    // easy: one token repeated (logprob ~ its high corpus frequency);
+    // hard: all-distinct rare tokens → much lower logprob, more weight.
+    val docs = Seq(
+      (1L, (1 to 50).map(_ => "common").mkString(" "), "easy"),
+      (2L, (1 to 50).map(_ => "common").mkString(" "), "easy"),
+      (3L, (1 to 50).map(i => s"rare$i").mkString(" "), "hard")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.q181(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("loss"), r.getAs[Long]("weight"),
+          r.getAs[Double]("weight_frac"))).toMap
+    assert(out("hard")._1 > out("easy")._1, out)   // excess loss is real
+    assert(out("hard")._2 > out("easy")._2, out)   // and drives weight
+    val mass = out.values.map(_._3).sum
+    assert(mass > 0.99 && mass <= 1.0 + 1e-9, s"mass $mass: $out")
+    val re = TextAnalysis.q181(docs.repartition(5)).collect().map(_.toSeq).toSet
+    assert(re == TextAnalysis.q181(docs).collect().map(_.toSeq).toSet)
+  }
 }
 
