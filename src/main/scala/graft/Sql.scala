@@ -180,6 +180,19 @@ object Sql {
       "graft_khop"           -> (() => graft.operators.Graphs.q175(docs,
         hops = Oracles.KhopHops)),
       "graft_dedup_savings"  -> (() => Dedup.q176(docs)),
+      // round-12 operators (q177–q182)
+      "graft_semdedup"       -> (() => graft.operators.KMeans.q177(embs,
+        tau = Oracles.SemDedupTau)),
+      "graft_gopher_rules"   -> (() => TextAnalysis.q178(docs)),
+      "graft_epoch_schedule" -> (() => TextAnalysis.q179(docs,
+        budgetFactor = Oracles.EpochBudgetFactor,
+        maxEpochs = Oracles.EpochMaxEpochs)),
+      "graft_hits"           -> (() => graft.operators.Graphs.q180(docs,
+        iters = Oracles.HitsIters)),
+      "graft_domain_weights" -> (() => TextAnalysis.q181(docs,
+        iters = Oracles.ReweightIters)),
+      "graft_rejections"     -> (() => graft.operators.Pipeline.q182(docs,
+        tau = Oracles.RejectContamTau)),
       // drift between the q110 snapshot derivations (see Oracles)
       "graft_token_drift"    -> (() => {
         import org.apache.spark.sql.functions.{col, lit, pmod, when, upper}

@@ -55,9 +55,13 @@ import org.apache.spark.sql.types.StructType
   * skipping (`analyze`/`readPruned` by min-max), s18 partitioned
   * commits with manifest-level partition pruning
   * ([[createPartitioned]]/[[readPruned]]), append-only CAS commits
-  * ([[appendOptimistic]]), and the incremental change feed
-  * ([[readChanges]]). Still owed: CAS with rebase for MUTATING
-  * commits (delete/merge conflict resolution).
+  * ([[appendOptimistic]]), the incremental change feed
+  * ([[readChanges]]), and CAS-with-REBASE for locked mutations
+  * (`commit` replans `dfOf` against the new head when a lock-free
+  * appender wins the version race — delete/merge/compact never lose
+  * concurrent appends and never fail spuriously). Still owed: CAS on
+  * eventually-consistent object stores (needs a conditional-put
+  * primitive the FileSystem API lacks).
   */
 object SnapshotTable {
 
@@ -189,38 +193,57 @@ object SnapshotTable {
     buf.sorted.toSeq
   }
 
+  /** Test seam: runs after a commit attempt plans its payload and
+    * just before it publishes — the only window where a lock-free
+    * appendOptimistic can still beat a locked mutation to the version
+    * number. Specs inject a racing append here to exercise the rebase
+    * path deterministically; production never sets it. */
+  private[graft] var beforePublishHook: Option[Long => Unit] = None
+
   private def commit(spark: SparkSession, path: String, operation: String,
                      dfOf: Long => Option[DataFrame],
                      filesOf: (Long, Seq[String]) => Seq[String],
                      schemaOf: (Long, Seq[String]) => StructType,
-                     partCols: Seq[String] = Nil): Long =
+                     partCols: Seq[String] = Nil,
+                     rebase: Boolean = true): Long =
     graft.operators.LakeLock.withWriter(spark, lockName(spark, path)) {
       val f = fs(spark, path)
-      val head = currentVersion(spark, path)
-      val newFiles = dfOf(head) match {
-        case None => Seq.empty
-        case Some(d) =>
-          val dir = s"data/${UUID.randomUUID().toString.take(12)}"
-          if (partCols.isEmpty) d.write.parquet(s"$path/$dir")
-          else d.write.partitionBy(partCols: _*).parquet(s"$path/$dir")
-          listParquetRec(f, new Path(path, dir)).map(n => s"$dir/$n")
+      var attempt = 0
+      while (true) {
+        val head = currentVersion(spark, path)
+        val newFiles = dfOf(head) match {
+          case None => Seq.empty
+          case Some(d) =>
+            val dir = s"data/${UUID.randomUUID().toString.take(12)}"
+            if (partCols.isEmpty) d.write.parquet(s"$path/$dir")
+            else d.write.partitionBy(partCols: _*).parquet(s"$path/$dir")
+            listParquetRec(f, new Path(path, dir)).map(n => s"$dir/$n")
+        }
+        val v = head + 1
+        beforePublishHook.foreach(_(v))
+        // exclusive create: if a racing appendOptimistic (lock-free by
+        // design) published v first, REBASE — `dfOf` is a pure function
+        // of the head, so re-running it against the new head replans
+        // the mutation over the racer's rows and nothing is lost. The
+        // failed attempt's data dir is unreferenced; expire() sweeps
+        // it. `create` cannot rebase (a racer means the table already
+        // exists) and fails loudly instead.
+        try {
+          publishManifest(spark, f, path, v, head, operation,
+            filesOf(head, newFiles), schemaOf(head, newFiles))
+          return v
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+               _: java.nio.file.FileAlreadyExistsException =>
+            attempt += 1
+            require(rebase && attempt < 20,
+              s"$operation on $path lost version $v to a concurrent " +
+              "appendOptimistic" + (if (rebase) " 20 times; writer " +
+              "storm — back off or pause the appenders" else
+              "; nothing was corrupted — re-run it on the new head"))
+        }
       }
-      val v = head + 1
-      // exclusive create: if a racing writer published v first (an
-      // optimistic appender doesn't take this lock), the COMMIT fails
-      // loudly — history never forks; re-running the mutation rebases
-      // it on the new head
-      try publishManifest(spark, f, path, v, head, operation,
-        filesOf(head, newFiles), schemaOf(head, newFiles))
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: java.nio.file.FileAlreadyExistsException =>
-          throw new IllegalStateException(
-            s"$operation on $path lost version $v to a concurrent " +
-            "appendOptimistic; nothing was corrupted — re-run the " +
-            "mutation to rebase it on the new head")
-      }
-      v
+      -1L // unreachable
     }
 
   /** Publish manifest `v`: an EXCLUSIVE create (the atomic commit
@@ -321,7 +344,7 @@ object SnapshotTable {
     require(currentVersion(spark, path) == 0L,
       s"snapshot table $path already exists; use append/overwrite")
     commit(spark, path, operation, _ => Some(df),
-      (_, nf) => nf, (_, _) => df.schema)
+      (_, nf) => nf, (_, _) => df.schema, rebase = false)
   }
 
   /** Append `df`'s rows; old files are reused as-is (no rewrite). */

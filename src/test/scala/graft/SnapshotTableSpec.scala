@@ -273,6 +273,34 @@ class SnapshotTableSpec extends GraftSpec {
       SnapshotTable.currentVersion(spark, p)).files)
   }
 
+  test("locked mutation REBASES over a racing optimistic append — nothing lost") {
+    val p = tmp("rebase")
+    SnapshotTable.create(spark, p,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+    // inject a lock-free append into the one window where it can still
+    // beat the locked delete to the version number (after the delete
+    // plans its payload, before it publishes) — fires once
+    @volatile var fired = false
+    SnapshotTable.beforePublishHook = Some { _ =>
+      if (!fired) {
+        fired = true
+        SnapshotTable.appendOptimistic(spark, p,
+          Seq((4L, "d"), (2L, "dup")).toDF("id", "s"))
+      }
+    }
+    try {
+      val v = SnapshotTable.deleteWhere(spark, p, "id = 2")
+      // the delete rebased: it replanned against the appended head, so
+      // BOTH id=2 rows are gone and the appended id=4 row survives
+      assert(v == 3L, s"expected rebase to land at v3, got $v")
+      val ids = SnapshotTable.read(spark, p).collect()
+        .map(_.getAs[Long]("id")).sorted.toSeq
+      assert(ids == Seq(1L, 3L, 4L), s"head rows: $ids")
+      assert(SnapshotTable.history(spark, p).map(_.operation) ==
+        Seq("create", "append", "delete"))
+    } finally SnapshotTable.beforePublishHook = None
+  }
+
   test("st27 change feed: each appended row arrives once with its commit version") {
     val p = tmp("cdf")
     SnapshotTable.create(spark, p, Seq((1L, "a")).toDF("id", "s"))

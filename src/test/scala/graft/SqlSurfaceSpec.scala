@@ -287,4 +287,45 @@ class SqlSurfaceSpec extends GraftSpec {
     assert(explain.contains("Physical Plan"))
     assert(spark.sql("SHOW TABLES").collect().nonEmpty)
   }
+
+  test("round-12 views (q177–q182) answer through SQL text with their invariants") {
+    Sql.registerTables(spark, SF)
+    val views = Sql.registerPipelineSql(spark)
+    Seq("graft_semdedup", "graft_gopher_rules", "graft_epoch_schedule",
+      "graft_hits", "graft_domain_weights", "graft_rejections")
+      .foreach(v => assert(views.contains(v), v))
+    // gopher pass IS the conjunction of its five rules
+    assert(spark.sql(
+      """SELECT * FROM graft_gopher_rules
+         WHERE pass <> (r_len AND r_wlen AND r_alpha AND r_stop AND r_sym)""")
+      .collect().isEmpty)
+    // a SemDeDup drop always bills to an EARLIER keeper id
+    assert(spark.sql(
+      """SELECT * FROM graft_semdedup
+         WHERE (status = 'drop') <> (dup_of IS NOT NULL)
+            OR (dup_of IS NOT NULL AND dup_of >= vec_id)""")
+      .collect().isEmpty)
+    // epoch schedule: served never exceeds target or capacity
+    assert(spark.sql(
+      """SELECT * FROM graft_epoch_schedule
+         WHERE served_tokens > target_tokens
+            OR served_tokens > epochs * tokens OR util > 1.0""")
+      .collect().isEmpty)
+    // HITS scores are non-negative and cover some domains
+    assert(spark.sql(
+      "SELECT * FROM graft_hits WHERE hub < 0 OR authority < 0")
+      .collect().isEmpty)
+    assert(spark.sql("SELECT count(*) FROM graft_hits")
+      .collect()(0).getLong(0) > 0)
+    // reweighting mass ≈ 1 after the precise renormalize
+    val mass = spark.sql("SELECT sum(weight_frac) AS m FROM graft_domain_weights")
+      .collect()(0).getDouble(0)
+    assert(mass > 0.99 && mass <= 1.0 + 1e-9, s"mass $mass")
+    // rejection stages and reasons stay consistent
+    assert(spark.sql(
+      """SELECT * FROM graft_rejections
+         WHERE (stage_id = 0) <> (reason = 'kept')
+            OR stage_id NOT IN (0, 1, 2, 3)""")
+      .collect().isEmpty)
+  }
 }
