@@ -70,6 +70,10 @@ object Oracles {
     * stage (after rules and dedup). */
   final val RejectContamTau = 0.2
 
+  /** q183 k-anonymity floor: an (event_type, hour) equivalence class
+    * with fewer distinct users than this is marked `suppress`. */
+  final val KAnonK = 5
+
   /** q114/q115/q119 span length — the operator defaults AND the
     * oracle window arithmetic derive from this one value. */
   val SpanK = 5
@@ -231,6 +235,39 @@ object Oracles {
        FROM cm JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
        WHERE CAST(common AS DOUBLE)/(sa.n + sb.n - common) > 0.8
        ORDER BY doc_a, doc_b"""
+  /** q162's SQL, shared verbatim by the q184 sketch-eval oracle. */
+  private val MinimizerSql =
+    s"""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS wd
+           FROM documents WHERE len(string_split(lower(trim(text)), ' ')) >= 3),
+         g AS (SELECT doc_id, unnest(list_transform(range(1, len(wd)-1),
+             i -> struct_pack(pos := i - 1,
+               g := wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]))) AS s
+           FROM t),
+         ph AS (SELECT doc_id,
+             struct_extract(s, 'pos') AS pos,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(struct_extract(s, 'g'), ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (h, c) -> (h*31 + c) % 1000000007) AS h
+           FROM g),
+         mz AS (SELECT DISTINCT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND ${MinimizerW - 1} FOLLOWING) AS mz
+           FROM ph),
+         sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_min
+           FROM mz GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS shared
+           FROM mz a JOIN mz b ON a.mz = b.mz AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT doc_a, doc_b, shared, sa.n_min AS n_a, sb.n_min AS n_b,
+           CAST(shared AS DOUBLE) / CAST(least(sa.n_min, sb.n_min) AS DOUBLE)
+             AS containment
+         FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE shared >= $MinimizerShared
+         ORDER BY doc_a, doc_b"""
+
   private val Q46Sql =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        n AS (SELECT vec_id, v,
@@ -2327,6 +2364,17 @@ object Oracles {
          LEFT JOIN contam c ON c.doc_id = d.doc_id
          ORDER BY d.doc_id""",
 
+    // k-anonymity audit: one exact (type, hour, distinct-user) group
+    // count and an integer compare — the q173 hour derivation
+    "q183_k_anonymity" ->
+      s"""SELECT event_type,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CASE WHEN COUNT(DISTINCT user_id) < $KAnonK THEN 'suppress'
+                ELSE 'release' END AS status
+         FROM events GROUP BY 1, 2 ORDER BY event_type, hour""",
+
     // Zipf slope: PortableLn via lnChain, regression terms floor-scaled
     // to 1e-9 longs (order-free sums), slope/intercept = fixed IEEE op
     // sequence mirroring TextAnalysis.q157
@@ -2443,37 +2491,33 @@ object Oracles {
     // minimizer sketch: q50's poly hash per positional 3-gram, window
     // min over w consecutive hashes (tail suffixes included, like the
     // Spark frame), distinct per doc, equi-join candidates
-    "q162_minimizer_neardup" ->
-      s"""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS wd
-           FROM documents WHERE len(string_split(lower(trim(text)), ' ')) >= 3),
-         g AS (SELECT doc_id, unnest(list_transform(range(1, len(wd)-1),
-             i -> struct_pack(pos := i - 1,
-               g := wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]))) AS s
-           FROM t),
-         ph AS (SELECT doc_id,
-             struct_extract(s, 'pos') AS pos,
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(string_split(struct_extract(s, 'g'), ''),
-                 c -> CAST(unicode(c) AS BIGINT))),
-               (h, c) -> (h*31 + c) % 1000000007) AS h
-           FROM g),
-         mz AS (SELECT DISTINCT doc_id,
-             min(h) OVER (PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN CURRENT ROW AND ${MinimizerW - 1} FOLLOWING) AS mz
-           FROM ph),
-         sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_min
-           FROM mz GROUP BY doc_id),
-         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(COUNT(*) AS BIGINT) AS shared
-           FROM mz a JOIN mz b ON a.mz = b.mz AND a.doc_id < b.doc_id
-           GROUP BY a.doc_id, b.doc_id)
-         SELECT doc_a, doc_b, shared, sa.n_min AS n_a, sb.n_min AS n_b,
-           CAST(shared AS DOUBLE) / CAST(least(sa.n_min, sb.n_min) AS DOUBLE)
-             AS containment
-         FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
-           JOIN sizes sb ON sb.doc_id = doc_b
-         WHERE shared >= $MinimizerShared
-         ORDER BY doc_a, doc_b""",
+    "q162_minimizer_neardup" -> MinimizerSql,
+
+    // sketch calibration: exact q41 pairs vs q162 minimizer pairs,
+    // one full-outer pair join + a one-row conditional-sum report;
+    // guarded divides mirror the registered plan's `when` exactly
+    "q184_sketch_eval" ->
+      s"""WITH ex AS ($Q41Sql),
+         sk AS ($MinimizerSql),
+         exp AS (SELECT doc_a, doc_b FROM ex),
+         skp AS (SELECT doc_a, doc_b FROM sk),
+         j AS (SELECT (e.doc_a IS NOT NULL) AS in_exact,
+                      (s.doc_a IS NOT NULL) AS in_sketch
+               FROM exp e FULL OUTER JOIN skp s
+                 ON e.doc_a = s.doc_a AND e.doc_b = s.doc_b),
+         agg AS (SELECT
+             CAST(SUM(CASE WHEN in_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+             CAST(SUM(CASE WHEN in_sketch THEN 1 ELSE 0 END) AS BIGINT) AS n_sketch,
+             CAST(SUM(CASE WHEN in_exact AND in_sketch THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN in_sketch AND NOT in_exact THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN in_exact AND NOT in_sketch THEN 1 ELSE 0 END) AS BIGINT) AS fn
+           FROM j)
+         SELECT n_exact, n_sketch, tp, fp, fn,
+           CASE WHEN n_sketch > 0
+                THEN CAST(tp AS DOUBLE) / CAST(n_sketch AS DOUBLE) END AS precision,
+           CASE WHEN n_exact > 0
+                THEN CAST(tp AS DOUBLE) / CAST(n_exact AS DOUBLE) END AS recall
+         FROM agg""",
 
     // novelty: Q41-style distinct 3-grams -> poly hash -> doc
     // frequency -> per-doc unique fraction; one double divide

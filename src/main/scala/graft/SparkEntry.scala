@@ -348,7 +348,11 @@ object SparkEntry {
     "q181_domain_reweight"     -> ((s, d) => TextAnalysis.q181(documents(s, d),
       iters = Oracles.ReweightIters)),
     "q182_rejection_reasons"   -> ((s, d) => Pipeline.q182(documents(s, d),
-      tau = Oracles.RejectContamTau))
+      tau = Oracles.RejectContamTau)),
+    "q183_k_anonymity"         -> ((s, d) => Events.q183(events(s, d),
+      k = Oracles.KAnonK)),
+    "q184_sketch_eval"         -> ((s, d) => Dedup.q184(documents(s, d),
+      w = Oracles.MinimizerW, minShared = Oracles.MinimizerShared))
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

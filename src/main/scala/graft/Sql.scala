@@ -193,6 +193,10 @@ object Sql {
         iters = Oracles.ReweightIters)),
       "graft_rejections"     -> (() => graft.operators.Pipeline.q182(docs,
         tau = Oracles.RejectContamTau)),
+      "graft_k_anonymity"    -> (() => graft.operators.Events.q183(
+        spark.table("events"), k = Oracles.KAnonK)),
+      "graft_sketch_eval"    -> (() => Dedup.q184(docs,
+        w = Oracles.MinimizerW, minShared = Oracles.MinimizerShared)),
       // drift between the q110 snapshot derivations (see Oracles)
       "graft_token_drift"    -> (() => {
         import org.apache.spark.sql.functions.{col, lit, pmod, when, upper}

@@ -1303,4 +1303,41 @@ object Dedup {
       .orderBy(col("block_docs").desc, col("g"))
       .limit(topK)
   }
+
+  /** q184: SKETCH-EVAL — precision/recall of the minimizer near-dup
+    * sketch ([[q162]]) against the exact Jaccard pair set ([[q41]]),
+    * the calibration read a pipeline runs BEFORE trusting a cheap
+    * sketch at 100 TB: exact pairs are ground truth, sketch pairs the
+    * candidate set, and the one-row report (tp/fp/fn, precision =
+    * tp/n_sketch, recall = tp/n_exact) says whether the sketch's
+    * recall is worth its cost at the current (w, minShared) — the
+    * knob-tuning loop that otherwise runs blind. Both sub-plans are
+    * the operators' own (oracle-exact each); the comparison is ONE
+    * full-outer join on the (doc_a, doc_b) key + a one-row
+    * conditional-sum aggregate, so the eval costs two dedup runs plus
+    * a pair-sized exchange — runnable on a sampled slice at scale.
+    * Guarded divides (empty side → null, mirrored CASE in the
+    * oracle); all counts exact longs → hash-exact. */
+  def q184(documents: DataFrame, w: Int = 4, minShared: Int = 2): DataFrame = {
+    val exact = q41(documents).select(col("doc_a"), col("doc_b"))
+      .withColumn("in_exact", lit(true))
+    val sketch = q162(documents, w, minShared).select(col("doc_a"), col("doc_b"))
+      .withColumn("in_sketch", lit(true))
+    exact.join(sketch, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(when(col("in_exact"), 1L).otherwise(0L)).cast("long").as("n_exact"),
+        sum(when(col("in_sketch"), 1L).otherwise(0L)).cast("long").as("n_sketch"),
+        sum(when(col("in_exact") && col("in_sketch"), 1L).otherwise(0L))
+          .cast("long").as("tp"),
+        sum(when(col("in_sketch") && col("in_exact").isNull, 1L).otherwise(0L))
+          .cast("long").as("fp"),
+        sum(when(col("in_exact") && col("in_sketch").isNull, 1L).otherwise(0L))
+          .cast("long").as("fn"))
+      .withColumn("precision",
+        when(col("n_sketch") > 0L,
+          col("tp").cast("double") / col("n_sketch").cast("double")))
+      .withColumn("recall",
+        when(col("n_exact") > 0L,
+          col("tp").cast("double") / col("n_exact").cast("double")))
+  }
 }

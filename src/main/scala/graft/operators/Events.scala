@@ -545,4 +545,30 @@ object Events {
       .crossJoin(broadcast(leak))
       .orderBy(col("split"))
   }
+
+  /** q183: K-ANONYMITY AUDIT (Sweeney 2002) over the event stream —
+    * the privacy gate a behavioral dataset passes before it ships to
+    * training or analytics: group events by their QUASI-IDENTIFIER
+    * tuple (event_type × event hour — the released attributes an
+    * adversary could join on), count DISTINCT users per equivalence
+    * class, and mark classes with fewer than k users `suppress` —
+    * releasing them would let those rows be re-identified by anyone
+    * who knows one member's type+hour. The standard k-anonymity
+    * verdict at class granularity; generalization (coarser hours,
+    * merged types) is the remediation loop a curator runs until the
+    * suppress mass is acceptable.
+    *
+    * Exactness: counts are exact longs, the verdict one integer
+    * compare — hash-exact. Plan: ONE map-side-combined aggregate over
+    * (type, hour); the distinct-user count shuffles (type, hour,
+    * user) tuples, bounded by events not users — the same shape as
+    * q173's hourly profile, scale-stable at any corpus size. */
+  def q183(events: DataFrame, k: Int = 5): DataFrame =
+    withTs(events)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        countDistinct(col("user_id")).cast("long").as("n_users"))
+      .withColumn("status",
+        when(col("n_users") < k, lit("suppress")).otherwise(lit("release")))
+      .orderBy(col("event_type"), col("hour"))
 }

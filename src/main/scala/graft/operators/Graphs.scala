@@ -28,49 +28,82 @@ import org.apache.spark.sql.functions._
   * everywhere. */
 object Graphs {
 
+  /** Node-count ceiling for the BROADCAST per-round strategy: at or
+    * below it the node-sized rank/label/distance/score tables ride
+    * broadcast hints (zero node-table shuffles per round, the right
+    * trade for domain graphs — ~100M nodes ≈ 8 GiB of (node, double));
+    * above it every iterative operator switches to the CO-PARTITIONED
+    * path: no broadcast hints (the node table would exceed executor
+    * memory and the driver's collect ceiling), and the pinned edge
+    * list is pre-partitioned on its per-round join key so the cached
+    * edges already satisfy the join's required distribution — per
+    * round only node-sized frames move, the edge payload NEVER
+    * re-exchanges in either mode. The decision costs one count() on
+    * the pinned node table — metadata-cheap next to the join rounds.
+    * Both paths are the same algebra (parity-specced in GraphsSpec
+    * with `broadcastNodeLimit = 0`); the big-graph round shape is
+    * pinned by PlanBudgetSpec (no BroadcastHashJoin above the
+    * threshold). */
+  final val BroadcastNodeLimit: Long = 100000000L
+
+  /** Broadcast-or-not for the node-sized per-round tables; one-row
+    * totals stay unconditionally broadcast. */
+  private def bc(df: DataFrame, use: Boolean): DataFrame =
+    if (use) broadcast(df) else df
+
   /** Fixed-iteration damped PageRank over a directed edge list
     * (src, dst). Every node must appear as a src (no dangling mass —
     * the q154 edge derivation guarantees it by construction); dangling
     * nodes would silently lose their mass rather than redistribute. */
-  def pagerank(edges: DataFrame, iters: Int = 10,
-               alpha: Double = 0.85): DataFrame = {
+  def pagerank(edges: DataFrame, iters: Int = 10, alpha: Double = 0.85,
+               broadcastNodeLimit: Long = BroadcastNodeLimit): DataFrame = {
     // Plan shape per round: the EDGE list (the only corpus-sized frame,
     // pinned — one derivation feeds all rounds) streams through two
-    // BROADCAST hash joins against the node-sized ranks and out-degree
-    // tables — no edge-side exchange, ever — then one map-side-combined
-    // aggregation whose exchange carries ≤ nodes (node, long) rows.
-    // `localCheckpoint(eager)` per round keeps each round's plan flat
-    // (a lazily-composed 10-round tree re-plans all prior rounds per
-    // round — measured 12 s vs ~4 s at sf0.01). Broadcasting ranks
-    // bounds the node count to broadcast-able (~100M domains at
-    // 8 GiB) — the right trade for domain graphs; a billion-node graph
-    // swaps the hints for a co-partitioned shuffle join, same algebra.
-    val e = graft.Pins.pin(edges.select(col("src"), col("dst")))
-    val nodes = graft.Pins.pin(e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct())
+    // joins against the node-sized ranks and out-degree tables —
+    // BROADCAST hash joins at or under `broadcastNodeLimit` nodes,
+    // CO-PARTITIONED joins above it (edges cached pre-partitioned on
+    // src, so the cached layout satisfies the join's required
+    // distribution and only the rank table shuffles) — then one
+    // map-side-combined aggregation whose exchange carries ≤ nodes
+    // (node, long) rows. `localCheckpoint(eager)` per round keeps each
+    // round's plan flat (a lazily-composed 10-round tree re-plans all
+    // prior rounds per round — measured 12 s vs ~4 s at sf0.01).
+    val e0 = edges.select(col("src"), col("dst"))
+    val nodes = graft.Pins.pin(e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct())
+    val useBcast = nodes.count() <= broadcastNodeLimit
+    val e = graft.Pins.pin(if (useBcast) e0 else e0.repartition(col("src")))
     val outdeg = graft.Pins.pin(
       e.groupBy(col("src")).agg(count(lit(1)).as("od")))
     val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
     var ranks = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n")).as("pr"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val contrib = e
-        .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
-        .join(broadcast(outdeg), "src")
-        .select(col("dst").as("node"),
-          floor(col("pr") / col("od").cast("double") * lit(1.0e12))
-            .cast("long").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      ranks = nodes.crossJoin(broadcast(nn))
-        .join(broadcast(contrib), Seq("node"), "left_outer")
-        .select(col("node"),
-          ((lit(1.0) - lit(alpha)) / col("n") +
-            lit(alpha) * (coalesce(col("s"), lit(0L)).cast("double") /
-              lit(1.0e12))).as("pr"))
+    for (_ <- 1 to iters)
+      ranks = pagerankRound(e, nodes, outdeg, nn, ranks, alpha, useBcast)
         .localCheckpoint(true)
-    }
     ranks
+  }
+
+  /** One PageRank round as a LAZY plan — extracted so PlanBudgetSpec
+    * can pin the co-partitioned round's shape (the driver loop's
+    * localCheckpoint erases plans before a spec could read them). */
+  private[graft] def pagerankRound(e: DataFrame, nodes: DataFrame,
+      outdeg: DataFrame, nn: DataFrame, ranks: DataFrame,
+      alpha: Double, useBcast: Boolean): DataFrame = {
+    val contrib = e
+      .join(bc(ranks.withColumnRenamed("node", "src"), useBcast), "src")
+      .join(bc(outdeg, useBcast), "src")
+      .select(col("dst").as("node"),
+        floor(col("pr") / col("od").cast("double") * lit(1.0e12))
+          .cast("long").as("c"))
+      .groupBy(col("node")).agg(sum(col("c")).as("s"))
+    nodes.crossJoin(broadcast(nn))
+      .join(bc(contrib, useBcast), Seq("node"), "left_outer")
+      .select(col("node"),
+        ((lit(1.0) - lit(alpha)) / col("n") +
+          lit(alpha) * (coalesce(col("s"), lit(0L)).cast("double") /
+            lit(1.0e12))).as("pr"))
   }
 
   /** The crawl-chain domain edge list shared by q154 and q165: each
@@ -120,22 +153,26 @@ object Graphs {
     * map-side-combined (node, label) count whose exchange carries ≤
     * edge-endpoint distinct rows; the argmax is a node-sized
     * max-count join + min-label aggregate. localCheckpoint per round
-    * (the q64/q154 lineage cut). Billion-node graphs swap the
-    * broadcast hint for a co-partitioned join, same algebra. */
-  def labelProp(edges: DataFrame, iters: Int = 5): DataFrame = {
-    val e = graft.Pins.pin(
-      edges.select(col("src"), col("dst"))
-        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct())
-    var labels = e.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
+    * (the q64/q154 lineage cut). Above [[BroadcastNodeLimit]] nodes
+    * the hints drop away and the pinned edge list is cached
+    * pre-partitioned on src — the co-partitioned path: per round only
+    * the label table and the (dst, lbl) partial counts shuffle. */
+  def labelProp(edges: DataFrame, iters: Int = 5,
+                broadcastNodeLimit: Long = BroadcastNodeLimit): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val nodes = graft.Pins.pin(e0.select(col("src").as("node")).distinct())
+    val useBcast = nodes.count() <= broadcastNodeLimit
+    val e = graft.Pins.pin(if (useBcast) e0 else e0.repartition(col("src")))
+    var labels = nodes.withColumn("lbl", col("node"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val nl = e
-        .join(broadcast(labels.withColumnRenamed("node", "src")), "src")
+        .join(bc(labels.withColumnRenamed("node", "src"), useBcast), "src")
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
       val mx = nl.groupBy(col("dst")).agg(max(col("cnt")).as("mc"))
-      labels = nl.join(broadcast(mx), "dst")
+      labels = nl.join(bc(mx, useBcast), "dst")
         .filter(col("cnt") === col("mc"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("lbl"))
         .withColumnRenamed("dst", "node")
@@ -216,21 +253,26 @@ object Graphs {
     * integers, fixed round count (oracle unrolls `hops` rounds of
     * relax-and-min CTEs) → hash-exact by induction.
     *
-    * Plan per round: edge list × ONE broadcast join against the
-    * reached frontier (node-sized) + a map-side-combined min — the
-    * q154/q165 round shape; localCheckpoint lineage cut. */
-  def q175(documents: DataFrame, hops: Int = 6): DataFrame = {
-    val e = graft.Pins.pin(
-      crawlEdges(documents).select(col("src"), col("dst"))
-        .unionByName(crawlEdges(documents)
-          .select(col("dst").as("src"), col("src").as("dst")))
-        .distinct())
+    * Plan per round: edge list × ONE join against the reached
+    * frontier (node-sized; broadcast under [[BroadcastNodeLimit]],
+    * co-partitioned above — edges cached pre-partitioned on src) + a
+    * map-side-combined min — the q154/q165 round shape;
+    * localCheckpoint lineage cut. */
+  def q175(documents: DataFrame, hops: Int = 6,
+           broadcastNodeLimit: Long = BroadcastNodeLimit): DataFrame = {
+    val e0 = crawlEdges(documents).select(col("src"), col("dst"))
+      .unionByName(crawlEdges(documents)
+        .select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val nodes = graft.Pins.pin(e0.select(col("src").as("node")).distinct())
+    val useBcast = nodes.count() <= broadcastNodeLimit
+    val e = graft.Pins.pin(if (useBcast) e0 else e0.repartition(col("src")))
     val seed = e.agg(min(col("src")).as("node"))
     var dist = broadcast(seed).withColumn("dist", lit(0L))
       .localCheckpoint(true)
     for (_ <- 1 to hops) {
       val relax = e
-        .join(broadcast(dist.withColumnRenamed("node", "src")), "src")
+        .join(bc(dist.withColumnRenamed("node", "src"), useBcast), "src")
         .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
       dist = dist.unionByName(relax)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
@@ -277,25 +319,36 @@ object Graphs {
     * through ONE broadcast join against the node-sized score table,
     * then a map-side-combined long-sum whose exchange carries ≤ nodes
     * rows; the total is a one-row broadcast. localCheckpoint per round
-    * cuts lineage. Billion-node graphs swap broadcasts for
-    * co-partitioned joins, same algebra. */
-  def hits(edges: DataFrame, iters: Int = 5,
-           scale: Long = 1000000L): DataFrame = {
-    val e = graft.Pins.pin(edges.select(col("src"), col("dst")).distinct())
-    val nodes = graft.Pins.pin(e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct())
+    * cuts lineage. Above [[BroadcastNodeLimit]] nodes the hints drop
+    * away and the edge list is pinned TWICE — once partitioned on src,
+    * once on dst — because the half-rounds alternate join keys: 2×
+    * edge cache buys zero edge-side exchanges across all 2·iters
+    * half-rounds, the right trade when the alternative re-shuffles the
+    * corpus-sized edge list every half-round. */
+  def hits(edges: DataFrame, iters: Int = 5, scale: Long = 1000000L,
+           broadcastNodeLimit: Long = BroadcastNodeLimit): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst")).distinct()
+    val nodes = graft.Pins.pin(e0.select(col("src").as("node"))
+      .unionByName(e0.select(col("dst").as("node"))).distinct())
+    val useBcast = nodes.count() <= broadcastNodeLimit
+    val eBySrc = graft.Pins.pin(
+      if (useBcast) e0 else e0.repartition(col("src")))
+    val eByDst =
+      if (useBcast) eBySrc
+      else graft.Pins.pin(e0.repartition(col("dst")))
     var hub = nodes.withColumn("h", lit(scale)).localCheckpoint(true)
     var auth = nodes.withColumn("a", lit(scale)).localCheckpoint(true)
     // one half-round: raw(n) = Σ over `joinKey` edges of the opposite
     // score, then integer renormalize to Σ≈scale
     def half(scores: DataFrame, scoreCol: String, joinKey: String,
              outKey: String, outCol: String): DataFrame = {
+      val e = if (joinKey == "src") eBySrc else eByDst
       val raw = e
-        .join(broadcast(scores.withColumnRenamed("node", joinKey)), joinKey)
+        .join(bc(scores.withColumnRenamed("node", joinKey), useBcast), joinKey)
         .groupBy(col(outKey).as("node"))
         .agg(sum(col(scoreCol)).as("raw"))
       val tot = raw.agg(sum(col("raw")).as("t"))
-      nodes.join(broadcast(raw), Seq("node"), "left_outer")
+      nodes.join(bc(raw, useBcast), Seq("node"), "left_outer")
         .crossJoin(broadcast(tot))
         .select(col("node"),
           coalesce(expr(s"(coalesce(raw, 0L) * $scale) div t"), lit(0L))

@@ -590,7 +590,7 @@ object SnapshotTable {
       partitionPrunedFiles(spark, path, partCol, keep, Some(v)))
   }
 
-  /** st27 companion: INCREMENTAL CHANGE FEED — the rows each version
+  /** st29: INCREMENTAL CHANGE FEED — the rows each version
     * in `(fromVersion, toVersion]` ADDED, tagged `_commit_version`;
     * the Delta-CDF/Iceberg-incremental-read pattern over the same
     * manifests. Exact because an append-only commit's delta IS its

@@ -37,6 +37,33 @@ object Streams {
   def q38(events: DataFrame): DataFrame =
     windowedAgg(events).orderBy(col("win_start"), col("event_type"))
 
+  /** st30: streaming K-ANONYMITY gate — the q183 audit applied at
+    * ingest: per closed (event_type × hour window) equivalence class,
+    * the class's status (`suppress` below k distinct users, `release`
+    * at or above) emits once the watermark passes, so a release
+    * pipeline downstream can admit classes as they close instead of
+    * auditing after the fact. The distinct-user count is EXACT via
+    * `size(collect_set(user_id))` — streaming aggregation forbids
+    * `countDistinct`, and the usual `approx_count_distinct` escape is
+    * WRONG here: an undercount would release a class that should
+    * suppress, which is the one error a privacy gate cannot make.
+    * State cost: one set of user ids per OPEN class, evicted at
+    * watermark — bounded by (types × windows-in-watermark × users per
+    * class), not the stream's history; a deployment with pathological
+    * per-class cardinality shards the window or pre-buckets users.
+    * Also valid as a batch plan (the spec cross-checks it against
+    * [[graft.operators.Events.q183]] on the same rows). */
+  def kAnonymityGate(events: DataFrame, k: Int = 5): DataFrame =
+    Events.withTs(events)
+      .withWatermark("ts", Watermark)
+      .groupBy(window(col("ts"), WindowDuration), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        size(collect_set(col("user_id"))).cast("long").as("n_users"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("n_users"),
+        when(col("n_users") < k, lit("suppress")).otherwise(lit("release"))
+          .as("status"))
+
   /** st06: exactly-once parquet sink via foreachBatch — each micro-batch
     * writes to a batchId-named directory, so replays after failure
     * overwrite the same path instead of duplicating rows (idempotent

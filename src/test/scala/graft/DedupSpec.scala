@@ -580,6 +580,19 @@ class DedupSpec extends GraftSpec {
     assert(out(4L) == ((4L, 3L, 0.75)), out)
   }
 
+  test("q184 sketch eval: identities reconcile and the identical pair is recalled") {
+    // ground truth on the fixture is exactly the identical pair (1,4);
+    // identical docs share every minimizer, so the sketch must recall it
+    val r = Dedup.q184(docs).collect()(0)
+    val (nE, nS, tp, fp, fn) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_sketch"),
+      r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"))
+    assert(nE == 1L, s"exact ground truth: $r")
+    assert(tp + fp == nS && tp + fn == nE, s"counts don't reconcile: $r")
+    assert(r.getAs[Double]("recall") == 1.0, s"identical pair missed: $r")
+    val p = r.getAs[Double]("precision")
+    assert(p > 0.0 && p <= 1.0, s"precision out of range: $r")
+  }
+
   test("q182 rejection reasons: each planted doc bills to its first failing stage") {
     import graft.operators.Pipeline
     // 55 rule-clean words (stopwords present, lengths 3-5, no symbols)

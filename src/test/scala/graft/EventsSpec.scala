@@ -162,4 +162,22 @@ class EventsSpec extends GraftSpec {
     assert(out("embargo") == ((1L, 1L, 1L)), out)
     assert(out("test") == ((2L, 2L, 1L)), out)
   }
+
+  test("q183 k-anonymity: a 2-user class suppresses, a 5-user class releases") {
+    // hour 00: type 'a' seen by 5 distinct users (k = 5 -> release);
+    // hour 01: type 'a' seen by 2 users only (-> suppress); repeat
+    // events don't help — the count is DISTINCT users
+    val rows = (
+      (1 to 5).map(u => ev(u.toLong, u.toLong, "2024-01-01T00:10:00Z", "a")) ++
+      Seq(ev(6, 1, "2024-01-01T01:10:00Z", "a"),
+        ev(7, 2, "2024-01-01T01:20:00Z", "a"),
+        ev(8, 2, "2024-01-01T01:30:00Z", "a"))
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Events.q183(rows, k = 5).collect()
+      .map(r => r.getAs[Timestamp]("hour").toInstant.toString ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_users"),
+          r.getAs[String]("status"))).toMap
+    assert(out("2024-01-01T00:00:00Z") == ((5L, 5L, "release")), out)
+    assert(out("2024-01-01T01:00:00Z") == ((3L, 2L, "suppress")), out)
+  }
 }

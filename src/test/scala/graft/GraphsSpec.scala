@@ -161,6 +161,30 @@ class GraphsSpec extends GraftSpec {
     assert(math.abs(auth.values.sum - 1000000L) <= n, s"auth mass: $auth")
   }
 
+  test("co-partitioned path (broadcastNodeLimit = 0) is bit-identical to broadcast") {
+    // same integer/floor-scaled algebra in both modes, so outputs are
+    // EXACTLY equal — only the join strategy differs
+    val prEdges = Seq("b" -> "a", "c" -> "a", "d" -> "a", "a" -> "b")
+      .toDF("src", "dst")
+    assert(Graphs.pagerank(prEdges, 10, broadcastNodeLimit = 0L)
+      .collect().map(_.toSeq).toSet ==
+      Graphs.pagerank(prEdges, 10).collect().map(_.toSeq).toSet)
+    val lpEdges = Seq(("a1", "a2"), ("a1", "a3"), ("a2", "a3"),
+      ("b1", "b2"), ("b1", "b3"), ("b2", "b3"), ("a3", "b1")).toDF("src", "dst")
+    assert(Graphs.labelProp(lpEdges, 5, broadcastNodeLimit = 0L)
+      .collect().map(_.toSeq).toSet ==
+      Graphs.labelProp(lpEdges, 5).collect().map(_.toSeq).toSet)
+    val hEdges = Seq(("d", "a"), ("d", "b"), ("d", "c"), ("x", "a"))
+      .toDF("src", "dst")
+    assert(Graphs.hits(hEdges, 5, broadcastNodeLimit = 0L)
+      .collect().map(_.toSeq).toSet ==
+      Graphs.hits(hEdges, 5).collect().map(_.toSeq).toSet)
+    val docs = Tables.documents(spark, SF)
+    assert(Graphs.q175(docs, 6, broadcastNodeLimit = 0L)
+      .collect().map(_.toSeq).toSet ==
+      Graphs.q175(docs, 6).collect().map(_.toSeq).toSet)
+  }
+
   test("q180 on the crawl graph is layout-invariant and covers every domain") {
     val docs = Tables.documents(spark, SF)
     val out = Graphs.q180(docs).collect().map(_.toSeq)

@@ -61,4 +61,28 @@ class PlanBudgetSpec extends GraftSpec {
     assert(r.exchanges <= 1, r) // only the orderBy range exchange
     assert(r.sortMergeJoins == 0 && r.broadcastJoins == 0, r)
   }
+
+  test("graph round above the broadcast node threshold: no node-table broadcast") {
+    // emulate a graph too big to broadcast: hints off (useBcast=false)
+    // AND size-estimation broadcast disabled — the static plan must
+    // carry ZERO BroadcastHashJoins (the one-row nn total still rides
+    // its hinted broadcast nested-loop, which is fine at any scale)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+        .repartition(col("src"))
+      val nodes = e.select(col("src").as("node")).distinct()
+      val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
+      val ranks = nodes.crossJoin(broadcast(nn))
+        .select(col("node"), (lit(1.0) / col("n")).as("pr"))
+      val round = graft.operators.Graphs.pagerankRound(
+        e, nodes, outdeg, nn, ranks, alpha = 0.85, useBcast = false)
+      val r = PlanReport.analyze(round)
+      assert(r.broadcastJoins == 0, r)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -301,7 +301,7 @@ class SnapshotTableSpec extends GraftSpec {
     } finally SnapshotTable.beforePublishHook = None
   }
 
-  test("st27 change feed: each appended row arrives once with its commit version") {
+  test("st29 change feed: each appended row arrives once with its commit version") {
     val p = tmp("cdf")
     SnapshotTable.create(spark, p, Seq((1L, "a")).toDF("id", "s"))
     SnapshotTable.append(spark, p, Seq((2L, "b")).toDF("id", "s"))

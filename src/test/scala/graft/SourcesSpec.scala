@@ -274,4 +274,40 @@ class SourcesSpec extends GraftSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")).toMap
     assert(wrote == expected)
   }
+
+  test("s20 JDBC round-trips via embedded Derby, pushes filters, reads range-partitioned") {
+    // embedded Derby rides the unmanaged Spark classpath — the same
+    // DataSource V1 JDBC path a Postgres/MySQL deployment uses
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val url = s"jdbc:derby:${tmp("jdbc")};create=true"
+    val nation = Tables.nation(spark, SF)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    Sources.writeJdbc(nation, url, "nation_jdbc", driver)
+
+    val back = Sources.readJdbc(spark, url, "nation_jdbc", driver)
+    assert(back.count() == nation.count())
+    assert(back.collect().map(_.toSeq).toSet ==
+      nation.collect().map(_.toSeq).toSet)
+
+    // predicate pushdown reaches the remote SQL, not a post-scan filter
+    val sel = back.filter(back("n_regionkey") === 0L).select("n_name")
+    val plan = formattedPlan(sel)
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("n_regionkey"), plan)
+    assert(sel.count() ==
+      nation.filter(nation("n_regionkey") === 0L).count())
+
+    // range-partitioned read: 4 slices, same rows, 4 scan partitions
+    val part = Sources.readJdbc(spark, url, "nation_jdbc", driver,
+      "n_nationkey", lowerBound = 0L, upperBound = 24L, numPartitions = 4)
+    assert(part.rdd.getNumPartitions == 4, part.rdd.getNumPartitions)
+    assert(part.collect().map(_.toSeq).toSet ==
+      nation.collect().map(_.toSeq).toSet)
+
+    // append lands incrementally (the warehouse incremental-load mode)
+    Sources.writeJdbc(nation.limit(3), url, "nation_jdbc", driver,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    assert(Sources.readJdbc(spark, url, "nation_jdbc", driver).count() ==
+      nation.count() + 3)
+  }
 }

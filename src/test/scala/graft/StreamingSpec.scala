@@ -39,6 +39,42 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st30 k-anonymity gate: closed class emits its exact verdict in-stream") {
+    val ms = MemoryStream[StreamEv]
+    val q = Streams.kAnonymityGate(ms.toDF(), k = 2)
+      .writeStream.format("memory").queryName("st30_out").outputMode("append").start()
+    try {
+      // 10:00 window: 2 distinct users (u1 twice, u2 once) -> release;
+      // 11:00 window: u1 only -> suppress; 13:00 event closes both
+      ms.addData(
+        ev(1, "2026-01-01T10:00:00Z"), ev(1, "2026-01-01T10:10:00Z"),
+        ev(2, "2026-01-01T10:20:00Z"),
+        ev(1, "2026-01-01T11:05:00Z"),
+        ev(9, "2026-01-01T13:00:00Z"))
+      q.processAllAvailable()
+      ms.addData(ev(9, "2026-01-01T13:30:00Z"))
+      q.processAllAvailable()
+      val rows = spark.table("st30_out").collect()
+        .map(r => r.getAs[Timestamp]("hour").toInstant.toString ->
+          (r.getAs[Long]("n_events"), r.getAs[Long]("n_users"),
+            r.getAs[String]("status"))).toMap
+      assert(rows("2026-01-01T10:00:00Z") == ((3L, 2L, "release")), rows)
+      assert(rows("2026-01-01T11:00:00Z") == ((1L, 1L, "suppress")), rows)
+      // batch parity: the same rows through q183 give the same verdicts
+      // (plain tuples — an inner case class can't be re-encoded batch-side)
+      def bv(u: Long, iso: String) =
+        (u, Timestamp.from(Instant.parse(iso)), "view")
+      val batch = graft.operators.Events.q183(Seq(
+        bv(1, "2026-01-01T10:00:00Z"), bv(1, "2026-01-01T10:10:00Z"),
+        bv(2, "2026-01-01T10:20:00Z"), bv(1, "2026-01-01T11:05:00Z"))
+        .toDF("user_id", "ts", "event_type"), k = 2)
+        .collect().map(r => r.getAs[Timestamp]("hour").toInstant.toString ->
+          r.getAs[String]("status")).toMap
+      assert(batch("2026-01-01T10:00:00Z") == "release")
+      assert(batch("2026-01-01T11:00:00Z") == "suppress")
+    } finally q.stop()
+  }
+
   test("st02 sessionization closes a session when the gap is exceeded") {
     val ms = MemoryStream[StreamEv]
     val q = Streams.sessionize(ms.toDF())
