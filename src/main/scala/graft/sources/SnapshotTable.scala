@@ -358,8 +358,9 @@ object SnapshotTable {
     * readable — this is where snapshot semantics beat v1 overwrite,
     * which destroyed the previous data mid-write). The schema may
     * change; each version carries its own. */
-  def overwrite(spark: SparkSession, path: String, df: DataFrame): Long =
-    commit(spark, path, "overwrite", _ => Some(df),
+  def overwrite(spark: SparkSession, path: String, df: DataFrame,
+                operation: String = "overwrite"): Long =
+    commit(spark, path, operation, _ => Some(df),
       (_, nf) => nf, (_, _) => df.schema)
 
   /** Copy-on-write DELETE: rows matching `cond` vanish at the new

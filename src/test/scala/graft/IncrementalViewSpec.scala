@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{IncrementalView, SnapshotTable}
+import graft.sources.IncrementalView.Agg
+
+/** mv02 incremental materialized views: delta-fold parity vs full
+  * recompute, watermark-in-manifest atomicity, null-key groups, and
+  * the mutation refusal → fullRefresh escape hatch. */
+class IncrementalViewSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-imv-$tag").toString + "/t"
+
+  private val aggs = Seq(Agg("count", "", "n"), Agg("sum", "v", "s"),
+    Agg("min", "v", "mn"), Agg("max", "v", "mx"))
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  private def fullRecompute(base: String) = {
+    import org.apache.spark.sql.functions._
+    SnapshotTable.read(spark, base).groupBy("k")
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("v")).as("s"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+  }
+
+  test("incremental refresh == full recompute across appends; new and untouched groups") {
+    val base = tmp("base"); val mv = tmp("mv")
+    SnapshotTable.create(spark, base,
+      Seq(("a", 1L), ("a", 5L), ("b", 2L)).toDF("k", "v"))
+    IncrementalView.create(spark, mv, base, Seq("k"), aggs)
+    assert(rows(IncrementalView.read(spark, mv)) == rows(fullRecompute(base)))
+
+    // append touches a, leaves b untouched, introduces c
+    SnapshotTable.append(spark, base,
+      Seq(("a", 10L), ("c", 7L)).toDF("k", "v"))
+    SnapshotTable.append(spark, base, Seq(("c", 3L)).toDF("k", "v"))
+    IncrementalView.refresh(spark, mv)
+    val got = rows(IncrementalView.read(spark, mv))
+    assert(got == rows(fullRecompute(base)), got)
+    assert(got.contains(Seq("a", 3L, 16L, 1L, 10L)), got)  // merged group
+    assert(got.contains(Seq("b", 1L, 2L, 2L, 2L)), got)    // untouched
+    assert(got.contains(Seq("c", 2L, 10L, 3L, 7L)), got)   // new group
+
+    // the watermark rides the view's own manifest op tag
+    val head = SnapshotTable.currentVersion(spark, mv)
+    assert(SnapshotTable.snapshot(spark, mv, head).operation == "imv:3")
+
+    // base unchanged -> refresh is a no-op (same version back)
+    assert(IncrementalView.refresh(spark, mv) == head)
+  }
+
+  test("null group keys fold null-safely like GROUP BY") {
+    val base = tmp("nullb"); val mv = tmp("nullmv")
+    SnapshotTable.create(spark, base,
+      Seq((Option("a"), 1L), (Option.empty[String], 4L)).toDF("k", "v"))
+    IncrementalView.create(spark, mv, base, Seq("k"), aggs)
+    SnapshotTable.append(spark, base,
+      Seq((Option.empty[String], 6L)).toDF("k", "v"))
+    IncrementalView.refresh(spark, mv)
+    val got = rows(IncrementalView.read(spark, mv))
+    assert(got == rows(fullRecompute(base)), got)
+    assert(got.contains(Seq(null, 2L, 10L, 4L, 6L)), got)
+  }
+
+  test("base mutation blocks incremental refresh; fullRefresh recovers") {
+    val base = tmp("mutb"); val mv = tmp("mutmv")
+    SnapshotTable.create(spark, base,
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
+    IncrementalView.create(spark, mv, base, Seq("k"), aggs)
+    SnapshotTable.deleteWhere(spark, base, "v = 2")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalView.refresh(spark, mv)
+    }
+    assert(e.getMessage.contains("fullRefresh"), e.getMessage)
+    IncrementalView.fullRefresh(spark, mv)
+    assert(rows(IncrementalView.read(spark, mv)) == rows(fullRecompute(base)))
+    // incremental picks back up after the rebuild reset the watermark
+    SnapshotTable.append(spark, base, Seq(("a", 9L)).toDF("k", "v"))
+    IncrementalView.refresh(spark, mv)
+    assert(rows(IncrementalView.read(spark, mv)) == rows(fullRecompute(base)))
+  }
+
+  test("unsupported aggregate is rejected before any write") {
+    val base = tmp("avgb"); val mv = tmp("avgmv")
+    SnapshotTable.create(spark, base, Seq(("a", 1L)).toDF("k", "v"))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalView.create(spark, mv, base, Seq("k"),
+        Seq(Agg("avg", "v", "a")))
+    }
+    assert(e.getMessage.contains("sum+count"), e.getMessage)
+  }
+}
