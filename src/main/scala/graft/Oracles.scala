@@ -74,6 +74,11 @@ object Oracles {
     * with fewer distinct users than this is marked `suppress`. */
   final val KAnonK = 5
 
+  /** q185 l-diversity floor: a k-anonymous class whose sensitive
+    * attribute takes fewer than this many distinct values is
+    * `homogeneous` — releasable size-wise but value-disclosing. */
+  final val LDivL = 3
+
   /** q114/q115/q119 span length — the operator defaults AND the
     * oracle window arithmetic derive from this one value. */
   val SpanK = 5
@@ -2374,6 +2379,51 @@ object Oracles {
            CASE WHEN COUNT(DISTINCT user_id) < $KAnonK THEN 'suppress'
                 ELSE 'release' END AS status
          FROM events GROUP BY 1, 2 ORDER BY event_type, hour""",
+
+    // l-diversity: the q183 class audit + an exact distinct count of
+    // the sensitive attribute, verdicts in disclosure order
+    "q185_l_diversity" ->
+      s"""SELECT event_type,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT value) AS BIGINT) AS n_values,
+           CASE WHEN COUNT(DISTINCT user_id) < $KAnonK THEN 'suppress'
+                WHEN COUNT(DISTINCT value) < $LDivL THEN 'homogeneous'
+                ELSE 'release' END AS status
+         FROM events GROUP BY 1, 2 ORDER BY event_type, hour""",
+
+    // longest contaminated run: positional grams, q107 split hash,
+    // gaps-and-islands (pos - row_number constant within a run)
+    "q186_contam_runs" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+                       FROM documents),
+         pg AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(w)-1),
+               i -> struct_pack(pos := i - 1,
+                 g := w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s,
+             (((doc_id % 1000000007) * 2654435761) % 1000000007 + 40490) % 100
+               AS h
+           FROM toks WHERE len(w) >= 3),
+         p AS (SELECT doc_id, struct_extract(s, 'pos') AS pos,
+             struct_extract(s, 'g') AS g, h FROM pg),
+         tg AS (SELECT DISTINCT g FROM p WHERE h < 80),
+         te AS (SELECT doc_id, pos, g FROM p WHERE h >= 90),
+         m AS (SELECT te.doc_id, te.pos FROM te JOIN tg ON te.g = tg.g),
+         runs AS (SELECT doc_id,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM m),
+         rcnt AS (SELECT doc_id, grp, COUNT(*) AS cnt
+           FROM runs GROUP BY doc_id, grp),
+         rmax AS (SELECT doc_id, MAX(cnt) AS mr FROM rcnt GROUP BY doc_id),
+         base AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+           FROM te GROUP BY doc_id)
+         SELECT base.doc_id, n_grams,
+           CAST(coalesce(mr, 0) AS BIGINT) AS max_run_grams,
+           CAST(CASE WHEN coalesce(mr, 0) > 0 THEN mr + 2 ELSE 0 END
+             AS BIGINT) AS max_run_tokens
+         FROM base LEFT JOIN rmax ON base.doc_id = rmax.doc_id
+         ORDER BY base.doc_id""",
 
     // Zipf slope: PortableLn via lnChain, regression terms floor-scaled
     // to 1e-9 longs (order-free sums), slope/intercept = fixed IEEE op

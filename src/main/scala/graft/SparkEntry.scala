@@ -352,7 +352,10 @@ object SparkEntry {
     "q183_k_anonymity"         -> ((s, d) => Events.q183(events(s, d),
       k = Oracles.KAnonK)),
     "q184_sketch_eval"         -> ((s, d) => Dedup.q184(documents(s, d),
-      w = Oracles.MinimizerW, minShared = Oracles.MinimizerShared))
+      w = Oracles.MinimizerW, minShared = Oracles.MinimizerShared)),
+    "q185_l_diversity"         -> ((s, d) => Events.q185(events(s, d),
+      k = Oracles.KAnonK, l = Oracles.LDivL)),
+    "q186_contam_runs"         -> ((s, d) => Dedup.q186(documents(s, d)))
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -197,6 +197,9 @@ object Sql {
         spark.table("events"), k = Oracles.KAnonK)),
       "graft_sketch_eval"    -> (() => Dedup.q184(docs,
         w = Oracles.MinimizerW, minShared = Oracles.MinimizerShared)),
+      "graft_l_diversity"    -> (() => graft.operators.Events.q185(
+        spark.table("events"), k = Oracles.KAnonK, l = Oracles.LDivL)),
+      "graft_contam_runs"    -> (() => Dedup.q186(docs)),
       // drift between the q110 snapshot derivations (see Oracles)
       "graft_token_drift"    -> (() => {
         import org.apache.spark.sql.functions.{col, lit, pmod, when, upper}

@@ -1340,4 +1340,62 @@ object Dedup {
         when(col("n_exact") > 0L,
           col("tp").cast("double") / col("n_exact").cast("double")))
   }
+
+  /** q186: LONGEST CONTAMINATED RUN — per test-split document, the
+    * longest CONSECUTIVE stretch of tokens whose every 3-gram also
+    * appears in the train split. q107 reports the leaked-gram
+    * FRACTION; this reports the leak's SHAPE — the substring-level
+    * decontamination signal of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better"): fifty scattered
+    * leaked grams are topic overlap, a fifty-token contiguous run is a
+    * verbatim copy, and substring decontam thresholds on exactly this
+    * run length. Splits are q91's portable doc_id hash (the q107
+    * constants: train < 80, test ≥ 90).
+    *
+    * Algorithm: POSITIONAL 3-grams (not distinct — position is the
+    * signal), matched test positions = equi-join against the distinct
+    * train gram set, then gaps-and-islands: `pos − row_number()` over
+    * each doc's matched positions is constant exactly within a
+    * consecutive run, so the run length is one (doc, grp) count and
+    * the answer its per-doc max; a run of r grams spans r + 2 tokens.
+    * All integers → hash-exact.
+    *
+    * Plan: one gram scan pinned (feeds train set, test stream, and
+    * per-doc totals), train distinct is a gram-keyed shuffle the join
+    * reuses, the window shuffles MATCHED positions only (≤ leaked
+    * grams, doc-keyed) — nothing corpus-sized moves twice. */
+  def q186(documents: DataFrame): DataFrame = {
+    val P = 1000000007L
+    val h = pmod(
+      pmod(pmod(col("doc_id"), lit(P)) * lit(2654435761L), lit(P)) +
+        lit(40490L), lit(100L))
+    val pg = documents
+      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("w")) - 2, lit(1)),
+          i => concat_ws(" ",
+            element_at(col("w"), i),
+            element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2)))).as(Seq("pos", "g")))
+      .withColumn("h", h)
+      .transform(graft.Pins.pin)
+    val trainG = pg.filter(col("h") < 80).select(col("g")).distinct()
+    val test = pg.filter(col("h") >= 90)
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = test.join(trainG, Seq("g"))
+      .select(col("doc_id"), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(wnd))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("run")).cast("long").as("mr"))
+    test.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("n_grams"))
+      .join(runs, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("mr"), lit(0L)).as("max_run_grams"),
+        when(coalesce(col("mr"), lit(0L)) > 0L, col("mr") + lit(2L))
+          .otherwise(lit(0L)).as("max_run_tokens"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -571,4 +571,33 @@ object Events {
       .withColumn("status",
         when(col("n_users") < k, lit("suppress")).otherwise(lit("release")))
       .orderBy(col("event_type"), col("hour"))
+
+  /** q185: L-DIVERSITY AUDIT (Machanavajjhala et al. 2007) — the
+    * disclosure check k-anonymity ([[q183]]) cannot make: a class can
+    * hold k distinct users yet carry ONE sensitive value, so releasing
+    * it discloses every member's attribute even though no row
+    * re-identifies. Per (event_type × hour) equivalence class: exact
+    * distinct users AND exact distinct sensitive values (the event's
+    * `value` column stands in for the sensitive attribute), verdict in
+    * disclosure order — `suppress` (class under k users), else
+    * `homogeneous` (k-anonymous but under l distinct values — the
+    * homogeneity attack), else `release`. The remediation ladder is
+    * the q183 one plus value generalization (bucketed sensitive
+    * values) for homogeneous classes.
+    *
+    * Exactness: two exact distinct counts + two integer compares →
+    * hash-exact. Plan: same single map-side-combined aggregate shape
+    * as q183; the distinct shuffle carries (type, hour, user, value)
+    * tuples, bounded by events. */
+  def q185(events: DataFrame, k: Int = 5, l: Int = 3): DataFrame =
+    withTs(events)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        countDistinct(col("user_id")).cast("long").as("n_users"),
+        countDistinct(col("value")).cast("long").as("n_values"))
+      .withColumn("status",
+        when(col("n_users") < k, lit("suppress"))
+          .when(col("n_values") < l, lit("homogeneous"))
+          .otherwise(lit("release")))
+      .orderBy(col("event_type"), col("hour"))
 }

@@ -218,27 +218,63 @@ object Streams {
   private val snapshotSinkHwm =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** One micro-batch's exactly-once landing: commit `batch` to the
+    * snapshot table at `path` tagged `stream:<batchId>` unless the
+    * high-watermark says the batch was already applied (shared by
+    * st26 and st31 — the O(1)-per-batch replay dedup). */
+  private def commitBatchOnce(batch: DataFrame, batchId: Long,
+                              path: String): Unit = {
+    val s = batch.sparkSession
+    val op = s"stream:$batchId"
+    val hwm: Long = snapshotSinkHwm.computeIfAbsent(path, _ =>
+      if (graft.sources.SnapshotTable.currentVersion(s, path) == 0L) -1L
+      else graft.sources.SnapshotTable.history(s, path)
+        .flatMap(h => if (h.operation.startsWith("stream:"))
+          h.operation.drop(7).toLongOption else None)
+        .foldLeft(-1L)(math.max)
+    )
+    if (batchId > hwm) {
+      val fresh = graft.sources.SnapshotTable.currentVersion(s, path) == 0L
+      if (fresh) graft.sources.SnapshotTable.create(s, path, batch, op)
+      else graft.sources.SnapshotTable.append(s, path, batch, op)
+      snapshotSinkHwm.put(path, batchId)
+    }
+  }
+
   def startSnapshotSink(df: DataFrame, path: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) commitBatchOnce(batch.toDF(), batchId, path)
+        ()
+      }
+      .start()
+
+  /** st31: streaming INCREMENTAL-VIEW maintenance — the st26 snapshot
+    * sink composed with mv02: each micro-batch lands in the base
+    * snapshot table as one atomic `stream:<batchId>` commit (same
+    * exactly-once replay-dedup as [[startSnapshotSink]]), then the
+    * incremental view folds exactly that commit's delta via
+    * [[graft.sources.IncrementalView.refresh]] — so the aggregate
+    * dashboard is CONTINUOUSLY maintained at O(batch + |view|) per
+    * micro-batch while the base keeps its full ingestion audit
+    * history. Crash windows compose safely: a replayed batch whose
+    * commit was already applied skips the append, and refresh() is
+    * idempotent by watermark (base unchanged → no-op version); a crash
+    * between commit and refresh just leaves the fold for the next
+    * batch's refresh (the watermark covers ALL unfolded commits, not
+    * one). The view must already exist over `basePath`
+    * (IncrementalView.create, keys + algebraic aggs). */
+  def startIncrementalViewSink(df: DataFrame, basePath: String,
+                               mvPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          val s = batch.sparkSession
-          val op = s"stream:$batchId"
-          val hwm: Long = snapshotSinkHwm.computeIfAbsent(path, _ =>
-            if (graft.sources.SnapshotTable.currentVersion(s, path) == 0L) -1L
-            else graft.sources.SnapshotTable.history(s, path)
-              .flatMap(h => if (h.operation.startsWith("stream:"))
-                h.operation.drop(7).toLongOption else None)
-              .foldLeft(-1L)(math.max)
-          )
-          if (batchId > hwm) {
-            val fresh = graft.sources.SnapshotTable.currentVersion(s, path) == 0L
-            if (fresh) graft.sources.SnapshotTable.create(s, path, batch.toDF(), op)
-            else graft.sources.SnapshotTable.append(s, path, batch.toDF(), op)
-            snapshotSinkHwm.put(path, batchId)
-          }
+          commitBatchOnce(batch.toDF(), batchId, basePath)
+          graft.sources.IncrementalView.refresh(batch.sparkSession, mvPath)
         }
         ()
       }

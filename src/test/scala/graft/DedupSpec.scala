@@ -593,6 +593,25 @@ class DedupSpec extends GraftSpec {
     assert(p > 0.0 && p <= 1.0, s"precision out of range: $r")
   }
 
+  test("q186 contam runs: verbatim copy measured, scattered leaks stay short") {
+    // split hash: 1 -> train (<80), 7/19/26 -> test (>=90), 14 -> held out
+    val d = Seq(
+      (1L, "a b c d e f g h"),        // train: grams "a b c".."f g h"
+      (7L, "x y z b c d e f q r"),    // verbatim 5-token copy "b c d e f"
+      (19L, "p q r s t"),             // no overlap
+      (26L, "b c d k k c d e"),       // two SEPARATED leaked grams
+      (14L, "b c d e f g h i")        // neither split: must not appear
+    ).toDF("doc_id", "text")
+    val out = Dedup.q186(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("max_run_grams"),
+          r.getAs[Long]("max_run_tokens"))).toMap
+    assert(out.keySet == Set(7L, 19L, 26L), out)
+    assert(out(7L) == ((8L, 3L, 5L)), out)   // run of 3 grams = 5 tokens
+    assert(out(19L) == ((3L, 0L, 0L)), out)
+    assert(out(26L) == ((6L, 1L, 3L)), out)  // scattered: max run 1 gram
+  }
+
   test("q182 rejection reasons: each planted doc bills to its first failing stage") {
     import graft.operators.Pipeline
     // 55 rule-clean words (stopwords present, lengths 3-5, no symbols)

@@ -180,4 +180,26 @@ class EventsSpec extends GraftSpec {
     assert(out("2024-01-01T00:00:00Z") == ((5L, 5L, "release")), out)
     assert(out("2024-01-01T01:00:00Z") == ((3L, 2L, "suppress")), out)
   }
+
+  test("q185 l-diversity: homogeneous class caught that k-anonymity released") {
+    def e(id: Long, user: Long, iso: String, v: Double) =
+      (id, user, Timestamp.from(Instant.parse(iso)), "a", v)
+    val rows = (
+      // hour 00: 5 users, ONE sensitive value -> k passes, l fails
+      (1 to 5).map(u => e(u.toLong, u.toLong, "2024-01-01T00:10:00Z", 7.0)) ++
+      // hour 01: 5 users, 3 distinct values -> release
+      (1 to 5).map(u => e(10 + u.toLong, u.toLong, "2024-01-01T01:10:00Z",
+        (u % 3).toDouble)) ++
+      // hour 02: 2 users -> suppress outranks homogeneity
+      Seq(e(21, 1, "2024-01-01T02:10:00Z", 1.0),
+        e(22, 2, "2024-01-01T02:20:00Z", 1.0))
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Events.q185(rows, k = 5, l = 3).collect()
+      .map(r => r.getAs[Timestamp]("hour").toInstant.toString ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("n_values"),
+          r.getAs[String]("status"))).toMap
+    assert(out("2024-01-01T00:00:00Z") == ((5L, 1L, "homogeneous")), out)
+    assert(out("2024-01-01T01:00:00Z") == ((5L, 3L, "release")), out)
+    assert(out("2024-01-01T02:00:00Z") == ((2L, 1L, "suppress")), out)
+  }
 }

@@ -903,4 +903,49 @@ class StreamingSpec extends GraftSpec {
       assert(SnapshotTable.history(spark, path).size == 2)
     } finally q2.stop()
   }
+
+  test("st31 streaming incremental view: per-batch delta fold tracks the base exactly") {
+    import graft.sources.{IncrementalView, SnapshotTable}
+    import graft.sources.IncrementalView.Agg
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("st31").toString
+    val base = s"$dir/base"; val mv = s"$dir/mv"
+    SnapshotTable.create(spark, base, Seq(("a", 1L)).toDF("k", "v"))
+    IncrementalView.create(spark, mv, base, Seq("k"),
+      Seq(Agg("count", "", "n"), Agg("sum", "v", "s")))
+    def expect() = SnapshotTable.read(spark, base).groupBy("k")
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("v")).as("s"))
+      .collect().map(_.toSeq).toSet
+    val ms = MemoryStream[(String, Long)]
+    val q = Streams.startIncrementalViewSink(ms.toDF().toDF("k", "v"),
+      base, mv, s"$dir/ckpt")
+    try {
+      ms.addData(("a", 4L), ("b", 2L))
+      q.processAllAvailable()
+      assert(IncrementalView.read(spark, mv).collect().map(_.toSeq).toSet
+        == expect())
+      ms.addData(("b", 5L))
+      q.processAllAvailable()
+      val got = IncrementalView.read(spark, mv).collect().map(_.toSeq).toSet
+      assert(got == expect(), got)
+      assert(got.contains(Seq("a", 2L, 5L)) && got.contains(Seq("b", 2L, 7L)),
+        got)
+      // every micro-batch advanced the view's base watermark atomically
+      val head = SnapshotTable.currentVersion(spark, mv)
+      assert(SnapshotTable.snapshot(spark, mv, head).operation ==
+        s"imv:${SnapshotTable.currentVersion(spark, base)}")
+    } finally q.stop()
+    // replay against a fresh checkpoint: the base dedups the
+    // re-commit, so refresh() sees an unchanged base and no-ops —
+    // aggregates cannot double-count
+    val ms2 = MemoryStream[(String, Long)]
+    val q2 = Streams.startIncrementalViewSink(ms2.toDF().toDF("k", "v"),
+      base, mv, s"$dir/ckpt2")
+    try {
+      ms2.addData(("a", 4L), ("b", 2L)) // batchId 0 again
+      q2.processAllAvailable()
+      assert(IncrementalView.read(spark, mv).collect().map(_.toSeq).toSet
+        == expect())
+    } finally q2.stop()
+  }
 }
