@@ -328,4 +328,45 @@ class SqlSurfaceSpec extends GraftSpec {
             OR stage_id NOT IN (0, 1, 2, 3)""")
       .collect().isEmpty)
   }
+
+  test("sql05 WITH RECURSIVE: sequences, hierarchy rollup, BFS parity with the iterative operator") {
+    import spark.implicits._
+    // plain bounded recursion
+    val seq5 = spark.sql(
+      """WITH RECURSIVE t(n) AS (
+           SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 5)
+         SELECT sum(n) FROM t""").collect()(0).getLong(0)
+    assert(seq5 == 15L)
+
+    // org-chart rollup — the classic warehouse recursion Hive lacks
+    Seq((1L, Option.empty[Long]), (2L, Some(1L)), (3L, Some(1L)),
+      (4L, Some(2L)), (5L, Some(4L)))
+      .toDF("id", "mgr").createOrReplaceTempView("org")
+    val depths = spark.sql(
+      """WITH RECURSIVE chain(id, depth) AS (
+           SELECT id, 0 FROM org WHERE mgr IS NULL
+           UNION ALL
+           SELECT o.id, c.depth + 1 FROM org o JOIN chain c ON o.mgr = c.id)
+         SELECT id, depth FROM chain""").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(depths == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3), depths)
+
+    // BFS hop distances via recursion == the hand-rolled iterative
+    // relax-and-min (the q175 algebra) — two different engines for the
+    // same fixpoint agreeing, the graph family's cross-check pattern
+    Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "e"))
+      .toDF("src", "dst").createOrReplaceTempView("edges_sql05")
+    val rec = spark.sql(
+      """WITH RECURSIVE und AS (
+           SELECT src, dst FROM edges_sql05
+           UNION SELECT dst, src FROM edges_sql05),
+         reach(node, hop) AS (
+           SELECT 'a', 0
+           UNION ALL
+           SELECT u.dst, r.hop + 1
+           FROM reach r JOIN und u ON u.src = r.node WHERE r.hop < 4)
+         SELECT node, min(hop) AS hop FROM reach GROUP BY node""")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(rec == Map("a" -> 0, "b" -> 1, "e" -> 1, "c" -> 2, "d" -> 3), rec)
+  }
 }
