@@ -486,7 +486,7 @@ object SnapshotTable {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val groups = files.groupBy(fp => partValuesOf(fp, schema))
-      .toSeq.sortBy(_._1.toSeq.sorted.mkString(" "))
+      .toSeq.sortBy(_._1.toSeq.sorted.mkString("\u0000"))
     val parts = groups.map { case (pv, fps) =>
       val paths = fps.map(fp => s"$path/$fp")
       if (pv.isEmpty) spark.read.schema(schema).parquet(paths: _*)
