@@ -2425,6 +2425,108 @@ object Oracles {
          FROM base LEFT JOIN rmax ON base.doc_id = rmax.doc_id
          ORDER BY base.doc_id""",
 
+    // vocabulary richness: one (source, tok) count, then Chao1
+    // V + f1(f1-1)//(2(f2+1)) and Good-Turing f1/N — all integer
+    "q187_vocab_richness" ->
+      """WITH toks AS (SELECT source,
+             unnest(string_split(lower(trim(text)), ' ')) AS tok
+           FROM documents),
+         tc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM toks GROUP BY source, tok)
+         SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           CAST(COUNT(*) + (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+               * (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1))
+             // (2 * (SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1))
+             AS BIGINT) AS chao1,
+           CAST((SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 100000000)
+             // SUM(c) AS BIGINT) AS unseen_mass_e8
+         FROM tc GROUP BY source ORDER BY source""",
+
+    // duplication-aware weights: q64's recursive closure for labels,
+    // singletons label = self, weight = 1e8 // cluster size
+    "q188_dup_weight" ->
+      s"""WITH RECURSIVE pairs AS ($Q41Sql),
+         e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+               UNION SELECT doc_b, doc_a FROM pairs),
+         reach(u, v) AS (
+           SELECT u, v FROM e
+           UNION
+           SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u WHERE e2.v <> r.u),
+         lab0 AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS label
+           FROM reach GROUP BY u),
+         docs AS (SELECT doc_id, source,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tokens
+           FROM documents),
+         lab AS (SELECT d.doc_id, d.source, d.tokens,
+             COALESCE(l.label, d.doc_id) AS label
+           FROM docs d LEFT JOIN lab0 l ON d.doc_id = l.doc_id),
+         sz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS csize
+           FROM lab GROUP BY label)
+         SELECT lab.doc_id, lab.source, lab.label, sz.csize,
+           CAST(100000000 // sz.csize AS BIGINT) AS weight_e8,
+           lab.tokens,
+           CAST(lab.tokens * (100000000 // sz.csize) AS BIGINT)
+             AS eff_tokens_e8
+         FROM lab JOIN sz ON lab.label = sz.label
+         ORDER BY lab.doc_id""",
+
+    // exact two-sample KS per source vs rest: integer cross-multiplied
+    // ECDF numerators over the merged n_chars grid
+    "q189_ks_drift" ->
+      """WITH counts AS (SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+           FROM documents GROUP BY source, n_chars),
+         vals AS (SELECT n_chars, CAST(SUM(c) AS BIGINT) AS vc
+           FROM counts GROUP BY n_chars),
+         gcum AS (SELECT n_chars,
+             CAST(SUM(vc) OVER (ORDER BY n_chars) AS BIGINT) AS cum_all
+           FROM vals),
+         tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM counts),
+         st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src
+           FROM counts GROUP BY source),
+         grid AS (SELECT st.source, st.n_src, g.n_chars, g.cum_all,
+             COALESCE(c.c, 0) AS c
+           FROM st CROSS JOIN gcum g
+           LEFT JOIN counts c ON c.source = st.source
+             AND c.n_chars = g.n_chars),
+         cums AS (SELECT source, n_src, n_chars, cum_all,
+             CAST(SUM(c) OVER (PARTITION BY source ORDER BY n_chars)
+               AS BIGINT) AS cum_src
+           FROM grid)
+         SELECT source, n_src, n_all - n_src AS n_rest,
+           CAST(MAX(abs(cum_src * (n_all - n_src)
+             - (cum_all - cum_src) * n_src)) AS BIGINT) AS ks_num,
+           CAST(MAX(abs(cum_src * (n_all - n_src)
+             - (cum_all - cum_src) * n_src)) * 100000000
+             // (n_src * (n_all - n_src)) AS BIGINT) AS ks_e8
+         FROM cums CROSS JOIN tot
+         GROUP BY source, n_src, n_all ORDER BY source""",
+
+    // coverage-by-rank: (count desc, tok) rank, cumulative occurrence
+    // mass at the deepest rank <= k (saturates past the vocab size)
+    "q190_vocab_coverage" ->
+      """WITH toks AS (SELECT
+             unnest(string_split(lower(trim(text)), ' ')) AS tok
+           FROM documents),
+         tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM toks GROUP BY tok),
+         tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM tc),
+         ranked AS (SELECT
+             CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS INTEGER) AS rk,
+             CAST(SUM(c) OVER (ORDER BY c DESC, tok) AS BIGINT) AS cum
+           FROM tc),
+         ks AS (SELECT unnest([100, 1000, 10000]) AS k)
+         SELECT CAST(ks.k AS INTEGER) AS k,
+           CAST(MAX(rk) AS BIGINT) AS vocab_used,
+           CAST(MAX(cum) AS BIGINT) AS covered,
+           n_total,
+           CAST(MAX(cum) * 100000000 // n_total AS BIGINT) AS coverage_e8
+         FROM ks JOIN ranked ON ranked.rk <= ks.k CROSS JOIN tot
+         GROUP BY ks.k, n_total ORDER BY k""",
+
     // Zipf slope: PortableLn via lnChain, regression terms floor-scaled
     // to 1e-9 longs (order-free sums), slope/intercept = fixed IEEE op
     // sequence mirroring TextAnalysis.q157

@@ -355,7 +355,11 @@ object SparkEntry {
       w = Oracles.MinimizerW, minShared = Oracles.MinimizerShared)),
     "q185_l_diversity"         -> ((s, d) => Events.q185(events(s, d),
       k = Oracles.KAnonK, l = Oracles.LDivL)),
-    "q186_contam_runs"         -> ((s, d) => Dedup.q186(documents(s, d)))
+    "q186_contam_runs"         -> ((s, d) => Dedup.q186(documents(s, d))),
+    "q187_vocab_richness"      -> ((s, d) => TextAnalysis.q187(documents(s, d))),
+    "q188_dup_weight"          -> ((s, d) => Dedup.q188(documents(s, d))),
+    "q189_ks_drift"            -> ((s, d) => TextAnalysis.q189(documents(s, d))),
+    "q190_vocab_coverage"      -> ((s, d) => TextAnalysis.q190(documents(s, d)))
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -200,6 +200,11 @@ object Sql {
       "graft_l_diversity"    -> (() => graft.operators.Events.q185(
         spark.table("events"), k = Oracles.KAnonK, l = Oracles.LDivL)),
       "graft_contam_runs"    -> (() => Dedup.q186(docs)),
+      // round-13 operators (q187/q189/q190; q188 is iterative — see
+      // materializePipelineTables)
+      "graft_vocab_richness" -> (() => TextAnalysis.q187(docs)),
+      "graft_ks_drift"       -> (() => TextAnalysis.q189(docs)),
+      "graft_vocab_coverage" -> (() => TextAnalysis.q190(docs)),
       // drift between the q110 snapshot derivations (see Oracles)
       "graft_token_drift"    -> (() => {
         import org.apache.spark.sql.functions.{col, lit, pmod, when, upper}
@@ -225,6 +230,7 @@ object Sql {
     def docs = spark.table("documents")
     val tables: Seq[(String, () => DataFrame)] = Seq(
       "graft_dedup_clusters" -> (() => Dedup.q64(docs)),
+      "graft_dup_weights"    -> (() => Dedup.q188(docs)),
       "graft_media_clean"    -> (() => Multimodal.q94(spark, docs)),
       "graft_embed_clusters" -> (() => graft.operators.Similarity.q96(spark.table("embeddings"))),
       "graft_canonical_pick" -> (() => graft.operators.Pipeline.q105(docs)),

@@ -1398,4 +1398,39 @@ object Dedup {
           .otherwise(lit(0L)).as("max_run_tokens"))
       .orderBy(col("doc_id"))
   }
+
+  /** q188: DUPLICATION-AWARE TRAINING WEIGHTS — the soft alternative
+    * to dropping near-dup losers: keep every doc but down-weight each
+    * member of a near-dup cluster by 1/|cluster| (so each distinct
+    * "idea" contributes one unit of training mass regardless of how
+    * many times the crawl found it — the data-repetition correction of
+    * Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    * Models"). Per doc: its q64 cluster label (self for singletons),
+    * cluster size, weight = 1e8/|cluster| (integer floor), whitespace
+    * token count, and the doc's EFFECTIVE token contribution
+    * tokens·weight — summing `eff_tokens_e8`/1e8 over a cluster ≈ one
+    * representative's token mass.
+    *
+    * All longs → hash-exact. Plan: cluster labels come from the same
+    * iterative min-label propagation as q64 (edges per clique are
+    * linear — rep pairs + star edges, NOT n²); sizes are one
+    * label-keyed count; the corpus joins labels and sizes by key.
+    * Nothing here is new shuffle shape at 100 TB — it is q64's plan
+    * plus two key-partitioned joins. */
+  def q188(documents: DataFrame): DataFrame = {
+    val labels = clusters(neardupEdges(documents))
+    val docs = documents.select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), " ")).cast("long").as("tokens"))
+    val lab = docs.join(labels, Seq("doc_id"), "left_outer")
+      .withColumn("label", coalesce(col("label"), col("doc_id")))
+      .transform(graft.Pins.pin)
+    val sizes = lab.groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("csize"))
+    lab.join(sizes, Seq("label"))
+      .withColumn("weight_e8", expr("100000000L div csize"))
+      .withColumn("eff_tokens_e8", col("tokens") * col("weight_e8"))
+      .select(col("doc_id"), col("source"), col("label"), col("csize"),
+        col("weight_e8"), col("tokens"), col("eff_tokens_e8"))
+      .orderBy(col("doc_id"))
+  }
 }

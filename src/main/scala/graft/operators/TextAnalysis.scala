@@ -2224,4 +2224,129 @@ object TextAnalysis {
         col("w").as("weight"), col("weight_frac"))
       .orderBy(col("source"))
   }
+
+  /** q187: VOCABULARY RICHNESS per source — how much vocabulary a
+    * source has, and how much more a bigger crawl of it would yield.
+    * Reports observed distinct tokens (`vocab`), hapax/dis legomena
+    * (`f1`/`f2`), the bias-corrected Chao1 richness estimate
+    * (Chao 1984: V + f1·(f1−1)/(2·(f2+1)), integer floor — defined
+    * even when f2 = 0), and the Good–Turing unseen-probability mass
+    * f1/N (Gale & Sampson 1995) as a ×1e8 long. The crawl-budgeting
+    * read: a source whose chao1 ≫ vocab (high unseen mass) still pays
+    * for more crawling; one where chao1 ≈ vocab is exhausted.
+    *
+    * All integer arithmetic → hash-exact. Plan: one (source, tok)
+    * map-side-combined aggregate (the q86 shape — partial counts
+    * combine before the shuffle, so the exchange carries vocab-sized
+    * data, not corpus-sized), then a sources-sized rollup. At 100 TB
+    * the (source, tok) grid is the only big intermediate and it is
+    * exactly the token-frequency table every other vocab operator
+    * (q75/q130/q132) already materializes. */
+  def q187(documents: DataFrame): DataFrame = {
+    val tc = documents
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    tc.groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long").as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).cast("long").as("f2"))
+      .withColumn("chao1",
+        col("vocab") + expr("(f1 * (f1 - 1)) div (2 * (f2 + 1))"))
+      .withColumn("unseen_mass_e8", expr("(f1 * 100000000L) div n_tokens"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("f1"),
+        col("f2"), col("chao1"), col("unseen_mass_e8"))
+      .orderBy(col("source"))
+  }
+
+  /** q189: EXACT TWO-SAMPLE KOLMOGOROV–SMIRNOV drift, each source vs
+    * the rest of the corpus, over the document-length (`n_chars`)
+    * distribution — the distributional complement to q167's χ² token
+    * drift: χ² sees WHICH tokens shifted, KS sees that a source's
+    * length SHAPE diverged (truncation, boilerplate padding, extractor
+    * regressions all move length first). D = sup|F_src − F_rest| is
+    * computed exactly in integers by cross-multiplying the two ECDF
+    * numerators: ks_num = max|c_src·n_rest − c_rest·n_src| over the
+    * merged value grid, reported with the scaled statistic
+    * ks_e8 = ks_num·1e8/(n_src·n_rest). All longs → hash-exact.
+    *
+    * Plan: the corpus collapses to a (source, n_chars) count table in
+    * one map-side-combined aggregate; the ECDF grid is
+    * sources × distinct-lengths (stats-domain-sized, NOT corpus-sized
+    * — lengths are bounded by the length domain), built by
+    * broadcasting the distinct-value list, so at 100 TB nothing
+    * corpus-sized is shuffled twice and the window runs over the tiny
+    * grid partitioned by source. */
+  def q189(documents: DataFrame): DataFrame = {
+    val counts = graft.Pins.pin(
+      documents.groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("c")))
+    val srcTot = counts.groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("n_src"))
+    val tot = counts.agg(sum(col("c")).cast("long").as("n_all"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars"))
+    val gw = org.apache.spark.sql.expressions.Window.orderBy(col("n_chars"))
+    val gcum = counts.groupBy(col("n_chars")).agg(sum(col("c")).as("vc"))
+      .withColumn("cum_all", sum(col("vc")).over(gw).cast("long"))
+      .select(col("n_chars"), col("cum_all"))
+    val grid = srcTot.crossJoin(broadcast(gcum.select(col("n_chars"))))
+      .join(counts, Seq("source", "n_chars"), "left_outer")
+      .na.fill(0L, Seq("c"))
+      .withColumn("cum_src", sum(col("c")).over(w).cast("long"))
+      .join(broadcast(gcum), Seq("n_chars"))
+      .crossJoin(broadcast(tot))
+    grid.select(col("source"), col("n_src"),
+        (col("n_all") - col("n_src")).as("n_rest"),
+        abs(col("cum_src") * (col("n_all") - col("n_src")) -
+          (col("cum_all") - col("cum_src")) * col("n_src")).as("d"))
+      .groupBy(col("source"), col("n_src"), col("n_rest"))
+      .agg(max(col("d")).cast("long").as("ks_num"))
+      .withColumn("ks_e8", expr("(ks_num * 100000000L) div (n_src * n_rest)"))
+      .orderBy(col("source"))
+  }
+
+  /** q190: VOCABULARY COVERAGE BY RANK — what fraction of corpus token
+    * OCCURRENCES the top-k most frequent token types cover, at
+    * k ∈ {100, 1000, 10000}: the tokenizer-vocab-sizing read (how big
+    * must the vocab be before the OOV tail is negligible) and the
+    * corpus-level complement of q130's per-doc growth curve. Rank
+    * order is (count desc, token) — fully deterministic.
+    *
+    * Scale: the top-k cut uses orderBy(...).limit(maxK), which Spark
+    * plans as TakeOrderedAndProject — a per-partition bounded heap +
+    * driver merge of 32 heaps of maxK rows, NOT a global sort of the
+    * vocab table. The cumulative window then runs over ≤ maxK rows
+    * (metadata-sized by construction). The only corpus-sized work is
+    * the one map-side-combined (tok) count. Integer ×1e8 floor
+    * division → hash-exact. */
+  def q190(documents: DataFrame, ks: Seq[Int] = Seq(100, 1000, 10000))
+      : DataFrame = {
+    val tc = documents
+      .select(explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .transform(graft.Pins.pin)
+    val total = tc.agg(sum(col("c")).cast("long").as("n_total"))
+    val maxK = ks.max
+    val top = tc.orderBy(col("c").desc, col("tok")).limit(maxK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("tok"))
+    val ranked = top
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum", sum(col("c")).over(w).cast("long"))
+    val kdf = documents.sparkSession
+      .createDataFrame(ks.map(k => Tuple1(k))).toDF("k")
+    // coverage saturates when k exceeds the vocabulary: take the
+    // deepest rank ≤ k (cum is monotone, so max(cum) is that rank's)
+    ranked.join(broadcast(kdf), col("rk") <= col("k"))
+      .groupBy(col("k"))
+      .agg(max(col("rk")).cast("long").as("vocab_used"),
+        max(col("cum")).cast("long").as("covered"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("vocab_used"), col("covered"), col("n_total"),
+        expr("(covered * 100000000L) div n_total").as("coverage_e8"))
+      .orderBy(col("k"))
+  }
 }

@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** s16: SNAPSHOT TABLES — atomic commits, time travel, and rollback
@@ -205,7 +205,8 @@ object SnapshotTable {
                      filesOf: (Long, Seq[String]) => Seq[String],
                      schemaOf: (Long, Seq[String]) => StructType,
                      partCols: Seq[String] = Nil,
-                     rebase: Boolean = true): Long =
+                     rebase: Boolean = true,
+                     payloadDir: String = "data"): Long =
     graft.operators.LakeLock.withWriter(spark, lockName(spark, path)) {
       val f = fs(spark, path)
       var attempt = 0
@@ -214,7 +215,7 @@ object SnapshotTable {
         val newFiles = dfOf(head) match {
           case None => Seq.empty
           case Some(d) =>
-            val dir = s"data/${UUID.randomUUID().toString.take(12)}"
+            val dir = s"$payloadDir/${UUID.randomUUID().toString.take(12)}"
             if (partCols.isEmpty) d.write.parquet(s"$path/$dir")
             else d.write.partitionBy(partCols: _*).parquet(s"$path/$dir")
             listParquetRec(f, new Path(path, dir)).map(n => s"$dir/$n")
@@ -438,6 +439,84 @@ object SnapshotTable {
       h => Some(read(spark, path, Some(h)).repartition(numFiles)),
       (_, nf) => nf, (h, _) => snapshot(spark, path, h).schema)
 
+  /** s22: MERGE-ON-READ DELETE via a deletion vector — the Delta/
+    * Iceberg v2 position-delete idea at key granularity: instead of
+    * rewriting every surviving file (COW [[deleteWhere]] — at 100 TB
+    * that is a full-table write to drop 0.1% of rows), commit ONLY a
+    * tombstone-key parquet under `dv/` and let [[read]] subtract it
+    * with an anti-join. Write cost ∝ deleted keys, not table size;
+    * read cost = one (normally broadcast) anti-join until the next
+    * [[compact]]/[[compactZOrder]] materializes the subtraction and
+    * clears the DV entries. `keyCols` must identify rows uniquely
+    * (the [[merge]] contract), and successive DVs on one table must
+    * use the SAME key columns (the reader unions all live DV files).
+    * The tombstones are computed from the head AS SEEN UNDER THE
+    * COMMIT LOCK — already-deleted rows never re-enter the DV.
+    * Time travel is exact: prior versions don't list the new DV. */
+  def deleteWhereDV(spark: SparkSession, path: String, cond: String,
+                    keyCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "deleteWhereDV needs at least one key column")
+    commit(spark, path, "dv-delete",
+      h => Some(read(spark, path, Some(h)).filter(cond)
+        .select(keyCols.map(col): _*).distinct()),
+      (h, nf) => snapshot(spark, path, h).files ++ nf,
+      (h, _) => snapshot(spark, path, h).schema,
+      payloadDir = "dv")
+  }
+
+  /** 16-bit Morton spread: bits of the low 16-bit value move to the
+    * even positions (b15…b0 → b15 0 b14 0 … b0). Pure column algebra
+    * (shift/mask), fully inside whole-stage codegen — no UDF. */
+  private def spread16(c: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft}
+    val x0 = c.bitwiseAND(lit(0xFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** s21: Z-ORDER COMPACTION — rewrite the head clustered on the
+    * MORTON INTERLEAVE of two numeric columns, so s17's per-file
+    * min/max stats prune on BOTH dimensions: a linear sort makes one
+    * column's ranges tight and leaves the other spanning every file
+    * (no pruning); bit-interleaving the two rank-normalized values
+    * gives every file a tight bounding BOX in (a, b) space — the
+    * Delta OPTIMIZE ZORDER / Iceberg sort-order idea. Each column is
+    * affinely mapped to 0..65535 by its own min/max (one
+    * metadata-sized 4-long aggregate), interleaved with shift/mask
+    * column algebra (codegen'd, no UDF), then range-partitioned and
+    * sorted on the z-value — at 100 TB the rewrite is one full-table
+    * shuffle, the same cost as plain [[compact]], paid once at
+    * maintenance cadence and amortized over every 2-D-selective scan
+    * after it. Re-run [[analyze]] on both columns afterwards (new
+    * files need new stats). Deletion vectors are materialized away,
+    * like [[compact]]. */
+  def compactZOrder(spark: SparkSession, path: String,
+                    colA: String, colB: String, numFiles: Int): Long =
+    commit(spark, path, s"compact-zorder($colA,$colB)",
+      h => {
+        import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
+        val df = read(spark, path, Some(h))
+        val r = df.agg(
+          fmin(col(colA).cast("long")), fmax(col(colA).cast("long")),
+          fmin(col(colB).cast("long")), fmax(col(colB).cast("long"))).head()
+        def norm(c: String, mn: Long, mx: Long): Column = {
+          val range = math.max(mx - mn, 1L)
+          org.apache.spark.sql.functions.expr(
+            s"((CAST($c AS BIGINT) - ${mn}L) * 65535L) div ${range}L")
+        }
+        val z = org.apache.spark.sql.functions
+          .shiftleft(spread16(norm(colA, r.getLong(0), r.getLong(1))), 1)
+          .bitwiseOR(spread16(norm(colB, r.getLong(2), r.getLong(3))))
+        Some(df.withColumn("_graft_z", z)
+          .repartitionByRange(numFiles, col("_graft_z"))
+          .sortWithinPartitions("_graft_z")
+          .drop("_graft_z"))
+      },
+      (_, nf) => nf, (h, _) => snapshot(spark, path, h).schema)
+
   /** Hive-style `%xx` path unescape (the partition writer escapes
     * special chars that way). Hand-rolled: URLDecoder would also turn
     * a literal `+` into a space, which hive escaping does NOT. */
@@ -503,16 +582,40 @@ object SnapshotTable {
     parts.reduce(_ unionByName _)
   }
 
+  /** A deletion-vector entry in a manifest's file list: a parquet
+    * file of TOMBSTONE KEYS under `dv/` rather than data under
+    * `data/`. Readers subtract it; mutations that rewrite content
+    * (delete/merge/compact/overwrite) materialize the subtraction and
+    * drop the entry. */
+  private def isDv(fp: String): Boolean = fp.startsWith("dv/")
+
+  /** Subtract the tombstone keys in `dvFiles` from `base` (one
+    * anti-join on the DV's own columns — the DV parquet's schema IS
+    * the key set it was written with). No broadcast hint: DVs are
+    * normally tiny and AQE will broadcast them, but a pathological
+    * tombstone pile after many deletes still plans as a sane shuffle
+    * join instead of OOMing the driver; `compact`/`compactZOrder`
+    * merge DVs away at maintenance cadence. */
+  private def applyDv(spark: SparkSession, path: String,
+                      base: DataFrame, dvFiles: Seq[String]): DataFrame = {
+    if (dvFiles.isEmpty) return base
+    val tomb = spark.read.parquet(dvFiles.map(fp => s"$path/$fp"): _*).distinct()
+    base.join(tomb, tomb.columns.toSeq, "left_anti")
+  }
+
   /** Read the head (or `version`) as a DataFrame. Plans directly from
     * the manifest's file list — no directory listing — with that
     * version's own schema; partition columns a partitioned commit
-    * encoded in the path come back as columns. */
+    * encoded in the path come back as columns. Deletion-vector
+    * entries ([[deleteWhereDV]]) are applied as an anti-join — the
+    * merge-on-read contract. */
   def read(spark: SparkSession, path: String,
            version: Option[Long] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, path))
     require(v > 0, s"snapshot table $path does not exist")
     val s = snapshot(spark, path, v)
-    readFiles(spark, path, s.schema, s.files)
+    val (dvs, data) = s.files.partition(isDv)
+    applyDv(spark, path, readFiles(spark, path, s.schema, data), dvs)
   }
 
   /** s18: PARTITIONED snapshot commits — the third slice of the
@@ -570,7 +673,7 @@ object SnapshotTable {
     val v = version.getOrElse(currentVersion(spark, path))
     val s = snapshot(spark, path, v)
     val ks = keep.toSet
-    s.files.filter { fp =>
+    s.files.filterNot(isDv).filter { fp =>
       partValuesOf(fp, s.schema).get(partCol).forall(ks.contains)
     }
   }
@@ -587,8 +690,10 @@ object SnapshotTable {
     val v = version.getOrElse(currentVersion(spark, path))
     require(v > 0, s"snapshot table $path does not exist")
     val s = snapshot(spark, path, v)
-    readFiles(spark, path, s.schema,
-      partitionPrunedFiles(spark, path, partCol, keep, Some(v)))
+    applyDv(spark, path,
+      readFiles(spark, path, s.schema,
+        partitionPrunedFiles(spark, path, partCol, keep, Some(v))),
+      s.files.filter(isDv))
   }
 
   /** st29: INCREMENTAL CHANGE FEED — the rows each version
@@ -654,7 +759,8 @@ object SnapshotTable {
           }.toMap
         else Map.empty
       val head = snapshot(spark, path, currentVersion(spark, path))
-      val todo = head.files.filterNot(existing.contains)
+      // deletion vectors carry tombstone keys, not table rows — no stats
+      val todo = head.files.filterNot(isDv).filterNot(existing.contains)
       if (todo.isEmpty) 0
       else {
         val stats = spark.read.schema(head.schema)
@@ -685,12 +791,12 @@ object SnapshotTable {
     val f = fs(spark, path)
     val sp = new Path(snapDir(path), s"stats.$column")
     val head = snapshot(spark, path, currentVersion(spark, path))
-    if (!f.exists(sp)) head.files
+    if (!f.exists(sp)) head.files.filterNot(isDv)
     else {
       val stats = readFile(f, sp).split("\n").filter(_.nonEmpty).map { l =>
         val a = l.split(","); a(0) -> (a(1).toLong, a(2).toLong)
       }.toMap
-      head.files.filter { fp =>
+      head.files.filterNot(isDv).filter { fp =>
         stats.get(fp) match {
           case Some((mn, mx)) => mx >= lo && mn <= hi
           case None           => true
@@ -709,8 +815,10 @@ object SnapshotTable {
     // readFiles, not a direct parquet plan: on an s18 partitioned
     // table the partition column lives in the path, and a direct scan
     // would resurrect it as nulls
-    readFiles(spark, path, head.schema,
-      prunedFiles(spark, path, column, lo, hi))
+    applyDv(spark, path,
+      readFiles(spark, path, head.schema,
+        prunedFiles(spark, path, column, lo, hi)),
+      head.files.filter(isDv))
       .filter(col(column).cast("long").between(lo, hi))
   }
 
@@ -739,14 +847,16 @@ object SnapshotTable {
         // before its manifest exists, so only dirs older than
         // `orphanGraceMs` are swept — an in-flight writer's staging
         // can't be mistaken for an orphan.
-        val dataDir = new Path(path, "data")
-        if (f.exists(dataDir)) {
-          val referenced = keep.flatMap(_.files).map(_.split("/")(1)).toSet
-          val cutoff = System.currentTimeMillis() - orphanGraceMs
-          f.listStatus(dataDir).toSeq
-            .filter(s => !referenced.contains(s.getPath.getName) &&
-              s.getModificationTime < cutoff)
-            .foreach(s => f.delete(s.getPath, true))
+        val referenced = keep.flatMap(_.files).map(_.split("/")(1)).toSet
+        val cutoff = System.currentTimeMillis() - orphanGraceMs
+        Seq("data", "dv").foreach { pd =>
+          val dataDir = new Path(path, pd)
+          if (f.exists(dataDir)) {
+            f.listStatus(dataDir).toSeq
+              .filter(s => !referenced.contains(s.getPath.getName) &&
+                s.getModificationTime < cutoff)
+              .foreach(s => f.delete(s.getPath, true))
+          }
         }
         (cut.size, dead.size)
       }

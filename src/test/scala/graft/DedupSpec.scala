@@ -642,4 +642,23 @@ class DedupSpec extends GraftSpec {
     val re = Pipeline.q182(docs.repartition(7)).collect().map(_.toSeq).toSet
     assert(re == Pipeline.q182(docs).collect().map(_.toSeq).toSet)
   }
+
+  test("q188 dup weights: cluster members share mass, singletons keep it") {
+    val d = Seq(
+      (1L, "a b c d e f", "srcA"),  // identical pair -> cluster {1,2}
+      (2L, "a b c d e f", "srcA"),
+      (3L, "z y x w v u", "srcB")   // singleton
+    ).toDF("doc_id", "text", "source")
+    val out = graft.operators.Dedup.q188(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("label"), r.getAs[Long]("csize"),
+          r.getAs[Long]("weight_e8"), r.getAs[Long]("tokens"),
+          r.getAs[Long]("eff_tokens_e8"))).toMap
+    assert(out(1L) == ((1L, 2L, 50000000L, 6L, 300000000L)), out)
+    assert(out(2L) == ((1L, 2L, 50000000L, 6L, 300000000L)), out)
+    assert(out(3L) == ((3L, 1L, 100000000L, 6L, 600000000L)), out)
+    // cluster {1,2} contributes ~one doc of effective mass
+    val clusterMass = out(1L)._5 + out(2L)._5
+    assert(clusterMass == 600000000L, out)
+  }
 }

@@ -322,4 +322,72 @@ class SnapshotTableSpec extends GraftSpec {
     // the append-only prefix still reads fine after the delete
     assert(SnapshotTable.readChanges(spark, p, 1L, 3L).count() == 3L)
   }
+
+  test("s22 deletion vector: delete without rewriting data; MoR read subtracts") {
+    val p = tmp("dv")
+    SnapshotTable.create(spark, p,
+      (1L to 100L).map(i => (i, i % 5)).toDF("id", "m"))
+    val dataFiles1 = SnapshotTable.snapshot(spark, p, 1L).files
+    val v2 = SnapshotTable.deleteWhereDV(spark, p, "m = 0", Seq("id"))
+    val s2 = SnapshotTable.snapshot(spark, p, v2)
+    // data files untouched — only DV entries were added
+    assert(s2.files.filterNot(_.startsWith("dv/")).toSet == dataFiles1.toSet)
+    assert(s2.files.exists(_.startsWith("dv/")), s2.files)
+    assert(s2.operation == "dv-delete")
+    // head subtracts; the past is intact
+    assert(SnapshotTable.read(spark, p).count() == 80L)
+    assert(SnapshotTable.read(spark, p).filter(col("m") === 0).count() == 0L)
+    assert(SnapshotTable.read(spark, p, Some(1L)).count() == 100L)
+    // logical parity with COW deleteWhere
+    val q = tmp("dvcow")
+    SnapshotTable.create(spark, q,
+      (1L to 100L).map(i => (i, i % 5)).toDF("id", "m"))
+    SnapshotTable.deleteWhere(spark, q, "m = 0")
+    assert(SnapshotTable.read(spark, p).collect().map(_.toSeq).toSet ==
+      SnapshotTable.read(spark, q).collect().map(_.toSeq).toSet)
+    // a second DV composes on the MoR view
+    SnapshotTable.deleteWhereDV(spark, p, "m <= 1", Seq("id"))
+    assert(SnapshotTable.read(spark, p).count() == 60L)
+    // compact materializes the subtraction and clears the DV entries
+    val vc = SnapshotTable.compact(spark, p, 1)
+    val sc = SnapshotTable.snapshot(spark, p, vc)
+    assert(!sc.files.exists(_.startsWith("dv/")), sc.files)
+    assert(SnapshotTable.read(spark, p).count() == 60L)
+    // the change feed refuses a dv-delete version (not an append delta)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readChanges(spark, p, 1L, 2L).collect()
+    }
+    // stats pruning composes with DVs: pruned read == MoR filter
+    SnapshotTable.analyze(spark, p, "id")
+    assert(SnapshotTable.readPruned(spark, p, "id", 1L, 50L).count() ==
+      SnapshotTable.read(spark, p)
+        .filter(col("id").between(1L, 50L)).count())
+  }
+
+  test("s21 z-order: box predicates prune files a linear sort cannot") {
+    // two independent dims on a 64x64 grid
+    val df = (0L until 4096L).map(i => (i % 64L, i / 64L, i))
+      .toDF("x", "y", "id")
+    val lin = tmp("zlin"); val zed = tmp("zord")
+    SnapshotTable.create(spark, lin, df)
+    SnapshotTable.create(spark, zed, df)
+    // linear layout: range-sorted by x alone — y spans every file
+    SnapshotTable.overwrite(spark, lin,
+      df.repartitionByRange(16, col("x")).sortWithinPartitions("x"))
+    SnapshotTable.analyze(spark, lin, "y")
+    val linPruned = SnapshotTable.prunedFiles(spark, lin, "y", 10L, 13L).size
+    assert(linPruned == 16, s"linear layout should not prune on y: $linPruned")
+    // z-order: every file gets a bounding BOX — both dims prune
+    SnapshotTable.compactZOrder(spark, zed, "x", "y", 16)
+    SnapshotTable.analyze(spark, zed, "y")
+    SnapshotTable.analyze(spark, zed, "x")
+    val zy = SnapshotTable.prunedFiles(spark, zed, "y", 10L, 13L).size
+    val zx = SnapshotTable.prunedFiles(spark, zed, "x", 0L, 3L).size
+    assert(zy < linPruned, s"z-order failed to prune on y: $zy")
+    assert(zx < 16, s"z-order failed to prune on x: $zx")
+    // pruned reads stay exact
+    assert(SnapshotTable.readPruned(spark, zed, "y", 10L, 13L).count() == 256L)
+    assert(SnapshotTable.readPruned(spark, zed, "x", 0L, 3L).count() == 256L)
+    assert(SnapshotTable.read(spark, zed).count() == 4096L)
+  }
 }

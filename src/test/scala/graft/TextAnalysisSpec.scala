@@ -1011,5 +1011,45 @@ class TextAnalysisSpec extends GraftSpec {
     val re = TextAnalysis.q181(docs.repartition(5)).collect().map(_.toSeq).toSet
     assert(re == TextAnalysis.q181(docs).collect().map(_.toSeq).toSet)
   }
+
+  test("q187 vocab richness: closed-form Chao1 and Good-Turing mass") {
+    val d = Seq(
+      (1L, "a a b c", "srcA"),     // N=4 V=3 f1=2 f2=1
+      (2L, "x y z w x", "srcB")    // N=5 V=4 f1=3 f2=1
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.q187(d).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab"),
+          r.getAs[Long]("f1"), r.getAs[Long]("f2"),
+          r.getAs[Long]("chao1"), r.getAs[Long]("unseen_mass_e8"))).toMap
+    // chao1 = V + f1(f1-1)//(2(f2+1)); unseen = f1*1e8//N
+    assert(out("srcA") == ((4L, 3L, 2L, 1L, 3L, 50000000L)), out)
+    assert(out("srcB") == ((5L, 4L, 3L, 1L, 5L, 60000000L)), out)
+  }
+
+  test("q189 KS drift: hand-traced two-source sup-distance, symmetric") {
+    // srcA lengths {1,2}, srcB lengths {2,3}: D = 1/2 at v=1 for both
+    val d = Seq(
+      (1L, "t", "srcA", 1L), (2L, "t", "srcA", 2L),
+      (3L, "t", "srcB", 2L), (4L, "t", "srcB", 3L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val out = TextAnalysis.q189(d).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_src"), r.getAs[Long]("n_rest"),
+          r.getAs[Long]("ks_num"), r.getAs[Long]("ks_e8"))).toMap
+    assert(out("srcA") == ((2L, 2L, 2L, 50000000L)), out)
+    assert(out("srcB") == ((2L, 2L, 2L, 50000000L)), out)
+  }
+
+  test("q190 vocab coverage: cumulative mass by rank, saturates past vocab") {
+    val d = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.q190(d, ks = Seq(1, 2, 100)).collect()
+      .map(r => r.getAs[Int]("k") ->
+        (r.getAs[Long]("vocab_used"), r.getAs[Long]("covered"),
+          r.getAs[Long]("n_total"), r.getAs[Long]("coverage_e8"))).toMap
+    assert(out(1) == ((1L, 3L, 6L, 50000000L)), out)   // top-1 = "a"
+    assert(out(2) == ((2L, 5L, 6L, 83333333L)), out)   // + "b"
+    assert(out(100) == ((3L, 6L, 6L, 100000000L)), out) // saturated
+  }
 }
 
