@@ -355,6 +355,30 @@ object SnapshotTable {
       (head, nf) => snapshot(spark, path, head).files ++ nf,
       (head, _) => snapshot(spark, path, head).schema)
 
+  /** s23: SCHEMA EVOLUTION — append rows that ADD columns: the commit
+    * records `df`'s (wider) schema as the new version's, old data
+    * files stay untouched, and [[read]] plans them WITH the new
+    * schema — parquet fills the missing columns with null, so old
+    * rows surface as null in the added columns (the Delta
+    * mergeSchema / Iceberg add-column semantics). Existing columns
+    * must keep their name AND type (renames/retypes are a rewrite,
+    * not an evolution — use [[overwrite]]); time travel still reads
+    * each prior version with its OWN narrower schema. Column adds at
+    * 100 TB cost one manifest write — no data rewrite. */
+  def appendEvolved(spark: SparkSession, path: String, df: DataFrame): Long =
+    commit(spark, path, "append-evolve", _ => Some(df),
+      (head, nf) => snapshot(spark, path, head).files ++ nf,
+      (head, _) => {
+        val old = snapshot(spark, path, head).schema
+        old.foreach { f =>
+          val n = df.schema.find(_.name == f.name)
+          require(n.isDefined && n.get.dataType == f.dataType,
+            s"appendEvolved: existing column ${f.name}: ${f.dataType} " +
+            "must keep its name and type; renames/retypes need overwrite")
+        }
+        df.schema
+      })
+
   /** Logically replace the table's contents (the old version stays
     * readable — this is where snapshot semantics beat v1 overwrite,
     * which destroyed the previous data mid-write). The schema may

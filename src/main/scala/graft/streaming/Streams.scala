@@ -64,6 +64,61 @@ object Streams {
         when(col("n_users") < k, lit("suppress")).otherwise(lit("release"))
           .as("status"))
 
+  /** st32: streaming TOKEN-DRIFT gate — q167's χ² drift test applied
+    * per event-time window AT INGEST: each closed window's hashed
+    * token-bucket distribution is χ²-tested against a profile fitted
+    * ONCE from a static reference corpus, so a template flood, a
+    * language shift, or a looping crawler flags within one watermark
+    * delay instead of at the next batch audit. Uses the identity
+    * χ² = (Σ_b o_b²/f_b)/n − n (Σf_b = 1, Σo_b = n), which makes the
+    * statistic computable as TWO CHAINED windowed aggregations — the
+    * multiple-stateful-operator shape Spark supports for window-on-
+    * window in append mode: (window, bucket) counts join the
+    * broadcast ≤`buckets`-row profile map-side, then re-window to the
+    * per-window sums. Zero-observation buckets contribute 0 to the
+    * sum exactly as the identity requires — no spine join needed.
+    * The reference profile is Laplace-smoothed ((rc+1)/(rtot+B)) so a
+    * stream bucket unseen in the reference scores finitely instead of
+    * ∞. State: first agg ≤ buckets rows per open window, second agg
+    * one row per open window — both watermark-evicted. Also a valid
+    * batch plan (the spec cross-checks batch vs streamed output). */
+  def tokenDriftGate(docs: DataFrame, reference: DataFrame,
+                     buckets: Int = 64, threshold: Double = 128.0)
+      : DataFrame = {
+    val b = lit(buckets.toLong)
+    // fit once, driver-side: exact long counts over a full bucket spine
+    val spark = reference.sparkSession
+    val refCounts = reference
+      .select(explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .select(pmod(xxhash64(col("tok")), b).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("rc"))
+    val rtot = refCounts.agg(sum(col("rc"))).head().getLong(0)
+    val prof = broadcast(
+      spark.range(buckets).select(col("id").as("bucket"))
+        .join(refCounts, Seq("bucket"), "left_outer")
+        .na.fill(0L, Seq("rc"))
+        .select(col("bucket"),
+          ((col("rc") + lit(1L)).cast("double") /
+            lit((rtot + buckets).toDouble)).as("f")))
+    val perBucket = docs
+      .withWatermark("ts", Watermark)
+      .select(col("ts"),
+        explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .withColumn("bucket", pmod(xxhash64(col("tok")), b))
+      .groupBy(window(col("ts"), WindowDuration), col("bucket"))
+      .agg(count(lit(1)).cast("double").as("o"))
+      .join(prof, Seq("bucket"))
+    perBucket
+      .groupBy(window(col("window"), WindowDuration))
+      .agg(sum(col("o")).as("n_tokens"),
+        sum(col("o") * col("o") / col("f")).as("s"))
+      .select(col("window.start").as("win_start"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        (col("s") / col("n_tokens") - col("n_tokens")).as("chi2"),
+        when(col("s") / col("n_tokens") - col("n_tokens") > threshold,
+          lit("drift")).otherwise(lit("steady")).as("status"))
+  }
+
   /** st06: exactly-once parquet sink via foreachBatch — each micro-batch
     * writes to a batchId-named directory, so replays after failure
     * overwrite the same path instead of duplicating rows (idempotent
@@ -677,6 +732,8 @@ object Streams {
       .start()
 
   case class QuotaDoc(doc_id: Long, source: String)
+  /** st32 spec fixture row (top-level so encoders resolve). */
+  case class DriftDoc(ts: java.sql.Timestamp, text: String)
 
   /** st22: streaming per-source ADMISSION-QUOTA gate — cap how many
     * documents each source may land at ingest (the live form of

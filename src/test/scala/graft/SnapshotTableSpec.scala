@@ -364,6 +364,33 @@ class SnapshotTableSpec extends GraftSpec {
         .filter(col("id").between(1L, 50L)).count())
   }
 
+  test("s23 schema evolution: added column backfills null, no data rewrite") {
+    val p = tmp("evo")
+    SnapshotTable.create(spark, p, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val files1 = SnapshotTable.snapshot(spark, p, 1L).files
+    val v2 = SnapshotTable.appendEvolved(spark, p,
+      Seq((3L, "c", 30L)).toDF("id", "s", "extra"))
+    // old files untouched — evolution is a manifest-only operation
+    assert(SnapshotTable.snapshot(spark, p, v2).files.toSet
+      .intersect(files1.toSet) == files1.toSet)
+    val head = SnapshotTable.read(spark, p).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(head.toSeq == Seq((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(30L))), head.toSeq)
+    // time travel keeps version 1's narrower schema
+    assert(SnapshotTable.read(spark, p, Some(1L)).columns.toSeq ==
+      Seq("id", "s"))
+    // retyping an existing column refuses
+    intercept[IllegalArgumentException] {
+      SnapshotTable.appendEvolved(spark, p,
+        Seq(("4", "d", 40L)).toDF("id", "s", "extra"))
+    }
+    // a later plain append carries the evolved schema
+    SnapshotTable.append(spark, p, Seq((5L, "e", 50L)).toDF("id", "s", "extra"))
+    assert(SnapshotTable.read(spark, p).count() == 4L)
+  }
+
   test("s21 z-order: box predicates prune files a linear sort cannot") {
     // two independent dims on a 64x64 grid
     val df = (0L until 4096L).map(i => (i % 64L, i / 64L, i))

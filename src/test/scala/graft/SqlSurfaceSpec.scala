@@ -369,4 +369,67 @@ class SqlSurfaceSpec extends GraftSpec {
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(rec == Map("a" -> 0, "b" -> 1, "e" -> 1, "c" -> 2, "d" -> 3), rec)
   }
+
+  test("sql06 UNPIVOT, TABLESAMPLE, LATERAL VIEW, DISTRIBUTE/CLUSTER BY through SQL text") {
+    import spark.implicits._
+    // UNPIVOT: wide per-source metric columns -> long (metric, value)
+    Seq(("src0", 10L, 7L), ("src1", 20L, 3L))
+      .toDF("source", "docs", "dups").createOrReplaceTempView("wide_sql06")
+    val long = spark.sql(
+      """SELECT source, metric, v FROM wide_sql06
+         UNPIVOT (v FOR metric IN (docs, dups))""").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(long == Set(("src0", "docs", 10L), ("src0", "dups", 7L),
+      ("src1", "docs", 20L), ("src1", "dups", 3L)), long)
+
+    // PIVOT back: the long form re-widens to the original table
+    spark.sql(
+      """SELECT source, metric, v FROM wide_sql06
+         UNPIVOT (v FOR metric IN (docs, dups))""")
+      .createOrReplaceTempView("long_sql06")
+    val re = spark.sql(
+      """SELECT * FROM long_sql06
+         PIVOT (sum(v) FOR metric IN ('docs' AS docs, 'dups' AS dups))
+         ORDER BY source""").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(re == Seq(("src0", 10L, 7L), ("src1", 20L, 3L)), re)
+
+    // TABLESAMPLE: bucket sampling is exact row arithmetic (not bernoulli)
+    spark.range(1000).createOrReplaceTempView("r1000_sql06")
+    val half = spark.sql(
+      "SELECT count(*) FROM r1000_sql06 TABLESAMPLE (BUCKET 1 OUT OF 2)")
+      .collect()(0).getLong(0)
+    assert(half > 300L && half < 700L, s"bucket sample way off: $half")
+    val pct = spark.sql(
+      "SELECT count(*) FROM r1000_sql06 TABLESAMPLE (10 PERCENT)")
+      .collect()(0).getLong(0)
+    assert(pct > 20L && pct < 300L, s"percent sample way off: $pct")
+
+    // LATERAL VIEW explode — the Hive spelling (vs ANSI LATERAL)
+    Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text")
+      .createOrReplaceTempView("lv_sql06")
+    val lv = spark.sql(
+      """SELECT doc_id, tok FROM lv_sql06
+         LATERAL VIEW explode(split(text, ' ')) t AS tok""").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(lv == Set((1L, "a"), (1L, "b"), (2L, "c")), lv)
+
+    // DISTRIBUTE BY + SORT BY (Hive physical-layout clauses): rows with
+    // one key land in one partition, sorted within it
+    val parts = spark.sql(
+      """SELECT source, v, spark_partition_id() AS pid
+         FROM (SELECT source, metric, v FROM wide_sql06
+               UNPIVOT (v FOR metric IN (docs, dups)))
+         DISTRIBUTE BY source SORT BY source, v""").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val pidsPerSource = parts.groupBy(_._1).map { case (s, rs) =>
+      s -> rs.map(_._3).distinct.size }
+    assert(pidsPerSource.values.forall(_ == 1), parts.toSeq)
+    // CLUSTER BY is DISTRIBUTE BY + SORT BY in one clause
+    val cl = spark.sql(
+      """SELECT source, v FROM (SELECT source, metric, v FROM wide_sql06
+           UNPIVOT (v FOR metric IN (docs, dups)))
+         CLUSTER BY source""").collect()
+    assert(cl.length == 4, cl.toSeq)
+  }
 }

@@ -16,6 +16,53 @@ class StreamingSpec extends GraftSpec {
   private def ev(user: Long, iso: String, typ: String = "view", v: Double = 1.0) =
     StreamEv(user, Timestamp.from(Instant.parse(iso)), typ, v)
 
+  private def td(iso: String, text: String) =
+    Streams.DriftDoc(Timestamp.from(Instant.parse(iso)), text)
+
+  test("st32 token-drift gate: flooded window flags, faithful window stays steady") {
+    // reference: uniform over 4 token types
+    val reference = Seq.fill(10)("a b c d").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val ms = MemoryStream[Streams.DriftDoc]
+    val q = Streams.tokenDriftGate(ms.toDF(), reference, threshold = 64.0)
+      .writeStream.format("memory").queryName("st32_out")
+      .outputMode("append").start()
+    try {
+      // 10:00 window mirrors the reference; 11:00 is a one-token flood
+      ms.addData(
+        td("2026-01-01T10:00:00Z", "a b c d a b c d"),
+        td("2026-01-01T10:20:00Z", "a b c d"),
+        td("2026-01-01T11:05:00Z", Seq.fill(30)("zzz").mkString(" ")),
+        td("2026-01-01T13:00:00Z", "a"))
+      q.processAllAvailable()
+      // a second batch pushes the chained agg's watermark forward
+      ms.addData(td("2026-01-01T14:30:00Z", "a"))
+      q.processAllAvailable()
+      ms.addData(td("2026-01-01T16:00:00Z", "a"))
+      q.processAllAvailable()
+      val rows = spark.table("st32_out").collect()
+        .map(r => r.getAs[Timestamp]("win_start").toInstant.toString ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Double]("chi2"),
+            r.getAs[String]("status"))).toMap
+      assert(rows.contains("2026-01-01T10:00:00Z") &&
+        rows.contains("2026-01-01T11:00:00Z"), rows)
+      assert(rows("2026-01-01T10:00:00Z")._3 == "steady", rows)
+      assert(rows("2026-01-01T11:00:00Z")._3 == "drift", rows)
+      assert(rows("2026-01-01T11:00:00Z")._1 == 30L, rows)
+      // batch parity: the same plan over the same rows, batch-side
+      val batch = Streams.tokenDriftGate(Seq(
+        td("2026-01-01T10:00:00Z", "a b c d a b c d"),
+        td("2026-01-01T10:20:00Z", "a b c d"),
+        td("2026-01-01T11:05:00Z", Seq.fill(30)("zzz").mkString(" ")))
+        .toDF(), reference, threshold = 64.0)
+        .collect().map(r => r.getAs[Timestamp]("win_start").toInstant.toString ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Double]("chi2"),
+            r.getAs[String]("status"))).toMap
+      assert(batch("2026-01-01T10:00:00Z") == rows("2026-01-01T10:00:00Z"), batch)
+      assert(batch("2026-01-01T11:00:00Z") == rows("2026-01-01T11:00:00Z"), batch)
+    } finally q.stop()
+  }
+
   test("st01 windowed agg emits a closed window once the watermark passes") {
     val ms = MemoryStream[StreamEv]
     val q = Streams.windowedAgg(ms.toDF())
