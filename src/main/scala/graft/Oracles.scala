@@ -2223,6 +2223,10 @@ object Oracles {
     // clusters COALESCE to the previous centroid (KMeans.q155)
     "q155_kmeans" -> kmeansAssignSql,
 
+    "q191_cluster_purity" -> kmeansPuritySql,
+
+    "q192_cluster_nmi" -> kmeansNmiSql,
+
     // per-cluster health profile over the SAME unrolled assignment
     "q156_cluster_profile" -> kmeansProfileSql,
 
@@ -3117,6 +3121,71 @@ object Oracles {
              CAST(COUNT(*) AS DOUBLE) AS mean_dist,
            CAST(MAX(dist) AS BIGINT) AS max_dist
          FROM fin GROUP BY ck ORDER BY cluster"""
+
+  /** q191 oracle: per-cluster majority-label purity over the same
+    * assignment joined to the embeddings' ground-truth labels. */
+  private lazy val kmeansPuritySql: String =
+    kmeansCoreSql + """,
+         kasg AS (SELECT f.vec_id, f.ck, emb.label
+           FROM fin f JOIN embeddings emb ON emb.vec_id = f.vec_id),
+         kjoint AS (SELECT ck, label, CAST(COUNT(*) AS BIGINT) AS ncl
+           FROM kasg GROUP BY ck, label),
+         kmaj AS (SELECT ck, label, ncl FROM (
+             SELECT ck, label, ncl,
+               ROW_NUMBER() OVER (PARTITION BY ck
+                 ORDER BY ncl DESC, label) AS rn
+             FROM kjoint) WHERE rn = 1),
+         ktot AS (SELECT ck, CAST(SUM(ncl) AS BIGINT) AS n_vecs
+           FROM kjoint GROUP BY ck)
+         SELECT CAST(t.ck AS INTEGER) AS cluster, t.n_vecs,
+           m.label AS majority_label, m.ncl AS n_majority,
+           CAST((m.ncl * 100000000) // t.n_vecs AS BIGINT) AS purity_e8
+         FROM ktot t JOIN kmaj m ON m.ck = t.ck
+         ORDER BY cluster"""
+
+  /** q192 oracle: NMI between the assignment and the labels — every
+    * I/H term floor-scaled to a 1e-9-nat long before summing, ln via
+    * [[lnChain]] (the q181/q157 fixed-point entropy idiom), final nmi
+    * one fixed IEEE divide; trivial partitions report 0. */
+  private lazy val kmeansNmiSql: String =
+    kmeansCoreSql + s""",
+         nasg AS (SELECT f.vec_id, f.ck, emb.label
+           FROM fin f JOIN embeddings emb ON emb.vec_id = f.vec_id),
+         njoint AS (SELECT ck, label, CAST(COUNT(*) AS BIGINT) AS ncl
+           FROM nasg GROUP BY ck, label),
+         ncc AS (SELECT ck, CAST(SUM(ncl) AS BIGINT) AS nc
+           FROM njoint GROUP BY ck),
+         nll AS (SELECT label, CAST(SUM(ncl) AS BIGINT) AS nl
+           FROM njoint GROUP BY label),
+         ntt AS (SELECT CAST(SUM(ncl) AS BIGINT) AS n FROM njoint),
+         ipre AS (SELECT j.ncl, CAST(t.n AS DOUBLE) AS nd,
+             CAST(t.n * j.ncl AS DOUBLE) / CAST(c.nc * l.nl AS DOUBLE) AS r
+           FROM njoint j JOIN ncc c ON c.ck = j.ck
+           JOIN nll l ON l.label = j.label CROSS JOIN ntt t),
+         ${lnChain("iln", "ipre", Seq("ncl", "nd"), Seq("r" -> "lnv"))},
+         it AS (SELECT CAST(SUM(CAST(floor(
+             (CAST(ncl AS DOUBLE) / nd) * lnv * 1000000000.0)
+             AS BIGINT)) AS BIGINT) AS i_e9 FROM iln),
+         hcpre AS (SELECT c.nc, CAST(t.n AS DOUBLE) AS nd,
+             CAST(c.nc AS DOUBLE) / CAST(t.n AS DOUBLE) AS r
+           FROM ncc c CROSS JOIN ntt t),
+         ${lnChain("hcln", "hcpre", Seq("nc", "nd"), Seq("r" -> "lnv"))},
+         hc AS (SELECT CAST(-SUM(CAST(floor(
+             (CAST(nc AS DOUBLE) / nd) * lnv * 1000000000.0)
+             AS BIGINT)) AS BIGINT) AS hc_e9 FROM hcln),
+         hlpre AS (SELECT l.nl, CAST(t.n AS DOUBLE) AS nd,
+             CAST(l.nl AS DOUBLE) / CAST(t.n AS DOUBLE) AS r
+           FROM nll l CROSS JOIN ntt t),
+         ${lnChain("hlln", "hlpre", Seq("nl", "nd"), Seq("r" -> "lnv"))},
+         hl AS (SELECT CAST(-SUM(CAST(floor(
+             (CAST(nl AS DOUBLE) / nd) * lnv * 1000000000.0)
+             AS BIGINT)) AS BIGINT) AS hl_e9 FROM hlln)
+         SELECT t.n AS n_vecs, it.i_e9, hc.hc_e9, hl.hl_e9,
+           CASE WHEN hc.hc_e9 + hl.hl_e9 = 0 THEN 0.0
+             ELSE CAST(it.i_e9 AS DOUBLE) /
+               ((CAST(hc.hc_e9 AS DOUBLE) + CAST(hl.hl_e9 AS DOUBLE)) / 2.0)
+             END AS nmi
+         FROM it CROSS JOIN hc CROSS JOIN hl CROSS JOIN ntt t"""
 
   /** q177 oracle: SemDeDup = the unrolled k-means assignment (`fin`)
     * plus a within-cluster pairwise strict-fold cosine; dup_of = MIN

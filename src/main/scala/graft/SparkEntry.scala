@@ -359,7 +359,9 @@ object SparkEntry {
     "q187_vocab_richness"      -> ((s, d) => TextAnalysis.q187(documents(s, d))),
     "q188_dup_weight"          -> ((s, d) => Dedup.q188(documents(s, d))),
     "q189_ks_drift"            -> ((s, d) => TextAnalysis.q189(documents(s, d))),
-    "q190_vocab_coverage"      -> ((s, d) => TextAnalysis.q190(documents(s, d)))
+    "q190_vocab_coverage"      -> ((s, d) => TextAnalysis.q190(documents(s, d))),
+    "q191_cluster_purity"      -> ((s, d) => KMeans.q191(embeddings(s, d))),
+    "q192_cluster_nmi"         -> ((s, d) => KMeans.q192(embeddings(s, d)))
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

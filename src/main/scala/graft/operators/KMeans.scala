@@ -163,4 +163,81 @@ object KMeans {
         col("dup_of"))
       .orderBy(col("vec_id"))
   }
+
+  /** q191: CLUSTER PURITY — external validation of the q155 fit
+    * against the embeddings' ground-truth `label` column: per cluster,
+    * the majority label, its count, and purity = majority/size. q156
+    * answers "is the geometry tight?"; this answers "does the
+    * clustering AGREE with the labels we already trust?" — the check
+    * run before swapping a k-means bucketing into SemDeDup or an IVF
+    * coarse quantizer. All integers (majority ties break on the lower
+    * label) → hash-exact. Plan: q155's rounds, then ONE (cluster,
+    * label) map-side-combined count — k×labels rows, metadata-sized —
+    * and a per-cluster top-1 window over it. */
+  def q191(embeddings: DataFrame, k: Int = 8, iters: Int = 5): DataFrame = {
+    val joint = graft.Pins.pin(
+      q155(embeddings, k, iters).select(col("vec_id"), col("cluster"))
+        .join(embeddings.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy(col("cluster"), col("label"))
+        .agg(count(lit(1)).cast("long").as("ncl")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("ncl").desc, col("label"))
+    val maj = joint.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("label").as("majority_label"),
+        col("ncl").as("n_majority"))
+    joint.groupBy(col("cluster"))
+      .agg(sum(col("ncl")).cast("long").as("n_vecs"))
+      .join(maj, Seq("cluster"))
+      .withColumn("purity_e8", expr("(n_majority * 100000000L) div n_vecs"))
+      .select(col("cluster"), col("n_vecs"), col("majority_label"),
+        col("n_majority"), col("purity_e8"))
+      .orderBy(col("cluster"))
+  }
+
+  /** q192: NORMALIZED MUTUAL INFORMATION between the q155 clustering
+    * and the ground-truth labels — q191's purity rewards shattering
+    * (every singleton cluster is 100% pure); NMI = I(C;L)/((H(C)+H(L))/2)
+    * penalizes it, the standard external clustering score. Oracle-exact
+    * via the fixed-point entropy idiom (q157/q181): every I and H term
+    * is floor-scaled to a 1e-9-nat LONG before summing (order-free),
+    * ln is [[graft.functions.PortableLn]] (bit-identical in DuckDB via
+    * lnChain), and the final nmi is one fixed IEEE divide over exact
+    * longs. Trivial partitions (H(C)+H(L) = 0) report nmi = 0.
+    *
+    * Plan: q155's rounds, one (cluster, label) count, then every
+    * aggregate runs over the k×labels grid — metadata-sized; the long
+    * products n·n_cl stay far inside 2^63 for any feasible k×labels
+    * grid (the corpus size enters linearly, not quadratically). */
+  def q192(embeddings: DataFrame, k: Int = 8, iters: Int = 5): DataFrame = {
+    val joint = graft.Pins.pin(
+      q155(embeddings, k, iters).select(col("vec_id"), col("cluster"))
+        .join(embeddings.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy(col("cluster"), col("label"))
+        .agg(count(lit(1)).cast("long").as("ncl")))
+    val cc = joint.groupBy(col("cluster")).agg(sum(col("ncl")).cast("long").as("nc"))
+    val ll = joint.groupBy(col("label")).agg(sum(col("ncl")).cast("long").as("nl"))
+    val tot = joint.agg(sum(col("ncl")).cast("long").as("n"))
+    def t9(p: org.apache.spark.sql.Column, lnArg: org.apache.spark.sql.Column) =
+      floor(p * graft.functions.PortableLn(lnArg) * lit(1.0e9)).cast("long")
+    val iE9 = joint.join(cc, "cluster").join(ll, "label")
+      .crossJoin(broadcast(tot))
+      .select(t9(col("ncl").cast("double") / col("n").cast("double"),
+        (col("n") * col("ncl")).cast("double") /
+          (col("nc") * col("nl")).cast("double")).as("t"))
+      .agg(sum(col("t")).cast("long").as("i_e9"))
+    def hE9(cnts: DataFrame, cn: String, out: String) =
+      cnts.crossJoin(broadcast(tot))
+        .select(t9(col(cn).cast("double") / col("n").cast("double"),
+          col(cn).cast("double") / col("n").cast("double")).as("t"))
+        .agg((-sum(col("t"))).cast("long").as(out))
+    iE9.crossJoin(broadcast(hE9(cc, "nc", "hc_e9")))
+      .crossJoin(broadcast(hE9(ll, "nl", "hl_e9")))
+      .crossJoin(broadcast(tot))
+      .select(col("n").as("n_vecs"), col("i_e9"), col("hc_e9"), col("hl_e9"),
+        when(col("hc_e9") + col("hl_e9") === 0L, lit(0.0))
+          .otherwise(col("i_e9").cast("double") /
+            ((col("hc_e9").cast("double") + col("hl_e9").cast("double")) / 2.0))
+          .as("nmi"))
+  }
 }

@@ -52,6 +52,44 @@ class KMeansSpec extends GraftSpec {
     assert(out.map(_.getAs[Int]("cluster")).distinct.length >= 2)
   }
 
+  test("q191 purity: aligned labels read 100%, independent labels read 50%") {
+    // labels == blob id: every cluster is pure
+    val aligned = planted.withColumn("label",
+      (col("vec_id") % 3).cast("int"))
+    val pa = KMeans.q191(aligned, k = 3, iters = 5).collect()
+    assert(pa.length == 3, pa.toSeq)
+    pa.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == 20L, r)
+      assert(r.getAs[Long]("purity_e8") == 100000000L, r)
+      assert(r.getAs[Long]("n_majority") == 20L, r)
+    }
+    // labels independent of blob (j parity): 10/10 split per cluster,
+    // majority ties break on the lower label
+    val mixed = planted.withColumn("label",
+      ((col("vec_id") / 3) % 2).cast("int"))
+    val pm = KMeans.q191(mixed, k = 3, iters = 5).collect()
+    pm.foreach { r =>
+      assert(r.getAs[Long]("purity_e8") == 50000000L, r)
+      assert(r.getAs[Int]("majority_label") == 0, r)
+    }
+  }
+
+  test("q192 NMI: aligned labels ~1, exactly-independent labels exactly 0") {
+    val aligned = planted.withColumn("label",
+      (col("vec_id") % 3).cast("int"))
+    val ra = KMeans.q192(aligned, k = 3, iters = 5).collect()(0)
+    assert(ra.getAs[Long]("n_vecs") == 60L, ra)
+    assert(ra.getAs[Double]("nmi") > 0.99, ra)
+    // H(C) == H(L) == I for a perfect match (same floor-scaled longs)
+    assert(ra.getAs[Long]("hc_e9") == ra.getAs[Long]("hl_e9"), ra)
+    // 10/10 per (cluster, label) cell -> every I term is ln(1) = 0
+    val mixed = planted.withColumn("label",
+      ((col("vec_id") / 3) % 2).cast("int"))
+    val rm = KMeans.q192(mixed, k = 3, iters = 5).collect()(0)
+    assert(rm.getAs[Long]("i_e9") == 0L, rm)
+    assert(rm.getAs[Double]("nmi") == 0.0, rm)
+  }
+
   test("q156 profile re-derives from the q155 assignment") {
     val emb = Tables.embeddings(spark, SF)
     val asg = KMeans.q155(emb).collect()
