@@ -139,6 +139,7 @@ object Sql {
       "graft_kmeans"         -> (() => graft.operators.KMeans.q155(embs)),
       "graft_cluster_profile" -> (() => graft.operators.KMeans.q156(embs)),
       "graft_cluster_purity" -> (() => graft.operators.KMeans.q191(embs)),
+      "graft_ann_recall"     -> (() => Similarity.q193(embs)),
       "graft_cluster_nmi"    -> (() => graft.operators.KMeans.q192(embs)),
       "graft_zipf_fit"       -> (() => graft.operators.TextAnalysis.q157(docs)),
       "graft_skyline"        -> (() => graft.operators.Relational.q158(docs)),

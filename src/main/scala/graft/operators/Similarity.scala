@@ -1226,4 +1226,39 @@ object Similarity {
       .filter(col("crk") <= nCandidates)
       .select(col("qid"), col("nid"))
   }
+
+  /** q193: ANN RECALL REPORT — recall@5 of the LSH (q45) and IVF
+    * (q55) candidate paths against the exact cosine top-5 ground
+    * truth (q44), as a driver query: the index-health read a serving
+    * deployment runs after every refit (the s11 `recallProbe` made
+    * first-class). One row per method: queries evaluated, truth
+    * pairs, hits, micro recall@5. Rows-only (the hyperplane/centroid
+    * internals are not DuckDB-expressible) with spec'd recall floors.
+    *
+    * Scale: ground truth restricts to the q44 query set (a fixed
+    * probe panel — at 100 TB you recall-check a panel, never the
+    * corpus), so the exact side is panel×corpus with the q44 plan and
+    * everything downstream is panel-sized. */
+  def q193(embeddings: DataFrame): DataFrame = {
+    val exact = graft.Pins.pin(q44(embeddings).select(col("qid"), col("nid")))
+    def recallOf(approx: DataFrame, method: String): DataFrame = {
+      val hits = exact.join(
+          approx.filter(col("qid") < 20).select(col("qid"), col("nid")),
+          Seq("qid", "nid"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("hit"))
+      exact.groupBy(col("qid")).agg(count(lit(1)).as("tot"))
+        .join(hits, Seq("qid"), "left_outer")
+        .na.fill(0L, Seq("hit"))
+        .agg(count(lit(1)).cast("long").as("n_queries"),
+          sum(col("tot")).cast("long").as("n_truth"),
+          sum(col("hit")).cast("long").as("n_hits"))
+        .select(lit(method).as("method"), col("n_queries"), col("n_truth"),
+          col("n_hits"),
+          (col("n_hits").cast("double") / col("n_truth").cast("double"))
+            .as("recall_at_5"))
+    }
+    recallOf(q45(embeddings), "lsh")
+      .unionByName(recallOf(q55(embeddings), "ivf"))
+      .orderBy(col("method"))
+  }
 }
