@@ -277,6 +277,48 @@ object Sources {
       .schema(schema)
       .json(path)
 
+  /** s24: RAW TEXT-LINE corpus ingest — the WET/plain-dump entry path
+    * before anything is parquet: one row per line with its source
+    * file and a DETERMINISTIC per-file line number (a window by file
+    * ordered by `monotonically_increasing_id` — split partitions are
+    * assigned ids in file-offset order, so the numbering follows the
+    * file's line order even when a large file splits; a bare global
+    * monotonic id would renumber on every repartition). `wholetext =
+    * true` reads each file as ONE document instead (the
+    * one-doc-per-file corpus layout). Shard the dump into many files
+    * upstream — as every crawl already does — for listing-level
+    * parallelism at 100 TB. */
+  def readTextLines(spark: SparkSession, path: String,
+                    wholetext: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val base = spark.read.option("wholetext", wholetext.toString).text(path)
+      .select(input_file_name().as("file"), col("value").as("text"))
+    if (wholetext) base
+    else base.withColumn("line",
+      row_number().over(Window.partitionBy(col("file"))
+        .orderBy(monotonically_increasing_id())).cast("long"))
+  }
+
+  /** s25: RAW BINARY-FILE media ingest — `binaryFile` rows
+    * (path, modificationTime, length, content) are exactly the opaque
+    * (payload, typed metadata) shape the §2c multimodal operators
+    * take; `pathGlobFilter` prunes by extension at LISTING time and
+    * the reader pushes `length` filters down so oversized blobs never
+    * leave the datanode. `maxLength` guards the executor: one 4 GiB
+    * video in a batch of thumbnails would otherwise OOM the decode
+    * partition — size it to the decode budget. */
+  def readBinaryFiles(spark: SparkSession, dir: String,
+                      glob: String = "*", maxLength: Long = 64L << 20)
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .filter(col("length") <= maxLength)
+      .select(col("path"), col("length"), col("content"))
+  }
+
   /** 16-bit Morton interleave: z = x₁₅y₁₅x₁₄y₁₄…x₀y₀. Pure bit-shift
     * column arithmetic — stays inside whole-stage codegen. */
   private def interleave16(x: org.apache.spark.sql.Column,

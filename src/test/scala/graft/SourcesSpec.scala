@@ -310,4 +310,37 @@ class SourcesSpec extends GraftSpec {
     assert(Sources.readJdbc(spark, url, "nation_jdbc", driver).count() ==
       nation.count() + 3)
   }
+
+  test("s24 text-line ingest: per-file deterministic line numbers; wholetext one doc per file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-txt")
+    java.nio.file.Files.writeString(dir.resolve("a.txt"), "l1\nl2\nl3\n")
+    java.nio.file.Files.writeString(dir.resolve("b.txt"), "only\n")
+    val lines = Sources.readTextLines(spark, dir.toString).collect()
+      .map(r => (new java.io.File(r.getAs[String]("file")).getName,
+        r.getAs[Long]("line"), r.getAs[String]("text"))).toSet
+    assert(lines == Set(("a.txt", 1L, "l1"), ("a.txt", 2L, "l2"),
+      ("a.txt", 3L, "l3"), ("b.txt", 1L, "only")), lines)
+    // re-read gives the same numbering (deterministic, not physical)
+    val again = Sources.readTextLines(spark, dir.toString).collect()
+      .map(r => (new java.io.File(r.getAs[String]("file")).getName,
+        r.getAs[Long]("line"), r.getAs[String]("text"))).toSet
+    assert(again == lines)
+    val whole = Sources.readTextLines(spark, dir.toString, wholetext = true)
+      .collect().map(r => new java.io.File(r.getAs[String]("file")).getName ->
+        r.getAs[String]("text")).toMap
+    assert(whole("a.txt") == "l1\nl2\nl3\n" && whole("b.txt") == "only\n", whole)
+  }
+
+  test("s25 binaryFile ingest: bytes round-trip, glob prunes, maxLength guards") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin")
+    val payload = Array.tabulate[Byte](256)(i => i.toByte)
+    java.nio.file.Files.write(dir.resolve("x.bin"), payload)
+    java.nio.file.Files.write(dir.resolve("big.bin"), new Array[Byte](4096))
+    java.nio.file.Files.writeString(dir.resolve("skip.txt"), "not media")
+    val rows = Sources.readBinaryFiles(spark, dir.toString,
+      glob = "*.bin", maxLength = 1024L).collect()
+    assert(rows.length == 1, rows.toSeq.map(_.getAs[String]("path")))
+    assert(rows(0).getAs[Long]("length") == 256L)
+    assert(rows(0).getAs[Array[Byte]]("content").toSeq == payload.toSeq)
+  }
 }
