@@ -2503,9 +2503,10 @@ object Oracles {
          SELECT source, n_src, n_all - n_src AS n_rest,
            CAST(MAX(abs(cum_src * (n_all - n_src)
              - (cum_all - cum_src) * n_src)) AS BIGINT) AS ks_num,
-           CAST(MAX(abs(cum_src * (n_all - n_src)
-             - (cum_all - cum_src) * n_src)) * 100000000
-             // (n_src * (n_all - n_src)) AS BIGINT) AS ks_e8
+           CAST(CASE WHEN n_all - n_src = 0 THEN 0
+             ELSE MAX(abs(cum_src * (n_all - n_src)
+               - (cum_all - cum_src) * n_src)) * 100000000
+               // (n_src * (n_all - n_src)) END AS BIGINT) AS ks_e8
          FROM cums CROSS JOIN tot
          GROUP BY source, n_src, n_all ORDER BY source""",
 

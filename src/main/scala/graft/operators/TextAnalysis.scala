@@ -2304,7 +2304,10 @@ object TextAnalysis {
           (col("cum_all") - col("cum_src")) * col("n_src")).as("d"))
       .groupBy(col("source"), col("n_src"), col("n_rest"))
       .agg(max(col("d")).cast("long").as("ks_num"))
-      .withColumn("ks_e8", expr("(ks_num * 100000000L) div (n_src * n_rest)"))
+      // single-source corpus: n_rest = 0, the statistic is undefined —
+      // report 0 instead of an ANSI divide error
+      .withColumn("ks_e8", when(col("n_rest") === 0L, lit(0L))
+        .otherwise(expr("(ks_num * 100000000L) div (n_src * n_rest)")))
       .orderBy(col("source"))
   }
 

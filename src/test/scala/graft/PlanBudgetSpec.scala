@@ -48,6 +48,32 @@ class PlanBudgetSpec extends GraftSpec {
     assert(r.sortMergeJoins == 0, r)
   }
 
+  test("q187 vocab richness: two aggregate exchanges, nothing else") {
+    val r = PlanReport.analyze(TextAnalysis.q187(Tables.documents(spark, SF)))
+    // (source, tok) count -> source rollup -> output sort: the corpus
+    // reaches exactly one data-sized exchange (partial-agg combined)
+    assert(r.exchanges <= 3, r)
+    assert(r.sortMergeJoins == 0, r)
+  }
+
+  test("q189 KS drift: the ECDF grid joins stay broadcast, corpus shuffles once") {
+    val r = PlanReport.analyze(TextAnalysis.q189(Tables.documents(spark, SF)))
+    // (source, n_chars) count is the only corpus-sized exchange; the
+    // grid build must ride broadcasts — a sort-merge join here means
+    // the stats-domain grid got shuffled like data
+    assert(r.broadcastJoins >= 2, r)
+    assert(r.sortMergeJoins == 0, r)
+  }
+
+  test("q190 vocab coverage: top-k cut plans as TakeOrderedAndProject, no global sort") {
+    val df = TextAnalysis.q190(Tables.documents(spark, SF))
+    val plan = formattedPlan(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab top-k cut lost the bounded-heap plan:\n$plan")
+    val r = PlanReport.analyze(df)
+    assert(r.sortMergeJoins == 0, r)
+  }
+
   test("q116 BM25: query terms and df stats ride broadcast joins") {
     import spark.implicits._
     val r = PlanReport.analyze(graft.operators.TextAnalysis.q116(

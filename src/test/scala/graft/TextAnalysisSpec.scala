@@ -1039,6 +1039,11 @@ class TextAnalysisSpec extends GraftSpec {
           r.getAs[Long]("ks_num"), r.getAs[Long]("ks_e8"))).toMap
     assert(out("srcA") == ((2L, 2L, 2L, 50000000L)), out)
     assert(out("srcB") == ((2L, 2L, 2L, 50000000L)), out)
+    // single-source corpus: statistic undefined -> 0, no ANSI divide error
+    val one = TextAnalysis.q189(
+      Seq((1L, "t", "only", 5L)).toDF("doc_id", "text", "source", "n_chars"))
+      .collect()(0)
+    assert(one.getAs[Long]("n_rest") == 0L && one.getAs[Long]("ks_e8") == 0L, one)
   }
 
   test("q190 vocab coverage: cumulative mass by rank, saturates past vocab") {
