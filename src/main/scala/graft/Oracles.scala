@@ -2510,6 +2510,22 @@ object Oracles {
          FROM cums CROSS JOIN tot
          GROUP BY source, n_src, n_all ORDER BY source""",
 
+    // token burstiness: exact (doc, tok) then (tok) moments, one
+    // fixed IEEE divide for the dispersion index
+    "q194_burstiness" ->
+      """WITH pd AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM (SELECT doc_id,
+               unnest(string_split(lower(trim(text)), ' ')) AS tok
+             FROM documents) GROUP BY doc_id, tok),
+         tk AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(c * c) AS BIGINT) AS s2
+           FROM pd GROUP BY tok),
+         nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents)
+         SELECT tok, df, n, s2,
+           CAST(nd.nd * tk.s2 - tk.n * tk.n AS DOUBLE) /
+             CAST(nd.nd * tk.n AS DOUBLE) AS dispersion
+         FROM tk CROSS JOIN nd WHERE n >= 20 ORDER BY tok""",
+
     // coverage-by-rank: (count desc, tok) rank, cumulative occurrence
     // mass at the deepest rank <= k (saturates past the vocab size)
     "q190_vocab_coverage" ->

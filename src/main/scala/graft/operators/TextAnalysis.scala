@@ -2311,6 +2311,42 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** q194: TOKEN BURSTINESS — per token, the variance-to-mean ratio
+    * (dispersion index) of its per-document count over the WHOLE
+    * corpus (zero-docs included): Poisson-ish content words sit near
+    * D ≈ 1, template/boilerplate tokens concentrate in few docs and
+    * read D ≫ 1 (Church & Gale 1995 burstiness) — the TOKEN-level
+    * lens on what q101 detects per doc and q68 within a doc.
+    * D = (N·Σc² − (Σc)²)/(N·Σc) with zero-docs contributing only via
+    * N, so the per-doc count table never needs zero rows. df/n/Σc²
+    * are exact longs, D is ONE fixed IEEE divide over them →
+    * hash-exact. Squares stay inside a long for n < ~3·10⁹ token
+    * occurrences per type; a 100 TB deployment lifts the two products
+    * to DECIMAL(38,0) (same algebra) or computes per shard.
+    *
+    * Plan: (doc, tok) count then (tok) rollup — both map-side
+    * combined, the same two-exchange shape as q187; the one-row doc
+    * count broadcasts. */
+  def q194(documents: DataFrame, minCount: Long = 20L): DataFrame = {
+    val nDocs = documents.agg(count(lit(1)).cast("long").as("nd"))
+    documents
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).cast("long").as("df"),
+        sum(col("c")).cast("long").as("n"),
+        sum(col("c") * col("c")).cast("long").as("s2"))
+      .filter(col("n") >= minCount)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("dispersion",
+        (col("nd") * col("s2") - col("n") * col("n")).cast("double") /
+          (col("nd") * col("n")).cast("double"))
+      .select(col("tok"), col("df"), col("n"), col("s2"), col("dispersion"))
+      .orderBy(col("tok"))
+  }
+
   /** q190: VOCABULARY COVERAGE BY RANK — what fraction of corpus token
     * OCCURRENCES the top-k most frequent token types cover, at
     * k ∈ {100, 1000, 10000}: the tokenizer-vocab-sizing read (how big

@@ -1046,6 +1046,23 @@ class TextAnalysisSpec extends GraftSpec {
     assert(one.getAs[Long]("n_rest") == 0L && one.getAs[Long]("ks_e8") == 0L, one)
   }
 
+  test("q194 burstiness: template token reads D=3, uniform token reads D=0") {
+    // 4 docs; "b" concentrates in one doc (bursty), "u" spreads 1/doc
+    val d = Seq(
+      (1L, "b b b b u"), (2L, "u x x x x"),
+      (3L, "u y y y y"), (4L, "u z z z z")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.q194(d, minCount = 4L).collect()
+      .map(r => r.getAs[String]("tok") ->
+        (r.getAs[Long]("df"), r.getAs[Long]("n"), r.getAs[Long]("s2"),
+          r.getAs[Double]("dispersion"))).toMap
+    // D = (N*s2 - n^2)/(N*n): b -> (4*16-16)/16 = 3; u -> (16-16)/16 = 0
+    assert(out("b") == ((1L, 4L, 16L, 3.0)), out)
+    assert(out("u") == ((4L, 4L, 4L, 0.0)), out)
+    assert(out.keySet == Set("b", "u", "x", "y", "z"), out) // minCount cut
+    assert(out("x") == ((1L, 4L, 16L, 3.0)), out)
+  }
+
   test("q190 vocab coverage: cumulative mass by rank, saturates past vocab") {
     val d = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
     val out = TextAnalysis.q190(d, ks = Seq(1, 2, 100)).collect()
