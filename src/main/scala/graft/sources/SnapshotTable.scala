@@ -753,7 +753,10 @@ object SnapshotTable {
         else snapshot(spark, path, s.parent).files.toSet
       readFiles(spark, path, s.schema, s.files.filterNot(parentFiles))
         .withColumn("_commit_version", lit(s.version))
-    }.reduce(_ unionByName _)
+      // allowMissingColumns: a feed spanning an append-evolve commit
+      // (s23) mixes the narrow and widened schemas — pre-evolution
+      // deltas surface null in the added columns, like read() does
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** s17: COLUMN-STAT FILE SKIPPING — the second slice of the

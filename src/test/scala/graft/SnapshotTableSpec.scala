@@ -389,6 +389,15 @@ class SnapshotTableSpec extends GraftSpec {
     // a later plain append carries the evolved schema
     SnapshotTable.append(spark, p, Seq((5L, "e", 50L)).toDF("id", "s", "extra"))
     assert(SnapshotTable.read(spark, p).count() == 4L)
+    // the change feed spans the evolution: pre-evolution deltas
+    // surface null in the added column instead of failing the union
+    val feed = SnapshotTable.readChanges(spark, p, 0L, 3L).collect()
+      .map(r => (r.getAs[Long]("id"),
+        if (r.isNullAt(r.fieldIndex("extra"))) None
+        else Some(r.getAs[Long]("extra")),
+        r.getAs[Long]("_commit_version"))).sortBy(_._1)
+    assert(feed.toSeq == Seq((1L, None, 1L), (2L, None, 1L),
+      (3L, Some(30L), 2L), (5L, Some(50L), 3L)), feed.toSeq)
   }
 
   test("s21 z-order: box predicates prune files a linear sort cannot") {
