@@ -45,13 +45,24 @@ object IncrementalView {
   private def fsOf(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** mv03: optional STATIC-DIMENSION enrichment join applied before
+    * the aggregate — the SPJG view class (select-project-join-group).
+    * Valid incrementally because a join against a FIXED dimension
+    * distributes over union: agg(join(base ∪ delta, dim)) =
+    * merge(agg(join(base, dim)), agg(join(delta, dim))). The
+    * dimension is pinned by PATH at create time; repointing or
+    * rewriting it silently invalidates the view (that is the static
+    * contract — a changing dim needs [[fullRefresh]]). */
+  final case class Dim(path: String, joinKey: String)
+
   private final case class Def(basePath: String, keys: Seq[String],
-                               aggs: Seq[Agg])
+                               aggs: Seq[Agg], dim: Option[Dim] = None)
 
   private def writeDef(spark: SparkSession, path: String, d: Def): Unit = {
     val f = fsOf(spark, path)
     require(!f.exists(defPath(path)), s"incremental view $path exists")
     val body = (Seq(d.basePath, d.keys.mkString(",")) ++
+      d.dim.map(x => s"dim,${x.path},${x.joinKey}").toSeq ++
       d.aggs.map(a => s"${a.fn},${a.col},${a.as}")).mkString("\n")
     val out = f.create(defPath(path), false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -68,9 +79,14 @@ object IncrementalView {
       new String(bos.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
     val lines = body.split("\n", -1).toSeq
+    val rest = lines.drop(2).filter(_.nonEmpty)
+    val (dimLines, aggLines) = rest.partition(_.startsWith("dim,"))
     Def(lines(0), lines(1).split(",").toSeq.filter(_.nonEmpty),
-      lines.drop(2).filter(_.nonEmpty).map { l =>
+      aggLines.map { l =>
         val p = l.split(",", 3); Agg(p(0), p(1), p(2))
+      },
+      dimLines.headOption.map { l =>
+        val p = l.split(",", 3); Dim(p(1), p(2))
       })
   }
 
@@ -86,8 +102,15 @@ object IncrementalView {
   }
 
   private def aggregate(df: DataFrame, d: Def): DataFrame = {
+    val enriched = d.dim match {
+      case None => df
+      case Some(Dim(p, k)) =>
+        // dims are small by definition — ride a broadcast, never
+        // shuffle the delta (or the base rebuild) for an enrichment
+        df.join(broadcast(df.sparkSession.read.parquet(p)), Seq(k))
+    }
     val cols = aggCols(d.aggs)
-    df.groupBy(d.keys.map(col): _*).agg(cols.head, cols.tail: _*)
+    enriched.groupBy(d.keys.map(col): _*).agg(cols.head, cols.tail: _*)
   }
 
   /** Merge the stored aggregate with the delta's aggregate: null-safe
@@ -125,10 +148,11 @@ object IncrementalView {
     * Keys must be non-empty (a global aggregate is a one-constant-key
     * view). */
   def create(spark: SparkSession, mvPath: String, basePath: String,
-             keys: Seq[String], aggs: Seq[Agg]): Long = {
+             keys: Seq[String], aggs: Seq[Agg],
+             dim: Option[Dim] = None): Long = {
     require(keys.nonEmpty, "incremental view needs at least one group key")
     aggCols(aggs) // validate fns before any write
-    val d = Def(basePath, keys, aggs)
+    val d = Def(basePath, keys, aggs, dim)
     writeDef(spark, mvPath, d)
     val baseV = SnapshotTable.currentVersion(spark, basePath)
     SnapshotTable.create(spark, mvPath,

@@ -93,4 +93,34 @@ class IncrementalViewSpec extends GraftSpec {
     }
     assert(e.getMessage.contains("sum+count"), e.getMessage)
   }
+
+  test("mv03 static-dim enrichment join folds incrementally == full recompute") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.IncrementalView.Dim
+    val base = tmp("jbase"); val mv = tmp("jmv")
+    val dimDir = tmp("jdim")
+    // static dimension: nation key -> region name
+    Seq((1L, "emea"), (2L, "emea"), (3L, "apac"))
+      .toDF("nk", "region").write.parquet(dimDir)
+    SnapshotTable.create(spark, base,
+      Seq((1L, 10L), (2L, 5L), (3L, 2L)).toDF("nk", "v"))
+    IncrementalView.create(spark, mv, base, Seq("region"),
+      Seq(Agg("count", "", "n"), Agg("sum", "v", "s")),
+      dim = Some(Dim(dimDir, "nk")))
+    assert(rows(IncrementalView.read(spark, mv)) ==
+      Set(Seq("emea", 2L, 15L), Seq("apac", 1L, 2L)))
+
+    // appends fold through the join: existing region grows, and a
+    // delta-only nation key maps into an existing region group
+    SnapshotTable.append(spark, base, Seq((3L, 8L), (1L, 1L)).toDF("nk", "v"))
+    IncrementalView.refresh(spark, mv)
+    val got = rows(IncrementalView.read(spark, mv))
+    assert(got == Set(Seq("emea", 3L, 16L), Seq("apac", 2L, 10L)), got)
+    // parity vs full recompute through the same join
+    val full = SnapshotTable.read(spark, base)
+      .join(spark.read.parquet(dimDir), Seq("nk"))
+      .groupBy("region")
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("v")).as("s"))
+    assert(got == rows(full), got)
+  }
 }
