@@ -2988,7 +2988,38 @@ object Oracles {
                 THEN 3.0 * CAST(n_triangles AS DOUBLE)
                   / CAST(wedges AS DOUBLE)
                 ELSE 0.0 END AS clustering
-         FROM stats CROSS JOIN tri"""
+         FROM stats CROSS JOIN tri""",
+
+    // degree assortativity: both-orientation exact long moments over
+    // the same undirected crawl edge set as q174, one IEEE divide
+    "q195_assortativity" ->
+      s"""$UrlNormCte,
+         d AS (SELECT doc_id, domain FROM nrm),
+         bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM d),
+         ed AS (
+           SELECT a.domain AS src, b.domain AS dst
+           FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+           UNION ALL
+           SELECT a.domain AS src, b.domain AS dst
+           FROM d a, bounds, d b
+           WHERE a.doc_id = bounds.hi AND b.doc_id = bounds.lo),
+         und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM ed WHERE src <> dst),
+         deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM
+           (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+           GROUP BY n),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+         mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+             CAST(COUNT(*) * 2 AS BIGINT) AS m,
+             CAST(SUM(da.deg + db.deg) AS BIGINT) AS sx,
+             CAST(SUM(da.deg * da.deg + db.deg * db.deg) AS BIGINT) AS sxx,
+             CAST(SUM(da.deg * db.deg * 2) AS BIGINT) AS sxy
+           FROM und JOIN deg da ON da.n = und.a JOIN deg db ON db.n = und.b)
+         SELECT n_nodes, n_edges, m, sx, sxx, sxy,
+           CASE WHEN m * sxx - sx * sx = 0 THEN 0.0
+             ELSE CAST(m * sxy - sx * sx AS DOUBLE)
+               / CAST(m * sxx - sx * sx AS DOUBLE) END AS assortativity
+         FROM mo CROSS JOIN nn"""
   )
 
   private lazy val zipfSql: String = {

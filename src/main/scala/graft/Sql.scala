@@ -180,6 +180,7 @@ object Sql {
       "graft_hourly_anomaly" -> (() =>
         graft.operators.Events.q173(spark.table("events"))),
       "graft_triangles"      -> (() => graft.operators.Graphs.q174(docs)),
+      "graft_assortativity"  -> (() => graft.operators.Graphs.q195(docs)),
       "graft_khop"           -> (() => graft.operators.Graphs.q175(docs,
         hops = Oracles.KhopHops)),
       "graft_dedup_savings"  -> (() => Dedup.q176(docs)),

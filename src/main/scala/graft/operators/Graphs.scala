@@ -202,6 +202,55 @@ object Graphs {
   def q174(documents: DataFrame): DataFrame =
     triangleStats(crawlEdges(documents))
 
+  /** q195: DEGREE ASSORTATIVITY (Newman 2002) over [[crawlEdges]] —
+    * the Pearson correlation of degrees across edge endpoints: link
+    * farms and mirror networks read strongly assortative (hubs wiring
+    * to hubs), organic crawl graphs mildly disassortative — the third
+    * graph-shape diagnostic next to q174's clustering coefficient and
+    * q168's concentration Gini. Each undirected edge counts in BOTH
+    * orientations, so the x/y marginals coincide and
+    * r = (M·Σxy − (Σx)²)/(M·Σx² − (Σx)²) with all moments EXACT longs
+    * and ONE fixed IEEE divide → hash-exact; a degree-regular graph
+    * (zero variance) reports 0 by convention. Moments fit a long to
+    * ~10⁶ peak degree at 10⁹ edges; beyond that lift the products to
+    * DECIMAL(38,0), same algebra (the q194 note).
+    *
+    * Plan: the q174 shape minus the wedge join — distinct undirected
+    * edges, one degree count, two key joins, one row out. */
+  def q195(documents: DataFrame): DataFrame =
+    assortativity(crawlEdges(documents))
+
+  /** The degree-correlation core over any (src, dst) edge list. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val und = graft.Pins.pin(
+      edges
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+    val deg = graft.Pins.pin(
+      und.select(col("a").as("n"))
+        .unionByName(und.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).cast("long").as("deg")))
+    val nn = deg.agg(count(lit(1)).cast("long").as("n_nodes"))
+    und
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .agg(count(lit(1)).cast("long").as("n_edges"),
+        (count(lit(1)) * 2).cast("long").as("m"),
+        sum(col("da") + col("db")).cast("long").as("sx"),
+        sum(col("da") * col("da") + col("db") * col("db")).cast("long")
+          .as("sxx"),
+        sum(col("da") * col("db") * 2).cast("long").as("sxy"))
+      .crossJoin(broadcast(nn))
+      .withColumn("assortativity",
+        when(col("m") * col("sxx") - col("sx") * col("sx") === 0L, lit(0.0))
+          .otherwise(
+            (col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
+              (col("m") * col("sxx") - col("sx") * col("sx")).cast("double")))
+      .select(col("n_nodes"), col("n_edges"), col("m"), col("sx"),
+        col("sxx"), col("sxy"), col("assortativity"))
+  }
+
   /** The oriented-wedge triangle core over any (src, dst) edge list —
     * q174's plan, reusable on arbitrary graphs (spec plants a K4). */
   def triangleStats(edges: DataFrame): DataFrame = {

@@ -194,4 +194,22 @@ class GraphsSpec extends GraftSpec {
     val re = Graphs.q180(docs.repartition(7)).collect().map(_.toSeq)
     assert(re.toSet == out.toSet)
   }
+
+  test("q195 assortativity: star reads exactly -1, path reads exactly -1/2") {
+    import spark.implicits._
+    // K1,3 star: hubs never wire to hubs -> perfectly disassortative
+    val star = Graphs.assortativity(
+      Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")).collect()(0)
+    assert(star.getAs[Long]("n_nodes") == 4L, star)
+    assert(star.getAs[Long]("n_edges") == 3L, star)
+    assert(star.getAs[Double]("assortativity") == -1.0, star)
+    // 4-node path: degrees 1,2,2,1 -> r = -1/2 in closed form
+    val path = Graphs.assortativity(
+      Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")).collect()(0)
+    assert(path.getAs[Double]("assortativity") == -0.5, path)
+    // degree-regular graph (cycle): zero variance -> 0 by convention
+    val cyc = Graphs.assortativity(
+      Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")).collect()(0)
+    assert(cyc.getAs[Double]("assortativity") == 0.0, cyc)
+  }
 }
