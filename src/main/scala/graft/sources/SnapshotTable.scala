@@ -526,18 +526,23 @@ object SnapshotTable {
         val r = df.agg(
           fmin(col(colA).cast("long")), fmax(col(colA).cast("long")),
           fmin(col(colB).cast("long")), fmax(col(colB).cast("long"))).head()
-        def norm(c: String, mn: Long, mx: Long): Column = {
-          val range = math.max(mx - mn, 1L)
-          org.apache.spark.sql.functions.expr(
-            s"((CAST($c AS BIGINT) - ${mn}L) * 65535L) div ${range}L")
+        if (r.isNullAt(0) || r.isNullAt(2))
+          // empty table (or all-null cluster column): nothing to order
+          Some(df.repartition(numFiles))
+        else {
+          def norm(c: String, mn: Long, mx: Long): Column = {
+            val range = math.max(mx - mn, 1L)
+            org.apache.spark.sql.functions.expr(
+              s"((CAST(`$c` AS BIGINT) - ${mn}L) * 65535L) div ${range}L")
+          }
+          val z = org.apache.spark.sql.functions
+            .shiftleft(spread16(norm(colA, r.getLong(0), r.getLong(1))), 1)
+            .bitwiseOR(spread16(norm(colB, r.getLong(2), r.getLong(3))))
+          Some(df.withColumn("_graft_z", z)
+            .repartitionByRange(numFiles, col("_graft_z"))
+            .sortWithinPartitions("_graft_z")
+            .drop("_graft_z"))
         }
-        val z = org.apache.spark.sql.functions
-          .shiftleft(spread16(norm(colA, r.getLong(0), r.getLong(1))), 1)
-          .bitwiseOR(spread16(norm(colB, r.getLong(2), r.getLong(3))))
-        Some(df.withColumn("_graft_z", z)
-          .repartitionByRange(numFiles, col("_graft_z"))
-          .sortWithinPartitions("_graft_z")
-          .drop("_graft_z"))
       },
       (_, nf) => nf, (h, _) => snapshot(spark, path, h).schema)
 
