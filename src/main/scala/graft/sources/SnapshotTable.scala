@@ -397,6 +397,66 @@ object SnapshotTable {
       head => Some(read(spark, path, Some(head)).filter(s"NOT ($cond)")),
       (_, nf) => nf, (head, _) => snapshot(spark, path, head).schema)
 
+  /** COW UPDATE: rows matching `cond` get each column in `sets`
+    * re-evaluated (SQL expressions over the row); other rows pass
+    * through — the HiveQL/Delta `UPDATE ... SET ... WHERE` verb.
+    * Assignments cast back to the column's existing type, so the
+    * schema is stable by construction; new columns are [[appendEvolved]]'s
+    * job, not UPDATE's. Table-granular copy-on-write like
+    * [[deleteWhere]]; range-selective updates on an analyzed column
+    * can follow the [[deleteWhereRange]] file-granular pattern. */
+  def updateWhere(spark: SparkSession, path: String, cond: String,
+                  sets: Map[String, String]): Long = {
+    import org.apache.spark.sql.functions.{col, expr, when}
+    require(sets.nonEmpty, "updateWhere needs at least one assignment")
+    commit(spark, path, "update",
+      h => {
+        val head = read(spark, path, Some(h))
+        sets.keys.foreach(c => require(head.columns.contains(c),
+          s"updateWhere: unknown column $c — adding columns is appendEvolved's job"))
+        Some(sets.foldLeft(head) { case (df, (c, e)) =>
+          df.withColumn(c,
+            when(expr(cond), expr(e).cast(df.schema(c).dataType))
+              .otherwise(col(c)))
+        })
+      },
+      (_, nf) => nf, (h, _) => snapshot(spark, path, h).schema)
+  }
+
+  /** FILE-GRANULAR copy-on-write DELETE for a range predicate on an
+    * [[analyze]]d column — the optimization [[deleteWhere]]'s doc
+    * trades away: only files whose stats OVERLAP [lo, hi] are
+    * rewritten (minus the matching rows); every other data file is
+    * carried into the new manifest untouched, byte-identical. At
+    * 100 TB this is the difference between rewriting one day's files
+    * and rewriting the table. Files without stats rewrite
+    * conservatively (the s17 no-false-prune contract, here
+    * no-false-KEEP). Deletion-vector entries carry over: rewritten
+    * rows are a subset of the old rows, so the DV anti-join stays
+    * correct and idempotent on both kept and rewritten files. */
+  def deleteWhereRange(spark: SparkSession, path: String, column: String,
+                       lo: Long, hi: Long): Long = {
+    import org.apache.spark.sql.functions.col
+    // version-pinned: both closures derive the touched set from the
+    // SAME snapshot h, immune to a racing lock-free appendOptimistic
+    // moving the head between them (the publish CAS still arbitrates)
+    def touched(h: Long): Set[String] =
+      prunedOf(spark, path, snapshot(spark, path, h).files,
+        column, lo, hi).toSet
+    commit(spark, path, "delete",
+      h => {
+        val s = snapshot(spark, path, h)
+        Some(readFiles(spark, path, s.schema, touched(h).toSeq.sorted)
+          .filter(!col(column).cast("long").between(lo, hi)))
+      },
+      (h, nf) => {
+        val s = snapshot(spark, path, h)
+        val t = touched(h)
+        s.files.filter(fp => isDv(fp) || !t.contains(fp)) ++ nf
+      },
+      (h, _) => snapshot(spark, path, h).schema)
+  }
+
   /** MERGE (keyed upsert) as ONE atomic commit: head rows whose key
     * appears in `updates` are replaced, new keys append — the m02
     * upsert semantics with snapshot isolation on top (readers see the
@@ -819,16 +879,25 @@ object SnapshotTable {
     * can contain `column` ∈ [lo, hi]; files without stats are kept
     * (conservative). */
   def prunedFiles(spark: SparkSession, path: String, column: String,
-                  lo: Long, hi: Long): Seq[String] = {
+                  lo: Long, hi: Long): Seq[String] =
+    prunedOf(spark, path,
+      snapshot(spark, path, currentVersion(spark, path)).files,
+      column, lo, hi)
+
+  /** [[prunedFiles]] against an EXPLICIT file list — version-pinned,
+    * so a commit closure's view can't drift under a racing
+    * lock-free appendOptimistic. */
+  private def prunedOf(spark: SparkSession, path: String,
+                       files: Seq[String], column: String,
+                       lo: Long, hi: Long): Seq[String] = {
     val f = fs(spark, path)
     val sp = new Path(snapDir(path), s"stats.$column")
-    val head = snapshot(spark, path, currentVersion(spark, path))
-    if (!f.exists(sp)) head.files.filterNot(isDv)
+    if (!f.exists(sp)) files.filterNot(isDv)
     else {
       val stats = readFile(f, sp).split("\n").filter(_.nonEmpty).map { l =>
         val a = l.split(","); a(0) -> (a(1).toLong, a(2).toLong)
       }.toMap
-      head.files.filterNot(isDv).filter { fp =>
+      files.filterNot(isDv).filter { fp =>
         stats.get(fp) match {
           case Some((mn, mx)) => mx >= lo && mn <= hi
           case None           => true

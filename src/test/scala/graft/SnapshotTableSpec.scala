@@ -400,6 +400,48 @@ class SnapshotTableSpec extends GraftSpec {
       (3L, Some(30L), 2L), (5L, Some(50L), 3L)), feed.toSeq)
   }
 
+  test("m03 updateWhere: matching rows re-evaluate, schema stable, past intact") {
+    val p = tmp("upd")
+    SnapshotTable.create(spark, p,
+      (1L to 10L).map(i => (i, i % 3, i * 10L)).toDF("id", "m", "v"))
+    SnapshotTable.updateWhere(spark, p, "m = 0",
+      Map("v" -> "v + 1000", "m" -> "99"))
+    val head = SnapshotTable.read(spark, p).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(head.count(_._2 == 99L) == 3, head.toSeq)      // 3,6,9 matched
+    assert(head.filter(_._2 == 99L).forall(_._3 > 1000L), head.toSeq)
+    assert(head.filter(_._2 != 99L).forall(_._3 <= 100L), head.toSeq)
+    assert(SnapshotTable.read(spark, p).schema ==
+      SnapshotTable.read(spark, p, Some(1L)).schema)
+    assert(SnapshotTable.read(spark, p, Some(1L))
+      .filter(col("m") === 99).count() == 0L)
+    // unknown column refuses before any write
+    intercept[IllegalArgumentException] {
+      SnapshotTable.updateWhere(spark, p, "m = 1", Map("nope" -> "1"))
+    }
+  }
+
+  test("file-granular COW delete rewrites only stat-overlapping files") {
+    val p = tmp("fgd")
+    SnapshotTable.create(spark, p,
+      (1L to 400L).toDF("id").repartitionByRange(4, col("id")))
+    SnapshotTable.analyze(spark, p, "id")
+    val before = SnapshotTable.snapshot(spark, p, 1L).files
+    val touched = SnapshotTable.prunedFiles(spark, p, "id", 10L, 20L)
+    assert(touched.size < before.size, s"$touched")
+    SnapshotTable.deleteWhereRange(spark, p, "id", 10L, 20L)
+    val after = SnapshotTable.snapshot(spark, p,
+      SnapshotTable.currentVersion(spark, p)).files
+    // untouched files carried over byte-identical (same manifest paths)
+    val untouched = before.toSet -- touched.toSet
+    assert(untouched.subsetOf(after.toSet), s"$untouched vs $after")
+    assert(after.toSet.intersect(touched.toSet).isEmpty, after)
+    // content parity with the logical filter
+    assert(SnapshotTable.read(spark, p).collect().map(_.getLong(0)).sorted
+      .toSeq == ((1L to 9L) ++ (21L to 400L)), "content")
+    assert(SnapshotTable.read(spark, p, Some(1L)).count() == 400L)
+  }
+
   test("s21 z-order: box predicates prune files a linear sort cannot") {
     // two independent dims on a 64x64 grid
     val df = (0L until 4096L).map(i => (i % 64L, i / 64L, i))
