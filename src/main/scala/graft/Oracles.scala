@@ -2510,6 +2510,10 @@ object Oracles {
          FROM cums CROSS JOIN tot
          GROUP BY source, n_src, n_all ORDER BY source""",
 
+    // conditional bigram entropy: MLE p(v|u) over the per-source
+    // bigram table, 1e-9-nat floor-scaled long terms, lnChain ln
+    "q196_cond_entropy" -> condEntropySql,
+
     // token burstiness: exact (doc, tok) then (tok) moments, one
     // fixed IEEE divide for the dispersion index
     "q194_burstiness" ->
@@ -3021,6 +3025,40 @@ object Oracles {
                / CAST(m * sxx - sx * sx AS DOUBLE) END AS assortativity
          FROM mo CROSS JOIN nn"""
   )
+
+  /** q196 oracle: per-source conditional bigram entropy — bigrams via
+    * the q186 per-row list unnest, MLE conditionals, the fixed-point
+    * entropy idiom (floor-scaled 1e-9-nat longs, lnChain ln). */
+  private lazy val condEntropySql: String =
+    s"""WITH tk AS (SELECT source,
+             string_split(lower(trim(text)), ' ') AS ws
+           FROM documents),
+         pg AS (SELECT source,
+             unnest(list_transform(range(1, len(ws)),
+               i -> struct_pack(u := ws[i], v := ws[i+1]))) AS s
+           FROM tk WHERE len(ws) >= 2),
+         bgr AS (SELECT source, struct_extract(s, 'u') AS u,
+             struct_extract(s, 'v') AS v FROM pg),
+         cbig AS (SELECT source, u, v, CAST(COUNT(*) AS BIGINT) AS c12
+           FROM bgr GROUP BY source, u, v),
+         cuni AS (SELECT source, u, CAST(SUM(c12) AS BIGINT) AS c1
+           FROM cbig GROUP BY source, u),
+         ctot AS (SELECT source, CAST(SUM(c12) AS BIGINT) AS n
+           FROM cbig GROUP BY source),
+         cpre AS (SELECT b.source, b.c12, CAST(t.n AS DOUBLE) AS nd,
+             CAST(b.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE) AS r
+           FROM cbig b JOIN cuni u ON u.source = b.source AND u.u = b.u
+           JOIN ctot t ON t.source = b.source),
+         ${lnChain("cbln", "cpre", Seq("source", "c12", "nd"),
+            Seq("r" -> "lnv"))},
+         ch AS (SELECT source, CAST(-SUM(CAST(floor(
+             (CAST(c12 AS DOUBLE) / nd) * lnv * 1000000000.0)
+             AS BIGINT)) AS BIGINT) AS h_cond_e9
+           FROM cbln GROUP BY source)
+         SELECT ch.source, t.n AS n_bigrams, ch.h_cond_e9,
+           CAST(ch.h_cond_e9 AS DOUBLE) / 1000000000.0 AS h_cond_nats
+         FROM ch JOIN ctot t ON t.source = ch.source
+         ORDER BY ch.source"""
 
   private lazy val zipfSql: String = {
     def ds(c: String) = s"(CAST($c AS DOUBLE) / 1000000000.0)"

@@ -364,7 +364,8 @@ object SparkEntry {
     "q192_cluster_nmi"         -> ((s, d) => KMeans.q192(embeddings(s, d))),
     "q193_ann_recall"          -> ((s, d) => Similarity.q193(embeddings(s, d))),
     "q194_burstiness"          -> ((s, d) => TextAnalysis.q194(documents(s, d))),
-    "q195_assortativity"       -> ((s, d) => Graphs.q195(documents(s, d)))
+    "q195_assortativity"       -> ((s, d) => Graphs.q195(documents(s, d))),
+    "q196_cond_entropy"        -> ((s, d) => TextAnalysis.q196(documents(s, d)))
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

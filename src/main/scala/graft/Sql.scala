@@ -210,6 +210,7 @@ object Sql {
       "graft_ks_drift"       -> (() => TextAnalysis.q189(docs)),
       "graft_vocab_coverage" -> (() => TextAnalysis.q190(docs)),
       "graft_burstiness"     -> (() => TextAnalysis.q194(docs)),
+      "graft_cond_entropy"   -> (() => TextAnalysis.q196(docs)),
       // drift between the q110 snapshot derivations (see Oracles)
       "graft_token_drift"    -> (() => {
         import org.apache.spark.sql.functions.{col, lit, pmod, when, upper}

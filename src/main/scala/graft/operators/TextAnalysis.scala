@@ -2347,6 +2347,55 @@ object TextAnalysis {
       .orderBy(col("tok"))
   }
 
+  /** q196: CONDITIONAL BIGRAM ENTROPY per source — H(next|current) =
+    * −Σ p(u,v)·ln p(v|u) over the source's bigram table: the
+    * next-token-predictability read that q160's unigram entropy
+    * cannot make (template/boilerplate text keeps a rich vocabulary
+    * yet reads LOW conditional entropy because every token determines
+    * its successor — the q194 burstiness signal seen through an
+    * information lens; the q99/q86 per-doc complement at source
+    * grain). MLE conditionals: p(v|u) = c(u,v)/c(u·) with c(u·) the
+    * bigram-head marginal, so p is exact-rational and u-always-
+    * followed-by-v contributes exactly 0. Oracle-exact via the fixed-
+    * point entropy idiom: each term floor-scaled to a 1e-9-nat LONG
+    * before the order-free sum, ln = [[graft.functions.PortableLn]]
+    * (lnChain replays it in DuckDB), one readability divide at the
+    * end.
+    *
+    * Plan: one (source, u, v) map-side-combined bigram count is the
+    * only corpus-sized exchange; the head marginal and source total
+    * are rollups of it; the entropy sum runs over the bigram-type
+    * table. The per-doc lead() window shuffles doc-keyed positions
+    * once — the q99 shape. */
+  def q196(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("source"), col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), " ")).as(Seq("pos", "tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val big = graft.Pins.pin(toks
+      .withColumn("tok2", lead(col("tok"), 1).over(w))
+      .filter(col("tok2").isNotNull)
+      .groupBy(col("source"), col("tok"), col("tok2"))
+      .agg(count(lit(1)).cast("long").as("c12")))
+    val uni = big.groupBy(col("source"), col("tok"))
+      .agg(sum(col("c12")).cast("long").as("c1"))
+    val tot = big.groupBy(col("source"))
+      .agg(sum(col("c12")).cast("long").as("n"))
+    big.join(uni, Seq("source", "tok"))
+      .join(broadcast(tot), Seq("source"))
+      .withColumn("t9", floor(
+        (col("c12").cast("double") / col("n").cast("double")) *
+          graft.functions.PortableLn(
+            col("c12").cast("double") / col("c1").cast("double")) *
+          lit(1.0e9)).cast("long"))
+      .groupBy(col("source"), col("n"))
+      .agg((-sum(col("t9"))).cast("long").as("h_cond_e9"))
+      .select(col("source"), col("n").as("n_bigrams"), col("h_cond_e9"),
+        (col("h_cond_e9").cast("double") / lit(1.0e9)).as("h_cond_nats"))
+      .orderBy(col("source"))
+  }
+
   /** q190: VOCABULARY COVERAGE BY RANK — what fraction of corpus token
     * OCCURRENCES the top-k most frequent token types cover, at
     * k ∈ {100, 1000, 10000}: the tokenizer-vocab-sizing read (how big

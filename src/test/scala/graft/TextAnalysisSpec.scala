@@ -1063,6 +1063,23 @@ class TextAnalysisSpec extends GraftSpec {
     assert(out("x") == ((1L, 4L, 16L, 3.0)), out)
   }
 
+  test("q196 conditional entropy: deterministic text reads exactly 0, forked reads (2/3)ln2") {
+    val d = Seq(
+      (1L, "a b a b a", "det"),   // every token determines its successor
+      (2L, "x y x z", "fork")     // x forks 50/50, y deterministic
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.q196(d).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("h_cond_e9"),
+          r.getAs[Double]("h_cond_nats"))).toMap
+    assert(out("det") == ((4L, 0L, 0.0)), out)   // all p(v|u) = 1
+    assert(out("fork")._1 == 3L, out)
+    // H = (2/3)ln2 ≈ 0.462098: two 1/3-mass terms of ln(1/2)
+    assert(math.abs(out("fork")._3 - 2.0 / 3.0 * math.log(2.0)) < 1e-6, out)
+    val re = TextAnalysis.q196(d.repartition(5)).collect().map(_.toSeq).toSet
+    assert(re == TextAnalysis.q196(d).collect().map(_.toSeq).toSet)
+  }
+
   test("q190 vocab coverage: cumulative mass by rank, saturates past vocab") {
     val d = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
     val out = TextAnalysis.q190(d, ks = Seq(1, 2, 100)).collect()
