@@ -16,6 +16,13 @@ object Similarity {
   /** Embedding dimensionality (TESTDATA.md: float[64]). */
   val Dim = 64
 
+  /** Size of the fixed query panel (`vec_id < QueryPanel`) shared by
+    * the exact baseline q44 and every recall consumer (q82/q138
+    * driver entries, the q193 recall report) — ONE constant so
+    * widening the panel can never silently truncate a recall
+    * denominator. */
+  val QueryPanel = 20
+
   /** (vec_id, v: array<double>, norm) with a deterministic norm. */
   def normalized(embeddings: DataFrame): DataFrame =
     embeddings
@@ -45,7 +52,7 @@ object Similarity {
     * vectors — the exact baseline every ANN variant is judged against. */
   def q44(embeddings: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    cosinePairs(embeddings, col("vec_id") < 20)
+    cosinePairs(embeddings, col("vec_id") < QueryPanel)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("qid"), col("nid"), col("cos"), col("rk"))
@@ -659,7 +666,7 @@ object Similarity {
     * the query batch, leave-one-out (the self-contained demo shape —
     * the operator API takes any external query frame). */
   def q108(embeddings: DataFrame, k: Int = 5, nCandidates: Int = 50): DataFrame =
-    searchInt8(embeddings.filter(col("vec_id") < 20), embeddings,
+    searchInt8(embeddings.filter(col("vec_id") < QueryPanel), embeddings,
       k, nCandidates, excludeSelf = true)
 
   /** q103: kNN LABEL PROPAGATION — classify each query vector by the
@@ -1017,7 +1024,7 @@ object Similarity {
     * rows-only (k-means is not portable SQL); the spec pins recall@5
     * vs exact q44, code range/shape, and encode determinism. */
   def q138(embeddings: DataFrame, k: Int = 5, nCandidates: Int = 50): DataFrame =
-    searchPq(embeddings.filter(col("vec_id") < 20), embeddings,
+    searchPq(embeddings.filter(col("vec_id") < QueryPanel), embeddings,
       k, nCandidates, excludeSelf = true)
 
   /** Codebook-training sample cap (Faiss practice: k-means codebooks
@@ -1243,7 +1250,7 @@ object Similarity {
     val exact = graft.Pins.pin(q44(embeddings).select(col("qid"), col("nid")))
     def recallOf(approx: DataFrame, method: String): DataFrame = {
       val hits = exact.join(
-          approx.filter(col("qid") < 20).select(col("qid"), col("nid")),
+          approx.filter(col("qid") < QueryPanel).select(col("qid"), col("nid")),
           Seq("qid", "nid"), "left_semi")
         .groupBy(col("qid")).agg(count(lit(1)).as("hit"))
       exact.groupBy(col("qid")).agg(count(lit(1)).as("tot"))

@@ -61,8 +61,15 @@ object IncrementalView {
   private def writeDef(spark: SparkSession, path: String, d: Def): Unit = {
     val f = fsOf(spark, path)
     require(!f.exists(defPath(path)), s"incremental view $path exists")
+    // the dim line puts the PATH last so the 3-field split leaves an
+    // arbitrary (comma-containing) path intact; the join key is the
+    // bounded field and must stay comma-free
+    d.dim.foreach(x => require(!x.joinKey.contains(","),
+      s"incremental view dim join key may not contain ',': ${x.joinKey}"))
+    d.aggs.foreach(a => require(a.fn != "dim",
+      "aggregate fn name 'dim' collides with the dimension line tag"))
     val body = (Seq(d.basePath, d.keys.mkString(",")) ++
-      d.dim.map(x => s"dim,${x.path},${x.joinKey}").toSeq ++
+      d.dim.map(x => s"dim,${x.joinKey},${x.path}").toSeq ++
       d.aggs.map(a => s"${a.fn},${a.col},${a.as}")).mkString("\n")
     val out = f.create(defPath(path), false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -86,7 +93,7 @@ object IncrementalView {
         val p = l.split(",", 3); Agg(p(0), p(1), p(2))
       },
       dimLines.headOption.map { l =>
-        val p = l.split(",", 3); Dim(p(1), p(2))
+        val p = l.split(",", 3); Dim(path = p(2), joinKey = p(1))
       })
   }
 

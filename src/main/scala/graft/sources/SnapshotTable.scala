@@ -414,11 +414,19 @@ object SnapshotTable {
         val head = read(spark, path, Some(h))
         sets.keys.foreach(c => require(head.columns.contains(c),
           s"updateWhere: unknown column $c — adding columns is appendEvolved's job"))
-        Some(sets.foldLeft(head) { case (df, (c, e)) =>
-          df.withColumn(c,
-            when(expr(cond), expr(e).cast(df.schema(c).dataType))
-              .otherwise(col(c)))
-        })
+        // all RHS expressions AND the WHERE cond evaluate against the
+        // ORIGINAL row (one projection over the untouched head), the
+        // SQL/Delta UPDATE contract — a foldLeft of withColumn would
+        // let later assignments see earlier assignments' new values,
+        // making results depend on Map iteration order
+        Some(head.select(head.columns.map { c =>
+          sets.get(c) match {
+            case Some(e) =>
+              when(expr(cond), expr(e).cast(head.schema(c).dataType))
+                .otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }.toSeq: _*))
       },
       (_, nf) => nf, (h, _) => snapshot(spark, path, h).schema)
   }
@@ -436,7 +444,7 @@ object SnapshotTable {
     * correct and idempotent on both kept and rewritten files. */
   def deleteWhereRange(spark: SparkSession, path: String, column: String,
                        lo: Long, hi: Long): Long = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     // version-pinned: both closures derive the touched set from the
     // SAME snapshot h, immune to a racing lock-free appendOptimistic
     // moving the head between them (the publish CAS still arbitrates)
@@ -446,8 +454,13 @@ object SnapshotTable {
     commit(spark, path, "delete",
       h => {
         val s = snapshot(spark, path, h)
+        // keep rows where the delete predicate is NOT TRUE: a NULL or
+        // non-castable value makes between() NULL, and plain filter
+        // would silently drop those rows — but only in rewritten
+        // files, so survival would depend on physical layout
         Some(readFiles(spark, path, s.schema, touched(h).toSeq.sorted)
-          .filter(!col(column).cast("long").between(lo, hi)))
+          .filter(not(coalesce(
+            col(column).cast("long").between(lo, hi), lit(false)))))
       },
       (h, nf) => {
         val s = snapshot(spark, path, h)

@@ -279,11 +279,12 @@ object Sources {
 
   /** s24: RAW TEXT-LINE corpus ingest — the WET/plain-dump entry path
     * before anything is parquet: one row per line with its source
-    * file and a DETERMINISTIC per-file line number (a window by file
-    * ordered by `monotonically_increasing_id` — split partitions are
-    * assigned ids in file-offset order, so the numbering follows the
-    * file's line order even when a large file splits; a bare global
-    * monotonic id would renumber on every repartition). `wholetext =
+    * file and a DETERMINISTIC per-file line number — a window by file
+    * ordered by (`_metadata.file_block_start`, mono-id): the split's
+    * byte offset orders splits of one file EXPLICITLY (not via the
+    * undocumented length-descending FilePartition packing order), and
+    * within a split the per-partition monotonic id follows the
+    * reader's sequential emission, i.e. line order. `wholetext =
     * true` reads each file as ONE document instead (the
     * one-doc-per-file corpus layout). Shard the dump into many files
     * upstream — as every crawl already does — for listing-level
@@ -293,11 +294,15 @@ object Sources {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val base = spark.read.option("wholetext", wholetext.toString).text(path)
-      .select(input_file_name().as("file"), col("value").as("text"))
-    if (wholetext) base
+      .select(col("_metadata.file_path").as("file"),
+        col("_metadata.file_block_start").as("_block_start"),
+        col("value").as("text"))
+    if (wholetext) base.drop("_block_start")
     else base.withColumn("line",
       row_number().over(Window.partitionBy(col("file"))
-        .orderBy(monotonically_increasing_id())).cast("long"))
+        .orderBy(col("_block_start"), monotonically_increasing_id()))
+        .cast("long"))
+      .drop("_block_start")
   }
 
   /** s25: RAW BINARY-FILE media ingest — `binaryFile` rows

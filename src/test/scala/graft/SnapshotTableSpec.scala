@@ -468,4 +468,40 @@ class SnapshotTableSpec extends GraftSpec {
     assert(SnapshotTable.readPruned(spark, zed, "x", 0L, 3L).count() == 256L)
     assert(SnapshotTable.read(spark, zed).count() == 4096L)
   }
+
+  test("m03 updateWhere: every RHS and the WHERE evaluate against the OLD row") {
+    val p = tmp("updold")
+    SnapshotTable.create(spark, p,
+      Seq((1L, 0L, 10L), (2L, 1L, 20L)).toDF("id", "m", "v"))
+    // SQL UPDATE contract: with cond m=0 and SET m=99, v=v+1000, BOTH
+    // assignments apply to the matching row — a sequential evaluation
+    // that updates m first would see m=99, find cond false, and skip v
+    SnapshotTable.updateWhere(spark, p, "m = 0",
+      Map("m" -> "99", "v" -> "v + 1000"))
+    val head = SnapshotTable.read(spark, p).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(head == Seq((1L, 99L, 1010L), (2L, 1L, 20L)), head)
+    // swap semantics: RHS referencing another SET column reads its OLD value
+    val p2 = tmp("updswap")
+    SnapshotTable.create(spark, p2, Seq((1L, 7L, 8L)).toDF("id", "a", "b"))
+    SnapshotTable.updateWhere(spark, p2, "id = 1", Map("a" -> "b", "b" -> "a"))
+    val swapped = SnapshotTable.read(spark, p2).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(swapped == Seq((8L, 7L)), swapped)
+  }
+
+  test("m04 deleteWhereRange keeps NULL-keyed rows regardless of file layout") {
+    val p = tmp("fgdnull")
+    val rows = (1L to 30L).map(i => (i, Some(i): Option[Long])) ++
+      Seq((31L, None: Option[Long]), (32L, None: Option[Long]))
+    SnapshotTable.create(spark, p,
+      rows.toDF("id", "k").repartition(1)) // nulls share the overlapping file
+    SnapshotTable.analyze(spark, p, "k")
+    SnapshotTable.deleteWhereRange(spark, p, "k", 10L, 20L)
+    val kept = SnapshotTable.read(spark, p).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    // rows 10–20 gone; NULL-k rows 31/32 SURVIVE (predicate is NULL, not
+    // TRUE) — parity with deleteWhere("k BETWEEN 10 AND 20") COW semantics
+    assert(kept == ((1L to 9L) ++ (21L to 32L)), kept)
+  }
 }

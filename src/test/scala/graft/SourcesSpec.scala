@@ -331,6 +331,29 @@ class SourcesSpec extends GraftSpec {
     assert(whole("a.txt") == "l1\nl2\nl3\n" && whole("b.txt") == "only\n", whole)
   }
 
+  test("s24 text-line numbering survives one file splitting into many partitions") {
+    // force many splits of one file: line numbering must follow byte
+    // offsets (_metadata.file_block_start), not FilePartition packing order
+    val dir = java.nio.file.Files.createTempDirectory("graft-txt-split")
+    val n = 5000
+    java.nio.file.Files.writeString(dir.resolve("big.txt"),
+      (1 to n).map(i => f"line$i%05d").mkString("", "\n", "\n"))
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+      // the raw scan must actually split (post-window AQE coalesces,
+      // so measure the file source itself, not the numbered frame)
+      val scanParts = spark.read.text(dir.toString).rdd.getNumPartitions
+      assert(scanParts > 4, s"file did not split: $scanParts partition(s)")
+      val got = Sources.readTextLines(spark, dir.toString).collect()
+        .map(r => r.getAs[Long]("line") -> r.getAs[String]("text"))
+        .sortBy(_._1)
+      assert(got.length == n)
+      assert(got.zipWithIndex.forall { case ((ln, tx), i) =>
+        ln == i + 1 && tx == f"line${i + 1}%05d" }, got.take(20).toSeq)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("s25 binaryFile ingest: bytes round-trip, glob prunes, maxLength guards") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bin")
     val payload = Array.tabulate[Byte](256)(i => i.toByte)
