@@ -24,7 +24,7 @@ object PlanReport {
 
   case class Report(exchanges: Int, broadcastExchanges: Int,
                     broadcastJoins: Int, sortMergeJoins: Int,
-                    codegenSpans: Int)
+                    codegenSpans: Int, inMemoryScans: Int = 0)
 
   /** Count plan features from the formatted explain output. String-
     * based on purpose: stable across AQE wrapping (AdaptiveSparkPlan
@@ -47,6 +47,10 @@ object PlanReport {
       broadcastJoins = count("""\(\d+\) BroadcastHashJoin"""),
       sortMergeJoins = count("""\(\d+\) SortMergeJoin"""),
       codegenSpans = """\[codegen id : (\d+)\]""".r
-        .findAllMatchIn(s).map(_.group(1)).toSet.size)
+        .findAllMatchIn(s).map(_.group(1)).toSet.size,
+      // each InMemoryTableScan is a consumer reading a pinned frame
+      // instead of replaying its plan — the reuse floor budget specs
+      // assert for multi-consumer sub-plans
+      inMemoryScans = count("""\(\d+\) InMemoryTableScan"""))
   }
 }

@@ -152,7 +152,13 @@ object Dedup {
     val (reps, members) = exactReps(documents)
     val g = shingles(reps)
       .transform(graft.Pins.pin)
+    // pinned: the self-join below references the 3-window prefix plan
+    // TWICE, and without the pin each side re-runs both window
+    // exchanges (measured 2× the window cost at sf0.1). The frame is
+    // ~(1−t) of the shingle stream — the same order as `g`, which is
+    // already pinned
     val prefix = prefixRows(g, t)
+      .transform(graft.Pins.pin)
     // Two lossless candidate filters evaluated INSIDE the equi-join
     // (PPJoin, Xiao et al., WWW'08), so pruned pairs never shuffle:
     //  - LENGTH: J ≥ t forces |A| ≥ t·|B| and |B| ≥ t·|A|
@@ -170,6 +176,13 @@ object Dedup {
           ceil(lit(t / (1 + t)) * (col("a.n") + col("b.n"))))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      // pinned: verifyJaccard references the candidate pairs THREE
+      // times (two semi-join prunes + the verification join); without
+      // the pin each reference replays the whole blocking self-join —
+      // measured 3× the candidate cost at sf0.1. Candidate pairs are
+      // two longs per row, orders of magnitude below the shingle
+      // stream at any corpus size
+      .transform(graft.Pins.pin)
     val repPairs = verifyJaccard(g, candidates)
       .filter(col("jaccard") > t)
       .select(col("doc_a"), col("doc_b"), col("common"), col("na"), col("nb"),

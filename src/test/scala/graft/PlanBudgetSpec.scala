@@ -88,6 +88,34 @@ class PlanBudgetSpec extends GraftSpec {
     assert(r.sortMergeJoins == 0 && r.broadcastJoins == 0, r)
   }
 
+  test("q41 near-dup machinery: multi-consumer sub-plans read the pin, not a replay") {
+    // verifyJaccard references the candidate pairs 3×, the self-join
+    // references the prefix frame 2×, and the member map expands 3× —
+    // every one of those references must be an InMemoryTableScan of a
+    // pinned frame; losing a pin silently multiplies the blocking
+    // join's cost by the consumer count
+    val r = PlanReport.analyze(
+      graft.operators.Dedup.q41(Tables.documents(spark, SF)))
+    assert(r.inMemoryScans >= 6, r)
+    graft.Pins.release()
+  }
+
+  test("q133 funnel consumes eager cluster labels, adds no corpus re-derivation") {
+    // the near-dup loop runs EAGERLY at construction (localCheckpoint
+    // leaves); the funnel's four union branches then compose one
+    // normalized-corpus window + checkpoint scans — if the label
+    // propagation machinery leaked back into the funnel plan the
+    // branch count would multiply it by four
+    val df = graft.operators.Pipeline.q133(Tables.documents(spark, SF))
+    val plan = formattedPlan(df)
+    assert(plan.contains("ExistingRDD"),
+      s"cluster labels must enter as checkpoint scans:\n$plan")
+    val r = PlanReport.analyze(df)
+    assert(r.sortMergeJoins <= 4, r)
+    assert(r.exchanges <= 14, r) // 4 branches × (window + agg) + sort
+    graft.Pins.release()
+  }
+
   test("graph round above the broadcast node threshold: no node-table broadcast") {
     // emulate a graph too big to broadcast: hints off (useBcast=false)
     // AND size-estimation broadcast disabled — the static plan must
