@@ -507,47 +507,102 @@ object Similarity {
         col("rmse"))
       .orderBy(col("vec_id"))
 
+  /** Rows per block for [[q46]]'s distributed exact kernel: each task
+    * compares one block pair (~2·BlockRows·64 doubles of state, ~67M
+    * multiplies) — sized so a task is seconds of compute over ~1 MB of
+    * payload at any corpus size. */
+  val EmbedDedupBlockRows = 1024
+
   /** q46: embedding-cosine near-duplicate pairs (cos > 0.4, a<b).
     *
-    * Exact all-pairs is O(n²) by definition; the scale question is the
-    * per-pair cost. A Catalyst `aggregate`-lambda dot product interprets
-    * a 64-step fold per pair (~45 s at sf0.1); instead we broadcast the
-    * normalized vector table (n×64 doubles — the same memory class as a
-    * broadcast-hash-join side) and run a primitive-array loop per
-    * partition: each task scans its slice of vectors against the
-    * broadcast side with id_b > id_a. Identical IEEE semantics to the
-    * oracle's left-to-right `list_reduce` fold. Beyond broadcastable n,
-    * the exact operator is the wrong tool — the guard below fails fast
-    * with a pointer at LSH blocking (q45/q42 pattern) instead. */
-  def q46(embeddings: DataFrame, maxRows: Long = EmbedDedupMaxRows): DataFrame = {
+    * Exact all-pairs is O(n²) by definition; the scale questions are
+    * the per-pair cost and WHERE the n² runs. Two kernels, identical
+    * bit-exact output:
+    *
+    *  - n ≤ `maxRows`: broadcast the normalized vector table (n×64
+    *    doubles — the same memory class as a broadcast-hash-join side)
+    *    and run a primitive-array loop per partition. Cheapest shuffle
+    *    shape (none) while the table is broadcastable.
+    *  - n > `maxRows`: BLOCK-PARTITIONED distributed kernel — vectors
+    *    hash into ⌈n/[[EmbedDedupBlockRows]]⌉ blocks, every block PAIR
+    *    (ba ≤ bb) becomes one task comparing two bounded arrays with
+    *    the same primitive loop. No driver collect, no single-node
+    *    broadcast: shuffle is n·B/2 vector payloads and parallelism
+    *    grows as B², so the operator keeps running (it degrades in
+    *    COMPUTE, which is inherent to exact pair semantics) instead of
+    *    refusing. A Catalyst `aggregate`-lambda dot product would
+    *    interpret a 64-step fold per pair (~45 s at sf0.1); both
+    *    kernels run the tight while-loop instead.
+    *
+    * Both kernels fold dot products left-to-right (and IEEE
+    * multiplication is commutative bit-for-bit, so pair orientation
+    * doesn't matter) — identical to the oracle's `list_reduce` fold.
+    * When recall may be traded for cost, the bucketed operators (q45
+    * hyperplane LSH, q42 MinHash-LSH) remain the cheaper path. */
+  def q46(embeddings: DataFrame, maxRows: Long = EmbedDedupMaxRows,
+          blockRows: Int = EmbedDedupBlockRows): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    // persist BEFORE the guard count so the count, the driver collect,
-    // and the per-partition scan below all read one materialized scan of
-    // the source instead of three
+    // persist BEFORE the guard count so the count and the kernel below
+    // read one materialized scan of the source instead of two
     val vecs = vecRows(embeddings)
       .transform(graft.Pins.pin)
     val nRows = vecs.count()
-    if (nRows > maxRows) {
-      vecs.unpersist() // don't leave the oversized table pinned after refusing
-      throw new IllegalArgumentException(
-        s"q46 embed_dedup is EXACT all-pairs and broadcasts the vector table: " +
-        s"$nRows rows exceeds the broadcast ceiling $maxRows. At this scale use " +
-        "the bucketed near-dup operators instead: Similarity.q45 (hyperplane LSH) " +
-        "or Dedup.q42 (MinHash-LSH) generate candidates without materializing n² pairs.")
-    }
-    val bc = spark.sparkContext.broadcast(vecs.collect().sortBy(_._1))
-    vecs.mapPartitions { it =>
-      val all = bc.value
-      it.flatMap { case (ida, va, na) =>
-        all.iterator.filter(_._1 > ida).flatMap { case (idb, vb, nb) =>
-          var d = 0.0; var i = 0
-          while (i < va.length) { d += va(i) * vb(i); i += 1 }
-          val cos = d / (na * nb)
-          if (cos > 0.4) Some((ida, idb, cos)) else None
+    val pairs =
+      if (nRows <= maxRows) {
+        val bc = spark.sparkContext.broadcast(vecs.collect().sortBy(_._1))
+        vecs.mapPartitions { it =>
+          val all = bc.value
+          it.flatMap { case (ida, va, na) =>
+            all.iterator.filter(_._1 > ida).flatMap { case (idb, vb, nb) =>
+              var d = 0.0; var i = 0
+              while (i < va.length) { d += va(i) * vb(i); i += 1 }
+              val cos = d / (na * nb)
+              if (cos > 0.4) Some((ida, idb, cos)) else None
+            }
+          }
         }
+      } else {
+        val b = math.max(1L, (nRows + blockRows - 1) / blockRows).toInt
+        val blocks = vecs
+          .groupByKey { case (id, _, _) =>
+            ((java.lang.Long.hashCode(id) % b) + b) % b }
+          .mapGroups((blk: Int, it: Iterator[(Long, Array[Double], Double)]) =>
+            (blk, it.toArray))
+          .toDF("blk", "rows")
+        val combos = (for { a <- 0 until b; c <- a until b } yield (a, c))
+          .toDF("ba", "bb")
+        combos
+          .join(blocks.select(col("blk").as("ba"), col("rows").as("ra")), "ba")
+          .join(blocks.select(col("blk").as("bb"), col("rows").as("rb")), "bb")
+          .select(col("ba"), col("bb"), col("ra"), col("rb"))
+          .as[(Int, Int, Array[(Long, Array[Double], Double)],
+               Array[(Long, Array[Double], Double)])]
+          .flatMap { case (ba, bb, ra, rb) =>
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Double)]
+            var i = 0
+            while (i < ra.length) {
+              val (ia, va, na) = ra(i)
+              var j = 0
+              while (j < rb.length) {
+                val (ib, vb, nb) = rb(j)
+                // same-block combos see both orientations: emit once
+                if (ba != bb || ib > ia) {
+                  var d = 0.0; var k = 0
+                  while (k < va.length) { d += va(k) * vb(k); k += 1 }
+                  val cos = d / (na * nb)
+                  if (cos > 0.4)
+                    out += ((math.min(ia, ib), math.max(ia, ib), cos))
+                }
+                j += 1
+              }
+              i += 1
+            }
+            out
+          }
       }
-    }.toDF("id_a", "id_b", "cos")
+    pairs.toDF("id_a", "id_b", "cos")
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.Similarity
 import graft.Tables
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Embedding similarity specs (§2c): planted-neighbor correctness for
   * the brute-force baseline, and recall of the LSH scale path against
@@ -163,12 +163,22 @@ class SimilaritySpec extends GraftSpec {
     assert(r1.getAs[Double]("rmse") == 0.0)
   }
 
-  test("q46 refuses tables beyond the broadcast ceiling with an actionable error") {
-    val err = intercept[IllegalArgumentException] {
-      Similarity.q46(planted, maxRows = 2L)
-    }
-    assert(err.getMessage.contains("q45"), err.getMessage)
-    assert(err.getMessage.contains("q42"), err.getMessage)
+  test("q46 beyond the broadcast ceiling: blocked kernel runs, bit-identical to broadcast") {
+    // 10× the sf table with shifted ids — forces the distributed
+    // block-pair kernel (maxRows=2) with many blocks (blockRows=37)
+    val base = Tables.embeddings(spark, SF)
+    val big = (0 until 10).map { i =>
+      base.select((col("vec_id") + lit(i * 100000L)).as("vec_id"),
+        col("embedding"))
+    }.reduce(_ unionAll _)
+    val blocked = Similarity.q46(big, maxRows = 2L, blockRows = 37)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    graft.Pins.release()
+    val broadcasted = Similarity.q46(big, maxRows = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    graft.Pins.release()
+    assert(blocked.nonEmpty)
+    assert(blocked.toSeq == broadcasted.toSeq) // same pairs, bit-equal cos
   }
 
   test("q46 finds planted near-dup pairs above threshold") {
@@ -374,7 +384,7 @@ class SimilaritySpec extends GraftSpec {
 
   test("q134 full-rank projection is an isometry (pairwise distances kept)") {
     val emb = Tables.embeddings(spark, SF).limit(30)
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     val orig = emb.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])].collect().toMap
     val proj = Similarity.q134(emb, k = 64).collect()
