@@ -365,7 +365,9 @@ object SparkEntry {
     "q193_ann_recall"          -> ((s, d) => Similarity.q193(embeddings(s, d))),
     "q194_burstiness"          -> ((s, d) => TextAnalysis.q194(documents(s, d))),
     "q195_assortativity"       -> ((s, d) => Graphs.q195(documents(s, d))),
-    "q196_cond_entropy"        -> ((s, d) => TextAnalysis.q196(documents(s, d)))
+    "q196_cond_entropy"        -> ((s, d) => TextAnalysis.q196(documents(s, d))),
+    "q197_audio_sample"        -> ((s, d) => Multimodal.q197AudioSample(s, documents(s, d))),
+    "q198_audio_neardup"       -> ((s, d) => Multimodal.q198AudioNeardup(s, documents(s, d)))
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

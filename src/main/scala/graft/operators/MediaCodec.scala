@@ -34,3 +34,29 @@ object ImageIoCodec extends MediaCodec {
   override def encode(img: BufferedImage): Array[Byte] =
     Multimodal.encodePng(img)
 }
+
+/** The audio half of the codec seam — same contract as [[MediaCodec]]:
+  * a production deployment swaps in an AAC/Opus/MP3 codec jar here and
+  * the Spark-side operators (q197 window sampling, q198 fingerprint
+  * near-dup) don't change. Samples are 16-bit signed mono PCM — the
+  * canonical exchange format every audio codec decodes to. */
+trait AudioCodec extends Serializable {
+
+  /** bytes → (PCM samples, sample rate, container format name), or
+    * None when this codec does not claim the bytes. */
+  def decode(bytes: Array[Byte]): Option[(Array[Short], Int, String)]
+
+  /** PCM samples at `rate` Hz → container bytes. */
+  def encode(samples: Array[Short], rate: Int): Array[Byte]
+}
+
+/** Default implementation: the JDK's `javax.sound.sampled` WAV
+  * reader/writer (java.desktop, headless-safe, zero new dependencies —
+  * a REAL container codec; 16-bit PCM round-trips bit-exactly). Only
+  * COMPRESSED audio codecs (AAC/Opus/MP3) remain a dependency wall. */
+object WavCodec extends AudioCodec {
+  override def decode(bytes: Array[Byte]): Option[(Array[Short], Int, String)] =
+    Multimodal.decodeWav(bytes)
+  override def encode(samples: Array[Short], rate: Int): Array[Byte] =
+    Multimodal.encodeWav(samples, rate)
+}

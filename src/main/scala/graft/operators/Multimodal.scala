@@ -212,16 +212,162 @@ object Multimodal {
     hash
   }
 
+  // ---------------------------------------------------------------- audio
+
+  /** Audio synth/decode constants: 8 kHz mono, 0.5 s per document —
+    * 4000 samples ≈ 8 KB WAV, enough for 20 fingerprint-grid cells
+    * while keeping the per-doc codec cost in q53's class. */
+  val AudioRate = 8000
+  val AudioSamples = 4000
+
+  /** Deterministic test-audio synth — the audio analog of
+    * [[renderImage]]: each of the document's top-8 tokens (count desc,
+    * token asc — case- and order-insensitive by construction)
+    * contributes one sinusoid whose frequency, amplitude and phase
+    * derive from the token's hash. Documents sharing their dominant
+    * tokens SOUND nearly identical — the regime the spectral
+    * fingerprint (q198) is stable under, while byte identity (q79)
+    * is not. Stands in for "the recording behind this record". */
+  private[graft] def renderAudio(text: String, rate: Int,
+                                 nSamples: Int): Array[Short] = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    text.toLowerCase.trim.split(" ").foreach(t =>
+      counts(t) = counts.getOrElse(t, 0) + 1)
+    val top = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(8).map(_._1)
+    val acc = new Array[Double](nSamples)
+    top.foreach { t =>
+      val th = t.hashCode
+      val f = 200.0 + (th & 0xff) * 8.0            // 200..2240 Hz
+      val amp = 1200.0 + ((th >> 8) & 0xff) * 8.0
+      val phase = ((th >> 16) & 0xff) / 255.0 * 2 * math.Pi
+      val w = 2 * math.Pi * f / rate
+      // deterministic micro-chirp (≲5 Hz drift over the clip): real
+      // recordings are never exactly periodic — a pure tone sum is,
+      // and its repeating PCM bytes would make CDC chunking (q139)
+      // self-dedup inside one payload
+      val chirp = 2 * math.Pi * (((th >> 24) & 0x3f) + 16) * 1e-8
+      var i = 0
+      while (i < nSamples) {
+        acc(i) += amp * math.sin(w * i + chirp * i.toDouble * i + phase)
+        i += 1
+      }
+    }
+    val out = new Array[Short](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      out(i) = math.max(-32768.0, math.min(32767.0, acc(i))).toShort
+      i += 1
+    }
+    out
+  }
+
+  /** Real WAV encode via the JDK `javax.sound.sampled` codec: 16-bit
+    * signed little-endian mono PCM in a RIFF/WAVE container. */
+  private[graft] def encodeWav(samples: Array[Short], rate: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+      /*signed*/ true, /*bigEndian*/ false)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real WAV decode: bytes → (16-bit PCM samples, sample rate,
+    * format), or None when the JDK audio reader does not claim the
+    * bytes (image payloads and the framed-PNG video containers land
+    * here) or the stream is not 16-bit mono. */
+  private[graft] def decodeWav(bytes: Array[Byte])
+      : Option[(Array[Short], Int, String)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+      else {
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          out(i) =
+            if (fmt.isBigEndian)
+              (((pcm(2 * i) & 0xff) << 8) | (pcm(2 * i + 1) & 0xff)).toShort
+            else
+              (((pcm(2 * i + 1) & 0xff) << 8) | (pcm(2 * i) & 0xff)).toShort
+          i += 1
+        }
+        Some((out, fmt.getSampleRate.toInt, "wave"))
+      }
+    } catch { case _: Exception => None }
+
+  /** Goertzel single-bin power at `f` Hz over samples[off, off+len):
+    * the O(len) way to one spectral band — no FFT library needed. */
+  private def goertzel(s: Array[Short], off: Int, len: Int, f: Double,
+                       rate: Int): Double = {
+    val c = 2 * math.cos(2 * math.Pi * f / rate)
+    var s1 = 0.0; var s2 = 0.0
+    var i = 0
+    while (i < len) {
+      val s0 = s(off + i) + c * s1 - s2
+      s2 = s1; s1 = s0
+      i += 1
+    }
+    s1 * s1 + s2 * s2 - c * s1 * s2
+  }
+
+  /** 64-bit spectral fingerprint — the audio analog of the image
+    * [[dHash]] (the Haitsma–Kalker '02 sign-of-energy-difference idea
+    * on a coarse grid): 8 equal time windows × 9 log-spaced Goertzel
+    * bands (250 Hz → ~2.8 kHz, under the 4 kHz Nyquist of the 8 kHz
+    * synth), bit (w·8+b) = E(w,b) < E(w,b+1). Adjacent-band
+    * comparisons are invariant to overall gain, so attenuated or
+    * re-encoded copies keep their bits while content changes flip
+    * them. 9 band powers per window = 9 O(win) passes — ~9·n
+    * multiply-adds per document, cheaper than the PNG round-trip. */
+  private[graft] def audioFingerprint(samples: Array[Short], rate: Int): Long = {
+    val nw = 8; val nb = 9
+    val freqs = Array.tabulate(nb)(b => 250.0 * math.pow(2.0, b * 0.44))
+    val win = math.max(1, samples.length / nw)
+    var hash = 0L; var bit = 0
+    var w = 0
+    while (w < nw) {
+      val off = w * win
+      val len = math.min(win, samples.length - off)
+      val e = Array.tabulate(nb)(b =>
+        if (len <= 0) 0.0 else goertzel(samples, off, len, freqs(b), rate))
+      var b = 0
+      while (b < nb - 1) {
+        if (e(b) < e(b + 1)) hash |= (1L << bit)
+        bit += 1; b += 1
+      }
+      w += 1
+    }
+    hash
+  }
+
   // ---------------------------------------------------------------- table
 
   /** Media table: documents rendered into media payloads with typed
     * metadata. IMAGE rows carry REAL PNG bytes (ImageIO-encoded from
-    * the deterministic render) and their meta dims are the true pixel
-    * dims; video/audio rows keep the raw text bytes with stub metadata
-    * (no such codecs in this container). The payload/meta split mirrors
-    * a real lake layout: meta-only queries never touch payload bytes. */
+    * the deterministic render) with true pixel dims; AUDIO rows carry
+    * REAL WAV bytes (javax.sound-encoded 16-bit PCM from the
+    * deterministic synth) with true sample rate/count; video rows keep
+    * the raw text bytes with stub metadata (no video codec in this
+    * container — q53 builds its framed-PNG container on the fly). The
+    * payload/meta split mirrors a real lake layout: meta-only queries
+    * never touch payload bytes. */
   def mediaTable(spark: SparkSession, documents: DataFrame,
-                 codec: MediaCodec = ImageIoCodec): DataFrame = {
+                 codec: MediaCodec = ImageIoCodec,
+                 audio: AudioCodec = WavCodec): DataFrame = {
     import spark.implicits._
     documents
       .select(col("doc_id"), col("text"))
@@ -230,16 +376,22 @@ object Multimodal {
         val b = text.getBytes("UTF-8")
         val h = checksum(b)
         val mt = if (id % 3 == 0) "video" else if (id % 3 == 1) "image" else "audio"
-        if (mt == "image") {
-          val w = 16 + (h % 16).toInt
-          val ht = 16 + ((h / 16) % 16).toInt
-          MediaRow(id, codec.encode(renderImage(text, w, ht)),
-            MediaMeta("image", w, ht, n_frames = 1, sample_rate = 0))
-        } else {
-          MediaRow(id, b, MediaMeta(mt,
-            width = 16 + (h % 16).toInt, height = 16 + ((h / 16) % 16).toInt,
-            n_frames = if (mt == "video") 8 + (h % 8).toInt else 1,
-            sample_rate = if (mt == "audio") 16000 else 0))
+        mt match {
+          case "image" =>
+            val w = 16 + (h % 16).toInt
+            val ht = 16 + ((h / 16) % 16).toInt
+            MediaRow(id, codec.encode(renderImage(text, w, ht)),
+              MediaMeta("image", w, ht, n_frames = 1, sample_rate = 0))
+          case "audio" =>
+            val samples = renderAudio(text, AudioRate, AudioSamples)
+            MediaRow(id, audio.encode(samples, AudioRate),
+              MediaMeta("audio",
+                width = 16 + (h % 16).toInt, height = 16 + ((h / 16) % 16).toInt,
+                n_frames = samples.length, sample_rate = AudioRate))
+          case _ =>
+            MediaRow(id, b, MediaMeta(mt,
+              width = 16 + (h % 16).toInt, height = 16 + ((h / 16) % 16).toInt,
+              n_frames = 8 + (h % 8).toInt, sample_rate = 0))
         }
       }
       .toDF()
@@ -269,9 +421,10 @@ object Multimodal {
     * Rows no codec claims (the stub video/audio payloads) fall back to
     * deterministic byte-derived features tagged format="raw". */
   def q51(spark: SparkSession, documents: DataFrame,
-          codec: MediaCodec = ImageIoCodec): DataFrame = {
+          codec: MediaCodec = ImageIoCodec,
+          audio: AudioCodec = WavCodec): DataFrame = {
     import spark.implicits._
-    mediaTable(spark, documents, codec)
+    mediaTable(spark, documents, codec, audio)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -281,11 +434,19 @@ object Multimodal {
               case Some((img, fmt)) =>
                 MediaFeature(id, b.length.toLong, checksum(b),
                   img.getWidth, img.getHeight, fmt)
-              case None =>
-                val h = checksum(b)
-                MediaFeature(id, b.length.toLong, h,
-                  width = 16 + (h % 16).toInt, height = 16 + ((h / 16) % 16).toInt,
-                  format = "raw")
+              case None => audio.decode(b) match {
+                // audio rows: the media-generic dims carry the REAL
+                // decoded stream shape — width = sample rate (Hz),
+                // height = sample count
+                case Some((samples, rate, fmt)) =>
+                  MediaFeature(id, b.length.toLong, checksum(b),
+                    width = rate, height = samples.length, format = fmt)
+                case None =>
+                  val h = checksum(b)
+                  MediaFeature(id, b.length.toLong, h,
+                    width = 16 + (h % 16).toInt, height = 16 + ((h / 16) % 16).toInt,
+                    format = "raw")
+              }
             }
           }
         }
@@ -448,22 +609,32 @@ object Multimodal {
         })
       }
       .toDF()
-    val banded = ph.select(col("doc_id"), col("phash"),
+    (hammingBandPairs(ph, "phash", maxHamming), members)
+  }
+
+  /** q43's Hamming-band candidate machinery over any (doc_id, <hash>)
+    * frame: 4×16-bit bands — two 64-bit hashes with Hamming distance
+    * ≤ 3 must agree on at least one full band (pigeonhole) — then
+    * exact verify with bit_count(xor) ≤ maxHamming. Only (doc_id,
+    * hash) rows shuffle. Shared by the image (q93) and audio (q198)
+    * perceptual near-dup passes. */
+  private def hammingBandPairs(hashes: DataFrame, hashCol: String,
+                               maxHamming: Int): DataFrame = {
+    val banded = hashes.select(col("doc_id"), col(hashCol),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("band"),
-          shiftright(col("phash"), 16 * j).bitwiseAND(0xFFFFL).as("band_key"))): _*))
+          shiftright(col(hashCol), 16 * j).bitwiseAND(0xFFFFL).as("band_key"))): _*))
         .as("bk"))
-      .select(col("doc_id"), col("phash"), col("bk.band").as("band"),
+      .select(col("doc_id"), col(hashCol), col("bk.band").as("band"),
         col("bk.band_key").as("band_key"))
-    val repPairs = banded.as("a")
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+        bit_count(col(s"a.$hashCol").bitwiseXOR(col(s"b.$hashCol"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-    (repPairs, members)
   }
 
   def q93(spark: SparkSession, documents: DataFrame,
@@ -533,6 +704,108 @@ object Multimodal {
           .otherwise(lit("kept")).as("status"),
         coalesce(col("label"), col("doc_id")).as("canonical_id"))
       .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- q197/q198 audio
+
+  // private[graft] for the same encoder-codegen reason as [[PHashRow]]
+  private[graft] case class AudioWin(doc_id: Long, win_idx: Int,
+                                     n_samples: Int, rms_q: Long, zcr: Long)
+  private[graft] case class AFingRow(doc_id: Long, afp: Long)
+
+  /** q197: audio WINDOW SAMPLING — the q53 analog for the audio axis:
+    * each audio doc's WAV payload is REALLY DECODED through the codec
+    * seam, split into fixed `winSamples` windows (25 ms at 8 kHz), and
+    * every `every`-th window reported with its RMS energy (fixed-point
+    * long, the §6 discipline) and zero-crossing count — the first two
+    * features a VAD/segmentation pass computes. Decode and window walk
+    * run in the same partition — payloads never shuffle; the output is
+    * one row per sampled window (flatMap row expansion, window index
+    * in the schema). rows-only: the synth→WAV→decode loop is
+    * codec-dependent. */
+  def q197AudioSample(spark: SparkSession, documents: DataFrame,
+                      winSamples: Int = 200, every: Int = 4,
+                      codec: AudioCodec = WavCodec): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, documents, audio = codec)
+      .filter(col("meta.media_type") === "audio")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.flatMap { case (id, b) =>
+          codec.decode(b).toSeq.flatMap { case (s, _, _) =>
+            val nWin = s.length / winSamples
+            (0 until nWin by every).map { w =>
+              val off = w * winSamples
+              var ss = 0.0; var zc = 0L
+              var i = 0
+              while (i < winSamples) {
+                val x = s(off + i).toDouble
+                ss += x * x
+                if (i > 0 && (s(off + i) >= 0) != (s(off + i - 1) >= 0)) zc += 1
+                i += 1
+              }
+              AudioWin(id, w, winSamples,
+                math.floor(math.sqrt(ss / winSamples) * 100).toLong, zc)
+            }
+          }
+        })
+      }
+      .toDF()
+      .orderBy(col("doc_id"), col("win_idx"))
+  }
+
+  /** Rep-level core of [[q198]] — [[phashRepPairs]]' structure on the
+    * audio axis: exact-dup collapse first (byte-variant copies of the
+    * same normalized token stream synthesize IDENTICAL audio, so a
+    * clique costs ONE synth→encode→decode→fingerprint round-trip),
+    * then the shared Hamming-band machinery over the 64-bit spectral
+    * fingerprints. The fingerprint is computed from the DECODED
+    * payload of a full codec round-trip — the output proves the codec
+    * ran, mirroring q52's re-decode discipline. */
+  private def afpRepPairs(spark: SparkSession, documents: DataFrame,
+                          maxHamming: Int, codec: AudioCodec)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val (reps, members) = graft.operators.Dedup.exactReps(documents)
+    val fp = reps
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.map { case (id, text) =>
+          val wav = codec.encode(
+            renderAudio(text, AudioRate, AudioSamples), AudioRate)
+          val (s, rate, _) = codec.decode(wav).get
+          AFingRow(id, audioFingerprint(s, rate))
+        })
+      }
+      .toDF()
+    (hammingBandPairs(fp, "afp", maxHamming), members)
+  }
+
+  /** q198: AUDIO perceptual near-dup pairs — the q93 pass for the
+    * audio axis: the byte-identity pass (q79) misses a re-encoded or
+    * attenuated copy of the same recording; the spectral fingerprint
+    * still sees it. Per rep: synth → REAL WAV encode → REAL decode →
+    * 64-bit [[audioFingerprint]]; candidates via the shared
+    * 4×16-bit-band pigeonhole join; exact Hamming verify. Only
+    * (doc_id, fingerprint) rows shuffle — samples and payloads never
+    * leave their partition. rows-only with planted-dup specs, like
+    * q93. */
+  def q198AudioNeardup(spark: SparkSession, documents: DataFrame,
+                       maxHamming: Int = 3,
+                       codec: AudioCodec = WavCodec): DataFrame = {
+    val (repPairs, members) = afpRepPairs(spark, documents, maxHamming, codec)
+    val ma = members.select(col("rep").as("doc_a"), col("doc_id").as("da"))
+    val mb = members.select(col("rep").as("doc_b"), col("doc_id").as("db"))
+    val cross = repPairs.join(ma, "doc_a").join(mb, "doc_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    val within = members.as("x").join(members.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0).cast("integer").as("hamming"))
+    cross.unionAll(within).orderBy(col("doc_a"), col("doc_b"))
   }
 
   // --------------------------------------------- content-defined chunking
