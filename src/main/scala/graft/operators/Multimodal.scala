@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   * (encoded executor-side with `javax.imageio`, which ships in the JDK's
   * java.desktop module — zero new dependencies), q51 reports dimensions
   * and container format by DECODING those bytes, and q52 decodes,
-  * resizes and RE-ENCODES them. Video/audio codecs remain clearly-marked
-  * STUBS (no such libs in this container): those rows compute
-  * deterministic features from the raw bytes. Everything Spark-side is
-  * what carries to 100 TB:
+  * resizes and RE-ENCODES them. The AUDIO path is a real codec too:
+  * audio rows carry actual WAV bytes (`javax.sound.sampled`, also
+  * java.desktop) that q197/q198 really decode. Only VIDEO and
+  * compressed-audio codecs remain stubs behind the seam traits (no
+  * H.264/AAC libs in this container): video rows compute deterministic
+  * features from the raw bytes. Everything Spark-side is what carries
+  * to 100 TB:
   *  - media bytes never leave their partition (no shuffle of payloads);
   *  - work batches per partition exactly as a mapInPandas/Arrow path
   *    batches record batches (`Iterator.grouped(BatchSize)` = the batch
@@ -246,9 +249,17 @@ object Multimodal {
       // and its repeating PCM bytes would make CDC chunking (q139)
       // self-dedup inside one payload
       val chirp = 2 * math.Pi * (((th >> 24) & 0x3f) + 16) * 1e-8
+      // slow per-voice amplitude envelope (1–4 cycles per clip): real
+      // audio is non-stationary — a stationary tone sum gives every
+      // q198 time window the SAME band-energy ordering, collapsing the
+      // 64-bit fingerprint to ~8 bits of entropy and skewing the
+      // Hamming-band join buckets
+      val lfoW = 2 * math.Pi * (1.0 + ((th >> 4) & 0x3)) / nSamples
+      val lfoP = ((th >> 12) & 0xff) / 255.0 * 2 * math.Pi
       var i = 0
       while (i < nSamples) {
-        acc(i) += amp * math.sin(w * i + chirp * i.toDouble * i + phase)
+        acc(i) += amp * (0.6 + 0.4 * math.sin(lfoW * i + lfoP)) *
+          math.sin(w * i + chirp * i.toDouble * i + phase)
         i += 1
       }
     }
@@ -371,6 +382,14 @@ object Multimodal {
     import spark.implicits._
     documents
       .select(col("doc_id"), col("text"))
+      // codec work is CPU-bound (render + encode per row): spread it
+      // across every core regardless of the scan's partitioning — a
+      // small parquet reads as 1–2 partitions and would otherwise run
+      // the whole synth/encode pass single-threaded. The exchange
+      // carries (id, text) once and buys codec-seconds per row; the
+      // explicit partition count also keeps AQE from coalescing the
+      // CPU-bound stage back down
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .map { case (id, text) =>
         val b = text.getBytes("UTF-8")
@@ -602,6 +621,8 @@ object Multimodal {
     val (reps, members) = graft.operators.Dedup.exactReps(documents)
     val ph = reps
       .select(col("doc_id"), col("text"))
+      // CPU-bound codec stage: same parallelism rationale as mediaTable
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap(_.map { case (id, text) =>
@@ -770,6 +791,8 @@ object Multimodal {
     val (reps, members) = graft.operators.Dedup.exactReps(documents)
     val fp = reps
       .select(col("doc_id"), col("text"))
+      // CPU-bound codec stage: same parallelism rationale as mediaTable
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap(_.map { case (id, text) =>
