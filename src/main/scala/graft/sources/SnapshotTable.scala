@@ -104,6 +104,37 @@ object SnapshotTable {
     } else writeFile(f, p, body, overwrite = false)
   }
 
+  /** Pluggable COMMIT-ARBITRATION seam — the object-store gap made a
+    * trait (the MediaCodec pattern applied to the commit point): every
+    * snapshot mutation funnels its version race through ONE operation,
+    * "claim manifest v exclusively, then make its body readable". The
+    * default is the kernel/NameNode-atomic exclusive create below —
+    * correct on POSIX and HDFS. An S3-class deployment plugs in a
+    * conditional-put (`If-None-Match: *`) or DynamoDB-arbiter
+    * implementation here WITHOUT touching any commit logic; the claim
+    * itself decides the race, so the body write behind it does not
+    * need to be atomic (the EndSentinel + snapshot() retry already
+    * close the visible-before-complete window for readers). */
+  trait CommitArbiter extends Serializable {
+    /** Atomically claim `p` and write `body`. MUST throw a
+      * `FileAlreadyExistsException` (hadoop or nio flavor) iff another
+      * writer already owns `p` — that signal is what the CAS-rebase
+      * retry loops key on; any other failure must propagate. */
+    def claim(f: FileSystem, p: Path, body: String): Unit
+  }
+
+  /** Default arbiter: O_EXCL create on `file://`, NameNode-atomic
+    * `create(overwrite = false)` elsewhere. */
+  object ExclusiveCreateArbiter extends CommitArbiter {
+    override def claim(f: FileSystem, p: Path, body: String): Unit =
+      writeExclusive(f, p, body)
+  }
+
+  /** Deployment-wide arbiter (set ONCE at boot, before any writer —
+    * it must be the same for every writer of a warehouse or the race
+    * has two referees). */
+  @volatile var commitArbiter: CommitArbiter = ExclusiveCreateArbiter
+
   private def readFile(f: FileSystem, p: Path): String = {
     val in = f.open(p)
     try {
@@ -260,7 +291,7 @@ object SnapshotTable {
       (Seq(v.toString, parent.toString, operation,
         System.currentTimeMillis().toString, schema.json) ++ files :+
         EndSentinel).mkString("\n")
-    writeExclusive(f, manifestPath(path, v), body)
+    commitArbiter.claim(f, manifestPath(path, v), body)
     try {
       val tmp = new Path(snapDir(path), s"CURRENT.tmp-${UUID.randomUUID()}")
       writeFile(f, tmp, v.toString, overwrite = false)

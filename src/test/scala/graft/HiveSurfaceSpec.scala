@@ -187,4 +187,89 @@ class HiveSurfaceSpec extends GraftSpec {
         r.getAs[String]("r_name"))).toSet
     assert(out == exp)
   }
+
+  test("ddl09: SHOW CREATE TABLE emits DDL that re-creates the table faithfully") {
+    spark.sql("DROP TABLE IF EXISTS graft_sct")
+    spark.sql(
+      """CREATE TABLE graft_sct (id BIGINT, name STRING, part INT)
+         USING parquet PARTITIONED BY (part)""")
+    val ddl = spark.sql("SHOW CREATE TABLE graft_sct")
+      .collect().head.getString(0)
+    assert(ddl.contains("graft_sct") && ddl.toLowerCase.contains("parquet"), ddl)
+    assert(ddl.toLowerCase.contains("partitioned by"), ddl)
+    val schema = spark.table("graft_sct").schema
+    spark.sql("DROP TABLE graft_sct")
+    // the emitted DDL is executable and round-trips schema + layout
+    spark.sql(ddl)
+    assert(spark.table("graft_sct").schema == schema)
+    spark.sql("INSERT INTO graft_sct VALUES (1, 'a', 0), (2, 'b', 1)")
+    assert(spark.sql("SHOW PARTITIONS graft_sct").count() == 2L)
+    spark.sql("DROP TABLE graft_sct")
+  }
+
+  test("ddl09: DESCRIBE FORMATTED reports provider, location, and partitioning") {
+    spark.sql("DROP TABLE IF EXISTS graft_dfmt")
+    spark.sql(
+      """CREATE TABLE graft_dfmt (id BIGINT, part INT)
+         USING parquet PARTITIONED BY (part)""")
+    val rows = spark.sql("DESCRIBE FORMATTED graft_dfmt").collect()
+      .map(r => r.getString(0).trim -> r.getString(1)).toMap
+    assert(rows.get("Provider").exists(_.toLowerCase.contains("parquet")), rows)
+    assert(rows.get("Location").exists(_.nonEmpty), rows)
+    assert(rows.contains("# Partition Information"), rows.keySet)
+    assert(rows.get("Type").exists(_.contains("MANAGED")), rows)
+    spark.sql("DROP TABLE graft_dfmt")
+  }
+
+  test("ddl09: CREATE TEMPORARY FUNCTION registers a JVM Hive UDF via SQL text") {
+    spark.sql("CREATE TEMPORARY FUNCTION graft_tokens AS 'graft.functions.HiveTokenCount'")
+    spark.sql("CREATE TEMPORARY FUNCTION graft_norm AS 'graft.functions.HiveNormalize'")
+    assert(spark.sql("SELECT graft_tokens('  a b   c ')").collect().head.get(0) == 3)
+    assert(spark.sql("SELECT graft_norm('  MiXeD Case ')")
+      .collect().head.getString(0) == "mixed case")
+    // parity with the engine's native token counting over real docs
+    Tables.documents(spark, SF).createOrReplaceTempView("udf_docs")
+    val diff = spark.sql(
+      """SELECT count(*) FROM udf_docs
+         WHERE graft_tokens(text) != size(split(trim(text), ' +'))""")
+      .collect().head.getLong(0)
+    assert(diff == 0L, s"$diff docs disagree with native tokenization")
+    spark.sql("DROP TEMPORARY FUNCTION graft_tokens")
+    spark.sql("DROP TEMPORARY FUNCTION graft_norm")
+    intercept[Exception](spark.sql("SELECT graft_tokens('x')").collect())
+  }
+
+  test("ddl09: INSERT OVERWRITE DIRECTORY exports query results to a lake path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-iod").toString
+    Tables.nation(spark, SF).createOrReplaceTempView("iod_src")
+    spark.sql(
+      s"""INSERT OVERWRITE DIRECTORY '$dir' USING parquet
+          SELECT n_nationkey, n_name FROM iod_src WHERE n_regionkey = 0""")
+    val out = spark.read.parquet(dir)
+    assert(out.count() == 5L)
+    assert(out.columns.toSeq == Seq("n_nationkey", "n_name"))
+    // OVERWRITE replaces, never appends
+    spark.sql(
+      s"""INSERT OVERWRITE DIRECTORY '$dir' USING parquet
+          SELECT n_nationkey FROM iod_src WHERE n_regionkey = 1""")
+    val again = spark.read.parquet(dir)
+    assert(again.count() == 5L && again.columns.toSeq == Seq("n_nationkey"))
+  }
+
+  test("ddl09: CLUSTERED BY ... SORTED BY bucket metadata lands in the catalog") {
+    spark.sql("DROP TABLE IF EXISTS graft_bkt")
+    Tables.nation(spark, SF).createOrReplaceTempView("bkt_src")
+    spark.sql(
+      """CREATE TABLE graft_bkt USING parquet
+         CLUSTERED BY (n_nationkey) SORTED BY (n_name) INTO 4 BUCKETS
+         AS SELECT * FROM bkt_src""")
+    val rows = spark.sql("DESCRIBE FORMATTED graft_bkt").collect()
+      .map(r => r.getString(0).trim -> r.getString(1)).toMap
+    assert(rows.get("Num Buckets").exists(_.trim == "4"), rows)
+    assert(rows.get("Bucket Columns").exists(_.contains("n_nationkey")), rows)
+    assert(rows.get("Sort Columns").exists(_.contains("n_name")), rows)
+    assert(spark.table("graft_bkt").count() ==
+      Tables.nation(spark, SF).count())
+    spark.sql("DROP TABLE graft_bkt")
+  }
 }

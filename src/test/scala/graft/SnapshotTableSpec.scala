@@ -145,6 +145,51 @@ class SnapshotTableSpec extends GraftSpec {
     assert(sizes == sizes.sorted && sizes.head == 1L && sizes.last == 9L)
   }
 
+  test("s16 CommitArbiter seam: 8 writers race through an injected external CAS") {
+    // a DynamoDB/conditional-put-style arbiter: an EXTERNAL registry
+    // decides the version race, the manifest body write behind it is a
+    // plain (non-atomic) overwrite — exactly the shape an object-store
+    // deployment plugs in. Claims are counted so the spec can prove
+    // every commit went through the seam.
+    val claimed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val claims = new java.util.concurrent.atomic.AtomicInteger(0)
+    object MemoryCasArbiter extends SnapshotTable.CommitArbiter {
+      override def claim(f: org.apache.hadoop.fs.FileSystem,
+                         p: org.apache.hadoop.fs.Path, body: String): Unit = {
+        claims.incrementAndGet()
+        if (!claimed.add(f.makeQualified(p).toString))
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(p.toString)
+        val out = f.create(p, true) // non-atomic body write: arbiter won
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+      }
+    }
+    val prev = SnapshotTable.commitArbiter
+    SnapshotTable.commitArbiter = MemoryCasArbiter
+    try {
+      val p = tmp("arb")
+      SnapshotTable.create(spark, p, Seq((0L, "seed")).toDF("id", "s"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writers = (1 to 8).map { i =>
+        Future(SnapshotTable.appendOptimistic(spark, p,
+          Seq((i.toLong, s"w$i")).toDF("id", "s")))
+      }
+      val versions = Await.result(Future.sequence(writers), 120.seconds)
+      assert(versions.toSet.size == 8, versions)
+      assert(SnapshotTable.currentVersion(spark, p) == 9L)
+      assert(SnapshotTable.read(spark, p).collect().map(_.getLong(0)).sorted
+        .toSeq == (0L to 8L))
+      val hist = SnapshotTable.history(spark, p)
+      assert(hist.map(_.version) == (1L to 9L))
+      assert(hist.drop(1).map(_.parent) == (1L to 8L))
+      // every commit (create + 8 appends) claimed through the seam;
+      // lost races show up as extra claims, never as lost rows
+      assert(claims.get() >= 9, s"only ${claims.get()} claims")
+      assert(claimed.size == 9, s"${claimed.size} distinct claims")
+    } finally SnapshotTable.commitArbiter = prev
+  }
+
   test("diff reports added/removed/changed keys between any two versions") {
     val p = tmp("diff")
     SnapshotTable.create(spark, p,
