@@ -2396,6 +2396,29 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** The fn07 lexicon model q199 defaults to: q47's marker lexicons
+    * compiled into [[graft.functions.LinearModel]] weights — built
+    * once, reused by every q199 plan. */
+  lazy val DefaultLangModel: graft.functions.LinearModel =
+    graft.functions.LinearModel.fromLexicons(Lexicons)
+
+  /** q199: MODEL-BASED language ID — q47's decision recomputed through
+    * the fn07 broadcast-weights linear classifier ([[graft.functions
+    * .ModelPredict]]): per document, the argmax class of a
+    * bucket-hashed linear model whose default weights compile q47's
+    * marker lexicons (spec-pinned equal to the heuristic), and whose
+    * PRODUCTION weights are a `LinearModel.load`ed fastText-class
+    * file — the CCNet/FineWeb-style model upgrade with zero operator
+    * changes. One codegen'd scan, weights broadcast with the plan, no
+    * shuffle but the output sort. rows-only: the bucket hashing is not
+    * portably SQL-expressible (q114 collision contract); the parity
+    * spec vs oracle-exact q47 carries the correctness argument. */
+  def q199(documents: DataFrame,
+           model: graft.functions.LinearModel = DefaultLangModel): DataFrame =
+    documents.select(col("doc_id"), col("lang"),
+      graft.functions.ModelPredict(col("text"), model).as("pred_lang"))
+      .orderBy(col("doc_id"))
+
   /** q190: VOCABULARY COVERAGE BY RANK — what fraction of corpus token
     * OCCURRENCES the top-k most frequent token types cover, at
     * k ∈ {100, 1000, 10000}: the tokenizer-vocab-sizing read (how big

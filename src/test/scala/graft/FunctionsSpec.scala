@@ -291,4 +291,64 @@ class FunctionsSpec extends GraftSpec {
       Tables.documents(spark, SF)).head()
     assert(out.head.getAs[String]("token") == exactTop.getAs[String]("tok"))
   }
+
+  test("fn07 q199 model langid == q47 heuristic on the real corpus and planted ties") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, SF)
+    val heur = TextAnalysis.q47(docs).select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val model = TextAnalysis.q199(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(model == heur, "lexicon-compiled model must reproduce the heuristic")
+    // planted: a tie on zero hits falls to the first class (both paths)
+    // and single-marker docs classify to the marker's language
+    import spark.implicits._
+    val planted = Seq((1L, "en", "nothing matches here"),
+      (2L, "xx", "fast spark all day"), (3L, "xx", "join the window group"))
+      .toDF("doc_id", "lang", "text")
+    val p = TextAnalysis.q199(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(p == Map(1L -> "en", 2L -> "es", 3L -> "fr"), p)
+  }
+
+  test("fn07 weights file: save -> load round-trips predictions; format is line-readable") {
+    import graft.functions.LinearModel
+    val m = LinearModel.fromLexicons(graft.operators.TextAnalysis.Lexicons)
+    val path = java.nio.file.Files.createTempDirectory("graft-lm")
+      .resolve("langid.weights").toString
+    LinearModel.save(spark, path, m)
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    assert(body.startsWith("graft-linear-v1\nclasses,en,es,de,fr,zh"), body.take(80))
+    val loaded = LinearModel.load(spark, path)
+    val texts = Seq("the fast table join stream", "order by column vector",
+      "scan part key agg", "completely unrelated words")
+    texts.foreach(t => assert(loaded.predict(t) == m.predict(t), t))
+    assert(loaded.buckets == m.buckets && loaded.classes.sameElements(m.classes))
+  }
+
+  test("fn07 ModelPredict runs inside whole-stage codegen") {
+    import graft.operators.TextAnalysis
+    val df = TextAnalysis.q199(Tables.documents(spark, SF))
+    val plan = formattedPlan(df)
+    assert(plan.contains("graft_model_predict"), plan)
+    val r = PlanReport.analyze(df, execute = true)
+    assert(r.codegenSpans >= 1, r)
+  }
+
+  test("fn07 bigram features separate word order a unigram model cannot") {
+    import graft.functions.LinearModel
+    // hand-built: one bigram feature 'new york' with weight toward
+    // class 'place'; unigrams carry nothing
+    val classes = Array("other", "place")
+    val rows = new java.util.HashMap[java.lang.Long, Array[Float]]()
+    val mod = 1000000007L
+    def th(t: String): Long = t.foldLeft(0L)((h, c) => (h * 31 + c) % mod)
+    val big = (th("new") * 31 + th("york")) % mod
+    rows.put(big % (1L << 20), Array(0.0f, 5.0f))
+    val m = new LinearModel(classes, 1L << 20, true,
+      new Array[Float](2), rows)
+    assert(m.predict("i love new york today") == "place")
+    assert(m.predict("i love york new today") == "other")
+  }
 }
