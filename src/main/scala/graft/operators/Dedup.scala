@@ -396,6 +396,30 @@ object Dedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Driver-facing RECONCILIATION of [[q147]] against the exact
+    * [[q95]] — the q74/q134 projection trick pointed at a sketch:
+    * hash-dependent estimates can't hash-match a portable oracle, but
+    * the AUDIT CLAIM about them can. Per source pair: q95's exact
+    * stats (all portable) plus `within_3sigma` = |Ĵ − J| ≤ 0.19 (3σ
+    * at k = 256, the same tolerance the spec pins) — the oracle
+    * computes the exact side and predicts TRUE, so a sketch drifting
+    * out of tolerance is a HASH mismatch, not a silent estimate
+    * degradation. A missing pair on the sketch side nulls the
+    * verdict, which also hash-mismatches — loudly. [[q147]] itself is
+    * unchanged as the scale form; this composition is the audit run
+    * (it pays q95's exact cost by design). */
+  def q147Driver(documents: DataFrame, k: Int = 256): DataFrame = {
+    val est = q147(documents, k)
+      .select(col("source_a"), col("source_b"), col("est_jaccard"))
+    q95(documents)
+      .join(est, Seq("source_a", "source_b"), "left_outer")
+      .select(col("source_a"), col("source_b"), col("common"),
+        col("na"), col("nb"), col("jaccard"),
+        (abs(col("est_jaccard") - col("jaccard")) <= lit(0.19))
+          .as("within_3sigma"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** q162: MINIMIZER-sketch near-dup candidates (Roberts et al. 2004
     * — the winnowing/minimizer scheme genomics and MinHash-free text
     * dedup pipelines use): every sliding window of `w` consecutive
@@ -1279,6 +1303,33 @@ object Dedup {
           .as("cand_pairs"))
       .orderBy(col("bucket_docs").desc, col("band"), col("band_key"))
       .limit(topK)
+  }
+
+  /** Driver-facing RECONCILIATION of [[q112]]'s banding machinery —
+    * the load-bearing volume contract made oracle-checkable: every
+    * shingled rep emits EXACTLY one banding row per band, so
+    * n_banding_rows must equal Bands × n_shingled_reps, where
+    * n_shingled_reps (distinct normalized texts with ≥ 3 tokens) is
+    * computed INDEPENDENTLY on both engines. The skew report's shares
+    * must sit in (0, 1]. The top-k report itself stays available as
+    * [[q112]] (hash-dependent buckets, spec-checked); a banding bug
+    * that drops or duplicates rows — the failure mode that silently
+    * corrupts q42/q111 candidates — now hash-mismatches the oracle. */
+  def q112Driver(documents: DataFrame): DataFrame = {
+    val (reps, _) = exactReps(documents)
+    val shingled = reps
+      .filter(size(split(lower(trim(col("text"))), " ")) >= 3)
+      .agg(count(lit(1)).cast("long").as("n_shingled_reps"))
+    val volume = bandKeys(minhashSignature(shingles(reps)))
+      .agg(count(lit(1)).cast("long").as("n_banding_rows"))
+    val bounds = q112(documents)
+      .agg(max(col("share")).as("mx"), min(col("share")).as("mn"))
+    shingled.crossJoin(broadcast(volume)).crossJoin(broadcast(bounds))
+      .select(lit(Bands.toLong).as("bands"),
+        col("n_shingled_reps"), col("n_banding_rows"),
+        (col("n_banding_rows") === lit(Bands.toLong) * col("n_shingled_reps"))
+          .as("volume_ok"),
+        (col("mx") <= lit(1.0) && col("mn") > lit(0.0)).as("share_bounds_ok"))
   }
 
   /** q123: PREFIX-JOIN blocking-key skew report — q112's pre-flight
