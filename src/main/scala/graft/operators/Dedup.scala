@@ -308,34 +308,49 @@ object Dedup {
       .agg(least(min(col("v")), min(col("u"))).as("label"))
       .localCheckpoint()
     var changed = 1L
+    var round = 0
     while (changed > 0) {
+      round += 1
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("v"), col("label")), "v")
         .groupBy(col("u").as("doc_id"))
         .agg(min(col("label")).as("nbr_label"))
-      // pointer doubling: l(l(v)) — label is a component vertex, so the
-      // jump resolves against the label frame itself
-      val ll = labels.select(col("doc_id").as("label"), col("label").as("ll"))
-      val fwd = labels
+      val plain = labels
         .join(nbrMin, Seq("doc_id"), "left_outer")
-        .join(ll, Seq("label"), "left_outer")
         .select(col("doc_id"), col("label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label")),
-            coalesce(col("ll"), col("label"))).as("fwd_label"))
-      // hash-to-min reverse step: every vertex SENDS its round minimum
-      // to its (old) representative, which takes the min of what its
-      // members found — a new component minimum reaches the rep this
-      // round and every member via the jump next round
-      val repMin = fwd
-        .select(col("label").as("doc_id"), col("fwd_label"))
-        .groupBy(col("doc_id"))
-        .agg(min(col("fwd_label")).as("rep_min"))
-      val joined = fwd
-        .join(repMin, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          least(col("fwd_label"), coalesce(col("rep_min"), col("fwd_label")))
-            .as("new_label"),
-          col("label"))
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("fwd_label"))
+      // acceleration is ADAPTIVE: clique-ish dedup graphs converge in
+      // 2 rounds of plain propagation, where the extra jump/reverse
+      // exchanges are pure overhead — only a graph still changing at
+      // round 3 (a long-diameter component) pays for them, and then
+      // they cut the remaining rounds exponentially
+      val joined = (if (round < 3) plain
+        .select(col("doc_id"), col("fwd_label").as("new_label"), col("label"))
+      else {
+        // pointer doubling: l(l(v)) — label is a component vertex, so
+        // the jump resolves against the label frame itself
+        val ll = labels.select(col("doc_id").as("label"), col("label").as("ll"))
+        val fwd = plain
+          .join(ll, Seq("label"), "left_outer")
+          .select(col("doc_id"), col("label"),
+            least(col("fwd_label"), coalesce(col("ll"), col("fwd_label")))
+              .as("fwd_label"))
+        // hash-to-min reverse step: every vertex SENDS its round
+        // minimum to its (old) representative, which takes the min of
+        // what its members found — a new component minimum reaches the
+        // rep this round and every member via the jump next round
+        val repMin = fwd
+          .select(col("label").as("doc_id"), col("fwd_label"))
+          .groupBy(col("doc_id"))
+          .agg(min(col("fwd_label")).as("rep_min"))
+        fwd
+          .join(repMin, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            least(col("fwd_label"), coalesce(col("rep_min"), col("fwd_label")))
+              .as("new_label"),
+            col("label"))
+      })
         .select(col("doc_id"), col("new_label").as("label"),
           (col("new_label") < col("label")).as("improved"))
         .localCheckpoint()
@@ -1523,5 +1538,186 @@ object Dedup {
       .select(col("doc_id"), col("source"), col("label"), col("csize"),
         col("weight_e8"), col("tokens"), col("eff_tokens_e8"))
       .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------- byte-granular substrings
+
+  /** q200 parameters: matches of ≥ [[SubstrMinLen]] NORMALIZED chars
+    * are GUARANTEED found (the winnowing bound t = w + w' − 1 with
+    * gram length w = [[SubstrGram]] and window w' = t − w + 1). */
+  val SubstrMinLen = 64
+  val SubstrGram = 16
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+    * algorithm) over the NORMALIZED CHARACTER stream of one document:
+    * every window of w' consecutive char-gram hashes contributes its
+    * minimum (rightmost on ties), so any two documents sharing a
+    * verbatim substring of ≥ t = w + w' − 1 chars select the SAME
+    * gram at aligned positions — the byte-granular detection
+    * guarantee a suffix array gives, at ~2/w' of the positions
+    * instead of all of them. Hashes are two independent polynomial
+    * rolls (bases 31/131, primes 1e9+7/998244353) packed into one
+    * long: 60-bit effective width so candidate generation stays
+    * collision-sparse at corpus scale (false candidates are killed by
+    * the exact extension verify regardless). Emits (pos, packed). */
+  private[graft] def winnowChars(text: String, gram: Int, minLen: Int)
+      : Seq[(Int, Long)] = {
+    val n = text.length
+    if (n < gram) return Nil
+    val P1 = 1000000007L; val B1 = 31L
+    val P2 = 998244353L;  val B2 = 131L
+    val nG = n - gram + 1
+    val hs = new Array[Long](nG)
+    var h1 = 0L; var h2 = 0L
+    var i = 0
+    while (i < gram) {
+      h1 = (h1 * B1 + text.charAt(i)) % P1
+      h2 = (h2 * B2 + text.charAt(i)) % P2
+      i += 1
+    }
+    // pow for the outgoing char
+    var pw1 = 1L; var pw2 = 1L
+    i = 0
+    while (i < gram - 1) { pw1 = pw1 * B1 % P1; pw2 = pw2 * B2 % P2; i += 1 }
+    hs(0) = (h1 << 31) | h2
+    i = 1
+    while (i < nG) {
+      val out = text.charAt(i - 1)
+      val in = text.charAt(i + gram - 1)
+      h1 = ((h1 - out * pw1 % P1 + P1 * 31) % P1 * B1 + in) % P1
+      h2 = ((h2 - out * pw2 % P2 + P2 * 131) % P2 * B2 + in) % P2
+      hs(i) = (h1 << 31) | h2
+      i += 1
+    }
+    val win = minLen - gram + 1
+    if (nG <= win) {
+      // short doc: one global minimum still fingerprints it
+      var best = 0
+      i = 1
+      while (i < nG) { if (hs(i) <= hs(best)) best = i; i += 1 }
+      return Seq((best, hs(best)))
+    }
+    val out = Seq.newBuilder[(Int, Long)]
+    var last = -1
+    var w0 = 0
+    while (w0 + win <= nG) {
+      // rightmost minimum of hs[w0, w0+win)
+      if (last < w0) {
+        var best = w0
+        i = w0 + 1
+        while (i < w0 + win) { if (hs(i) <= hs(best)) best = i; i += 1 }
+        out += ((best, hs(best)))
+        last = best
+      } else {
+        val newest = w0 + win - 1
+        if (hs(newest) <= hs(last)) {
+          out += ((newest, hs(newest)))
+          last = newest
+        }
+      }
+      w0 += 1
+    }
+    out.result()
+  }
+
+  /** q200: BYTE-GRANULAR cross-document repeated substrings — the
+    * character-level ExactSubstr signal of Lee et al. '22 ("Dedup-
+    * licating Training Data Makes Language Models Better") that the
+    * k-token windows (q114/q119) approximate at token granularity:
+    * maximal verbatim shared spans ≥ [[SubstrMinLen]] normalized
+    * chars between document pairs, sub-token boundaries included.
+    *
+    * The sequential formulation is a suffix array; the distributed
+    * re-expression is winnowing + exact extension:
+    *  1. each doc emits its winnowing fingerprints — ~2/w' of
+    *     positions, 8-byte hashes, never text — with the guarantee
+    *     that every shared span ≥ t selects the same gram in both
+    *     docs at aligned positions;
+    *  2. the fingerprint equi-join yields candidate (pair, diagonal)
+    *     alignments (diag = pos_a − pos_b is constant across one
+    *     shared span, so all anchors of a span collapse into ONE
+    *     group — one text shipment per aligned region, not per
+    *     anchor);
+    *  3. exact verification ships the two normalized texts once per
+    *     (pair, diagonal) and extends each anchor to its MAXIMAL
+    *     shared span, skipping anchors the previous span already
+    *     covers. Output spans are exact and deterministic (anchor
+    *     choice cannot change a maximal extent); spans shorter than t
+    *     that happen to anchor are reported too — extras above the
+    *     guarantee, also exact.
+    *
+    * Scale: stage-1 shuffle is fingerprint-sized (~2·bytes/w'); the
+    * candidate join is the usual blocking-join shape (boilerplate
+    * shared by m docs costs its pair expansion — run q112/q123-style
+    * pre-flight on fingerprint buckets for skew); verify ships text
+    * only for candidate diagonals. rows-only: a cross-doc maximal-
+    * substring table is not portable SQL — the spec brute-forces
+    * parity on the real corpus. */
+  def q200(documents: DataFrame, minLen: Int = SubstrMinLen,
+           gram: Int = SubstrGram, topK: Int = 50): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // exact-dup collapse (the round-8 q41/q93 discipline): a clique of
+    // m byte-identical docs shares EVERYTHING — reporting C(m,2)
+    // whole-doc spans is q40's job, not q200's; spans are reported
+    // between exact-dup representatives
+    val (reps, _) = exactReps(documents)
+    val norm = reps
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .transform(graft.Pins.pin)
+    val fps = norm.as[(Long, String)]
+      .flatMap { case (id, t) =>
+        winnowChars(t, gram, minLen).map { case (pos, h) => (id, pos, h) }
+      }
+      .toDF("doc_id", "pos", "h")
+    val cands = fps.as("a")
+      .join(fps.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+    val perDiag = cands
+      .groupBy(col("doc_a"), col("doc_b"),
+        (col("pos_a") - col("pos_b")).as("diag"))
+      .agg(sort_array(collect_set(col("pos_a"))).as("anchors"))
+    val ta = norm.select(col("doc_id").as("doc_a"), col("t").as("t_a"))
+    val tb = norm.select(col("doc_id").as("doc_b"), col("t").as("t_b"))
+    perDiag
+      .join(ta, "doc_a").join(tb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("diag"), col("anchors"),
+        col("t_a"), col("t_b"))
+      .as[(Long, Long, Int, Seq[Int], String, String)]
+      .flatMap { case (da, db, diag, anchors, tA, tB) =>
+        val out = Seq.newBuilder[(Long, Long, Int, Int, Int, String)]
+        var coveredTo = -1 // end (exclusive) of the last span in t_a
+        anchors.foreach { pa =>
+          if (pa >= coveredTo) {
+            val pb = pa - diag
+            if (pb >= 0 && pb + gram <= tB.length && pa + gram <= tA.length) {
+              var lo = 0
+              while (pa - lo - 1 >= 0 && pb - lo - 1 >= 0 &&
+                tA.charAt(pa - lo - 1) == tB.charAt(pb - lo - 1)) lo += 1
+              var hi = 0
+              while (pa + gram + hi < tA.length && pb + gram + hi < tB.length &&
+                tA.charAt(pa + gram + hi) == tB.charAt(pb + gram + hi)) hi += 1
+              // the anchor gram itself must really match (hash-collision
+              // false candidates die here)
+              if (tA.substring(pa, pa + gram) == tB.substring(pb, pb + gram)) {
+                val start = pa - lo
+                val len = gram + lo + hi
+                coveredTo = start + len
+                if (len >= minLen)
+                  out += ((da, db, start, pb - lo, len,
+                    tA.substring(start, start + math.min(len, 48))))
+              }
+            }
+          }
+        }
+        out.result()
+      }
+      .toDF("doc_a", "doc_b", "start_a", "start_b", "match_len", "excerpt")
+      .distinct()
+      .orderBy(col("match_len").desc, col("doc_a"), col("doc_b"),
+        col("start_a"))
+      .limit(topK)
   }
 }

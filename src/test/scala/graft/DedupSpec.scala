@@ -661,4 +661,103 @@ class DedupSpec extends GraftSpec {
     val clusterMass = out(1L)._5 + out(2L)._5
     assert(clusterMass == 600000000L, out)
   }
+
+  /** Brute-force maximal shared substrings >= minLen between two
+    * normalized texts via a per-diagonal equality-run walk — the
+    * O(n*m) reference q200 must match exactly. */
+  private def bruteSpans(a: String, b: String, minLen: Int)
+      : Set[(Int, Int, Int)] = {
+    val out = scala.collection.mutable.Set.empty[(Int, Int, Int)]
+    for (d <- -(b.length - 1) to (a.length - 1)) {
+      var i = math.max(0, d)           // index in a; j = i - d in b
+      var run = 0
+      var runStart = -1
+      while (i < a.length && (i - d) < b.length) {
+        if (a.charAt(i) == b.charAt(i - d)) {
+          if (run == 0) runStart = i
+          run += 1
+        } else {
+          if (run >= minLen) out += ((runStart, runStart - d, run))
+          run = 0
+        }
+        i += 1
+      }
+      if (run >= minLen) out += ((runStart, runStart - d, run))
+    }
+    out.toSet
+  }
+
+  test("q200 == brute-force maximal shared substrings on a mixed fixture") {
+    val block = "this exact eighty char block is shared verbatim between two documents kept one!"
+    assert(block.length >= 64, block.length)
+    val fixture = Seq(
+      (1L, "alpha beta " + block + " Xgamma delta epsilon closing words"),
+      (2L, "totally different opening here Y" + block + " Zother tail text"),
+      (3L, "no overlap with anything else at all in this one document kind"),
+      (4L, "alpha beta " + ("zz " * 40).trim + " closing words distinctly"),
+      (5L, "Case Variant Opening " + block.toUpperCase + " distinct closing here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.q200(fixture, minLen = 64, topK = 1000).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("start_a"), r.getAs[Int]("start_b"),
+        r.getAs[Int]("match_len"))).toSet
+    // doc 5 carries the block UPPERCASED in a distinct context — found
+    // through normalization; all five texts are distinct normalized, so
+    // the rep set is the full doc set and brute force runs over it
+    val texts = fixture.collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase).toMap
+    val expected = (for {
+      ida <- texts.keys; idb <- texts.keys; if ida < idb
+      (sa, sb, len) <- bruteSpans(texts(ida), texts(idb), 64)
+    } yield (ida, idb, sa, sb, len)).toSet
+    assert(got == expected,
+      s"got ${got.toSeq.sorted} exp ${expected.toSeq.sorted}")
+    assert(expected.exists { case (a, b, _, _, len) =>
+      a == 1L && b == 2L && len >= 79 }, expected)
+    // the guarantee: the planted 79+-char block is found for BOTH pairs
+    assert(got.exists(g => g._1 == 1L && g._2 == 2L), got)
+    assert(got.exists(g => g._1 == 2L && g._2 == 5L), got)
+  }
+
+  test("q200 maximality and excerpt: planted block reports exact extent") {
+    // APERIODIC block (distinct tokens): self-similar content matches
+    // on many diagonals — each a real maximal span — so uniqueness
+    // needs a repeat-free payload
+    val block = (1 to 14).map(i => f"tok$i%02d").mkString(" ")
+    assert(block.length >= 64, block.length)
+    val d = Seq(
+      (10L, "prefix one X" + block + "Y suffix one"),
+      (20L, "another prefix Q" + block + "R different tail")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.q200(d, minLen = 64, topK = 10).collect()
+    assert(rows.length == 1, rows.toSeq)
+    val r = rows.head
+    assert(r.getAs[Int]("match_len") == block.length, r)
+    val ta = "prefix one x" + block.toLowerCase + "y suffix one"
+    assert(ta.substring(r.getAs[Int]("start_a"),
+      r.getAs[Int]("start_a") + 48) == r.getAs[String]("excerpt"))
+    assert(ta.substring(r.getAs[Int]("start_a"),
+      r.getAs[Int]("start_a") + r.getAs[Int]("match_len")) == block.toLowerCase)
+  }
+
+  test("q200 determinism, no-overlap emptiness, exact-dup collapse") {
+    val base = Seq(
+      (1L, ("alpha " * 30).trim + " unique ending one two three four"),
+      (2L, ("beta " * 30).trim + " other finale five six seven eight"))
+      .toDF("doc_id", "text")
+    assert(Dedup.q200(base, minLen = 64).count() == 0L) // no shared gram run
+    val shared = "the very same sixty four plus character run appears here verbatim ok"
+    val three = Seq(
+      (1L, "one " + shared + " tail-a"), (2L, "two " + shared + " tail-b"),
+      (3L, "ONE " + shared.toUpperCase + " TAIL-A")) // exact dup of 1 normalized
+      .toDF("doc_id", "text")
+    val rows = Dedup.q200(three, minLen = 64, topK = 100).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    // doc 3 collapses onto rep 1: spans report between reps only
+    assert(rows.toSet == Set((1L, 2L)), rows.toSeq)
+    val again = Dedup.q200(three.repartition(7), minLen = 64, topK = 100)
+      .collect().map(r => r.toSeq)
+    assert(again.toSeq == Dedup.q200(three, minLen = 64, topK = 100)
+      .collect().map(r => r.toSeq).toSeq)
+  }
 }
