@@ -370,7 +370,8 @@ object SparkEntry {
     "q197_audio_sample"        -> ((s, d) => Multimodal.q197AudioSample(s, documents(s, d))),
     "q198_audio_neardup"       -> ((s, d) => Multimodal.q198AudioNeardup(s, documents(s, d))),
     "q199_model_langid"        -> ((s, d) => TextAnalysis.q199(documents(s, d))),
-    "q200_substring_dedup"     -> ((s, d) => Dedup.q200(documents(s, d)))
+    "q200_substring_dedup"     -> ((s, d) => Dedup.q200(documents(s, d))),
+    "q201_substr_coverage"     -> ((s, d) => Dedup.q201(documents(s, d)))
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

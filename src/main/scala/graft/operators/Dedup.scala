@@ -1654,14 +1654,24 @@ object Dedup {
     * substring table is not portable SQL — the spec brute-forces
     * parity on the real corpus. */
   def q200(documents: DataFrame, minLen: Int = SubstrMinLen,
-           gram: Int = SubstrGram, topK: Int = 50): DataFrame = {
+           gram: Int = SubstrGram, topK: Int = 50): DataFrame =
+    substringSpans(documents, minLen, gram)._1
+      .orderBy(col("match_len").desc, col("doc_a"), col("doc_b"),
+        col("start_a"))
+      .limit(topK)
+
+  /** Rep-level verified span frame (doc_a, doc_b, start_a, start_b,
+    * match_len, excerpt) + the members map — shared by the q200 report
+    * and the q201 coverage rollup. */
+  private[graft] def substringSpans(documents: DataFrame, minLen: Int,
+                                    gram: Int): (DataFrame, DataFrame) = {
     val spark = documents.sparkSession
     import spark.implicits._
     // exact-dup collapse (the round-8 q41/q93 discipline): a clique of
     // m byte-identical docs shares EVERYTHING — reporting C(m,2)
     // whole-doc spans is q40's job, not q200's; spans are reported
     // between exact-dup representatives
-    val (reps, _) = exactReps(documents)
+    val (reps, members) = exactReps(documents)
     val norm = reps
       .select(col("doc_id"), lower(trim(col("text"))).as("t"))
       .transform(graft.Pins.pin)
@@ -1681,7 +1691,7 @@ object Dedup {
       .agg(sort_array(collect_set(col("pos_a"))).as("anchors"))
     val ta = norm.select(col("doc_id").as("doc_a"), col("t").as("t_a"))
     val tb = norm.select(col("doc_id").as("doc_b"), col("t").as("t_b"))
-    perDiag
+    val spans = perDiag
       .join(ta, "doc_a").join(tb, "doc_b")
       .select(col("doc_a"), col("doc_b"), col("diag"), col("anchors"),
         col("t_a"), col("t_b"))
@@ -1716,8 +1726,54 @@ object Dedup {
       }
       .toDF("doc_a", "doc_b", "start_a", "start_b", "match_len", "excerpt")
       .distinct()
-      .orderBy(col("match_len").desc, col("doc_a"), col("doc_b"),
-        col("start_a"))
-      .limit(topK)
+    (spans, members)
+  }
+
+  /** q201: per-document DUPLICATED-BYTE coverage — the byte-granular
+    * q115 analog over [[q200]]'s span frame: for each document, the
+    * fraction of its normalized characters covered by at least one
+    * cross-document shared span ≥ minLen (overlapping spans counted
+    * once via a sorted interval-union walk). Lee et al.'s headline
+    * metric ("what fraction of the corpus is verbatim repeats?") per
+    * doc; exact-dup clique members inherit their rep's coverage
+    * through the members map. Scale: spans are pair-count-sized, the
+    * union walk is per-doc over its own spans, and the only new
+    * exchanges are doc_id-keyed. rows-only like q200. */
+  def q201(documents: DataFrame, minLen: Int = SubstrMinLen,
+           gram: Int = SubstrGram): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val (spans, members) = substringSpans(documents, minLen, gram)
+    // both endpoints of a span carry coverage
+    val sides = spans
+      .select(col("doc_a").as("rep"), col("start_a").as("s"),
+        (col("start_a") + col("match_len")).as("e"))
+      .unionAll(spans.select(col("doc_b").as("rep"),
+        col("start_b").as("s"), (col("start_b") + col("match_len")).as("e")))
+    val covered = sides
+      .groupBy(col("rep"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("iv"))
+      .as[(Long, Seq[(Int, Int)])]
+      .map { case (rep, iv) =>
+        var total = 0L
+        var curS = -1; var curE = -1
+        iv.foreach { case (s0, e0) =>
+          if (s0 > curE) { total += curE - curS.max(0) max 0; curS = s0; curE = e0 }
+          else if (e0 > curE) curE = e0
+        }
+        total += (curE - curS.max(0)) max 0
+        (rep, total)
+      }
+      .toDF("rep", "covered_chars")
+    documents
+      .select(col("doc_id"),
+        length(lower(trim(col("text")))).cast("long").as("n_chars"))
+      .join(members, "doc_id")
+      .join(covered, Seq("rep"), "left_outer")
+      .na.fill(0L, Seq("covered_chars"))
+      .select(col("doc_id"), col("n_chars"), col("covered_chars"),
+        (col("covered_chars").cast("double") /
+          greatest(col("n_chars"), lit(1L)).cast("double")).as("dup_frac"))
+      .orderBy(col("doc_id"))
   }
 }

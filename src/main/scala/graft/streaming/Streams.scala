@@ -377,6 +377,33 @@ object Streams {
       .dropDuplicatesWithinWatermark("phash")
   }
 
+  /** st33: streaming AUDIO perceptual dedup gate — st13's twin on the
+    * audio axis (q198 made incremental): per row, the full codec
+    * round-trip (synth → WAV encode → decode → 64-bit spectral
+    * fingerprint), then exact-fingerprint dedup within the watermark.
+    * A re-voiced/attenuated copy of a recording already admitted
+    * inside the window is dropped at ingest; Hamming-NEIGHBOR near-dup
+    * stays batch (q198), same split as st13/q93. */
+  def dedupAudioStream(docs: DataFrame, tsCol: String,
+                       watermark: String = Watermark): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.operators.Multimodal
+    val hashed = docs
+      .select(col("doc_id"), col("text"), col(tsCol))
+      .as[(Long, String, java.sql.Timestamp)]
+      .mapPartitions(_.map { case (id, text, ts) =>
+        val wav = Multimodal.encodeWav(Multimodal.renderAudio(
+          text, Multimodal.AudioRate, Multimodal.AudioSamples),
+          Multimodal.AudioRate)
+        val (smp, rate, _) = Multimodal.decodeWav(wav).get
+        (id, text, ts, Multimodal.audioFingerprint(smp, rate))
+      })
+      .toDF("doc_id", "text", tsCol, "afp")
+    hashed
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("afp")
+  }
+
   // ---------------------------------------------------------------- st02
 
   /** `ts` stays a timestamp so the watermark tag survives to the

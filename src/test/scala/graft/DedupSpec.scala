@@ -740,6 +740,54 @@ class DedupSpec extends GraftSpec {
       r.getAs[Int]("start_a") + r.getAs[Int]("match_len")) == block.toLowerCase)
   }
 
+  test("q201 coverage == brute-force interval union; overlaps counted once") {
+    val block = "this exact eighty char block is shared verbatim between two documents kept one!"
+    val fixture = Seq(
+      (1L, "alpha beta " + block + " Xgamma delta epsilon closing words"),
+      (2L, "totally different opening here Y" + block + " Zother tail text"),
+      (3L, "no overlap with anything else at all in this one document kind"),
+      (5L, "Case Variant Opening " + block.toUpperCase + " distinct closing here"),
+      (6L, "ALPHA BETA " + block.toUpperCase + " xGAMMA DELTA EPSILON CLOSING WORDS") // exact dup of 1
+    ).toDF("doc_id", "text")
+    val texts = fixture.collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase).toMap
+    // reps: 6 collapses onto 1 (identical normalized text)
+    val repIds = Seq(1L, 2L, 3L, 5L)
+    val intervals = scala.collection.mutable.Map.empty[Long, List[(Int, Int)]]
+      .withDefaultValue(Nil)
+    for {
+      a <- repIds; b <- repIds; if a < b
+      (sa, sb, len) <- bruteSpans(texts(a), texts(b), 64)
+    } {
+      intervals(a) = (sa, sa + len) :: intervals(a)
+      intervals(b) = (sb, sb + len) :: intervals(b)
+    }
+    def unionLen(iv: List[(Int, Int)]): Long = {
+      var tot = 0L; var cs = -1; var ce = -1
+      iv.sorted.foreach { case (s0, e0) =>
+        if (s0 > ce) { if (ce > cs) tot += ce - cs; cs = s0; ce = e0 }
+        else if (e0 > ce) ce = e0
+      }
+      if (ce > cs) tot += ce - cs
+      tot
+    }
+    val got = Dedup.q201(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chars"), r.getAs[Long]("covered_chars"),
+          r.getAs[Double]("dup_frac"))).toMap
+    assert(got.keySet == texts.keySet) // every doc reported, incl. dup 6
+    for (id <- repIds) {
+      val exp = unionLen(intervals(id))
+      assert(got(id)._2 == exp, s"doc $id: got ${got(id)._2} exp $exp")
+      assert(got(id)._1 == texts(id).length.toLong)
+      assert(got(id)._3 == exp.toDouble / texts(id).length)
+    }
+    // the exact dup inherits its rep's coverage
+    assert(got(6L)._2 == got(1L)._2, got)
+    assert(got(3L)._2 == 0L && got(3L)._3 == 0.0, got) // untouched doc
+    assert(got(1L)._2 >= 80L, got) // the planted block is covered
+  }
+
   test("q200 determinism, no-overlap emptiness, exact-dup collapse") {
     val base = Seq(
       (1L, ("alpha " * 30).trim + " unique ending one two three four"),

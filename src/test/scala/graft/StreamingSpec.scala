@@ -434,6 +434,26 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st33 streaming audio dedup drops a re-voiced copy within the watermark") {
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val df = ms.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = Streams.dedupAudioStream(df, "ingest_ts")
+      .writeStream.format("memory").queryName("st33_out").outputMode("append").start()
+    try {
+      val t = Timestamp.from(Instant.parse("2026-01-01T10:00:00Z"))
+      // same token multiset, different bytes → identical synth audio →
+      // identical spectral fingerprint
+      ms.addData((1L, "storm river mountain valley cloud", t),
+                 (2L, "Cloud Valley MOUNTAIN river storm", t),
+                 (3L, "a completely unrelated text here", t))
+      q.processAllAvailable()
+      ms.addData((4L, "river storm cloud mountain valley", t)) // across batches
+      q.processAllAvailable()
+      val ids = spark.table("st33_out").collect().map(_.getAs[Long]("doc_id")).sorted
+      assert(ids.toSeq == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("st14 streaming quality gate: keeps exactly the batch operator's keep set") {
     // batch q104 on the real corpus decides the expected keep set
     val docs = Tables.documents(spark, SF)
