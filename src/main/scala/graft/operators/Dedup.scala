@@ -304,9 +304,13 @@ object Dedup {
     // aggregation: every vertex appears as `u` (edges are symmetric), so
     // label₀ = min(u, min(neighbors)) — saves a full join+checkpoint+count
     // round versus starting from label = doc_id
+    // LAZY checkpoints throughout the loop: the convergence count is
+    // the action that materializes each round's frame, so a round is
+    // ONE Spark job (eager checkpoint + count was two) — the loop's
+    // cost at test scale is fixed per-round overhead, not data
     var labels = edges.groupBy(col("u").as("doc_id"))
       .agg(least(min(col("v")), min(col("u"))).as("label"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var changed = 1L
     var round = 0
     while (changed > 0) {
@@ -353,7 +357,7 @@ object Dedup {
       })
         .select(col("doc_id"), col("new_label").as("label"),
           (col("new_label") < col("label")).as("improved"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = joined.filter(col("improved")).count()
       labels = joined.select(col("doc_id"), col("label"))
     }
