@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** s26: persisted SUBSTRING-CONTAINMENT index — q200's byte-granular
+  * machinery as a lake artifact, for the decontamination question a
+  * serving pipeline asks on every incoming batch: "does this document
+  * contain a verbatim run of ≥ minLen characters that already exists
+  * ANYWHERE in the fitted corpus?" (benchmark leakage, license
+  * boilerplate, copied passages — the signals token-level containment
+  * q143 sees only at window granularity). Fit once, then judge any
+  * later batch from the tables alone — no corpus scan.
+  *
+  * `fit` materializes two tables for index `name`, keyed on the
+  * 16-byte content digest `dg` (exact-dup collapse, the s12/s13
+  * convention):
+  *   - `<name>_sfp` (dg, pos, h), bucketed on h — each distinct
+  *     normalized text's WINNOWING fingerprints ([[Dedup.winnowChars]]:
+  *     every shared span ≥ minLen selects the same gram in both sides,
+  *     the q200 guarantee), ~2/w' of positions as 60-bit packed hashes;
+  *   - `<name>_texts` (dg, t), bucketed on dg — the normalized text
+  *     the EXACT extension verifies against (a substring index needs
+  *     its text, exactly as a suffix array does; candidates semi-join
+  *     this table bucket-pruned, so a probe reads candidate digests'
+  *     rows, never the table).
+  *
+  * `containment(batch, name)` emits one verdict row per batch doc:
+  * contained (some indexed text shares a verbatim span ≥ minLen —
+  * with the best match's digest, span length, and the doc's covered
+  * chars) or clean. Candidates come from the fingerprint equi-join
+  * (shuffle ∝ anchor collisions), collapse per (doc, match, DIAGONAL)
+  * so one aligned region costs one extension, and extensions verify
+  * exactly — a hash collision dies at the gram equality check.
+  *
+  * `append(docs, name)` registers newly admitted docs: not-yet-indexed
+  * digests re-derive fingerprints through the same kernel and append
+  * under each table's bucket spec — idempotent (replays anti-join to
+  * nothing), and fit(old) + append(new) ≡ fit(old ∪ new) because the
+  * fingerprints are pure functions of the text (no quantizer to
+  * freeze). */
+object SubstrIndex {
+
+  def sfpTable(name: String): String   = s"${name}_sfp"
+  def textsTable(name: String): String = s"${name}_texts"
+
+  /** local[32]-scaled default, same reasoning as the other indexes. */
+  val DefaultBuckets = 8
+
+  private def repTexts(docs: DataFrame): DataFrame =
+    docs.select(Dedup.normDigest.as("dg"),
+        lower(trim(col("text"))).as("t"))
+      .dropDuplicates("dg")
+
+  private def fingerprints(rep: DataFrame, minLen: Int,
+                           gram: Int): DataFrame = {
+    val spark = rep.sparkSession
+    import spark.implicits._
+    rep.select(col("dg"), col("t")).as[(String, String)]
+      .flatMap { case (dg, t) =>
+        Dedup.winnowChars(t, gram, minLen).map { case (pos, h) => (dg, pos, h) }
+      }
+      .toDF("dg", "pos", "h")
+  }
+
+  def fit(corpus: DataFrame, name: String,
+          buckets: Int = DefaultBuckets,
+          minLen: Int = Dedup.SubstrMinLen,
+          gram: Int = Dedup.SubstrGram): Unit = {
+    LakeLock.withWriter(corpus.sparkSession, name) {
+      val rep = repTexts(corpus)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        graft.sources.Sources.writeBucketed(
+          fingerprints(rep, minLen, gram), sfpTable(name), "h", buckets)
+        graft.sources.Sources.writeBucketed(
+          rep, textsTable(name), "dg", buckets)
+      } finally { rep.unpersist(); () }
+    }
+  }
+
+  /** Byte-granular containment verdicts for a batch against the fitted
+    * index — served from the tables alone. One row per batch doc:
+    * (doc_id, dg, status contained|clean, match_dg, max_len,
+    * covered_chars). */
+  def containment(batch: DataFrame, name: String,
+                  minLen: Int = Dedup.SubstrMinLen,
+                  gram: Int = Dedup.SubstrGram): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val batchRep = repTexts(batch)
+      .transform(graft.Pins.pin)
+    val fpB = fingerprints(batchRep, minLen, gram)
+    val cand = fpB.as("a")
+      .join(spark.table(sfpTable(name)).as("b"), col("a.h") === col("b.h"))
+      .select(col("a.dg").as("bdg"), col("b.dg").as("idg"),
+        col("a.pos").as("pos_b"), col("b.pos").as("pos_i"))
+    // a batch doc that IS an indexed text (same digest) is trivially
+    // contained end to end; the span machinery handles it like any
+    // other full-length match, no special case needed
+    val perDiag = cand
+      .groupBy(col("bdg"), col("idg"),
+        (col("pos_b") - col("pos_i")).as("diag"))
+      .agg(sort_array(collect_set(col("pos_b"))).as("anchors"))
+    val ti = spark.table(textsTable(name))
+      .select(col("dg").as("idg"), col("t").as("t_i"))
+    val spans = perDiag
+      .join(batchRep.select(col("dg").as("bdg"), col("t").as("t_b")), "bdg")
+      .join(ti, "idg")
+      .select(col("bdg"), col("idg"), col("diag"), col("anchors"),
+        col("t_b"), col("t_i"))
+      .as[(String, String, Int, Seq[Int], String, String)]
+      .flatMap { case (bdg, idg, diag, anchors, tB, tI) =>
+        val out = Seq.newBuilder[(String, String, Int, Int)]
+        var coveredTo = -1
+        anchors.foreach { pb =>
+          if (pb >= coveredTo) {
+            val pi = pb - diag
+            if (pi >= 0 && pi + gram <= tI.length && pb + gram <= tB.length &&
+                tB.substring(pb, pb + gram) == tI.substring(pi, pi + gram)) {
+              var lo = 0
+              while (pb - lo - 1 >= 0 && pi - lo - 1 >= 0 &&
+                tB.charAt(pb - lo - 1) == tI.charAt(pi - lo - 1)) lo += 1
+              var hi = 0
+              while (pb + gram + hi < tB.length && pi + gram + hi < tI.length &&
+                tB.charAt(pb + gram + hi) == tI.charAt(pi + gram + hi)) hi += 1
+              val start = pb - lo
+              val len = gram + lo + hi
+              coveredTo = start + len
+              if (len >= minLen) out += ((bdg, idg, start, len))
+            }
+          }
+        }
+        out.result()
+      }
+      .toDF("bdg", "idg", "start_b", "match_len")
+      .distinct()
+      .transform(graft.Pins.pin)
+    // covered chars per batch digest: interval union over all spans
+    // (any index side), the q201 walk
+    val covered = spans
+      .groupBy(col("bdg"))
+      .agg(sort_array(collect_list(
+        struct(col("start_b").as("s"),
+          (col("start_b") + col("match_len")).as("e")))).as("iv"))
+      .as[(String, Seq[(Int, Int)])]
+      .map { case (bdg, iv) =>
+        var tot = 0L; var cs = -1; var ce = -1
+        iv.foreach { case (s0, e0) =>
+          if (s0 > ce) { if (ce > cs) tot += ce - cs; cs = s0; ce = e0 }
+          else if (e0 > ce) ce = e0
+        }
+        if (ce > cs) tot += ce - cs
+        (bdg, tot)
+      }
+      .toDF("dg", "covered_chars")
+    // best match per batch digest: longest span, digest tie-break
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bdg"))
+      .orderBy(col("match_len").desc, col("idg"), col("start_b"))
+    val best = spans
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("bdg").as("dg"), col("idg").as("match_dg"),
+        col("match_len").as("max_len"))
+    batch.select(col("doc_id"), Dedup.normDigest.as("dg"))
+      .join(best, Seq("dg"), "left_outer")
+      .join(covered, Seq("dg"), "left_outer")
+      .na.fill(0L, Seq("covered_chars"))
+      .select(col("doc_id"), col("dg"),
+        when(col("match_dg").isNotNull, lit("contained"))
+          .otherwise(lit("clean")).as("status"),
+        col("match_dg"), coalesce(col("max_len"), lit(0)).as("max_len"),
+        col("covered_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Register newly admitted documents. Anti-join on the texts table's
+    * digest key makes replays no-op. */
+  def append(docs: DataFrame, name: String,
+             minLen: Int = Dedup.SubstrMinLen,
+             gram: Int = Dedup.SubstrGram): Unit = {
+    LakeLock.withWriter(docs.sparkSession, name) {
+      val spark = docs.sparkSession
+      val newRep = repTexts(docs)
+        .join(spark.table(textsTable(name)).select(col("dg")),
+          Seq("dg"), "left_anti")
+        .localCheckpoint() // the append WRITES the table the anti-join READ
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(textsTable(name)))
+      val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(DefaultBuckets)
+      fingerprints(newRep, minLen, gram)
+        .write.mode("append")
+        .bucketBy(buckets, "h").sortBy("h")
+        .format("parquet").saveAsTable(sfpTable(name))
+      newRep.write.mode("append")
+        .bucketBy(buckets, "dg").sortBy("dg")
+        .format("parquet").saveAsTable(textsTable(name))
+    }
+  }
+
+  def drop(spark: SparkSession, name: String): Unit =
+    Seq(sfpTable(name), textsTable(name))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+}
