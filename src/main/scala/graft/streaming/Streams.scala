@@ -711,6 +711,35 @@ object Streams {
       }
       .start()
 
+  /** st34: streaming SUBSTRING-DECONTAMINATION gate — the byte-
+    * granular twin of st15's trigram-overlap decontam, served from the
+    * s26 lake index: each micro-batch gets q200-exact containment
+    * verdicts against the fitted reference (benchmark suites, license
+    * pools), docs carrying a verbatim ≥ 64-char run of any reference
+    * text drop, the rest land in `outDir`. The reference is FIXED by
+    * fit (decontamination semantics — admitted docs are NOT appended:
+    * quoting an admitted doc is near-dup's job, st21), so replays are
+    * trivially idempotent on the index and the parquet sink dedups by
+    * the checkpoint as usual. */
+  def startSubstrDecontamGate(docs: DataFrame, indexName: String,
+                              outDir: String, checkpoint: String,
+                              minLen: Int = graft.operators.Dedup.SubstrMinLen)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val keep = graft.operators.SubstrIndex
+          .containment(batch, indexName, minLen)
+          .filter(col("status") === "clean")
+          .select(col("doc_id"))
+        batch.join(keep, Seq("doc_id"), "left_semi")
+          .write.mode("append").parquet(outDir)
+        graft.Pins.release()
+        ()
+      }
+      .start()
+
   /** st25: streaming URL-DEDUP gate — the crawl-frontier twin of st20,
     * keyed on the CANONICAL URL instead of the text digest: each
     * micro-batch normalizes its `url` column ([[graft.operators

@@ -537,6 +537,37 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st34 streaming substring-decontam gate drops byte-granular quotes of the reference") {
+    val blockA = "this benchmark passage is long enough to trip the sixty four char floor"
+    val blockB = "a second distinct reference passage also comfortably past the floor!!"
+    val reference = Seq((1L, "ref wrapper " + blockA + " more ref"),
+      (2L, blockB)).toDF("doc_id", "text")
+    graft.operators.SubstrIndex.drop(spark, "graft_st34ix")
+    graft.operators.SubstrIndex.fit(reference, "graft_st34ix")
+    val ms = MemoryStream[(Long, String)]
+    val df = ms.toDF().toDF("doc_id", "text")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-st34").toString + "/out"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-st34-ck").toString
+    val q = Streams.startSubstrDecontamGate(df, "graft_st34ix", outDir, ckpt)
+    try {
+      ms.addData(
+        (10L, "quotes the benchmark: " + blockA.toUpperCase + " mid-doc"), // dropped
+        (11L, "totally novel writing sharing nothing with the reference"), // kept
+        (12L, "short quote: sixty four char floor only"))                  // < 64 shared → kept
+      q.processAllAvailable()
+      ms.addData((13L, "later batch splicing " + blockB + " verbatim"))    // dropped
+      q.processAllAvailable()
+      val kept = spark.read.parquet(outDir)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(kept == Set(11L, 12L), kept)
+    } finally {
+      q.stop()
+      graft.operators.SubstrIndex.drop(spark, "graft_st34ix")
+    }
+  }
+
   test("st16 streaming DSIR gate keeps target-like docs, bit parity with batch") {
     // reference: target source speaks 'alpha', the raw web speaks 'beta'
     val ref = Seq(
