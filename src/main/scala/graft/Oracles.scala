@@ -226,6 +226,21 @@ object Oracles {
   }
 
   /** q41's SQL, shared verbatim by the q64 cluster oracle's pair CTE. */
+  private val Q44Sql =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(v, x -> x*x)), (a,b) -> a+b)) AS norm FROM e),
+         p AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1,65), i -> q.v[i]*c.v[i])), (a,b) -> a+b)
+             / (q.norm * c.norm) AS cos
+           FROM n q JOIN n c ON q.vec_id <> c.vec_id WHERE q.vec_id < 20),
+         r AS (SELECT qid, nid, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rk
+           FROM p)
+         SELECT qid, nid, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk"""
+
   private val Q95Sql =
     """WITH toks AS (SELECT source, string_split(lower(trim(text)), ' ') AS w
            FROM documents),
@@ -1014,20 +1029,22 @@ object Oracles {
            AND clean_tokens >= 5
          ORDER BY doc_id""",
 
-    "q44_ann_cosine_topk" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         n AS (SELECT vec_id, v,
-           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list_transform(v, x -> x*x)), (a,b) -> a+b)) AS norm FROM e),
-         p AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
-           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list_transform(range(1,65), i -> q.v[i]*c.v[i])), (a,b) -> a+b)
-             / (q.norm * c.norm) AS cos
-           FROM n q JOIN n c ON q.vec_id <> c.vec_id WHERE q.vec_id < 20),
-         r AS (SELECT qid, nid, cos,
-           CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rk
-           FROM p)
-         SELECT qid, nid, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""",
+    "q44_ann_cosine_topk" -> Q44Sql,
+
+    // q193's recall numerators are hyperplane/centroid-dependent, but
+    // the REPORT's deterministic half is portable: the panel size and
+    // truth-pair count come from the oracle-exact q44 plan, and the
+    // spec'd recall floors (lsh >= 0.5, ivf >= 0.6) become predicted-
+    // TRUE verdicts — an index whose recall degrades below its floor
+    // is now a hash mismatch, not a silent quality loss
+    "q193_ann_recall" ->
+      s"""WITH topk AS ($Q44Sql),
+         t AS (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries,
+                      CAST(COUNT(*) AS BIGINT) AS n_truth FROM topk)
+         SELECT 'ivf' AS method, n_queries, n_truth, TRUE AS floor_ok FROM t
+         UNION ALL
+         SELECT 'lsh' AS method, n_queries, n_truth, TRUE AS floor_ok FROM t
+         ORDER BY method""",
 
     "q82_ann_search_exact" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

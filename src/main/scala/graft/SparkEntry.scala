@@ -363,7 +363,7 @@ object SparkEntry {
     "q190_vocab_coverage"      -> ((s, d) => TextAnalysis.q190(documents(s, d))),
     "q191_cluster_purity"      -> ((s, d) => KMeans.q191(embeddings(s, d))),
     "q192_cluster_nmi"         -> ((s, d) => KMeans.q192(embeddings(s, d))),
-    "q193_ann_recall"          -> ((s, d) => Similarity.q193(embeddings(s, d))),
+    "q193_ann_recall"          -> ((s, d) => Similarity.q193Driver(embeddings(s, d))),
     "q194_burstiness"          -> ((s, d) => TextAnalysis.q194(documents(s, d))),
     "q195_assortativity"       -> ((s, d) => Graphs.q195(documents(s, d))),
     "q196_cond_entropy"        -> ((s, d) => TextAnalysis.q196(documents(s, d))),

@@ -206,3 +206,35 @@ object ModelPredict {
   def apply(c: Column, model: LinearModel): Column =
     ColumnBridge.column(ModelPredict(ColumnBridge.expression(c), model))
 }
+
+/** The score variant: text → the model's score for one class as a
+  * double — the REGRESSION/quality shape (a 1-class model over the
+  * fn04 bucket hash is exactly q104's scorer class, now with loadable
+  * weights instead of the derived hash weights). Same broadcast and
+  * codegen story as [[ModelPredict]]. */
+case class ModelScore(child: Expression, model: LinearModel, classIdx: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(classIdx >= 0 && classIdx < model.classes.length,
+    s"classIdx $classIdx out of range for ${model.classes.length} classes")
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_model_score"
+  override def inputTypes = Seq(StringType)
+
+  override def nullSafeEval(input: Any): Any =
+    model.scores(input.asInstanceOf[UTF8String].toString)(classIdx)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("graftLinearModel", model,
+      classOf[LinearModel].getName)
+    defineCodeGen(ctx, ev, c => s"$m.scores($c.toString())[$classIdx]")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ModelScore =
+    copy(child = newChild)
+}
+
+object ModelScore {
+  def apply(c: Column, model: LinearModel, classIdx: Int = 0): Column =
+    ColumnBridge.column(ModelScore(ColumnBridge.expression(c), model, classIdx))
+}

@@ -1323,4 +1323,19 @@ object Similarity {
       .unionByName(recallOf(q55(embeddings), "ivf"))
       .orderBy(col("method"))
   }
+
+  /** Driver-facing RECONCILIATION of [[q193]] — the q147 projection
+    * trick on the recall report: the panel size and truth-pair count
+    * are deterministic (the oracle computes them from the exact q44
+    * plan), and the spec'd per-method recall floors (lsh ≥ 0.5,
+    * ivf ≥ 0.6) become predicted-TRUE verdicts. An index refit that
+    * silently degrades recall below its floor is a HASH mismatch at
+    * the gate. The full numeric report stays [[q193]]. */
+  def q193Driver(embeddings: DataFrame): DataFrame =
+    q193(embeddings)
+      .select(col("method"), col("n_queries"), col("n_truth"),
+        (col("recall_at_5") >=
+          when(col("method") === "lsh", lit(0.5)).otherwise(lit(0.6)))
+          .as("floor_ok"))
+      .orderBy(col("method"))
 }

@@ -336,6 +336,30 @@ class FunctionsSpec extends GraftSpec {
     assert(r.codegenSpans >= 1, r)
   }
 
+  test("fn07 ModelScore: loadable-weights quality scoring, codegen == hand fold") {
+    import graft.functions.{LinearModel, ModelScore}
+    // 1-class "quality" model: one positive and one negative marker
+    val mod = 1000000007L
+    def th(t: String): Long = t.foldLeft(0L)((h, c) => (h * 31 + c) % mod)
+    val rows = new java.util.HashMap[java.lang.Long, Array[Float]]()
+    rows.put(th("good") % (1L << 20), Array(2.0f))
+    rows.put(th("bad") % (1L << 20), Array(-3.0f))
+    val m = new LinearModel(Array("quality"), 1L << 20, false,
+      Array(0.5f), rows)
+    // hand fold: bias + mean of per-token weights
+    assert(m.scores("good good bad")(0) == 0.5 + (2.0 + 2.0 - 3.0) / 3.0)
+    assert(m.scores("neutral words only")(0) == 0.5)
+    // codegen path over a DataFrame equals the eval path
+    import spark.implicits._
+    val df = Seq((1L, "good good bad"), (2L, "bad bad bad"),
+      (3L, "neutral words only")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", ModelScore($"text", m).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == m.scores("good good bad")(0))
+    assert(got(2L) == m.scores("bad bad bad")(0))
+    assert(got(3L) == 0.5)
+  }
+
   test("fn07 bigram features separate word order a unigram model cannot") {
     import graft.functions.LinearModel
     // hand-built: one bigram feature 'new york' with weight toward
