@@ -116,6 +116,27 @@ class PlanBudgetSpec extends GraftSpec {
     graft.Pins.release()
   }
 
+  test("q197 audio sampling: repartition + output sort are the only exchanges") {
+    val r = PlanReport.analyze(graft.operators.Multimodal.q197AudioSample(
+      spark, Tables.documents(spark, SF)))
+    // payloads never shuffle: the codec repartition carries (id, text),
+    // the output sort carries scalar window rows — nothing else
+    assert(r.exchanges <= 3, r)
+    assert(r.broadcastJoins + r.sortMergeJoins == 0, r)
+  }
+
+  test("q200 substring report: bounded exchanges, top-k as a bounded heap") {
+    val df = graft.operators.Dedup.q200(Tables.documents(spark, SF))
+    val plan = formattedPlan(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q200 top-k lost the bounded-heap plan:\n$plan")
+    val r = PlanReport.analyze(df)
+    // fingerprint join + diagonal group + two text joins + codec
+    // repartition: the span machinery must stay in single digits
+    assert(r.exchanges <= 10, r)
+    graft.Pins.release()
+  }
+
   test("graph round above the broadcast node threshold: no node-table broadcast") {
     // emulate a graph too big to broadcast: hints off (useBcast=false)
     // AND size-estimation broadcast disabled — the static plan must
