@@ -225,9 +225,13 @@ object Oracles {
        $p AS (SELECT $c${sel(i => s"CAST(${g(i, "k")} AS DOUBLE)*$LnHi + (CAST(${g(i, "k")} AS DOUBLE)*$LnLo + 2.0*(${g(i, "t")}*(${lnHorner(g(i, "t2"))}))) AS ${ins(i)._2}")} FROM ${p}_l7)"""
   }
 
-  /** q41's SQL, shared verbatim by the q64 cluster oracle's pair CTE. */
+  /** q41's SQL, shared verbatim by the q64 cluster oracle's pair CTE.
+    * The query panel bound interpolates from [[operators.Similarity
+    * .QueryPanel]] — one definition on both engines (changing the
+    * panel size on the Spark side alone can no longer silently desync
+    * the oracle). */
   private val Q44Sql =
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          n AS (SELECT vec_id, v,
            sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              list_transform(v, x -> x*x)), (a,b) -> a+b)) AS norm FROM e),
@@ -235,7 +239,8 @@ object Oracles {
            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              list_transform(range(1,65), i -> q.v[i]*c.v[i])), (a,b) -> a+b)
              / (q.norm * c.norm) AS cos
-           FROM n q JOIN n c ON q.vec_id <> c.vec_id WHERE q.vec_id < 20),
+           FROM n q JOIN n c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < ${operators.Similarity.QueryPanel}),
          r AS (SELECT qid, nid, cos,
            CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rk
            FROM p)
@@ -994,6 +999,22 @@ object Oracles {
                 TRUE AS volume_ok, TRUE AS share_bounds_ok
          FROM sh""",
 
+    // winnowChars emits >= 1 fingerprint for every normalized text of
+    // >= gram chars, so distinct fingerprinted reps == distinct
+    // normalized texts with length >= gram — the independent DuckDB
+    // count; the verdict flags are predicted-TRUE (q112Driver pattern).
+    // gram/minLen interpolate from the Dedup constants (one definition
+    // on both engines)
+    "q202_winnow_skew" ->
+      s"""WITH reps AS (SELECT DISTINCT lower(trim(text)) AS t FROM documents),
+         e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM reps
+               WHERE length(t) >= ${operators.Dedup.SubstrGram})
+         SELECT CAST(${operators.Dedup.SubstrGram} AS BIGINT) AS gram,
+                CAST(${operators.Dedup.SubstrMinLen} AS BIGINT) AS min_len,
+                n AS n_reps_eligible, n AS n_docs_fingerprinted,
+                TRUE AS coverage_ok, TRUE AS share_bounds_ok
+         FROM e""",
+
     // same pair set as q41, collapsed to connected components: the
     // recursive transitive closure mirrors graft's iterative min-label
     // propagation exactly (both converge to min id per component)
@@ -1034,20 +1055,22 @@ object Oracles {
     // q193's recall numerators are hyperplane/centroid-dependent, but
     // the REPORT's deterministic half is portable: the panel size and
     // truth-pair count come from the oracle-exact q44 plan, and the
-    // spec'd recall floors (lsh >= 0.5, ivf >= 0.6) become predicted-
-    // TRUE verdicts — an index whose recall degrades below its floor
-    // is now a hash mismatch, not a silent quality loss
+    // Similarity.RecallFloors per-method floors become predicted-TRUE
+    // verdicts — an index whose recall degrades below its floor is now
+    // a hash mismatch, not a silent quality loss. The method list
+    // interpolates from RecallFloors (one definition on both engines;
+    // r15 extended it to all five serving paths)
     "q193_ann_recall" ->
       s"""WITH topk AS ($Q44Sql),
          t AS (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries,
-                      CAST(COUNT(*) AS BIGINT) AS n_truth FROM topk)
-         SELECT 'ivf' AS method, n_queries, n_truth, TRUE AS floor_ok FROM t
-         UNION ALL
-         SELECT 'lsh' AS method, n_queries, n_truth, TRUE AS floor_ok FROM t
+                      CAST(COUNT(*) AS BIGINT) AS n_truth FROM topk),
+         m AS (SELECT * FROM (VALUES ${operators.Similarity.RecallFloors
+             .keys.toSeq.sorted.map(k => s"('$k')").mkString(", ")}) v(method))
+         SELECT m.method, n_queries, n_truth, TRUE AS floor_ok FROM m, t
          ORDER BY method""",
 
     "q82_ann_search_exact" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          n AS (SELECT vec_id, v,
            sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              list_transform(v, x -> x*x)), (a,b) -> a+b)) AS norm FROM e),
@@ -1055,7 +1078,8 @@ object Oracles {
            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              list_transform(range(1,65), i -> q.v[i]*c.v[i])), (a,b) -> a+b)
              / (q.norm * c.norm) AS cos
-           FROM n q JOIN n c ON c.vec_id >= 20 WHERE q.vec_id < 20),
+           FROM n q JOIN n c ON c.vec_id >= ${operators.Similarity.QueryPanel}
+           WHERE q.vec_id < ${operators.Similarity.QueryPanel}),
          r AS (SELECT qid, nid, cos,
            CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rk
            FROM p)

@@ -371,7 +371,9 @@ object SparkEntry {
     "q198_audio_neardup"       -> ((s, d) => Multimodal.q198AudioNeardup(s, documents(s, d))),
     "q199_model_langid"        -> ((s, d) => TextAnalysis.q199(documents(s, d))),
     "q200_substring_dedup"     -> ((s, d) => Dedup.q200(documents(s, d))),
-    "q201_substr_coverage"     -> ((s, d) => Dedup.q201(documents(s, d)))
+    "q201_substr_coverage"     -> ((s, d) => Dedup.q201(documents(s, d))),
+    "q202_winnow_skew"         -> ((s, d) => Dedup.q202Driver(documents(s, d))),
+    "q203_substr_scrub"        -> ((s, d) => Dedup.q203(documents(s, d)))
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

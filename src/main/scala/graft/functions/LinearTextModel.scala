@@ -94,6 +94,191 @@ object LinearModel {
   private final val Mod = 1000000007L
   private final val Header = "graft-linear-v1"
 
+  /** The feature-bucket sequence [[LinearModel.scores]] feeds, as data
+    * — the SAME walk (trim/lower, ' '-split with empty tokens, rolling
+    * 31-hash, optional bigrams), factored so the trainer consumes
+    * exactly the features inference will see (training under a
+    * different tokenization is the classic silent model killer; the
+    * parity spec pins this walk == scores()). Duplicate occurrences
+    * repeat in the output — scores() feeds per occurrence. */
+  private[graft] def featureBuckets(text: String, buckets: Long,
+                                    useBigrams: Boolean): Array[Long] = {
+    val str = text.trim.toLowerCase
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var h = 0L
+    var prev = -1L
+    def endToken(): Unit = {
+      out += h % buckets
+      if (useBigrams && prev >= 0) out += (prev * 31 + h) % Mod % buckets
+      prev = h
+      h = 0L
+    }
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      if (cp == ' ') endToken()
+      else h = (h * 31 + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    endToken()
+    out.toArray
+  }
+
+  /** Fixed-point scale for distributed gradient accumulation: per-doc
+    * contributions round to longs at 1e8 BEFORE the cross-partition
+    * sum, so the aggregate is an integer sum — bit-identical under any
+    * partitioning or accumulation order (the q46/q72 long-scaling
+    * discipline applied to training). */
+  private final val GradScale = 1.0e8
+
+  /** fn07 TRAINER: distributed full-batch softmax regression over the
+    * [[featureBuckets]] hashed features — the missing leg of the model
+    * story (inference, save/load, and the q47-lexicon compilation
+    * existed; nothing in-engine FIT weights). Full-batch gradient
+    * descent rather than SGD, deliberately: the gradient is a SUM over
+    * documents, so each iteration is one map-side-combined aggregation
+    * (order-free by the fixed-point trick above) and the fitted
+    * weights are DETERMINISTIC for a given (corpus, knobs) on any
+    * cluster layout — SGD's sequential dependence on visit order is
+    * exactly what cannot be reproduced distributed. Epochs cost one
+    * corpus pass each; the model state (buckets×classes floats) lives
+    * on the driver and broadcasts per iteration — the same memory
+    * class as the inference broadcast.
+    *
+    * Features are mean-of-bucket-rows, matching [[LinearModel.scores]]
+    * exactly; labels come from any string column. Returns a model
+    * whose [[save]]/[[load]] round-trip is the production weights
+    * format (q199's upgrade path, now closable in-engine). */
+  def fit(df: org.apache.spark.sql.DataFrame, textCol: String,
+          labelCol: String, buckets: Long = 1L << 17,
+          useBigrams: Boolean = false, iters: Int = 200,
+          lr: Double = 4.0, l2: Double = 0.0): LinearModel = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val data = df
+      .select(df.col(textCol).cast("string"), df.col(labelCol).cast("string"))
+      .as[(String, String)]
+    val classes = data.map(_._2).distinct().collect().sorted
+    require(classes.nonEmpty, "fit: no rows / labels")
+    val k = classes.length
+    val classIdx = classes.zipWithIndex.toMap
+    // one tokenization pass, reused every epoch
+    val feats = data
+      .map { case (t, l) => (featureBuckets(t, buckets, useBigrams),
+        classIdx(l)) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = feats.count().toDouble
+      var bias = new Array[Float](k)
+      var rows = new java.util.HashMap[java.lang.Long, Array[Float]]()
+      // AdaGrad accumulators (driver-side, hence deterministic): a
+      // single global step size cannot serve both ends of a Zipfian
+      // feature distribution — stopword buckets see gradients orders
+      // of magnitude larger than the rare marker buckets that carry
+      // the signal, so plain GD either oscillates on the former or
+      // starves the latter (measured: ≤ 0.38 held-out agreement at
+      // any fixed lr). Per-coordinate sqrt-normalization fixes the
+      // conditioning (Duchi et al. '11).
+      val gsqBias = new Array[Double](k)
+      val gsqRows = new java.util.HashMap[java.lang.Long, Array[Double]]()
+      var it = 0
+      while (it < iters) {
+        val bcB = spark.sparkContext.broadcast(bias)
+        val bcW = spark.sparkContext.broadcast(rows)
+        // per-partition (bucket -> long grads, bias long grads), merged
+        // associatively — one aggregation job per epoch
+        val zero = (new java.util.HashMap[java.lang.Long, Array[Long]](),
+          new Array[Long](k))
+        def seqOp(acc: (java.util.HashMap[java.lang.Long, Array[Long]], Array[Long]),
+                  doc: (Array[Long], Int)) = {
+          val (fb, y) = doc
+          val w = bcW.value
+          // accumulate-then-divide-once, mirroring scores() exactly
+          val acc0 = new Array[Double](k)
+          var i = 0
+          while (i < fb.length) {
+            val row = w.get(fb(i))
+            if (row != null) {
+              var cc = 0
+              while (cc < k) { acc0(cc) += row(cc); cc += 1 }
+            }
+            i += 1
+          }
+          val s = new Array[Double](k)
+          var c = 0
+          while (c < k) {
+            s(c) = bcB.value(c) + acc0(c) / fb.length; c += 1
+          }
+          // softmax (max-shifted) → err = p - onehot(y)
+          var mx = s(0); c = 1
+          while (c < k) { if (s(c) > mx) mx = s(c); c += 1 }
+          var z = 0.0; c = 0
+          while (c < k) { s(c) = math.exp(s(c) - mx); z += s(c); c += 1 }
+          c = 0
+          while (c < k) {
+            s(c) = s(c) / z - (if (c == y) 1.0 else 0.0)
+            acc._2(c) += math.round(s(c) * GradScale)
+            c += 1
+          }
+          i = 0
+          while (i < fb.length) {
+            val g = acc._1.computeIfAbsent(fb(i), _ => new Array[Long](k))
+            c = 0
+            while (c < k) {
+              g(c) += math.round(s(c) / fb.length * GradScale); c += 1
+            }
+            i += 1
+          }
+          acc
+        }
+        def combOp(a: (java.util.HashMap[java.lang.Long, Array[Long]], Array[Long]),
+                   b: (java.util.HashMap[java.lang.Long, Array[Long]], Array[Long])) = {
+          b._1.forEach { (bkt, g) =>
+            val t = a._1.computeIfAbsent(bkt, _ => new Array[Long](k))
+            var c = 0
+            while (c < k) { t(c) += g(c); c += 1 }
+          }
+          var c = 0
+          while (c < k) { a._2(c) += b._2(c); c += 1 }
+          a
+        }
+        val (gradW, gradB) = feats.rdd.treeAggregate(zero)(seqOp, combOp)
+        val nextBias = new Array[Float](k)
+        var c = 0
+        while (c < k) {
+          val g = (gradB(c) / GradScale) / n
+          gsqBias(c) += g * g
+          nextBias(c) =
+            (bias(c) - lr * g / (math.sqrt(gsqBias(c)) + 1e-10)).toFloat
+          c += 1
+        }
+        val nextRows = new java.util.HashMap[java.lang.Long, Array[Float]]()
+        rows.forEach { (bkt, w) => nextRows.put(bkt, w.clone()) }
+        gradW.forEach { (bkt, g) =>
+          val w = nextRows.computeIfAbsent(bkt, _ => new Array[Float](k))
+          val gs = gsqRows.computeIfAbsent(bkt, _ => new Array[Double](k))
+          var cc = 0
+          while (cc < k) {
+            // l2 is a knob, default OFF: on the q47 weak-label task it
+            // measured strictly worse (1e-4 → −0.02 held-out, 1e-2 →
+            // collapse) — the rare marker features that carry the
+            // signal decay as fast as the memorization features
+            val gg = (g(cc) / GradScale) / n + l2 * w(cc)
+            gs(cc) += gg * gg
+            w(cc) = (w(cc) - lr * gg / (math.sqrt(gs(cc)) + 1e-10)).toFloat
+            cc += 1
+          }
+        }
+        bias = nextBias
+        rows = nextRows
+        bcB.destroy(); bcW.destroy()
+        it += 1
+      }
+      new LinearModel(classes, buckets, useBigrams, bias, rows)
+    } finally { feats.unpersist(); () }
+  }
+
   private def tokenHash(tok: String): Long = {
     var h = 0L
     var i = 0
@@ -129,7 +314,16 @@ object LinearModel {
   /** Line-oriented weights-file format (human-diffable, store-agnostic
     * via the Hadoop FS API — same transport as the lake manifests):
     * header, classes, buckets, bigram flag, bias row, then one sparse
-    * `w,<bucket>,<w_c0>,<w_c1>,…` row per non-zero bucket. */
+    * `w,<bucket>,<w_c0>,<w_c1>,…` row per non-zero bucket.
+    *
+    * TOKENIZATION CAVEAT for externally trained weights: inference
+    * mirrors `split(lower(trim(text)), " ")` exactly (the q47/fn04
+    * contract), so CONSECUTIVE spaces produce empty tokens that hash
+    * to h=0 and feed bucket 0 — a model trained under a tokenizer
+    * that collapses whitespace runs (fastText's default) will see an
+    * extra bucket-0 feature per run on multi-space documents. Either
+    * train under the same split contract, or pre-normalize whitespace
+    * (q54) upstream of both training and inference. */
   def save(spark: SparkSession, path: String, m: LinearModel): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

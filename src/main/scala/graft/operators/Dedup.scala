@@ -1566,6 +1566,13 @@ object Dedup {
     * the exact extension verify regardless). Emits (pos, packed). */
   private[graft] def winnowChars(text: String, gram: Int, minLen: Int)
       : Seq[(Int, Long)] = {
+    // win = minLen - gram + 1 must be >= 1: below that the window loop
+    // would run past the gram-hash array (and the detection guarantee
+    // t = w + w' - 1 is vacuous anyway). Checked HERE so every public
+    // entry (q200/q201/q202/SubstrIndex) inherits the guard.
+    require(minLen >= gram,
+      s"minLen ($minLen) must be >= gram ($gram): winnowing window " +
+        "w' = minLen - gram + 1 needs at least one gram")
     val n = text.length
     if (n < gram) return Nil
     val P1 = 1000000007L; val B1 = 31L
@@ -1652,23 +1659,41 @@ object Dedup {
     *
     * Scale: stage-1 shuffle is fingerprint-sized (~2·bytes/w'); the
     * candidate join is the usual blocking-join shape (boilerplate
-    * shared by m docs costs its pair expansion — run q112/q123-style
-    * pre-flight on fingerprint buckets for skew); verify ships text
-    * only for candidate diagonals. rows-only: a cross-doc maximal-
-    * substring table is not portable SQL — the spec brute-forces
-    * parity on the real corpus. */
+    * shared by m docs costs its pair expansion — [[q202]] is the
+    * mandatory pre-flight that names the heavy fingerprint buckets
+    * BEFORE a 100 TB run); verify ships text only for candidate
+    * diagonals. `dfCap > 0` drops fingerprint hashes carried by more
+    * than dfCap reps from candidate generation (Lee et al.'s own
+    * hot-gram mitigation): a corpus-wide license header or nav-chrome
+    * gram otherwise puts every carrier in one bucket and the join
+    * goes quadratic in carriers. Spans anchored ONLY by capped grams
+    * are forgone, knowingly — the q202 report says which grams those
+    * are and how many carriers they have. rows-only: a cross-doc
+    * maximal-substring table is not portable SQL — the spec
+    * brute-forces parity on the real corpus. */
   def q200(documents: DataFrame, minLen: Int = SubstrMinLen,
-           gram: Int = SubstrGram, topK: Int = 50): DataFrame =
-    substringSpans(documents, minLen, gram)._1
+           gram: Int = SubstrGram, topK: Int = 50,
+           dfCap: Int = 0): DataFrame =
+    substringSpans(documents, minLen, gram, dfCap)._1
+      // start_b completes the total order: a passage REPEATED inside
+      // doc_b yields the same (pair, start_a, match_len) at two
+      // start_b values, and without it rows at the limit() boundary
+      // could differ across runs
       .orderBy(col("match_len").desc, col("doc_a"), col("doc_b"),
-        col("start_a"))
+        col("start_a"), col("start_b"))
       .limit(topK)
 
   /** Rep-level verified span frame (doc_a, doc_b, start_a, start_b,
     * match_len, excerpt) + the members map — shared by the q200 report
     * and the q201 coverage rollup. */
   private[graft] def substringSpans(documents: DataFrame, minLen: Int,
-                                    gram: Int): (DataFrame, DataFrame) = {
+                                    gram: Int, dfCap: Int = 0)
+      : (DataFrame, DataFrame) = {
+    // eager twin of the winnowChars guard: the kernel's own require
+    // only fires inside the executor flatMap — catch the bad knob at
+    // plan-build time instead
+    require(minLen >= gram,
+      s"minLen ($minLen) must be >= gram ($gram)")
     val spark = documents.sparkSession
     import spark.implicits._
     // exact-dup collapse (the round-8 q41/q93 discipline): a clique of
@@ -1679,11 +1704,22 @@ object Dedup {
     val norm = reps
       .select(col("doc_id"), lower(trim(col("text"))).as("t"))
       .transform(graft.Pins.pin)
-    val fps = norm.as[(Long, String)]
+    val fpsAll = norm.as[(Long, String)]
       .flatMap { case (id, t) =>
         winnowChars(t, gram, minLen).map { case (pos, h) => (id, pos, h) }
       }
       .toDF("doc_id", "pos", "h")
+    // hot-gram cap (see q200 scaladoc): the document-frequency rollup
+    // is one partial-aggregated shuffle over 8-byte hashes, the same
+    // exchange class as the candidate join it protects
+    val fps =
+      if (dfCap <= 0) fpsAll
+      else fpsAll.join(
+        fpsAll.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") > dfCap)
+          .select(col("h")),
+        Seq("h"), "left_anti")
     val cands = fps.as("a")
       .join(fps.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -1744,10 +1780,10 @@ object Dedup {
     * union walk is per-doc over its own spans, and the only new
     * exchanges are doc_id-keyed. rows-only like q200. */
   def q201(documents: DataFrame, minLen: Int = SubstrMinLen,
-           gram: Int = SubstrGram): DataFrame = {
+           gram: Int = SubstrGram, dfCap: Int = 0): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val (spans, members) = substringSpans(documents, minLen, gram)
+    val (spans, members) = substringSpans(documents, minLen, gram, dfCap)
     // both endpoints of a span carry coverage
     val sides = spans
       .select(col("doc_a").as("rep"), col("start_a").as("s"),
@@ -1778,6 +1814,178 @@ object Dedup {
       .select(col("doc_id"), col("n_chars"), col("covered_chars"),
         (col("covered_chars").cast("double") /
           greatest(col("n_chars"), lit(1L)).cast("double")).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q202: WINNOWING-FINGERPRINT blocking-skew pre-flight — the
+    * q112/q123 discipline applied to the THIRD blocking family, the
+    * q200/s26 fingerprint equi-join: every blocking self-join gets a
+    * heavy-bucket report before a 100 TB run, because exact-dup
+    * collapse cannot absorb near-identical CARRIERS — a corpus-wide
+    * boilerplate 16-gram (license header, nav chrome) that winnowing
+    * selects in m distinct reps puts all m in one fingerprint bucket,
+    * and the candidate join contributes up to C(rows, 2) pairs for
+    * that bucket alone. The report names the heaviest buckets with
+    * their carrier count (distinct reps), row count (a rep can anchor
+    * the same hash at several positions), share of all fingerprint
+    * rows, and the C(rows, 2) candidate ceiling — so the corpus side
+    * can be pre-filtered (q101 boilerplate, q119 span scrub) or the
+    * gram capped (`dfCap` on [[q200]]/[[SubstrIndex.fit]], Lee et
+    * al.'s mitigation) BEFORE the join goes quadratic, not after.
+    * Plan shape: the fingerprint flatMap (q200 stage 1), one
+    * partial-aggregated rollup on the 8-byte hash, broadcast total,
+    * top-k. */
+  def q202(documents: DataFrame, minLen: Int = SubstrMinLen,
+           gram: Int = SubstrGram, topK: Int = 10): DataFrame = {
+    require(minLen >= gram,
+      s"minLen ($minLen) must be >= gram ($gram)")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val (reps, _) = exactReps(documents)
+    val fps = reps
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        winnowChars(t, gram, minLen).map { case (pos, h) => (id, pos, h) }
+      }
+      .toDF("doc_id", "pos", "h")
+    val perBucket = fps
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("carrier_docs"),
+        count(lit(1)).as("bucket_rows"))
+    val total = perBucket.agg(sum(col("bucket_rows")).as("total_rows"))
+    perBucket.crossJoin(broadcast(total))
+      .select(col("h"), col("carrier_docs"), col("bucket_rows"),
+        (col("bucket_rows").cast("double") / col("total_rows")).as("share"),
+        // integer `div`, not Divide — the q112 exactness rationale
+        expr("bucket_rows * (bucket_rows - 1) div 2").cast("long")
+          .as("cand_pairs"))
+      .orderBy(col("bucket_rows").desc, col("carrier_docs").desc, col("h"))
+      .limit(topK)
+  }
+
+  /** Driver-facing RECONCILIATION of [[q202]] — the q112Driver trick
+    * on the winnowing machinery: [[winnowChars]] emits AT LEAST one
+    * fingerprint for every text of ≥ `gram` chars (the short-doc
+    * branch emits exactly one; the window loop at least one), so the
+    * count of distinct fingerprinted reps must equal the count of
+    * distinct normalized texts with length ≥ gram — computed
+    * INDEPENDENTLY on both engines. A kernel bug that silently drops
+    * a doc's fingerprints (voiding the q200/s26 detection guarantee
+    * for that doc) is now a hash mismatch at the gate; the top-k
+    * report itself stays [[q202]] (hash-valued buckets, spec-checked). */
+  def q202Driver(documents: DataFrame, minLen: Int = SubstrMinLen,
+                 gram: Int = SubstrGram): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val (reps, _) = exactReps(documents)
+    val norm = reps
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .transform(graft.Pins.pin)
+    val eligible = norm
+      .filter(length(col("t")) >= gram)
+      .agg(count(lit(1)).cast("long").as("n_reps_eligible"))
+    val fingerprinted = norm.as[(Long, String)]
+      .flatMap { case (id, t) =>
+        winnowChars(t, gram, minLen).map { case (pos, h) => (id, pos, h) }
+      }
+      .toDF("doc_id", "pos", "h")
+      .agg(countDistinct(col("doc_id")).cast("long")
+        .as("n_docs_fingerprinted"))
+    val bounds = q202(documents, minLen, gram)
+      .agg(max(col("share")).as("mx"), min(col("share")).as("mn"))
+    eligible.crossJoin(broadcast(fingerprinted)).crossJoin(broadcast(bounds))
+      .select(lit(gram.toLong).as("gram"), lit(minLen.toLong).as("min_len"),
+        col("n_reps_eligible"), col("n_docs_fingerprinted"),
+        (col("n_reps_eligible") === col("n_docs_fingerprinted"))
+          .as("coverage_ok"),
+        (col("mx") <= lit(1.0) && col("mn") > lit(0.0))
+          .as("share_bounds_ok"))
+  }
+
+  /** q203: BYTE-GRANULAR substring SCRUB — the missing rewrite half of
+    * the q200 family: q119 REMOVES repeated spans at k-token
+    * granularity, q200 DETECTS at byte granularity, and this operator
+    * closes the square by removing at byte granularity — Lee et al.'s
+    * actual ExactSubstr treatment (they delete the repeated bytes, not
+    * the documents). Composition: [[substringSpans]]'s verified span
+    * frame → per-document interval union (the q201 walk) → cut the
+    * covered character ranges out of the NORMALIZED text, merging
+    * overlaps so a character cut by two spans is cut once.
+    *
+    * `keepFirst` (default true, the Lee et al. semantics): each span
+    * is cut only from its doc_b side, so shared content survives in
+    * exactly one place — the globally smallest-id carrier (any doc
+    * that is doc_b in SOME pair for that content loses it; the
+    * minimal carrier is never doc_b for it). `keepFirst = false` cuts
+    * both sides — the decontamination stance where NO copy may
+    * survive. Either way a re-run of [[q200]] on the scrubbed output
+    * reports no cross-document span ≥ minLen (the spec's closure
+    * check), modulo spans newly CREATED by cut seams — text that was
+    * ≥ minLen-distant before scrubbing becoming adjacent — which the
+    * kernel does not chase (Lee et al.'s choice too; a second pass
+    * converges if a pipeline cares).
+    *
+    * Exact-dup clique members inherit their rep's cuts through the
+    * members map (byte-identical normalized texts carry identical
+    * spans). Output: (doc_id, text [scrubbed normalized], n_chars,
+    * cut_chars) — the `text` column feeds any downstream stage
+    * ([[Pipeline.cleanCorpus]]'s `scrubBytes`).
+    *
+    * Scale: spans/cuts are pair-count-sized; the rebuild ships each
+    * CUT rep's text once (uncut docs never leave their scan — the
+    * left_outer + coalesce keeps them untouched); exchanges beyond
+    * substringSpans' own are doc_id-keyed. rows-only like q200. */
+  def q203(documents: DataFrame, minLen: Int = SubstrMinLen,
+           gram: Int = SubstrGram, dfCap: Int = 0,
+           keepFirst: Boolean = true): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val (spans, members) = substringSpans(documents, minLen, gram, dfCap)
+    val cutsB = spans.select(col("doc_b").as("rep"), col("start_b").as("s"),
+      (col("start_b") + col("match_len")).as("e"))
+    val cuts =
+      if (keepFirst) cutsB
+      else cutsB.unionAll(spans.select(col("doc_a").as("rep"),
+        col("start_a").as("s"), (col("start_a") + col("match_len")).as("e")))
+    val norm = documents
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .transform(graft.Pins.pin)
+    // rebuild ONLY reps that have cuts; everyone else passes through
+    val scrubbed = cuts
+      .groupBy(col("rep"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("iv"))
+      .join(norm.select(col("doc_id").as("rep"), col("t")), "rep")
+      .select(col("rep"), col("iv"), col("t"))
+      .as[(Long, Seq[(Int, Int)], String)]
+      .map { case (rep, iv, t) =>
+        val sb = new StringBuilder
+        var cut = 0L
+        var pos = 0          // next uncopied char
+        var cs = -1; var ce = -1
+        // NB: substring, not append(t, i, j) — Scala auto-tuples the
+        // 3-arg call into append(Any) and writes "(text,i,j)" literally
+        def flush(): Unit = if (ce > cs) {
+          if (cs > pos) sb.append(t.substring(pos, cs))
+          cut += math.min(ce, t.length) - cs
+          pos = math.max(pos, math.min(ce, t.length))
+        }
+        iv.foreach { case (s0, e0) =>
+          if (s0 > ce) { flush(); cs = s0; ce = e0 }
+          else if (e0 > ce) ce = e0
+        }
+        flush()
+        if (pos < t.length) sb.append(t.substring(pos))
+        (rep, sb.result(), cut)
+      }
+      .toDF("rep", "scrubbed", "cut_chars")
+    norm
+      .join(members, "doc_id")
+      .join(scrubbed, Seq("rep"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("scrubbed"), col("t")).as("text"),
+        length(col("t")).cast("long").as("n_chars"),
+        coalesce(col("cut_chars"), lit(0L)).as("cut_chars"))
       .orderBy(col("doc_id"))
   }
 }

@@ -40,12 +40,24 @@ object Pipeline {
   def cleanCorpus(documents: DataFrame,
                   precomputedPairs: Option[DataFrame] = None,
                   scrubSpans: Boolean = false,
-                  spanK: Int = graft.Oracles.SpanK): DataFrame = {
+                  spanK: Int = graft.Oracles.SpanK,
+                  scrubBytes: Boolean = false,
+                  byteDfCap: Int = 0): DataFrame = {
+    // byte-granular scrub (r15): q203 removes cross-document verbatim
+    // runs >= SubstrMinLen CHARS (sub-token boundaries included) before
+    // the token-level stages — the Lee et al. ExactSubstr treatment;
+    // composable with scrubSpans (bytes first: a byte-scrubbed span
+    // can no longer vote in the token-span repeated set)
+    val byteBase =
+      if (scrubBytes)
+        Dedup.q203(documents, dfCap = byteDfCap)
+          .select(col("doc_id"), col("text"))
+      else documents
     val base =
       if (scrubSpans)
-        Dedup.q119(documents, spanK)
+        Dedup.q119(byteBase, spanK)
           .select(col("doc_id"), col("clean_text").as("text"))
-      else documents
+      else byteBase
     val norm = TextAnalysis.q54(base) // doc_id, clean_text, clean_tokens
     // exact dedup as ONE window pass over the normalized corpus: rank
     // within each clean_text group, keep the min doc_id row — one scan

@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * q143 sees only at window granularity). Fit once, then judge any
   * later batch from the tables alone — no corpus scan.
   *
-  * `fit` materializes two tables for index `name`, keyed on the
+  * `fit` materializes two data tables for index `name`, keyed on the
   * 16-byte content digest `dg` (exact-dup collapse, the s12/s13
-  * convention):
+  * convention), plus a one-row `<name>_params` record of the fitted
+  * (minLen, gram, dfCap) that probes and appends read back:
   *   - `<name>_sfp` (dg, pos, h), bucketed on h — each distinct
   *     normalized text's WINNOWING fingerprints ([[Dedup.winnowChars]]:
   *     every shared span ≥ minLen selects the same gram in both sides,
@@ -41,11 +42,41 @@ import org.apache.spark.sql.functions._
   * freeze). */
 object SubstrIndex {
 
-  def sfpTable(name: String): String   = s"${name}_sfp"
-  def textsTable(name: String): String = s"${name}_texts"
+  def sfpTable(name: String): String    = s"${name}_sfp"
+  def textsTable(name: String): String  = s"${name}_texts"
+  def paramsTable(name: String): String = s"${name}_params"
 
   /** local[32]-scaled default, same reasoning as the other indexes. */
   val DefaultBuckets = 8
+
+  /** One-row fit-parameter record (the DedupIndex `_bloom` metadata
+    * pattern): (minLen, gram, dfCap) are properties of the FITTED
+    * fingerprints, not of a probe — an index fitted with gram=24 and
+    * probed with the default 16 shares zero fingerprint hashes, so
+    * every batch doc would silently read 'clean' (r14 ADVICE). Probes
+    * and appends therefore READ the persisted values instead of
+    * accepting their own. */
+  private def writeParams(spark: SparkSession, name: String,
+                          minLen: Int, gram: Int, dfCap: Int): Unit = {
+    import spark.implicits._
+    Seq((minLen, gram, dfCap)).toDF("min_len", "gram", "df_cap")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(paramsTable(name))
+  }
+
+  /** (minLen, gram, dfCap) as fitted. Fails loudly on a pre-params
+    * index rather than guessing defaults — a silent guess is exactly
+    * the zero-candidate false-negative mode the table exists to
+    * prevent. */
+  private[graft] def params(spark: SparkSession, name: String): (Int, Int, Int) = {
+    val id = org.apache.spark.sql.catalyst.TableIdentifier(paramsTable(name))
+    require(spark.sessionState.catalog.tableExists(id),
+      s"substring index `$name` has no ${paramsTable(name)} table — " +
+        "fitted by a pre-params build; re-run fit() to record " +
+        "(minLen, gram, dfCap)")
+    val r = spark.table(paramsTable(name)).head()
+    (r.getAs[Int]("min_len"), r.getAs[Int]("gram"), r.getAs[Int]("df_cap"))
+  }
 
   private def repTexts(docs: DataFrame): DataFrame =
     docs.select(Dedup.normDigest.as("dg"),
@@ -66,7 +97,9 @@ object SubstrIndex {
   def fit(corpus: DataFrame, name: String,
           buckets: Int = DefaultBuckets,
           minLen: Int = Dedup.SubstrMinLen,
-          gram: Int = Dedup.SubstrGram): Unit = {
+          gram: Int = Dedup.SubstrGram,
+          dfCap: Int = 0): Unit = {
+    require(minLen >= gram, s"minLen ($minLen) must be >= gram ($gram)")
     LakeLock.withWriter(corpus.sparkSession, name) {
       val rep = repTexts(corpus)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -75,24 +108,42 @@ object SubstrIndex {
           fingerprints(rep, minLen, gram), sfpTable(name), "h", buckets)
         graft.sources.Sources.writeBucketed(
           rep, textsTable(name), "dg", buckets)
+        writeParams(corpus.sparkSession, name, minLen, gram, dfCap)
       } finally { rep.unpersist(); () }
     }
   }
 
   /** Byte-granular containment verdicts for a batch against the fitted
-    * index — served from the tables alone. One row per batch doc:
-    * (doc_id, dg, status contained|clean, match_dg, max_len,
-    * covered_chars). */
-  def containment(batch: DataFrame, name: String,
-                  minLen: Int = Dedup.SubstrMinLen,
-                  gram: Int = Dedup.SubstrGram): DataFrame = {
+    * index — served from the tables alone, under the FITTED
+    * (minLen, gram, dfCap) read from the params table (a probe cannot
+    * supply its own: mismatched grams share no fingerprints and every
+    * doc silently reads 'clean'). One row per batch doc: (doc_id, dg,
+    * status contained|clean, match_dg, max_len, covered_chars).
+    *
+    * When the index was fitted with dfCap > 0, fingerprint hashes
+    * present in more than dfCap distinct indexed texts are excluded
+    * from candidate generation (the Lee et al. hot-gram mitigation —
+    * see [[Dedup.q202]]): a corpus-wide boilerplate gram otherwise
+    * makes the candidate join quadratic in its carriers. Detection of
+    * spans anchored ONLY by such grams is forgone, knowingly. */
+  def containment(batch: DataFrame, name: String): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
+    val (minLen, gram, dfCap) = params(spark, name)
     val batchRep = repTexts(batch)
       .transform(graft.Pins.pin)
     val fpB = fingerprints(batchRep, minLen, gram)
+    val sfpAll = spark.table(sfpTable(name))
+    val sfp =
+      if (dfCap <= 0) sfpAll
+      else sfpAll.join(
+        sfpAll.groupBy(col("h"))
+          .agg(countDistinct(col("dg")).as("df"))
+          .filter(col("df") > dfCap)
+          .select(col("h")),
+        Seq("h"), "left_anti")
     val cand = fpB.as("a")
-      .join(spark.table(sfpTable(name)).as("b"), col("a.h") === col("b.h"))
+      .join(sfp.as("b"), col("a.h") === col("b.h"))
       .select(col("a.dg").as("bdg"), col("b.dg").as("idg"),
         col("a.pos").as("pos_b"), col("b.pos").as("pos_i"))
     // a batch doc that IS an indexed text (same digest) is trivially
@@ -174,13 +225,14 @@ object SubstrIndex {
       .orderBy(col("doc_id"))
   }
 
-  /** Register newly admitted documents. Anti-join on the texts table's
-    * digest key makes replays no-op. */
-  def append(docs: DataFrame, name: String,
-             minLen: Int = Dedup.SubstrMinLen,
-             gram: Int = Dedup.SubstrGram): Unit = {
+  /** Register newly admitted documents under the FITTED (minLen, gram)
+    * — read from the params table, like [[containment]]: an append
+    * under a different gram would write fingerprints no probe can hit.
+    * Anti-join on the texts table's digest key makes replays no-op. */
+  def append(docs: DataFrame, name: String): Unit = {
     LakeLock.withWriter(docs.sparkSession, name) {
       val spark = docs.sparkSession
+      val (minLen, gram, _) = params(spark, name)
       val newRep = repTexts(docs)
         .join(spark.table(textsTable(name)).select(col("dg")),
           Seq("dg"), "left_anti")
@@ -199,6 +251,6 @@ object SubstrIndex {
   }
 
   def drop(spark: SparkSession, name: String): Unit =
-    Seq(sfpTable(name), textsTable(name))
+    Seq(sfpTable(name), textsTable(name), paramsTable(name))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 }

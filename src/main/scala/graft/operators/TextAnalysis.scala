@@ -2419,6 +2419,23 @@ object TextAnalysis {
       graft.functions.ModelPredict(col("text"), model).as("pred_lang"))
       .orderBy(col("doc_id"))
 
+  /** q199 `trained=true` variant (r15): instead of COMPILING q47's
+    * lexicons into weights, FIT them — [[graft.functions.LinearModel
+    * .fit]] trains softmax weights on `train`'s texts against any
+    * label column (weak labels from q47 itself in the self-supervised
+    * shape, or human/provider labels when they exist), then scores
+    * `documents` through the ordinary q199 plan. The train/serve split
+    * is the caller's (q91/q170 make one); the trainer's full-batch
+    * fixed-point gradient makes the fitted weights deterministic, so
+    * this composes into the driver-gated pipelines without breaking
+    * reproducibility. */
+  def q199Trained(documents: DataFrame, train: DataFrame,
+                  labelCol: String = "pred_lang",
+                  buckets: Long = 1L << 17, iters: Int = 30): DataFrame =
+    q199(documents,
+      graft.functions.LinearModel.fit(train, "text", labelCol, buckets,
+        useBigrams = false, iters = iters))
+
   /** q190: VOCABULARY COVERAGE BY RANK — what fraction of corpus token
     * OCCURRENCES the top-k most frequent token types cover, at
     * k ∈ {100, 1000, 10000}: the tokenizer-vocab-sizing read (how big

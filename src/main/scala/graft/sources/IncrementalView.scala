@@ -58,6 +58,14 @@ object IncrementalView {
   private final case class Def(basePath: String, keys: Seq[String],
                                aggs: Seq[Agg], dim: Option[Dim] = None)
 
+  /** Def-file format version header. v2 fixed the dim line's field
+    * order (`dim,joinKey,path` — path last so the bounded 3-field
+    * split leaves comma-containing paths intact); files WITHOUT this
+    * header predate the header and carry the ambiguous order, so
+    * [[readDef]] refuses them loudly instead of silently transposing
+    * path and join key (r14 ADVICE). */
+  private final val DefHeader = "graft-imv-v2"
+
   private def writeDef(spark: SparkSession, path: String, d: Def): Unit = {
     val f = fsOf(spark, path)
     require(!f.exists(defPath(path)), s"incremental view $path exists")
@@ -68,7 +76,7 @@ object IncrementalView {
       s"incremental view dim join key may not contain ',': ${x.joinKey}"))
     d.aggs.foreach(a => require(a.fn != "dim",
       "aggregate fn name 'dim' collides with the dimension line tag"))
-    val body = (Seq(d.basePath, d.keys.mkString(",")) ++
+    val body = (Seq(DefHeader, d.basePath, d.keys.mkString(",")) ++
       d.dim.map(x => s"dim,${x.joinKey},${x.path}").toSeq ++
       d.aggs.map(a => s"${a.fn},${a.col},${a.as}")).mkString("\n")
     val out = f.create(defPath(path), false)
@@ -85,7 +93,13 @@ object IncrementalView {
       while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
       new String(bos.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
-    val lines = body.split("\n", -1).toSeq
+    val allLines = body.split("\n", -1).toSeq
+    require(allLines.headOption.contains(DefHeader),
+      s"incremental view def at $path is not a $DefHeader file " +
+        s"(got '${allLines.headOption.getOrElse("")}'): written by a " +
+        "pre-versioning build whose dim field order is ambiguous — " +
+        "re-create the view")
+    val lines = allLines.tail
     val rest = lines.drop(2).filter(_.nonEmpty)
     val (dimLines, aggLines) = rest.partition(_.startsWith("dim,"))
     Def(lines(0), lines(1).split(",").toSeq.filter(_.nonEmpty),

@@ -722,15 +722,17 @@ object Streams {
     * trivially idempotent on the index and the parquet sink dedups by
     * the checkpoint as usual. */
   def startSubstrDecontamGate(docs: DataFrame, indexName: String,
-                              outDir: String, checkpoint: String,
-                              minLen: Int = graft.operators.Dedup.SubstrMinLen)
+                              outDir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        _: Long) =>
+        // (minLen, gram, dfCap) come from the index's own params table
+        // (r15): a gate-supplied gram that differed from the fitted one
+        // would share zero fingerprints and silently admit everything
         val keep = graft.operators.SubstrIndex
-          .containment(batch, indexName, minLen)
+          .containment(batch, indexName)
           .filter(col("status") === "clean")
           .select(col("doc_id"))
         batch.join(keep, Seq("doc_id"), "left_semi")

@@ -808,4 +808,109 @@ class DedupSpec extends GraftSpec {
     assert(again.toSeq == Dedup.q200(three, minLen = 64, topK = 100)
       .collect().map(r => r.toSeq).toSeq)
   }
+
+  test("winnowChars rejects minLen < gram (window would be empty)") {
+    intercept[IllegalArgumentException] {
+      Dedup.q200(Seq((1L, "text")).toDF("doc_id", "text"),
+        minLen = 8, gram = 16)
+    }
+  }
+
+  test("q202 pre-flight names a planted 500-carrier boilerplate gram; dfCap defuses the join") {
+    val boiler = "standard license header boilerplate text shared verbatim by every single crawled page in this corpus!"
+    assert(boiler.length >= 64, boiler.length)
+    val uniq = "this genuinely duplicated eighty character plus passage appears in exactly two documents here ok!"
+    assert(uniq.length >= 64, uniq.length)
+    // 500 carriers: a collision-free two-letter tag each + the shared
+    // boilerplate block. Tag construction matters: any two docs whose
+    // pre-boilerplate text shares a suffix form a genuine shared run
+    // (suffix + boilerplate >= 64) anchorable by a LOW-df seam gram
+    // that the cap rightly leaves alone — so tags share at most one
+    // trailing letter, and that letter's seam grams have df ~ 26 > cap
+    def tag(i: Long) =
+      "" + ('a' + (i % 26)).toChar + ('a' + (i / 26)).toChar
+    val carriers = (1L to 500L).map(i =>
+      (i, s"carrier document body token ${tag(i)} " + boiler))
+    val docs = (carriers ++ Seq(
+      (1001L, "first holder opening words " + uniq + " first tail"),
+      (1002L, "second holder prelude text " + uniq + " second tail")))
+      .toDF("doc_id", "text")
+    // pre-flight: a boilerplate span >= minLen has fully-interior
+    // winnowing windows, which select the SAME gram in every carrier —
+    // the heaviest bucket must name (essentially) all 500
+    val top = Dedup.q202(docs, topK = 3).collect()
+    val heavy = top.head
+    assert(heavy.getAs[Long]("carrier_docs") >= 450L, top.toSeq)
+    assert(heavy.getAs[Long]("cand_pairs") >=
+      450L * 449L / 2L, top.toSeq)
+    assert(heavy.getAs[Double]("share") > 0.0 &&
+      heavy.getAs[Double]("share") <= 1.0, top.toSeq)
+    // dfCap: boilerplate-interior grams (df ~ 500) are dropped from
+    // candidate generation, the unique pair (df = 2) survives — the
+    // Lee et al. mitigation, spans anchored only by hot grams forgone
+    val capped = Dedup.q200(docs, topK = 10000, dfCap = 10).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(capped == Set((1001L, 1002L)), s"${capped.size} pairs")
+    // uncapped on a SMALL carrier slice (quadratic by design): the
+    // boilerplate pairs ARE reported when no cap is set (i <= 20 tags
+    // all share c2 = 'a', but without a cap the anchors survive)
+    val slice = (carriers.take(20) ++ Seq(
+      (1001L, "first holder opening words " + uniq + " first tail"),
+      (1002L, "second holder prelude text " + uniq + " second tail")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.q200(slice, topK = 10000).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(uncapped.size == 20 * 19 / 2 + 1, uncapped.size)
+  }
+
+  test("q203 scrub closure: re-run q200 on scrubbed output reports zero spans; q201 coverage zero") {
+    val block = "this exact eighty char block is shared verbatim between two documents kept one!"
+    val other = "a different second repeated passage also comfortably past the sixty four floor"
+    assert(block.length >= 64 && other.length >= 64)
+    val docs = Seq(
+      (1L, "alpha opening " + block + " and later " + other + " closing alpha"),
+      (2L, "beta prelude " + block + " beta tail words here entirely unlike"),
+      (3L, "gamma carries " + other + " and nothing else shared with anyone"),
+      (4L, "untouched document with no cross-document repeats at all in it"),
+      (5L, "ALPHA OPENING " + block.toUpperCase + " AND LATER " + other.toUpperCase + " CLOSING ALPHA") // exact dup of 1
+    ).toDF("doc_id", "text")
+    val out = Dedup.q203(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("cut_chars"))).toMap
+    // keep-first: doc 1 (minimal carrier) keeps both passages intact
+    assert(out(1L)._3 == 0L, out(1L))
+    assert(out(1L)._1.contains(block) && out(1L)._1.contains(other), out(1L))
+    // docs 2 and 3 lose their copy (and only their copy)
+    assert(out(2L)._3 >= block.length.toLong && !out(2L)._1.contains(block), out(2L))
+    assert(out(2L)._1.contains("beta prelude"), out(2L))
+    assert(out(3L)._3 >= other.length.toLong && !out(3L)._1.contains(other), out(3L))
+    // untouched doc passes through byte-identical (normalized)
+    assert(out(4L)._3 == 0L && out(4L)._1 == docs.collect()(3).getString(1), out(4L))
+    // exact-dup member inherits the rep's (empty) cut set
+    assert(out(5L)._1 == out(1L)._1 && out(5L)._3 == out(1L)._3, out(5L))
+    // closure: the scrubbed corpus has no cross-document span >= minLen
+    val rerun = Seq(1L, 2L, 3L, 4L, 5L)
+      .map(id => (id, out(id)._1)).toDF("doc_id", "text")
+    assert(Dedup.q200(rerun, topK = 1000).count() == 0L)
+    val cov = Dedup.q201(rerun).collect()
+    assert(cov.forall(_.getAs[Long]("covered_chars") == 0L), cov.toSeq)
+    // keepFirst=false: NO copy survives anywhere (decontamination stance)
+    val none = Dedup.q203(docs, keepFirst = false).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(!none.values.exists(t => t.contains(block) || t.contains(other)), none)
+  }
+
+  test("q202Driver: fingerprint coverage reconciles with eligible-rep count") {
+    val docs = Seq(
+      (1L, "short"),                                   // < gram: no fingerprints
+      (2L, "exactly sixteenC"),                        // == gram: one fingerprint
+      (3L, ("well past the gram floor " * 4).trim),    // long doc
+      (4L, "EXACTLY SIXTEENC")                         // exact dup of 2 normalized
+    ).toDF("doc_id", "text")
+    val r = Dedup.q202Driver(docs).collect().head
+    assert(r.getAs[Long]("n_reps_eligible") == 2L, r)
+    assert(r.getAs[Long]("n_docs_fingerprinted") == 2L, r)
+    assert(r.getAs[Boolean]("coverage_ok") && r.getAs[Boolean]("share_bounds_ok"), r)
+  }
 }

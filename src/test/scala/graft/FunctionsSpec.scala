@@ -327,6 +327,80 @@ class FunctionsSpec extends GraftSpec {
     assert(loaded.buckets == m.buckets && loaded.classes.sameElements(m.classes))
   }
 
+  test("fn07 trainer: featureBuckets mirrors the scores() walk exactly") {
+    import graft.functions.LinearModel
+    val m = LinearModel.fromLexicons(graft.operators.TextAnalysis.Lexicons)
+    val texts = Seq("the fast  double space", " padded ends ", "", "one",
+      "the el der le zhong mixed marker bag", "a  b   c")
+    texts.foreach { t =>
+      val fb = LinearModel.featureBuckets(t, m.buckets, useBigrams = false)
+      val acc = new Array[Double](m.classes.length)
+      fb.foreach { b =>
+        val row = m.rows.get(b)
+        if (row != null) acc.indices.foreach(c => acc(c) += row(c))
+      }
+      val viaWalk = acc.map(_ / fb.length) // bias is zero in fromLexicons
+      val direct = m.scores(t)
+      assert(viaWalk.zip(direct).forall { case (a, b) => math.abs(a - b) < 1e-12 },
+        s"'$t': ${viaWalk.toSeq} vs ${direct.toSeq}")
+    }
+    // bigram variant: one extra feature per adjacent token pair
+    val fb2 = LinearModel.featureBuckets("a b c", 1L << 20, useBigrams = true)
+    assert(fb2.length == 5, fb2.toSeq) // 3 unigrams + 2 bigrams
+  }
+
+  test("fn07 trainer: fit on q47 labels generalizes held-out; deterministic; save/load round-trips") {
+    import graft.functions.LinearModel
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, SF)
+    val labeled = docs.join(
+      TextAnalysis.q47(docs).select(col("doc_id"), col("pred_lang")),
+      Seq("doc_id"))
+    val train = labeled.filter(col("doc_id") % 2 === 0)
+    val heldOut = labeled.filter(col("doc_id") % 2 === 1)
+    val m = LinearModel.fit(train, "text", "pred_lang")
+    // held-out agreement with the q47 weak labels: the trained model
+    // must rediscover the marker signal it was taught from (measured
+    // 0.76 on the 250/250 split — deterministic, floored with margin)
+    val preds = TextAnalysis.q199(heldOut, m)
+      .select(col("doc_id"), col("pred_lang"))
+    val agree = preds.join(
+        heldOut.select(col("doc_id"), col("pred_lang").as("y")), Seq("doc_id"))
+      .agg(avg(when(col("pred_lang") === col("y"), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    assert(agree >= 0.7, s"held-out agreement $agree < 0.7")
+    // >= heuristic parity against GROUND TRUTH: trained on the true
+    // lang column, the model must match-or-beat q47's accuracy on
+    // held-out docs (measured 0.30 vs the heuristic's 0.22)
+    val truthTrain = docs.filter(col("doc_id") % 2 === 0)
+    val truthHeld = docs.filter(col("doc_id") % 2 === 1)
+    val heurAcc = TextAnalysis.q47(truthHeld)
+      .agg(avg(when(col("pred_lang") === col("lang"), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    val mT = LinearModel.fit(truthTrain, "text", "lang")
+    val trainedAcc = TextAnalysis.q199(truthHeld, mT)
+      .agg(avg(when(col("pred_lang") === col("lang"), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    assert(trainedAcc >= heurAcc,
+      s"trained $trainedAcc below heuristic $heurAcc on ground truth")
+    // determinism: a different input layout fits BIT-IDENTICAL weights
+    // (fixed-point gradient accumulation commutes)
+    val m2 = LinearModel.fit(train.repartition(7), "text", "pred_lang")
+    assert(m2.bias.sameElements(m.bias))
+    assert(m2.rows.size == m.rows.size)
+    m.rows.forEach { (b, w) =>
+      assert(m2.rows.get(b) != null && m2.rows.get(b).sameElements(w), s"bucket $b")
+    }
+    // the trained model round-trips through the fn07 weights format
+    val path = java.nio.file.Files.createTempDirectory("graft-lm-fit")
+      .resolve("trained.weights").toString
+    LinearModel.save(spark, path, m)
+    val loaded = LinearModel.load(spark, path)
+    Seq("the fast table join", "el la filtro rapido", "unrelated words here")
+      .foreach(t => assert(loaded.predict(t) == m.predict(t), t))
+  }
+
   test("fn07 ModelPredict runs inside whole-stage codegen") {
     import graft.operators.TextAnalysis
     val df = TextAnalysis.q199(Tables.documents(spark, SF))

@@ -32,21 +32,23 @@ class SimilaritySpec extends GraftSpec {
     assert(pairs.contains((0L, 3L)), pairs.toSeq) // identical vectors share every hyperplane side
   }
 
-  test("q193 recall report: counts reconcile, floors hold for both methods") {
+  test("q193 recall report: counts reconcile, floors hold for all five serving paths") {
     val emb = Tables.embeddings(spark, SF)
     val out = Similarity.q193(emb).collect()
       .map(r => r.getAs[String]("method") ->
         (r.getAs[Long]("n_queries"), r.getAs[Long]("n_truth"),
           r.getAs[Long]("n_hits"), r.getAs[Double]("recall_at_5"))).toMap
-    assert(out.keySet == Set("lsh", "ivf"), out)
+    graft.Pins.release()
+    assert(out.keySet == Similarity.RecallFloors.keySet, out)
     out.foreach { case (m, (nq, nt, nh, rec)) =>
       assert(nq == 20L, s"$m: $nq queries")
       assert(nt == 100L, s"$m: $nt truth pairs")  // 20 queries x top-5
       assert(nh <= nt && rec == nh.toDouble / nt, s"$m: $nh/$nt vs $rec")
     }
-    // the same floors the q45/q55 recall specs enforce
-    assert(out("lsh")._4 >= 0.5, out)
-    assert(out("ivf")._4 >= 0.6, out)
+    // the single floor definition the driver gate enforces
+    Similarity.RecallFloors.foreach { case (m, f) =>
+      assert(out(m)._4 >= f, s"$m: recall ${out(m)._4} < floor $f")
+    }
   }
 
   test("q45 recall vs q44 baseline on real embeddings is nontrivial") {

@@ -125,4 +125,58 @@ class SubstrIndexSpec extends GraftSpec {
       assert(st == "contained" && len >= block.length, s"$id: $st/$len")
     }
   }
+
+  test("s26 params: probes serve under the FITTED (minLen, gram), not defaults") {
+    val name = "graft_substrix_p"
+    SubstrIndex.drop(spark, name)
+    // non-default knobs: gram 24, floor 72 — under the r14 bug a probe
+    // would fingerprint with the DEFAULT gram 16, share zero hashes
+    // with the index, and read 'clean' (silent false negative)
+    SubstrIndex.fit(corpus, name, minLen = 72, gram = 24)
+    val probe = Seq((401L, "quoting " + block + " here")).toDF("doc_id", "text")
+    val v = rows(SubstrIndex.containment(probe, name))
+    graft.Pins.release()
+    assert(v(401L)._1 == "contained" && v(401L)._2 >= block.length, v)
+    // append under fitted params: a doc registered post-fit is found
+    // by a later probe even though nobody re-supplied (minLen, gram)
+    val extra = "appended body comfortably past the seventy-two char floor set at fit time!!"
+    assert(extra.length >= 72)
+    SubstrIndex.append(Seq((402L, extra)).toDF("doc_id", "text"), name)
+    val v2 = rows(SubstrIndex.containment(
+      Seq((403L, "probe with " + extra + " inside")).toDF("doc_id", "text"), name))
+    graft.Pins.release()
+    assert(v2(403L)._1 == "contained" && v2(403L)._2 >= extra.length, v2)
+    // a pre-params index (no _params table) fails loudly, not 'clean'
+    spark.sql(s"DROP TABLE IF EXISTS ${SubstrIndex.paramsTable(name)}")
+    intercept[IllegalArgumentException] {
+      SubstrIndex.containment(probe, name)
+    }
+    SubstrIndex.drop(spark, name)
+  }
+
+  test("s26 dfCap: hot boilerplate grams are excluded from candidates, rare spans still hit") {
+    val name = "graft_substrix_cap"
+    SubstrIndex.drop(spark, name)
+    val boiler = "universal footer boilerplate carried verbatim by every fitted corpus document in this index fixture!"
+    assert(boiler.length >= 64)
+    val secret = "a rare passage that exactly one fitted document carries well past the floor"
+    assert(secret.length >= 64)
+    val fitDocs = ((1L to 40L).map(i =>
+      (i, s"fitted doc $i body token z${i * 13} then " + boiler)) :+
+      (41L, "the keeper doc holds " + secret + " and " + boiler))
+      .toDF("doc_id", "text")
+    SubstrIndex.fit(fitDocs, name, dfCap = 10)
+    val probes = Seq(
+      (501L, "new page quoting only " + boiler + " and nothing else"),
+      (502L, "new page quoting the " + secret + " rare passage")
+    ).toDF("doc_id", "text")
+    val v = rows(SubstrIndex.containment(probes, name))
+    graft.Pins.release()
+    // boilerplate-only probe: its anchors are all hot (df = 41 > 10) —
+    // forgone by the cap, knowingly
+    assert(v(501L)._1 == "clean", v)
+    // rare-span probe: df = 1 anchors survive the cap
+    assert(v(502L)._1 == "contained" && v(502L)._2 >= secret.length, v)
+    SubstrIndex.drop(spark, name)
+  }
 }
