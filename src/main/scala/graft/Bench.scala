@@ -76,28 +76,35 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) Some(dt) else None
       }
-      // best-of-3 over SUCCESSFUL runs: a single-shot timing can smear
-      // any query by 20 s on a one-off GC/JIT pause (round-1 bench had a
-      // 22 s outlier on a 0.8 s query), and best-of-2 still let a loaded
-      // driver box fake regressions two rounds running (r3, r6) — while
-      // a fast FAILURE must never masquerade as a fast run: a query with
-      // no successful run reports -1. The max-min spread is kept
-      // alongside so a reader can separate regression from machine noise
-      // without a re-run (the r3 driver box showed 6x noise on one query).
-      val runs = Seq(once(), once(), once()).flatten
+      // MEDIAN-of-3 over SUCCESSFUL runs (r15; was best-of-3): the min
+      // hides real per-query variance — two clean runs of identical
+      // r14 code differed 38% on one query under best-of-3, which made
+      // every per-query perf claim unfalsifiable. The median absorbs
+      // the one-off GC/JIT outlier (the reason best-of existed) while
+      // tracking the typical cost; with 2 successes the LOWER median
+      // keeps the old bias direction, and a query with no successful
+      // run still reports -1 (a fast FAILURE must never masquerade as
+      // a fast run). The max-min spread is kept alongside so a reader
+      // can separate regression from machine noise without a re-run.
+      val runs = Seq(once(), once(), once()).flatten.sorted
       loadavgMax = math.max(loadavgMax, loadavg())
-      (name, runs.minOption.getOrElse(-1.0),
+      (name,
+        if (runs.isEmpty) -1.0 else runs((runs.size - 1) / 2),
         if (runs.size >= 2) runs.max - runs.min else -1.0)
     }
     val total = results.map(_._2).sum
     // STDOUT LINE MUST STAY UNDER ~2000 BYTES: the driver keeps only the
     // last ~2 KB of stdout and json-parses that tail — rounds 1-4 all
     // recorded `parsed: null` because the full-name per-query map pushed
-    // the line past the buffer and its head was cut off. Short keys
-    // ("q01".."q88") + 2-decimal values keep 88 queries near 1.2 KB;
-    // full names + the max-min spread live in BENCH_LOCAL.json.
+    // the line past the buffer and its head was cut off; at 201 queries
+    // the r13/r14 2-decimal map overflowed AGAIN (the driver captured
+    // only the last ~164 queries). r15: per-query values go out as
+    // CENTISECOND INTEGERS ("qunit":"centisec" self-describes) — ~8
+    // bytes/query keeps 205+ queries near 1.7 KB; full names, seconds,
+    // and the max-min spread live in BENCH_LOCAL.json.
     val qsShort = results.map { case (k, v, _) =>
-      "\"" + k.split("_")(0) + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+      "\"" + k.split("_")(0).drop(1) + "\":" + math.round(v * 100) }
+      .mkString("{", ",", "}")
     // self-describing provenance: the sentinel's verdict travels IN the
     // driver-facing JSON, so a judge comparing rounds sees "polluted"
     // next to the number instead of reverse-engineering it from loadavg
@@ -105,14 +112,14 @@ object Bench {
     val load =
       f""""loadavg_start":$loadavgStart%.2f,"loadavg_max":$loadavgMax%.2f,"polluted":$polluted"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec",$load,"queries":$qsShort,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median3","qunit":"centisec",$load,"queries":$qsShort,"sf":"$sfDir"}"""
     println(json)
     val qsFull = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.3f" }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec",$load,"queries":$qsFull,"spread":$spreads,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median3",$load,"queries":$qsFull,"spread":$spreads,"sf":"$sfDir"}"""
     // loadavg guard: a polluted run must never become the committed
     // baseline (r8/r9 both shipped load-inflated files) — refuse to
     // write BENCH_LOCAL.json unless the box was idle at start

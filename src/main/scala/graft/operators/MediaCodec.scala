@@ -60,3 +60,40 @@ object WavCodec extends AudioCodec {
   override def encode(samples: Array[Short], rate: Int): Array[Byte] =
     Multimodal.encodeWav(samples, rate)
 }
+
+/** The video half of the codec seam — the CONTAINER level (r15):
+  * [[MediaCodec]] makes the per-frame codec pluggable, but q53's
+  * length-prefixed framing was hardwired, so a production H.264/AV1
+  * jar could only slot in per frame, not as the stream container it
+  * actually is. This trait is the container contract: a frame
+  * sequence in (canonical decoded form — BufferedImages, like 16-bit
+  * PCM for audio), container bytes out, and back — decode returns
+  * each frame with its IN-CONTAINER encoded size (per-frame payload
+  * length here; NAL-unit size for a real stream codec). Keep
+  * implementations stateless (executor-shared, the [[MediaCodec]]
+  * rule). */
+trait VideoCodec extends Serializable {
+
+  /** frames → container bytes. */
+  def encode(frames: Seq[BufferedImage]): Array[Byte]
+
+  /** container bytes → (decoded frame, encoded frame size) per frame,
+    * or None when this codec does not claim the bytes. */
+  def decode(bytes: Array[Byte]): Option[Seq[(BufferedImage, Long)]]
+}
+
+/** Default implementation: the in-repo framed container (MJPEG's
+  * length-prefixed framing) over any per-frame [[MediaCodec]] — the
+  * composition q53 always used, now behind the pluggable seam. */
+final case class FramedCodec(frame: MediaCodec = ImageIoCodec)
+    extends VideoCodec {
+  override def encode(frames: Seq[BufferedImage]): Array[Byte] =
+    Multimodal.encodeFrames(frames.map(frame.encode))
+  override def decode(bytes: Array[Byte]): Option[Seq[(BufferedImage, Long)]] = {
+    val raw = Multimodal.decodeFrames(bytes)
+    if (raw.isEmpty) return None
+    val dec = raw.map(f => frame.decode(f).map { case (img, _) =>
+      (img, f.length.toLong) })
+    if (dec.exists(_.isEmpty)) None else Some(dec.map(_.get))
+  }
+}

@@ -533,20 +533,24 @@ object Multimodal {
   private[graft] case class FrameOut(doc_id: Long, frame_idx: Int, width: Int,
                                      height: Int, frame_bytes: Long)
 
-  /** q53: frame sampling with a REAL per-frame codec — each video doc
-    * is framed into a length-prefixed PNG sequence (MJPEG's framing
-    * with the JDK's PNG codec per frame: frame f is the base render
-    * with deterministically decaying brightness), then every k-th
-    * frame is REALLY DECODED out of the container and reported with
-    * its decoded pixel dims and encoded size. Build and sample run in
-    * the same partition — frames never shuffle; the output is one row
-    * per sampled frame (flatMap row expansion, frame index in the
-    * schema). Only true video codecs (H.264 etc.) remain out of scope
-    * — a dependency wall, not a plumbing gap. */
+  /** q53: frame sampling through the CONTAINER codec seam — each video
+    * doc is rendered into a frame sequence (frame f is the base render
+    * with deterministically decaying brightness), encoded through the
+    * pluggable [[VideoCodec]] (default: the framed container over the
+    * per-frame [[MediaCodec]] — MJPEG framing with the JDK PNG codec),
+    * then every k-th frame is REALLY DECODED back out of the container
+    * and reported with its decoded pixel dims and in-container encoded
+    * size. Build and sample run in the same partition — frames never
+    * shuffle; the output is one row per sampled frame (flatMap row
+    * expansion, frame index in the schema). A production H.264/AV1 jar
+    * slots in at the container level (r15: `video` param), not just
+    * per frame — the remaining gap is the jar, not the plumbing. */
   def q53FrameSample(spark: SparkSession, documents: DataFrame,
                      every: Int = 4,
-                     codec: MediaCodec = ImageIoCodec): DataFrame = {
+                     codec: MediaCodec = ImageIoCodec,
+                     video: Option[VideoCodec] = None): DataFrame = {
     import spark.implicits._
+    val vc = video.getOrElse(FramedCodec(codec))
     mediaTable(spark, documents, codec)
       .filter(col("meta.media_type") === "video")
       .select(col("doc_id"), col("payload"), col("meta.n_frames"))
@@ -557,7 +561,7 @@ object Multimodal {
           val w = 16 + (h % 16).toInt
           val ht = 16 + ((h / 16) % 16).toInt
           val base = renderImage(new String(b, "UTF-8"), w, ht)
-          val video = encodeFrames((0 until nFrames).map { f =>
+          val clip = vc.encode((0 until nFrames).map { f =>
             val img = new BufferedImage(w, ht, BufferedImage.TYPE_INT_RGB)
             var y = 0
             while (y < ht) {
@@ -571,12 +575,12 @@ object Multimodal {
               }
               y += 1
             }
-            codec.encode(img)
+            img
           })
-          val frames = decodeFrames(video)
+          val frames = vc.decode(clip).get
           (0 until nFrames by every).map { f =>
-            val (img, _) = codec.decode(frames(f)).get
-            FrameOut(id, f, img.getWidth, img.getHeight, frames(f).length.toLong)
+            val (img, sz) = frames(f)
+            FrameOut(id, f, img.getWidth, img.getHeight, sz)
           }
         })
       }
@@ -829,6 +833,126 @@ object Multimodal {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         lit(0).cast("integer").as("hamming"))
     cross.unionAll(within).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ------------------------------------------------ q204 audio overlap
+
+  private[graft] case class AWinRow(doc_id: Long, win_idx: Int, wfp: Long)
+
+  /** Core of [[q204AudioOverlap]] over any (doc_id, payload) audio
+    * frame: per-WINDOW spectral fingerprints ([[audioFingerprint]] on
+    * fixed `winSamples` slices — the q197 window grid), equality-join
+    * banding on the 64-bit window fingerprints, then the q200 DIAGONAL
+    * trick in TIME: all matched windows of one aligned region share
+    * offset = win_a − win_b, so grouping by (pair, offset) collapses a
+    * shared clip into one row, and the longest consecutive-index run
+    * on that diagonal is the overlap's length in windows. `minRunWins`
+    * gates out single-window coincidences; `dfCap` is the q202 hot-
+    * bucket mitigation (a silence/jingle window carried by thousands
+    * of clips would otherwise go quadratic in carriers). Payloads
+    * never shuffle — only (doc_id, win_idx, 8-byte fp) rows do. */
+  private[graft] def audioOverlapPairs(media: DataFrame, winSamples: Int,
+                                       minRunWins: Int, dfCap: Int,
+                                       codec: AudioCodec): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val wfps = media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.flatMap { case (id, b) =>
+          codec.decode(b).toSeq.flatMap { case (s, rate, _) =>
+            val nWin = s.length / winSamples
+            (0 until nWin).map { w =>
+              val seg = java.util.Arrays.copyOfRange(
+                s, w * winSamples, (w + 1) * winSamples)
+              AWinRow(id, w, audioFingerprint(seg, rate))
+            }
+          }
+        })
+      }
+      .toDF()
+      .transform(graft.Pins.pin) // a/b join sides + the df rollup
+    val kept =
+      if (dfCap <= 0) wfps
+      else wfps.join(
+        wfps.groupBy(col("wfp"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") > dfCap).select(col("wfp")),
+        Seq("wfp"), "left_anti")
+    val cands = kept.as("a").join(kept.as("b"),
+        col("a.wfp") === col("b.wfp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (col("a.win_idx") - col("b.win_idx")).as("offset_wins"),
+        col("a.win_idx").as("ia"))
+      .distinct()
+    cands.groupBy(col("doc_a"), col("doc_b"), col("offset_wins"))
+      .agg(count(lit(1)).cast("long").as("n_matched"),
+        sort_array(collect_set(col("ia"))).as("idxs"))
+      .as[(Long, Long, Int, Long, Seq[Int])]
+      .map { case (da, db, off, nm, idxs) =>
+        var best = 0; var run = 0; var prev = Int.MinValue
+        idxs.foreach { i =>
+          run = if (i == prev + 1) run + 1 else 1
+          if (run > best) best = run
+          prev = i
+        }
+        (da, db, off, nm, best)
+      }
+      .toDF("doc_a", "doc_b", "offset_wins", "n_matched", "max_run")
+      .filter(col("max_run") >= minRunWins)
+  }
+
+  /** q204: audio PARTIAL-OVERLAP near-dup — the audio analog of
+    * q200-vs-q79: [[q198AudioNeardup]] fingerprints WHOLE clips, so a
+    * clip embedded inside a longer one (the re-broadcast / compilation
+    * / sampled-intro mode) is invisible to it exactly as a quoted
+    * passage is invisible to whole-doc hashing. Per exact-dup rep:
+    * synth → WAV round-trip through the codec seam → per-window
+    * fingerprints → [[audioOverlapPairs]]' diagonal grouping; reported
+    * pairs carry the time offset (in windows) and the matched-run
+    * length, i.e. WHERE and HOW LONG the shared audio is. Exact-dup
+    * clique members expand through the members map (full overlap at
+    * offset 0 — one codec round-trip per clique, the q198 discipline).
+    * rows-only: codec-dependent; the planted clip-in-compilation spec
+    * carries the correctness argument. */
+  def q204AudioOverlap(spark: SparkSession, documents: DataFrame,
+                       winSamples: Int = 1000, minRunWins: Int = 3,
+                       dfCap: Int = 0,
+                       codec: AudioCodec = WavCodec): DataFrame = {
+    import spark.implicits._
+    val (reps, members) = graft.operators.Dedup.exactReps(documents)
+    val media = reps.select(col("doc_id"), col("text"))
+      // CPU-bound codec stage: same parallelism rationale as mediaTable
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.map { case (id, text) =>
+          (id, codec.encode(renderAudio(text, AudioRate, AudioSamples),
+            AudioRate))
+        })
+      }
+      .toDF("doc_id", "payload")
+    val repPairs = audioOverlapPairs(media, winSamples, minRunWins,
+      dfCap, codec)
+    val ma = members.select(col("rep").as("doc_a"), col("doc_id").as("da"))
+    val mb = members.select(col("rep").as("doc_b"), col("doc_id").as("db"))
+    val cross = repPairs.join(ma, "doc_a").join(mb, "doc_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        // orientation flips when member ids cross their reps' order
+        when(col("da") <= col("db"), col("offset_wins"))
+          .otherwise(-col("offset_wins")).as("offset_wins"),
+        col("n_matched"), col("max_run"))
+    // within-clique: byte-identical normalized texts synthesize the
+    // same clip — full overlap at offset 0, no codec work needed
+    val nWins = AudioSamples / winSamples
+    val within = members.as("x").join(members.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0).as("offset_wins"), lit(nWins.toLong).as("n_matched"),
+        lit(nWins).as("max_run"))
+    cross.unionAll(within)
+      .orderBy(col("doc_a"), col("doc_b"), col("offset_wins"))
   }
 
   // --------------------------------------------- content-defined chunking

@@ -184,6 +184,34 @@ class MultimodalSpec extends GraftSpec {
     assert(fr.forall(_.getAs[Int]("width") > 0))
   }
 
+  test("VideoCodec seam: q53 runs unchanged through a non-framed container codec") {
+    import MultimodalCodecSpec.RawClipCodec
+    val fr = Multimodal.q53FrameSample(spark, docs, 4,
+      video = Some(RawClipCodec)).collect()
+    assert(fr.nonEmpty)
+    // dims come from decoding the substituted container; frame_bytes
+    // is the codec's own in-container size accounting
+    val png = Multimodal.q53FrameSample(spark, docs, 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("frame_idx")) -> r).toMap
+    fr.foreach { r =>
+      val p = png((r.getAs[Long]("doc_id"), r.getAs[Int]("frame_idx")))
+      assert(r.getAs[Int]("width") == p.getAs[Int]("width"))
+      assert(r.getAs[Int]("height") == p.getAs[Int]("height"))
+      assert(r.getAs[Long]("frame_bytes") ==
+        12L + 4L * r.getAs[Int]("width") * r.getAs[Int]("height"))
+    }
+    // the default container is the framed composition over the frame
+    // codec — FramedCodec(RawCodec) and the RawCodec per-frame path
+    // agree (the r14 MediaCodec seam is a special case of the r15 one)
+    import MultimodalCodecSpec.RawCodec
+    val viaFrame = Multimodal.q53FrameSample(spark, docs, 4, RawCodec)
+      .collect().map(_.toSeq).toSeq
+    val viaContainer = Multimodal.q53FrameSample(spark, docs, 4,
+      video = Some(graft.operators.FramedCodec(RawCodec)))
+      .collect().map(_.toSeq).toSeq
+    assert(viaFrame == viaContainer)
+  }
+
   test("cdcSpans: reconstruction, size clamps, determinism, shift-stability") {
     val rng = new scala.util.Random(7)
     val payload = Array.fill[Byte](4096)(rng.nextInt().toByte)
@@ -332,6 +360,48 @@ class MultimodalSpec extends GraftSpec {
     assert(expected.nonEmpty, "corpus should contain audio near-dups")
   }
 
+  test("q204 planted clip-in-compilation: overlap found at the exact time offset") {
+    val rate = Multimodal.AudioRate
+    // 2000-sample clip embedded mid-compilation at sample 2000 —
+    // invisible to whole-clip q198 (different global fingerprints),
+    // found by the windowed diagonal
+    val clipA = Multimodal.renderAudio("alpha beta gamma tokens", rate, 2000)
+    val pre = Multimodal.renderAudio("completely different opener words", rate, 2000)
+    val post = Multimodal.renderAudio("unrelated closing content here", rate, 2000)
+    val comp = pre ++ clipA ++ post
+    val media = Seq(
+      (1L, Multimodal.encodeWav(clipA, rate)),
+      (2L, Multimodal.encodeWav(comp, rate)),
+      (3L, Multimodal.encodeWav(
+        Multimodal.renderAudio("noise floor something else", rate, 4000), rate))
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.audioOverlapPairs(media, winSamples = 500,
+      minRunWins = 3, dfCap = 0, graft.operators.WavCodec).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("offset_wins"), r.getAs[Long]("n_matched"),
+        r.getAs[Int]("max_run")))
+    graft.Pins.release()
+    // clipA windows 0..3 == compilation windows 4..7: one diagonal at
+    // offset 0-4 = -4, four consecutive matches
+    assert(out.exists(p => p._1 == 1L && p._2 == 2L && p._3 == -4 &&
+      p._4 == 4L && p._5 == 4), out.toSeq)
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L), out.toSeq)
+  }
+
+  test("q204 full path: exact-dup clique reports full overlap; unrelated docs silent") {
+    val base = "storm river mountain valley cloud forest meadow stone pebble"
+    val corpus = Seq((10L, base), (20L, base.toUpperCase), // exact dup normalized
+      (30L, "entirely different signal content words here now ok"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.q204AudioOverlap(spark, corpus).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("offset_wins"), r.getAs[Int]("max_run")))
+    graft.Pins.release()
+    val nWins = Multimodal.AudioSamples / 1000
+    assert(out.exists(p => p == ((10L, 20L, 0, nWins))), out.toSeq)
+    assert(!out.exists(p => p._1 == 30L || p._2 == 30L), out.toSeq)
+  }
+
   test("q198 finds a re-voiced near-duplicate that byte identity misses") {
     // same token multiset, different case/order → identical synth audio
     val base = "storm river mountain valley cloud forest meadow stone pebble"
@@ -419,6 +489,50 @@ object MultimodalCodecSpec {
         y += 1
       }
       Some((img, "rawrgb"))
+    }
+  }
+
+  /** Stand-in for a production H.264/AV1 container jar: one whole-clip
+    * blob (magic + frame count + per-frame w/h/pixels) with its own
+    * in-container size accounting — the [[graft.operators.VideoCodec]]
+    * twin of [[RawCodec]]. Proves q53 only touches the container seam:
+    * no framing, no PNG, no ImageIO anywhere in this path. */
+  object RawClipCodec extends graft.operators.VideoCodec {
+    private val Magic = 0x47434c50 // "GCLP"
+    override def encode(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(bos)
+      d.writeInt(Magic); d.writeInt(frames.size)
+      frames.foreach { img =>
+        d.writeInt(img.getWidth); d.writeInt(img.getHeight)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) { d.writeInt(img.getRGB(x, y)); x += 1 }
+          y += 1
+        }
+      }
+      d.flush(); bos.toByteArray
+    }
+    override def decode(bytes: Array[Byte])
+        : Option[Seq[(java.awt.image.BufferedImage, Long)]] = {
+      if (bytes.length < 8) return None
+      val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      if (d.readInt() != Magic) return None
+      val n = d.readInt()
+      if (n <= 0) return None
+      Some((0 until n).map { _ =>
+        val w = d.readInt(); val h = d.readInt()
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, d.readInt()); x += 1 }
+          y += 1
+        }
+        (img, 12L + 4L * w * h)
+      })
     }
   }
 }
