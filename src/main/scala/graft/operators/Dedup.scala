@@ -1936,6 +1936,33 @@ object Dedup {
     * CUT rep's text once (uncut docs never leave their scan — the
     * left_outer + coalesce keeps them untouched); exchanges beyond
     * substringSpans' own are doc_id-keyed. rows-only like q200. */
+  /** Interval-union cut: remove the characters covered by `iv`
+    * ([start, end) pairs, pre-sorted by start) from `t`, merging
+    * overlaps so a char cut by two spans is cut once. Returns
+    * (surviving text, chars cut) — the rewrite core shared by [[q203]]
+    * and the index-served [[SubstrIndex.scrub]]. */
+  private[graft] def cutCovered(t: String, iv: Seq[(Int, Int)])
+      : (String, Long) = {
+    val sb = new StringBuilder
+    var cut = 0L
+    var pos = 0          // next uncopied char
+    var cs = -1; var ce = -1
+    // NB: substring, not append(t, i, j) — Scala auto-tuples the
+    // 3-arg call into append(Any) and writes "(text,i,j)" literally
+    def flush(): Unit = if (ce > cs) {
+      if (cs > pos) sb.append(t.substring(pos, cs))
+      cut += math.min(ce, t.length) - cs
+      pos = math.max(pos, math.min(ce, t.length))
+    }
+    iv.foreach { case (s0, e0) =>
+      if (s0 > ce) { flush(); cs = s0; ce = e0 }
+      else if (e0 > ce) ce = e0
+    }
+    flush()
+    if (pos < t.length) sb.append(t.substring(pos))
+    (sb.result(), cut)
+  }
+
   def q203(documents: DataFrame, minLen: Int = SubstrMinLen,
            gram: Int = SubstrGram, dfCap: Int = 0,
            keepFirst: Boolean = true): DataFrame = {
@@ -1959,24 +1986,8 @@ object Dedup {
       .select(col("rep"), col("iv"), col("t"))
       .as[(Long, Seq[(Int, Int)], String)]
       .map { case (rep, iv, t) =>
-        val sb = new StringBuilder
-        var cut = 0L
-        var pos = 0          // next uncopied char
-        var cs = -1; var ce = -1
-        // NB: substring, not append(t, i, j) — Scala auto-tuples the
-        // 3-arg call into append(Any) and writes "(text,i,j)" literally
-        def flush(): Unit = if (ce > cs) {
-          if (cs > pos) sb.append(t.substring(pos, cs))
-          cut += math.min(ce, t.length) - cs
-          pos = math.max(pos, math.min(ce, t.length))
-        }
-        iv.foreach { case (s0, e0) =>
-          if (s0 > ce) { flush(); cs = s0; ce = e0 }
-          else if (e0 > ce) ce = e0
-        }
-        flush()
-        if (pos < t.length) sb.append(t.substring(pos))
-        (rep, sb.result(), cut)
+        val (kept, cut) = cutCovered(t, iv)
+        (rep, kept, cut)
       }
       .toDF("rep", "scrubbed", "cut_chars")
     norm

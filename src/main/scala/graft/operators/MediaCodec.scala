@@ -77,23 +77,46 @@ trait VideoCodec extends Serializable {
   /** frames → container bytes. */
   def encode(frames: Seq[BufferedImage]): Array[Byte]
 
-  /** container bytes → (decoded frame, encoded frame size) per frame,
-    * or None when this codec does not claim the bytes. */
-  def decode(bytes: Array[Byte]): Option[Seq[(BufferedImage, Long)]]
+  /** container bytes → a RANDOM-ACCESS clip handle, or None when this
+    * codec does not claim the bytes. Random access (not a decoded
+    * frame list) is deliberate: samplers read every k-th frame, and a
+    * container with an index (MP4's stbl, the framed container's
+    * length prefixes) can seek without paying the decode of frames
+    * nobody asked for — an eager Seq made q53 decode 4× the frames it
+    * sampled (measured 3.7 → 7.0 s at sf0.1). */
+  def decode(bytes: Array[Byte]): Option[VideoClip]
+}
+
+/** Decoded-clip handle: frame count + per-frame decode on demand.
+  * `frame(i)` returns the decoded image and the frame's IN-CONTAINER
+  * encoded size (per-frame payload length here; NAL-unit size for a
+  * real stream codec). */
+trait VideoClip {
+  def numFrames: Int
+  def frame(i: Int): (BufferedImage, Long)
 }
 
 /** Default implementation: the in-repo framed container (MJPEG's
   * length-prefixed framing) over any per-frame [[MediaCodec]] — the
-  * composition q53 always used, now behind the pluggable seam. */
+  * composition q53 always used, now behind the pluggable seam. The
+  * container split is byte slicing (cheap, eager); per-frame image
+  * decode happens only on `frame(i)`. */
 final case class FramedCodec(frame: MediaCodec = ImageIoCodec)
     extends VideoCodec {
   override def encode(frames: Seq[BufferedImage]): Array[Byte] =
     Multimodal.encodeFrames(frames.map(frame.encode))
-  override def decode(bytes: Array[Byte]): Option[Seq[(BufferedImage, Long)]] = {
+  override def decode(bytes: Array[Byte]): Option[VideoClip] = {
     val raw = Multimodal.decodeFrames(bytes)
-    if (raw.isEmpty) return None
-    val dec = raw.map(f => frame.decode(f).map { case (img, _) =>
-      (img, f.length.toLong) })
-    if (dec.exists(_.isEmpty)) None else Some(dec.map(_.get))
+    val perFrame = frame
+    if (raw.isEmpty) None
+    else Some(new VideoClip {
+      override def numFrames: Int = raw.size
+      override def frame(i: Int): (BufferedImage, Long) = {
+        val f = raw(i)
+        val (img, _) = perFrame.decode(f).getOrElse(throw
+          new IllegalArgumentException(s"frame $i undecodable"))
+        (img, f.length.toLong)
+      }
+    })
   }
 }

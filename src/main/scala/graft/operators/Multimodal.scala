@@ -577,9 +577,9 @@ object Multimodal {
             }
             img
           })
-          val frames = vc.decode(clip).get
+          val handle = vc.decode(clip).get
           (0 until nFrames by every).map { f =>
-            val (img, sz) = frames(f)
+            val (img, sz) = handle.frame(f) // decode ONLY sampled frames
             FrameOut(id, f, img.getWidth, img.getHeight, sz)
           }
         })

@@ -419,11 +419,15 @@ object Similarity {
     * distribution — better recall on clustered embeddings at the cost of
     * the one-time training pass. Candidates re-rank distributed
     * ([[rerankTopK]], exact cosine, no driver collect); top-5 per query. */
-  def q55(embeddings: DataFrame): DataFrame = {
+  def q55(embeddings: DataFrame,
+          centroidsOpt: Option[Array[Array[Double]]] = None): DataFrame = {
     // shared materialized scan: list assignment (×2) + re-rank joins (×2)
     val vecs = vecRows(embeddings)
       .transform(graft.Pins.pin)
-    val centroids = ivfFit(embeddings)
+    // ivfFit is deterministic (fixed seed), so a caller that already
+    // fitted (q193 runs ivf AND ivfpq) shares the quantizer at zero
+    // semantic cost
+    val centroids = centroidsOpt.getOrElse(ivfFit(embeddings))
     // index side: each vector in its single nearest list; query side:
     // probe the IvfProbes nearest lists
     val index = ivfAssign(vecs, centroids, 1).select(col("vec_id").as("nid"), col("list"))
@@ -1081,9 +1085,11 @@ object Similarity {
     *
     * rows-only (k-means is not portable SQL); the spec pins recall@5
     * vs exact q44, code range/shape, and encode determinism. */
-  def q138(embeddings: DataFrame, k: Int = 5, nCandidates: Int = 50): DataFrame =
+  def q138(embeddings: DataFrame, k: Int = 5, nCandidates: Int = 50,
+           fitted: Option[(Array[Array[Array[Double]]], DataFrame)] = None)
+      : DataFrame =
     searchPq(embeddings.filter(col("vec_id") < QueryPanel), embeddings,
-      k, nCandidates, excludeSelf = true)
+      k, nCandidates, excludeSelf = true, fitted = fitted)
 
   /** Codebook-training sample cap (Faiss practice: k-means codebooks
     * need a few hundred points per centroid — corpus size past that is
@@ -1225,9 +1231,15 @@ object Similarity {
     * index-then-serve contract); `excludeSelf` opts into leave-one-out
     * for the q138 driver shape. */
   def searchPq(queries: DataFrame, corpus: DataFrame, k: Int = 5,
-               nCandidates: Int = 50, excludeSelf: Boolean = false): DataFrame = {
-    val cb = pqFit(corpus)
-    val codes = pqEncode(corpus, cb)
+               nCandidates: Int = 50, excludeSelf: Boolean = false,
+               fitted: Option[(Array[Array[Array[Double]]], DataFrame)] = None)
+      : DataFrame = {
+    // pqFit/pqEncode are deterministic — a caller that already fitted
+    // (q193 runs pq AND ivfpq) shares codebook + codes at zero
+    // semantic cost
+    val (cb, codes) = fitted.getOrElse {
+      val c = pqFit(corpus); (c, pqEncode(corpus, c))
+    }
     val cands = pqAdcCands(queries, codes, cb, nCandidates, excludeSelf)
     rerankTopK(cands,
       normalized(queries).select(col("vec_id"), col("v"), col("norm")),
@@ -1323,11 +1335,14 @@ object Similarity {
     * 64×-smaller rows), exact re-rank on the surviving candidates.
     * Leave-one-out like q108/q138 (panel ids live in the corpus). */
   private[graft] def ivfPqSearch(embeddings: DataFrame, k: Int = 5,
-                                 nCandidates: Int = 50): DataFrame = {
+                                 nCandidates: Int = 50,
+                                 centroidsOpt: Option[Array[Array[Double]]] = None,
+                                 fitted: Option[(Array[Array[Array[Double]]], DataFrame)] = None)
+      : DataFrame = {
     val queries = embeddings.filter(col("vec_id") < QueryPanel)
     val vecs = vecRows(embeddings)
       .transform(graft.Pins.pin)
-    val centroids = ivfFit(embeddings)
+    val centroids = centroidsOpt.getOrElse(ivfFit(embeddings))
     val index = ivfAssign(vecs, centroids, 1)
       .select(col("vec_id").as("nid"), col("list"))
     val qv = vecRows(queries)
@@ -1336,10 +1351,11 @@ object Similarity {
     val candIds = probes.join(index, Seq("list"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid")).distinct()
-    val cb = pqFit(embeddings)
+    val (cb, codes) = fitted.getOrElse {
+      val c = pqFit(embeddings); (c, pqEncode(embeddings, c))
+    }
     val scored = candIds
-      .join(pqEncode(embeddings, cb)
-        .select(col("vec_id").as("nid"), col("codes")), "nid")
+      .join(codes.select(col("vec_id").as("nid"), col("codes")), "nid")
       .join(broadcast(pqLuts(queries, cb)), "qid")
     rerankTopK(pqTopN(scored, cb, nCandidates),
       qv.toDF("vec_id", "v", "norm"),
@@ -1364,11 +1380,55 @@ object Similarity {
           (col("n_hits").cast("double") / col("n_truth").cast("double"))
             .as("recall_at_5"))
     }
-    recallOf(q45(embeddings), "lsh")
-      .unionByName(recallOf(q55(embeddings), "ivf"))
+    // one quantizer fit each, shared across the paths that use them
+    // (deterministic fits, so sharing is semantics-free)
+    val centroids = ivfFit(embeddings)
+    val cb = pqFit(embeddings)
+    val codes = pqEncode(embeddings, cb).transform(graft.Pins.pin)
+    // PANEL-RESTRICTED twins of q45/q55: candidate generation runs only
+    // for the 20 probe queries (the INDEX side stays the full corpus).
+    // Bit-identical to filtering the all-pairs operators after the
+    // fact — a query's candidates and its per-qid re-rank window
+    // depend on nothing outside that query — while skipping the
+    // corpus-sized query-side work recallOf would discard (q45 full
+    // spends its time on the 40k-query top-5 window nobody reads).
+    val vecs = vecRows(embeddings).transform(graft.Pins.pin)
+    val vtab = vecs.toDF("vec_id", "v", "norm")
+    val lshPanel = {
+      val sigs = sigRows(vecs).transform(graft.Pins.pin)
+      val qsigs = sigs.filter(s => s._1 < QueryPanel)
+      rerankTopK(lshCandidates(qsigs, sigs)
+        .filter(col("qid") =!= col("nid")), vtab, vtab, 5)
+    }
+    // ONE ivf routing (index assignment + panel probes + candidate
+    // ids) serves BOTH the ivf path (exact re-rank of the candidates)
+    // and the ivfpq path (PQ-ADC top-nCandidates of the SAME
+    // candidates, then exact re-rank) — the two paths differ only in
+    // scoring currency, exactly as in a Faiss deployment where one
+    // coarse quantizer fronts both
+    val ivfCands = {
+      val index = ivfAssign(vecs, centroids, 1)
+        .select(col("vec_id").as("nid"), col("list"))
+      val probes = ivfAssign(vecs.filter(_._1 < QueryPanel),
+        centroids, IvfProbes).select(col("vec_id").as("qid"), col("list"))
+      probes.join(index, Seq("list"))
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid")).distinct()
+        .transform(graft.Pins.pin)
+    }
+    val ivfPanel = rerankTopK(ivfCands, vtab, vtab, 5)
+    val ivfPqPanel = {
+      val queries = embeddings.filter(col("vec_id") < QueryPanel)
+      val scored = ivfCands
+        .join(codes.select(col("vec_id").as("nid"), col("codes")), "nid")
+        .join(broadcast(pqLuts(queries, cb)), "qid")
+      rerankTopK(pqTopN(scored, cb, 50), vtab, vtab, 5)
+    }
+    recallOf(lshPanel, "lsh")
+      .unionByName(recallOf(ivfPanel, "ivf"))
       .unionByName(recallOf(q108(embeddings), "int8"))
-      .unionByName(recallOf(q138(embeddings), "pq"))
-      .unionByName(recallOf(ivfPqSearch(embeddings), "ivfpq"))
+      .unionByName(recallOf(q138(embeddings, fitted = Some((cb, codes))), "pq"))
+      .unionByName(recallOf(ivfPqPanel, "ivfpq"))
       .orderBy(col("method"))
   }
 

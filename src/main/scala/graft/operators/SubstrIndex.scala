@@ -113,25 +113,21 @@ object SubstrIndex {
     }
   }
 
-  /** Byte-granular containment verdicts for a batch against the fitted
-    * index — served from the tables alone, under the FITTED
-    * (minLen, gram, dfCap) read from the params table (a probe cannot
-    * supply its own: mismatched grams share no fingerprints and every
-    * doc silently reads 'clean'). One row per batch doc: (doc_id, dg,
-    * status contained|clean, match_dg, max_len, covered_chars).
-    *
-    * When the index was fitted with dfCap > 0, fingerprint hashes
-    * present in more than dfCap distinct indexed texts are excluded
-    * from candidate generation (the Lee et al. hot-gram mitigation —
-    * see [[Dedup.q202]]): a corpus-wide boilerplate gram otherwise
-    * makes the candidate join quadratic in its carriers. Detection of
-    * spans anchored ONLY by such grams is forgone, knowingly. */
-  def containment(batch: DataFrame, name: String): DataFrame = {
-    val spark = batch.sparkSession
+  /** Verified span rows (batch digest, index digest, start in batch
+    * text, length) for a normalized batch frame against the fitted
+    * index, under the fitted params — the candidate→diagonal→exact-
+    * extension core shared by [[containment]] (verdicts) and [[scrub]]
+    * (rewrite). When the index was fitted with dfCap > 0, fingerprint
+    * hashes present in more than dfCap distinct indexed texts are
+    * excluded from candidate generation (the Lee et al. hot-gram
+    * mitigation — see [[Dedup.q202]]): a corpus-wide boilerplate gram
+    * otherwise makes the candidate join quadratic in its carriers.
+    * Detection of spans anchored ONLY by such grams is forgone,
+    * knowingly. */
+  private def spansAgainst(batchRep: DataFrame, name: String): DataFrame = {
+    val spark = batchRep.sparkSession
     import spark.implicits._
     val (minLen, gram, dfCap) = params(spark, name)
-    val batchRep = repTexts(batch)
-      .transform(graft.Pins.pin)
     val fpB = fingerprints(batchRep, minLen, gram)
     val sfpAll = spark.table(sfpTable(name))
     val sfp =
@@ -187,6 +183,21 @@ object SubstrIndex {
       .toDF("bdg", "idg", "start_b", "match_len")
       .distinct()
       .transform(graft.Pins.pin)
+    spans
+  }
+
+  /** Byte-granular containment verdicts for a batch against the fitted
+    * index — served from the tables alone, under the FITTED
+    * (minLen, gram, dfCap) read from the params table (a probe cannot
+    * supply its own: mismatched grams share no fingerprints and every
+    * doc silently reads 'clean'). One row per batch doc: (doc_id, dg,
+    * status contained|clean, match_dg, max_len, covered_chars). */
+  def containment(batch: DataFrame, name: String): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val batchRep = repTexts(batch)
+      .transform(graft.Pins.pin)
+    val spans = spansAgainst(batchRep, name)
     // covered chars per batch digest: interval union over all spans
     // (any index side), the q201 walk
     val covered = spans
@@ -222,6 +233,49 @@ object SubstrIndex {
           .otherwise(lit("clean")).as("status"),
         col("match_dg"), coalesce(col("max_len"), lit(0)).as("max_len"),
         col("covered_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Byte-granular SCRUB against the fitted index — [[containment]]'s
+    * rewrite twin (the q203-vs-q200 relationship, index-served): every
+    * batch doc's characters covered by a verbatim ≥ minLen run of ANY
+    * indexed text are CUT (interval union, overlaps once — the
+    * [[Dedup.cutCovered]] walk), instead of the whole doc dropping.
+    * This is the decontamination stance for PARTIAL leakage: a doc
+    * quoting one benchmark question keeps its original prose; st34's
+    * drop gate would discard it whole. One row per batch doc:
+    * (doc_id, text [scrubbed normalized], n_chars, cut_chars); docs
+    * with no indexed span pass through byte-identical (normalized).
+    * A scrubbed batch re-probed through [[containment]] reads clean
+    * (the spec's closure check), modulo cut-seam adjacencies — the
+    * q203 caveat. */
+  def scrub(batch: DataFrame, name: String): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val batchRep = repTexts(batch)
+      .transform(graft.Pins.pin)
+    val spans = spansAgainst(batchRep, name)
+    val scrubbed = spans
+      .groupBy(col("bdg"))
+      .agg(sort_array(collect_list(
+        struct(col("start_b").as("s"),
+          (col("start_b") + col("match_len")).as("e")))).as("iv"))
+      .join(batchRep.select(col("dg").as("bdg"), col("t")), "bdg")
+      .select(col("bdg"), col("iv"), col("t"))
+      .as[(String, Seq[(Int, Int)], String)]
+      .map { case (dg, iv, t) =>
+        val (kept, cut) = Dedup.cutCovered(t, iv)
+        (dg, kept, cut)
+      }
+      .toDF("dg", "scrubbed", "cut_chars")
+    batch
+      .select(col("doc_id"), Dedup.normDigest.as("dg"),
+        lower(trim(col("text"))).as("t"))
+      .join(scrubbed, Seq("dg"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("scrubbed"), col("t")).as("text"),
+        length(col("t")).cast("long").as("n_chars"),
+        coalesce(col("cut_chars"), lit(0L)).as("cut_chars"))
       .orderBy(col("doc_id"))
   }
 

@@ -742,6 +742,32 @@ object Streams {
       }
       .start()
 
+  /** st35: streaming SUBSTRING-SCRUB gate — st34's rewrite twin (the
+    * q203-vs-q200 relationship at the stream boundary): instead of
+    * DROPPING a doc that carries a verbatim ≥ minLen run of the fitted
+    * reference, each micro-batch is rewritten through [[graft
+    * .operators.SubstrIndex.scrub]] — the leaked bytes are cut, the
+    * doc's own prose survives into `outDir` (doc_id, text, n_chars,
+    * cut_chars). The right gate when leakage is PARTIAL (a quoted
+    * benchmark question inside an otherwise-novel page); st34 remains
+    * the right gate when any contamination disqualifies the whole doc.
+    * Same idempotence story as st34: the reference is fixed by fit,
+    * scrubbed docs are NOT appended, the parquet sink dedups replays
+    * by checkpoint. */
+  def startSubstrScrubGate(docs: DataFrame, indexName: String,
+                           outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        graft.operators.SubstrIndex.scrub(batch, indexName)
+          .write.mode("append").parquet(outDir)
+        graft.Pins.release()
+        ()
+      }
+      .start()
+
   /** st25: streaming URL-DEDUP gate — the crawl-frontier twin of st20,
     * keyed on the CANONICAL URL instead of the text digest: each
     * micro-batch normalizes its `url` column ([[graft.operators

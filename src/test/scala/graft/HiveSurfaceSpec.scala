@@ -239,6 +239,44 @@ class HiveSurfaceSpec extends GraftSpec {
     intercept[Exception](spark.sql("SELECT graft_tokens('x')").collect())
   }
 
+  test("ddl10: permanent functions survive catalog loss via the registry; SHOW FUNCTIONS round-trips") {
+    import graft.sources.FunctionRegistry
+    FunctionRegistry.createJvm(spark, "graft_perm_tokens",
+      "graft.functions.HiveTokenCount")
+    // SQL-body function = the Hive CREATE TEMPORARY MACRO lane,
+    // catalog-resident and Catalyst-inlined
+    FunctionRegistry.createSql(spark, "graft_quality_macro",
+      "(x STRING) RETURNS DOUBLE RETURN length(x) * 0.1")
+    val r = spark.sql(
+      "SELECT graft_perm_tokens('a b c') AS n, graft_quality_macro('abcd') AS q")
+      .head()
+    assert(r.getInt(0) == 3 && math.abs(r.getDouble(1) - 0.4) < 1e-12, r)
+    // SHOW FUNCTIONS round-trip: both visible as user functions
+    val shown = spark.sql("SHOW USER FUNCTIONS").collect()
+      .map(_.getString(0)).toSet
+    assert(shown.exists(_.endsWith("graft_perm_tokens")), shown)
+    assert(shown.exists(_.endsWith("graft_quality_macro")), shown)
+    // simulate a restarted catalog: drop from the LIVE catalog only —
+    // the registry file still holds the definitions
+    spark.sql("DROP FUNCTION graft_perm_tokens")
+    spark.sql("DROP FUNCTION graft_quality_macro")
+    intercept[Exception](spark.sql("SELECT graft_perm_tokens('x')").head())
+    val replayed = FunctionRegistry.replay(spark).toSet
+    assert(replayed.contains("graft_perm_tokens") &&
+      replayed.contains("graft_quality_macro"), replayed)
+    val r2 = spark.sql(
+      "SELECT graft_perm_tokens('a b c') AS n, graft_quality_macro('abcd') AS q")
+      .head()
+    assert(r2.getInt(0) == 3 && math.abs(r2.getDouble(1) - 0.4) < 1e-12, r2)
+    // registry drop removes catalog entry AND the replay record
+    FunctionRegistry.drop(spark, "graft_perm_tokens")
+    FunctionRegistry.drop(spark, "graft_quality_macro")
+    intercept[Exception](spark.sql("SELECT graft_perm_tokens('x')").head())
+    val after = FunctionRegistry.replay(spark).toSet
+    assert(!after.contains("graft_perm_tokens") &&
+      !after.contains("graft_quality_macro"), after)
+  }
+
   test("ddl09: INSERT OVERWRITE DIRECTORY exports query results to a lake path") {
     val dir = java.nio.file.Files.createTempDirectory("graft-iod").toString
     Tables.nation(spark, SF).createOrReplaceTempView("iod_src")

@@ -515,13 +515,13 @@ object MultimodalCodecSpec {
       d.flush(); bos.toByteArray
     }
     override def decode(bytes: Array[Byte])
-        : Option[Seq[(java.awt.image.BufferedImage, Long)]] = {
+        : Option[graft.operators.VideoClip] = {
       if (bytes.length < 8) return None
       val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
       if (d.readInt() != Magic) return None
       val n = d.readInt()
       if (n <= 0) return None
-      Some((0 until n).map { _ =>
+      val decoded = (0 until n).map { _ =>
         val w = d.readInt(); val h = d.readInt()
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -532,6 +532,10 @@ object MultimodalCodecSpec {
           y += 1
         }
         (img, 12L + 4L * w * h)
+      }
+      Some(new graft.operators.VideoClip {
+        override def numFrames: Int = n
+        override def frame(i: Int) = decoded(i)
       })
     }
   }

@@ -49,6 +49,23 @@ class SimilaritySpec extends GraftSpec {
     Similarity.RecallFloors.foreach { case (m, f) =>
       assert(out(m)._4 >= f, s"$m: recall ${out(m)._4} < floor $f")
     }
+    // panel-twin parity: q193's lsh/ivf hit counts must equal the
+    // recall computed from the FULL all-pairs operators filtered to
+    // the panel — the restriction is a pushdown, not a semantic change
+    val exact = Similarity.q44(emb).select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(df: org.apache.spark.sql.DataFrame): Long = {
+      val got = df.filter($"qid" < Similarity.QueryPanel)
+        .select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & got).size.toLong
+    }
+    assert(out("lsh")._3 == hits(Similarity.q45(emb)), out("lsh"))
+    assert(out("ivf")._3 == hits(Similarity.q55(emb)), out("ivf"))
+    // the standalone ivfpq operator and q193's shared-routing inline
+    // must agree the same way
+    assert(out("ivfpq")._3 == hits(Similarity.ivfPqSearch(emb)), out("ivfpq"))
+    graft.Pins.release()
   }
 
   test("q45 recall vs q44 baseline on real embeddings is nontrivial") {

@@ -568,6 +568,47 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("st35 streaming substring-scrub gate cuts the leaked bytes, keeps the prose") {
+    val blockA = "this benchmark passage is long enough to trip the sixty four char floor"
+    val reference = Seq((1L, "ref wrapper " + blockA + " more ref"))
+      .toDF("doc_id", "text")
+    graft.operators.SubstrIndex.drop(spark, "graft_st35ix")
+    graft.operators.SubstrIndex.fit(reference, "graft_st35ix")
+    val ms = MemoryStream[(Long, String)]
+    val df = ms.toDF().toDF("doc_id", "text")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-st35").toString + "/out"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-st35-ck").toString
+    val q = Streams.startSubstrScrubGate(df, "graft_st35ix", outDir, ckpt)
+    try {
+      ms.addData(
+        (10L, "own prose before " + blockA.toUpperCase + " own prose after"),
+        (11L, "totally novel writing sharing nothing with the reference"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(outDir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("text"), r.getAs[Long]("cut_chars"))).toMap
+      // quoted bytes cut, the doc's own prose survives (st34 would
+      // have dropped doc 10 whole)
+      assert(out(10L)._2 >= blockA.length.toLong, out(10L))
+      assert(!out(10L)._1.contains(blockA), out(10L))
+      assert(out(10L)._1.contains("own prose before"), out(10L))
+      assert(out(11L)._2 == 0L &&
+        out(11L)._1 == "totally novel writing sharing nothing with the reference",
+        out(11L))
+      // closure: the scrubbed output re-probes clean
+      val re = graft.operators.SubstrIndex.containment(
+        Seq((20L, out(10L)._1), (21L, out(11L)._1)).toDF("doc_id", "text"),
+        "graft_st35ix").collect()
+      graft.Pins.release()
+      assert(re.forall(_.getAs[String]("status") == "clean"), re.toSeq)
+    } finally {
+      q.stop()
+      graft.operators.SubstrIndex.drop(spark, "graft_st35ix")
+    }
+  }
+
   test("st16 streaming DSIR gate keeps target-like docs, bit parity with batch") {
     // reference: target source speaks 'alpha', the raw web speaks 'beta'
     val ref = Seq(

@@ -126,6 +126,37 @@ class SubstrIndexSpec extends GraftSpec {
     }
   }
 
+  test("s26 scrub: leaked bytes cut with interval union, clean docs byte-identical, closure holds") {
+    fitted
+    graft.Pins.release()
+    val probes = Seq(
+      (601L, "own opening " + block + " own middle " + other + " own closing"), // two cuts
+      (602L, "totally novel writing sharing nothing with the fitted corpus!"),  // untouched
+      (603L, "corpus intro " + block + " corpus outro words here")              // == fitted doc 1: cut to nothing-ish
+    ).toDF("doc_id", "text")
+    val out = SubstrIndex.scrub(probes, Name).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("cut_chars"))).toMap
+    graft.Pins.release()
+    // both planted blocks cut, the doc's own prose survives
+    assert(out(601L)._3 >= (block.length + other.length).toLong, out(601L))
+    assert(!out(601L)._1.contains(block) && !out(601L)._1.contains(other), out(601L))
+    assert(out(601L)._1.contains("own opening"), out(601L))
+    // clean doc passes through byte-identical (normalized)
+    assert(out(602L)._3 == 0L &&
+      out(602L)._1 == "totally novel writing sharing nothing with the fitted corpus!",
+      out(602L))
+    // an exact copy of a fitted text is cut end to end
+    assert(out(603L)._1.isEmpty && out(603L)._3 == out(603L)._2, out(603L))
+    // closure: scrubbed output re-probes clean
+    val re = SubstrIndex.containment(
+      Seq((701L, out(601L)._1), (702L, out(602L)._1)).toDF("doc_id", "text"),
+      Name).collect()
+    graft.Pins.release()
+    assert(re.forall(_.getAs[String]("status") == "clean"), re.toSeq)
+  }
+
   test("s26 params: probes serve under the FITTED (minLen, gram), not defaults") {
     val name = "graft_substrix_p"
     SubstrIndex.drop(spark, name)
