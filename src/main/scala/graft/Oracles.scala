@@ -999,6 +999,26 @@ object Oracles {
                 TRUE AS volume_ok, TRUE AS share_bounds_ok
          FROM sh""",
 
+    // a clip's synth audio is a pure function of its top-8 token SET
+    // ((count desc, token) ranking; voices sum order-insensitively),
+    // so the q204 pair count == doc pairs with equal top-8 sets —
+    // computable from the token rollup on both engines; the offset/
+    // run verdicts are predicted-TRUE (q112Driver pattern)
+    "q204_audio_overlap" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(string_split(lower(trim(text)), ' ')) AS tok
+           FROM documents),
+         tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+         rk AS (SELECT doc_id, tok,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, tok) AS rn
+           FROM tc),
+         sig AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tok) AS s
+           FROM rk WHERE rn <= 8 GROUP BY doc_id),
+         g AS (SELECT s, COUNT(*) AS m FROM sig GROUP BY s)
+         SELECT CAST(COALESCE(SUM(m * (m - 1) // 2), 0) AS BIGINT) AS n_pairs,
+           TRUE AS offsets_zero_ok, TRUE AS full_run_ok
+         FROM g""",
+
     // winnowChars emits >= 1 fingerprint for every normalized text of
     // >= gram chars, so distinct fingerprinted reps == distinct
     // normalized texts with length >= gram — the independent DuckDB

@@ -955,6 +955,34 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"), col("offset_wins"))
   }
 
+  /** Driver-facing RECONCILIATION of [[q204AudioOverlap]] — the
+    * q112Driver trick on the audio axis: the synth voice of a token
+    * depends only on the token's hash, so a clip's audio is a pure
+    * function of its top-8 token SET ((count desc, token) ranking,
+    * order-insensitive sum of voices) — and on the driver corpus
+    * (fixed-length clips, no embedded sub-clips) the q204 pair set is
+    * EXACTLY the set of doc pairs with equal top-8 sets: identical
+    * audio ⇒ every window fingerprint matches on diagonal 0 (full
+    * run); different voice sets ⇒ no window matches (a 3-consecutive
+    * 56-bit fp collision run is the q114 collision contract). DuckDB
+    * computes the same pair count independently from the token
+    * rollup; the offset/run verdicts are predicted-TRUE. A windowing
+    * or expansion bug that drops or duplicates pairs now hash-
+    * mismatches at the gate; the full report stays [[q204AudioOverlap]]. */
+  def q204Driver(spark: SparkSession, documents: DataFrame,
+                 winSamples: Int = 1000, minRunWins: Int = 3): DataFrame = {
+    val out = q204AudioOverlap(spark, documents, winSamples, minRunWins)
+    val nWins = AudioSamples / winSamples
+    out.agg(count(lit(1)).cast("long").as("n_pairs"),
+        max(abs(col("offset_wins"))).as("mx_off"),
+        min(col("max_run")).as("mn_run"),
+        max(col("max_run")).as("mx_run"))
+      .select(col("n_pairs"),
+        coalesce(col("mx_off") === 0, lit(true)).as("offsets_zero_ok"),
+        coalesce(col("mn_run") === nWins && col("mx_run") === nWins,
+          lit(true)).as("full_run_ok"))
+  }
+
   // --------------------------------------------- content-defined chunking
 
   /** Deterministic gear table for the CDC rolling hash (one long per

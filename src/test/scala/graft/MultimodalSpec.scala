@@ -402,6 +402,24 @@ class MultimodalSpec extends GraftSpec {
     assert(!out.exists(p => p._1 == 30L || p._2 == 30L), out.toSeq)
   }
 
+  test("q204Driver: pair count == equal-top8-set pairs; offset/run verdicts hold") {
+    // audio is a pure function of the top-8 token SET: doc 2 repeats
+    // tokens with different counts (same set -> same audio as doc 1);
+    // docs 3/4/5 are an exact-dup clique (3 pairs); doc 6 is alone
+    val corpus = Seq(
+      (1L, "red green blue cyan"),
+      (2L, "red red green blue blue cyan"),
+      (3L, "storm river mountain valley"),
+      (4L, "STORM RIVER MOUNTAIN VALLEY"),
+      (5L, "storm river mountain valley"),
+      (6L, "entirely different tokens here")
+    ).toDF("doc_id", "text")
+    val r = Multimodal.q204Driver(spark, corpus).collect().head
+    graft.Pins.release()
+    assert(r.getAs[Long]("n_pairs") == 4L, r)
+    assert(r.getAs[Boolean]("offsets_zero_ok") && r.getAs[Boolean]("full_run_ok"), r)
+  }
+
   test("q198 finds a re-voiced near-duplicate that byte identity misses") {
     // same token multiset, different case/order → identical synth audio
     val base = "storm river mountain valley cloud forest meadow stone pebble"

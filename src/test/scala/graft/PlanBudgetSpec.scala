@@ -137,6 +137,41 @@ class PlanBudgetSpec extends GraftSpec {
     graft.Pins.release()
   }
 
+  test("q202 pre-flight: one fingerprint rollup + broadcast total + bounded heap") {
+    val df = graft.operators.Dedup.q202(Tables.documents(spark, SF))
+    val plan = formattedPlan(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q202 top-k lost the bounded-heap plan:\n$plan")
+    val r = PlanReport.analyze(df)
+    // exactReps window + fingerprint flatMap feed the hash rollup
+    // (countDistinct = two agg phases); the total rides a broadcast;
+    // nothing sort-merges. Measured 5 — ceiling with headroom.
+    assert(r.exchanges <= 6, r)
+    assert(r.broadcastExchanges >= 1, r)
+    assert(r.sortMergeJoins == 0, r)
+    graft.Pins.release()
+  }
+
+  test("q203 scrub: only cut reps ship text; uncut docs keep their scan") {
+    val df = graft.operators.Dedup.q203(Tables.documents(spark, SF))
+    val r = PlanReport.analyze(df)
+    // q200's span machinery + per-rep cut grouping + members join +
+    // output sort — bounded, and the final join back to the corpus
+    // must NOT re-derive the span pipeline per consumer (pins)
+    assert(r.exchanges <= 14, r)
+    graft.Pins.release()
+  }
+
+  test("q204 audio overlap: 8-byte window fps are the only data-sized shuffle") {
+    val df = graft.operators.Multimodal.q204AudioOverlap(
+      spark, Tables.documents(spark, SF))
+    val r = PlanReport.analyze(df)
+    // codec repartition (id, text) + fp equi-join + diagonal group +
+    // member expansion + output sort; payloads stay partition-local
+    assert(r.exchanges <= 12, r)
+    graft.Pins.release()
+  }
+
   test("graph round above the broadcast node threshold: no node-table broadcast") {
     // emulate a graph too big to broadcast: hints off (useBcast=false)
     // AND size-estimation broadcast disabled — the static plan must
