@@ -1019,6 +1019,15 @@ object Oracles {
            TRUE AS offsets_zero_ok, TRUE AS full_run_ok
          FROM g""",
 
+    // the scrub partitions each normalized text into kept + cut chars,
+    // so length(scrubbed) == n_chars - cut_chars per doc; DuckDB
+    // computes n_chars independently and the identities are
+    // predicted-TRUE (q112Driver pattern)
+    "q203_substr_scrub" ->
+      """SELECT doc_id, CAST(length(lower(trim(text))) AS BIGINT) AS n_chars,
+           TRUE AS len_ok, TRUE AS cut_bounds_ok
+         FROM documents ORDER BY doc_id""",
+
     // winnowChars emits >= 1 fingerprint for every normalized text of
     // >= gram chars, so distinct fingerprinted reps == distinct
     // normalized texts with length >= gram — the independent DuckDB

@@ -373,7 +373,7 @@ object SparkEntry {
     "q200_substring_dedup"     -> ((s, d) => Dedup.q200(documents(s, d))),
     "q201_substr_coverage"     -> ((s, d) => Dedup.q201(documents(s, d))),
     "q202_winnow_skew"         -> ((s, d) => Dedup.q202Driver(documents(s, d))),
-    "q203_substr_scrub"        -> ((s, d) => Dedup.q203(documents(s, d))),
+    "q203_substr_scrub"        -> ((s, d) => Dedup.q203Driver(documents(s, d))),
     "q204_audio_overlap"       -> ((s, d) => Multimodal.q204Driver(s, documents(s, d)))
   )
 

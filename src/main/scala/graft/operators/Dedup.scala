@@ -1936,6 +1936,25 @@ object Dedup {
     * CUT rep's text once (uncut docs never leave their scan — the
     * left_outer + coalesce keeps them untouched); exchanges beyond
     * substringSpans' own are doc_id-keyed. rows-only like q200. */
+  /** Driver-facing RECONCILIATION of [[q203]] — the length identity
+    * the cut walk must preserve: the scrubbed text PARTITIONS the
+    * normalized original into kept + cut characters, so
+    * length(scrubbed) == n_chars − cut_chars for every doc, and
+    * 0 ≤ cut_chars ≤ n_chars. DuckDB independently computes each
+    * doc's n_chars from the corpus; the identities are predicted-TRUE
+    * verdicts. An interval-walk bug (double-cut overlap, off-by-one
+    * seam, dropped tail) breaks the identity and hash-mismatches at
+    * the gate; the scrubbed corpus itself stays [[q203]]. */
+  def q203Driver(documents: DataFrame, minLen: Int = SubstrMinLen,
+                 gram: Int = SubstrGram): DataFrame =
+    q203(documents, minLen, gram)
+      .select(col("doc_id"), col("n_chars"),
+        (length(col("text")).cast("long") ===
+          col("n_chars") - col("cut_chars")).as("len_ok"),
+        (col("cut_chars") >= 0L && col("cut_chars") <= col("n_chars"))
+          .as("cut_bounds_ok"))
+      .orderBy(col("doc_id"))
+
   /** Interval-union cut: remove the characters covered by `iv`
     * ([start, end) pairs, pre-sorted by start) from `t`, merging
     * overlaps so a char cut by two spans is cut once. Returns

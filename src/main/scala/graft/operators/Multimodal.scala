@@ -851,9 +851,29 @@ object Multimodal {
     * bucket mitigation (a silence/jingle window carried by thousands
     * of clips would otherwise go quadratic in carriers). Payloads
     * never shuffle — only (doc_id, win_idx, 8-byte fp) rows do. */
+  /** Exact 60-bit window-content hash (two polynomial rolls packed —
+    * the winnowChars construction over PCM samples): equal samples ⇒
+    * equal hash; different samples collide at the q114 contract rate.
+    * The EXACT twin of the perceptual [[audioFingerprint]] key for
+    * [[audioOverlapPairs]]' `exact` mode. */
+  private def audioWindowHash(s: Array[Short], off: Int, len: Int): Long = {
+    val P1 = 1000000007L; val B1 = 31L
+    val P2 = 998244353L;  val B2 = 131L
+    var h1 = 0L; var h2 = 0L
+    var i = 0
+    while (i < len) {
+      val x = (s(off + i) & 0xffff).toLong
+      h1 = (h1 * B1 + x) % P1
+      h2 = (h2 * B2 + x) % P2
+      i += 1
+    }
+    (h1 << 31) | h2
+  }
+
   private[graft] def audioOverlapPairs(media: DataFrame, winSamples: Int,
                                        minRunWins: Int, dfCap: Int,
-                                       codec: AudioCodec): DataFrame = {
+                                       codec: AudioCodec,
+                                       exact: Boolean = false): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     val wfps = media.select(col("doc_id"), col("payload"))
@@ -863,9 +883,15 @@ object Multimodal {
           codec.decode(b).toSeq.flatMap { case (s, rate, _) =>
             val nWin = s.length / winSamples
             (0 until nWin).map { w =>
-              val seg = java.util.Arrays.copyOfRange(
-                s, w * winSamples, (w + 1) * winSamples)
-              AWinRow(id, w, audioFingerprint(seg, rate))
+              // default key: PERCEPTUAL (finds re-encoded/attenuated
+              // embeds, can also fire on near-identical audio); exact
+              // key: content hash (verbatim embeds only — the mode
+              // whose pair set is oracle-reconcilable)
+              val key =
+                if (exact) audioWindowHash(s, w * winSamples, winSamples)
+                else audioFingerprint(java.util.Arrays.copyOfRange(
+                  s, w * winSamples, (w + 1) * winSamples), rate)
+              AWinRow(id, w, key)
             }
           }
         })
@@ -918,7 +944,8 @@ object Multimodal {
   def q204AudioOverlap(spark: SparkSession, documents: DataFrame,
                        winSamples: Int = 1000, minRunWins: Int = 3,
                        dfCap: Int = 0,
-                       codec: AudioCodec = WavCodec): DataFrame = {
+                       codec: AudioCodec = WavCodec,
+                       exact: Boolean = false): DataFrame = {
     import spark.implicits._
     val (reps, members) = graft.operators.Dedup.exactReps(documents)
     val media = reps.select(col("doc_id"), col("text"))
@@ -933,7 +960,7 @@ object Multimodal {
       }
       .toDF("doc_id", "payload")
     val repPairs = audioOverlapPairs(media, winSamples, minRunWins,
-      dfCap, codec)
+      dfCap, codec, exact)
     val ma = members.select(col("rep").as("doc_a"), col("doc_id").as("da"))
     val mb = members.select(col("rep").as("doc_b"), col("doc_id").as("db"))
     val cross = repPairs.join(ma, "doc_a").join(mb, "doc_b")
@@ -956,22 +983,27 @@ object Multimodal {
   }
 
   /** Driver-facing RECONCILIATION of [[q204AudioOverlap]] — the
-    * q112Driver trick on the audio axis: the synth voice of a token
-    * depends only on the token's hash, so a clip's audio is a pure
-    * function of its top-8 token SET ((count desc, token) ranking,
-    * order-insensitive sum of voices) — and on the driver corpus
-    * (fixed-length clips, no embedded sub-clips) the q204 pair set is
-    * EXACTLY the set of doc pairs with equal top-8 sets: identical
-    * audio ⇒ every window fingerprint matches on diagonal 0 (full
-    * run); different voice sets ⇒ no window matches (a 3-consecutive
-    * 56-bit fp collision run is the q114 collision contract). DuckDB
-    * computes the same pair count independently from the token
-    * rollup; the offset/run verdicts are predicted-TRUE. A windowing
-    * or expansion bug that drops or duplicates pairs now hash-
-    * mismatches at the gate; the full report stays [[q204AudioOverlap]]. */
+    * q112Driver trick on the audio axis, over the EXACT window-hash
+    * mode: the synth voice of a token depends only on the token's
+    * hash, so a clip's audio is a pure function of its top-8 token
+    * SET ((count desc, token) ranking, order-insensitive sum of
+    * voices) — and on the driver corpus (fixed-length clips, no
+    * embedded sub-clips) the exact-mode pair set is EXACTLY the set
+    * of doc pairs with equal top-8 sets: identical audio ⇒ every
+    * window hash matches on diagonal 0 (full run); different samples
+    * ⇒ no match (60-bit content hash, the q114 collision contract).
+    * The PERCEPTUAL default cannot be reconciled this way — its
+    * band-sign fingerprints legitimately fire on near-identical
+    * audio too (found at sf0.1: a 7-of-8-voices pair matched 3 of 4
+    * windows), which is its value as a dedup signal and its
+    * disqualification as an exact oracle. DuckDB computes the same
+    * pair count independently from the token rollup; the offset/run
+    * verdicts are predicted-TRUE. The full perceptual report stays
+    * [[q204AudioOverlap]]. */
   def q204Driver(spark: SparkSession, documents: DataFrame,
                  winSamples: Int = 1000, minRunWins: Int = 3): DataFrame = {
-    val out = q204AudioOverlap(spark, documents, winSamples, minRunWins)
+    val out = q204AudioOverlap(spark, documents, winSamples, minRunWins,
+      exact = true)
     val nWins = AudioSamples / winSamples
     out.agg(count(lit(1)).cast("long").as("n_pairs"),
         max(abs(col("offset_wins"))).as("mx_off"),

@@ -386,6 +386,15 @@ class MultimodalSpec extends GraftSpec {
     assert(out.exists(p => p._1 == 1L && p._2 == 2L && p._3 == -4 &&
       p._4 == 4L && p._5 == 4), out.toSeq)
     assert(!out.exists(p => p._1 == 3L || p._2 == 3L), out.toSeq)
+    // exact mode (content hashes instead of perceptual fps) finds the
+    // byte-exact embed at the same offset
+    val ex = Multimodal.audioOverlapPairs(media, winSamples = 500,
+      minRunWins = 3, dfCap = 0, graft.operators.WavCodec, exact = true)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("offset_wins"), r.getAs[Int]("max_run")))
+    graft.Pins.release()
+    assert(ex.exists(p => p == ((1L, 2L, -4, 4))), ex.toSeq)
+    assert(!ex.exists(p => p._1 == 3L || p._2 == 3L), ex.toSeq)
   }
 
   test("q204 full path: exact-dup clique reports full overlap; unrelated docs silent") {
