@@ -374,7 +374,8 @@ object SparkEntry {
     "q201_substr_coverage"     -> ((s, d) => Dedup.q201(documents(s, d))),
     "q202_winnow_skew"         -> ((s, d) => Dedup.q202Driver(documents(s, d))),
     "q203_substr_scrub"        -> ((s, d) => Dedup.q203Driver(documents(s, d))),
-    "q204_audio_overlap"       -> ((s, d) => Multimodal.q204Driver(s, documents(s, d)))
+    "q204_audio_overlap"       -> ((s, d) => Multimodal.q204Driver(s, documents(s, d))),
+    "q205_image_overlap"       -> ((s, d) => Multimodal.q205ImageOverlap(s, documents(s, d)))
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -1015,6 +1015,166 @@ object Multimodal {
           lit(true)).as("full_run_ok"))
   }
 
+  // ------------------------------------------------ q205 image overlap
+
+  private[graft] case class TileRow(doc_id: Long, tx: Int, ty: Int, th: Long)
+
+  /** 60-bit content hash of one tile's RGB ints (the
+    * [[audioWindowHash]] construction over pixels). */
+  private def tileHash(rgb: Array[Int], imgW: Int, x0: Int, y0: Int,
+                       tile: Int): Long = {
+    val P1 = 1000000007L; val B1 = 31L
+    val P2 = 998244353L;  val B2 = 131L
+    var h1 = 0L; var h2 = 0L
+    var y = 0
+    while (y < tile) {
+      var x = 0
+      while (x < tile) {
+        val p = (rgb((y0 + y) * imgW + x0 + x) & 0xffffff).toLong
+        h1 = (h1 * B1 + p) % P1
+        h2 = (h2 * B2 + p) % P2
+        x += 1
+      }
+      y += 1
+    }
+    (h1 << 31) | h2
+  }
+
+  /** Core of [[q205ImageOverlap]] over any (doc_id, payload) image
+    * frame: REALLY DECODE each payload, cut the grid-aligned `tile`×
+    * `tile` tiles, hash each tile's pixels exactly (UNIFORM tiles —
+    * background — are skipped: a blank region witnesses nothing, the
+    * silence-tile analog of q204's hot windows), equality-join on the
+    * tile hash, and group by (pair, dx, dy) — the q200/q204 DIAGONAL
+    * trick in TWO dimensions: every tile of one pasted region shares
+    * the same (tx_a − tx_b, ty_a − ty_b), so a crop-and-paste
+    * collapses into ONE row carrying WHERE (the tile offset) and HOW
+    * MUCH (matched-tile count). `dfCap` caps hot tiles (a watermark /
+    * logo tile carried by thousands of images is the boilerplate-gram
+    * problem in pixels). Only (doc_id, tx, ty, 8-byte hash) rows
+    * shuffle; pixels stay partition-local. */
+  private[graft] def imageOverlapPairs(media: DataFrame, tile: Int,
+                                       minTiles: Int, dfCap: Int,
+                                       codec: MediaCodec)
+      : (DataFrame, DataFrame) = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val tiles = media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.flatMap { case (id, b) =>
+          codec.decode(b).toSeq.flatMap { case (img, _) =>
+            val w = img.getWidth; val h = img.getHeight
+            val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+            for {
+              ty <- 0 until h / tile
+              tx <- 0 until w / tile
+              if { // uniform-tile skip
+                val p0 = rgb(ty * tile * w + tx * tile) & 0xffffff
+                var uniform = true
+                var y = 0
+                while (uniform && y < tile) {
+                  var x = 0
+                  while (uniform && x < tile) {
+                    if ((rgb((ty * tile + y) * w + tx * tile + x) & 0xffffff)
+                        != p0) uniform = false
+                    x += 1
+                  }
+                  y += 1
+                }
+                !uniform
+              }
+            } yield TileRow(id, tx, ty, tileHash(rgb, w, tx * tile, ty * tile, tile))
+          }
+        })
+      }
+      .toDF()
+      .transform(graft.Pins.pin) // a/b join sides + the df rollup
+    val kept =
+      if (dfCap <= 0) tiles
+      else tiles.join(
+        tiles.groupBy(col("th"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") > dfCap).select(col("th")),
+        Seq("th"), "left_anti")
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.th") === col("b.th") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (col("a.tx") - col("b.tx")).as("dx_tiles"),
+        (col("a.ty") - col("b.ty")).as("dy_tiles"),
+        col("a.tx").as("tax"), col("a.ty").as("tay"))
+      .distinct()
+      .groupBy(col("doc_a"), col("doc_b"), col("dx_tiles"), col("dy_tiles"))
+      .agg(count(lit(1)).cast("long").as("n_tiles"))
+      .filter(col("n_tiles") >= minTiles)
+      .orderBy(col("doc_a"), col("doc_b"), col("dx_tiles"), col("dy_tiles"))
+    (pairs, tiles.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_doc_tiles")))
+  }
+
+  /** q205: IMAGE PARTIAL-OVERLAP (crop / collage / screenshot-embed)
+    * — completes the overlap triad with q200 (text bytes) and q204
+    * (audio time): q93 fingerprints WHOLE thumbnails, so an image
+    * pasted inside a larger canvas is invisible to it exactly as an
+    * embedded clip is to q198. Per exact-dup rep: render → REAL PNG
+    * round-trip through the codec seam → grid tiles → exact tile
+    * hashes → [[imageOverlapPairs]]' 2D diagonal grouping; reported
+    * pairs carry the (dx, dy) tile offset and matched-tile count.
+    * Exact tile equality detects VERBATIM pastes (the dominant
+    * collage/screenshot mode — re-encoded pastes additionally need a
+    * perceptual tile key, which 8×8 tiles are too small to carry; at
+    * production image sizes swap [[tileHash]] for a per-tile dHash).
+    * Exact-dup members expand through the members map. rows-only with
+    * a planted collage spec — partial tile matches between DIFFERENT
+    * renders are genuine operator findings (shared local blobs), so
+    * no equality-based oracle exists, the q204 perceptual lesson. */
+  def q205ImageOverlap(spark: SparkSession, documents: DataFrame,
+                       tile: Int = 8, minTiles: Int = 2, dfCap: Int = 0,
+                       codec: MediaCodec = ImageIoCodec): DataFrame = {
+    import spark.implicits._
+    val (reps, members) = graft.operators.Dedup.exactReps(documents)
+    val media = reps.select(col("doc_id"), col("text"))
+      // CPU-bound codec stage: same parallelism rationale as mediaTable
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.map { case (id, text) =>
+          // the q93 render recipe: dims from the checksum of the
+          // SORTED normalized token stream, PNG-encoded
+          val hsum = checksum(text.toLowerCase.trim.split(" ").sorted
+            .mkString(" ").getBytes("UTF-8"))
+          val w = 16 + (hsum % 16).toInt
+          val ht = 16 + ((hsum / 16) % 16).toInt
+          (id, codec.encode(renderImage(text, w, ht)))
+        })
+      }
+      .toDF("doc_id", "payload")
+    val (repPairs, docTiles) =
+      imageOverlapPairs(media, tile, minTiles, dfCap, codec)
+    val ma = members.select(col("rep").as("doc_a"), col("doc_id").as("da"))
+    val mb = members.select(col("rep").as("doc_b"), col("doc_id").as("db"))
+    val cross = repPairs.join(ma, "doc_a").join(mb, "doc_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        when(col("da") <= col("db"), col("dx_tiles"))
+          .otherwise(-col("dx_tiles")).as("dx_tiles"),
+        when(col("da") <= col("db"), col("dy_tiles"))
+          .otherwise(-col("dy_tiles")).as("dy_tiles"),
+        col("n_tiles"))
+    // within-clique: identical normalized text renders pixel-identical
+    // canvases — full overlap at (0, 0), matched count = the rep's own
+    // non-uniform tile count (no codec work per member)
+    val within = members.as("x").join(members.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .join(docTiles.select(col("doc_id").as("trep"), col("n_doc_tiles")),
+        col("x.rep") === col("trep"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0).as("dx_tiles"), lit(0).as("dy_tiles"),
+        col("n_doc_tiles").as("n_tiles"))
+    cross.unionAll(within)
+      .orderBy(col("doc_a"), col("doc_b"), col("dx_tiles"), col("dy_tiles"))
+  }
+
   // --------------------------------------------- content-defined chunking
 
   /** Deterministic gear table for the CDC rolling hash (one long per

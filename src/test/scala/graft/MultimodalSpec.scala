@@ -411,6 +411,54 @@ class MultimodalSpec extends GraftSpec {
     assert(!out.exists(p => p._1 == 30L || p._2 == 30L), out.toSeq)
   }
 
+  test("q205 planted crop-in-collage: pair found at the exact 2D tile offset") {
+    val a = Multimodal.renderImage("alpha beta gamma delta tokens", 16, 16)
+    // 32x32 collage: black background, A pasted verbatim at pixel
+    // (8, 16) — tile-aligned for the 8x8 grid — plus unrelated content
+    // in the top-left corner
+    val c = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val other = Multimodal.renderImage("completely different corner art", 8, 8)
+    for (y <- 0 until 8; x <- 0 until 8) c.setRGB(x, y, other.getRGB(x, y))
+    for (y <- 0 until 16; x <- 0 until 16)
+      c.setRGB(8 + x, 16 + y, a.getRGB(x, y))
+    val media = Seq(
+      (1L, Multimodal.encodePng(a)),
+      (2L, Multimodal.encodePng(c)),
+      (3L, Multimodal.encodePng(
+        Multimodal.renderImage("unrelated stuff entirely here", 24, 24)))
+    ).toDF("doc_id", "payload")
+    val (pairs, _) = Multimodal.imageOverlapPairs(media, tile = 8,
+      minTiles = 2, dfCap = 0, graft.operators.ImageIoCodec)
+    val out = pairs.collect().map(r => (r.getAs[Long]("doc_a"),
+      r.getAs[Long]("doc_b"), r.getAs[Int]("dx_tiles"),
+      r.getAs[Int]("dy_tiles"), r.getAs[Long]("n_tiles")))
+    graft.Pins.release()
+    // A's tile (0,0) sits at collage tile (1,2): diagonal (-1,-2);
+    // A is 2x2 tiles, at least 2 of them non-uniform (blob gradients)
+    assert(out.exists(p => p._1 == 1L && p._2 == 2L && p._3 == -1 &&
+      p._4 == -2 && p._5 >= 2L), out.toSeq)
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L), out.toSeq)
+  }
+
+  test("q205 full path: reorder variant pairs at (0,0); clique expands; unrelated silent") {
+    val base = "storm river mountain valley cloud forest"
+    val corpus = Seq(
+      (10L, base),
+      (20L, base.split(" ").reverse.mkString(" ")), // same sorted stream -> same render, different rep
+      (30L, base.toUpperCase),                      // exact dup of 10 normalized
+      (40L, "entirely different tokens painting another image now")
+    ).toDF("doc_id", "text")
+    val out = Multimodal.q205ImageOverlap(spark, corpus).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("dx_tiles"), r.getAs[Int]("dy_tiles")))
+    graft.Pins.release()
+    assert(out.exists(p => p == ((10L, 20L, 0, 0))), out.toSeq) // cross, full overlap
+    assert(out.exists(p => p == ((10L, 30L, 0, 0))), out.toSeq) // within clique
+    assert(out.exists(p => p == ((20L, 30L, 0, 0))), out.toSeq) // member expansion
+    assert(!out.exists(p => p._1 == 40L || p._2 == 40L), out.toSeq)
+  }
+
   test("q204Driver: pair count == equal-top8-set pairs; offset/run verdicts hold") {
     // audio is a pure function of the top-8 token SET: doc 2 repeats
     // tokens with different counts (same set -> same audio as doc 1);
