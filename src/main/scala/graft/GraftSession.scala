@@ -78,6 +78,15 @@ object GraftSession {
   def local(): SparkSession = {
     val s = builder(envCores).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // ddl10: permanent CREATE FUNCTION survives restarts — replay the
+    // warehouse function registry into the fresh catalog (no-op when
+    // the registry file doesn't exist; a failure to replay must not
+    // take the session down with it, so it degrades to a warning)
+    try graft.sources.FunctionRegistry.replay(s)
+    catch {
+      case e: Exception =>
+        System.err.println(s"[graft] function-registry replay failed: $e")
+    }
     s
   }
 }
