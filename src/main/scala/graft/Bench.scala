@@ -122,13 +122,19 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","stat":"median3",$load,"queries":$qsFull,"spread":$spreads,"sf":"$sfDir"}"""
     // loadavg guard: a polluted run must never become the committed
     // baseline (r8/r9 both shipped load-inflated files) — refuse to
-    // write BENCH_LOCAL.json unless the box was idle at start
-    if (only.isEmpty && !polluted)
+    // write BENCH_LOCAL.json unless the box was idle at start.
+    // sf guard (r16): the committed baseline is DEFINED at sf0.1 — a
+    // full run at another sf is a valid probe but must not replace it
+    // (an sf0.01 smoke overwrote the clean sf0.1 file this round)
+    val baselineSf = sfDir.contains("sf0.1")
+    if (only.isEmpty && !polluted && baselineSf)
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
         full.getBytes("UTF-8"))
       catch { case _: Throwable => () }
     else if (only.isEmpty)
-      System.err.println(f"[bench] NOT writing BENCH_LOCAL.json: loadavg_start $loadavgStart%.2f > 2.0 (polluted box)")
+      System.err.println(
+        if (!baselineSf) s"[bench] NOT writing BENCH_LOCAL.json: $sfDir is not the sf0.1 baseline scale"
+        else f"[bench] NOT writing BENCH_LOCAL.json: loadavg_start $loadavgStart%.2f > 2.0 (polluted box)")
     spark.stop()
   }
 }

@@ -143,7 +143,8 @@ object SparkEntry {
     "q102_mix_resample"        -> ((s, d) => TextAnalysis.q102(documents(s, d))),
     "q103_knn_label"           -> ((s, d) => Similarity.q103(embeddings(s, d))),
     "q104_quality_hash_lr"     -> ((s, d) => TextAnalysis.q104(documents(s, d))),
-    "q105_canonical_pick"      -> ((s, d) => Pipeline.q105(documents(s, d))),
+    "q105_canonical_pick"      -> ((s, d) => Pipeline.q105(documents(s, d),
+      labels = Some(clusterLabels(s, d)))),
     "q106_source_profile"      -> ((s, d) => TextAnalysis.q106(documents(s, d))),
     "q107_split_decontam"      -> ((s, d) => TextAnalysis.q107(documents(s, d))),
     "q108_ann_int8"            -> ((s, d) => Similarity.q108(embeddings(s, d))),
@@ -215,7 +216,8 @@ object SparkEntry {
       Dedup.q131(corpus, batch)
     }),
     "q127_dup_profile"         -> ((s, d) => Dedup.q127(documents(s, d))),
-    "q133_clean_funnel"        -> ((s, d) => Pipeline.q133(documents(s, d))),
+    "q133_clean_funnel"        -> ((s, d) => Pipeline.q133(documents(s, d),
+      labels = Some(clusterLabels(s, d)))),
     // rows-only: a driver-side eigensolve is not portable SQL; the
     // spec proves orthonormality, variance ordering, full-rank
     // isometry, and planted-axis recovery
@@ -349,7 +351,8 @@ object SparkEntry {
     "q181_domain_reweight"     -> ((s, d) => TextAnalysis.q181(documents(s, d),
       iters = Oracles.ReweightIters)),
     "q182_rejection_reasons"   -> ((s, d) => Pipeline.q182(documents(s, d),
-      tau = Oracles.RejectContamTau)),
+      tau = Oracles.RejectContamTau,
+      labels = Some(clusterLabels(s, d)))),
     "q183_k_anonymity"         -> ((s, d) => Events.q183(events(s, d),
       k = Oracles.KAnonK)),
     "q184_sketch_eval"         -> ((s, d) => Dedup.q184(documents(s, d),
@@ -358,7 +361,8 @@ object SparkEntry {
       k = Oracles.KAnonK, l = Oracles.LDivL)),
     "q186_contam_runs"         -> ((s, d) => Dedup.q186(documents(s, d))),
     "q187_vocab_richness"      -> ((s, d) => TextAnalysis.q187(documents(s, d))),
-    "q188_dup_weight"          -> ((s, d) => Dedup.q188(documents(s, d))),
+    "q188_dup_weight"          -> ((s, d) => Dedup.q188(documents(s, d),
+      precomputedLabels = Some(clusterLabels(s, d)))),
     "q189_ks_drift"            -> ((s, d) => TextAnalysis.q189(documents(s, d))),
     "q190_vocab_coverage"      -> ((s, d) => TextAnalysis.q190(documents(s, d))),
     "q191_cluster_purity"      -> ((s, d) => KMeans.q191(embeddings(s, d))),
@@ -377,6 +381,22 @@ object SparkEntry {
     "q204_audio_overlap"       -> ((s, d) => Multimodal.q204Driver(s, documents(s, d))),
     "q205_image_overlap"       -> ((s, d) => Multimodal.q205ImageOverlap(s, documents(s, d)))
   )
+
+  /** s27 serving path for the q64 family: ONE ClusterIndex fit per
+    * (process, sf dir), after which q105/q133/q182/q188 read labels
+    * from the bucketed table instead of each re-deriving the same CC
+    * fixpoint (r15's single biggest perf lever — ~13% of the clean
+    * bench). The first family query of a run pays the fit; the index
+    * name is derived from the data dir so different sf dirs never
+    * share tables. Labels are bit-identical to the inline path
+    * (ClusterIndexSpec fit==inline parity), so the four oracle checks
+    * are unchanged. */
+  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    val nm = "graft_ci_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    if (!s.catalog.tableExists(ClusterIndex.labelsTable(nm)))
+      ClusterIndex.fit(documents(s, d), nm)
+    ClusterIndex.labels(s, nm)
+  }
 
   def oracleSql: Map[String, String] = Oracles.sql
 }

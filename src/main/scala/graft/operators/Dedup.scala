@@ -86,7 +86,7 @@ object Dedup {
     * candidate (doc_a, doc_b) pairs. Shingle sets are first semi-joined
     * down to candidate docs so the verification shuffle is ∝ the
     * candidates' shingles, not the corpus. */
-  private def verifyJaccard(g: DataFrame, candidates: DataFrame): DataFrame = {
+  private[graft] def verifyJaccard(g: DataFrame, candidates: DataFrame): DataFrame = {
     val ga = g.join(candidates.select(col("doc_a")).distinct(),
         g("doc_id") === col("doc_a"), "left_semi")
       .select(col("doc_id").as("doc_a"), col("g"))
@@ -297,6 +297,20 @@ object Dedup {
     * growing lineage so round N doesn't replay rounds 1..N−1 — the
     * standard Spark pattern for iterative graph algorithms. */
   def clusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    // FAULT-TOLERANCE SEAM (r15 verdict #4): localCheckpoint stores
+    // blocks on executors only — right at local[32], but on a real
+    // cluster ANY executor loss mid-fixpoint kills the job because
+    // lineage is severed. With `spark.graft.cc.reliableCheckpoint=true`
+    // AND an sc.setCheckpointDir(...) target, each round lands in the
+    // reliable store instead (HDFS/object store), so the fixpoint
+    // survives executor churn. One config; labels are bit-identical
+    // either way (spec'd).
+    val reliable = spark.conf
+      .getOption("spark.graft.cc.reliableCheckpoint").contains("true") &&
+      spark.sparkContext.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(false) else df.localCheckpoint(false)
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -310,7 +324,7 @@ object Dedup {
     // cost at test scale is fixed per-round overhead, not data
     var labels = edges.groupBy(col("u").as("doc_id"))
       .agg(least(min(col("v")), min(col("u"))).as("label"))
-      .localCheckpoint(false)
+      .transform(cut)
     var changed = 1L
     var round = 0
     while (changed > 0) {
@@ -357,7 +371,7 @@ object Dedup {
       })
         .select(col("doc_id"), col("new_label").as("label"),
           (col("new_label") < col("label")).as("improved"))
-        .localCheckpoint(false)
+        .transform(cut)
       changed = joined.filter(col("improved")).count()
       labels = joined.select(col("doc_id"), col("label"))
     }
@@ -1527,8 +1541,11 @@ object Dedup {
     * label-keyed count; the corpus joins labels and sizes by key.
     * Nothing here is new shuffle shape at 100 TB — it is q64's plan
     * plus two key-partitioned joins. */
-  def q188(documents: DataFrame): DataFrame = {
-    val labels = clusters(neardupEdges(documents))
+  def q188(documents: DataFrame,
+           precomputedLabels: Option[DataFrame] = None): DataFrame = {
+    // `precomputedLabels`: the s27 ClusterIndex serving path — see
+    // [[graft.operators.Pipeline.q105]]'s rationale
+    val labels = precomputedLabels.getOrElse(clusters(neardupEdges(documents)))
     val docs = documents.select(col("doc_id"), col("source"),
       size(split(trim(col("text")), " ")).cast("long").as("tokens"))
     val lab = docs.join(labels, Seq("doc_id"), "left_outer")
@@ -1899,7 +1916,9 @@ object Dedup {
         col("n_reps_eligible"), col("n_docs_fingerprinted"),
         (col("n_reps_eligible") === col("n_docs_fingerprinted"))
           .as("coverage_ok"),
-        (col("mx") <= lit(1.0) && col("mn") > lit(0.0))
+        // coalesce: zero q202 rows (no rep reaches gram length) make
+        // max/min NULL — vacuously in-bounds, same as q204Driver
+        coalesce(col("mx") <= lit(1.0) && col("mn") > lit(0.0), lit(true))
           .as("share_bounds_ok"))
   }
 

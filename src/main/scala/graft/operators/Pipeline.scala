@@ -100,14 +100,16 @@ object Pipeline {
     * corpus. Oracle-exact: the stage populations compose the SAME
     * CTEs the q65 oracle proves, so the funnel's counts inherit q65's
     * cross-engine equivalence argument. */
-  def q133(documents: DataFrame): DataFrame = {
+  def q133(documents: DataFrame,
+           labels: Option[DataFrame] = None): DataFrame = {
     val norm = TextAnalysis.q54(documents)
     val byText = org.apache.spark.sql.expressions.Window
       .partitionBy(col("clean_text")).orderBy(col("doc_id"))
     val exactKept = norm
       .withColumn("__rn", row_number().over(byText))
       .filter(col("__rn") === 1).drop("__rn")
-    val losers = Dedup.clusters(Dedup.neardupEdges(documents))
+    val losers = labels
+      .getOrElse(Dedup.clusters(Dedup.neardupEdges(documents)))
       .filter(col("label") =!= col("doc_id")).select(col("doc_id"))
     val nearKept = exactKept.join(losers, Seq("doc_id"), "left_anti")
     val floorKept = nearKept.filter(col("clean_tokens") >= MinTokens)
@@ -148,11 +150,15 @@ object Pipeline {
     * count partial-aggregates from the same cluster frame. Ranking on a
     * double is deterministic because q48's score is bit-identical across
     * engines (§6 fixed-order weighted sum). */
-  def q105(documents: DataFrame): DataFrame = {
+  def q105(documents: DataFrame,
+           labels: Option[DataFrame] = None): DataFrame = {
+    // `labels`: a precomputed (doc_id, label) frame — the s27
+    // ClusterIndex serving path, so five reports stop re-deriving one
+    // CC fixpoint. Default recomputes inline (self-contained).
     // clusters() directly, not q64: q64's driver-facing orderBy would
     // plan a sort that the argmax join immediately destroys; edges are
     // the round-8 sparse rep-pair + star set (identical components)
-    val cl = Dedup.clusters(Dedup.neardupEdges(documents))
+    val cl = labels.getOrElse(Dedup.clusters(Dedup.neardupEdges(documents)))
       .transform(graft.Pins.pin)
     val qual = TextAnalysis.q48(documents)
       .select(col("doc_id"), col("quality"))
@@ -189,9 +195,11 @@ object Pipeline {
     * (rule scan: no shuffle; dedup: pair join; contamination: gram
     * join); the composition adds only doc_id-sized exchanges. */
   def q182(documents: DataFrame, benchmarkSource: String = "src0",
-           tau: Double = 0.2): DataFrame = {
+           tau: Double = 0.2,
+           labels: Option[DataFrame] = None): DataFrame = {
     val rules = TextAnalysis.q178(documents).select(col("doc_id"), col("pass"))
-    val losers = Dedup.clusters(Dedup.neardupEdges(documents))
+    val losers = labels
+      .getOrElse(Dedup.clusters(Dedup.neardupEdges(documents)))
       .filter(col("label") =!= col("doc_id"))
       .select(col("doc_id"), lit(true).as("is_dup"))
     val contam = Dedup.q69(documents, benchmarkSource)

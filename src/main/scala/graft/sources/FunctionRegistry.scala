@@ -62,26 +62,45 @@ object FunctionRegistry {
     lines.drop(1)
   }
 
+  /** Temp-then-rename so a crash mid-write never truncates the file. */
   private def writeLines(spark: SparkSession, lines: Seq[String]): Unit = {
-    val out = fs(spark).create(regPath(spark), true)
+    val dst = regPath(spark)
+    val tmp = new Path(dst.getParent, dst.getName + ".tmp")
+    val f = fs(spark)
+    val out = f.create(tmp, true)
     try out.write((Header +: lines).mkString("\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    f.delete(dst, false)
+    require(f.rename(tmp, dst), s"rename $tmp -> $dst failed")
   }
 
-  /** Record-or-replace one definition line keyed on (kind, name). */
+  /** The registry is line-oriented and TAB-delimited, so a definition
+    * containing a newline would split into garbage lines and a tab
+    * would shift fields — both are rejected up front rather than
+    * written broken (replay would otherwise silently lose every
+    * function recorded after the bad one). Multi-line SQL bodies are
+    * legal in the catalog; flatten them before recording. */
+  private def checkField(what: String, v: String): Unit =
+    require(!v.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"function $what may not contain tab/newline characters " +
+        "(the registry file is line-oriented; flatten the SQL body)")
+
+  /** Record-or-replace one definition line keyed on (kind, name).
+    * LakeLock-guarded: concurrent sessions' read-modify-writes
+    * serialize instead of losing each other's definitions. */
   private def record(spark: SparkSession, kind: String, name: String,
-                     line: String): Unit = {
-    val key = s"$kind\t${name.toLowerCase}\t"
-    val kept = readLines(spark).filterNot(_.toLowerCase.startsWith(key))
-    writeLines(spark, kept :+ line)
-  }
+                     line: String): Unit =
+    graft.operators.LakeLock.withWriter(spark, "_graft_functions") {
+      val key = s"$kind\t${name.toLowerCase}\t"
+      val kept = readLines(spark).filterNot(_.toLowerCase.startsWith(key))
+      writeLines(spark, kept :+ line)
+    }
 
   /** Permanent JVM (Hive-shape) function: registers `CREATE OR REPLACE
     * FUNCTION name AS 'className'` and records it for replay. */
   def createJvm(spark: SparkSession, name: String, className: String): Unit = {
-    require(!name.contains("\t") && !className.contains("\t"),
-      "function name/class may not contain tabs")
+    checkField("name", name); checkField("class", className)
     spark.sql(s"CREATE OR REPLACE FUNCTION $name AS '$className'")
     record(spark, "jvm", name, s"jvm\t${name.toLowerCase}\t$className")
   }
@@ -90,8 +109,7 @@ object FunctionRegistry {
     * signature + RETURN expression, e.g.
     * `(x STRING) RETURNS DOUBLE RETURN length(x) * 0.1`. */
   def createSql(spark: SparkSession, name: String, body: String): Unit = {
-    require(!name.contains("\t") && !body.contains("\t"),
-      "function name/body may not contain tabs")
+    checkField("name", name); checkField("body", body)
     spark.sql(s"CREATE OR REPLACE FUNCTION $name $body")
     record(spark, "sql", name, s"sql\t${name.toLowerCase}\t$body")
   }
@@ -99,24 +117,34 @@ object FunctionRegistry {
   /** Drop from the live catalog AND the registry. */
   def drop(spark: SparkSession, name: String): Unit = {
     spark.sql(s"DROP FUNCTION IF EXISTS $name")
-    val key = s"\t${name.toLowerCase}\t"
-    writeLines(spark, readLines(spark).filterNot(_.toLowerCase.contains(key)))
+    graft.operators.LakeLock.withWriter(spark, "_graft_functions") {
+      val key = s"\t${name.toLowerCase}\t"
+      writeLines(spark, readLines(spark).filterNot(_.toLowerCase.contains(key)))
+    }
   }
 
   /** Re-register every recorded function into `spark`'s catalog — the
     * session-startup hook that makes CREATE FUNCTION survive restarts.
-    * Idempotent (CREATE OR REPLACE); returns the registered names. */
+    * Idempotent (CREATE OR REPLACE); returns the registered names.
+    * Per-entry fault isolation: one stale definition (e.g. a jvm
+    * function whose class left the classpath) warns and is skipped
+    * rather than aborting the replay of everything after it. */
   def replay(spark: SparkSession): Seq[String] =
-    readLines(spark).map { l =>
-      l.split("\t", 3) match {
+    readLines(spark).flatMap { l =>
+      try l.split("\t", 3) match {
         case Array("jvm", name, className) =>
           spark.sql(s"CREATE OR REPLACE FUNCTION $name AS '$className'")
-          name
+          Some(name)
         case Array("sql", name, body) =>
           spark.sql(s"CREATE OR REPLACE FUNCTION $name $body")
-          name
+          Some(name)
         case other => throw new IllegalArgumentException(
           s"unrecognized function registry line: ${other.mkString("\t")}")
+      } catch {
+        case e: Exception =>
+          System.err.println(
+            s"[graft] function-registry replay skipped one entry: $e")
+          None
       }
     }
 }

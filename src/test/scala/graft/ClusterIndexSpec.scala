@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{ClusterIndex, Dedup}
+
+/** s27: persisted near-dup cluster-label index. Contract: the served
+  * labels are bit-identical to the inline CC path, append ≡ refit on
+  * the union corpus, fit params persist, and the downstream family
+  * (q105/q133/q182/q188) returns identical frames either way. */
+class ClusterIndexSpec extends GraftSpec {
+  import spark.implicits._
+
+  // near-dup structure: docs 1/2 Jaccard-near (one word differs in a
+  // long shingle stream), 3 an exact dup of 1, 4/5 near pair, 6 alone,
+  // 7 a one-token doc (gram-less — must stay out of the label frame)
+  private def line(tail: String) =
+    s"alpha beta gamma delta epsilon zeta eta theta iota kappa $tail"
+  private lazy val corpus = Seq(
+    (1L, line("one two three four five six seven")),
+    (2L, line("one two three four five six EIGHT")),
+    (3L, line("one two three four five six seven").toUpperCase),
+    (4L, "the quick brown fox jumps over the lazy dog again and again ok"),
+    (5L, "the quick brown fox jumps over the lazy dog again and again no"),
+    (6L, "entirely different content with no shingles shared anywhere at all"),
+    (7L, "solo")
+  ).toDF("doc_id", "text")
+
+  private def labelSet(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("doc_id"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private val Name = "graft_clix"
+
+  test("s27 fit: served labels == inline clusters(neardupEdges), bit for bit") {
+    ClusterIndex.drop(spark, Name)
+    ClusterIndex.fit(corpus, Name)
+    val served = labelSet(ClusterIndex.labels(spark, Name))
+    val inline = labelSet(Dedup.clusters(Dedup.neardupEdges(corpus)))
+    assert(served == inline, s"served $served != inline $inline")
+    // the structure the fixture promises: {1,2,3} labelled 1, {4,5}
+    // labelled 4; 6 and 7 absent (no edges)
+    assert(served == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L)))
+  }
+
+  test("s27 params persist; probing them before fit fails loudly") {
+    ClusterIndex.drop(spark, Name)
+    val e = intercept[IllegalArgumentException] {
+      ClusterIndex.params(spark, Name)
+    }
+    assert(e.getMessage.contains("run fit first"))
+    ClusterIndex.fit(corpus, Name, t = 0.7)
+    val (t, n, v) = ClusterIndex.params(spark, Name)
+    assert(t == 0.7 && n == 7L && v == 1)
+  }
+
+  test("s27 append == refit on the union: absorb, bridge, new clique") {
+    ClusterIndex.drop(spark, Name)
+    ClusterIndex.fit(corpus, Name)
+    val batch = Seq(
+      // exact dup of doc 1's normalized text: absorbed via digests
+      (101L, line("one two three four five six seven")),
+      // near-dup BRIDGE between cluster {1,2,3} and a new text family:
+      // near 2's text (differs from 2 by one trailing word)
+      (102L, line("one two three four five six NINE")),
+      // new batch-internal exact-dup clique
+      (103L, "novel appended content family with many matching shingles yes"),
+      (104L, "novel appended content family with many matching shingles yes"),
+      // unrelated batch doc: stays a singleton, out of the label frame
+      (105L, "lone appended text with nothing shared against anything else")
+    ).toDF("doc_id", "text")
+    ClusterIndex.append(batch, Name)
+    val served = labelSet(ClusterIndex.labels(spark, Name))
+    val refit = labelSet(Dedup.clusters(
+      Dedup.neardupEdges(corpus.unionAll(batch))))
+    assert(served == refit, s"append $served != refit $refit")
+    assert(served.contains((101L, 1L)) && served.contains((102L, 1L)),
+      served)
+    assert(served.contains((104L, 103L)), served)
+    assert(!served.exists(_._1 == 105L), served)
+    val (_, n, _) = ClusterIndex.params(spark, Name)
+    assert(n == 12L)
+  }
+
+  test("s27 layout invariance: labels identical under input repartition") {
+    ClusterIndex.drop(spark, Name)
+    ClusterIndex.fit(corpus.repartition(7), Name)
+    val a = labelSet(ClusterIndex.labels(spark, Name))
+    ClusterIndex.drop(spark, Name)
+    ClusterIndex.fit(corpus.coalesce(1), Name)
+    assert(a == labelSet(ClusterIndex.labels(spark, Name)))
+  }
+
+  test("s27 downstream family parity: q105/q133/q182/q188 identical via index") {
+    ClusterIndex.drop(spark, Name)
+    ClusterIndex.fit(corpus, Name)
+    val lbl = Some(ClusterIndex.labels(spark, Name))
+    val docs = corpus
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(2))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    def rows(df: DataFrame) = df.collect().map(_.toString).toSeq
+    assert(rows(operators.Pipeline.q105(docs, labels = lbl)) ==
+      rows(operators.Pipeline.q105(docs)))
+    assert(rows(operators.Pipeline.q133(docs, labels = lbl)) ==
+      rows(operators.Pipeline.q133(docs)))
+    assert(rows(operators.Pipeline.q182(docs, labels = lbl)) ==
+      rows(operators.Pipeline.q182(docs)))
+    assert(rows(Dedup.q188(docs, precomputedLabels = lbl)) ==
+      rows(Dedup.q188(docs)))
+  }
+
+  test("cc reliable-checkpoint seam: labels bit-identical on the reliable path") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (12L, 11L), (13L, 12L),
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val local = labelSet(Dedup.clusters(pairs))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("spark.graft.cc.reliableCheckpoint", "true")
+    try {
+      val reliable = labelSet(Dedup.clusters(pairs))
+      assert(reliable == local)
+      // the reliable store was actually used: RDD checkpoint files exist
+      val files = new java.io.File(dir).listFiles()
+      assert(files != null && files.nonEmpty, s"no checkpoint data in $dir")
+    } finally spark.conf.set("spark.graft.cc.reliableCheckpoint", "false")
+  }
+}
