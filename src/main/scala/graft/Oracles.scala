@@ -1023,6 +1023,17 @@ object Oracles {
     // so length(scrubbed) == n_chars - cut_chars per doc; DuckDB
     // computes n_chars independently and the identities are
     // predicted-TRUE (q112Driver pattern)
+    // q206: the q203 length identity in SAMPLES — every synth clip is
+    // exactly AudioSamples long, the scrub partitions it into kept +
+    // cut samples, and the identities are predicted-TRUE verdicts
+    // (q112Driver pattern); the scrubbed audio itself stays
+    // Multimodal.q206AudioScrub
+    "q206_audio_scrub" ->
+      s"""SELECT doc_id,
+           CAST(${graft.operators.Multimodal.AudioSamples} AS BIGINT) AS n_samples,
+           TRUE AS len_ok, TRUE AS cut_bounds_ok
+         FROM documents ORDER BY doc_id""",
+
     "q203_substr_scrub" ->
       """SELECT doc_id, CAST(length(lower(trim(text))) AS BIGINT) AS n_chars,
            TRUE AS len_ok, TRUE AS cut_bounds_ok

@@ -379,7 +379,8 @@ object SparkEntry {
     "q202_winnow_skew"         -> ((s, d) => Dedup.q202Driver(documents(s, d))),
     "q203_substr_scrub"        -> ((s, d) => Dedup.q203Driver(documents(s, d))),
     "q204_audio_overlap"       -> ((s, d) => Multimodal.q204Driver(s, documents(s, d))),
-    "q205_image_overlap"       -> ((s, d) => Multimodal.q205ImageOverlap(s, documents(s, d)))
+    "q205_image_overlap"       -> ((s, d) => Multimodal.q205ImageOverlap(s, documents(s, d))),
+    "q206_audio_scrub"         -> ((s, d) => Multimodal.q206Driver(s, documents(s, d)))
   )
 
   /** s27 serving path for the q64 family: ONE ClusterIndex fit per

@@ -839,65 +839,97 @@ object Multimodal {
 
   private[graft] case class AWinRow(doc_id: Long, win_idx: Int, wfp: Long)
 
-  /** Core of [[q204AudioOverlap]] over any (doc_id, payload) audio
-    * frame: per-WINDOW spectral fingerprints ([[audioFingerprint]] on
-    * fixed `winSamples` slices — the q197 window grid), equality-join
-    * banding on the 64-bit window fingerprints, then the q200 DIAGONAL
-    * trick in TIME: all matched windows of one aligned region share
-    * offset = win_a − win_b, so grouping by (pair, offset) collapses a
-    * shared clip into one row, and the longest consecutive-index run
-    * on that diagonal is the overlap's length in windows. `minRunWins`
-    * gates out single-window coincidences; `dfCap` is the q202 hot-
-    * bucket mitigation (a silence/jingle window carried by thousands
-    * of clips would otherwise go quadratic in carriers). Payloads
-    * never shuffle — only (doc_id, win_idx, 8-byte fp) rows do. */
-  /** Exact 60-bit window-content hash (two polynomial rolls packed —
-    * the winnowChars construction over PCM samples): equal samples ⇒
-    * equal hash; different samples collide at the q114 contract rate.
-    * The EXACT twin of the perceptual [[audioFingerprint]] key for
-    * [[audioOverlapPairs]]' `exact` mode. */
-  private def audioWindowHash(s: Array[Short], off: Int, len: Int): Long = {
-    val P1 = 1000000007L; val B1 = 31L
-    val P2 = 998244353L;  val B2 = 131L
-    var h1 = 0L; var h2 = 0L
+  /** PCM samples viewed as a char stream: Short and Char are both
+    * 16-bit, so [[Dedup.winnowChars]]' rolling-hash winnowing — and
+    * with it the ALIGNMENT-INDEPENDENT detection guarantee proved in
+    * SubstrIndexSpec — applies to audio verbatim. */
+  private def samplesAsChars(s: Array[Short]): String = {
+    val cs = new Array[Char](s.length)
     var i = 0
-    while (i < len) {
-      val x = (s(off + i) & 0xffff).toLong
-      h1 = (h1 * B1 + x) % P1
-      h2 = (h2 * B2 + x) % P2
-      i += 1
-    }
-    (h1 << 31) | h2
+    while (i < s.length) { cs(i) = (s(i) & 0xffff).toChar; i += 1 }
+    new String(cs)
   }
 
+  /** Exact-mode anchors: winnowed (pos, hash) fingerprints over the
+    * sample stream — gram = `winSamples` samples, winnow window
+    * winSamples/2. Guarantee (the q200 bound t = w + w' − 1): any
+    * shared verbatim run of ≥ 1.5·winSamples samples selects at least
+    * one identical anchor in both docs AT ANY SAMPLE OFFSET — the r15
+    * grid kernel found an embed only when it started at a multiple of
+    * winSamples, a silent recall hole for exactly the re-edited-
+    * compilation case the operator exists for. */
+  private[graft] def winnowSampleAnchors(s: Array[Short], winSamples: Int)
+      : Seq[(Int, Long)] =
+    Dedup.winnowChars(samplesAsChars(s), winSamples,
+      winSamples + winSamples / 2 - 1)
+
+  /** Core audio-overlap kernel over any (doc_id, payload) frame.
+    * Returns (pairs, docFull):
+    *
+    * pairs — (doc_a, doc_b, offset_samples, n_matched, run_samples),
+    * one row per (pair, time diagonal): all matches of one contiguous
+    * shared region agree on offset = pos_a − pos_b (the q200 diagonal
+    * trick in time), n_matched counts the matched keys and
+    * run_samples the audio they evidence.
+    *
+    * docFull — (doc_id, n_matched_full, run_full): what a pair of
+    * byte-identical copies of this doc would report; the within-
+    * clique expansion joins it so clique rows pass the SAME
+    * minRunWins gate as cross pairs (r15 ADVICE: within rows used to
+    * bypass the gates).
+    *
+    * Two key modes:
+    *  - exact (winnowed anchors, [[winnowSampleAnchors]]): verbatim
+    *    embeds at ANY sample offset; each matched anchor certifies a
+    *    winSamples-long identical run ([[Dedup.q114]] collision
+    *    contract), so run_samples = anchor span + winSamples and the
+    *    gate run_samples ≥ minRunWins·winSamples GUARANTEES reporting
+    *    any shared run of ≥ (minRunWins+1)·winSamples samples
+    *    (worst-case winnowing bound: evidenced run ≥ L − 2·w′ + 2,
+    *    w′ = winSamples/2) — alignment-free, spec'd with a planted
+    *    NON-multiple-offset embed.
+    *  - perceptual (default; grid windows + band-sign fingerprints):
+    *    tolerates re-encoding/attenuation that breaks exact hashes,
+    *    but matches only grid-ALIGNED embeds (offset a multiple of
+    *    winSamples) — the two modes occupy the two corners of the
+    *    (alignment-free × noise-tolerant) square; covering both at
+    *    once needs constellation-style landmark hashing, out of
+    *    scope and documented in SURVEY §2c.
+    *
+    * `dfCap` is the q202 hot-bucket mitigation either way (a silence
+    * window / jingle anchor carried by thousands of clips would go
+    * quadratic in carriers). Payloads never shuffle — only
+    * (doc_id, pos, 8-byte key) rows do. */
   private[graft] def audioOverlapPairs(media: DataFrame, winSamples: Int,
                                        minRunWins: Int, dfCap: Int,
                                        codec: AudioCodec,
-                                       exact: Boolean = false): DataFrame = {
+                                       exact: Boolean = false)
+      : (DataFrame, DataFrame) = {
     val spark = media.sparkSession
     import spark.implicits._
+    val minRunSamples = minRunWins.toLong * winSamples
     val wfps = media.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap(_.flatMap { case (id, b) =>
           codec.decode(b).toSeq.flatMap { case (s, rate, _) =>
-            val nWin = s.length / winSamples
-            (0 until nWin).map { w =>
-              // default key: PERCEPTUAL (finds re-encoded/attenuated
-              // embeds, can also fire on near-identical audio); exact
-              // key: content hash (verbatim embeds only — the mode
-              // whose pair set is oracle-reconcilable)
-              val key =
-                if (exact) audioWindowHash(s, w * winSamples, winSamples)
-                else audioFingerprint(java.util.Arrays.copyOfRange(
-                  s, w * winSamples, (w + 1) * winSamples), rate)
-              AWinRow(id, w, key)
+            if (exact)
+              winnowSampleAnchors(s, winSamples).map { case (pos, h) =>
+                AWinRow(id, pos, h)
+              }
+            else {
+              val nWin = s.length / winSamples
+              (0 until nWin).map { w =>
+                AWinRow(id, w * winSamples,
+                  audioFingerprint(java.util.Arrays.copyOfRange(
+                    s, w * winSamples, (w + 1) * winSamples), rate))
+              }
             }
           }
         })
       }
       .toDF()
-      .transform(graft.Pins.pin) // a/b join sides + the df rollup
+      .transform(graft.Pins.pin) // a/b join sides + df rollup + docFull
     val kept =
       if (dfCap <= 0) wfps
       else wfps.join(
@@ -905,27 +937,32 @@ object Multimodal {
           .agg(countDistinct(col("doc_id")).as("df"))
           .filter(col("df") > dfCap).select(col("wfp")),
         Seq("wfp"), "left_anti")
-    val cands = kept.as("a").join(kept.as("b"),
+    val pairs = kept.as("a").join(kept.as("b"),
         col("a.wfp") === col("b.wfp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (col("a.win_idx") - col("b.win_idx")).as("offset_wins"),
-        col("a.win_idx").as("ia"))
+        (col("a.win_idx") - col("b.win_idx")).as("offset_samples"),
+        col("a.win_idx").as("pa"))
       .distinct()
-    cands.groupBy(col("doc_a"), col("doc_b"), col("offset_wins"))
+      .groupBy(col("doc_a"), col("doc_b"), col("offset_samples"))
+      // evidenced audio on this diagonal: the matched-position span —
+      // capped by matched-key volume so a GAPPED diagonal (two shared
+      // snippets far apart at one offset) cannot claim the gap as
+      // evidence. The cap never binds on a contiguous run (anchors
+      // land at least every winSamples/2 positions), so the
+      // (minRunWins+1)·winSamples detection guarantee is unaffected.
       .agg(count(lit(1)).cast("long").as("n_matched"),
-        sort_array(collect_set(col("ia"))).as("idxs"))
-      .as[(Long, Long, Int, Long, Seq[Int])]
-      .map { case (da, db, off, nm, idxs) =>
-        var best = 0; var run = 0; var prev = Int.MinValue
-        idxs.foreach { i =>
-          run = if (i == prev + 1) run + 1 else 1
-          if (run > best) best = run
-          prev = i
-        }
-        (da, db, off, nm, best)
-      }
-      .toDF("doc_a", "doc_b", "offset_wins", "n_matched", "max_run")
-      .filter(col("max_run") >= minRunWins)
+        least(max(col("pa")) - min(col("pa")) + winSamples,
+          count(lit(1)) * winSamples).cast("long").as("run_samples"),
+        // matched extents on the a side (b side = a − offset): the
+        // scrub lane (q206) cuts these sample ranges
+        min(col("pa")).cast("long").as("a_start"),
+        (max(col("pa")) + winSamples).cast("long").as("a_end"))
+      .filter(col("run_samples") >= minRunSamples)
+    val docFull = wfps.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_matched_full"),
+        least(max(col("win_idx")) - min(col("win_idx")) + winSamples,
+          count(lit(1)) * winSamples).cast("long").as("run_full"))
+    (pairs, docFull)
   }
 
   /** q204: audio PARTIAL-OVERLAP near-dup — the audio analog of
@@ -933,14 +970,18 @@ object Multimodal {
     * clip embedded inside a longer one (the re-broadcast / compilation
     * / sampled-intro mode) is invisible to it exactly as a quoted
     * passage is invisible to whole-doc hashing. Per exact-dup rep:
-    * synth → WAV round-trip through the codec seam → per-window
-    * fingerprints → [[audioOverlapPairs]]' diagonal grouping; reported
-    * pairs carry the time offset (in windows) and the matched-run
-    * length, i.e. WHERE and HOW LONG the shared audio is. Exact-dup
-    * clique members expand through the members map (full overlap at
-    * offset 0 — one codec round-trip per clique, the q198 discipline).
-    * rows-only: codec-dependent; the planted clip-in-compilation spec
-    * carries the correctness argument. */
+    * synth → WAV round-trip through the codec seam → window keys
+    * (exact mode: winnowed anchors, ALIGNMENT-INDEPENDENT — the r16
+    * fix; perceptual default: grid band-sign fps, re-encode-tolerant
+    * but grid-gated — see [[audioOverlapPairs]]) → diagonal grouping;
+    * reported pairs carry the time offset IN SAMPLES and the
+    * evidenced run length, i.e. WHERE and HOW LONG the shared audio
+    * is. Exact-dup clique members expand through the members map
+    * (full overlap at offset 0 — one codec round-trip per clique, the
+    * q198 discipline) under the same minRunWins gate as cross pairs.
+    * rows-only: codec-dependent; the planted clip-in-compilation
+    * specs (grid-aligned AND non-aligned offsets) carry the
+    * correctness argument. */
   def q204AudioOverlap(spark: SparkSession, documents: DataFrame,
                        winSamples: Int = 1000, minRunWins: Int = 3,
                        dfCap: Int = 0,
@@ -959,27 +1000,32 @@ object Multimodal {
         })
       }
       .toDF("doc_id", "payload")
-    val repPairs = audioOverlapPairs(media, winSamples, minRunWins,
-      dfCap, codec, exact)
+    val (repPairs, docFull) = audioOverlapPairs(media, winSamples,
+      minRunWins, dfCap, codec, exact)
     val ma = members.select(col("rep").as("doc_a"), col("doc_id").as("da"))
     val mb = members.select(col("rep").as("doc_b"), col("doc_id").as("db"))
     val cross = repPairs.join(ma, "doc_a").join(mb, "doc_b")
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"),
         // orientation flips when member ids cross their reps' order
-        when(col("da") <= col("db"), col("offset_wins"))
-          .otherwise(-col("offset_wins")).as("offset_wins"),
-        col("n_matched"), col("max_run"))
+        when(col("da") <= col("db"), col("offset_samples"))
+          .otherwise(-col("offset_samples")).as("offset_samples"),
+        col("n_matched"), col("run_samples"))
     // within-clique: byte-identical normalized texts synthesize the
-    // same clip — full overlap at offset 0, no codec work needed
-    val nWins = AudioSamples / winSamples
+    // same clip — full overlap at offset 0, no codec work needed. The
+    // rep's docFull row supplies the stats AND subjects clique rows to
+    // the SAME minRunWins gate as cross pairs (r15 ADVICE #5: within
+    // rows used to bypass it).
     val within = members.as("x").join(members.as("y"),
         col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .join(docFull.select(col("doc_id").as("frep"),
+        col("n_matched_full"), col("run_full")), col("x.rep") === col("frep"))
+      .filter(col("run_full") >= minRunWins.toLong * winSamples)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        lit(0).as("offset_wins"), lit(nWins.toLong).as("n_matched"),
-        lit(nWins).as("max_run"))
+        lit(0).as("offset_samples"), col("n_matched_full").as("n_matched"),
+        col("run_full").as("run_samples"))
     cross.unionAll(within)
-      .orderBy(col("doc_a"), col("doc_b"), col("offset_wins"))
+      .orderBy(col("doc_a"), col("doc_b"), col("offset_samples"))
   }
 
   /** Driver-facing RECONCILIATION of [[q204AudioOverlap]] — the
@@ -989,8 +1035,9 @@ object Multimodal {
     * SET ((count desc, token) ranking, order-insensitive sum of
     * voices) — and on the driver corpus (fixed-length clips, no
     * embedded sub-clips) the exact-mode pair set is EXACTLY the set
-    * of doc pairs with equal top-8 sets: identical audio ⇒ every
-    * window hash matches on diagonal 0 (full run); different samples
+    * of doc pairs with equal top-8 sets: identical audio ⇒ identical
+    * winnowed anchor sets, all matching on diagonal 0 with evidenced
+    * run ≥ the deterministic winnowing floor; different samples
     * ⇒ no match (60-bit content hash, the q114 collision contract).
     * The PERCEPTUAL default cannot be reconciled this way — its
     * band-sign fingerprints legitimately fire on near-identical
@@ -1004,55 +1051,290 @@ object Multimodal {
                  winSamples: Int = 1000, minRunWins: Int = 3): DataFrame = {
     val out = q204AudioOverlap(spark, documents, winSamples, minRunWins,
       exact = true)
-    val nWins = AudioSamples / winSamples
+    // full-overlap floor for identical AudioSamples-long clips under
+    // the winnowed kernel: worst-case evidenced run ≥ L − 2·w′ + 2
+    // with w′ = winSamples/2 — a deterministic winnowing bound, so
+    // 3·AudioSamples/4 (= 3000 at defaults, where the worst case is
+    // 3002) is predicted-TRUE, not a tuned threshold
+    val floor = 3L * AudioSamples / 4
     out.agg(count(lit(1)).cast("long").as("n_pairs"),
-        max(abs(col("offset_wins"))).as("mx_off"),
-        min(col("max_run")).as("mn_run"),
-        max(col("max_run")).as("mx_run"))
+        max(abs(col("offset_samples"))).as("mx_off"),
+        min(col("run_samples")).as("mn_run"))
       .select(col("n_pairs"),
         coalesce(col("mx_off") === 0, lit(true)).as("offsets_zero_ok"),
-        coalesce(col("mn_run") === nWins && col("mx_run") === nWins,
-          lit(true)).as("full_run_ok"))
+        coalesce(col("mn_run") >= floor, lit(true)).as("full_run_ok"))
   }
+
+  // ------------------------------------------------ q206 audio scrub
+
+  /** Interval-union cut over one PCM clip: remove the samples covered
+    * by `iv` ([start, end) pairs, any order), merging overlaps so a
+    * sample cut by two spans is cut once — the q203 cut walk in
+    * samples. Returns (kept samples, cut count). */
+  private[graft] def cutSamples(s: Array[Short], iv: Seq[(Long, Long)])
+      : (Array[Short], Int) = {
+    val merged = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    iv.map { case (a, b) =>
+      (math.max(0, a).toInt, math.min(s.length.toLong, b).toInt)
+    }.filter(p => p._2 > p._1).sortBy(_._1).foreach { case (a, b) =>
+      if (merged.nonEmpty && a <= merged.last._2) {
+        val (la, lb) = merged.last
+        merged(merged.size - 1) = (la, math.max(lb, b))
+      } else merged += ((a, b))
+    }
+    val cut = merged.map(p => p._2 - p._1).sum
+    val out = new Array[Short](s.length - cut)
+    var src = 0; var dst = 0
+    (merged :+ ((s.length, s.length))).foreach { case (a, b) =>
+      System.arraycopy(s, src, out, dst, a - src)
+      dst += a - src; src = b
+    }
+    (out, cut)
+  }
+
+  /** q206: AUDIO SCRUB — the REWRITE half of q204, completing the
+    * multimodal decontamination story the way q203 completed q200's:
+    * q204 DETECTS an embedded clip; this CUTS the embedded samples out
+    * and keeps the rest of the recording (Lee et al.'s ExactSubstr
+    * treatment — delete the repeated bytes, not the documents —
+    * applied to PCM).
+    *
+    * Composition: exact-mode [[audioOverlapPairs]] (winnowed anchors,
+    * so embeds at ANY sample offset are found) → per-rep interval
+    * union of the matched extents → [[cutSamples]] → re-encode through
+    * the codec seam. `keepFirst` (default, the q203 semantics): each
+    * diagonal cuts only its doc_b (larger-id) side, so shared audio
+    * survives in exactly one place; `keepFirst = false` cuts both
+    * sides (the no-copy-may-survive decontamination stance).
+    *
+    * The cut extent is the ANCHOR-EVIDENCED span — up to winSamples/2
+    * short of the true embed boundary on each side (the winnowing
+    * slack; q203's text lane pays the same at its gram length).
+    * Residual shared runs after the cut are therefore < 1.5·winSamples
+    * — strictly below the minRunWins·winSamples report gate, so a
+    * re-probe of the scrubbed corpus is CLEAN by construction (spec'd
+    * with a planted non-aligned embed). Untouched docs pass through
+    * byte-identical: the left join ships payloads of CUT reps only,
+    * and members inherit their rep's verdict (identical audio carries
+    * identical cuts).
+    *
+    * Output: (doc_id, payload [scrubbed WAV], n_samples, cut_samples,
+    * out_samples). Scale shape: q204's own exchanges plus one
+    * rep-keyed join of pair-count-sized interval rows; payloads of
+    * cut reps decode/re-encode partition-local. */
+  def q206AudioScrub(spark: SparkSession, documents: DataFrame,
+                     winSamples: Int = 1000, minRunWins: Int = 3,
+                     dfCap: Int = 0,
+                     codec: AudioCodec = WavCodec,
+                     keepFirst: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val (reps, members) = graft.operators.Dedup.exactReps(documents)
+    val media = reps.select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.map { case (id, text) =>
+          (id, codec.encode(renderAudio(text, AudioRate, AudioSamples),
+            AudioRate))
+        })
+      }
+      .toDF("doc_id", "payload")
+      .transform(graft.Pins.pin) // pair kernel + the cut join
+    val (pairs, _) = audioOverlapPairs(media, winSamples, minRunWins,
+      dfCap, codec, exact = true)
+    val bSide = pairs.select(col("doc_b").as("doc_id"),
+      (col("a_start") - col("offset_samples")).as("c_start"),
+      (col("a_end") - col("offset_samples")).as("c_end"))
+    val cuts = (if (keepFirst) bSide
+      else bSide.unionAll(pairs.select(col("doc_a").as("doc_id"),
+        col("a_start").as("c_start"), col("a_end").as("c_end"))))
+      .groupBy(col("doc_id"))
+      // _1/_2 field names so the tuple decoder below resolves
+      .agg(collect_list(struct(col("c_start").as("_1"),
+        col("c_end").as("_2"))).as("iv"))
+    val repOut = media.join(cuts, Seq("doc_id"), "left_outer")
+      .as[(Long, Array[Byte], Option[Seq[(Long, Long)]])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.map {
+          case (id, payload, None) =>
+            // untouched rep: payload passes through byte-identical —
+            // decoded once for the sample count, never re-encoded
+            val n = codec.decode(payload).map(_._1.length).getOrElse(0)
+            (id, payload, n.toLong, 0L, n.toLong)
+          case (id, payload, Some(iv)) =>
+            val (s, rate, _) = codec.decode(payload).get
+            val (kept, cut) = cutSamples(s, iv)
+            (id, codec.encode(kept, rate), s.length.toLong, cut.toLong,
+              kept.length.toLong)
+        })
+      }
+      .toDF("rep", "payload", "n_samples", "cut_samples", "out_samples")
+    members.join(repOut, "rep")
+      .select(col("doc_id"), col("payload"), col("n_samples"),
+        col("cut_samples"), col("out_samples"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver-facing RECONCILIATION of [[q206AudioScrub]] — the q203
+    * length identity in samples: the scrub PARTITIONS each clip into
+    * kept + cut samples, so out_samples == n_samples − cut_samples
+    * for every doc, 0 ≤ cut ≤ n, and on the driver corpus every synth
+    * clip is exactly AudioSamples long — all independently computable
+    * by DuckDB (predicted-TRUE verdicts, the q112Driver pattern). An
+    * interval-walk bug (double-cut overlap, seam off-by-one, dropped
+    * tail) breaks the identity and hash-mismatches at the gate; the
+    * scrubbed corpus itself stays [[q206AudioScrub]]. */
+  def q206Driver(spark: SparkSession, documents: DataFrame): DataFrame =
+    q206AudioScrub(spark, documents)
+      .select(col("doc_id"), col("n_samples"),
+        (col("out_samples") === col("n_samples") - col("cut_samples"))
+          .as("len_ok"),
+        (col("cut_samples") >= 0L && col("cut_samples") <= col("n_samples"))
+          .as("cut_bounds_ok"))
+      .orderBy(col("doc_id"))
 
   // ------------------------------------------------ q205 image overlap
 
-  private[graft] case class TileRow(doc_id: Long, tx: Int, ty: Int, th: Long)
+  private[graft] case class TileRow(doc_id: Long, ax: Int, ay: Int, th: Long)
 
-  /** 60-bit content hash of one tile's RGB ints (the
-    * [[audioWindowHash]] construction over pixels). */
-  private def tileHash(rgb: Array[Int], imgW: Int, x0: Int, y0: Int,
-                       tile: Int): Long = {
-    val P1 = 1000000007L; val B1 = 31L
-    val P2 = 998244353L;  val B2 = 131L
-    var h1 = 0L; var h2 = 0L
+  /** WINNOWED 2D tile anchors over one decoded image — the q200/q204
+    * alignment-independence construction lifted to two dimensions.
+    *
+    * Every tile×tile pixel block AT EVERY (x, y) position gets a
+    * dual-modulus 2D polynomial hash (row pass with base B, column
+    * pass with base C — the 2D Rabin–Karp factorization, O(w·h) for
+    * all positions, not O(w·h·tile²)); then 2D winnowing selects the
+    * minimum-hash position in every w′×w′ window of positions
+    * (w′ = tile/2, rightmost-bottom on ties). Two copies of the same
+    * pixel rectangle select the same anchors RELATIVE TO CONTENT no
+    * matter where each copy sits — the r15 grid kernel saw a paste
+    * only at multiples of the tile size, a silent recall hole for
+    * arbitrary crops (the verdict's #1 wrong item).
+    *
+    * Guarantee (the 1D bound per axis): any shared rectangle of at
+    * least (tile + w′ − 1)² pixels whose interior contains an
+    * eligible (non-uniform) position shares ≥ 1 anchor. UNIFORM
+    * blocks are ineligible for selection — a flat background tile
+    * witnesses nothing (the silence-window analog); eligibility is
+    * content-determined (hash equals the closed-form uniform-block
+    * hash of the top-left color), so both copies skip identically.
+    *
+    * Brute-force window minima cost O(positions · w′²) — right at the
+    * test-scale 16–32 px renders; production image sizes replace the
+    * inner scan with the standard two-pass monotone-deque sliding
+    * minimum (same anchors, O(positions)). */
+  private[graft] def winnowTileAnchors(rgb: Array[Int], w: Int, h: Int,
+                                       tile: Int): Seq[(Int, Int, Long)] = {
+    if (w < tile || h < tile) return Nil
+    val P1 = 1000000007L; val B1 = 31L; val C1 = 1000003L
+    val P2 = 998244353L;  val B2 = 131L; val C2 = 131071L
+    val nx = w - tile + 1; val ny = h - tile + 1
+    def px(x: Int, y: Int): Long = (rgb(y * w + x) & 0xffffff).toLong
+    // row pass: r(x, y) = poly hash of row y, cols [x, x+tile)
+    var pwB1 = 1L; var pwB2 = 1L
+    var i = 0
+    while (i < tile - 1) { pwB1 = pwB1 * B1 % P1; pwB2 = pwB2 * B2 % P2; i += 1 }
+    val r1 = Array.ofDim[Long](h, nx); val r2 = Array.ofDim[Long](h, nx)
     var y = 0
-    while (y < tile) {
+    while (y < h) {
+      var h1 = 0L; var h2 = 0L
       var x = 0
-      while (x < tile) {
-        val p = (rgb((y0 + y) * imgW + x0 + x) & 0xffffff).toLong
-        h1 = (h1 * B1 + p) % P1
-        h2 = (h2 * B2 + p) % P2
+      while (x < tile) { h1 = (h1 * B1 + px(x, y)) % P1
+        h2 = (h2 * B2 + px(x, y)) % P2; x += 1 }
+      r1(y)(0) = h1; r2(y)(0) = h2
+      x = 1
+      while (x < nx) {
+        h1 = ((h1 - px(x - 1, y) * pwB1 % P1 + P1 * 31) % P1 * B1 +
+          px(x + tile - 1, y)) % P1
+        h2 = ((h2 - px(x - 1, y) * pwB2 % P2 + P2 * 131) % P2 * B2 +
+          px(x + tile - 1, y)) % P2
+        r1(y)(x) = h1; r2(y)(x) = h2
         x += 1
       }
       y += 1
     }
-    (h1 << 31) | h2
+    // column pass: H(x, y) = poly hash over r(x, y..y+tile) with base C
+    var pwC1 = 1L; var pwC2 = 1L
+    i = 0
+    while (i < tile - 1) { pwC1 = pwC1 * C1 % P1; pwC2 = pwC2 * C2 % P2; i += 1 }
+    val hh = Array.ofDim[Long](ny, nx)
+    var x = 0
+    while (x < nx) {
+      var h1 = 0L; var h2 = 0L
+      var yy = 0
+      while (yy < tile) { h1 = (h1 * C1 + r1(yy)(x)) % P1
+        h2 = (h2 * C2 + r2(yy)(x)) % P2; yy += 1 }
+      hh(0)(x) = (h1 << 31) | h2
+      yy = 1
+      while (yy < ny) {
+        h1 = ((h1 - r1(yy - 1)(x) * pwC1 % P1 + P1) % P1 * C1 +
+          r1(yy + tile - 1)(x)) % P1
+        h2 = ((h2 - r2(yy - 1)(x) * pwC2 % P2 + P2) % P2 * C2 +
+          r2(yy + tile - 1)(x)) % P2
+        hh(yy)(x) = (h1 << 31) | h2
+        yy += 1
+      }
+      x += 1
+    }
+    // closed-form hash of a UNIFORM tile of color c: row hash is
+    // c·ΣB^i, a column of equal rows v is v·ΣC^j — compare to skip
+    // background positions (content-determined, so both copies of a
+    // shared region skip identically)
+    def geo(b: Long, p: Long): Long = {
+      var s = 0L; var pw = 1L; var k = 0
+      while (k < tile) { s = (s + pw) % p; pw = pw * b % p; k += 1 }
+      s
+    }
+    val gB1 = geo(B1, P1); val gC1 = geo(C1, P1)
+    val gB2 = geo(B2, P2); val gC2 = geo(C2, P2)
+    def uniformHash(c: Long): Long = {
+      val u1 = c % P1 * gB1 % P1 * gC1 % P1
+      val u2 = c % P2 * gB2 % P2 * gC2 % P2
+      (u1 << 31) | u2
+    }
+    def eligible(xx: Int, yy: Int): Boolean =
+      hh(yy)(xx) != uniformHash(px(xx, yy))
+    val win = math.max(1, tile / 2)
+    val out = scala.collection.mutable.LinkedHashSet[(Int, Int, Long)]()
+    // window grid (clamped to one window when the position grid is
+    // smaller than w′ — the short-doc branch of winnowChars)
+    val wxs = if (nx <= win) Seq(0) else 0 to (nx - win)
+    val wys = if (ny <= win) Seq(0) else 0 to (ny - win)
+    val wxe = math.min(win, nx); val wye = math.min(win, ny)
+    wys.foreach { wy =>
+      wxs.foreach { wx =>
+        var bx = -1; var by = -1; var bh = Long.MaxValue
+        var yy = wy
+        while (yy < wy + wye) {
+          var xx = wx
+          while (xx < wx + wxe) {
+            if (eligible(xx, yy) && hh(yy)(xx) <= bh) {
+              bh = hh(yy)(xx); bx = xx; by = yy
+            }
+            xx += 1
+          }
+          yy += 1
+        }
+        if (bx >= 0) out += ((bx, by, bh))
+      }
+    }
+    out.toSeq
   }
 
   /** Core of [[q205ImageOverlap]] over any (doc_id, payload) image
-    * frame: REALLY DECODE each payload, cut the grid-aligned `tile`×
-    * `tile` tiles, hash each tile's pixels exactly (UNIFORM tiles —
-    * background — are skipped: a blank region witnesses nothing, the
-    * silence-tile analog of q204's hot windows), equality-join on the
-    * tile hash, and group by (pair, dx, dy) — the q200/q204 DIAGONAL
-    * trick in TWO dimensions: every tile of one pasted region shares
-    * the same (tx_a − tx_b, ty_a − ty_b), so a crop-and-paste
-    * collapses into ONE row carrying WHERE (the tile offset) and HOW
-    * MUCH (matched-tile count). `dfCap` caps hot tiles (a watermark /
-    * logo tile carried by thousands of images is the boilerplate-gram
-    * problem in pixels). Only (doc_id, tx, ty, 8-byte hash) rows
-    * shuffle; pixels stay partition-local. */
+    * frame: REALLY DECODE each payload, select [[winnowTileAnchors]]'
+    * content-defined anchor tiles, equality-join on the anchor hash,
+    * and group by (pair, dx, dy) — the q200/q204 DIAGONAL trick in
+    * TWO dimensions: every anchor of one pasted region shares the
+    * same pixel offset (ax_a − ax_b, ay_a − ay_b), so a crop-and-
+    * paste collapses into ONE row carrying WHERE (the pixel offset —
+    * any offset, not just tile multiples) and HOW MUCH (matched-
+    * anchor count). `dfCap` caps hot anchors (a watermark/logo tile
+    * carried by thousands of images is the boilerplate-gram problem
+    * in pixels). Only (doc_id, ax, ay, 8-byte hash) rows shuffle;
+    * pixels stay partition-local. Returns (pairs, per-doc anchor
+    * counts) — the second frame feeds the within-clique expansion so
+    * clique rows pass the SAME minTiles gate as cross pairs. */
   private[graft] def imageOverlapPairs(media: DataFrame, tile: Int,
                                        minTiles: Int, dfCap: Int,
                                        codec: MediaCodec)
@@ -1066,25 +1348,9 @@ object Multimodal {
           codec.decode(b).toSeq.flatMap { case (img, _) =>
             val w = img.getWidth; val h = img.getHeight
             val rgb = img.getRGB(0, 0, w, h, null, 0, w)
-            for {
-              ty <- 0 until h / tile
-              tx <- 0 until w / tile
-              if { // uniform-tile skip
-                val p0 = rgb(ty * tile * w + tx * tile) & 0xffffff
-                var uniform = true
-                var y = 0
-                while (uniform && y < tile) {
-                  var x = 0
-                  while (uniform && x < tile) {
-                    if ((rgb((ty * tile + y) * w + tx * tile + x) & 0xffffff)
-                        != p0) uniform = false
-                    x += 1
-                  }
-                  y += 1
-                }
-                !uniform
-              }
-            } yield TileRow(id, tx, ty, tileHash(rgb, w, tx * tile, ty * tile, tile))
+            winnowTileAnchors(rgb, w, h, tile).map { case (ax, ay, th) =>
+              TileRow(id, ax, ay, th)
+            }
           }
         })
       }
@@ -1100,16 +1366,16 @@ object Multimodal {
     val pairs = kept.as("a").join(kept.as("b"),
         col("a.th") === col("b.th") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (col("a.tx") - col("b.tx")).as("dx_tiles"),
-        (col("a.ty") - col("b.ty")).as("dy_tiles"),
-        col("a.tx").as("tax"), col("a.ty").as("tay"))
+        (col("a.ax") - col("b.ax")).as("dx_px"),
+        (col("a.ay") - col("b.ay")).as("dy_px"),
+        col("a.ax").as("aax"), col("a.ay").as("aay"))
       .distinct()
-      .groupBy(col("doc_a"), col("doc_b"), col("dx_tiles"), col("dy_tiles"))
-      .agg(count(lit(1)).cast("long").as("n_tiles"))
-      .filter(col("n_tiles") >= minTiles)
-      .orderBy(col("doc_a"), col("doc_b"), col("dx_tiles"), col("dy_tiles"))
+      .groupBy(col("doc_a"), col("doc_b"), col("dx_px"), col("dy_px"))
+      .agg(count(lit(1)).cast("long").as("n_anchors"))
+      .filter(col("n_anchors") >= minTiles)
+      .orderBy(col("doc_a"), col("doc_b"), col("dx_px"), col("dy_px"))
     (pairs, tiles.groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("n_doc_tiles")))
+      .agg(count(lit(1)).cast("long").as("n_doc_anchors")))
   }
 
   /** q205: IMAGE PARTIAL-OVERLAP (crop / collage / screenshot-embed)
@@ -1117,17 +1383,20 @@ object Multimodal {
     * (audio time): q93 fingerprints WHOLE thumbnails, so an image
     * pasted inside a larger canvas is invisible to it exactly as an
     * embedded clip is to q198. Per exact-dup rep: render → REAL PNG
-    * round-trip through the codec seam → grid tiles → exact tile
-    * hashes → [[imageOverlapPairs]]' 2D diagonal grouping; reported
-    * pairs carry the (dx, dy) tile offset and matched-tile count.
-    * Exact tile equality detects VERBATIM pastes (the dominant
-    * collage/screenshot mode — re-encoded pastes additionally need a
-    * perceptual tile key, which 8×8 tiles are too small to carry; at
-    * production image sizes swap [[tileHash]] for a per-tile dHash).
-    * Exact-dup members expand through the members map. rows-only with
-    * a planted collage spec — partial tile matches between DIFFERENT
-    * renders are genuine operator findings (shared local blobs), so
-    * no equality-based oracle exists, the q204 perceptual lesson. */
+    * round-trip through the codec seam → [[winnowTileAnchors]]
+    * content-defined anchor tiles → [[imageOverlapPairs]]' 2D
+    * diagonal grouping; reported pairs carry the (dx, dy) PIXEL
+    * offset — any offset, the r16 alignment-independence fix — and
+    * matched-anchor count. Exact tile equality detects VERBATIM
+    * pastes (the dominant collage/screenshot mode — re-encoded pastes
+    * additionally need a perceptual tile key; at production image
+    * sizes swap the anchor hash for a per-anchor dHash and Hamming-
+    * band the join, the q93 machinery). Exact-dup members expand
+    * through the members map under the same minTiles gate. rows-only
+    * with planted collage specs (aligned AND non-aligned) — partial
+    * anchor matches between DIFFERENT renders are genuine operator
+    * findings (shared local blobs), so no equality-based oracle
+    * exists, the q204 perceptual lesson. */
   def q205ImageOverlap(spark: SparkSession, documents: DataFrame,
                        tile: Int = 8, minTiles: Int = 2, dfCap: Int = 0,
                        codec: MediaCodec = ImageIoCodec): DataFrame = {
@@ -1149,30 +1418,33 @@ object Multimodal {
         })
       }
       .toDF("doc_id", "payload")
-    val (repPairs, docTiles) =
+    val (repPairs, docAnchors) =
       imageOverlapPairs(media, tile, minTiles, dfCap, codec)
     val ma = members.select(col("rep").as("doc_a"), col("doc_id").as("da"))
     val mb = members.select(col("rep").as("doc_b"), col("doc_id").as("db"))
     val cross = repPairs.join(ma, "doc_a").join(mb, "doc_b")
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"),
-        when(col("da") <= col("db"), col("dx_tiles"))
-          .otherwise(-col("dx_tiles")).as("dx_tiles"),
-        when(col("da") <= col("db"), col("dy_tiles"))
-          .otherwise(-col("dy_tiles")).as("dy_tiles"),
-        col("n_tiles"))
+        when(col("da") <= col("db"), col("dx_px"))
+          .otherwise(-col("dx_px")).as("dx_px"),
+        when(col("da") <= col("db"), col("dy_px"))
+          .otherwise(-col("dy_px")).as("dy_px"),
+        col("n_anchors"))
     // within-clique: identical normalized text renders pixel-identical
     // canvases — full overlap at (0, 0), matched count = the rep's own
-    // non-uniform tile count (no codec work per member)
+    // anchor count, GATED by the same minTiles floor as cross pairs
+    // (r15 ADVICE #5; an all-uniform render has zero anchors and is
+    // consistently silent on both paths)
     val within = members.as("x").join(members.as("y"),
         col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
-      .join(docTiles.select(col("doc_id").as("trep"), col("n_doc_tiles")),
+      .join(docAnchors.select(col("doc_id").as("trep"), col("n_doc_anchors")),
         col("x.rep") === col("trep"))
+      .filter(col("n_doc_anchors") >= minTiles)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        lit(0).as("dx_tiles"), lit(0).as("dy_tiles"),
-        col("n_doc_tiles").as("n_tiles"))
+        lit(0).as("dx_px"), lit(0).as("dy_px"),
+        col("n_doc_anchors").as("n_anchors"))
     cross.unionAll(within)
-      .orderBy(col("doc_a"), col("doc_b"), col("dx_tiles"), col("dy_tiles"))
+      .orderBy(col("doc_a"), col("doc_b"), col("dx_px"), col("dy_px"))
   }
 
   // --------------------------------------------- content-defined chunking

@@ -360,11 +360,11 @@ class MultimodalSpec extends GraftSpec {
     assert(expected.nonEmpty, "corpus should contain audio near-dups")
   }
 
-  test("q204 planted clip-in-compilation: overlap found at the exact time offset") {
+  test("q204 planted clip-in-compilation: found at the exact offset, both key modes") {
     val rate = Multimodal.AudioRate
     // 2000-sample clip embedded mid-compilation at sample 2000 —
     // invisible to whole-clip q198 (different global fingerprints),
-    // found by the windowed diagonal
+    // found by the diagonal grouping
     val clipA = Multimodal.renderAudio("alpha beta gamma tokens", rate, 2000)
     val pre = Multimodal.renderAudio("completely different opener words", rate, 2000)
     val post = Multimodal.renderAudio("unrelated closing content here", rate, 2000)
@@ -375,25 +375,55 @@ class MultimodalSpec extends GraftSpec {
       (3L, Multimodal.encodeWav(
         Multimodal.renderAudio("noise floor something else", rate, 4000), rate))
     ).toDF("doc_id", "payload")
-    val out = Multimodal.audioOverlapPairs(media, winSamples = 500,
-      minRunWins = 3, dfCap = 0, graft.operators.WavCodec).collect()
+    // perceptual grid mode: the embed IS grid-aligned here (offset
+    // 2000 = 4 windows of 500), so the band-sign fps match on the
+    // -2000-sample diagonal across 4 windows
+    val (pairsP, _) = Multimodal.audioOverlapPairs(media, winSamples = 500,
+      minRunWins = 3, dfCap = 0, graft.operators.WavCodec)
+    val out = pairsP.collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
-        r.getAs[Int]("offset_wins"), r.getAs[Long]("n_matched"),
-        r.getAs[Int]("max_run")))
+        r.getAs[Int]("offset_samples"), r.getAs[Long]("run_samples")))
     graft.Pins.release()
-    // clipA windows 0..3 == compilation windows 4..7: one diagonal at
-    // offset 0-4 = -4, four consecutive matches
-    assert(out.exists(p => p._1 == 1L && p._2 == 2L && p._3 == -4 &&
-      p._4 == 4L && p._5 == 4), out.toSeq)
+    assert(out.exists(p => p._1 == 1L && p._2 == 2L && p._3 == -2000 &&
+      p._4 == 2000L), out.toSeq)
     assert(!out.exists(p => p._1 == 3L || p._2 == 3L), out.toSeq)
-    // exact mode (content hashes instead of perceptual fps) finds the
-    // byte-exact embed at the same offset
-    val ex = Multimodal.audioOverlapPairs(media, winSamples = 500,
+    // exact mode (winnowed anchors) finds the byte-exact embed at the
+    // same offset with >= 1500 evidenced samples (the worst-case
+    // winnowing floor for a 2000-sample run at gram 500)
+    val (pairsE, _) = Multimodal.audioOverlapPairs(media, winSamples = 500,
       minRunWins = 3, dfCap = 0, graft.operators.WavCodec, exact = true)
-      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
-        r.getAs[Int]("offset_wins"), r.getAs[Int]("max_run")))
+    val ex = pairsE.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("offset_samples"), r.getAs[Long]("run_samples")))
     graft.Pins.release()
-    assert(ex.exists(p => p == ((1L, 2L, -4, 4))), ex.toSeq)
+    assert(ex.exists(p => p._1 == 1L && p._2 == 2L && p._3 == -2000 &&
+      p._4 >= 1500L), ex.toSeq)
+    assert(!ex.exists(p => p._1 == 3L || p._2 == 3L), ex.toSeq)
+  }
+
+  test("q204 NON-ALIGNED embed (sample 777): exact mode finds it — the r16 guarantee") {
+    val rate = Multimodal.AudioRate
+    val clipA = Multimodal.renderAudio("alpha beta gamma tokens", rate, 2000)
+    val pre = Multimodal.renderAudio("completely different opener words", rate, 2000)
+    val post = Multimodal.renderAudio("unrelated closing content here", rate, 2000)
+    // embed starts at sample 777 — NOT a multiple of winSamples or of
+    // any hop; the r15 grid kernel reported NOTHING here (its windows
+    // only ever started at multiples of 500)
+    val comp = (pre.take(777) ++ clipA ++ post).take(6000)
+    val media = Seq(
+      (1L, Multimodal.encodeWav(clipA, rate)),
+      (2L, Multimodal.encodeWav(comp, rate)),
+      (3L, Multimodal.encodeWav(
+        Multimodal.renderAudio("noise floor something else", rate, 4000), rate))
+    ).toDF("doc_id", "payload")
+    val (pairsE, _) = Multimodal.audioOverlapPairs(media, winSamples = 500,
+      minRunWins = 3, dfCap = 0, graft.operators.WavCodec, exact = true)
+    val ex = pairsE.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("offset_samples"), r.getAs[Long]("run_samples")))
+    graft.Pins.release()
+    assert(ex.exists(p => p._1 == 1L && p._2 == 2L && p._3 == -777 &&
+      p._4 >= 1500L), ex.toSeq)
     assert(!ex.exists(p => p._1 == 3L || p._2 == 3L), ex.toSeq)
   }
 
@@ -404,18 +434,18 @@ class MultimodalSpec extends GraftSpec {
       .toDF("doc_id", "text")
     val out = Multimodal.q204AudioOverlap(spark, corpus).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
-        r.getAs[Int]("offset_wins"), r.getAs[Int]("max_run")))
+        r.getAs[Int]("offset_samples"), r.getAs[Long]("run_samples")))
     graft.Pins.release()
-    val nWins = Multimodal.AudioSamples / 1000
-    assert(out.exists(p => p == ((10L, 20L, 0, nWins))), out.toSeq)
+    // within-clique full overlap: the whole 4000-sample clip
+    assert(out.exists(p => p._1 == 10L && p._2 == 20L && p._3 == 0 &&
+      p._4 == Multimodal.AudioSamples.toLong), out.toSeq)
     assert(!out.exists(p => p._1 == 30L || p._2 == 30L), out.toSeq)
   }
 
-  test("q205 planted crop-in-collage: pair found at the exact 2D tile offset") {
+  test("q205 planted crop-in-collage: pair found at the exact 2D pixel offset") {
     val a = Multimodal.renderImage("alpha beta gamma delta tokens", 16, 16)
     // 32x32 collage: black background, A pasted verbatim at pixel
-    // (8, 16) — tile-aligned for the 8x8 grid — plus unrelated content
-    // in the top-left corner
+    // (8, 16) — plus unrelated content in the top-left corner
     val c = new java.awt.image.BufferedImage(32, 32,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     val other = Multimodal.renderImage("completely different corner art", 8, 8)
@@ -431,13 +461,38 @@ class MultimodalSpec extends GraftSpec {
     val (pairs, _) = Multimodal.imageOverlapPairs(media, tile = 8,
       minTiles = 2, dfCap = 0, graft.operators.ImageIoCodec)
     val out = pairs.collect().map(r => (r.getAs[Long]("doc_a"),
-      r.getAs[Long]("doc_b"), r.getAs[Int]("dx_tiles"),
-      r.getAs[Int]("dy_tiles"), r.getAs[Long]("n_tiles")))
+      r.getAs[Long]("doc_b"), r.getAs[Int]("dx_px"),
+      r.getAs[Int]("dy_px"), r.getAs[Long]("n_anchors")))
     graft.Pins.release()
-    // A's tile (0,0) sits at collage tile (1,2): diagonal (-1,-2);
-    // A is 2x2 tiles, at least 2 of them non-uniform (blob gradients)
-    assert(out.exists(p => p._1 == 1L && p._2 == 2L && p._3 == -1 &&
-      p._4 == -2 && p._5 >= 2L), out.toSeq)
+    // A's pixel (0,0) sits at collage pixel (8,16): diagonal (-8,-16)
+    assert(out.exists(p => p._1 == 1L && p._2 == 2L && p._3 == -8 &&
+      p._4 == -16 && p._5 >= 2L), out.toSeq)
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L), out.toSeq)
+  }
+
+  test("q205 NON-ALIGNED paste (pixel (5,9)): found — the r16 2D winnowing guarantee") {
+    val a = Multimodal.renderImage("alpha beta gamma delta tokens", 16, 16)
+    // paste at (5, 9): neither coordinate a multiple of the tile size;
+    // the r15 grid kernel cut tiles at multiples of 8 only and
+    // reported NOTHING for this collage
+    val c = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      c.setRGB(5 + x, 9 + y, a.getRGB(x, y))
+    val media = Seq(
+      (1L, Multimodal.encodePng(a)),
+      (2L, Multimodal.encodePng(c)),
+      (3L, Multimodal.encodePng(
+        Multimodal.renderImage("unrelated stuff entirely here", 24, 24)))
+    ).toDF("doc_id", "payload")
+    val (pairs, _) = Multimodal.imageOverlapPairs(media, tile = 8,
+      minTiles = 2, dfCap = 0, graft.operators.ImageIoCodec)
+    val out = pairs.collect().map(r => (r.getAs[Long]("doc_a"),
+      r.getAs[Long]("doc_b"), r.getAs[Int]("dx_px"),
+      r.getAs[Int]("dy_px"), r.getAs[Long]("n_anchors")))
+    graft.Pins.release()
+    assert(out.exists(p => p._1 == 1L && p._2 == 2L && p._3 == -5 &&
+      p._4 == -9 && p._5 >= 2L), out.toSeq)
     assert(!out.exists(p => p._1 == 3L || p._2 == 3L), out.toSeq)
   }
 
@@ -451,7 +506,7 @@ class MultimodalSpec extends GraftSpec {
     ).toDF("doc_id", "text")
     val out = Multimodal.q205ImageOverlap(spark, corpus).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
-        r.getAs[Int]("dx_tiles"), r.getAs[Int]("dy_tiles")))
+        r.getAs[Int]("dx_px"), r.getAs[Int]("dy_px")))
     graft.Pins.release()
     assert(out.exists(p => p == ((10L, 20L, 0, 0))), out.toSeq) // cross, full overlap
     assert(out.exists(p => p == ((10L, 30L, 0, 0))), out.toSeq) // within clique
@@ -475,6 +530,79 @@ class MultimodalSpec extends GraftSpec {
     graft.Pins.release()
     assert(r.getAs[Long]("n_pairs") == 4L, r)
     assert(r.getAs[Boolean]("offsets_zero_ok") && r.getAs[Boolean]("full_run_ok"), r)
+  }
+
+  test("q206 scrub: planted NON-ALIGNED embed cut; re-probe clean; clean doc untouched") {
+    val rate = Multimodal.AudioRate
+    val clipA = Multimodal.renderAudio("alpha beta gamma tokens", rate, 2000)
+    val pre = Multimodal.renderAudio("completely different opener words", rate, 2000)
+    val post = Multimodal.renderAudio("unrelated closing content here", rate, 2000)
+    val comp = (pre.take(777) ++ clipA ++ post).take(6000)
+    val media = Seq(
+      (1L, Multimodal.encodeWav(clipA, rate)),
+      (2L, Multimodal.encodeWav(comp, rate)),
+      (3L, Multimodal.encodeWav(
+        Multimodal.renderAudio("noise floor something else", rate, 4000), rate))
+    ).toDF("doc_id", "payload")
+    // pair kernel + cut walk on the raw media frame (the q206 kernel
+    // without the synth stage — same composition the operator runs)
+    val (pairs, _) = Multimodal.audioOverlapPairs(media, winSamples = 500,
+      minRunWins = 3, dfCap = 0, graft.operators.WavCodec, exact = true)
+    val row = pairs.filter(org.apache.spark.sql.functions.col("doc_a") === 1L &&
+        org.apache.spark.sql.functions.col("doc_b") === 2L)
+      .collect().head
+    val cStart = row.getAs[Long]("a_start") - row.getAs[Int]("offset_samples")
+    val cEnd = row.getAs[Long]("a_end") - row.getAs[Int]("offset_samples")
+    graft.Pins.release()
+    // the evidenced extent sits inside the true embed [777, 2777),
+    // within the winnowing slack (<= 250 = winSamples/2 per side)
+    assert(cStart >= 777L && cStart <= 777L + 250L, (cStart, cEnd))
+    assert(cEnd <= 2777L && cEnd >= 2777L - 250L, (cStart, cEnd))
+    // keepFirst cut: doc 2 (the larger id) loses the evidenced span
+    val (comp2, cut) = Multimodal.cutSamples(comp, Seq((cStart, cEnd)))
+    assert(cut == (cEnd - cStart).toInt && comp2.length == comp.length - cut)
+    val media2 = Seq(
+      (1L, Multimodal.encodeWav(clipA, rate)),
+      (2L, Multimodal.encodeWav(comp2, rate)),
+      (3L, Multimodal.encodeWav(
+        Multimodal.renderAudio("noise floor something else", rate, 4000), rate))
+    ).toDF("doc_id", "payload")
+    // re-probe at the same gate: residual shared runs are < 1.5x
+    // winSamples, strictly below the 3x report gate -> clean
+    val (reprobe, _) = Multimodal.audioOverlapPairs(media2, winSamples = 500,
+      minRunWins = 3, dfCap = 0, graft.operators.WavCodec, exact = true)
+    val again = reprobe.collect()
+    graft.Pins.release()
+    assert(again.isEmpty, again.toSeq)
+  }
+
+  test("q206 full path: length identity, keepFirst survivorship, clean payload byte-identical") {
+    val corpus = Seq(
+      (1L, "storm river mountain valley"),        // rep of the clique
+      (2L, "STORM RIVER MOUNTAIN VALLEY"),        // exact dup -> inherits rep's verdict
+      (3L, "storm river mountain valley"),        // clique: identical audio -> doc 1 survives
+      (4L, "entirely different tokens here")      // clean: byte-identical passthrough
+    ).toDF("doc_id", "text")
+    val out = Multimodal.q206AudioScrub(spark, corpus).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Array[Byte]]("payload"),
+        r.getAs[Long]("n_samples"), r.getAs[Long]("cut_samples"),
+        r.getAs[Long]("out_samples"))).sortBy(_._1)
+    graft.Pins.release()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    out.foreach { case (id, _, n, cut, os) =>
+      assert(n == Multimodal.AudioSamples.toLong, (id, n))
+      assert(os == n - cut, (id, os, n, cut))
+    }
+    // doc 1 is doc_a of every clique diagonal -> keeps its audio;
+    // docs 2/3 inherit the rep's cut... but 2 and 3 ARE the same
+    // normalized text as 1, so the clique has ONE rep (doc 1): no
+    // cross-rep pair exists and nothing is cut at all
+    assert(out.forall(_._4 == 0L), out.map(t => (t._1, t._4)).toSeq)
+    // clean doc's payload is byte-identical to a fresh synth+encode
+    val cleanSynth = Multimodal.encodeWav(Multimodal.renderAudio(
+      "entirely different tokens here", Multimodal.AudioRate,
+      Multimodal.AudioSamples), Multimodal.AudioRate)
+    assert(java.util.Arrays.equals(out.find(_._1 == 4L).get._2, cleanSynth))
   }
 
   test("q198 finds a re-voiced near-duplicate that byte identity misses") {
