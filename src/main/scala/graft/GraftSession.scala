@@ -25,6 +25,18 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // ddl11: cost-based optimizer ON — AQE fixes estimation mistakes
+      // at runtime AFTER a shuffle is already planned; with metastore
+      // stats (ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS], the
+      // ddl04 surface) CBO makes the broadcast/join-order call at PLAN
+      // time, which is what a 6-table q05 shape needs at 100 TB. Both
+      // flags are inert on stats-less relations (file-size estimates
+      // flow exactly as before), so the 206 file-based driver queries
+      // plan identically; catalog tables opt in by running ANALYZE.
+      // PlanBudgetSpec pins the flip: column stats alone turn a
+      // filtered join broadcast with AQE disabled.
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.shuffle.spill.compress", "true")

@@ -517,16 +517,22 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Length-prefix walk with VALIDATION: a negative length or a prefix
+    * pointing past the payload means the bytes are not this container
+    * — return Nil so [[FramedCodec.decode]] can answer None instead of
+    * throwing mid-stream (the ck01 foreign-bytes clause: a throwing
+    * codec kills the whole partition task on one corrupt payload). */
   private[graft] def decodeFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
-    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val out = Seq.newBuilder[Array[Byte]]
-    while (in.available() >= 4) {
-      val n = in.readInt()
-      val f = new Array[Byte](n)
-      in.readFully(f)
-      out += f
+    var p = 0
+    while (p + 4 <= bytes.length) {
+      val n = ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
+        ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+      if (n < 0 || p + 4 + n > bytes.length) return Nil
+      out += java.util.Arrays.copyOfRange(bytes, p + 4, p + 4 + n)
+      p += 4 + n
     }
-    out.result()
+    if (p != bytes.length) Nil else out.result()
   }
 
   // private[graft] for the same encoder-codegen reason as [[PHashRow]]

@@ -108,6 +108,26 @@ class HiveSurfaceSpec extends GraftSpec {
     spark.sql("DROP TABLE graft_stats_t")
   }
 
+  test("ddl11: ANALYZE stats are metastore-resident — a fresh session plans on them") {
+    Tables.orders(spark, SF).createOrReplaceTempView("orders_src2")
+    spark.sql("DROP TABLE IF EXISTS graft_stats_persist")
+    spark.sql(
+      "CREATE TABLE graft_stats_persist USING parquet AS SELECT * FROM orders_src2")
+    spark.sql("ANALYZE TABLE graft_stats_persist COMPUTE STATISTICS FOR COLUMNS o_custkey")
+    // fresh session state over the SAME metastore: the optimizer there
+    // reads rowCount/ndv it never computed — the day-one warehouse
+    // contract (stats are a table property, not session state)
+    val s2 = spark.newSession()
+    val stats = s2.sql("DESCRIBE EXTENDED graft_stats_persist")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val rowCount = Tables.orders(spark, SF).count()
+    assert(stats.get("Statistics").exists(_.contains(s"$rowCount rows")), stats)
+    val colStats = s2.sql("DESCRIBE EXTENDED graft_stats_persist o_custkey")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(colStats.get("distinct_count").exists(_ != "NULL"), colStats)
+    spark.sql("DROP TABLE graft_stats_persist")
+  }
+
   test("ddl06: CREATE VIEW persists in the metastore and survives a fresh session") {
     Tables.nation(spark, SF).createOrReplaceTempView("nation_view_src")
     spark.sql("DROP VIEW IF EXISTS graft_perm_view")

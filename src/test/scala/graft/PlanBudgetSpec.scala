@@ -172,6 +172,54 @@ class PlanBudgetSpec extends GraftSpec {
     graft.Pins.release()
   }
 
+  test("ddl11 CBO: column stats flip a filtered join to broadcast at PLAN time (AQE off)") {
+    // the stats-driven decision AQE cannot make: a selective filter on
+    // a big table shrinks the PLANNED size only when the optimizer can
+    // estimate selectivity — i.e. when ANALYZE ... FOR COLUMNS has put
+    // rowCount + ndv in the catalog. File-size estimation (no stats)
+    // sees the full scan size on both sides and plans a sort-merge
+    // join; with column stats the filtered side estimates ~1/ndv of
+    // the table and drops under the broadcast threshold. AQE is OFF so
+    // the flip is attributable to CBO alone.
+    spark.sql("DROP TABLE IF EXISTS graft_cbo_big")
+    spark.sql("DROP TABLE IF EXISTS graft_cbo_other")
+    // md5 pad keeps parquet from compressing the files under the
+    // threshold (the no-stats estimate is the file size)
+    spark.range(200000)
+      .selectExpr("id % 400 AS k", "md5(cast(id AS string)) AS pad")
+      .write.format("parquet").saveAsTable("graft_cbo_big")
+    spark.range(100000)
+      .selectExpr("id % 400 AS k", "md5(cast(id AS string)) AS pad2")
+      .write.format("parquet").saveAsTable("graft_cbo_other")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (1024 * 1024).toString)
+      def plan(): String = {
+        val df = spark.table("graft_cbo_big").filter(org.apache.spark.sql
+            .functions.col("k") === 7)
+          .join(spark.table("graft_cbo_other"), "k")
+        df.queryExecution.executedPlan.toString
+      }
+      // no stats: both scans estimate at file size (> 1 MB) -> SMJ
+      val before = plan()
+      assert(!before.contains("BroadcastHashJoin"), before.take(2000))
+      assert(before.contains("SortMergeJoin"), before.take(2000))
+      // column stats on the filter key: rowCount + ndv -> the k = 7
+      // side estimates ~1/400 of the table -> broadcast, on stats alone
+      spark.sql("ANALYZE TABLE graft_cbo_big COMPUTE STATISTICS FOR COLUMNS k")
+      val after = plan()
+      assert(after.contains("BroadcastHashJoin"), after.take(2000))
+      assert(!after.contains("SortMergeJoin"), after.take(2000))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS graft_cbo_big")
+      spark.sql("DROP TABLE IF EXISTS graft_cbo_other")
+    }
+  }
+
   test("graph round above the broadcast node threshold: no node-table broadcast") {
     // emulate a graph too big to broadcast: hints off (useBcast=false)
     // AND size-estimation broadcast disabled — the static plan must
