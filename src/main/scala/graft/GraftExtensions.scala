@@ -70,6 +70,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // row_number()<=k window-filter → native bounded-heap top-k operator
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // ddl12: CREATE/DROP TEMPORARY MACRO — Hive's named-inline-
+    // expression statement, rewritten to Spark SQL scalar functions
+    // with the return type inferred from the body (see MacroParser)
+    ext.injectParser((session, delegate) =>
+      new graft.plans.MacroParser(session, delegate))
     // SQL-text DELETE/UPDATE/MERGE INTO on v1 lake tables: the analyzer
     // resolves them fine, only the planner rejects v1 targets — rewrite
     // the resolved command to a distributed copy-on-write plan first

@@ -74,8 +74,10 @@ object SparkEntry {
     "q41_dedup_ngram_jaccard"  -> ((s, d) => Dedup.q41(documents(s, d))),
     "q42_dedup_minhash_lsh"    -> ((s, d) => Dedup.q42(documents(s, d))),
     "q43_dedup_simhash"        -> ((s, d) => Dedup.q43(documents(s, d))),
-    "q64_dedup_clusters"       -> ((s, d) => Dedup.q64(documents(s, d))),
-    "q65_clean_corpus"         -> ((s, d) => Pipeline.cleanCorpus(documents(s, d))),
+    "q64_dedup_clusters"       -> ((s, d) => Dedup.q64(documents(s, d),
+      precomputedLabels = Some(clusterLabels(s, d)))),
+    "q65_clean_corpus"         -> ((s, d) => Pipeline.cleanCorpus(documents(s, d),
+      precomputedLabels = Some(clusterLabels(s, d)))),
     "q44_ann_cosine_topk"      -> ((s, d) => Similarity.q44(embeddings(s, d))),
     "q45_ann_lsh"              -> ((s, d) => Similarity.q45(embeddings(s, d))),
     "q46_embed_dedup"          -> ((s, d) => Similarity.q46(embeddings(s, d))),

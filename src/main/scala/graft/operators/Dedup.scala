@@ -297,20 +297,10 @@ object Dedup {
     * growing lineage so round N doesn't replay rounds 1..N−1 — the
     * standard Spark pattern for iterative graph algorithms. */
   def clusters(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
-    // FAULT-TOLERANCE SEAM (r15 verdict #4): localCheckpoint stores
-    // blocks on executors only — right at local[32], but on a real
-    // cluster ANY executor loss mid-fixpoint kills the job because
-    // lineage is severed. With `spark.graft.cc.reliableCheckpoint=true`
-    // AND an sc.setCheckpointDir(...) target, each round lands in the
-    // reliable store instead (HDFS/object store), so the fixpoint
-    // survives executor churn. One config; labels are bit-identical
-    // either way (spec'd).
-    val reliable = spark.conf
-      .getOption("spark.graft.cc.reliableCheckpoint").contains("true") &&
-      spark.sparkContext.getCheckpointDir.isDefined
-    def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(false) else df.localCheckpoint(false)
+    // fault-tolerance seam: see [[Ckpt.cut]] — lazy cuts here (the
+    // convergence count is the materializing action, so a round stays
+    // ONE job on either checkpoint path)
+    def cut(df: DataFrame): DataFrame = Ckpt.cut(df, eager = false)
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -383,8 +373,10 @@ object Dedup {
     * in a component, labelled with its cluster's canonical (min) id.
     * Propagates over [[neardupEdges]] (rep pairs + clique star edges):
     * identical output, linear edges per duplication clique. */
-  def q64(documents: DataFrame): DataFrame =
-    clusters(neardupEdges(documents))
+  def q64(documents: DataFrame,
+          precomputedLabels: Option[DataFrame] = None): DataFrame =
+    precomputedLabels
+      .getOrElse(clusters(neardupEdges(documents)))
       .orderBy(col("doc_id"))
 
   /** q69: benchmark-contamination detection — the decontamination pass

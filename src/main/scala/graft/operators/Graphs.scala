@@ -78,10 +78,10 @@ object Graphs {
     val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
     var ranks = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n")).as("pr"))
-      .localCheckpoint(true)
+      .transform(Ckpt.cut(_))
     for (_ <- 1 to iters)
       ranks = pagerankRound(e, nodes, outdeg, nn, ranks, alpha, useBcast)
-        .localCheckpoint(true)
+        .transform(Ckpt.cut(_))
     ranks
   }
 
@@ -166,7 +166,7 @@ object Graphs {
     val useBcast = nodes.count() <= broadcastNodeLimit
     val e = graft.Pins.pin(if (useBcast) e0 else e0.repartition(col("src")))
     var labels = nodes.withColumn("lbl", col("node"))
-      .localCheckpoint(true)
+      .transform(Ckpt.cut(_))
     for (_ <- 1 to iters) {
       val nl = e
         .join(bc(labels.withColumnRenamed("node", "src"), useBcast), "src")
@@ -176,7 +176,7 @@ object Graphs {
         .filter(col("cnt") === col("mc"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("lbl"))
         .withColumnRenamed("dst", "node")
-        .localCheckpoint(true)
+        .transform(Ckpt.cut(_))
     }
     labels
   }
@@ -318,14 +318,14 @@ object Graphs {
     val e = graft.Pins.pin(if (useBcast) e0 else e0.repartition(col("src")))
     val seed = e.agg(min(col("src")).as("node"))
     var dist = broadcast(seed).withColumn("dist", lit(0L))
-      .localCheckpoint(true)
+      .transform(Ckpt.cut(_))
     for (_ <- 1 to hops) {
       val relax = e
         .join(bc(dist.withColumnRenamed("node", "src"), useBcast), "src")
         .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
       dist = dist.unionByName(relax)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+        .transform(Ckpt.cut(_))
     }
     dist.select(col("node").as("domain"), col("dist").as("hop"))
       .orderBy(col("domain"))
@@ -385,8 +385,8 @@ object Graphs {
     val eByDst =
       if (useBcast) eBySrc
       else graft.Pins.pin(e0.repartition(col("dst")))
-    var hub = nodes.withColumn("h", lit(scale)).localCheckpoint(true)
-    var auth = nodes.withColumn("a", lit(scale)).localCheckpoint(true)
+    var hub = nodes.withColumn("h", lit(scale)).transform(Ckpt.cut(_))
+    var auth = nodes.withColumn("a", lit(scale)).transform(Ckpt.cut(_))
     // one half-round: raw(n) = Σ over `joinKey` edges of the opposite
     // score, then integer renormalize to Σ≈scale
     def half(scores: DataFrame, scoreCol: String, joinKey: String,
@@ -402,7 +402,7 @@ object Graphs {
         .select(col("node"),
           coalesce(expr(s"(coalesce(raw, 0L) * $scale) div t"), lit(0L))
             .as(outCol))
-        .localCheckpoint(true)
+        .transform(Ckpt.cut(_))
     }
     for (_ <- 1 to iters) {
       auth = half(hub, "h", "src", "dst", "a")   // a(v) ∝ Σ_{u→v} h(u)

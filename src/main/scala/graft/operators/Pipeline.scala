@@ -42,7 +42,8 @@ object Pipeline {
                   scrubSpans: Boolean = false,
                   spanK: Int = graft.Oracles.SpanK,
                   scrubBytes: Boolean = false,
-                  byteDfCap: Int = 0): DataFrame = {
+                  byteDfCap: Int = 0,
+                  precomputedLabels: Option[DataFrame] = None): DataFrame = {
     // byte-granular scrub (r15): q203 removes cross-document verbatim
     // runs >= SubstrMinLen CHARS (sub-token boundaries included) before
     // the token-level stages — the Lee et al. ExactSubstr treatment;
@@ -71,10 +72,15 @@ object Pipeline {
     // default path propagates over the sparse rep-pair + star edge set
     // (round 8: linear edges per duplication clique, same components);
     // precomputed pair frames from a prior q41 run work unchanged
-    val pairs = precomputedPairs.map(_.select(col("doc_a"), col("doc_b")))
-      .getOrElse(Dedup.neardupEdges(base))
-    val nearDupLosers = Dedup
-      .clusters(pairs)
+    // precomputedLabels (s27 ClusterIndex): valid ONLY when no scrub
+    // stage rewrote the text the labels were fitted on — same caveat
+    // as precomputedPairs
+    val nearDupLosers = precomputedLabels
+      .getOrElse {
+        val pairs = precomputedPairs.map(_.select(col("doc_a"), col("doc_b")))
+          .getOrElse(Dedup.neardupEdges(base))
+        Dedup.clusters(pairs)
+      }
       .filter(col("label") =!= col("doc_id"))
       .select(col("doc_id"))
     exactKept

@@ -2207,7 +2207,7 @@ object TextAnalysis {
       .withColumn("e", expr("(loss - lmin) div 1000"))
       .select(col("source"), col("tokens"), col("loss"), col("e"),
         expr(s"$TotScale div ns").as("w0")))
-    var w = base.select(col("source"), col("w0").as("w")).localCheckpoint(true)
+    var w = Ckpt.cut(base.select(col("source"), col("w0").as("w")))
     for (_ <- 1 to iters) {
       val raw = w.join(base.select(col("source"), col("e")), "source")
         .select(col("source"), expr("(w * (1000000L + e)) div 1000000L").as("raw"))
@@ -2215,7 +2215,7 @@ object TextAnalysis {
       w = raw.crossJoin(broadcast(s))
         .select(col("source"),
           expr(s"(raw * $TotScale) div S").as("w"))
-        .localCheckpoint(true)
+        .transform(Ckpt.cut(_))
     }
     base.select(col("source"), col("tokens"), col("loss"))
       .join(w, "source")

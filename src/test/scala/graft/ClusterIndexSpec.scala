@@ -91,7 +91,7 @@ class ClusterIndexSpec extends GraftSpec {
     assert(a == labelSet(ClusterIndex.labels(spark, Name)))
   }
 
-  test("s27 downstream family parity: q105/q133/q182/q188 identical via index") {
+  test("s27 downstream family parity: q64/q65/q105/q133/q182/q188 identical via index") {
     ClusterIndex.drop(spark, Name)
     ClusterIndex.fit(corpus, Name)
     val lbl = Some(ClusterIndex.labels(spark, Name))
@@ -107,21 +107,34 @@ class ClusterIndexSpec extends GraftSpec {
       rows(operators.Pipeline.q182(docs)))
     assert(rows(Dedup.q188(docs, precomputedLabels = lbl)) ==
       rows(Dedup.q188(docs)))
+    assert(rows(Dedup.q64(docs, precomputedLabels = lbl)) ==
+      rows(Dedup.q64(docs)))
+    assert(rows(operators.Pipeline.cleanCorpus(docs, precomputedLabels = lbl)) ==
+      rows(operators.Pipeline.cleanCorpus(docs)))
   }
 
-  test("cc reliable-checkpoint seam: labels bit-identical on the reliable path") {
+  test("reliable-checkpoint seam: CC labels AND pagerank bit-identical on the reliable path") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (12L, 11L), (13L, 12L),
       (20L, 21L)).toDF("doc_a", "doc_b")
     val local = labelSet(Dedup.clusters(pairs))
+    // every iterative loop shares the Ckpt seam: pagerank on the same
+    // session must also be bit-identical on the reliable path —
+    // baselines computed BEFORE the seam flips
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+      .toDF("src", "dst")
+    def ranks() = operators.Graphs.pagerank(edges, iters = 5).collect()
+      .map(_.toString).sorted.toSeq
+    val localRanks = ranks()
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
-    spark.conf.set("spark.graft.cc.reliableCheckpoint", "true")
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
     try {
       val reliable = labelSet(Dedup.clusters(pairs))
       assert(reliable == local)
+      assert(ranks() == localRanks)
       // the reliable store was actually used: RDD checkpoint files exist
       val files = new java.io.File(dir).listFiles()
       assert(files != null && files.nonEmpty, s"no checkpoint data in $dir")
-    } finally spark.conf.set("spark.graft.cc.reliableCheckpoint", "false")
+    } finally spark.conf.set("spark.graft.reliableCheckpoint", "false")
   }
 }

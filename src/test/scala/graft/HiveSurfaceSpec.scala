@@ -297,6 +297,41 @@ class HiveSurfaceSpec extends GraftSpec {
       !after.contains("graft_quality_macro"), after)
   }
 
+  test("ddl12: CREATE TEMPORARY MACRO — Hive macros run as inlined SQL functions") {
+    // typed-arg macro: return type inferred from the body (DOUBLE)
+    spark.sql("CREATE TEMPORARY MACRO graft_sigmoid(x DOUBLE) 1.0 / (1.0 + exp(-x))")
+    val v = spark.sql("SELECT graft_sigmoid(0.0) AS s").collect()(0).getDouble(0)
+    assert(math.abs(v - 0.5) < 1e-12, v)
+    // multi-arg with a parenthesized type (top-level comma split)
+    spark.sql("CREATE TEMPORARY MACRO graft_taxed(p DECIMAL(10,2), r DOUBLE) p * (1.0 + r)")
+    val t = spark.sql("SELECT graft_taxed(CAST(100.00 AS DECIMAL(10,2)), 0.2) AS t")
+      .collect()(0).getDouble(0)
+    assert(math.abs(t - 120.0) < 1e-9, t)
+    // zero-arg macro; re-declaration REPLACES (the ddl10 idempotence)
+    spark.sql("CREATE TEMPORARY MACRO graft_k() 41")
+    spark.sql("CREATE TEMPORARY MACRO graft_k() 42")
+    assert(spark.sql("SELECT graft_k() AS k").collect()(0).getInt(0) == 42)
+    // the macro INLINES into the caller's plan: no UDF call node, the
+    // body participates in constant folding like any native expression
+    val plan = spark.sql("SELECT graft_k() AS k").queryExecution
+      .optimizedPlan.toString
+    assert(plan.contains("42"), plan)
+    // string-typed inference + usage over a real table
+    spark.sql("CREATE TEMPORARY MACRO graft_shout(s STRING) upper(concat(s, '!'))")
+    Tables.region(spark, SF).createOrReplaceTempView("region_macro_src")
+    val shouted = spark.sql(
+      "SELECT graft_shout(r_name) AS x FROM region_macro_src ORDER BY x LIMIT 1")
+      .collect()(0).getString(0)
+    assert(shouted.endsWith("!") && shouted == shouted.toUpperCase, shouted)
+    // DROP TEMPORARY MACRO removes it; IF EXISTS tolerates absence
+    spark.sql("DROP TEMPORARY MACRO graft_k")
+    intercept[Exception](spark.sql("SELECT graft_k()").collect())
+    spark.sql("DROP TEMPORARY MACRO IF EXISTS graft_never_was")
+    spark.sql("DROP TEMPORARY MACRO IF EXISTS graft_sigmoid")
+    spark.sql("DROP TEMPORARY MACRO IF EXISTS graft_taxed")
+    spark.sql("DROP TEMPORARY MACRO IF EXISTS graft_shout")
+  }
+
   test("ddl09: INSERT OVERWRITE DIRECTORY exports query results to a lake path") {
     val dir = java.nio.file.Files.createTempDirectory("graft-iod").toString
     Tables.nation(spark, SF).createOrReplaceTempView("iod_src")
