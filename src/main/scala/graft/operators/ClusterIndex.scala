@@ -191,8 +191,11 @@ object ClusterIndex {
       // (1) digest hits absorb into the existing clique: edge to the
       // stored rep — only when that rep is shingled, mirroring
       // neardupEdges' star rule (gram-less cliques carry no edges)
+      // doc_id =!= rep: a REPLAYED batch (the st36 foreachBatch retry
+      // contract) hits its own registered digests — a self-edge would
+      // add singleton vertices the refit frame excludes
       val absorb = batch.join(stored, "dg")
-        .filter(col("shingled"))
+        .filter(col("shingled") && col("doc_id") =!= col("rep"))
         .select(col("doc_id").as("doc_a"), col("rep").as("doc_b"))
       // (2) batch-new digests: clique up within the batch
       val fresh = batch.join(stored, Seq("dg"), "left_anti").persist(lvl)
@@ -243,6 +246,8 @@ object ClusterIndex {
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .bucketBy(buckets, "dg").sortBy("dg")
         .format("parquet").saveAsTable(digestsTable(name))
+      // registered-doc EVENT counter (replays can inflate it; a refit
+      // re-trues it) — the refit-trigger signal, not a correctness input
       val nNew = docs.count()
       spark.createDataFrame(Seq((t, nOld + nNew, Version)))
         .toDF("t", "n_docs", "version")

@@ -768,6 +768,37 @@ object Streams {
       }
       .start()
 
+  /** st36: streaming CLUSTER-LABEL MAINTENANCE over the s27 index —
+    * the q109 ingest cadence for near-dup CLUSTERS. Unlike the gates
+    * (st20/st21 drop duplicates at admission), this keeps every doc
+    * and maintains the cluster-label table incrementally: each
+    * micro-batch runs [[graft.operators.ClusterIndex.append]] (batch
+    * shingles only, PPJoin candidates against the stored hash-order
+    * prefix table, ONE CC pass over new edges + stored labels as
+    * contracted super-edges), so every downstream consumer —
+    * canonical pick (q105), dup weighting (q188), funnel accounting
+    * (q133/q182) — reads labels that are CURRENT as of the last
+    * micro-batch, with append ≡ refit parity (ClusterIndexSpec).
+    *
+    * Replay story: a foreachBatch retry re-ingests a batch whose
+    * digests are already registered — absorb edges are self-edge-
+    * guarded and fresh-digest appends anti-join, so a replay cannot
+    * change labels or duplicate index rows (spec'd: double-append is
+    * a label no-op). State lives in the lake tables, not a state
+    * store; per-batch work ∝ batch grams + candidate collisions. */
+  def startClusterMaintenance(docs: DataFrame, indexName: String,
+                              checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        graft.operators.ClusterIndex.append(
+          batch.select(col("doc_id"), col("text")), indexName)
+        ()
+      }
+      .start()
+
   /** st25: streaming URL-DEDUP gate — the crawl-frontier twin of st20,
     * keyed on the CANONICAL URL instead of the text digest: each
     * micro-batch normalizes its `url` column ([[graft.operators

@@ -842,6 +842,58 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st36 streaming cluster maintenance: labels track the stream, append == refit, replay-safe") {
+    val ixName = "graft_st36_ix"
+    def line(tail: String) =
+      s"alpha beta gamma delta epsilon zeta eta theta iota kappa $tail"
+    val corpus = Seq(
+      (1L, line("one two three four five six seven")),
+      (2L, "the quick brown fox jumps over the lazy dog again and again ok")
+    ).toDF("doc_id", "text")
+    graft.operators.ClusterIndex.drop(spark, ixName)
+    graft.operators.ClusterIndex.fit(corpus, ixName)
+    val ms = MemoryStream[(Long, String)]
+    val df = ms.toDF().toDF("doc_id", "text")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-st36-ck").toString
+    val q = Streams.startClusterMaintenance(df, ixName, ckpt)
+    try {
+      // batch 1: a near-dup of doc 1 and a brand-new family
+      ms.addData(
+        (10L, line("one two three four five six EIGHT")),
+        (11L, "novel streamed family with many matching shingles here yes"))
+      q.processAllAvailable()
+      // batch 2: an exact dup of the batch-1 admit (absorb via digests)
+      // and a near-dup of doc 2 (bridges into the fitted corpus)
+      ms.addData(
+        (20L, "novel streamed family with many matching shingles here yes"),
+        (21L, "the quick brown fox jumps over the lazy dog again and again no"))
+      q.processAllAvailable()
+      val served = graft.operators.ClusterIndex.labels(spark, ixName)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val all = corpus.unionAll(Seq(
+        (10L, line("one two three four five six EIGHT")),
+        (11L, "novel streamed family with many matching shingles here yes"),
+        (20L, "novel streamed family with many matching shingles here yes"),
+        (21L, "the quick brown fox jumps over the lazy dog again and again no")
+      ).toDF("doc_id", "text"))
+      val refit = graft.operators.Dedup.clusters(
+        graft.operators.Dedup.neardupEdges(all))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(served == refit, s"served $served != refit $refit")
+      assert(served.contains((10L, 1L)) && served.contains((20L, 11L)) &&
+        served.contains((21L, 2L)), served)
+      // replay: re-appending an already-registered batch is a label
+      // no-op (the foreachBatch retry contract)
+      graft.operators.ClusterIndex.append(Seq(
+        (20L, "novel streamed family with many matching shingles here yes"))
+        .toDF("doc_id", "text"), ixName)
+      val after = graft.operators.ClusterIndex.labels(spark, ixName)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after == served, s"replay changed labels: $after vs $served")
+    } finally q.stop()
+  }
+
   test("st25 streaming url-dedup gate: variant fetches drop across batches") {
     import org.apache.spark.sql.functions.col
     val ixName = "graft_st25_ix"
