@@ -112,7 +112,7 @@ object Bm25Index {
     val newDocs = docs.select(col("doc_id"), col("text"))
       .join(spark.table(dlTable(name)).select(col("doc_id")),
         Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+      .transform(Ckpt.cut(_))
     if (newDocs.limit(1).count() > 0L) {
       val inc = toks(newDocs).groupBy(col("tok"), col("doc_id"))
         .agg(count(lit(1)).as("tf"))
@@ -123,7 +123,7 @@ object Bm25Index {
         val mergedDf = spark.table(dfTable(name))
           .unionAll(inc.groupBy(col("tok")).agg(count(lit(1)).as("df")))
           .groupBy(col("tok")).agg(sum(col("df")).cast("long").as("df"))
-          .localCheckpoint(true)
+          .transform(Ckpt.cut(_))
         val incStats = inc
           .agg(countDistinct(col("doc_id")).cast("long").as("nd"),
             sum(col("tf")).cast("long").as("tt")).head()

@@ -228,8 +228,9 @@ object ClusterIndex {
         .select(col("doc_id").as("doc_a"), col("label").as("doc_b"))
       val relabeled = Dedup.clusters(newEdges.unionAll(oldStars))
         // the rewrite overwrites the table it reads from — materialize
-        // fully before the write drops the old files
-        .localCheckpoint(true)
+        // fully before the write drops the old files (Ckpt: honors the
+        // reliable-checkpoint seam like every other lineage cut)
+        .transform(Ckpt.cut(_))
       val (_, _, buckets) = tableLayout(spark, labelsTable(name))
       graft.sources.Sources.writeBucketed(
         relabeled, labelsTable(name), "doc_id", buckets)

@@ -92,7 +92,7 @@ object DedupIndex {
     // makes operators prefer persist doesn't apply.
     val newDg = docs.select(Dedup.normDigest.as("dg")).distinct()
       .join(spark.table(digestsTable(name)), Seq("dg"), "left_anti")
-      .localCheckpoint(true)
+      .transform(Ckpt.cut(_))
     val nNew = newDg.count()
     if (nNew > 0L) {
       val estItems = meta.getAs[Long]("est_items")

@@ -209,7 +209,7 @@ object NearDupIndex {
     val newRep = docs.select(Dedup.normDigest.as("dg"), col("text"))
       .dropDuplicates("dg")
       .join(spark.table(digestsTable(name)), Seq("dg"), "left_anti")
-      .localCheckpoint(true)
+      .transform(Ckpt.cut(_))
     if (newRep.limit(1).count() > 0L) {
       val g = Dedup.shingles(newRep.select(col("dg").as("doc_id"), col("text")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

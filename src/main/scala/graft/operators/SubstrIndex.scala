@@ -290,7 +290,7 @@ object SubstrIndex {
       val newRep = repTexts(docs)
         .join(spark.table(textsTable(name)).select(col("dg")),
           Seq("dg"), "left_anti")
-        .localCheckpoint() // the append WRITES the table the anti-join READ
+        .transform(Ckpt.cut(_)) // the append WRITES the table the anti-join READ
       val meta = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(textsTable(name)))
       val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(DefaultBuckets)

@@ -67,7 +67,7 @@ object UrlIndex {
       // WRITES (the s12 append rationale)
       val newUh = docs.select(urlHash(col("url")).as("uh")).distinct()
         .join(spark.table(urlsTable(name)), Seq("uh"), "left_anti")
-        .localCheckpoint(true)
+        .transform(Ckpt.cut(_))
       if (newUh.limit(1).count() > 0L)
         graft.sources.Sources.appendBucketed(newUh, urlsTable(name), "uh")
     }

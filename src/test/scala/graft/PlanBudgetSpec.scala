@@ -172,6 +172,28 @@ class PlanBudgetSpec extends GraftSpec {
     graft.Pins.release()
   }
 
+  test("q105 via the s27 index: label-scan plan, no CC fixpoint, bounded exchanges") {
+    // the r15 verdict's q105 ask: with served labels the plan must be
+    // a bucketed label scan + quality join + per-label window — the
+    // iterative CC sub-plan (its per-round exchanges and checkpoints)
+    // must be GONE. Budget: labels agg + join + window + members join
+    // + output sort, each at most one exchange.
+    val ixName = "graft_q105_budget_ix"
+    graft.operators.ClusterIndex.drop(spark, ixName)
+    val docs = Tables.documents(spark, SF)
+    graft.operators.ClusterIndex.fit(docs, ixName)
+    val df = graft.operators.Pipeline.q105(docs,
+      labels = Some(graft.operators.ClusterIndex.labels(spark, ixName)))
+    val r = PlanReport.analyze(df)
+    assert(r.exchanges <= 6, r)
+    // the label side arrives from a plain table scan — no iterative
+    // artifacts (checkpointed RDD scans) anywhere in the static plan
+    val plan = formattedPlan(df)
+    assert(!plan.contains("ExistingRDD"), plan.take(1500))
+    graft.Pins.release()
+    graft.operators.ClusterIndex.drop(spark, ixName)
+  }
+
   test("ddl11 CBO: column stats flip a filtered join to broadcast at PLAN time (AQE off)") {
     // the stats-driven decision AQE cannot make: a selective filter on
     // a big table shrinks the PLANNED size only when the optimizer can
