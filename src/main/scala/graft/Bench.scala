@@ -126,7 +126,9 @@ object Bench {
     // sf guard (r16): the committed baseline is DEFINED at sf0.1 — a
     // full run at another sf is a valid probe but must not replace it
     // (an sf0.01 smoke overwrote the clean sf0.1 file this round)
-    val baselineSf = sfDir.contains("sf0.1")
+    // exact path-component match: a contains() probe also matched
+    // sf0.12/sf0.15 (r16 review)
+    val baselineSf = new java.io.File(sfDir).getName == "sf0.1"
     if (only.isEmpty && !polluted && baselineSf)
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
         full.getBytes("UTF-8"))

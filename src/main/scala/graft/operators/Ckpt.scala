@@ -19,6 +19,18 @@ object Ckpt {
     val reliable = spark.conf
       .getOption("spark.graft.reliableCheckpoint").contains("true") &&
       spark.sparkContext.getCheckpointDir.isDefined
-    if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
+    if (reliable) {
+      // persist-before-checkpoint: a bare Dataset.checkpoint computes
+      // the plan once for the action and AGAIN for the checkpoint
+      // write job — the standard Spark pitfall that would double every
+      // fixpoint round's compute on exactly the clusters the seam
+      // exists for. The checkpoint job reads the persisted blocks
+      // instead; always eager here so the persist can be released
+      // immediately (a lazy reliable cut would have to leak it).
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = df.checkpoint(true)
+      df.unpersist(false)
+      out
+    } else df.localCheckpoint(eager)
   }
 }

@@ -185,8 +185,10 @@ object ClusterIndex {
     val (t, nOld, _) = params(spark, name)
     LakeLock.withWriter(spark, name) {
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val dgCol = md5(encode(lower(trim(col("text"))), "UTF-8"))
-      val batch = docs.withColumn("dg", dgCol).persist(lvl)
+      // Dedup.normDigest, not a re-inlined md5: the one digest every
+      // exact-dedup surface keys on (drift here would break the
+      // digest-absorb path against s12 and the batch operators)
+      val batch = docs.withColumn("dg", Dedup.normDigest).persist(lvl)
       val stored = spark.table(digestsTable(name))
       // (1) digest hits absorb into the existing clique: edge to the
       // stored rep — only when that rep is shingled, mirroring
@@ -208,10 +210,26 @@ object ClusterIndex {
         bMembers.filter(col("doc_id") === col("rep")).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
       val gB = hashOrderGrams(bReps, t).persist(lvl)
-      try {
       val gOld = spark.table(gramsTable(name))
+      // RETRY SAFETY (r16 review): the multi-table append is not
+      // atomic, and st36's foreachBatch retries a crashed epoch. The
+      // digests table is therefore the COMMIT RECORD (written last):
+      // while the batch digests are absent, every derivation below
+      // recomputes identically on retry. A crash AFTER the grams
+      // append leaves batch grams already in gOld — gBNew anti-joins
+      // them away so (a) the gram re-append is a no-op and (b) the
+      // verification frame never holds a gram row twice (duplicated
+      // rows would inflate every intersection count). gB's rows are
+      // content-determined (hash-order positions), so stored and
+      // recomputed rows are identical — dropping either copy is safe.
+      val gBNew = gB.join(
+        gOld.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        .persist(lvl)
+      try {
       // (3) candidates: batch×batch + batch×stored (either side may
-      // hold the smaller id, so run the stored join both ways)
+      // hold the smaller id, so run the stored join both ways);
+      // distinct() collapses pairs found via both routes when a retry
+      // sees batch grams on the stored side too
       val pB = gB.filter(col("pref"))
       val pOld = gOld.filter(col("pref"))
       val cands = ppCandidates(pB, pB, t)
@@ -219,7 +237,7 @@ object ClusterIndex {
         .unionAll(ppCandidates(pOld, pB, t))
         .distinct()
       val gAll = gOld.select(col("doc_id"), col("g"))
-        .unionAll(gB.select(col("doc_id"), col("g")))
+        .unionAll(gBNew.select(col("doc_id"), col("g")))
       val newEdges = edgesFrom(gAll, cands, bMembers, t)
         .unionAll(absorb)
       // (4) one CC pass over new edges + stored labels as super-edges
@@ -231,22 +249,20 @@ object ClusterIndex {
         // fully before the write drops the old files (Ckpt: honors the
         // reliable-checkpoint seam like every other lineage cut)
         .transform(Ckpt.cut(_))
+      // write order = crash-window analysis: grams (idempotent via
+      // gBNew) → labels (overwrite, recomputable while digests absent)
+      // → meta (advisory counter) → digests (the commit record; once
+      // present a retry absorbs the batch as hits and every earlier
+      // write is already in place). appendBucketed reads each target
+      // table's OWN bucket spec, so per-table bucket tuning stays
+      // consistent.
+      graft.sources.Sources.appendBucketed(
+        gBNew.select(col("doc_id"), col("g"), col("n"), col("pos"),
+          col("pref")),
+        gramsTable(name), "g")
       val (_, _, buckets) = tableLayout(spark, labelsTable(name))
       graft.sources.Sources.writeBucketed(
         relabeled, labelsTable(name), "doc_id", buckets)
-      gB.select(col("doc_id"), col("g"), col("n"), col("pos"), col("pref"))
-        .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .bucketBy(buckets, "g").sortBy("g")
-        .format("parquet").saveAsTable(gramsTable(name))
-      val shingledB = gB.select(col("doc_id").as("rep")).distinct()
-        .withColumn("shingled", lit(true))
-      bReps.select(col("doc_id").as("rep"), dgCol.as("dg"))
-        .join(shingledB, Seq("rep"), "left_outer")
-        .select(col("dg"), col("rep"),
-          coalesce(col("shingled"), lit(false)).as("shingled"))
-        .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .bucketBy(buckets, "dg").sortBy("dg")
-        .format("parquet").saveAsTable(digestsTable(name))
       // registered-doc EVENT counter (replays can inflate it; a refit
       // re-trues it) — the refit-trigger signal, not a correctness input
       val nNew = docs.count()
@@ -254,9 +270,17 @@ object ClusterIndex {
         .toDF("t", "n_docs", "version")
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .format("parquet").saveAsTable(metaTable(name))
+      val shingledB = gB.select(col("doc_id").as("rep")).distinct()
+        .withColumn("shingled", lit(true))
+      graft.sources.Sources.appendBucketed(
+        bReps.select(col("doc_id").as("rep"), Dedup.normDigest.as("dg"))
+          .join(shingledB, Seq("rep"), "left_outer")
+          .select(col("dg"), col("rep"),
+            coalesce(col("shingled"), lit(false)).as("shingled")),
+        digestsTable(name), "dg")
       } finally {
         batch.unpersist(); fresh.unpersist(); bMembers.unpersist()
-        gB.unpersist(); ()
+        gB.unpersist(); gBNew.unpersist(); ()
       }
     }
   }

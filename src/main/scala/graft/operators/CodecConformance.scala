@@ -96,6 +96,9 @@ object CodecConformance {
   private val garbage: Seq[Array[Byte]] = Seq(
     Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte),
     Array[Byte](0x50, 0x4b, 0x03, 0x04), // zip magic — a plausible foreign container
+    // a length prefix of Int.MaxValue: integer-overflow bait for
+    // framing walks (p + 4 + n wraps negative — the r16 bug)
+    Array[Byte](0x7f, -1, -1, -1, 0x00, 0x01),
     Array.emptyByteArray)
 
   // ---------------------------------------------------------- image

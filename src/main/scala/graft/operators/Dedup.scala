@@ -297,9 +297,10 @@ object Dedup {
     * growing lineage so round N doesn't replay rounds 1..N−1 — the
     * standard Spark pattern for iterative graph algorithms. */
   def clusters(pairs: DataFrame): DataFrame = {
-    // fault-tolerance seam: see [[Ckpt.cut]] — lazy cuts here (the
-    // convergence count is the materializing action, so a round stays
-    // ONE job on either checkpoint path)
+    // fault-tolerance seam: see [[Ckpt.cut]] — lazy cuts on the local
+    // path (the convergence count is the materializing action, so a
+    // round stays ONE job); the reliable path is eager by design and
+    // pays one extra cache-read job per round for the durable write
     def cut(df: DataFrame): DataFrame = Ckpt.cut(df, eager = false)
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))

@@ -528,7 +528,9 @@ object Multimodal {
     while (p + 4 <= bytes.length) {
       val n = ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
         ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
-      if (n < 0 || p + 4 + n > bytes.length) return Nil
+      // Long arithmetic: n near Int.MaxValue would wrap `p + 4 + n`
+      // negative and sneak past the bound check (r16 review)
+      if (n < 0 || p + 4 + n.toLong > bytes.length) return Nil
       out += java.util.Arrays.copyOfRange(bytes, p + 4, p + 4 + n)
       p += 4 + n
     }
@@ -943,28 +945,61 @@ object Multimodal {
           .agg(countDistinct(col("doc_id")).as("df"))
           .filter(col("df") > dfCap).select(col("wfp")),
         Seq("wfp"), "left_anti")
-    val pairs = kept.as("a").join(kept.as("b"),
+    val matched = kept.as("a").join(kept.as("b"),
         col("a.wfp") === col("b.wfp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (col("a.win_idx") - col("b.win_idx")).as("offset_samples"),
         col("a.win_idx").as("pa"))
       .distinct()
-      .groupBy(col("doc_a"), col("doc_b"), col("offset_samples"))
-      // evidenced audio on this diagonal: the matched-position span —
-      // capped by matched-key volume so a GAPPED diagonal (two shared
-      // snippets far apart at one offset) cannot claim the gap as
-      // evidence. The cap never binds on a contiguous run (anchors
-      // land at least every winSamples/2 positions), so the
-      // (minRunWins+1)·winSamples detection guarantee is unaffected.
-      .agg(count(lit(1)).cast("long").as("n_matched"),
-        least(max(col("pa")) - min(col("pa")) + winSamples,
-          count(lit(1)) * winSamples).cast("long").as("run_samples"),
-        // matched extents on the a side (b side = a − offset): the
-        // scrub lane (q206) cuts these sample ranges
-        min(col("pa")).cast("long").as("a_start"),
-        (max(col("pa")) + winSamples).cast("long").as("a_end"))
-      .filter(col("run_samples") >= minRunSamples)
-    val docFull = wfps.groupBy(col("doc_id"))
+    val pairs =
+      if (exact)
+        // evidenced audio on this diagonal: the matched-position span —
+        // capped by matched-key volume so a GAPPED diagonal (two shared
+        // snippets far apart at one offset) cannot claim the gap as
+        // evidence. The cap never binds on a contiguous run (anchors
+        // land at least every winSamples/2 positions), so the
+        // (minRunWins+1)·winSamples detection guarantee is unaffected.
+        // Each anchor match certifies winSamples of IDENTICAL content
+        // (the q114 collision contract), so no consecutiveness
+        // requirement applies — unlike the perceptual branch below.
+        matched.groupBy(col("doc_a"), col("doc_b"), col("offset_samples"))
+          .agg(count(lit(1)).cast("long").as("n_matched"),
+            least(max(col("pa")) - min(col("pa")) + winSamples,
+              count(lit(1)) * winSamples).cast("long").as("run_samples"),
+            // matched extents on the a side (b side = a − offset): the
+            // scrub lane (q206) cuts these sample ranges
+            min(col("pa")).cast("long").as("a_start"),
+            (max(col("pa")) + winSamples).cast("long").as("a_end"))
+          .filter(col("run_samples") >= minRunSamples)
+      else {
+        // perceptual keys certify nothing exact — an isolated band-sign
+        // collision is noise, so evidence must be a CONSECUTIVE window
+        // run (the r15 semantics; the r16 rewrite briefly gated on the
+        // span cap alone, which let 3 scattered one-window coincidences
+        // on one diagonal pass a minRunWins=3 gate)
+        matched
+          .groupBy(col("doc_a"), col("doc_b"), col("offset_samples"))
+          .agg(count(lit(1)).cast("long").as("n_matched"),
+            sort_array(collect_set(col("pa"))).as("pas"))
+          .as[(Long, Long, Int, Long, Seq[Int])]
+          .map { case (da, db, off, nm, pas) =>
+            var best = 0; var run = 0; var prev = Int.MinValue
+            pas.foreach { p =>
+              run = if (p == prev + winSamples) run + 1 else 1
+              if (run > best) best = run
+              prev = p
+            }
+            (da, db, off, nm, best.toLong * winSamples,
+              pas.head.toLong, pas.last.toLong + winSamples)
+          }
+          .toDF("doc_a", "doc_b", "offset_samples", "n_matched",
+            "run_samples", "a_start", "a_end")
+          .filter(col("run_samples") >= minRunSamples)
+      }
+    // per-doc full-overlap stats from the CAPPED frame: a rep whose
+    // keys are all dfCap-hot witnesses nothing for its clique either —
+    // within rows must pass the same cap as cross pairs (r16 review)
+    val docFull = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_matched_full"),
         least(max(col("win_idx")) - min(col("win_idx")) + winSamples,
           count(lit(1)) * winSamples).cast("long").as("run_full"))
@@ -1380,7 +1415,9 @@ object Multimodal {
       .agg(count(lit(1)).cast("long").as("n_anchors"))
       .filter(col("n_anchors") >= minTiles)
       .orderBy(col("doc_a"), col("doc_b"), col("dx_px"), col("dy_px"))
-    (pairs, tiles.groupBy(col("doc_id"))
+    // per-doc anchor counts from the CAPPED frame (same rationale as
+    // audioOverlapPairs' docFull — r16 review)
+    (pairs, kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_doc_anchors")))
   }
 

@@ -26,8 +26,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * analyzer's own coercion rules, so the inferred type matches what
   * the inlined expression will produce), and delegates the rewritten
   * `CREATE OR REPLACE TEMPORARY FUNCTION` to Spark's parser. Every
-  * non-macro statement passes through untouched (one `startsWith`
-  * probe on the trimmed text — no per-statement regex cost).
+  * non-macro statement passes through untouched (one anchored regex
+  * probe that fails within a few characters).
   *
   * OR REPLACE on purpose: re-declaring a macro wins, matching ddl10's
   * replay idempotence (Hive's error-on-exists adds nothing a session
@@ -62,13 +62,17 @@ object MacroParser {
   private val Create = raw"(?is)^\s*CREATE\s+TEMPORARY\s+MACRO\s+(\w+)\s*\((.*)$$".r
   private val Drop =
     raw"(?is)^\s*DROP\s+TEMPORARY\s+MACRO\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*;?\s*$$".r
+  // whitespace-INSENSITIVE fast-path probe (SQL allows any run of
+  // whitespace between keywords — a startsWith on the trimmed text
+  // missed `CREATE  TEMPORARY MACRO`, r16 review); anchored and
+  // case-folded, it fails in a few chars on every non-macro statement
+  private val Probe =
+    raw"(?is)^\s*(?:CREATE|DROP)\s+TEMPORARY\s+MACRO\b.*".r
 
   /** Rewrite a macro statement to its TEMPORARY FUNCTION form; any
     * other statement returns unchanged. */
   def rewrite(session: SparkSession, sqlText: String): String = {
-    val probe = sqlText.trim.toUpperCase
-    if (!(probe.startsWith("CREATE TEMPORARY MACRO") ||
-          probe.startsWith("DROP TEMPORARY MACRO"))) return sqlText
+    if (!Probe.pattern.matcher(sqlText).matches()) return sqlText
     sqlText match {
       case Drop(ifExists, name) =>
         val ie = if (ifExists != null) "IF EXISTS " else ""

@@ -47,6 +47,12 @@ object FunctionRegistry {
   private def readLines(spark: SparkSession): Seq[String] = {
     val p = regPath(spark)
     val f = fs(spark)
+    // crash-window recovery: writeLines is temp-then-rename, but a
+    // crash BETWEEN the delete and the rename leaves only the temp
+    // file — complete the interrupted rename before reading, so no
+    // definition is ever lost to that window
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    if (!f.exists(p) && f.exists(tmp)) { f.rename(tmp, p); () }
     if (!f.exists(p)) return Nil
     val in = f.open(p)
     val body = try {

@@ -82,6 +82,56 @@ class ClusterIndexSpec extends GraftSpec {
     assert(n == 12L)
   }
 
+  test("s27 append retry after a mid-crash: grams landed, digests didn't — retry heals") {
+    // the non-atomic multi-table append's one dangerous window (r16
+    // review): a crash after the grams append but before the digests
+    // commit record. Reconstruct that exact state from a COMPLETED
+    // append — labels rolled back to the fitted value, batch digests
+    // removed, batch grams left in place — then retry and require (a)
+    // labels == refit on the union and (b) zero duplicated gram rows
+    // (a duplicate would inflate every future Jaccard verification).
+    ClusterIndex.drop(spark, Name)
+    ClusterIndex.fit(corpus, Name)
+    val fitLabels = spark.table(ClusterIndex.labelsTable(Name))
+      .collect().toSeq
+    val batch = Seq(
+      (201L, line("one two three four five six NINE")),      // near-dup bridge
+      (202L, "fresh retry family with plenty of shared shingles right here"),
+      (203L, "fresh retry family with plenty of shared shingles right here")
+    ).toDF("doc_id", "text")
+    ClusterIndex.append(batch, Name)
+    val healthy = labelSet(ClusterIndex.labels(spark, Name))
+    // reconstruct the crash window
+    val batchDgs = batch.select(Dedup.normDigest.as("dg"))
+      .collect().map(_.getString(0)).toSet
+    val keptDigests = spark.table(ClusterIndex.digestsTable(Name))
+      .collect().filterNot(r => batchDgs.contains(r.getAs[String]("dg")))
+    val dgSchema = spark.table(ClusterIndex.digestsTable(Name)).schema
+    graft.sources.Sources.writeBucketed(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(keptDigests.toSeq), dgSchema),
+      ClusterIndex.digestsTable(Name) + "_tmp", "dg", 8)
+    spark.sql(s"DROP TABLE ${ClusterIndex.digestsTable(Name)}")
+    spark.sql(s"ALTER TABLE ${ClusterIndex.digestsTable(Name)}_tmp " +
+      s"RENAME TO ${ClusterIndex.digestsTable(Name)}")
+    val lblSchema = spark.table(ClusterIndex.labelsTable(Name)).schema
+    graft.sources.Sources.writeBucketed(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(fitLabels), lblSchema),
+      ClusterIndex.labelsTable(Name), "doc_id", 8)
+    // retry the append against the half-committed state
+    ClusterIndex.append(batch, Name)
+    val healed = labelSet(ClusterIndex.labels(spark, Name))
+    assert(healed == healthy, s"retry diverged: $healed vs $healthy")
+    val refit = labelSet(Dedup.clusters(
+      Dedup.neardupEdges(corpus.unionAll(batch))))
+    assert(healed == refit, s"retry != refit: $healed vs $refit")
+    val grams = spark.table(ClusterIndex.gramsTable(Name))
+    assert(grams.count() ==
+      grams.select(col("doc_id"), col("g")).distinct().count(),
+      "duplicated gram rows after retry")
+  }
+
   test("s27 layout invariance: labels identical under input repartition") {
     ClusterIndex.drop(spark, Name)
     ClusterIndex.fit(corpus.repartition(7), Name)
