@@ -91,6 +91,16 @@ object Sql {
       "graft_repeated_spans" -> (() => Dedup.q114(docs)),
       "graft_span_fraction"  -> (() => Dedup.q115(docs)),
       "graft_span_scrub"     -> (() => Dedup.q119(docs)),
+      // byte-granular substring family + the partial-overlap triad and
+      // its scrub lanes (round 16): all lazy frames — winnowing /
+      // codec work runs in mapPartitions when the view is queried
+      "graft_substr_spans"    -> (() => Dedup.q200(docs)),
+      "graft_substr_coverage" -> (() => Dedup.q201(docs)),
+      "graft_winnow_skew"     -> (() => Dedup.q202(docs)),
+      "graft_substr_scrubbed" -> (() => Dedup.q203(docs)),
+      "graft_audio_overlap"   -> (() => Multimodal.q204AudioOverlap(spark, docs)),
+      "graft_image_overlap"   -> (() => Multimodal.q205ImageOverlap(spark, docs)),
+      "graft_audio_scrubbed"  -> (() => Multimodal.q206AudioScrub(spark, docs)),
       "graft_clean_scrubbed" -> (() =>
         graft.operators.Pipeline.cleanCorpus(docs, scrubSpans = true)),
       "graft_dsir"           -> (() => TextAnalysis.q117(docs)),

@@ -288,6 +288,38 @@ class SqlSurfaceSpec extends GraftSpec {
     assert(spark.sql("SHOW TABLES").collect().nonEmpty)
   }
 
+  test("round-16 views: substring family + overlap triad answer through SQL text") {
+    Sql.registerTables(spark, SF)
+    val views = Sql.registerPipelineSql(spark)
+    Seq("graft_substr_spans", "graft_substr_coverage", "graft_winnow_skew",
+      "graft_substr_scrubbed", "graft_audio_overlap", "graft_image_overlap",
+      "graft_audio_scrubbed")
+      .foreach(v => assert(views.contains(v), v))
+    // the scrub length identity holds through the SQL surface too
+    assert(spark.sql(
+      """SELECT * FROM graft_substr_scrubbed
+         WHERE length(text) <> n_chars - cut_chars
+            OR cut_chars < 0 OR cut_chars > n_chars""")
+      .collect().isEmpty)
+    assert(spark.sql(
+      """SELECT * FROM graft_audio_scrubbed
+         WHERE out_samples <> n_samples - cut_samples
+            OR cut_samples < 0 OR cut_samples > n_samples""")
+      .collect().isEmpty)
+    // coverage fractions are fractions
+    assert(spark.sql(
+      "SELECT * FROM graft_substr_coverage WHERE dup_frac < 0 OR dup_frac > 1")
+      .collect().isEmpty)
+    // overlap reports carry positive evidence
+    assert(spark.sql(
+      "SELECT * FROM graft_audio_overlap WHERE n_matched <= 0 OR run_samples <= 0")
+      .collect().isEmpty)
+    assert(spark.sql(
+      "SELECT * FROM graft_image_overlap WHERE n_anchors <= 0")
+      .collect().isEmpty)
+    graft.Pins.release()
+  }
+
   test("round-12 views (q177–q182) answer through SQL text with their invariants") {
     Sql.registerTables(spark, SF)
     val views = Sql.registerPipelineSql(spark)
