@@ -382,7 +382,11 @@ object SparkEntry {
     "q203_substr_scrub"        -> ((s, d) => Dedup.q203Driver(documents(s, d))),
     "q204_audio_overlap"       -> ((s, d) => Multimodal.q204Driver(s, documents(s, d))),
     "q205_image_overlap"       -> ((s, d) => Multimodal.q205ImageOverlap(s, documents(s, d))),
-    "q206_audio_scrub"         -> ((s, d) => Multimodal.q206Driver(s, documents(s, d)))
+    "q206_audio_scrub"         -> ((s, d) => Multimodal.q206Driver(s, documents(s, d))),
+    // rows-only: a statistical constellation matcher has no equality
+    // oracle (the q204 perceptual lesson); planted attenuated +
+    // non-aligned specs carry the correctness argument
+    "q207_audio_landmarks"     -> ((s, d) => Multimodal.q207AudioLandmarks(s, documents(s, d)))
   )
 
   /** s27 serving path for the q64 family: ONE ClusterIndex fit per

@@ -1106,6 +1106,192 @@ object Multimodal {
         coalesce(col("mn_run") >= floor, lit(true)).as("full_run_ok"))
   }
 
+  // ------------------------------------------ q207 audio landmarks
+
+  /** Spectral LANDMARK fingerprints (Wang, ISMIR'03 — the Shazam
+    * constellation): per 256-sample Hann-windowed frame (hop 128),
+    * the top-3 spectral-peak bins; landmarks are (anchor peak, two
+    * peaks in the following `zone` frames) triples hashed as
+    * (f1, f2, f3, Δt2, Δt3) — 27 bits, NO absolute time, NO absolute
+    * magnitude. That hash survives BOTH of the failure modes the
+    * q204 modes split between: a time shift moves every landmark's
+    * anchor frame by the same amount but changes no hash (peaks of
+    * quasi-stationary audio land in the same bins when the frame
+    * grid slides under them), and amplitude scaling / light
+    * re-encoding preserves argmax bins even as magnitudes change.
+    * Emits (anchor_frame, hash) rows — ~a few hundred per clip,
+    * id-sized like every other fingerprint family.
+    *
+    * The naive O(frames·frame·bins) DFT is right at the test scale
+    * (≈1M mults per clip); a production deployment swaps in an FFT
+    * behind this same signature. Peak picking is strict-inequality
+    * local maxima, ties broken by bin — content-determined, so two
+    * copies of the same audio emit identical landmark sets. */
+  private[graft] def spectralLandmarks(s: Array[Short], frame: Int = 256,
+                                       hop: Int = 128, peaksPerFrame: Int = 3,
+                                       zone: Int = 8, fanout: Int = 5)
+      : Seq[(Int, Long)] = {
+    if (s.length < frame) return Nil
+    val nFrames = (s.length - frame) / hop + 1
+    val bins = frame / 2
+    // Hann window (spectral-leakage control: stabilizes peak bins when
+    // the frame grid slides relative to the content)
+    val hann = Array.tabulate(frame)(i =>
+      0.5 - 0.5 * math.cos(2 * math.Pi * i / (frame - 1)))
+    val cosT = Array.tabulate(bins, frame)((b, i) =>
+      math.cos(2 * math.Pi * b * i / frame))
+    val sinT = Array.tabulate(bins, frame)((b, i) =>
+      math.sin(2 * math.Pi * b * i / frame))
+    // top-k peak bins per frame
+    val peaks = Array.tabulate(nFrames) { t =>
+      val off = t * hop
+      val w = Array.tabulate(frame)(i => s(off + i) * hann(i))
+      val mag = Array.tabulate(bins) { b =>
+        var re = 0.0; var im = 0.0
+        var i = 0
+        while (i < frame) { re += w(i) * cosT(b)(i); im += w(i) * sinT(b)(i); i += 1 }
+        re * re + im * im
+      }
+      (2 until bins - 1)
+        .filter(b => mag(b) > mag(b - 1) && mag(b) >= mag(b + 1))
+        .sortBy(b => (-mag(b), b))
+        .take(peaksPerFrame)
+        .sorted
+    }
+    val out = Seq.newBuilder[(Int, Long)]
+    var t = 0
+    while (t < nFrames) {
+      val zonePeaks = ((t + 1) to math.min(t + zone, nFrames - 1))
+        .flatMap(tt => peaks(tt).map(b => (tt - t, b)))
+      peaks(t).foreach { f1 =>
+        var taken = 0
+        var i = 0
+        while (taken < fanout && i < zonePeaks.length - 1) {
+          val (dt2, f2) = zonePeaks(i)
+          val (dt3, f3) = zonePeaks(i + 1)
+          if (dt2 <= 7 && dt3 <= 7) {
+            val h = (f1.toLong << 20) | (f2.toLong << 13) |
+              (f3.toLong << 6) | (dt2.toLong << 3) | dt3.toLong
+            out += ((t, h))
+            taken += 1
+          }
+          i += 1
+        }
+      }
+      t += 1
+    }
+    out.result()
+  }
+
+  /** Landmark-pair kernel over a (doc_id, payload) frame: join on the
+    * 27-bit landmark hash, histogram the frame offsets per pair, and
+    * report each pair's best offset with its ±1-frame support (a
+    * non-hop-aligned embed lands its landmarks on two adjacent
+    * diagonals — Wang's histogram peak, as a window sum). Returns
+    * (pairs, docFull) like [[audioOverlapPairs]]; `dfCap` is the same
+    * hot-bucket backstop. */
+  private[graft] def audioLandmarkPairs(media: DataFrame,
+                                        minLandmarks: Int, dfCap: Int,
+                                        codec: AudioCodec)
+      : (DataFrame, DataFrame) = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val lms = media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.flatMap { case (id, b) =>
+          codec.decode(b).toSeq.flatMap { case (s, _, _) =>
+            spectralLandmarks(s).map { case (t, h) => AWinRow(id, t, h) }
+          }
+        })
+      }
+      .toDF()
+      .transform(graft.Pins.pin)
+    val kept =
+      if (dfCap <= 0) lms
+      else lms.join(
+        lms.groupBy(col("wfp"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") > dfCap).select(col("wfp")),
+        Seq("wfp"), "left_anti")
+    val byOffset = kept.as("a").join(kept.as("b"),
+        col("a.wfp") === col("b.wfp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (col("a.win_idx") - col("b.win_idx")).as("offset_frames"),
+        col("a.wfp").as("h"))
+      .distinct()
+      .groupBy(col("doc_a"), col("doc_b"), col("offset_frames"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"))
+      .orderBy(col("offset_frames"))
+      .rangeBetween(-1, 1)
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"))
+      .orderBy(col("n_win").desc, col("offset_frames"))
+    val pairs = byOffset
+      .withColumn("n_win", sum(col("n")).over(w))
+      .filter(col("n_win") >= minLandmarks)
+      .withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select(col("doc_a"), col("doc_b"), col("offset_frames"),
+        col("n_win").cast("long").as("n_matched"))
+    val docFull = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_landmarks"))
+    (pairs, docFull)
+  }
+
+  /** q207: audio CONSTELLATION match — the corner of the
+    * (alignment-free × noise-tolerant) square q204's two modes each
+    * miss one side of: exact winnowed anchors find verbatim embeds at
+    * any offset but break on ANY sample change; perceptual grid fps
+    * tolerate re-encoding but only at grid-aligned offsets. Landmark
+    * triples ([[spectralLandmarks]]) are invariant to time shift AND
+    * to amplitude/light spectral distortion, so an ATTENUATED clip
+    * embedded at an arbitrary sample offset — invisible to BOTH q204
+    * modes, spec'd exactly so — is reported here with its frame
+    * offset and landmark support. Per exact-dup rep, same synth →
+    * codec → kernel → member-expansion shape as q204; within-clique
+    * rows carry the rep's own landmark count under the same
+    * minLandmarks gate. rows-only: a statistical matcher has no
+    * equality oracle (the q204 perceptual lesson); the planted
+    * attenuated/non-aligned specs carry the correctness argument. */
+  def q207AudioLandmarks(spark: SparkSession, documents: DataFrame,
+                         minLandmarks: Int = 8, dfCap: Int = 0,
+                         codec: AudioCodec = WavCodec): DataFrame = {
+    import spark.implicits._
+    val (reps, members) = graft.operators.Dedup.exactReps(documents)
+    val media = reps.select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.map { case (id, text) =>
+          (id, codec.encode(renderAudio(text, AudioRate, AudioSamples),
+            AudioRate))
+        })
+      }
+      .toDF("doc_id", "payload")
+    val (repPairs, docFull) = audioLandmarkPairs(media, minLandmarks,
+      dfCap, codec)
+    val ma = members.select(col("rep").as("doc_a"), col("doc_id").as("da"))
+    val mb = members.select(col("rep").as("doc_b"), col("doc_id").as("db"))
+    val cross = repPairs.join(ma, "doc_a").join(mb, "doc_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        when(col("da") <= col("db"), col("offset_frames"))
+          .otherwise(-col("offset_frames")).as("offset_frames"),
+        col("n_matched"))
+    val within = members.as("x").join(members.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .join(docFull.select(col("doc_id").as("frep"), col("n_landmarks")),
+        col("x.rep") === col("frep"))
+      .filter(col("n_landmarks") >= minLandmarks)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0).as("offset_frames"), col("n_landmarks").as("n_matched"))
+    cross.unionAll(within)
+      .orderBy(col("doc_a"), col("doc_b"), col("offset_frames"))
+  }
+
   // ------------------------------------------------ q206 audio scrub
 
   /** Interval-union cut over one PCM clip: remove the samples covered

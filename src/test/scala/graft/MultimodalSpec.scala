@@ -532,6 +532,59 @@ class MultimodalSpec extends GraftSpec {
     assert(r.getAs[Boolean]("offsets_zero_ok") && r.getAs[Boolean]("full_run_ok"), r)
   }
 
+  test("q207 landmarks: ATTENUATED NON-ALIGNED embed found — both q204 modes miss it") {
+    val rate = Multimodal.AudioRate
+    val clipA = Multimodal.renderAudio("alpha beta gamma tokens", rate, 2000)
+    val pre = Multimodal.renderAudio("completely different opener words", rate, 2000)
+    val post = Multimodal.renderAudio("unrelated closing content here", rate, 2000)
+    // the corner case neither q204 mode can see: the embedded copy is
+    // ATTENUATED (x0.6 — every sample differs, exact hashes all break)
+    // AND starts at sample 777 (not a multiple of winSamples — the
+    // perceptual grid never lines up)
+    val attenuated = clipA.map(v => (v * 0.6).toShort)
+    val comp = pre.take(777) ++ attenuated ++ post
+    val media = Seq(
+      (1L, Multimodal.encodeWav(clipA, rate)),
+      (2L, Multimodal.encodeWav(comp, rate)),
+      (3L, Multimodal.encodeWav(
+        Multimodal.renderAudio("noise floor something else", rate, 4000), rate))
+    ).toDF("doc_id", "payload")
+    // q204 exact mode: blind (no sample run is verbatim)
+    val (ex, _) = Multimodal.audioOverlapPairs(media, winSamples = 500,
+      minRunWins = 3, dfCap = 0, graft.operators.WavCodec, exact = true)
+    assert(ex.collect().isEmpty)
+    graft.Pins.release()
+    // q204 perceptual mode: blind (offset 777 is off-grid)
+    val (pc, _) = Multimodal.audioOverlapPairs(media, winSamples = 500,
+      minRunWins = 3, dfCap = 0, graft.operators.WavCodec)
+    assert(!pc.collect().exists(r =>
+      r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L))
+    graft.Pins.release()
+    // q207 landmarks: found, at the right frame offset (777/128 ~ 6)
+    val (lm, _) = Multimodal.audioLandmarkPairs(media, minLandmarks = 8,
+      dfCap = 0, graft.operators.WavCodec)
+    val out = lm.collect().map(r => (r.getAs[Long]("doc_a"),
+      r.getAs[Long]("doc_b"), r.getAs[Int]("offset_frames"),
+      r.getAs[Long]("n_matched")))
+    graft.Pins.release()
+    assert(out.exists(p => p._1 == 1L && p._2 == 2L &&
+      math.abs(p._3 + 6) <= 1 && p._4 >= 8L), out.toSeq)
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L), out.toSeq)
+  }
+
+  test("q207 full path: clique expands at offset 0; unrelated docs silent") {
+    val base = "storm river mountain valley cloud forest meadow stone pebble"
+    val corpus = Seq((10L, base), (20L, base.toUpperCase),
+      (30L, "entirely different signal content words here now ok"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.q207AudioLandmarks(spark, corpus).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("offset_frames")))
+    graft.Pins.release()
+    assert(out.exists(p => p._1 == 10L && p._2 == 20L && p._3 == 0), out.toSeq)
+    assert(!out.exists(p => p._1 == 30L || p._2 == 30L), out.toSeq)
+  }
+
   test("q206 scrub: planted NON-ALIGNED embed cut; re-probe clean; clean doc untouched") {
     val rate = Multimodal.AudioRate
     val clipA = Multimodal.renderAudio("alpha beta gamma tokens", rate, 2000)
