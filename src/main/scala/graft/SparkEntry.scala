@@ -386,7 +386,10 @@ object SparkEntry {
     // rows-only: a statistical constellation matcher has no equality
     // oracle (the q204 perceptual lesson); planted attenuated +
     // non-aligned specs carry the correctness argument
-    "q207_audio_landmarks"     -> ((s, d) => Multimodal.q207AudioLandmarks(s, documents(s, d)))
+    "q207_audio_landmarks"     -> ((s, d) => Multimodal.q207AudioLandmarks(s, documents(s, d))),
+    // rows-only: render dims derive from a custom checksum no portable
+    // SQL reproduces; area identities + planted scrub specs carry it
+    "q208_image_scrub"         -> ((s, d) => Multimodal.q208Driver(s, documents(s, d)))
   )
 
   /** s27 serving path for the q64 family: ONE ClusterIndex fit per

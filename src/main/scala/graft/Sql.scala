@@ -102,6 +102,7 @@ object Sql {
       "graft_image_overlap"   -> (() => Multimodal.q205ImageOverlap(spark, docs)),
       "graft_audio_scrubbed"  -> (() => Multimodal.q206AudioScrub(spark, docs)),
       "graft_audio_landmarks" -> (() => Multimodal.q207AudioLandmarks(spark, docs)),
+      "graft_image_scrubbed"  -> (() => Multimodal.q208ImageScrub(spark, docs)),
       "graft_clean_scrubbed" -> (() =>
         graft.operators.Pipeline.cleanCorpus(docs, scrubSpans = true)),
       "graft_dsir"           -> (() => TextAnalysis.q117(docs)),

@@ -49,7 +49,7 @@ object Multimodal {
 
   val BatchSize = 64
 
-  private def checksum(bytes: Array[Byte], seed: Long = 0L): Long = {
+  private[graft] def checksum(bytes: Array[Byte], seed: Long = 0L): Long = {
     var h = seed
     var i = 0
     while (i < bytes.length) { h = (h * 131 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
@@ -1644,7 +1644,11 @@ object Multimodal {
         col("a.ax").as("aax"), col("a.ay").as("aay"))
       .distinct()
       .groupBy(col("doc_a"), col("doc_b"), col("dx_px"), col("dy_px"))
-      .agg(count(lit(1)).cast("long").as("n_anchors"))
+      .agg(count(lit(1)).cast("long").as("n_anchors"),
+        // anchor-evidenced bounding box on the a side (b side = a −
+        // (dx, dy)): the q208 scrub lane blanks these rects
+        min(col("aax")).as("ax0"), min(col("aay")).as("ay0"),
+        (max(col("aax")) + tile).as("ax1"), (max(col("aay")) + tile).as("ay1"))
       .filter(col("n_anchors") >= minTiles)
       .orderBy(col("doc_a"), col("doc_b"), col("dx_px"), col("dy_px"))
     // per-doc anchor counts from the CAPPED frame (same rationale as
@@ -1721,6 +1725,122 @@ object Multimodal {
     cross.unionAll(within)
       .orderBy(col("doc_a"), col("doc_b"), col("dx_px"), col("dy_px"))
   }
+
+  // ------------------------------------------------ q208 image scrub
+
+  /** Blank the given pixel rects (x0, y0, x1, y1 — half-open, any
+    * order/overlap) to black in one decoded image; returns the image
+    * and the number of DISTINCT pixels blanked (a mask dedupes
+    * overlapping rects). Black is the scrub fill on purpose: a
+    * UNIFORM region is ineligible for anchor selection, so blanked
+    * area can never re-match. */
+  private[graft] def blankRects(img: BufferedImage,
+                                rects: Seq[(Int, Int, Int, Int)])
+      : (BufferedImage, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    val mask = new java.util.BitSet(w * h)
+    rects.foreach { case (x0, y0, x1, y1) =>
+      val cx0 = math.max(0, x0); val cy0 = math.max(0, y0)
+      val cx1 = math.min(w, x1); val cy1 = math.min(h, y1)
+      var y = cy0
+      while (y < cy1) {
+        var x = cx0
+        while (x < cx1) {
+          if (!mask.get(y * w + x)) {
+            mask.set(y * w + x)
+            img.setRGB(x, y, 0)
+          }
+          x += 1
+        }
+        y += 1
+      }
+    }
+    (img, mask.cardinality().toLong)
+  }
+
+  /** q208: IMAGE SCRUB — the third leg of the scrub triad (q203 cuts
+    * leaked text bytes, q206 cuts embedded audio samples, this blanks
+    * pasted image regions), completing the REWRITE story for every
+    * axis the overlap triad detects on. Per [[q205ImageOverlap]]
+    * diagonal, the anchor-evidenced bbox on the doc_b (larger-id)
+    * side is expanded by the winnowing slack — the 1D guarantee per
+    * axis: the paste's edge-most interior window puts a shared anchor
+    * within w′ − 1 positions of the true edge, so bbox ± w′ COVERS
+    * the entire verbatim paste — and blanked to black. Black is a
+    * uniform fill, uniform blocks are anchor-INELIGIBLE, so the
+    * blanked region can never re-match: a re-probe of the scrubbed
+    * corpus is clean by construction (spec'd with a non-aligned
+    * paste). keepFirst semantics like q203/q206: content survives on
+    * the smaller-id side. Untouched docs pass through byte-identical;
+    * members inherit their rep's blanking. Output: (doc_id, payload,
+    * w, h, n_px, cut_px). Pixels stay partition-local; only
+    * pair-count-sized rect rows join the media frame. */
+  def q208ImageScrub(spark: SparkSession, documents: DataFrame,
+                     tile: Int = 8, minTiles: Int = 2, dfCap: Int = 0,
+                     codec: MediaCodec = ImageIoCodec,
+                     keepFirst: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val (reps, members) = graft.operators.Dedup.exactReps(documents)
+    val media = reps.select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.map { case (id, text) =>
+          val hsum = checksum(text.toLowerCase.trim.split(" ").sorted
+            .mkString(" ").getBytes("UTF-8"))
+          val w = 16 + (hsum % 16).toInt
+          val ht = 16 + ((hsum / 16) % 16).toInt
+          (id, codec.encode(renderImage(text, w, ht)))
+        })
+      }
+      .toDF("doc_id", "payload")
+      .transform(graft.Pins.pin) // pair kernel + the blank join
+    val (pairs, _) = imageOverlapPairs(media, tile, minTiles, dfCap, codec)
+    val margin = math.max(1, tile / 2) // the winnowing window w′
+    val bSide = pairs.select(col("doc_b").as("doc_id"),
+      (col("ax0") - col("dx_px") - margin).as("x0"),
+      (col("ay0") - col("dy_px") - margin).as("y0"),
+      (col("ax1") - col("dx_px") + margin).as("x1"),
+      (col("ay1") - col("dy_px") + margin).as("y1"))
+    val cuts = (if (keepFirst) bSide
+      else bSide.unionAll(pairs.select(col("doc_a").as("doc_id"),
+        (col("ax0") - margin).as("x0"), (col("ay0") - margin).as("y0"),
+        (col("ax1") + margin).as("x1"), (col("ay1") + margin).as("y1"))))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("x0").as("_1"), col("y0").as("_2"),
+        col("x1").as("_3"), col("y1").as("_4"))).as("rects"))
+    val repOut = media.join(cuts, Seq("doc_id"), "left_outer")
+      .as[(Long, Array[Byte], Option[Seq[(Int, Int, Int, Int)]])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.map {
+          case (id, payload, None) =>
+            val (img, _) = codec.decode(payload).get
+            (id, payload, img.getWidth, img.getHeight,
+              img.getWidth.toLong * img.getHeight, 0L)
+          case (id, payload, Some(rects)) =>
+            val (img, _) = codec.decode(payload).get
+            val (blanked, cut) = blankRects(img, rects)
+            (id, codec.encode(blanked), img.getWidth, img.getHeight,
+              img.getWidth.toLong * img.getHeight, cut)
+        })
+      }
+      .toDF("rep", "payload", "w", "h", "n_px", "cut_px")
+    members.join(repOut, "rep")
+      .select(col("doc_id"), col("payload"), col("w"), col("h"),
+        col("n_px"), col("cut_px"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver projection of [[q208ImageScrub]] — the area identities
+    * (0 ≤ cut_px ≤ n_px = w·h) without the binary payload; rows-only
+    * (the render dims derive from a custom checksum no portable SQL
+    * reproduces), spec-backed like q205. */
+  def q208Driver(spark: SparkSession, documents: DataFrame): DataFrame =
+    q208ImageScrub(spark, documents)
+      .select(col("doc_id"), col("w"), col("h"), col("n_px"), col("cut_px"),
+        (col("cut_px") >= 0L && col("cut_px") <= col("n_px") &&
+          col("n_px") === col("w").cast("long") * col("h")).as("area_ok"))
+      .orderBy(col("doc_id"))
 
   // --------------------------------------------- content-defined chunking
 

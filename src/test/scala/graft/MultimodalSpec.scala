@@ -658,6 +658,76 @@ class MultimodalSpec extends GraftSpec {
     assert(java.util.Arrays.equals(out.find(_._1 == 4L).get._2, cleanSynth))
   }
 
+  test("q208 scrub kernel: NON-ALIGNED paste blanked with slack; re-probe clean") {
+    val a = Multimodal.renderImage("alpha beta gamma delta tokens", 16, 16)
+    val c = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      c.setRGB(5 + x, 9 + y, a.getRGB(x, y))
+    val media = Seq(
+      (1L, Multimodal.encodePng(a)),
+      (2L, Multimodal.encodePng(c)),
+      (3L, Multimodal.encodePng(
+        Multimodal.renderImage("unrelated stuff entirely here", 24, 24)))
+    ).toDF("doc_id", "payload")
+    val (pairs, _) = Multimodal.imageOverlapPairs(media, tile = 8,
+      minTiles = 2, dfCap = 0, graft.operators.ImageIoCodec)
+    val row = pairs.filter(org.apache.spark.sql.functions.col("doc_a") === 1L)
+      .collect().head
+    graft.Pins.release()
+    // evidence bbox on the collage side, expanded by the w' slack,
+    // covers the WHOLE paste [5,21)x[9,25) (the 1D guarantee per axis)
+    val m = 4
+    val (bx0, by0) = (row.getAs[Int]("ax0") - row.getAs[Int]("dx_px") - m,
+      row.getAs[Int]("ay0") - row.getAs[Int]("dy_px") - m)
+    val (bx1, by1) = (row.getAs[Int]("ax1") - row.getAs[Int]("dx_px") + m,
+      row.getAs[Int]("ay1") - row.getAs[Int]("dy_px") + m)
+    assert(bx0 <= 5 && by0 <= 9 && bx1 >= 21 && by1 >= 25,
+      (bx0, by0, bx1, by1))
+    // blank it; the blanked collage re-probes CLEAN against the source
+    val (c2, cut) = Multimodal.blankRects(
+      Multimodal.decodeImage(Multimodal.encodePng(c)).get._1,
+      Seq((bx0, by0, bx1, by1)))
+    assert(cut > 0 && cut <= 32L * 32L)
+    val media2 = Seq(
+      (1L, Multimodal.encodePng(a)),
+      (2L, Multimodal.encodePng(c2))
+    ).toDF("doc_id", "payload")
+    val (reprobe, _) = Multimodal.imageOverlapPairs(media2, tile = 8,
+      minTiles = 2, dfCap = 0, graft.operators.ImageIoCodec)
+    val again = reprobe.collect()
+    graft.Pins.release()
+    assert(again.isEmpty, again.toSeq)
+  }
+
+  test("q208 full path: area identities, keepFirst survivorship, clean doc byte-identical") {
+    val base = "storm river mountain valley cloud forest"
+    val corpus = Seq(
+      (10L, base),
+      (20L, base.toUpperCase),                      // exact dup clique of 10
+      (30L, "entirely different tokens painting another image now")
+    ).toDF("doc_id", "text")
+    val out = Multimodal.q208ImageScrub(spark, corpus).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Array[Byte]]("payload"),
+        r.getAs[Int]("w"), r.getAs[Int]("h"), r.getAs[Long]("n_px"),
+        r.getAs[Long]("cut_px"))).sortBy(_._1)
+    graft.Pins.release()
+    assert(out.map(_._1).toSeq == Seq(10L, 20L, 30L))
+    out.foreach { case (id, _, w, h, n, cut) =>
+      assert(n == w.toLong * h && cut >= 0 && cut <= n, (id, w, h, n, cut))
+    }
+    // one clique, one rep: no cross-rep pair exists, nothing blanked
+    assert(out.forall(_._6 == 0L), out.map(t => (t._1, t._6)).toSeq)
+    // clean doc's payload byte-identical to a fresh render+encode
+    val hsum = Multimodal.checksum(
+      "entirely different tokens painting another image now"
+        .toLowerCase.trim.split(" ").sorted.mkString(" ").getBytes("UTF-8"))
+    val (w, h) = (16 + (hsum % 16).toInt, 16 + ((hsum / 16) % 16).toInt)
+    val fresh = Multimodal.encodePng(Multimodal.renderImage(
+      "entirely different tokens painting another image now", w, h))
+    assert(java.util.Arrays.equals(out.find(_._1 == 30L).get._2, fresh))
+  }
+
   test("q198 finds a re-voiced near-duplicate that byte identity misses") {
     // same token multiset, different case/order → identical synth audio
     val base = "storm river mountain valley cloud forest meadow stone pebble"
