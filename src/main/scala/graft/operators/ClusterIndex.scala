@@ -145,7 +145,11 @@ object ClusterIndex {
       graft.sources.Sources.writeBucketed(
         g.select(col("doc_id"), col("g"), col("n"), col("pos"), col("pref")),
         gramsTable(name), "g", buckets)
-      val dg = md5(encode(lower(trim(col("text"))), "UTF-8"))
+      // Dedup.normDigest, not a re-inlined md5 (r16 review): append()
+      // absorbs batch digests against THESE fitted rows, so the two
+      // sides must share the single definition or a normDigest change
+      // silently breaks every absorb join against older indexes
+      val dg = Dedup.normDigest
       val shingled = g.select(col("doc_id").as("rep")).distinct()
         .withColumn("shingled", lit(true))
       val digests = reps.select(col("doc_id").as("rep"), dg.as("dg"))

@@ -953,23 +953,45 @@ object Multimodal {
       .distinct()
     val pairs =
       if (exact)
-        // evidenced audio on this diagonal: the matched-position span —
-        // capped by matched-key volume so a GAPPED diagonal (two shared
-        // snippets far apart at one offset) cannot claim the gap as
-        // evidence. The cap never binds on a contiguous run (anchors
-        // land at least every winSamples/2 positions), so the
-        // (minRunWins+1)·winSamples detection guarantee is unaffected.
-        // Each anchor match certifies winSamples of IDENTICAL content
-        // (the q114 collision contract), so no consecutiveness
-        // requirement applies — unlike the perceptual branch below.
+        // evidenced audio on this diagonal, SEGMENTED into contiguous
+        // clusters (r16 review): an anchor match certifies winSamples
+        // of IDENTICAL content from its position (the q114 collision
+        // contract), so consecutive matched positions ≤ winSamples
+        // apart have touching certified spans — one shared snippet.
+        // A gap > winSamples is UNCERTIFIED content between two
+        // separate shared snippets that happen to sit at the same
+        // relative offset (e.g. a copy with a replaced middle); the
+        // old single min..max hull both let the combined anchor count
+        // pass the minRunWins gate for runs that were individually
+        // sub-gate AND made the scrub lane (q206) cut the unshared
+        // gap. One row per cluster: the gate applies per snippet and
+        // the cut extents never cover unevidenced samples. Winnowing
+        // places anchors every ≤ winSamples/2 positions on a verbatim
+        // run, so a true contiguous embed NEVER splits.
         matched.groupBy(col("doc_a"), col("doc_b"), col("offset_samples"))
-          .agg(count(lit(1)).cast("long").as("n_matched"),
-            least(max(col("pa")) - min(col("pa")) + winSamples,
-              count(lit(1)) * winSamples).cast("long").as("run_samples"),
-            // matched extents on the a side (b side = a − offset): the
-            // scrub lane (q206) cuts these sample ranges
-            min(col("pa")).cast("long").as("a_start"),
-            (max(col("pa")) + winSamples).cast("long").as("a_end"))
+          .agg(sort_array(collect_set(col("pa"))).as("pas"))
+          .as[(Long, Long, Int, Seq[Int])]
+          .flatMap { case (da, db, off, pas) =>
+            val clusters =
+              scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+            var cs = pas.head; var ce = pas.head; var cn = 1
+            pas.tail.foreach { p =>
+              if (p - ce > winSamples) {
+                clusters += ((cs, ce, cn)); cs = p; ce = p; cn = 1
+              } else { ce = p; cn += 1 }
+            }
+            clusters += ((cs, ce, cn))
+            // within a cluster consecutive gaps ≤ winSamples, so the
+            // span is fully certified: run == span, no cap needed
+            clusters.map { case (s, e, n) =>
+              (da, db, off, n.toLong, (e - s + winSamples).toLong,
+                // matched extents on the a side (b side = a − offset):
+                // the scrub lane (q206) cuts these sample ranges
+                s.toLong, (e + winSamples).toLong)
+            }
+          }
+          .toDF("doc_a", "doc_b", "offset_samples", "n_matched",
+            "run_samples", "a_start", "a_end")
           .filter(col("run_samples") >= minRunSamples)
       else {
         // perceptual keys certify nothing exact — an isolated band-sign
@@ -1128,10 +1150,15 @@ object Multimodal {
     * copies of the same audio emit identical landmark sets. */
   private[graft] def spectralLandmarks(s: Array[Short], frame: Int = 256,
                                        hop: Int = 128, peaksPerFrame: Int = 3,
-                                       zone: Int = 8, fanout: Int = 5)
+                                       zone: Int = 7, fanout: Int = 5)
       : Seq[(Int, Long)] = {
     if (s.length < frame) return Nil
     require((frame & (frame - 1)) == 0, s"frame size $frame must be a power of 2")
+    // the packed hash carries dt2/dt3 in 3 bits each, so the target
+    // zone cannot reach past 7 frames; rejecting out-of-range values
+    // beats the silent clamp the old dt<=7 filter applied (a caller
+    // passing zone=12 got no landmarks beyond dt 7 and no error)
+    require(zone >= 1 && zone <= 7, s"zone $zone outside the packable 1..7")
     val nFrames = (s.length - frame) / hop + 1
     val bins = frame / 2
     // Hann window (spectral-leakage control: stabilizes peak bins when
@@ -1199,14 +1226,13 @@ object Multimodal {
         var taken = 0
         var i = 0
         while (taken < fanout && i < zonePeaks.length - 1) {
+          // dt2/dt3 ≤ zone ≤ 7 by the require above — always packable
           val (dt2, f2) = zonePeaks(i)
           val (dt3, f3) = zonePeaks(i + 1)
-          if (dt2 <= 7 && dt3 <= 7) {
-            val h = (f1.toLong << 20) | (f2.toLong << 13) |
-              (f3.toLong << 6) | (dt2.toLong << 3) | dt3.toLong
-            out += ((t, h))
-            taken += 1
-          }
+          val h = (f1.toLong << 20) | (f2.toLong << 13) |
+            (f3.toLong << 6) | (dt2.toLong << 3) | dt3.toLong
+          out += ((t, h))
+          taken += 1
           i += 1
         }
       }
@@ -1594,6 +1620,59 @@ object Multimodal {
     out.toSeq
   }
 
+  /** Single-link clustering of 2D anchor positions: anchors within
+    * Chebyshev distance ≤ `reach` are connected (their certified
+    * tile×tile squares touch/overlap along both axes). Grid-bucketed
+    * union-find — each anchor only probes its 3×3 neighboring cells
+    * of side `reach`, so the per-diagonal cost is near-linear in the
+    * anchor count, not O(k²). Returns one (count, minX, minY, maxX,
+    * maxY) row per cluster, deterministic order. */
+  private[graft] def clusterAnchors2d(apos: Seq[(Int, Int)], reach: Int)
+      : Seq[(Int, Int, Int, Int, Int)] = {
+    val pts = apos.distinct.sorted.toArray
+    val n = pts.length
+    val parent = Array.tabulate(n)(identity)
+    def find(i: Int): Int = {
+      var r = i
+      while (parent(r) != r) r = parent(r)
+      var c = i
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    def union(i: Int, j: Int): Unit = {
+      val ri = find(i); val rj = find(j)
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val cells = scala.collection.mutable.HashMap
+      .empty[(Int, Int), scala.collection.mutable.ArrayBuffer[Int]]
+    def cellOf(p: (Int, Int)): (Int, Int) =
+      (math.floorDiv(p._1, reach), math.floorDiv(p._2, reach))
+    pts.indices.foreach { i =>
+      cells.getOrElseUpdate(cellOf(pts(i)),
+        scala.collection.mutable.ArrayBuffer.empty[Int]) += i
+    }
+    pts.indices.foreach { i =>
+      val (cx, cy) = cellOf(pts(i))
+      var dx = -1
+      while (dx <= 1) {
+        var dy = -1
+        while (dy <= 1) {
+          cells.get((cx + dx, cy + dy)).foreach(_.foreach { j =>
+            if (j > i &&
+                math.abs(pts(j)._1 - pts(i)._1) <= reach &&
+                math.abs(pts(j)._2 - pts(i)._2) <= reach) union(i, j)
+          })
+          dy += 1
+        }
+        dx += 1
+      }
+    }
+    pts.indices.groupBy(find).toSeq.sortBy(_._1).map { case (_, is) =>
+      (is.length, is.map(pts(_)._1).min, is.map(pts(_)._2).min,
+        is.map(pts(_)._1).max, is.map(pts(_)._2).max)
+    }
+  }
+
   /** Core of [[q205ImageOverlap]] over any (doc_id, payload) image
     * frame: REALLY DECODE each payload, select [[winnowTileAnchors]]'
     * content-defined anchor tiles, equality-join on the anchor hash,
@@ -1643,14 +1722,35 @@ object Multimodal {
         (col("a.ay") - col("b.ay")).as("dy_px"),
         col("a.ax").as("aax"), col("a.ay").as("aay"))
       .distinct()
+      // SEGMENT each diagonal's matched anchors into spatially
+      // connected clusters (r16 review, the 2D twin of the audio fix):
+      // an anchor certifies a tile×tile identical block, so anchors
+      // within Chebyshev distance ≤ tile have touching certified
+      // squares — one pasted region. Two separate pastes that happen
+      // to share the SAME (dx, dy) (a collage built from one source,
+      // a copy with a replaced middle band) used to collapse into one
+      // min..max hull whose interior — unshared pixels — the q208
+      // scrub then blanked. One row per cluster: the minTiles gate
+      // applies per region and the blanked rects never cover
+      // unevidenced pixels. 2D winnowing places an anchor in every
+      // (tile/2)² position window of a verbatim paste, so a true
+      // contiguous paste never splits.
       .groupBy(col("doc_a"), col("doc_b"), col("dx_px"), col("dy_px"))
-      .agg(count(lit(1)).cast("long").as("n_anchors"),
+      .agg(collect_list(struct(col("aax").as("_1"), col("aay").as("_2")))
+        .as("apos"))
+      .as[(Long, Long, Int, Int, Seq[(Int, Int)])]
+      .flatMap { case (da, db, dx, dy, apos) =>
+        clusterAnchors2d(apos, tile).map { case (n, x0, y0, x1, y1) =>
+          (da, db, dx, dy, n.toLong, x0, y0, x1 + tile, y1 + tile)
+        }
+      }
+      .toDF("doc_a", "doc_b", "dx_px", "dy_px", "n_anchors",
         // anchor-evidenced bounding box on the a side (b side = a −
         // (dx, dy)): the q208 scrub lane blanks these rects
-        min(col("aax")).as("ax0"), min(col("aay")).as("ay0"),
-        (max(col("aax")) + tile).as("ax1"), (max(col("aay")) + tile).as("ay1"))
+        "ax0", "ay0", "ax1", "ay1")
       .filter(col("n_anchors") >= minTiles)
-      .orderBy(col("doc_a"), col("doc_b"), col("dx_px"), col("dy_px"))
+      .orderBy(col("doc_a"), col("doc_b"), col("dx_px"), col("dy_px"),
+        col("ax0"), col("ay0"))
     // per-doc anchor counts from the CAPPED frame (same rationale as
     // audioOverlapPairs' docFull — r16 review)
     (pairs, kept.groupBy(col("doc_id"))

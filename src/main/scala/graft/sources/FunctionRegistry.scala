@@ -135,8 +135,17 @@ object FunctionRegistry {
     * Per-entry fault isolation: one stale definition (e.g. a jvm
     * function whose class left the classpath) warns and is skipped
     * rather than aborting the replay of everything after it. */
-  def replay(spark: SparkSession): Seq[String] =
-    readLines(spark).flatMap { l =>
+  def replay(spark: SparkSession): Seq[String] = {
+    // read under the same writer lock as record()/drop(): readLines'
+    // crash-recovery rename (tmp -> dst) would otherwise race a
+    // concurrent writer sitting between its delete(dst) and
+    // rename(tmp, dst), stealing the half-committed tmp out from under
+    // it and failing the writer's rename (r16 review). Only the read
+    // is locked; catalog registration below touches no lake state.
+    val lines = graft.operators.LakeLock.withWriter(spark, "_graft_functions") {
+      readLines(spark)
+    }
+    lines.flatMap { l =>
       try l.split("\t", 3) match {
         case Array("jvm", name, className) =>
           spark.sql(s"CREATE OR REPLACE FUNCTION $name AS '$className'")
@@ -153,4 +162,5 @@ object FunctionRegistry {
           None
       }
     }
+  }
 }

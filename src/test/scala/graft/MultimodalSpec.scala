@@ -728,6 +728,86 @@ class MultimodalSpec extends GraftSpec {
     assert(java.util.Arrays.equals(out.find(_._1 == 30L).get._2, fresh))
   }
 
+  test("q206 gapped diagonal: copy-with-replaced-middle keeps the unique middle (r16 review)") {
+    // doc 2 carries TWO snippets of doc 1 at the SAME relative offset
+    // (a verbatim copy whose middle 1000 samples were replaced): the
+    // old per-diagonal min..max hull cut the unique middle too; the
+    // segmented lane must emit two extents and leave the middle alone
+    val rate = Multimodal.AudioRate
+    val clipA = Multimodal.renderAudio("alpha beta gamma delta source", rate, 3000)
+    val pre = Multimodal.renderAudio("different opener material here", rate, 777)
+    val mid = Multimodal.renderAudio("unique replacement middle words", rate, 1000)
+    val post = Multimodal.renderAudio("unrelated closing content again", rate, 500)
+    val comp = pre ++ clipA.slice(0, 1000) ++ mid ++ clipA.slice(2000, 3000) ++ post
+    val media = Seq(
+      (1L, Multimodal.encodeWav(clipA, rate)),
+      (2L, Multimodal.encodeWav(comp, rate))
+    ).toDF("doc_id", "payload")
+    val (pairs, _) = Multimodal.audioOverlapPairs(media, winSamples = 200,
+      minRunWins = 3, dfCap = 0, graft.operators.WavCodec, exact = true)
+    val rows = pairs.collect().map(r => (r.getAs[Int]("offset_samples"),
+      r.getAs[Long]("a_start"), r.getAs[Long]("a_end")))
+    graft.Pins.release()
+    // two clusters on the one shared diagonal (offset a−b = −777)
+    assert(rows.length == 2 && rows.forall(_._1 == -777), rows.toSeq)
+    val Seq(c1, c2) = rows.sortBy(_._2).toSeq
+    // each extent stays inside its own snippet's true bounds (a side)
+    assert(c1._2 >= 0L && c1._3 <= 1000L, c1)
+    assert(c2._2 >= 2000L && c2._3 <= 3000L, c2)
+    // the scrub cut (b side = a − offset) must not touch the unique
+    // middle of doc 2 at [1777, 2777)
+    val cuts = rows.map(r => (r._2 - r._1, r._3 - r._1)).toSeq
+    assert(cuts.forall(c => c._2 <= 1777L || c._1 >= 2777L), cuts)
+    val (comp2, cut) = Multimodal.cutSamples(comp, cuts)
+    assert(cut > 0 && comp2.length == comp.length - cut)
+    // the unique middle survives verbatim inside the scrubbed clip
+    val midStr = mid.mkString(",")
+    assert(comp2.mkString(",").contains(midStr))
+  }
+
+  test("q208 gapped diagonal: two pastes at one (dx,dy) blank two rects, middle band survives") {
+    // collage carries doc 1's TOP and BOTTOM bands at the same pixel
+    // offset with a unique band between — the 2D replaced-middle: the
+    // old hull blanked the whole vertical span including the unique
+    // band; the clustered lane emits one rect per paste
+    val a = Multimodal.renderImage("alpha beta gamma delta source image", 16, 48)
+    val c = Multimodal.renderImage("unique canvas background material", 24, 58)
+    for (y <- 0 until 16; x <- 0 until 16) c.setRGB(4 + x, 5 + y, a.getRGB(x, y))
+    for (y <- 32 until 48; x <- 0 until 16) c.setRGB(4 + x, 5 + y, a.getRGB(x, y))
+    val cBytes = Multimodal.encodePng(c)
+    val media = Seq(
+      (1L, Multimodal.encodePng(a)),
+      (2L, cBytes)
+    ).toDF("doc_id", "payload")
+    val (pairs, _) = Multimodal.imageOverlapPairs(media, tile = 8,
+      minTiles = 2, dfCap = 0, graft.operators.ImageIoCodec)
+    val rows = pairs.collect().map(r => (r.getAs[Int]("dx_px"),
+      r.getAs[Int]("dy_px"), r.getAs[Int]("ax0"), r.getAs[Int]("ay0"),
+      r.getAs[Int]("ax1"), r.getAs[Int]("ay1")))
+    graft.Pins.release()
+    // two clusters on the one shared diagonal (a−c = (−4, −5))
+    assert(rows.length == 2 && rows.forall(r => r._1 == -4 && r._2 == -5),
+      rows.toSeq)
+    val Seq(top, bot) = rows.sortBy(_._4).toSeq
+    // each bbox stays inside its own band's true bounds (a side)
+    assert(top._4 >= 0 && top._6 <= 16, top)
+    assert(bot._4 >= 32 && bot._6 <= 48, bot)
+    // blank both rects with the q208 margin: the unique middle band of
+    // the collage (c rows 21..37, interior ~26..32 beyond slack) survives
+    val m = 4
+    val rects = rows.map(r => (r._3 - r._1 - m, r._4 - r._2 - m,
+      r._5 - r._1 + m, r._6 - r._2 + m)).toSeq
+    val (c2, cut) = Multimodal.blankRects(
+      Multimodal.decodeImage(cBytes).get._1, rects)
+    assert(cut > 0)
+    val orig = Multimodal.decodeImage(cBytes).get._1
+    for (y <- 26 to 31; x <- 0 until 24)
+      assert(c2.getRGB(x, y) == orig.getRGB(x, y), (x, y))
+    // and both pastes ARE blanked (black) at their centers
+    assert(c2.getRGB(12, 13) == 0xff000000.toInt)
+    assert(c2.getRGB(12, 45) == 0xff000000.toInt)
+  }
+
   test("q198 finds a re-voiced near-duplicate that byte identity misses") {
     // same token multiset, different case/order → identical synth audio
     val base = "storm river mountain valley cloud forest meadow stone pebble"
