@@ -1039,6 +1039,21 @@ object Oracles {
            TRUE AS len_ok, TRUE AS cut_bounds_ok
          FROM documents ORDER BY doc_id""",
 
+    // q209: same aggregate over the ORIGINAL parquet the Spark side
+    // computes over its partitioned-ORC copy — equality proves the ORC
+    // round-trip lossless (types, nulls, multi-byte text)
+    "q209_orc_roundtrip" ->
+      """SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id
+         FROM documents
+         WHERE n_chars > 200
+         GROUP BY lang, source
+         ORDER BY lang, source""",
+
     // winnowChars emits >= 1 fingerprint for every normalized text of
     // >= gram chars, so distinct fingerprinted reps == distinct
     // normalized texts with length >= gram — the independent DuckDB

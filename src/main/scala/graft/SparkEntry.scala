@@ -389,7 +389,10 @@ object SparkEntry {
     "q207_audio_landmarks"     -> ((s, d) => Multimodal.q207AudioLandmarks(s, documents(s, d))),
     // rows-only: render dims derive from a custom checksum no portable
     // SQL reproduces; area identities + planted scrub specs carry it
-    "q208_image_scrub"         -> ((s, d) => Multimodal.q208Driver(s, documents(s, d)))
+    "q208_image_scrub"         -> ((s, d) => Multimodal.q208Driver(s, documents(s, d))),
+    // s28 ORC lake surface as a driver-gated row: oracle-exact only if
+    // the partitioned-ORC round-trip of documents is value-lossless
+    "q209_orc_roundtrip"       -> ((s, d) => graft.sources.Sources.q209OrcDocuments(s, documents(s, d)))
   )
 
   /** s27 serving path for the q64 family: ONE ClusterIndex fit per

@@ -46,10 +46,10 @@ object Sources {
     * layout for repeated fact⋈fact joins at 100 TB, where the one-time
     * write-side shuffle is amortized over every downstream join. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    buckets: Int): Unit =
+                    buckets: Int, format: String = "parquet"): Unit =
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-      .format("parquet").saveAsTable(table)
+      .format(format).saveAsTable(table)
 
   /** Compact a BUCKETED table back to one file per bucket — the s06
     * small-files maintenance applied to the persisted indexes
@@ -63,9 +63,9 @@ object Sources {
     * Bucket count, columns, and sort spec are read from the table's
     * own metadata — compaction cannot change the layout contract. */
   def compactBucketed(spark: SparkSession, table: String): Unit = {
-    val spec = spark.sessionState.catalog
+    val meta = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .bucketSpec
+    val spec = meta.bucketSpec
       .getOrElse(sys.error(s"$table is not bucketed — nothing to compact"))
     val bucketCol = spec.bucketColumnNames.head
     val tmp = table + "_compacting"
@@ -74,7 +74,9 @@ object Sources {
       .repartition(col(bucketCol))
       .write.mode(SaveMode.Overwrite)
       .bucketBy(spec.numBuckets, bucketCol).sortBy(bucketCol)
-      .format("parquet").saveAsTable(tmp)
+      // the table's own provider, not a hard-coded parquet: compaction
+      // must never silently convert an ORC lake table (s28)
+      .format(meta.provider.getOrElse("parquet")).saveAsTable(tmp)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
@@ -84,13 +86,15 @@ object Sources {
     * count — Spark refuses mismatched specs, this makes the match
     * automatic). Shared by the persisted-index appends (s12/s13). */
   def appendBucketed(df: DataFrame, table: String, bucketCol: String): Unit = {
-    val n = df.sparkSession.sessionState.catalog
+    val meta = df.sparkSession.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .bucketSpec.map(_.numBuckets)
+    val n = meta.bucketSpec.map(_.numBuckets)
       .getOrElse(sys.error(s"$table is not bucketed — not an index table"))
     df.write.mode(SaveMode.Append)
       .bucketBy(n, bucketCol).sortBy(bucketCol)
-      .format("parquet").saveAsTable(table)
+      // match the table's own provider (s28: ORC index tables append
+      // as ORC; Spark would otherwise refuse the mixed-format table)
+      .format(meta.provider.getOrElse("parquet")).saveAsTable(table)
   }
 
   /** Avro round-trip (s08) — the classic Hive-lake row-interchange
@@ -121,6 +125,47 @@ object Sources {
 
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** s28: partitioned ORC lake layout — the day-one shape of a
+    * migrating Hive warehouse (most existing Hive lakes are ORC-first,
+    * laid out as `table/part=value/` directories). Same small-files
+    * discipline as [[writePartitionedParquet]]: repartition on the
+    * partition columns so each task owns whole directories. Reads get
+    * directory-level partition pruning plus ORC predicate pushdown and
+    * column projection (both spec'd against the executed plan — a
+    * format swap that silently dropped pushdown would read every
+    * stripe of 100 TB for a 2-column filter query). */
+  def writePartitionedOrc(df: DataFrame, path: String,
+                          partitionCols: Seq[String],
+                          mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.repartition(partitionCols.map(df.col): _*)
+      .write.mode(mode).partitionBy(partitionCols: _*).orc(path)
+
+  /** q209: the ORC surface as a DRIVER-GATED query, not just a spec —
+    * writes the documents table as lang-partitioned ORC into the
+    * warehouse, reads it back through the ORC scan (selective filter +
+    * narrow projection, so pushdown/pruning are on the hot path), and
+    * aggregates per (lang, source). The DuckDB oracle computes the
+    * same aggregate from the ORIGINAL parquet, so the row is green
+    * only if the ORC round-trip is value-lossless — types, nulls, and
+    * multi-byte text included. */
+  def q209OrcDocuments(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "_graft_orc_documents").toString
+    writePartitionedOrc(documents, path, Seq("lang"))
+    readOrc(spark, path)
+      .filter(col("n_chars") > 200L)
+      .select(col("lang"), col("source"), col("doc_id"), col("n_chars"),
+        org.apache.spark.sql.functions.length(col("text")).as("text_len"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        org.apache.spark.sql.functions.count(col("doc_id")).as("n_docs"),
+        org.apache.spark.sql.functions.sum(col("n_chars")).as("sum_chars"),
+        org.apache.spark.sql.functions.sum(col("text_len")).as("sum_text_len"),
+        org.apache.spark.sql.functions.min(col("doc_id")).as("min_id"),
+        org.apache.spark.sql.functions.max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"), col("source"))
+  }
 
   /** m01: dynamic-partition INSERT OVERWRITE to a path — replaces ONLY
     * the partition directories `df` produces, leaving every sibling

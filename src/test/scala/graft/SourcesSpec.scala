@@ -66,6 +66,76 @@ class SourcesSpec extends GraftSpec {
       nation.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("s28 ORC parity vs parquet on documents: identical rows back") {
+    val docs = Tables.documents(spark, SF)
+    val path = tmp("orc-docs")
+    Sources.writeOrc(docs, path)
+    val back = Sources.readOrc(spark, path)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      docs.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("s28 ORC scan gets predicate pushdown and column projection") {
+    val docs = Tables.documents(spark, SF)
+    val path = tmp("orc-push")
+    Sources.writeOrc(docs, path)
+    val q = Sources.readOrc(spark, path)
+      .filter(org.apache.spark.sql.functions.col("n_chars") > 200L)
+      .select("doc_id", "n_chars")
+    val plan = q.queryExecution.executedPlan.toString
+    // the filter reaches the ORC reader (stripe/row-group skipping at
+    // 100 TB) and the scan schema carries ONLY the projected columns —
+    // a scan that still reads `text` for this query is wrong
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,200)"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"), plan)
+    assert(q.count() == docs.filter(docs("n_chars") > 200L).count())
+  }
+
+  test("s28 partitioned ORC prunes partitions on read") {
+    val docs = Tables.documents(spark, SF)
+    val path = tmp("orc-part")
+    Sources.writePartitionedOrc(docs, path, Seq("lang"))
+    val back = Sources.readOrc(spark, path)
+    val pruned = back.filter(back("lang") === "en")
+    val plan = formattedPlan(pruned)
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+    assert(pruned.count() == docs.filter(docs("lang") === "en").count())
+  }
+
+  test("s28 bucketed ORC tables join without a shuffle; append/compact keep the provider") {
+    val docs = Tables.documents(spark, SF)
+    Sources.writeBucketed(docs.select("doc_id", "lang"),
+      "graft_s28_a", "doc_id", 4, format = "orc")
+    Sources.writeBucketed(docs.select("doc_id", "n_chars"),
+      "graft_s28_b", "doc_id", 4, format = "orc")
+    def provider(t: String) = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+      .provider.map(_.toLowerCase)
+    assert(provider("graft_s28_a").contains("orc"), provider("graft_s28_a"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_s28_a")
+        .join(spark.table("graft_s28_b"), "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), plan) // co-located: no shuffle
+      assert(joined.count() == docs.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // append + compact under the table's OWN provider: still ORC, and
+    // compaction leaves one file per bucket
+    val extra = docs.select(docs("doc_id") + 1000000L, docs("lang"))
+      .toDF("doc_id", "lang")
+    Sources.appendBucketed(extra, "graft_s28_a", "doc_id")
+    Sources.compactBucketed(spark, "graft_s28_a")
+    assert(provider("graft_s28_a").contains("orc"), provider("graft_s28_a"))
+    assert(spark.table("graft_s28_a").count() == 2 * docs.count())
+    spark.sql("DROP TABLE graft_s28_a"); spark.sql("DROP TABLE graft_s28_b")
+    ()
+  }
+
   test("s08 avro round-trips through a STORED AS AVRO metastore table, complex types included") {
     import spark.implicits._
     val df = Seq(
