@@ -109,17 +109,22 @@ object Bench {
     // driver-facing JSON, so a judge comparing rounds sees "polluted"
     // next to the number instead of reverse-engineering it from loadavg
     val polluted = loadavgStart > 2.0
+    // one-time index-fit cost (s27): paid inside the first q64-family
+    // query's FIRST run and excluded by the median — report it next to
+    // the total so the served-label savings are never read as if the
+    // fit were free (r16 review)
+    val fit = f""""index_fit_sec":${SparkEntry.indexFitSec}%.2f"""
     val load =
       f""""loadavg_start":$loadavgStart%.2f,"loadavg_max":$loadavgMax%.2f,"polluted":$polluted"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median3","qunit":"centisec",$load,"queries":$qsShort,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median3","qunit":"centisec",$load,$fit,"queries":$qsShort,"sf":"$sfDir"}"""
     println(json)
     val qsFull = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.3f" }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median3",$load,"queries":$qsFull,"spread":$spreads,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median3",$load,$fit,"queries":$qsFull,"spread":$spreads,"sf":"$sfDir"}"""
     // loadavg guard: a polluted run must never become the committed
     // baseline (r8/r9 both shipped load-inflated files) — refuse to
     // write BENCH_LOCAL.json unless the box was idle at start.
