@@ -392,7 +392,12 @@ object SparkEntry {
     "q208_image_scrub"         -> ((s, d) => Multimodal.q208Driver(s, documents(s, d))),
     // s28 ORC lake surface as a driver-gated row: oracle-exact only if
     // the partitioned-ORC round-trip of documents is value-lossless
-    "q209_orc_roundtrip"       -> ((s, d) => graft.sources.Sources.q209OrcDocuments(s, documents(s, d)))
+    "q209_orc_roundtrip"       -> ((s, d) => graft.sources.Sources.q209OrcDocuments(s, documents(s, d))),
+    // rows-only: dHash bits are not portable SQL; the planted JPEG
+    // re-encode / clip-in-compilation / gapped-diagonal specs carry
+    // the correctness argument (the q93/q198/q204 pattern on video)
+    "q210_video_neardup"       -> ((s, d) => Multimodal.q210VideoNeardup(s, documents(s, d))),
+    "q211_video_overlap"       -> ((s, d) => Multimodal.q211VideoOverlap(s, documents(s, d)))
   )
 
   /** s27 serving path for the q64 family: ONE ClusterIndex fit per

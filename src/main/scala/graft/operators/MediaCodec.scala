@@ -35,6 +35,34 @@ object ImageIoCodec extends MediaCodec {
     Multimodal.encodePng(img)
 }
 
+/** JPEG variant of the JDK codec — a REAL lossy codec behind the same
+  * seam (ImageIO's jpg writer, java.desktop). Exists so the perceptual
+  * operators can be spec'd against genuine lossy re-encoding (q210:
+  * a clip re-encoded frame-by-frame as JPEG must still near-dup its
+  * PNG original) rather than a fake that flips bits. Decode delegates
+  * to the ImageIO registry, which auto-detects the container — so a
+  * corpus mixing PNG and JPEG payloads reads through either codec. */
+object JpegCodec extends MediaCodec {
+  override def decode(bytes: Array[Byte]): Option[(BufferedImage, String)] =
+    Multimodal.decodeImage(bytes)
+  override def encode(img: BufferedImage): Array[Byte] = {
+    // ImageIO's jpg writer rejects images with an alpha channel —
+    // normalize to RGB first (the canonical decoded form anyway)
+    val rgb =
+      if (img.getType == BufferedImage.TYPE_INT_RGB) img
+      else {
+        val c = new BufferedImage(img.getWidth, img.getHeight,
+          BufferedImage.TYPE_INT_RGB)
+        val g = c.createGraphics()
+        g.drawImage(img, 0, 0, null); g.dispose()
+        c
+      }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb, "jpg", bos)
+    bos.toByteArray
+  }
+}
+
 /** The audio half of the codec seam — same contract as [[MediaCodec]]:
   * a production deployment swaps in an AAC/Opus/MP3 codec jar here and
   * the Spark-side operators (q197 window sampling, q198 fingerprint

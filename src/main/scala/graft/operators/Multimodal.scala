@@ -569,22 +569,8 @@ object Multimodal {
           val w = 16 + (h % 16).toInt
           val ht = 16 + ((h / 16) % 16).toInt
           val base = renderImage(new String(b, "UTF-8"), w, ht)
-          val clip = vc.encode((0 until nFrames).map { f =>
-            val img = new BufferedImage(w, ht, BufferedImage.TYPE_INT_RGB)
-            var y = 0
-            while (y < ht) {
-              var x = 0
-              while (x < w) {
-                val rgb = base.getRGB(x, y)
-                def fade(c: Int) = c * (2 * nFrames - f) / (2 * nFrames)
-                img.setRGB(x, y, (fade((rgb >> 16) & 255) << 16) |
-                  (fade((rgb >> 8) & 255) << 8) | fade(rgb & 255))
-                x += 1
-              }
-              y += 1
-            }
-            img
-          })
+          val clip = vc.encode((0 until nFrames).map(f =>
+            fadeFrame(base, f, nFrames)))
           val handle = vc.decode(clip).get
           (0 until nFrames by every).map { f =>
             val (img, sz) = handle.frame(f) // decode ONLY sampled frames
@@ -1941,6 +1927,272 @@ object Multimodal {
         (col("cut_px") >= 0L && col("cut_px") <= col("n_px") &&
           col("n_px") === col("w").cast("long") * col("h")).as("area_ok"))
       .orderBy(col("doc_id"))
+
+  // ------------------------------------- q210/q211 video perceptual lanes
+
+  private[graft] case class VFrameRow(doc_id: Long, frame_idx: Int, fh: Long)
+
+  /** q53's brightness-fade frame recipe, factored so the video dedup
+    * lanes synthesize the SAME clips the sampler does: frame f of an
+    * n-frame clip is the base render scaled by (2n−f)/(2n). */
+  private[graft] def fadeFrame(base: BufferedImage, f: Int,
+                               nFrames: Int): BufferedImage = {
+    val w = base.getWidth; val ht = base.getHeight
+    val img = new BufferedImage(w, ht, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < ht) {
+      var x = 0
+      while (x < w) {
+        val rgb = base.getRGB(x, y)
+        def fade(c: Int) = c * (2 * nFrames - f) / (2 * nFrames)
+        img.setRGB(x, y, (fade((rgb >> 16) & 255) << 16) |
+          (fade((rgb >> 8) & 255) << 8) | fade(rgb & 255))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Deterministic per-rep clip synth for the video dedup lanes: dims
+    * from the raw-text checksum (the q53 sizing), 8–12 frames of the
+    * faded base render, encoded through the container seam. */
+  private[graft] def renderClip(text: String, vc: VideoCodec): Array[Byte] = {
+    val hsum = checksum(text.getBytes("UTF-8"))
+    val w = 16 + (hsum % 16).toInt
+    val ht = 16 + ((hsum / 16) % 16).toInt
+    val nFrames = 8 + ((hsum / 256) % 5).toInt
+    val base = renderImage(text, w, ht)
+    vc.encode((0 until nFrames).map(f => fadeFrame(base, f, nFrames)))
+  }
+
+  /** Temporal mean of a decoded clip — the q210 clip signature input:
+    * per-pixel average over all frames. Re-encode noise averages out;
+    * dHash's gradient signs then discard the global brightness scale
+    * the fade recipe imposes. */
+  private[graft] def meanFrame(clip: VideoClip): BufferedImage = {
+    val (f0, _) = clip.frame(0)
+    val w = f0.getWidth; val h = f0.getHeight
+    val acc = new Array[Long](w * h * 3)
+    var i = 0
+    while (i < clip.numFrames) {
+      val (img, _) = clip.frame(i)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val o = (y * w + x) * 3
+          acc(o) += (rgb >> 16) & 255
+          acc(o + 1) += (rgb >> 8) & 255
+          acc(o + 2) += rgb & 255
+          x += 1
+        }
+        y += 1
+      }
+      i += 1
+    }
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val n = clip.numFrames
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        out.setRGB(x, y, (((acc(o) / n).toInt & 255) << 16) |
+          (((acc(o + 1) / n).toInt & 255) << 8) | ((acc(o + 2) / n).toInt & 255))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Clip-level perceptual near-dup pairs over any (doc_id, payload)
+    * video frame — the q93/q198 pass for the video axis: decode the
+    * container, [[meanFrame]] the clip, 64-bit [[dHash]], then the
+    * shared Hamming-band machinery (4×16-bit bands, pigeonhole-
+    * complete for distance ≤ 3, exact bit_count verify). Tolerates
+    * per-frame LOSSY re-encode (the JPEG-for-PNG swap, spec'd with
+    * [[JpegCodec]]) and the fade's brightness scale; whole-clip
+    * granular — an embedded sub-clip is [[videoOverlapPairs]]' job,
+    * exactly as q198-vs-q204 split the audio axis. Only (doc_id,
+    * 8-byte hash) rows shuffle; pixels stay partition-local. */
+  private[graft] def videoNeardupPairs(media: DataFrame, maxHamming: Int,
+                                       vc: VideoCodec): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashes = media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.flatMap { case (id, b) =>
+          vc.decode(b).map(clip => (id, dHash(meanFrame(clip))))
+        })
+      }
+      .toDF("doc_id", "vhash")
+    hammingBandPairs(hashes, "vhash", maxHamming)
+  }
+
+  /** q210: VIDEO perceptual near-dup — completes the q93 (image) /
+    * q198 (audio) whole-asset row of the multimodal matrix: per
+    * exact-dup rep, synthesize the q53-recipe clip, container round-
+    * trip through the [[VideoCodec]] seam, [[videoNeardupPairs]],
+    * then clique expansion under q93's semantics (cross pairs inherit
+    * the rep pair's Hamming distance; within-clique pairs are
+    * Hamming 0 — every doc renders a clip, so every clique is
+    * eligible). rows-only: dHash bits are not portable SQL; the
+    * planted JPEG-re-encode spec carries the correctness argument. */
+  def q210VideoNeardup(spark: SparkSession, documents: DataFrame,
+                       maxHamming: Int = 3,
+                       codec: MediaCodec = ImageIoCodec,
+                       video: Option[VideoCodec] = None): DataFrame = {
+    import spark.implicits._
+    val vc = video.getOrElse(FramedCodec(codec))
+    val (reps, members) = graft.operators.Dedup.exactReps(documents)
+    val media = reps.select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.map { case (id, text) =>
+          (id, renderClip(text, vc))
+        })
+      }
+      .toDF("doc_id", "payload")
+    val repPairs = videoNeardupPairs(media, maxHamming, vc)
+    val ma = members.select(col("rep").as("doc_a"), col("doc_id").as("da"))
+    val mb = members.select(col("rep").as("doc_b"), col("doc_id").as("db"))
+    val cross = repPairs.join(ma, "doc_a").join(mb, "doc_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    val within = members.as("x").join(members.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0).as("hamming"))
+    cross.unionAll(within).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Frame-level overlap pairs over any (doc_id, payload) video frame
+    * — the q204 time-diagonal in FRAME time: per-frame 64-bit
+    * [[dHash]] keys, equality join, group by (pair, frame offset),
+    * then SEGMENT each diagonal's matched frame indexes into
+    * consecutive runs (gap > 1 frame splits — a perceptual frame
+    * match is evidence only in a consecutive run, the q204 perceptual
+    * rule; and per-cluster extents keep the scrub/report honest about
+    * two separate shared clips at one offset, the r17 segmentation
+    * discipline). An embedded clip (re-broadcast inside a
+    * compilation) puts every shared frame on ONE diagonal — the event
+    * whole-clip hashing ([[videoNeardupPairs]]) is blind to. `dfCap`
+    * drops frame hashes carried by more than dfCap docs (black/title
+    * frames are the hot-bucket mode in video). Only (doc_id,
+    * frame_idx, 8-byte hash) rows shuffle. Returns (pairs, per-doc
+    * frame stats) — the second frame feeds the within-clique
+    * expansion under the same minRunFrames gate as cross pairs. */
+  private[graft] def videoOverlapPairs(media: DataFrame, minRunFrames: Int,
+                                       dfCap: Int, vc: VideoCodec)
+      : (DataFrame, DataFrame) = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val fhs = media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.flatMap { case (id, b) =>
+          vc.decode(b).toSeq.flatMap { clip =>
+            (0 until clip.numFrames).map { f =>
+              VFrameRow(id, f, dHash(clip.frame(f)._1))
+            }
+          }
+        })
+      }
+      .toDF()
+      .transform(graft.Pins.pin) // a/b join sides + df rollup + docFull
+    val kept =
+      if (dfCap <= 0) fhs
+      else fhs.join(
+        fhs.groupBy(col("fh"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") > dfCap).select(col("fh")),
+        Seq("fh"), "left_anti")
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (col("a.frame_idx") - col("b.frame_idx")).as("offset_frames"),
+        col("a.frame_idx").as("fa"))
+      .distinct()
+      .groupBy(col("doc_a"), col("doc_b"), col("offset_frames"))
+      .agg(sort_array(collect_set(col("fa"))).as("fas"))
+      .as[(Long, Long, Int, Seq[Int])]
+      .flatMap { case (da, db, off, fas) =>
+        val clusters = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+        var cs = fas.head; var ce = fas.head; var cn = 1
+        fas.tail.foreach { f =>
+          if (f - ce > 1) { clusters += ((cs, ce, cn)); cs = f; ce = f; cn = 1 }
+          else { ce = f; cn += 1 }
+        }
+        clusters += ((cs, ce, cn))
+        clusters.map { case (s, e, n) =>
+          (da, db, off, n.toLong, (e - s + 1).toLong, s, e + 1)
+        }
+      }
+      .toDF("doc_a", "doc_b", "offset_frames", "n_matched", "run_frames",
+        "a_start", "a_end")
+      .filter(col("run_frames") >= minRunFrames.toLong)
+    val docFull = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_matched_full"),
+        least(max(col("frame_idx")) - min(col("frame_idx")) + 1,
+          count(lit(1))).cast("long").as("run_full"))
+    (pairs, docFull)
+  }
+
+  /** q211: VIDEO PARTIAL-OVERLAP (embedded clip / compilation) —
+    * completes the overlap triad's fourth axis: q200 finds quoted
+    * text, q204 finds embedded audio, q205 finds pasted image
+    * regions, and this finds a clip RE-USED INSIDE a longer video at
+    * any frame offset, which whole-clip hashing (q79 bytes, q210
+    * perceptual) cannot see. Per exact-dup rep: q53-recipe synth →
+    * container round-trip → [[videoOverlapPairs]]' frame-diagonal
+    * grouping; reported pairs carry the frame offset and the
+    * consecutive evidenced run. Exact-dup members expand through the
+    * members map (full overlap at offset 0) under the SAME
+    * minRunFrames gate as cross pairs. rows-only: dHash frame keys
+    * are not portable SQL; planted clip-in-compilation (including
+    * per-frame lossy re-encode) specs carry the correctness
+    * argument. */
+  def q211VideoOverlap(spark: SparkSession, documents: DataFrame,
+                       minRunFrames: Int = 3, dfCap: Int = 0,
+                       codec: MediaCodec = ImageIoCodec,
+                       video: Option[VideoCodec] = None): DataFrame = {
+    import spark.implicits._
+    val vc = video.getOrElse(FramedCodec(codec))
+    val (reps, members) = graft.operators.Dedup.exactReps(documents)
+    val media = reps.select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.map { case (id, text) =>
+          (id, renderClip(text, vc))
+        })
+      }
+      .toDF("doc_id", "payload")
+    val (repPairs, docFull) = videoOverlapPairs(media, minRunFrames, dfCap, vc)
+    val ma = members.select(col("rep").as("doc_a"), col("doc_id").as("da"))
+    val mb = members.select(col("rep").as("doc_b"), col("doc_id").as("db"))
+    val cross = repPairs.join(ma, "doc_a").join(mb, "doc_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        when(col("da") <= col("db"), col("offset_frames"))
+          .otherwise(-col("offset_frames")).as("offset_frames"),
+        col("n_matched"), col("run_frames"))
+    val within = members.as("x").join(members.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .join(docFull.select(col("doc_id").as("frep"),
+        col("n_matched_full"), col("run_full")), col("x.rep") === col("frep"))
+      .filter(col("run_full") >= minRunFrames.toLong)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0).as("offset_frames"), col("n_matched_full").as("n_matched"),
+        col("run_full").as("run_frames"))
+    cross.unionAll(within)
+      .orderBy(col("doc_a"), col("doc_b"), col("offset_frames"))
+  }
 
   // --------------------------------------------- content-defined chunking
 

@@ -808,6 +808,109 @@ class MultimodalSpec extends GraftSpec {
     assert(c2.getRGB(12, 45) == 0xff000000.toInt)
   }
 
+  test("q210 kernel: clip re-encoded frame-by-frame as JPEG still near-dups its PNG original") {
+    import graft.operators.{FramedCodec, ImageIoCodec, JpegCodec}
+    // 48×48 frames: dHash's 9×8 box grid averages JPEG block artifacts
+    // out at realistic sizes; a 20×20 render is BELOW the grid scale
+    // (every box is ~2 pixels, so quantization noise flips gradient
+    // signs — measured hamming 8 at 20², 0 at 48²)
+    val frames = (0 until 6).map(i =>
+      Multimodal.renderImage(s"unique frame number $i content tokens", 48, 48))
+    val other = (0 until 6).map(i =>
+      Multimodal.renderImage(s"completely different movie scene $i here", 48, 48))
+    val png = FramedCodec(ImageIoCodec)
+    val jpg = FramedCodec(JpegCodec)
+    val media = Seq(
+      (1L, png.encode(frames)),
+      (2L, jpg.encode(frames)),   // REAL lossy re-encode of the same clip
+      (3L, png.encode(other))
+    ).toDF("doc_id", "payload")
+    // decode side: ImageIO auto-detects PNG and JPEG alike
+    val pairs = Multimodal.videoNeardupPairs(media, maxHamming = 3, png)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming")))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 <= 3), pairs.toSeq)
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), pairs.toSeq)
+  }
+
+  test("q210 full path: clique expands at hamming 0; unrelated docs silent") {
+    val base = "storm river mountain valley cloud forest meadow stone"
+    val corpus = Seq(
+      (10L, base),
+      (20L, base.toUpperCase),   // exact-dup clique of 10
+      (30L, "entirely different tokens painting another moving picture now")
+    ).toDF("doc_id", "text")
+    val out = Multimodal.q210VideoNeardup(spark, corpus).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming")))
+    assert(out.contains((10L, 20L, 0)), out.toSeq)
+    assert(!out.exists(p => p._1 == 30L || p._2 == 30L), out.toSeq)
+  }
+
+  test("q211 kernel: embedded clip found at the right frame offset with the full run") {
+    import graft.operators.{FramedCodec, ImageIoCodec}
+    val vc = FramedCodec(ImageIoCodec)
+    val words = Seq("zebra crossing harbor", "quantum lattice drum",
+      "maroon velvet thunder", "glacier pepper axis", "orbit walnut hymn",
+      "canyon silver prism", "ember lotus spiral")
+    val f = words.map(w => Multimodal.renderImage(s"$w scene tokens", 48, 48))
+    val g = Seq("filler bumper alpha intro", "filler bumper beta middle",
+      "filler bumper gamma outro")
+      .map(w => Multimodal.renderImage(w, 48, 48))
+    val media = Seq(
+      (1L, vc.encode(f.take(5))),                      // the source clip
+      (2L, vc.encode(Seq(g(0), g(1)) ++ f.take(5) :+ g(2))), // compilation
+      (3L, vc.encode(g))                               // unrelated
+    ).toDF("doc_id", "payload")
+    val (pairs, _) = Multimodal.videoOverlapPairs(media, minRunFrames = 3,
+      dfCap = 0, vc)
+    val rows = pairs.collect().map(r => (r.getAs[Long]("doc_a"),
+      r.getAs[Long]("doc_b"), r.getAs[Int]("offset_frames"),
+      r.getAs[Long]("run_frames"), r.getAs[Int]("a_start")))
+    graft.Pins.release()
+    // A frame i sits at compilation frame i+2: offset a−b = −2, run 5
+    assert(rows.exists(p => p._1 == 1L && p._2 == 2L && p._3 == -2 &&
+      p._4 == 5L && p._5 == 0), rows.toSeq)
+    assert(!rows.exists(p => p._1 == 3L || p._2 == 3L), rows.toSeq)
+  }
+
+  test("q211 gapped diagonal: replaced middle frame splits into two gated runs") {
+    import graft.operators.{FramedCodec, ImageIoCodec}
+    val vc = FramedCodec(ImageIoCodec)
+    val words = Seq("zebra crossing harbor", "quantum lattice drum",
+      "maroon velvet thunder", "glacier pepper axis", "orbit walnut hymn",
+      "canyon silver prism", "ember lotus spiral")
+    val f = words.map(w => Multimodal.renderImage(s"$w scene tokens", 48, 48))
+    val x = Multimodal.renderImage("replacement interstitial frame here", 48, 48)
+    val media = Seq(
+      (1L, vc.encode(f)),                               // F0..F6
+      (2L, vc.encode(f.take(3) ++ Seq(x) ++ f.drop(4))) // F3 replaced
+    ).toDF("doc_id", "payload")
+    val (pairs, _) = Multimodal.videoOverlapPairs(media, minRunFrames = 3,
+      dfCap = 0, vc)
+    val rows = pairs.collect().map(r => (r.getAs[Int]("offset_frames"),
+      r.getAs[Int]("a_start"), r.getAs[Int]("a_end"),
+      r.getAs[Long]("run_frames"))).sortBy(_._2)
+    graft.Pins.release()
+    // one diagonal (offset 0), two consecutive clusters: [0,3) and [4,7)
+    assert(rows.length == 2 && rows.forall(_._1 == 0), rows.toSeq)
+    assert(rows(0) == ((0, 0, 3, 3L)) && rows(1) == ((0, 4, 7, 3L)), rows.toSeq)
+  }
+
+  test("q211 full path: clique reports full overlap at offset 0; unrelated silent") {
+    val base = "storm river mountain valley cloud forest meadow stone"
+    val corpus = Seq(
+      (10L, base),
+      (20L, base.toUpperCase),
+      (30L, "entirely different tokens painting another moving picture now")
+    ).toDF("doc_id", "text")
+    val out = Multimodal.q211VideoOverlap(spark, corpus).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("offset_frames")))
+    assert(out.exists(p => p._1 == 10L && p._2 == 20L && p._3 == 0), out.toSeq)
+    assert(!out.exists(p => p._1 == 30L || p._2 == 30L), out.toSeq)
+  }
+
   test("q198 finds a re-voiced near-duplicate that byte identity misses") {
     // same token multiset, different case/order → identical synth audio
     val base = "storm river mountain valley cloud forest meadow stone pebble"
