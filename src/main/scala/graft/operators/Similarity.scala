@@ -1323,10 +1323,12 @@ object Similarity {
     * aspirations: lsh 0.59 measured → 0.5; ivf ~0.75 → 0.6; int8
     * near-exact (8-bit symmetric quantization + exact re-rank) → 0.9;
     * pq full-scan ADC → 0.8; ivfpq is capped by the IVF probe recall
-    * AND the PQ ranking loss → 0.5. */
+    * AND the PQ ranking loss → 0.5; hnsw (r17, shard-and-merge graph
+    * beam search + exact re-rank) measured 1.0 at sf0.01 and 0.99 at
+    * sf0.1 → 0.9, the graph path's production expectation. */
   val RecallFloors: Map[String, Double] = Map(
     "lsh" -> 0.5, "ivf" -> 0.6, "int8" -> 0.9, "pq" -> 0.8,
-    "ivfpq" -> 0.5)
+    "ivfpq" -> 0.5, "hnsw" -> 0.9)
 
   /** Corpus-level IVF+PQ composition over the q193 panel — the live
     * (index-free) twin of [[AnnIndex.searchIvfPq]], the Faiss shape:
@@ -1360,6 +1362,45 @@ object Similarity {
     rerankTopK(pqTopN(scored, cb, nCandidates),
       qv.toDF("vec_id", "v", "norm"),
       vecs.toDF("vec_id", "v", "norm"), k)
+  }
+
+  /** HNSW candidate generation for the panel — the shard-and-merge
+    * deployment shape (see [[HnswGraph]]): each corpus partition
+    * builds its own graph over NORMALIZED shard vectors (sorted by
+    * vec_id — deterministic levels/links), beam-searches the
+    * broadcast query panel shard-locally, and the shard-local top
+    * lists union into the global candidate set (exact re-rank
+    * downstream, like every other path). Per-shard cost: O(n·log n)
+    * inserts + panel·efSearch walks; nothing corpus-sized shuffles —
+    * only (qid, nid) candidate rows come out. Leave-one-out like
+    * q108/q138 (panel ids live in the corpus). */
+  private[graft] def hnswCandidates(embeddings: DataFrame, m: Int = 8,
+                                    efConstruction: Int = 64,
+                                    efSearch: Int = 48,
+                                    kPerShard: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = vecRows(embeddings)
+    val panel = vecs.filter(_._1 < QueryPanel)
+      .collect().sortBy(_._1)
+      .map { case (id, v, n) => (id, v.map(_ / n)) }
+    val bPanel = spark.sparkContext.broadcast(panel)
+    vecs.mapPartitions { it =>
+      val shard = it.map { case (id, v, n) => (id, v.map(_ / n)) }
+        .toArray.sortBy(_._1)
+      if (shard.isEmpty) Iterator.empty
+      else {
+        val g = new HnswGraph(m, efConstruction)
+        shard.foreach { case (id, v) => g.add(id, v) }
+        bPanel.value.iterator.flatMap { case (qid, qv) =>
+          // +1 admits the query's own shard-resident vector, dropped
+          // by the leave-one-out filter below
+          g.search(qv, kPerShard + 1, efSearch).collect {
+            case (nid, _) if nid != qid => (qid, nid)
+          }
+        }
+      }
+    }.toDF("qid", "nid")
   }
 
   def q193(embeddings: DataFrame): DataFrame = {
@@ -1424,11 +1465,13 @@ object Similarity {
         .join(broadcast(pqLuts(queries, cb)), "qid")
       rerankTopK(pqTopN(scored, cb, 50), vtab, vtab, 5)
     }
+    val hnswPanel = rerankTopK(hnswCandidates(embeddings), vtab, vtab, 5)
     recallOf(lshPanel, "lsh")
       .unionByName(recallOf(ivfPanel, "ivf"))
       .unionByName(recallOf(q108(embeddings), "int8"))
       .unionByName(recallOf(q138(embeddings, fitted = Some((cb, codes))), "pq"))
       .unionByName(recallOf(ivfPqPanel, "ivfpq"))
+      .unionByName(recallOf(hnswPanel, "hnsw"))
       .orderBy(col("method"))
   }
 

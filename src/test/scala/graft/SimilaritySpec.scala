@@ -32,6 +32,39 @@ class SimilaritySpec extends GraftSpec {
     assert(pairs.contains((0L, 3L)), pairs.toSeq) // identical vectors share every hyperplane side
   }
 
+  test("hnsw graph: exact top-k at high ef, deterministic rebuild, shard merge covers the truth") {
+    import graft.operators.HnswGraph
+    // 200 deterministic unit vectors in R^16
+    val rng = new scala.util.Random(7L)
+    val vs = (0 until 200).map { i =>
+      val v = Array.fill(16)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(_ / n))
+    }
+    def truth(q: Array[Double], k: Int) = vs
+      .map { case (id, v) => (id, v.zip(q).map(p => p._1 * p._2).sum) }
+      .sortBy(p => (-p._2, p._1)).take(k).map(_._1)
+    val g = new HnswGraph(m = 8, efConstruction = 64)
+    vs.foreach { case (id, v) => g.add(id, v) }
+    // at ef >= n the beam search degenerates to exhaustive: exact top-k
+    val q = vs(57)._2
+    assert(g.search(q, 5, 256).map(_._1) == truth(q, 5))
+    // deterministic: a rebuild returns identical results at serving ef
+    val g2 = new HnswGraph(m = 8, efConstruction = 64)
+    vs.foreach { case (id, v) => g2.add(id, v) }
+    assert(g.search(q, 5, 48) == g2.search(q, 5, 48))
+    // shard-and-merge recall composition: split the corpus in two,
+    // union the shard-local top-5 lists, re-rank — the true global
+    // top-5 of a query is contained whenever each shard's beam finds
+    // its own true top-5 (spec'd at full ef where that is guaranteed)
+    val (sa, sb) = vs.partition(_._1 % 2 == 0)
+    val ga = new HnswGraph(8, 64); sa.foreach { case (id, v) => ga.add(id, v) }
+    val gb = new HnswGraph(8, 64); sb.foreach { case (id, v) => gb.add(id, v) }
+    val merged = (ga.search(q, 5, 256) ++ gb.search(q, 5, 256))
+      .sortBy(p => (-p._2, p._1)).take(5).map(_._1)
+    assert(merged == truth(q, 5))
+  }
+
   test("q193 recall report: counts reconcile, floors hold for all five serving paths") {
     val emb = Tables.embeddings(spark, SF)
     val out = Similarity.q193(emb).collect()
