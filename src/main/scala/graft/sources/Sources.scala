@@ -46,10 +46,41 @@ object Sources {
     * layout for repeated fact⋈fact joins at 100 TB, where the one-time
     * write-side shuffle is amortized over every downstream join. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    buckets: Int, format: String = "parquet"): Unit =
+                    buckets: Int, format: String = "parquet"): Unit = {
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .format(format).saveAsTable(table)
+    autogatherStats(df.sparkSession, table)
+  }
+
+  /** Hive's `hive.stats.autogather` as a lake-write discipline
+    * (ddl11 follow-through): CBO is only as good as the stats someone
+    * remembered to gather, so every catalog-table write gathers them
+    * at commit time instead of trusting a manual ANALYZE cadence.
+    *   - `spark.graft.stats.autogather` (default true): table-level
+    *     rowCount + size. Metadata-priced on columnar formats — the
+    *     count(*) job reads parquet/ORC footers, not data.
+    *   - `spark.graft.stats.autogather.columns` (default off): "all"
+    *     for every column, or a comma list — ndv/min/max histogram
+    *     inputs, a REAL scan, so opt-in (at 100 TB gather columns on
+    *     the join-key tables, not every index artifact).
+    * Path-based lake writes (partitioned parquet/ORC, SnapshotTable)
+    * carry no catalog entry to attach stats to — their reads already
+    * estimate from live file sizes, which a stale stats row would only
+    * fight (Spark prefers catalog stats when present). */
+  private[graft] def autogatherStats(spark: SparkSession, table: String): Unit =
+    if (spark.conf.getOption("spark.graft.stats.autogather")
+        .forall(_.toBoolean)) {
+      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+      spark.conf.getOption("spark.graft.stats.autogather.columns")
+        .map(_.trim).filter(_.nonEmpty).foreach { cols =>
+          if (cols.equalsIgnoreCase("all"))
+            spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR ALL COLUMNS")
+          else
+            spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS $cols")
+        }
+      ()
+    }
 
   /** Compact a BUCKETED table back to one file per bucket — the s06
     * small-files maintenance applied to the persisted indexes
@@ -79,6 +110,9 @@ object Sources {
       .format(meta.provider.getOrElse("parquet")).saveAsTable(tmp)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    // the rename drops the rewrite's stats row with the tmp name —
+    // regather under the real one (autogather discipline)
+    autogatherStats(spark, table)
   }
 
   /** Append into an existing bucketed table under its OWN catalog
@@ -95,6 +129,9 @@ object Sources {
       // match the table's own provider (s28: ORC index tables append
       // as ORC; Spark would otherwise refuse the mixed-format table)
       .format(meta.provider.getOrElse("parquet")).saveAsTable(table)
+    // append grows the table past its recorded rowCount — stale stats
+    // UNDER-estimate and mis-plan broadcasts, the worse direction
+    autogatherStats(df.sparkSession, table)
   }
 
   /** Avro round-trip (s08) — the classic Hive-lake row-interchange

@@ -194,6 +194,53 @@ class PlanBudgetSpec extends GraftSpec {
     graft.operators.ClusterIndex.drop(spark, ixName)
   }
 
+  test("ddl11 autogather: a freshly-written lake table plans a stats-driven broadcast with NO manual ANALYZE") {
+    // the write-side half of ddl11: CBO is only as good as the stats
+    // someone gathered — with spark.graft.stats.autogather(.columns)
+    // set, Sources.writeBucketed commits the stats at write time, so
+    // the very first query against the fresh table plans the same
+    // broadcast the manual-ANALYZE test below has to earn by hand
+    spark.sql("DROP TABLE IF EXISTS graft_ag_big")
+    spark.sql("DROP TABLE IF EXISTS graft_ag_other")
+    val prevCols = spark.conf.getOption("spark.graft.stats.autogather.columns")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.graft.stats.autogather.columns", "all")
+      graft.sources.Sources.writeBucketed(
+        spark.range(200000)
+          .selectExpr("id % 400 AS k", "md5(cast(id AS string)) AS pad"),
+        "graft_ag_big", "k", 4)
+      graft.sources.Sources.writeBucketed(
+        spark.range(100000)
+          .selectExpr("id % 400 AS k", "md5(cast(id AS string)) AS pad2"),
+        "graft_ag_other", "k", 4)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (1024 * 1024).toString)
+      val df = spark.table("graft_ag_big")
+        .filter(org.apache.spark.sql.functions.col("k") === 7)
+        .join(spark.table("graft_ag_other"), "k")
+      val plan = df.queryExecution.executedPlan.toString
+      // no ANALYZE ran in this test — the broadcast is autogather's
+      assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+      assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+      // and the catalog really carries write-time stats
+      val stats = spark.table("graft_ag_big").queryExecution.optimizedPlan
+        .stats
+      assert(stats.rowCount.contains(BigInt(200000)), stats)
+    } finally {
+      prevCols match {
+        case Some(v) => spark.conf.set("spark.graft.stats.autogather.columns", v)
+        case None => spark.conf.unset("spark.graft.stats.autogather.columns")
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS graft_ag_big")
+      spark.sql("DROP TABLE IF EXISTS graft_ag_other")
+      ()
+    }
+  }
+
   test("ddl11 CBO: column stats flip a filtered join to broadcast at PLAN time (AQE off)") {
     // the stats-driven decision AQE cannot make: a selective filter on
     // a big table shrinks the PLANNED size only when the optimizer can
