@@ -19,6 +19,77 @@ class StreamingSpec extends GraftSpec {
   private def td(iso: String, text: String) =
     Streams.DriftDoc(Timestamp.from(Instant.parse(iso)), text)
 
+  test("st37 fake broker passes the transport-head conformance kit; violations are reported") {
+    import graft.streaming.{FakeBrokerHead, StreamHead, TransportHead}
+    val dir = java.nio.file.Files.createTempDirectory("graft-st37").toString + "/log"
+    val head = FakeBrokerHead(dir, "docs")
+    val ts = Timestamp.from(Instant.parse("2026-01-01T00:00:00Z"))
+    def rec(id: Long, text: String) =
+      (s"k$id".getBytes("UTF-8"),
+        s"""{"doc_id": $id, "text": "$text"}""".getBytes("UTF-8"))
+    head.append(spark, partition = 0, Seq(rec(1, "alpha"), rec(2, "beta")), ts)
+    head.append(spark, partition = 1, Seq(rec(3, "gamma")), ts)
+    head.append(spark, partition = 0, Seq(rec(4, "delta")), ts) // offsets continue
+    assert(StreamHead.conformance(spark, head).isEmpty)
+    // offsets really are per-partition contiguous from 0
+    val offs = head.replay(spark).select("partition", "offset").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(offs == Set((0, 0L), (0, 1L), (0, 2L), (1, 0L)), offs)
+    // a violating head is CAUGHT, not waved through: batch frame where
+    // a streaming one is due, wrong schema, gapped offsets
+    val bad = new TransportHead {
+      override def open(s: org.apache.spark.sql.SparkSession) = replay(s)
+      override def replay(s: org.apache.spark.sql.SparkSession) = {
+        import s.implicits._
+        Seq(("t", 0, 5L)).toDF("topic", "partition", "offset")
+      }
+    }
+    val v = StreamHead.conformance(spark, bad)
+    assert(v.exists(_.contains("STREAMING")), v)
+    assert(v.exists(_.contains("schema mismatch")), v)
+    assert(v.exists(_.contains("gapped")), v)
+  }
+
+  test("st37 end-to-end: the fake broker feeds an unchanged st-gate through StreamHead.docs") {
+    import graft.streaming.{FakeBrokerHead, StreamHead}
+    val ixName = "graft_st37_ix"
+    def text(tag: String) =
+      (1 to 15).map(w => s"${tag}_w$w term$w").mkString(" ")
+    graft.operators.NearDupIndex.drop(spark, ixName)
+    graft.operators.NearDupIndex.fit(
+      Seq((1L, text("hist"))).toDF("doc_id", "text"), ixName)
+    val dir = java.nio.file.Files.createTempDirectory("graft-st37e").toString + "/log"
+    val head = FakeBrokerHead(dir, "docs")
+    val ts = Timestamp.from(Instant.parse("2026-01-01T00:00:00Z"))
+    def rec(id: Long, t: String) =
+      (s"k$id".getBytes("UTF-8"),
+        s"""{"doc_id": $id, "text": "$t"}""".getBytes("UTF-8"))
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-st37-out").toString + "/out"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-st37-ck").toString
+    // the ONLY change vs the MemoryStream-driven st21 spec is the head:
+    // transport frame -> StreamHead.docs -> the same gate, untouched
+    val docs = StreamHead.docs(head.open(spark)).select("doc_id", "text")
+    val q = Streams.startNearDupGate(docs, ixName, outDir, ckpt)
+    try {
+      head.append(spark, 0, Seq(
+        rec(10, text("hist") + " tail"), // NEAR dup vs the fitted index
+        rec(11, text("alpha"))), ts)     // new -> registers
+      q.processAllAvailable()
+      head.append(spark, 0, Seq(
+        rec(20, text("alpha") + " tail"), // near dup vs a batch-1 admit
+        rec(21, text("beta"))), ts)       // new
+      q.processAllAvailable()
+      val kept = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(11L, 21L), kept)
+    } finally {
+      q.stop()
+      graft.operators.NearDupIndex.drop(spark, ixName)
+    }
+  }
+
   test("st32 token-drift gate: flooded window flags, faithful window stays steady") {
     // reference: uniform over 4 token types
     val reference = Seq.fill(10)("a b c d").zipWithIndex
