@@ -69,6 +69,37 @@ class NearDupIndexSpec extends GraftSpec {
     assert(byId(1004L)._4 == null)
   }
 
+  test("s13 exact-dup collapse discipline: a 500-member clique bands ONCE, verdicts stay per-member") {
+    // the q42 collapse audit the s27 index made standard (r16 verdict
+    // follow-up): both the FIT side and the PROBE side key all LSH
+    // artifacts by normalized-text digest, so a boilerplate clique of
+    // any size contributes ONE banding row set — the candidate join's
+    // fan-in is distinct texts, never documents
+    val cliqueText = (1 to 15).map(w => s"clique_w$w term$w").mkString(" ")
+    val fitBase = Seq((1L, cliqueText), (2L, "totally other words here now"))
+    val cliquey = fitBase ++ (3L to 502L).map(i => (i, cliqueText))
+    val nm1 = "graft_s13_collapse_a"; val nm2 = "graft_s13_collapse_b"
+    NearDupIndex.drop(spark, nm1); NearDupIndex.drop(spark, nm2)
+    NearDupIndex.fit(fitBase.toDF("doc_id", "text"), nm1)
+    NearDupIndex.fit(cliquey.toDF("doc_id", "text"), nm2)
+    // fit side: 500 clique members store EXACTLY the rows 1 member does
+    assert(spark.table(NearDupIndex.bandsTable(nm2)).count() ==
+      spark.table(NearDupIndex.bandsTable(nm1)).count())
+    assert(spark.table(NearDupIndex.gramsTable(nm2)).count() ==
+      spark.table(NearDupIndex.gramsTable(nm1)).count())
+    // probe side: a 500-member batch clique of a NEAR text collapses to
+    // one shingled representative (the verdict core's newRep drop) —
+    // per-member verdicts still come out right: the first id is the
+    // near_corpus row, the other 499 are dup_batch
+    val nearText = cliqueText + " tail"
+    val probe = (1001L to 1500L).map(i => (i, nearText))
+    val out = rows(NearDupIndex.dedup(probe.toDF("doc_id", "text"), nm1))
+    assert(out.count(_._3 == "near_corpus") == 1, out.take(5))
+    assert(out.find(_._3 == "near_corpus").map(_._1).contains(1001L))
+    assert(out.count(_._3 == "dup_batch") == 499, out.take(5))
+    NearDupIndex.drop(spark, nm1); NearDupIndex.drop(spark, nm2)
+  }
+
   test("s13 append == pinned full refit, and replay is a no-op") {
     fitted
     val admitted = Seq(
