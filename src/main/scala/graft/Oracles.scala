@@ -1039,6 +1039,15 @@ object Oracles {
            TRUE AS len_ok, TRUE AS cut_bounds_ok
          FROM documents ORDER BY doc_id""",
 
+    // q212: the q206 identity in FRAMES minus the clip-length constant
+    // (frame counts derive from a custom checksum DuckDB cannot
+    // reproduce): the scrub partitions each clip into kept + cut
+    // frames, so the identities are predicted-TRUE verdicts — an
+    // interval-walk bug hash-mismatches at the gate
+    "q212_video_scrub" ->
+      """SELECT doc_id, TRUE AS len_ok, TRUE AS cut_bounds_ok
+         FROM documents ORDER BY doc_id""",
+
     // q209: same aggregate over the ORIGINAL parquet the Spark side
     // computes over its partitioned-ORC copy — equality proves the ORC
     // round-trip lossless (types, nulls, multi-byte text)

@@ -397,7 +397,8 @@ object SparkEntry {
     // re-encode / clip-in-compilation / gapped-diagonal specs carry
     // the correctness argument (the q93/q198/q204 pattern on video)
     "q210_video_neardup"       -> ((s, d) => Multimodal.q210VideoNeardup(s, documents(s, d))),
-    "q211_video_overlap"       -> ((s, d) => Multimodal.q211VideoOverlap(s, documents(s, d)))
+    "q211_video_overlap"       -> ((s, d) => Multimodal.q211VideoOverlap(s, documents(s, d))),
+    "q212_video_scrub"         -> ((s, d) => Multimodal.q212Driver(s, documents(s, d)))
   )
 
   /** s27 serving path for the q64 family: ONE ClusterIndex fit per

@@ -2194,6 +2194,108 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"), col("offset_frames"))
   }
 
+  /** Merge [start, end) intervals clamped to [0, n): the q206 cut walk
+    * over frame indexes. */
+  private[graft] def mergeFrameCuts(iv: Seq[(Int, Int)], n: Int)
+      : Seq[(Int, Int)] = {
+    val merged = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    iv.map { case (a, b) => (math.max(0, a), math.min(n, b)) }
+      .filter(p => p._2 > p._1).sortBy(_._1).foreach { case (a, b) =>
+        if (merged.nonEmpty && a <= merged.last._2) {
+          val (la, lb) = merged.last
+          merged(merged.size - 1) = (la, math.max(lb, b))
+        } else merged += ((a, b))
+      }
+    merged.toSeq
+  }
+
+  /** q212: VIDEO SCRUB — the FOURTH leg of the rewrite family (q203
+    * cuts leaked text bytes, q206 cuts embedded audio samples, q208
+    * blanks pasted image regions, this CUTS re-used frame runs out of
+    * clips), so every axis the overlap quad detects on has a rewrite
+    * lane. Per [[videoOverlapPairs]] cluster (already SEGMENTED into
+    * consecutive runs — the r17 discipline, so the cut never covers a
+    * replaced-middle gap), the evidenced frame range on the doc_b
+    * (larger-id) side is dropped from the container and the remaining
+    * frames re-encode through the codec seam. `keepFirst` (default,
+    * the q203/q206/q208 survivorship): shared footage survives on the
+    * smaller-id side; `keepFirst = false` cuts both sides. Sub-gate
+    * clusters (run < minRunFrames) are below the report gate on a
+    * re-probe by construction, so the scrubbed corpus re-probes CLEAN
+    * (spec'd). Untouched reps pass through byte-identical; members
+    * inherit their rep's cut. Output: (doc_id, payload, n_frames,
+    * cut_frames, out_frames). Only pair-count-sized interval rows
+    * join the media frame; frames decode/re-encode partition-local
+    * for CUT reps only. */
+  def q212VideoScrub(spark: SparkSession, documents: DataFrame,
+                     minRunFrames: Int = 3, dfCap: Int = 0,
+                     codec: MediaCodec = ImageIoCodec,
+                     video: Option[VideoCodec] = None,
+                     keepFirst: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val vc = video.getOrElse(FramedCodec(codec))
+    val (reps, members) = graft.operators.Dedup.exactReps(documents)
+    val media = reps.select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.map { case (id, text) =>
+          (id, renderClip(text, vc))
+        })
+      }
+      .toDF("doc_id", "payload")
+      .transform(graft.Pins.pin) // pair kernel + the cut join
+    val (pairs, _) = videoOverlapPairs(media, minRunFrames, dfCap, vc)
+    val bSide = pairs.select(col("doc_b").as("doc_id"),
+      (col("a_start") - col("offset_frames")).as("c_start"),
+      (col("a_end") - col("offset_frames")).as("c_end"))
+    val cuts = (if (keepFirst) bSide
+      else bSide.unionAll(pairs.select(col("doc_a").as("doc_id"),
+        col("a_start").as("c_start"), col("a_end").as("c_end"))))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("c_start").as("_1"),
+        col("c_end").as("_2"))).as("iv"))
+    val repOut = media.join(cuts, Seq("doc_id"), "left_outer")
+      .as[(Long, Array[Byte], Option[Seq[(Int, Int)]])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.map {
+          case (id, payload, None) =>
+            val n = vc.decode(payload).map(_.numFrames).getOrElse(0)
+            (id, payload, n.toLong, 0L, n.toLong)
+          case (id, payload, Some(iv)) =>
+            val clip = vc.decode(payload).get
+            val n = clip.numFrames
+            val merged = mergeFrameCuts(iv, n)
+            val keep = (0 until n)
+              .filterNot(f => merged.exists(c => f >= c._1 && f < c._2))
+            (id, vc.encode(keep.map(f => clip.frame(f)._1)),
+              n.toLong, (n - keep.length).toLong, keep.length.toLong)
+        })
+      }
+      .toDF("rep", "payload", "n_frames", "cut_frames", "out_frames")
+    members.join(repOut, "rep")
+      .select(col("doc_id"), col("payload"), col("n_frames"),
+        col("cut_frames"), col("out_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver-facing RECONCILIATION of [[q212VideoScrub]] — the q206
+    * length identity in FRAMES, minus the clip-length constant (frame
+    * counts derive from a custom checksum no portable SQL reproduces):
+    * the scrub PARTITIONS each clip into kept + cut frames, so
+    * out == n − cut and 0 ≤ cut ≤ n per doc — predicted-TRUE verdicts
+    * (the q112Driver pattern). An interval-walk bug (double-cut
+    * overlap, off-by-one, dropped tail) flips a flag and
+    * hash-mismatches at the gate; the scrubbed corpus itself stays
+    * [[q212VideoScrub]]. */
+  def q212Driver(spark: SparkSession, documents: DataFrame): DataFrame =
+    q212VideoScrub(spark, documents)
+      .select(col("doc_id"),
+        (col("out_frames") === col("n_frames") - col("cut_frames")).as("len_ok"),
+        (col("cut_frames") >= 0L && col("cut_frames") <= col("n_frames"))
+          .as("cut_bounds_ok"))
+      .orderBy(col("doc_id"))
+
   // --------------------------------------------- content-defined chunking
 
   /** Deterministic gear table for the CDC rolling hash (one long per

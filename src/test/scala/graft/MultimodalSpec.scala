@@ -911,6 +911,70 @@ class MultimodalSpec extends GraftSpec {
     assert(!out.exists(p => p._1 == 30L || p._2 == 30L), out.toSeq)
   }
 
+  test("q212 scrub kernel: embedded frames cut from the compilation; re-probe clean; gap survives") {
+    import graft.operators.{FramedCodec, ImageIoCodec}
+    val vc = FramedCodec(ImageIoCodec)
+    val words = Seq("zebra crossing harbor", "quantum lattice drum",
+      "maroon velvet thunder", "glacier pepper axis", "orbit walnut hymn",
+      "canyon silver prism", "ember lotus spiral")
+    val f = words.map(w => Multimodal.renderImage(s"$w scene tokens", 48, 48))
+    val x = Multimodal.renderImage("replacement interstitial frame here", 48, 48)
+    // doc 2 re-uses F0..F2 and F4..F6 of doc 1 at one offset with a
+    // replaced middle: the cut must take BOTH runs and LEAVE x
+    val comp = f.take(3) ++ Seq(x) ++ f.drop(4)
+    val media = Seq((1L, vc.encode(f)), (2L, vc.encode(comp)))
+      .toDF("doc_id", "payload")
+    val (pairs, _) = Multimodal.videoOverlapPairs(media, minRunFrames = 3,
+      dfCap = 0, vc)
+    val cuts = pairs.collect().map(r =>
+      (r.getAs[Int]("a_start") - r.getAs[Int]("offset_frames"),
+        r.getAs[Int]("a_end") - r.getAs[Int]("offset_frames"))).toSeq
+    graft.Pins.release()
+    val merged = Multimodal.mergeFrameCuts(cuts, comp.length)
+    // the cut covers exactly frames 0..2 and 4..6 of the compilation —
+    // the replacement frame 3 is outside every interval
+    assert(merged == Seq((0, 3), (4, 7)), merged)
+    val clip = vc.decode(vc.encode(comp)).get
+    val keep = (0 until clip.numFrames)
+      .filterNot(fr => merged.exists(c => fr >= c._1 && fr < c._2))
+    assert(keep == Seq(3), keep)
+    // re-probe: the scrubbed compilation (just x) vs the source is clean
+    val media2 = Seq((1L, vc.encode(f)),
+      (2L, vc.encode(keep.map(i => comp(i))))).toDF("doc_id", "payload")
+    val (reprobe, _) = Multimodal.videoOverlapPairs(media2, minRunFrames = 3,
+      dfCap = 0, vc)
+    val again = reprobe.collect()
+    graft.Pins.release()
+    assert(again.isEmpty, again.toSeq)
+  }
+
+  test("q212 full path: frame identities, clique uncut, clean payload byte-identical") {
+    val base = "storm river mountain valley cloud forest meadow stone"
+    val corpus = Seq(
+      (10L, base),
+      (20L, base.toUpperCase),   // exact dup -> one rep, nothing to cut
+      (30L, "entirely different tokens painting another moving picture now")
+    ).toDF("doc_id", "text")
+    val out = Multimodal.q212VideoScrub(spark, corpus).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Array[Byte]]("payload"),
+        r.getAs[Long]("n_frames"), r.getAs[Long]("cut_frames"),
+        r.getAs[Long]("out_frames"))).sortBy(_._1)
+    graft.Pins.release()
+    assert(out.map(_._1).toSeq == Seq(10L, 20L, 30L))
+    out.foreach { case (id, _, n, cut, o) =>
+      assert(n >= 8L && n <= 12L, (id, n))
+      assert(o == n - cut && cut >= 0L && cut <= n, (id, n, cut, o))
+    }
+    // one clique, one rep: no cross-rep pair, nothing cut
+    assert(out.forall(_._4 == 0L), out.map(t => (t._1, t._4)).toSeq)
+    // clean doc byte-identical to a fresh synth
+    import graft.operators.{FramedCodec, ImageIoCodec}
+    val fresh = Multimodal.renderClip(
+      "entirely different tokens painting another moving picture now",
+      FramedCodec(ImageIoCodec))
+    assert(java.util.Arrays.equals(out.find(_._1 == 30L).get._2, fresh))
+  }
+
   test("q198 finds a re-voiced near-duplicate that byte identity misses") {
     // same token multiset, different case/order → identical synth audio
     val base = "storm river mountain valley cloud forest meadow stone pebble"
