@@ -106,6 +106,16 @@ object Multimodal {
     img
   }
 
+  /** ImageIO's stream cache defaults to DISK: every write/read through
+    * a byte stream spins up a FileCache*Stream temp file. At corpus
+    * scale that is millions of create/delete syscalls per codec query
+    * — measured as cross-query pollution (q53 read 2.1 s in a fresh
+    * process and 6.6 s after the video lanes had churned the temp dir
+    * in the same JVM). Payloads here are small in-memory byte arrays;
+    * cache in memory. Executor-wide, set once (class-load of this
+    * object precedes every codec call). */
+  private val _imageIoMemCache: Unit = javax.imageio.ImageIO.setUseCache(false)
+
   /** Real PNG encode via the JDK ImageIO codec. */
   private[graft] def encodePng(img: BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
