@@ -1063,6 +1063,21 @@ object Oracles {
          GROUP BY lang, source
          ORDER BY lang, source""",
 
+    // q213: the q209 oracle verbatim — the Spark side computes the
+    // same aggregate over its lang-partitioned STORED AS AVRO copy
+    // (s30), so equality proves the Avro SerDe round-trip lossless
+    "q213_avro_roundtrip" ->
+      """SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id
+         FROM documents
+         WHERE n_chars > 200
+         GROUP BY lang, source
+         ORDER BY lang, source""",
+
     // winnowChars emits >= 1 fingerprint for every normalized text of
     // >= gram chars, so distinct fingerprinted reps == distinct
     // normalized texts with length >= gram — the independent DuckDB
@@ -1123,7 +1138,7 @@ object Oracles {
     // verdicts — an index whose recall degrades below its floor is now
     // a hash mismatch, not a silent quality loss. The method list
     // interpolates from RecallFloors (one definition on both engines;
-    // r15 extended it to all five serving paths)
+    // r15 extended it to every serving path — six as of r17's hnsw)
     "q193_ann_recall" ->
       s"""WITH topk AS ($Q44Sql),
          t AS (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries,

@@ -369,7 +369,8 @@ object SparkEntry {
     "q190_vocab_coverage"      -> ((s, d) => TextAnalysis.q190(documents(s, d))),
     "q191_cluster_purity"      -> ((s, d) => KMeans.q191(embeddings(s, d))),
     "q192_cluster_nmi"         -> ((s, d) => KMeans.q192(embeddings(s, d))),
-    "q193_ann_recall"          -> ((s, d) => Similarity.q193Driver(embeddings(s, d))),
+    "q193_ann_recall"          -> ((s, d) =>
+      Similarity.q193Driver(embeddings(s, d), Some(hnswIndexName(s, d)))),
     "q194_burstiness"          -> ((s, d) => TextAnalysis.q194(documents(s, d))),
     "q195_assortativity"       -> ((s, d) => Graphs.q195(documents(s, d))),
     "q196_cond_entropy"        -> ((s, d) => TextAnalysis.q196(documents(s, d))),
@@ -392,7 +393,8 @@ object SparkEntry {
     "q208_image_scrub"         -> ((s, d) => Multimodal.q208Driver(s, documents(s, d))),
     // s28 ORC lake surface as a driver-gated row: oracle-exact only if
     // the partitioned-ORC round-trip of documents is value-lossless
-    "q209_orc_roundtrip"       -> ((s, d) => graft.sources.Sources.q209OrcDocuments(s, documents(s, d))),
+    "q209_orc_roundtrip"       -> ((s, d) => graft.sources.Sources.q209OrcDocuments(s, documents(s, d), d)),
+    "q213_avro_roundtrip"      -> ((s, d) => graft.sources.Sources.q213AvroDocuments(s, documents(s, d), d)),
     // rows-only: dHash bits are not portable SQL; the planted JPEG
     // re-encode / clip-in-compilation / gapped-diagonal specs carry
     // the correctness argument (the q93/q198/q204 pattern on video)
@@ -417,6 +419,21 @@ object SparkEntry {
     * headline total silently omits the fit work the old inline
     * numbers included). */
   @volatile private[graft] var indexFitSec: Double = 0.0
+
+  /** s29 fit-once per dataset (the clusterLabels cadence): the first
+    * q193 run fits the persisted HNSW shard graphs and charges the fit
+    * to indexFitSec; every later run serves from the loaded artifact —
+    * exactly the fit-once/probe-forever split the bench reports. */
+  private def hnswIndexName(s: SparkSession, d: String): String = {
+    val nm = "graft_ci_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_ann"
+    if (!s.catalog.tableExists(
+        graft.operators.AnnIndex.hnswTable(nm))) {
+      val t0 = System.nanoTime()
+      graft.operators.AnnIndex.fitHnsw(embeddings(s, d), nm)
+      indexFitSec += (System.nanoTime() - t0) / 1e9
+    }
+    nm
+  }
 
   private def clusterLabels(s: SparkSession, d: String): DataFrame = {
     val nm = "graft_ci_" + d.replaceAll("[^A-Za-z0-9]", "_")

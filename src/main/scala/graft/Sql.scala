@@ -103,6 +103,12 @@ object Sql {
       "graft_audio_scrubbed"  -> (() => Multimodal.q206AudioScrub(spark, docs)),
       "graft_audio_landmarks" -> (() => Multimodal.q207AudioLandmarks(spark, docs)),
       "graft_image_scrubbed"  -> (() => Multimodal.q208ImageScrub(spark, docs)),
+      // video family (round 18): the last modality reachable only from
+      // the Scala API — near-dup / partial-overlap / scrub, same lazy
+      // frame discipline as the audio/image lanes above
+      "graft_video_neardup"   -> (() => Multimodal.q210VideoNeardup(spark, docs)),
+      "graft_video_overlap"   -> (() => Multimodal.q211VideoOverlap(spark, docs)),
+      "graft_video_scrubbed"  -> (() => Multimodal.q212VideoScrub(spark, docs)),
       "graft_clean_scrubbed" -> (() =>
         graft.operators.Pipeline.cleanCorpus(docs, scrubSpans = true)),
       "graft_dsir"           -> (() => TextAnalysis.q117(docs)),

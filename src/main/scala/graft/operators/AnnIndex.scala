@@ -61,6 +61,8 @@ object AnnIndex {
   def int8Table(name: String): String         = s"${name}_int8_codes"
   def pqCodebookTable(name: String): String   = s"${name}_pq_codebook"
   def pqCodesTable(name: String): String      = s"${name}_pq_codes"
+  def hnswTable(name: String): String         = s"${name}_hnsw_shards"
+  def hnswMetaTable(name: String): String     = s"${name}_hnsw_meta"
 
   /** Default bucket count for the index tables. Sized for the test
     * warehouse; a production fit passes executors×cores-ish. */
@@ -115,8 +117,95 @@ object AnnIndex {
         .format("parquet").saveAsTable(pqCodebookTable(name))
       Sources.writeBucketed(Similarity.pqEncode(corpus, cb),
         pqCodesTable(name), "vec_id", buckets)
+      fitHnswUnlocked(corpus, name, buckets)
     } finally { vecs.unpersist(); () }
   }
+  }
+
+  /** s29: fit ONLY the HNSW artifact for `name` — one serialized
+    * [[HnswGraph]] per deterministic shard (shard = hash(vec_id) mod
+    * nShards, the [[HnswGraph.shardOf]] layout) plus a metadata row
+    * pinning (n_shards, m, ef_construction) so every later search and
+    * append reconstructs the exact layout from the catalog alone.
+    * Standalone entry for a corpus that wants graph serving without
+    * the full quantizer family (fit() includes it).
+    *
+    * 100 TB shape: a shard's payload is its vectors + M links/node —
+    * size nShards so a shard fits an executor (the same arithmetic as
+    * maxPartitionBytes); the build is one shuffle of vector rows into
+    * shards, then shard-local O(n·log n) inserts, and the artifact is
+    * written once and served forever — the cost [[Similarity
+    * .hnswCandidates]] re-pays per query batch is paid here once. */
+  def fitHnsw(corpus: DataFrame, name: String,
+              nShards: Int = DefaultBuckets,
+              m: Int = 8, efConstruction: Int = 64): Unit =
+    LakeLock.withWriter(corpus.sparkSession, name) {
+      fitHnswUnlocked(corpus, name, nShards, m, efConstruction)
+    }
+
+  /** Drop a table AND its warehouse location (the ClusterIndex.fit
+    * discipline): a fresh session's in-memory catalog does not know a
+    * previous JVM's tables, so an Overwrite-create would trip over the
+    * orphaned directory (LOCATION_ALREADY_EXISTS). */
+  private def clearTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) { fs.delete(loc, true); () }
+  }
+
+  private def fitHnswUnlocked(corpus: DataFrame, name: String,
+                              nShards: Int, m: Int = 8,
+                              efConstruction: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq(hnswTable(name), hnswMetaTable(name)).foreach(clearTable(spark, _))
+    Similarity.hnswGraphs(Similarity.vecRows(corpus), m, efConstruction,
+        Some(nShards))
+      .toDF("shard", "payload")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(hnswTable(name))
+    Seq((nShards, m, efConstruction))
+      .toDF("n_shards", "m", "ef_construction")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(hnswMetaTable(name))
+  }
+
+  /** HNSW candidate generation from the LOADED artifact — the serving
+    * twin of [[Similarity.hnswCandidates]]'s build-then-search: decode
+    * each persisted shard graph, beam-search the broadcast query
+    * batch, union the shard-local candidate lists. Same search kernel
+    * ([[Similarity.hnswShardSearch]]), so loaded == live is exact.
+    * Queries are batch-sized by contract (they broadcast — the int8
+    * path's stance). */
+  private[graft] def hnswServe(queries: DataFrame, name: String,
+                               kPerShard: Int = 10, efSearch: Int = 48,
+                               leaveOneOut: Boolean = false): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val panel = Similarity.vecRows(queries).collect().sortBy(_._1)
+      .map { case (id, v, n) => (id, v.map(_ / n)) }
+    Similarity.hnswShardSearch(
+      spark.table(hnswTable(name)).as[(Int, Array[Byte])],
+      panel, efSearch, kPerShard, leaveOneOut)
+  }
+
+  /** HNSW top-k against a loaded index — [[Similarity.searchHnsw]]
+    * served from the persisted shard graphs + vectors table: graph
+    * decode + beam search per shard, exact re-rank from the vectors
+    * TABLE. No corpus scan, no graph REBUILD — the rebuild-per-batch
+    * cost that motivated s29 is gone; a query batch pays decode
+    * (payload I/O) + beam walks only. */
+  def searchHnsw(queries: DataFrame, name: String, k: Int = 5,
+                 efSearch: Int = 48, kPerShard: Int = 10): DataFrame = {
+    val spark = queries.sparkSession
+    val qv = Similarity.vecRows(queries)
+    Similarity.rerankTopK(
+      hnswServe(queries, name, kPerShard, efSearch),
+      qv.toDF("vec_id", "v", "norm"),
+      spark.table(vectorsTable(name)), k)
   }
 
   /** Incremental maintenance: upsert a batch of NEW vectors into the
@@ -162,8 +251,68 @@ object AnnIndex {
       appendBucketed(spark,
         Similarity.pqEncode(batch, loadPqCodebook(spark, name)),
         pqCodesTable(name), "vec_id")
+      appendHnsw(spark, vecs, name)
     } finally { vecs.unpersist(); () }
   }
+  }
+
+  /** HNSW incremental maintenance: route the batch's vectors to their
+    * deterministic shards ([[HnswGraph.shardOf]] — the fit-time
+    * layout) and INSERT them into each touched shard's loaded graph;
+    * untouched shards pass through byte-identical, a batch landing in
+    * an (unlikely) empty shard builds a fresh graph. Unlike the
+    * row-append artifacts this is a read-modify-write of the touched
+    * payload rows — inherent to a graph index (new nodes rewire old
+    * nodes' links) — so the rewrite goes to a sibling table then swaps
+    * via catalog RENAME (the compactBucketed discipline: never read
+    * and overwrite one table in one plan; a crash leaves old or new
+    * intact). Cost: decode + insert on touched shards only, never a
+    * distance pass over the old corpus — hash-of-id levels mean the
+    * artifact needs no RNG state to keep growing.
+    *
+    * Semantics note (differs from the quantizer-family contract):
+    * HNSW links depend on insertion ORDER, so fit(old)+append(new) is
+    * a VALID graph containing exactly old ∪ new, but not bit-identical
+    * to fit(full) — the spec'd contract is exact id coverage + recall
+    * floor, not byte equality (no incremental graph index anywhere
+    * offers the latter). */
+  private def appendHnsw(spark: SparkSession,
+                         vecs: org.apache.spark.sql.Dataset[(Long, Array[Double], Double)],
+                         name: String): Unit = {
+    import spark.implicits._
+    val (nShards, m, efC) = {
+      val r = spark.table(hnswMetaTable(name)).collect().head
+      (r.getInt(0), r.getInt(1), r.getInt(2))
+    }
+    val old = spark.table(hnswTable(name)).as[(Int, Array[Byte])]
+      .groupByKey(_._1)
+    val fresh = vecs.map { case (id, v, n) => (id, v.map(_ / n)) }
+      .groupByKey { case (id, _) => HnswGraph.shardOf(id, nShards) }
+    val updated = old.cogroup(fresh) { (shard, oldIt, newIt) =>
+      val adds = newIt.toArray.sortBy(_._1)
+      oldIt.toSeq.headOption match {
+        case Some((_, payload)) =>
+          if (adds.isEmpty) Iterator((shard, payload))
+          else {
+            val g = HnswGraph.fromBytes(payload)
+            adds.foreach { case (id, v) => g.add(id, v) }
+            Iterator((shard, g.toBytes))
+          }
+        case None =>
+          if (adds.isEmpty) Iterator.empty
+          else {
+            val g = new HnswGraph(m, efC)
+            adds.foreach { case (id, v) => g.add(id, v) }
+            Iterator((shard, g.toBytes))
+          }
+      }
+    }.toDF("shard", "payload")
+    val tmp = hnswTable(name) + "_appending"
+    clearTable(spark, tmp)
+    updated.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(tmp)
+    spark.sql(s"DROP TABLE IF EXISTS ${hnswTable(name)}")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO ${hnswTable(name)}")
   }
 
   /** Append `df` into an existing bucketed table, reading the bucket
@@ -184,7 +333,7 @@ object AnnIndex {
   def drop(spark: SparkSession, name: String): Unit =
     Seq(vectorsTable(name), lshTable(name), ivfCentroidsTable(name),
       ivfListsTable(name), int8Table(name), pqCodebookTable(name),
-      pqCodesTable(name))
+      pqCodesTable(name), hnswTable(name), hnswMetaTable(name))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
   /** LSH top-k against a loaded index — [[Similarity.search]] served
@@ -358,7 +507,8 @@ object AnnIndex {
       "ivf"    -> (() => AnnIndex.searchIvf(probes, name, k)),
       "int8"   -> (() => AnnIndex.searchInt8(probes, name, k)),
       "pq"     -> (() => AnnIndex.searchPq(probes, name, k)),
-      "ivf_pq" -> (() => AnnIndex.searchIvfPq(probes, name, k)))
+      "ivf_pq" -> (() => AnnIndex.searchIvfPq(probes, name, k)),
+      "hnsw"   -> (() => AnnIndex.searchHnsw(probes, name, k)))
     paths.map { case (path, run) =>
       val got = pairs(run())
       (path, k, truth.size,

@@ -22,17 +22,26 @@ import scala.collection.mutable
   * the true global top-k is the union of each shard's true top-k, so
   * shard-level recall lower-bounds global recall.
   *
-  * This class is the single-shard graph: deterministic (seeded level
-  * draws, insertion in caller-sorted order), cosine metric over
+  * This class is the single-shard graph: deterministic (level draws
+  * are a PURE HASH of the node id — see [[add]] — so a node's level
+  * does not depend on insertion order; links still do, hence
+  * insertion in caller-sorted order), cosine metric over
   * pre-normalized vectors (distance = −dot), greedy descent through
   * the upper layers + beam (ef) search in layer 0, bidirectional links
-  * pruned to maxM (2·M in layer 0, the paper's defaults). */
-private[graft] final class HnswGraph(m: Int = 8, efConstruction: Int = 64,
-                                     seed: Long = 20260816L) {
+  * pruned to maxM (2·M in layer 0, the paper's defaults).
+  *
+  * [[toBytes]]/[[HnswGraph.fromBytes]] round-trip the whole graph
+  * bit-exactly (raw double bits) — the s29 persisted-index payload.
+  * A deserialized graph keeps accepting [[add]]s: hash-based levels
+  * mean an append draws the same level the vector would have drawn in
+  * a continuous build, so incremental maintenance needs no RNG state
+  * in the artifact. */
+private[graft] final class HnswGraph(val m: Int = 8,
+                                     val efConstruction: Int = 64,
+                                     val seed: Long = 20260816L) {
   private val maxM = m
   private val maxM0 = 2 * m
   private val mL = 1.0 / math.log(m.toDouble)
-  private val rng = new scala.util.Random(seed)
 
   private val ids = mutable.ArrayBuffer.empty[Long]
   private val vecs = mutable.ArrayBuffer.empty[Array[Double]]
@@ -43,6 +52,9 @@ private[graft] final class HnswGraph(m: Int = 8, efConstruction: Int = 64,
   private var topLevel = -1
 
   def size: Int = ids.length
+
+  /** Ids in insertion order (spec coverage checks). */
+  def idList: Seq[Long] = ids.toSeq
 
   /** −cosine for pre-normalized vectors: smaller = closer. */
   private def dist(a: Array[Double], b: Array[Double]): Double = {
@@ -112,10 +124,25 @@ private[graft] final class HnswGraph(m: Int = 8, efConstruction: Int = 64,
     }
   }
 
+  /** Geometric level draw as a pure function of the id: splitmix64 of
+    * (id ^ seed) → uniform in (0,1] → floor(−ln(u)·mL). Same
+    * distribution as the paper's RNG draw, but a node's level is a
+    * property of the node, not of when it was inserted — the invariant
+    * the persisted-index append path relies on. */
+  private def levelOf(id: Long): Int = {
+    var z = id ^ seed
+    z += 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    // 53 high bits → uniform double in [0,1), nudged away from 0
+    val u = math.max((z >>> 11).toDouble / (1L << 53).toDouble, 1e-12)
+    math.min(31, (-math.log(u) * mL).toInt)
+  }
+
   def add(id: Long, v: Array[Double]): Unit = {
     val node = ids.length
-    val level = math.min(31, (-math.log(
-      math.max(rng.nextDouble(), 1e-12)) * mL).toInt)
+    val level = levelOf(id)
     ids += id; vecs += v
     links += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
     if (entry < 0) { entry = node; topLevel = level; return }
@@ -172,5 +199,94 @@ private[graft] final class HnswGraph(m: Int = 8, efConstruction: Int = 64,
     searchLayer(q, Seq(ep), math.max(efSearch, k), 0).toSeq
       .sortBy(n => (n._1, n._2)).take(k)
       .map { case (d, n) => (ids(n), -d) }
+  }
+
+  /** Bit-exact binary image of the graph — the s29 shard payload.
+    * Vectors serialize as raw double bits (lossless), links as adjacency
+    * ints; entry/topLevel ride along so a loaded graph searches without
+    * any reconstruction pass. Versioned so a future layout change can
+    * refuse old payloads loudly instead of misreading them. */
+  def toBytes: Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(
+      new java.util.zip.GZIPOutputStream(bos))
+    o.writeInt(HnswGraph.Magic); o.writeInt(1)
+    o.writeInt(m); o.writeInt(efConstruction); o.writeLong(seed)
+    o.writeInt(ids.length)
+    o.writeInt(if (ids.isEmpty) 0 else vecs(0).length)
+    o.writeInt(entry); o.writeInt(topLevel)
+    var n = 0
+    while (n < ids.length) {
+      o.writeLong(ids(n))
+      val v = vecs(n); var i = 0
+      while (i < v.length) { o.writeLong(java.lang.Double.doubleToRawLongBits(v(i))); i += 1 }
+      val ls = links(n)
+      o.writeInt(ls.length)
+      var l = 0
+      while (l < ls.length) {
+        val adj = ls(l)
+        o.writeInt(adj.length)
+        var j = 0
+        while (j < adj.length) { o.writeInt(adj(j)); j += 1 }
+        l += 1
+      }
+      n += 1
+    }
+    o.close()
+    bos.toByteArray
+  }
+}
+
+private[graft] object HnswGraph {
+  private val Magic = 0x47484e57 // "GHNW"
+
+  /** Deterministic shard assignment for the EXPLICIT-layout build and
+    * the persisted-index append path: splitmix64 of the id, floorMod
+    * into n shards. Self-contained on purpose — the fit-time layout
+    * and every later append must agree on this function forever, so it
+    * depends on nothing Catalyst might re-seed. */
+  def shardOf(id: Long, n: Int): Int = {
+    var z = id + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    java.lang.Math.floorMod(z, n.toLong).toInt
+  }
+
+  /** Inverse of [[HnswGraph.toBytes]] — returns a fully functional
+    * graph (searchable AND appendable). Fails loudly on a foreign or
+    * future-versioned payload: a persisted index artifact misread as
+    * an empty graph would silently serve recall 0. */
+  def fromBytes(bytes: Array[Byte]): HnswGraph = {
+    val in = new java.io.DataInputStream(new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    require(in.readInt() == Magic, "not an HNSW shard payload")
+    val ver = in.readInt()
+    require(ver == 1, s"unsupported HNSW payload version $ver")
+    val m = in.readInt(); val efC = in.readInt(); val seed = in.readLong()
+    val g = new HnswGraph(m, efC, seed)
+    val n = in.readInt(); val dim = in.readInt()
+    g.entry = in.readInt(); g.topLevel = in.readInt()
+    var k = 0
+    while (k < n) {
+      g.ids += in.readLong()
+      val v = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { v(i) = java.lang.Double.longBitsToDouble(in.readLong()); i += 1 }
+      g.vecs += v
+      val nLevels = in.readInt()
+      val ls = Array.fill(nLevels)(mutable.ArrayBuffer.empty[Int])
+      var l = 0
+      while (l < nLevels) {
+        val deg = in.readInt()
+        var j = 0
+        while (j < deg) { ls(l) += in.readInt(); j += 1 }
+        l += 1
+      }
+      g.links += ls
+      k += 1
+    }
+    in.close()
+    g
   }
 }

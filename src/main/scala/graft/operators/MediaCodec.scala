@@ -58,7 +58,12 @@ object JpegCodec extends MediaCodec {
         c
       }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(rgb, "jpg", bos)
+    // ImageIO.write returns false when NO registered writer claims the
+    // format (a stripped/headless JRE without the jpg plugin) — fail
+    // loud instead of emitting a zero-byte payload that every decode
+    // would then reject as foreign bytes (the FramedCodec.decode stance)
+    val wrote = javax.imageio.ImageIO.write(rgb, "jpg", bos)
+    require(wrote, "no ImageIO jpg writer registered in this JRE")
     bos.toByteArray
   }
 }

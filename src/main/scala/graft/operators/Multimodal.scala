@@ -2237,6 +2237,28 @@ object Multimodal {
     * cut_frames, out_frames). Only pair-count-sized interval rows
     * join the media frame; frames decode/re-encode partition-local
     * for CUT reps only. */
+  /** The q212 per-clip scrub kernel, factored for direct spec'ing:
+    * decode → merge cut intervals → re-encode kept frames. Returns
+    * (payload, n_frames, cut_frames, out_frames). A FULLY-scrubbed
+    * clip (every frame evidenced — e.g. a doc wholly embedded in
+    * another) emits the EMPTY payload explicitly rather than asking
+    * the codec to encode zero frames (a production container codec may
+    * refuse). By the ck01 contract empty bytes decode to None —
+    * consumers distinguish scrubbed-to-nothing from foreign bytes via
+    * out_frames == 0, never by decoding the payload. */
+  private[graft] def scrubClipFrames(payload: Array[Byte],
+                                     iv: Seq[(Int, Int)], vc: VideoCodec)
+      : (Array[Byte], Long, Long, Long) = {
+    val clip = vc.decode(payload).get
+    val n = clip.numFrames
+    val merged = mergeFrameCuts(iv, n)
+    val keep = (0 until n)
+      .filterNot(f => merged.exists(c => f >= c._1 && f < c._2))
+    val out = if (keep.isEmpty) Array.emptyByteArray
+              else vc.encode(keep.map(f => clip.frame(f)._1))
+    (out, n.toLong, (n - keep.length).toLong, keep.length.toLong)
+  }
+
   def q212VideoScrub(spark: SparkSession, documents: DataFrame,
                      minRunFrames: Int = 3, dfCap: Int = 0,
                      codec: MediaCodec = ImageIoCodec,
@@ -2273,13 +2295,8 @@ object Multimodal {
             val n = vc.decode(payload).map(_.numFrames).getOrElse(0)
             (id, payload, n.toLong, 0L, n.toLong)
           case (id, payload, Some(iv)) =>
-            val clip = vc.decode(payload).get
-            val n = clip.numFrames
-            val merged = mergeFrameCuts(iv, n)
-            val keep = (0 until n)
-              .filterNot(f => merged.exists(c => f >= c._1 && f < c._2))
-            (id, vc.encode(keep.map(f => clip.frame(f)._1)),
-              n.toLong, (n - keep.length).toLong, keep.length.toLong)
+            val (out, n, cut, kept) = scrubClipFrames(payload, iv, vc)
+            (id, out, n, cut, kept)
         })
       }
       .toDF("rep", "payload", "n_frames", "cut_frames", "out_frames")

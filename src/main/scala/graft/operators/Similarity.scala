@@ -1377,33 +1377,102 @@ object Similarity {
   private[graft] def hnswCandidates(embeddings: DataFrame, m: Int = 8,
                                     efConstruction: Int = 64,
                                     efSearch: Int = 48,
-                                    kPerShard: Int = 10): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
+                                    kPerShard: Int = 10,
+                                    nShards: Option[Int] = None): DataFrame = {
     val vecs = vecRows(embeddings)
     val panel = vecs.filter(_._1 < QueryPanel)
       .collect().sortBy(_._1)
       .map { case (id, v, n) => (id, v.map(_ / n)) }
-    val bPanel = spark.sparkContext.broadcast(panel)
-    vecs.mapPartitions { it =>
-      val shard = it.map { case (id, v, n) => (id, v.map(_ / n)) }
-        .toArray.sortBy(_._1)
-      if (shard.isEmpty) Iterator.empty
+    hnswShardSearch(hnswGraphs(vecs, m, efConstruction, nShards),
+      panel, efSearch, kPerShard, leaveOneOut = true)
+  }
+
+  /** Shard the corpus and build one [[HnswGraph]] per shard. With
+    * `nShards = None` the graphs are PARTITION-LOCAL (no shuffle — the
+    * one-shot audit shape). With `Some(n)` the shard of a vector is
+    * the EXPLICIT deterministic key pmod(hash(vec_id), n) — the layout
+    * [[AnnIndex.fitHnsw]] persists, so a live build at the same n is
+    * graph-identical to a loaded artifact (the s29 parity contract).
+    * Insertion sorted by vec_id either way; levels are hash-of-id, so
+    * only the link sets depend on the shard recipe. */
+  private[graft] def hnswGraphs(vecs: org.apache.spark.sql.Dataset[(Long, Array[Double], Double)],
+                                m: Int, efConstruction: Int,
+                                nShards: Option[Int])
+      : org.apache.spark.sql.Dataset[(Int, Array[Byte])] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    def build(it: Iterator[(Long, Array[Double])]): Option[Array[Byte]] = {
+      val shard = it.toArray.sortBy(_._1)
+      if (shard.isEmpty) None
       else {
         val g = new HnswGraph(m, efConstruction)
         shard.foreach { case (id, v) => g.add(id, v) }
-        bPanel.value.iterator.flatMap { case (qid, qv) =>
-          // +1 admits the query's own shard-resident vector, dropped
-          // by the leave-one-out filter below
-          g.search(qv, kPerShard + 1, efSearch).collect {
-            case (nid, _) if nid != qid => (qid, nid)
+        Some(g.toBytes)
+      }
+    }
+    nShards match {
+      case Some(n) =>
+        vecs.groupByKey { case (id, _, _) => HnswGraph.shardOf(id, n) }
+          .mapGroups { (shard, it) =>
+            (shard, build(it.map { case (id, v, nn) => (id, v.map(_ / nn)) }).get)
           }
+      case None =>
+        vecs.mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          build(it.map { case (id, v, n) => (id, v.map(_ / n)) })
+            .map(b => (pid, b)).iterator
+        }
+    }
+  }
+
+  /** Beam-search a broadcast query panel against every shard graph and
+    * union the shard-local candidate lists — the serving half of the
+    * shard-and-merge deployment, shared by the live path and the s29
+    * loaded-artifact path (one kernel, so loaded == live is a layout
+    * statement, not a code-duplication hope). Only (qid, nid) rows
+    * come out. `leaveOneOut` admits one extra per-shard candidate and
+    * drops the query's own id (panel-internal audits); external query
+    * batches keep their own id namespace and skip it. */
+  private[graft] def hnswShardSearch(graphs: org.apache.spark.sql.Dataset[(Int, Array[Byte])],
+                                     panel: Array[(Long, Array[Double])],
+                                     efSearch: Int, kPerShard: Int,
+                                     leaveOneOut: Boolean): DataFrame = {
+    val spark = graphs.sparkSession
+    import spark.implicits._
+    val bPanel = spark.sparkContext.broadcast(panel)
+    graphs.flatMap { case (_, payload) =>
+      val g = HnswGraph.fromBytes(payload)
+      val extra = if (leaveOneOut) 1 else 0
+      bPanel.value.iterator.flatMap { case (qid, qv) =>
+        g.search(qv, kPerShard + extra, efSearch).collect {
+          case (nid, _) if !leaveOneOut || nid != qid => (qid, nid)
         }
       }
     }.toDF("qid", "nid")
   }
 
-  def q193(embeddings: DataFrame): DataFrame = {
+  /** HNSW top-k for an EXTERNAL query batch against a corpus — the
+    * live (index-free) sixth serving path beside [[search]] (LSH),
+    * [[searchInt8]], [[searchPq]]: shard-local graph builds, broadcast
+    * batch beam search, exact re-rank of the unioned candidates.
+    * `nShards = Some(n)` pins the deterministic shard layout (see
+    * [[hnswGraphs]]); the default partition-local build is the cheap
+    * one-shot shape. A serving deployment uses [[AnnIndex.searchHnsw]]
+    * instead — same kernels over the fit-once artifact. */
+  def searchHnsw(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+                 m: Int = 8, efConstruction: Int = 64, efSearch: Int = 48,
+                 kPerShard: Int = 10, nShards: Option[Int] = None): DataFrame = {
+    val qv = vecRows(queries)
+    val cv = vecRows(corpus)
+    val panel = qv.collect().sortBy(_._1).map { case (id, v, n) => (id, v.map(_ / n)) }
+    val cands = hnswShardSearch(hnswGraphs(cv, m, efConstruction, nShards),
+      panel, efSearch, kPerShard, leaveOneOut = false)
+    rerankTopK(cands, qv.toDF("vec_id", "v", "norm"),
+      cv.toDF("vec_id", "v", "norm"), k)
+  }
+
+  def q193(embeddings: DataFrame,
+           hnswIndex: Option[String] = None): DataFrame = {
     val exact = graft.Pins.pin(q44(embeddings).select(col("qid"), col("nid")))
     def recallOf(approx: DataFrame, method: String): DataFrame = {
       val hits = exact.join(
@@ -1465,7 +1534,16 @@ object Similarity {
         .join(broadcast(pqLuts(queries, cb)), "qid")
       rerankTopK(pqTopN(scored, cb, 50), vtab, vtab, 5)
     }
-    val hnswPanel = rerankTopK(hnswCandidates(embeddings), vtab, vtab, 5)
+    // s29: with an index name the hnsw lane serves from the PERSISTED
+    // shard graphs (decode + beam search — no per-batch rebuild); the
+    // recall floor then gates the artifact itself at the driver, not
+    // just the live twin. Leave-one-out either way (panel ⊂ corpus).
+    val hnswPanel = hnswIndex match {
+      case Some(nm) => rerankTopK(AnnIndex.hnswServe(
+          embeddings.filter(col("vec_id") < QueryPanel), nm,
+          leaveOneOut = true), vtab, vtab, 5)
+      case None => rerankTopK(hnswCandidates(embeddings), vtab, vtab, 5)
+    }
     recallOf(lshPanel, "lsh")
       .unionByName(recallOf(ivfPanel, "ivf"))
       .unionByName(recallOf(q108(embeddings), "int8"))
@@ -1479,15 +1557,17 @@ object Similarity {
     * trick on the recall report: the panel size and truth-pair count
     * are deterministic (the oracle computes them from the exact q44
     * plan), and the [[RecallFloors]] per-method floors become
-    * predicted-TRUE verdicts over ALL FIVE serving paths (lsh, ivf,
-    * int8, pq, ivfpq — r15: a quantized-path refit regression now
-    * fails the driver gate, not just a spec). The full numeric report
-    * stays [[q193]]. */
-  def q193Driver(embeddings: DataFrame): DataFrame = {
+    * predicted-TRUE verdicts over ALL SIX serving paths (lsh, ivf,
+    * int8, pq, ivfpq, hnsw — r15: a quantized-path refit regression
+    * now fails the driver gate, not just a spec; r18: the hnsw lane
+    * gates the PERSISTED s29 artifact when `hnswIndex` is set). The
+    * full numeric report stays [[q193]]. */
+  def q193Driver(embeddings: DataFrame,
+                 hnswIndex: Option[String] = None): DataFrame = {
     val floorExpr = RecallFloors.foldLeft(lit(Double.MaxValue)) {
       case (acc, (m, f)) => when(col("method") === m, lit(f)).otherwise(acc)
     }
-    q193(embeddings)
+    q193(embeddings, hnswIndex)
       .select(col("method"), col("n_queries"), col("n_truth"),
         (col("recall_at_5") >= floorExpr).as("floor_ok"))
       .orderBy(col("method"))

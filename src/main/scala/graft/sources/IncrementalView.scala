@@ -219,4 +219,161 @@ object IncrementalView {
   def read(spark: SparkSession, mvPath: String,
            version: Option[Long] = None): DataFrame =
     SnapshotTable.read(spark, mvPath, version)
+
+  // ------------------------------------------------------------- mv04
+
+  /** mv04: incremental aggregate over a FACT ⋈ FACT equi-join — the
+    * delta-join class mv03 scoped out (there ONE side had to be a
+    * pinned static dimension). Both bases are append-only s16 tables;
+    * the refresh folds the classic three-term row delta
+    *
+    *   Δ(A⋈B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+    *
+    * (exact for append-only multisets because a join distributes over
+    * union) into the stored aggregate with the same algebraic merge
+    * mv02 uses. TWO watermarks ride the view's manifest op tag
+    * (`imv2:<vA>:<vB>`), so data and both watermarks still commit in
+    * one atomic s16 publish, and A_old/B_old are TIME-TRAVEL reads at
+    * exactly those versions — a concurrent append to either base
+    * during refresh cannot skew the delta.
+    *
+    * Refresh cost is O(Δ ⋈ base) — the two cross terms each join a
+    * commit-sized delta (broadcast) against one base's pre-delta
+    * snapshot, never base ⋈ base. That is the honest lower bound for
+    * join-view maintenance (each new A row must meet every matching
+    * OLD B row); at 100 TB the base-side scans prune like any keyed
+    * broadcast join over a partitioned lake table. The same change-
+    * feed safety contract applies per base: a mutating commit in
+    * either range blocks with a loud pointer to [[fullRefreshJoin]].
+    *
+    * Column contract: `joinKeys` are the shared equi-join columns; all
+    * OTHER column names must be disjoint between A and B (the standard
+    * join-view discipline — alias before create if they collide). */
+  private final case class Def2(basePathA: String, basePathB: String,
+                                joinKeys: Seq[String], keys: Seq[String],
+                                aggs: Seq[Agg])
+
+  private final val Def2Header = "graft-imv2-v1"
+
+  private def def2Path(path: String) = new Path(path, "_graft_imv2_def")
+
+  private def writeDef2(spark: SparkSession, path: String, d: Def2): Unit = {
+    val f = fsOf(spark, path)
+    require(!f.exists(def2Path(path)), s"incremental join view $path exists")
+    val body = (Seq(Def2Header, d.basePathA, d.basePathB,
+      d.joinKeys.mkString(","), d.keys.mkString(",")) ++
+      d.aggs.map(a => s"${a.fn},${a.col},${a.as}")).mkString("\n")
+    val out = f.create(def2Path(path), false)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def readDef2(spark: SparkSession, path: String): Def2 = {
+    val f = fsOf(spark, path)
+    val in = f.open(def2Path(path))
+    val body = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    val lines = body.split("\n", -1).toSeq
+    require(lines.headOption.contains(Def2Header),
+      s"not a $Def2Header def at $path: '${lines.headOption.getOrElse("")}'")
+    Def2(lines(1), lines(2), lines(3).split(",").toSeq.filter(_.nonEmpty),
+      lines(4).split(",").toSeq.filter(_.nonEmpty),
+      lines.drop(5).filter(_.nonEmpty).map { l =>
+        val p = l.split(",", 3); Agg(p(0), p(1), p(2))
+      })
+  }
+
+  private def aggregateJoin(a: DataFrame, b: DataFrame, d: Def2,
+                            broadcastSide: Int = 0): DataFrame = {
+    val joined = broadcastSide match {
+      case 1 => broadcast(a).join(b, d.joinKeys)          // delta ⋈ base
+      case 2 => a.join(broadcast(b), d.joinKeys)          // base ⋈ delta
+      case _ => a.join(b, d.joinKeys)                     // create/rebuild
+    }
+    val cols = aggCols(d.aggs)
+    joined.groupBy(d.keys.map(col): _*).agg(cols.head, cols.tail: _*)
+  }
+
+  private def watermark2(spark: SparkSession, path: String): (Long, Long) = {
+    val head = SnapshotTable.currentVersion(spark, path)
+    val op = SnapshotTable.snapshot(spark, path, head).operation
+    require(op.startsWith("imv2:"),
+      s"$path head v$head has operation '$op' — not an incremental join view")
+    val parts = op.stripPrefix("imv2:").split(":")
+    (parts(0).toLong, parts(1).toLong)
+  }
+
+  /** Create the join view: aggregate A@vA ⋈ B@vB, publish as v1 tagged
+    * with both base watermarks. */
+  def createJoin(spark: SparkSession, mvPath: String,
+                 basePathA: String, basePathB: String,
+                 joinKeys: Seq[String], keys: Seq[String],
+                 aggs: Seq[Agg]): Long = {
+    require(joinKeys.nonEmpty, "join view needs at least one join key")
+    require(keys.nonEmpty, "incremental view needs at least one group key")
+    aggCols(aggs) // validate fns before any write
+    val d = Def2(basePathA, basePathB, joinKeys, keys, aggs)
+    writeDef2(spark, mvPath, d)
+    val vA = SnapshotTable.currentVersion(spark, basePathA)
+    val vB = SnapshotTable.currentVersion(spark, basePathB)
+    SnapshotTable.create(spark, mvPath,
+      aggregateJoin(SnapshotTable.read(spark, basePathA, Some(vA)),
+        SnapshotTable.read(spark, basePathB, Some(vB)), d),
+      s"imv2:$vA:$vB")
+  }
+
+  /** Incremental refresh of a join view: three delta terms, one merge,
+    * one atomic publish advancing BOTH watermarks. No-op when neither
+    * base moved. */
+  def refreshJoin(spark: SparkSession, mvPath: String): Long = {
+    val d = readDef2(spark, mvPath)
+    val (fromA, fromB) = watermark2(spark, mvPath)
+    val vA = SnapshotTable.currentVersion(spark, d.basePathA)
+    val vB = SnapshotTable.currentVersion(spark, d.basePathB)
+    if (vA == fromA && vB == fromB)
+      return SnapshotTable.currentVersion(spark, mvPath)
+    def changes(path: String, from: Long, to: Long): Option[DataFrame] =
+      if (to == from) None
+      else Some(
+        try SnapshotTable.readChanges(spark, path, from, to)
+          .drop("_commit_version")
+        catch {
+          case e: IllegalArgumentException => throw new IllegalArgumentException(
+            s"incremental refresh of $mvPath blocked: ${e.getMessage}; " +
+            "run IncrementalView.fullRefreshJoin to rebuild from both heads",
+            e)
+        })
+    val dA = changes(d.basePathA, fromA, vA)
+    val dB = changes(d.basePathB, fromB, vB)
+    val aOld = SnapshotTable.read(spark, d.basePathA, Some(fromA))
+    val bOld = SnapshotTable.read(spark, d.basePathB, Some(fromB))
+    val terms = Seq(
+      dA.map(da => aggregateJoin(da, bOld, d, broadcastSide = 1)),
+      dB.map(db => aggregateJoin(aOld, db, d, broadcastSide = 2)),
+      (dA, dB) match {
+        case (Some(da), Some(db)) => Some(aggregateJoin(da, db, d,
+          broadcastSide = 1))
+        case _ => None
+      }).flatten
+    val merged = terms.foldLeft(read(spark, mvPath)) { (acc, t) =>
+      merge(acc, t, Def(d.basePathA, d.keys, d.aggs))
+    }
+    SnapshotTable.overwrite(spark, mvPath, merged, s"imv2:$vA:$vB")
+  }
+
+  /** Rebuild from both base heads — the escape hatch after a mutating
+    * commit on either base. */
+  def fullRefreshJoin(spark: SparkSession, mvPath: String): Long = {
+    val d = readDef2(spark, mvPath)
+    val vA = SnapshotTable.currentVersion(spark, d.basePathA)
+    val vB = SnapshotTable.currentVersion(spark, d.basePathB)
+    SnapshotTable.overwrite(spark, mvPath,
+      aggregateJoin(SnapshotTable.read(spark, d.basePathA, Some(vA)),
+        SnapshotTable.read(spark, d.basePathB, Some(vB)), d),
+      s"imv2:$vA:$vB")
+  }
 }

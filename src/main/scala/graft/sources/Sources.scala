@@ -71,16 +71,73 @@ object Sources {
   private[graft] def autogatherStats(spark: SparkSession, table: String): Unit =
     if (spark.conf.getOption("spark.graft.stats.autogather")
         .forall(_.toBoolean)) {
-      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
-      spark.conf.getOption("spark.graft.stats.autogather.columns")
-        .map(_.trim).filter(_.nonEmpty).foreach { cols =>
-          if (cols.equalsIgnoreCase("all"))
-            spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR ALL COLUMNS")
-          else
-            spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS $cols")
-        }
-      ()
+      if (deferFlag.get()) { recordDeferred(spark, table); () }
+      else gatherNow(spark, table)
     }
+
+  private def gatherNow(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    spark.conf.getOption("spark.graft.stats.autogather.columns")
+      .map(_.trim).filter(_.nonEmpty).foreach { cols =>
+        if (cols.equalsIgnoreCase("all"))
+          spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR ALL COLUMNS")
+        else
+          spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS $cols")
+      }
+    ()
+  }
+
+  // ---- autogather DEBOUNCE (r17 review: st36's per-micro-batch label
+  // maintenance appends through the autogather path, adding one
+  // ANALYZE job per micro-batch forever — table-level stats are
+  // footer-priced but the JOB isn't free at a 1 s trigger cadence).
+  // Inside a deferringStats scope every autogather call RECORDS its
+  // table instead of analyzing; flushDeferredStats gathers each
+  // recorded table once. The streaming lanes wrap each foreachBatch
+  // body and flush on query termination (Streams.flushStatsOnClose).
+  // While deferred, the write itself invalidates the catalog rowCount
+  // (Spark drops stats on insert rather than let them go stale), so
+  // for the stream's lifetime reads estimate from live file sizes —
+  // the ordinary stats-absent path — and the close-time flush makes
+  // them current again; CBO never plans from a moving micro-batch
+  // anyway. The flag is a ThreadLocal: a foreachBatch body runs
+  // synchronously on one thread, and concurrent BATCH writers on
+  // other threads keep eager gathering.
+  private val deferFlag = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+  // JVM-global on purpose: foreachBatch bodies run under a CLONED
+  // streaming session, so a session-keyed map would record under the
+  // clone and flush under the original, never meeting. Table names
+  // resolve in the shared external catalog, so draining from any
+  // session of the JVM is sound (worst case an unrelated stream's
+  // tables get their gather a moment early).
+  private val pendingStats =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def recordDeferred(spark: SparkSession, table: String): Unit = {
+    pendingStats.add(table)
+    ()
+  }
+
+  /** Run `body` with autogather deferred on this thread: catalog
+    * writes inside record their tables for a later
+    * [[flushDeferredStats]] instead of paying an ANALYZE job each. */
+  def deferringStats[T](spark: SparkSession)(body: => T): T = {
+    val prev = deferFlag.get()
+    deferFlag.set(java.lang.Boolean.TRUE)
+    try body finally deferFlag.set(prev)
+  }
+
+  /** Gather stats ONCE for every table recorded under a deferringStats
+    * scope in this session (tables dropped since are skipped). */
+  def flushDeferredStats(spark: SparkSession): Unit = {
+    val it = pendingStats.iterator()
+    while (it.hasNext) {
+      val t = it.next(); it.remove()
+      if (spark.catalog.tableExists(t)) gatherNow(spark, t)
+    }
+  }
 
   /** Compact a BUCKETED table back to one file per bucket — the s06
     * small-files maintenance applied to the persisted indexes
@@ -155,6 +212,59 @@ object Sources {
   def readAvroTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** s30: PARTITIONED Avro lake table — the s28 treatment for the
+    * classic Hive row-interchange format, through the same SerDe route
+    * as [[writeAvroTable]] (the standalone `spark-avro` datasource
+    * module stays jar-walled; a migrating Hive warehouse's Avro tables
+    * are metastore tables anyway). Explicit CREATE + dynamic-partition
+    * INSERT because Hive refuses partitioned CTAS; each partition
+    * value lands as its own directory, so a partition-key predicate
+    * prunes at the METASTORE before any file opens — at 100 TB that is
+    * the difference between listing one lang's directories and
+    * scanning the lake. Row-level predicate/column pushdown into the
+    * Avro SerDe is NOT claimed (a row format decodes whole records —
+    * the format's own physics, and the reason the ORC/parquet paths
+    * are the recommended lake formats); partition pruning and value-
+    * lossless round-trips are the spec'd contract. */
+  def writePartitionedAvroTable(df: DataFrame, table: String,
+                                partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val tmp = s"graft_avro_stage_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    df.createOrReplaceTempView(tmp)
+    val prevMode = spark.conf.getOption("hive.exec.dynamic.partition.mode")
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      // a previous JVM's orphaned location would otherwise leave stale
+      // partition directories the dynamic insert doesn't overwrite
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) { fs.delete(loc, true); () }
+      val dataCols = df.schema.filterNot(f => partitionCols.contains(f.name))
+      val colDdl = dataCols.map(f => s"${f.name} ${f.dataType.sql}")
+        .mkString(", ")
+      val partDdl = partitionCols
+        .map(p => s"$p ${df.schema(p).dataType.sql}").mkString(", ")
+      spark.sql(s"CREATE TABLE $table ($colDdl) " +
+        s"PARTITIONED BY ($partDdl) STORED AS AVRO")
+      // all-dynamic partition insert needs nonstrict mode (Hive's
+      // default demands one static partition key)
+      spark.conf.set("hive.exec.dynamic.partition.mode", "nonstrict")
+      spark.sql(s"INSERT OVERWRITE TABLE $table " +
+        s"PARTITION (${partitionCols.mkString(", ")}) " +
+        s"SELECT ${(dataCols.map(_.name) ++ partitionCols).mkString(", ")} " +
+        s"FROM $tmp")
+      ()
+    } finally {
+      spark.catalog.dropTempView(tmp)
+      prevMode match {
+        case Some(m) => spark.conf.set("hive.exec.dynamic.partition.mode", m)
+        case None => spark.conf.unset("hive.exec.dynamic.partition.mode")
+      }
+    }
+  }
+
   /** ORC round-trip (s05): columnar alternative to parquet with the
     * same pushdown/pruning behavior through the v2 file source. */
   def writeOrc(df: DataFrame, path: String): Unit =
@@ -185,12 +295,30 @@ object Sources {
     * aggregates per (lang, source). The DuckDB oracle computes the
     * same aggregate from the ORIGINAL parquet, so the row is green
     * only if the ORC round-trip is value-lossless — types, nulls, and
-    * multi-byte text included. */
-  def q209OrcDocuments(spark: SparkSession, documents: DataFrame): DataFrame = {
+    * multi-byte text included.
+    *
+    * The staging path is keyed by the SOURCE dataset dir (same
+    * `graft_ci_<dir>` discipline as the CI table names): a fixed path
+    * would let a second invocation for a different dataset — or a
+    * concurrent session sharing the warehouse — clobber the files
+    * under the first call's still-lazy DataFrame. */
+  def q209OrcDocuments(spark: SparkSession, documents: DataFrame,
+                       datasetDir: String): DataFrame = {
+    val key = datasetDir.replaceAll("[^A-Za-z0-9]", "_")
     val path = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), "_graft_orc_documents").toString
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"_graft_orc_documents_$key").toString
     writePartitionedOrc(documents, path, Seq("lang"))
-    readOrc(spark, path)
+    roundTripAggregate(readOrc(spark, path))
+  }
+
+  /** The q209/q213 verification aggregate — selective filter + narrow
+    * projection (so pushdown/pruning sit on the hot path where the
+    * format supports them) + per-(lang, source) counts/sums/extrema
+    * whose DuckDB oracle reads the ORIGINAL parquet: green only if the
+    * format round-trip is value-lossless, multi-byte text included. */
+  private def roundTripAggregate(docs: DataFrame): DataFrame =
+    docs
       .filter(col("n_chars") > 200L)
       .select(col("lang"), col("source"), col("doc_id"), col("n_chars"),
         org.apache.spark.sql.functions.length(col("text")).as("text_len"))
@@ -202,6 +330,125 @@ object Sources {
         org.apache.spark.sql.functions.min(col("doc_id")).as("min_id"),
         org.apache.spark.sql.functions.max(col("doc_id")).as("max_id"))
       .orderBy(col("lang"), col("source"))
+
+  /** Avro schema for a flat primitive-column frame — the subset the
+    * catalog-free file route supports (nested types belong to the
+    * metastore surface or the walled `spark-avro` module). */
+  private def avroSchemaFor(st: org.apache.spark.sql.types.StructType)
+      : org.apache.avro.Schema = {
+    import org.apache.avro.Schema
+    import org.apache.spark.sql.types._
+    val fields = st.fields.map { f =>
+      val base = f.dataType match {
+        case LongType    => Schema.create(Schema.Type.LONG)
+        case IntegerType => Schema.create(Schema.Type.INT)
+        case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+        case FloatType   => Schema.create(Schema.Type.FLOAT)
+        case StringType  => Schema.create(Schema.Type.STRING)
+        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+        case BinaryType  => Schema.create(Schema.Type.BYTES)
+        case other => sys.error(
+          s"avro file route supports primitive columns, not $other " +
+          "(use the s30 metastore surface for complex types)")
+      }
+      if (f.nullable)
+        new Schema.Field(f.name,
+          Schema.createUnion(Schema.create(Schema.Type.NULL), base),
+          null, Schema.Field.NULL_DEFAULT_VALUE)
+      else new Schema.Field(f.name, base, null, null.asInstanceOf[Object])
+    }
+    Schema.createRecord("graft_row", null, "graft", false,
+      java.util.Arrays.asList(fields: _*))
+  }
+
+  /** s30 file half: standard .avro CONTAINER files on a path — no
+    * catalog, no `spark-avro` module, just the avro-mapred Hadoop I/O
+    * the platform already ships. Rows convert to GenericRecords
+    * partition-locally (no shuffle — the map and the write share a
+    * stage) and any Avro tool reads the output. This is the route the
+    * DRIVER-GATED q213 uses, because the correctness session runs
+    * without a Hive catalog; the metastore surface
+    * ([[writePartitionedAvroTable]]) is the warehouse-facing twin. */
+  def writeAvroFiles(df: DataFrame, path: String): Unit = {
+    import org.apache.avro.generic.{GenericData, GenericRecord}
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.{AvroJob, AvroKeyOutputFormat}
+    import org.apache.hadoop.io.NullWritable
+    val spark = df.sparkSession
+    val schemaJson = avroSchemaFor(df.schema).toString
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () } // Overwrite semantics
+    val job = org.apache.hadoop.mapreduce.Job
+      .getInstance(spark.sparkContext.hadoopConfiguration)
+    AvroJob.setOutputKeySchema(job,
+      new org.apache.avro.Schema.Parser().parse(schemaJson))
+    val names = df.schema.fieldNames
+    df.rdd.mapPartitions { it =>
+      val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+      it.map { row =>
+        val rec = new GenericData.Record(schema)
+        var i = 0
+        while (i < names.length) {
+          rec.put(names(i), row.get(i) match {
+            case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+            case x => x
+          })
+          i += 1
+        }
+        (new AvroKey[GenericRecord](rec), NullWritable.get())
+      }
+    }.saveAsNewAPIHadoopFile(path, classOf[AvroKey[GenericRecord]],
+      classOf[NullWritable], classOf[AvroKeyOutputFormat[GenericRecord]],
+      job.getConfiguration)
+  }
+
+  /** Read [[writeAvroFiles]] output back into a frame with `schema`.
+    * Values copy out of the record INSIDE the reading map (Hadoop
+    * record readers reuse objects — holding a reference across rows
+    * would alias), Utf8 → String and ByteBuffer → Array[Byte] at the
+    * seam. */
+  def readAvroFiles(spark: SparkSession, path: String,
+                    schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.avro.generic.GenericRecord
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.AvroKeyInputFormat
+    import org.apache.hadoop.io.NullWritable
+    val names = schema.fieldNames
+    val rows = spark.sparkContext.newAPIHadoopFile(
+        path, classOf[AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]], classOf[NullWritable])
+      .map { case (k, _) =>
+        val rec = k.datum()
+        org.apache.spark.sql.Row.fromSeq(names.toIndexedSeq.map { n =>
+          rec.get(n) match {
+            case u: org.apache.avro.util.Utf8 => u.toString
+            case bb: java.nio.ByteBuffer =>
+              val a = new Array[Byte](bb.remaining()); bb.get(a); a
+            case x => x
+          }
+        })
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** q213: the s30 Avro surface as a driver-gated query — documents
+    * round-tripped through REAL .avro container files (the catalog-
+    * free avro-mapred route; the correctness session has no Hive
+    * catalog) and aggregated per (lang, source) against the same
+    * original-parquet oracle as q209. Path keyed by the dataset dir
+    * (the q209 clobber lesson). */
+  def q213AvroDocuments(spark: SparkSession, documents: DataFrame,
+                        datasetDir: String): DataFrame = {
+    val key = datasetDir.replaceAll("[^A-Za-z0-9]", "_")
+    // no leading underscore: FileInputFormat's hidden-file filter
+    // applies to its own input glob, so a `_`-prefixed staging dir is
+    // invisible to the very reader that must consume it
+    val path = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_avro_stage_$key").toString
+    writeAvroFiles(documents, path)
+    roundTripAggregate(readAvroFiles(spark, path, documents.schema))
   }
 
   /** m01: dynamic-partition INSERT OVERWRITE to a path — replaces ONLY

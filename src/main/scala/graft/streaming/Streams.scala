@@ -785,19 +785,56 @@ object Streams {
     * guarded and fresh-digest appends anti-join, so a replay cannot
     * change labels or duplicate index rows (spec'd: double-append is
     * a label no-op). State lives in the lake tables, not a state
-    * store; per-batch work ∝ batch grams + candidate collisions. */
+    * store; per-batch work ∝ batch grams + candidate collisions.
+    *
+    * Stats cadence (r17 review): the index appends go through the
+    * autogather path, which would fire one ANALYZE job per micro-batch
+    * forever. Each batch body runs under
+    * [[graft.sources.Sources.deferringStats]] (appends only RECORD
+    * their tables) and [[flushStatsOnClose]] gathers once at query
+    * termination — batch job counts stay flat and the catalog row
+    * counts are current again by stream close. */
   def startClusterMaintenance(docs: DataFrame, indexName: String,
                               checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val query = docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        _: Long) =>
-        graft.operators.ClusterIndex.append(
-          batch.select(col("doc_id"), col("text")), indexName)
+        graft.sources.Sources.deferringStats(batch.sparkSession) {
+          graft.operators.ClusterIndex.append(
+            batch.select(col("doc_id"), col("text")), indexName)
+        }
         ()
       }
       .start()
+    flushStatsOnClose(spark, query)
+  }
+
+  /** Gather every stat deferred during `query`'s micro-batches once,
+    * at termination — the close-of-stream half of the autogather
+    * debounce. Self-removing listener; termination events fire on
+    * stop() AND on failure, so a crashed stream still leaves gathered
+    * stats behind for the next planner. */
+  private[graft] def flushStatsOnClose(spark: org.apache.spark.sql.SparkSession,
+      query: org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          graft.sources.Sources.flushDeferredStats(spark)
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    query
+  }
 
   /** st25: streaming URL-DEDUP gate — the crawl-frontier twin of st20,
     * keyed on the CANONICAL URL instead of the text digest: each

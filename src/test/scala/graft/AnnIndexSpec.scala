@@ -209,16 +209,70 @@ class AnnIndexSpec extends GraftSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("s29 HNSW: loaded-index search == live searchHnsw at the pinned shard layout, bit for bit") {
+    fitted
+    val q = batch(0, 10)
+    // the artifact persists the EXPLICIT shard layout (shardOf, 8
+    // shards); a live build pinned to the same layout walks identical
+    // graphs — the decode side of toBytes is bit-exact, so served
+    // (qid, nid, cos, rk) frames match to the last double bit
+    assert(rows(AnnIndex.searchHnsw(q, Name)) ==
+      rows(Similarity.searchHnsw(q, corpus,
+        nShards = Some(AnnIndex.DefaultBuckets))))
+  }
+
+  test("s29 HNSW append: untouched shards byte-identical, all ids covered, served") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.HnswGraph
+    val IncName = "graft_annix_hnswinc"
+    AnnIndex.drop(spark, IncName)
+    val old = corpus.filter(col("vec_id") < 400)
+    val fresh = corpus.filter(col("vec_id") >= 400)
+    AnnIndex.fit(old, IncName)
+    def payloads(): Map[Int, Array[Byte]] =
+      spark.table(AnnIndex.hnswTable(IncName)).collect()
+        .map(r => r.getInt(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    val before = payloads()
+    AnnIndex.append(fresh, IncName)
+    val after = payloads()
+    // coverage: the union of shard graphs holds EXACTLY old ∪ new ids,
+    // each id in its deterministic shard
+    val allIds = corpus.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val shardIds = after.map { case (s, b) =>
+      val g = HnswGraph.fromBytes(b)
+      g.idList.foreach(id => assert(HnswGraph.shardOf(id, 8) == s, (id, s)))
+      s -> g.idList.toSet
+    }
+    assert(shardIds.values.flatten.toSet == allIds)
+    // a shard no new id hashed into passes through byte-identical —
+    // append is a read-modify-write of TOUCHED shards only
+    val freshIds = fresh.select(col("vec_id")).collect().map(_.getLong(0))
+    val touched = freshIds.map(HnswGraph.shardOf(_, 8)).toSet
+    before.foreach { case (s, b) =>
+      if (!touched.contains(s))
+        assert(java.util.Arrays.equals(after(s), b), s"shard $s rewritten")
+    }
+    assert(touched.exists(s => before.contains(s) &&
+      !java.util.Arrays.equals(after(s), before(s))))
+    // the grown index serves appended ids (an appended vector is its
+    // own nearest neighbor at cos 1)
+    val q = corpus.filter(col("vec_id") >= 400 && col("vec_id") < 405)
+    val top1 = AnnIndex.searchHnsw(q, IncName, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    top1.foreach { case (qid, nid) => assert(qid == nid, top1) }
+  }
+
   test("s11 recall probe: per-path index health report, deterministic probe set") {
     fitted
     val rep = AnnIndex.recallProbe(spark, Name).collect()
       .map(r => r.getAs[String]("path") -> r.getAs[Double]("recall")).toMap
-    assert(rep.keySet == Set("lsh", "ivf", "int8", "pq", "ivf_pq"))
+    assert(rep.keySet == Set("lsh", "ivf", "int8", "pq", "ivf_pq", "hnsw"))
     rep.values.foreach(r => assert(r >= 0.0 && r <= 1.0))
     // the quantized paths hold their spec floors on the probe set too
     assert(rep("int8") >= 0.9, rep)
     assert(rep("pq") >= 0.8, rep)
     assert(rep("lsh") >= 0.5 && rep("ivf") >= 0.6 && rep("ivf_pq") >= 0.6, rep)
+    assert(rep("hnsw") >= 0.9, rep)
     // same probe set every run ⇒ identical report (the comparability
     // contract successive health checks rely on)
     val again = AnnIndex.recallProbe(spark, Name).collect()

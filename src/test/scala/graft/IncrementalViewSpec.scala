@@ -123,4 +123,74 @@ class IncrementalViewSpec extends GraftSpec {
       .agg(count(lit(1)).cast("long").as("n"), sum(col("v")).as("s"))
     assert(got == rows(full), got)
   }
+
+  private def joinRecompute(a: String, b: String) = {
+    import org.apache.spark.sql.functions._
+    SnapshotTable.read(spark, a).join(SnapshotTable.read(spark, b), Seq("k"))
+      .groupBy("g")
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("va")).as("sa"),
+        min(col("vb")).as("mn"), max(col("vb")).as("mx"))
+  }
+
+  test("mv04 fact-join view: interleaved appends to BOTH bases fold == full recompute") {
+    val a = tmp("f2a"); val b = tmp("f2b"); val mv = tmp("f2mv")
+    // A(k, g, va) facts grouped by g; B(k, vb) facts; join on k —
+    // one-to-many on purpose (a delta A row multiplies by its OLD and
+    // NEW B matches, the part mv03's static dim could never exercise)
+    SnapshotTable.create(spark, a,
+      Seq((1L, "x", 10L), (2L, "y", 5L)).toDF("k", "g", "va"))
+    SnapshotTable.create(spark, b,
+      Seq((1L, 100L), (1L, 200L), (2L, 50L)).toDF("k", "vb"))
+    val jAggs = Seq(Agg("count", "", "n"), Agg("sum", "va", "sa"),
+      Agg("min", "vb", "mn"), Agg("max", "vb", "mx"))
+    IncrementalView.createJoin(spark, mv, a, b, Seq("k"), Seq("g"), jAggs)
+    assert(rows(IncrementalView.read(spark, mv)) == rows(joinRecompute(a, b)))
+
+    // round 1: ΔA only (joins OLD B rows — the ΔA⋈B_old term alone)
+    SnapshotTable.append(spark, a, Seq((1L, "x", 7L)).toDF("k", "g", "va"))
+    IncrementalView.refreshJoin(spark, mv)
+    assert(rows(IncrementalView.read(spark, mv)) == rows(joinRecompute(a, b)))
+
+    // round 2: ΔB only (the A_old⋈ΔB term — and it meets round 1's A
+    // row, which is now part of A_old at the advanced watermark)
+    SnapshotTable.append(spark, b, Seq((2L, 60L), (3L, 9L)).toDF("k", "vb"))
+    IncrementalView.refreshJoin(spark, mv)
+    assert(rows(IncrementalView.read(spark, mv)) == rows(joinRecompute(a, b)))
+
+    // round 3: BOTH move before one refresh — all three delta terms
+    // fire, including ΔA⋈ΔB (new A key 3 meets new B rows for key 3
+    // in the same range), plus a brand-new group key g=z
+    SnapshotTable.append(spark, a,
+      Seq((3L, "z", 4L), (1L, "x", 1L)).toDF("k", "g", "va"))
+    SnapshotTable.append(spark, b, Seq((3L, 70L), (1L, 300L)).toDF("k", "vb"))
+    val head = IncrementalView.refreshJoin(spark, mv)
+    val got = rows(IncrementalView.read(spark, mv))
+    assert(got == rows(joinRecompute(a, b)), got)
+    assert(got.exists(_.head == "z"), got)
+
+    // both watermarks ride the ONE manifest op tag; no-op when neither
+    // base moved; parity with the rebuild path
+    assert(SnapshotTable.snapshot(spark, mv, head).operation ==
+      s"imv2:${SnapshotTable.currentVersion(spark, a)}:" +
+      s"${SnapshotTable.currentVersion(spark, b)}")
+    assert(IncrementalView.refreshJoin(spark, mv) == head)
+    IncrementalView.fullRefreshJoin(spark, mv)
+    assert(rows(IncrementalView.read(spark, mv)) == got)
+  }
+
+  test("mv04 mutation on either base blocks refreshJoin; fullRefreshJoin recovers") {
+    val a = tmp("f2ma"); val b = tmp("f2mb"); val mv = tmp("f2mmv")
+    SnapshotTable.create(spark, a, Seq((1L, "x", 10L)).toDF("k", "g", "va"))
+    SnapshotTable.create(spark, b, Seq((1L, 100L)).toDF("k", "vb"))
+    IncrementalView.createJoin(spark, mv, a, b, Seq("k"), Seq("g"),
+      Seq(Agg("count", "", "n"), Agg("sum", "va", "sa"),
+        Agg("min", "vb", "mn"), Agg("max", "vb", "mx")))
+    SnapshotTable.deleteWhere(spark, b, "vb = 100")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalView.refreshJoin(spark, mv)
+    }
+    assert(e.getMessage.contains("fullRefreshJoin"), e.getMessage)
+    IncrementalView.fullRefreshJoin(spark, mv)
+    assert(rows(IncrementalView.read(spark, mv)) == rows(joinRecompute(a, b)))
+  }
 }

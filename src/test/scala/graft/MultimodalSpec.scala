@@ -975,6 +975,30 @@ class MultimodalSpec extends GraftSpec {
     assert(java.util.Arrays.equals(out.find(_._1 == 30L).get._2, fresh))
   }
 
+  test("q212 fully-embedded clip: all-cut scrub emits the empty payload, None on decode") {
+    import graft.operators.{FramedCodec, ImageIoCodec}
+    val vc = FramedCodec(ImageIoCodec)
+    val words = Seq("zebra crossing harbor", "quantum lattice drum",
+      "maroon velvet thunder", "glacier pepper axis", "orbit walnut hymn")
+    val f = words.map(w => Multimodal.renderImage(s"$w scene tokens", 48, 48))
+    val payload = vc.encode(f)
+    // every frame evidenced (one full-cover interval, plus a redundant
+    // overlap to exercise the merge): out must be EMPTY but the counts
+    // must still satisfy the q212Driver partition identity
+    val (out, n, cut, kept) =
+      Multimodal.scrubClipFrames(payload, Seq((0, 5), (2, 4)), vc)
+    assert(n == 5L && cut == 5L && kept == 0L, (n, cut, kept))
+    assert(out.isEmpty, s"expected empty payload, got ${out.length} bytes")
+    // ck01 contract: empty bytes are NOT a decodable container — a
+    // consumer must key off out_frames == 0, never decode(payload)
+    assert(vc.decode(out).isEmpty)
+    // partial cut on the same clip still round-trips normally
+    val (out2, n2, cut2, kept2) =
+      Multimodal.scrubClipFrames(payload, Seq((0, 3)), vc)
+    assert(n2 == 5L && cut2 == 3L && kept2 == 2L, (n2, cut2, kept2))
+    assert(vc.decode(out2).exists(_.numFrames == 2))
+  }
+
   test("q198 finds a re-voiced near-duplicate that byte identity misses") {
     // same token multiset, different case/order → identical synth audio
     val base = "storm river mountain valley cloud forest meadow stone pebble"

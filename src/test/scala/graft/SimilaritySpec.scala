@@ -63,9 +63,26 @@ class SimilaritySpec extends GraftSpec {
     val merged = (ga.search(q, 5, 256) ++ gb.search(q, 5, 256))
       .sortBy(p => (-p._2, p._1)).take(5).map(_._1)
     assert(merged == truth(q, 5))
+    // s29 payload round-trip: a deserialized graph is bit-identical
+    // (same bytes back) and keeps growing — hash-of-id levels mean
+    // load-then-add equals one continuous build with the same
+    // insertion sequence, byte for byte (no RNG state in the artifact)
+    val bytes = g.toBytes
+    val loaded = HnswGraph.fromBytes(bytes)
+    assert(java.util.Arrays.equals(loaded.toBytes, bytes))
+    assert(loaded.search(q, 5, 48) == g.search(q, 5, 48))
+    val extra = (200 until 230).map { i =>
+      val v = Array.fill(16)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(_ / n))
+    }
+    extra.foreach { case (id, v) => loaded.add(id, v) }
+    val continuous = new HnswGraph(m = 8, efConstruction = 64)
+    (vs ++ extra).foreach { case (id, v) => continuous.add(id, v) }
+    assert(java.util.Arrays.equals(loaded.toBytes, continuous.toBytes))
   }
 
-  test("q193 recall report: counts reconcile, floors hold for all five serving paths") {
+  test("q193 recall report: counts reconcile, floors hold for all six serving paths") {
     val emb = Tables.embeddings(spark, SF)
     val out = Similarity.q193(emb).collect()
       .map(r => r.getAs[String]("method") ->

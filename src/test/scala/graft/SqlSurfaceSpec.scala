@@ -320,6 +320,33 @@ class SqlSurfaceSpec extends GraftSpec {
     graft.Pins.release()
   }
 
+  test("round-18 views: video family answers through SQL text == the DataFrame API") {
+    Sql.registerTables(spark, SF)
+    val views = Sql.registerPipelineSql(spark)
+    Seq("graft_video_neardup", "graft_video_overlap", "graft_video_scrubbed")
+      .foreach(v => assert(views.contains(v), v))
+    // the q212 frame-partition identity holds through the SQL surface
+    assert(spark.sql(
+      """SELECT * FROM graft_video_scrubbed
+         WHERE out_frames <> n_frames - cut_frames
+            OR cut_frames < 0 OR cut_frames > n_frames""")
+      .collect().isEmpty)
+    // overlap evidence is positive and the near-dup report is the same
+    // frame the Scala API returns (SQL text == DataFrame API)
+    assert(spark.sql(
+      "SELECT * FROM graft_video_overlap WHERE run_frames <= 0")
+      .collect().isEmpty)
+    val viaSql = spark.sql(
+      "SELECT doc_a, doc_b FROM graft_video_neardup ORDER BY doc_a, doc_b")
+      .collect().map(_.toSeq).toSeq
+    val viaApi = graft.operators.Multimodal
+      .q210VideoNeardup(spark, spark.table("documents"))
+      .select("doc_a", "doc_b").orderBy("doc_a", "doc_b")
+      .collect().map(_.toSeq).toSeq
+    assert(viaSql == viaApi)
+    graft.Pins.release()
+  }
+
   test("round-12 views (q177–q182) answer through SQL text with their invariants") {
     Sql.registerTables(spark, SF)
     val views = Sql.registerPipelineSql(spark)

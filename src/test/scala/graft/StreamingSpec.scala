@@ -965,6 +965,48 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st36 autogather debounce: no per-batch ANALYZE, stats current by stream close") {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val ixName = "graft_st36_dbx"
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa base"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again ok")
+    ).toDF("doc_id", "text")
+    graft.operators.ClusterIndex.drop(spark, ixName)
+    graft.operators.ClusterIndex.fit(corpus, ixName)
+    val grams = graft.operators.ClusterIndex.gramsTable(ixName)
+    def statsRc: Option[BigInt] = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(grams)).stats.flatMap(_.rowCount)
+    val fitRc = statsRc
+    assert(fitRc.nonEmpty, "fit-time autogather should have recorded rowCount")
+    val ms = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-st36-dbx-ck").toString
+    val q = Streams.startClusterMaintenance(
+      ms.toDF().toDF("doc_id", "text"), ixName, ckpt)
+    try {
+      ms.addData((10L, "novel streamed family with many matching shingles here yes"))
+      q.processAllAvailable()
+      ms.addData((11L, "second novel family bringing yet more unseen shingles along now"))
+      q.processAllAvailable()
+      // the appends DEFERRED their gather: the insert itself
+      // invalidates the catalog rowCount (Spark drops stats on write
+      // so they can't go stale) and nothing re-gathered — had a
+      // per-batch ANALYZE run, this would be Some(current). Reads
+      // meanwhile estimate from live file sizes, the usual
+      // stats-absent path.
+      assert(statsRc.isEmpty, s"per-batch ANALYZE ran: $statsRc")
+      assert(spark.table(grams).count() > fitRc.get.toLong)
+    } finally q.stop()
+    // termination flushes the deferred gathers (async listener — poll)
+    val want = spark.table(grams).count()
+    val deadline = System.currentTimeMillis() + 30000
+    while (!statsRc.exists(_.toLong == want) &&
+      System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(statsRc.exists(_.toLong == want),
+      s"stats not refreshed by stream close: $statsRc vs $want")
+  }
+
   test("st25 streaming url-dedup gate: variant fetches drop across batches") {
     import org.apache.spark.sql.functions.col
     val ixName = "graft_st25_ix"
