@@ -164,6 +164,10 @@ final case class FakeBrokerHead(logDir: String, topic: String)
     graft.operators.LakeLock.withWriter(spark, lockName) {
       import spark.implicits._
       ensureDir(spark)
+      // O(log-size) max(offset) re-scan per append: acceptable for a
+      // SPEC FIXTURE feeding conformance() and the st-gate tests — a
+      // production head (Kafka) assigns offsets broker-side and never
+      // takes this path (r17 review, documented as such)
       val base =
         try spark.read.schema(StreamHead.TransportSchema).parquet(logDir)
           .filter(col("topic") === topic && col("partition") === partition)

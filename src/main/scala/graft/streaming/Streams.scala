@@ -335,6 +335,39 @@ object Streams {
       }
       .start()
 
+  /** st39: streaming FACT⋈FACT incremental-view maintenance — st31
+    * composed with mv04. TWO independent micro-batch streams each land
+    * atomically in their OWN s16 base via this helper (one call per
+    * side; commitBatchOnce keeps replays no-op), and after each commit
+    * the SHARED join view folds whatever BOTH bases have published
+    * past its two watermarks. The refresh itself serializes under a
+    * LakeLock on the view path: when the two streams' batches race,
+    * the loser SKIPS its refresh rather than corrupting or blocking —
+    * safe because refreshJoin folds every unfolded commit from both
+    * bases, so the next refresh (either stream's, or a terminal one)
+    * picks up the skipped delta; the view lags by at most one
+    * contended batch and never double-counts (the s16 publish is
+    * atomic, the watermarks ride the same commit). */
+  def startJoinViewSink(df: DataFrame, basePath: String, mvPath: String,
+                        checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          commitBatchOnce(batch.toDF(), batchId, basePath)
+          val spark = batch.sparkSession
+          val lockName = "graft_mv_" + mvPath.replaceAll("[^A-Za-z0-9]", "_")
+          try graft.operators.LakeLock.withWriter(spark, lockName) {
+            graft.sources.IncrementalView.refreshJoin(spark, mvPath)
+          } catch {
+            case _: IllegalStateException => () // contended: next refresh folds it
+          }
+        }
+        ()
+      }
+      .start()
+
   /** st10: streaming corpus dedup by CONTENT fingerprint — the
     * ingestion-time twin of batch q40: documents whose text hashes to
     * the same [[graft.functions.PolyFingerprint]] within the watermark

@@ -1007,6 +1007,49 @@ class StreamingSpec extends GraftSpec {
       s"stats not refreshed by stream close: $statsRc vs $want")
   }
 
+  test("st39 streaming fact-join view: two streams, interleaved batches, view tracks both bases") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{IncrementalView, SnapshotTable}
+    import graft.sources.IncrementalView.Agg
+    def tmp(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft-st39-$tag").toString + "/t"
+    val a = tmp("a"); val b = tmp("b"); val mv = tmp("mv")
+    SnapshotTable.create(spark, a,
+      Seq((1L, "x", 10L), (2L, "y", 5L)).toDF("k", "g", "va"))
+    SnapshotTable.create(spark, b,
+      Seq((1L, 100L), (2L, 50L)).toDF("k", "vb"))
+    IncrementalView.createJoin(spark, mv, a, b, Seq("k"), Seq("g"),
+      Seq(Agg("count", "", "n"), Agg("sum", "va", "sa"),
+        Agg("max", "vb", "mx")))
+    def full() = SnapshotTable.read(spark, a)
+      .join(SnapshotTable.read(spark, b), Seq("k")).groupBy("g")
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("va")).as("sa"),
+        max(col("vb")).as("mx"))
+      .collect().map(_.toSeq).toSet
+    def view() = IncrementalView.read(spark, mv)
+      .collect().map(_.toSeq).toSet
+    val msA = MemoryStream[(Long, String, Long)]
+    val msB = MemoryStream[(Long, Long)]
+    val qA = Streams.startJoinViewSink(msA.toDF().toDF("k", "g", "va"),
+      a, mv, tmp("cka"))
+    val qB = Streams.startJoinViewSink(msB.toDF().toDF("k", "vb"),
+      b, mv, tmp("ckb"))
+    try {
+      // ΔA meets OLD B rows
+      msA.addData((1L, "x", 7L)); qA.processAllAvailable()
+      assert(view() == full(), view())
+      // ΔB meets A_old which now INCLUDES the prior streamed A row
+      msB.addData((2L, 60L), (3L, 9L)); qB.processAllAvailable()
+      assert(view() == full(), view())
+      // a new key arrives on A then its match on B — two refreshes,
+      // the second folds the ΔA⋈ΔB-equivalent via its own watermarks
+      msA.addData((3L, "z", 4L)); qA.processAllAvailable()
+      msB.addData((3L, 70L)); qB.processAllAvailable()
+      assert(view() == full(), view())
+      assert(view().exists(_.head == "z"), view())
+    } finally { qA.stop(); qB.stop() }
+  }
+
   test("st25 streaming url-dedup gate: variant fetches drop across batches") {
     import org.apache.spark.sql.functions.col
     val ixName = "graft_st25_ix"
