@@ -130,7 +130,8 @@ class AnnIndexSpec extends GraftSpec {
                      AnnIndex.searchIvf(q2, Name),
                      AnnIndex.searchInt8(q2, Name),
                      AnnIndex.searchPq(q2, Name),
-                     AnnIndex.searchIvfPq(q2, Name)).map(formattedPlan)) {
+                     AnnIndex.searchIvfPq(q2, Name),
+                     AnnIndex.searchHnsw(q2, Name)).map(formattedPlan)) {
       assert(!plan.contains(corpusPath), "serving plan scans the corpus:\n" + plan)
     }
     // the probe-key IN filter reaches the postings SCAN (pushed, bucket

@@ -1050,6 +1050,43 @@ class StreamingSpec extends GraftSpec {
     } finally { qA.stop(); qB.stop() }
   }
 
+  test("st39 contended refresh skips without failing; the next batch folds the backlog") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{IncrementalView, SnapshotTable}
+    import graft.sources.IncrementalView.Agg
+    def tmp(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft-st39c-$tag").toString + "/t"
+    val a = tmp("a"); val b = tmp("b"); val mv = tmp("mv")
+    SnapshotTable.create(spark, a, Seq((1L, "x", 10L)).toDF("k", "g", "va"))
+    SnapshotTable.create(spark, b, Seq((1L, 100L)).toDF("k", "vb"))
+    IncrementalView.createJoin(spark, mv, a, b, Seq("k"), Seq("g"),
+      Seq(Agg("count", "", "n"), Agg("sum", "va", "sa")))
+    val lockName = "graft_mv_" + mv.replaceAll("[^A-Za-z0-9]", "_")
+    val ms = MemoryStream[(Long, String, Long)]
+    val q = Streams.startJoinViewSink(ms.toDF().toDF("k", "g", "va"),
+      a, mv, tmp("ck"))
+    try {
+      // another writer holds the view's lock: the batch must still
+      // COMMIT to the base (ingest never blocks on the view) and the
+      // stream must not die — the refresh is the part that skips
+      graft.operators.LakeLock.withWriter(spark, lockName) {
+        ms.addData((1L, "x", 7L))
+        q.processAllAvailable()
+      }
+      assert(q.isActive, "stream died on refresh contention")
+      assert(SnapshotTable.read(spark, a).count() == 2L) // commit landed
+      val stale = IncrementalView.read(spark, mv).collect()
+        .map(_.toSeq).toSet
+      assert(stale == Set(Seq("x", 1L, 10L)), stale) // view lags, by design
+      // lock released: the next batch's refresh folds BOTH deltas
+      ms.addData((1L, "x", 2L))
+      q.processAllAvailable()
+      val caught = IncrementalView.read(spark, mv).collect()
+        .map(_.toSeq).toSet
+      assert(caught == Set(Seq("x", 3L, 19L)), caught)
+    } finally q.stop()
+  }
+
   test("st25 streaming url-dedup gate: variant fetches drop across batches") {
     import org.apache.spark.sql.functions.col
     val ixName = "graft_st25_ix"
