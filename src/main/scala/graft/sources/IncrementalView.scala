@@ -255,6 +255,13 @@ object IncrementalView {
 
   private final val Def2Header = "graft-imv2-v1"
 
+  /** Max distinct values per join-key column collected driver-side for
+    * refreshJoin's base-scan pruning — the m02 partition-list class of
+    * collect (commit-key-sized, never data-sized); past the cap the
+    * column's IN filter is skipped and that term degrades to the plain
+    * base scan. */
+  private final val KeyPruneCap = 10000
+
   private def def2Path(path: String) = new Path(path, "_graft_imv2_def")
 
   private def writeDef2(spark: SparkSession, path: String, d: Def2): Unit = {
@@ -349,11 +356,28 @@ object IncrementalView {
         })
     val dA = changes(d.basePathA, fromA, vA)
     val dB = changes(d.basePathB, fromB, vB)
+    // Key-prune the base side of each cross term: the delta's DISTINCT
+    // join-key values are commit-sized, so an IN predicate per key
+    // column is a NECESSARY condition of the equi-join that reaches
+    // the base's parquet scan as a pushed filter — row groups holding
+    // no matched key never decompress. This is what turns "O(Δ ⋈
+    // base)" from a full base scan into a scan of the files that can
+    // match. Sound as a PRE-filter (the join still applies the exact
+    // multi-column condition); skipped per column past `KeyPruneCap`
+    // distinct values, where the IN list itself would stop being
+    // metadata-sized.
+    def keyPrune(base: DataFrame, delta: DataFrame): DataFrame =
+      d.joinKeys.foldLeft(base) { (acc, k) =>
+        val vals = delta.select(col(k)).distinct()
+          .limit(KeyPruneCap + 1).collect().map(_.get(0))
+        if (vals.length > KeyPruneCap || vals.contains(null)) acc
+        else acc.filter(col(k).isin(vals.toIndexedSeq: _*))
+      }
     val aOld = SnapshotTable.read(spark, d.basePathA, Some(fromA))
     val bOld = SnapshotTable.read(spark, d.basePathB, Some(fromB))
     val terms = Seq(
-      dA.map(da => aggregateJoin(da, bOld, d, broadcastSide = 1)),
-      dB.map(db => aggregateJoin(aOld, db, d, broadcastSide = 2)),
+      dA.map(da => aggregateJoin(da, keyPrune(bOld, da), d, broadcastSide = 1)),
+      dB.map(db => aggregateJoin(keyPrune(aOld, db), db, d, broadcastSide = 2)),
       (dA, dB) match {
         case (Some(da), Some(db)) => Some(aggregateJoin(da, db, d,
           broadcastSide = 1))

@@ -263,6 +263,39 @@ class AnnIndexSpec extends GraftSpec {
     top1.foreach { case (qid, nid) => assert(qid == nid, top1) }
   }
 
+  test("s29 HNSW append into an EMPTY shard builds a fresh graph there") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.HnswGraph
+    val Name64 = "graft_annix_hnsw64"
+    // 64 shards over 30 vectors: most shards are EMPTY at fit time
+    // (the full family fits at its own bucket count; the hnsw artifact
+    // refits at 64 so the empty-shard append branch is reachable)
+    val tiny = corpus.filter(col("vec_id") < 30)
+    AnnIndex.drop(spark, Name64)
+    AnnIndex.fit(tiny, Name64, buckets = 4)
+    AnnIndex.fitHnsw(tiny, Name64, nShards = 64)
+    val occupied = spark.table(AnnIndex.hnswTable(Name64))
+      .select(col("shard")).collect().map(_.getInt(0)).toSet
+    assert(occupied.size < 64,
+      s"expected empty shards at 30 ids / 64 shards, got ${occupied.size}")
+    // pick an id that hashes into a currently-empty shard: the
+    // cogroup's None branch must CREATE that shard's graph
+    val pool = corpus.filter(col("vec_id") >= 30 && col("vec_id") < 200)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    val newId = pool.find(id => !occupied.contains(HnswGraph.shardOf(id, 64)))
+      .getOrElse(sys.error("no id hashed into an empty shard — widen the pool"))
+    AnnIndex.append(corpus.filter(col("vec_id") === newId), Name64)
+    val shards2 = spark.table(AnnIndex.hnswTable(Name64))
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    val s = HnswGraph.shardOf(newId, 64)
+    assert(shards2.contains(s), s"empty shard $s not created on append")
+    assert(HnswGraph.fromBytes(shards2(s)).idList == Seq(newId))
+    // and it serves: the appended vector is its own nearest neighbor
+    val top = AnnIndex.searchHnsw(
+      corpus.filter(col("vec_id") === newId), Name64, k = 1).collect()
+    assert(top.length == 1 && top.head.getLong(1) == newId, top.toSeq)
+  }
+
   test("s11 recall probe: per-path index health report, deterministic probe set") {
     fitted
     val rep = AnnIndex.recallProbe(spark, Name).collect()

@@ -168,14 +168,23 @@ class IncrementalViewSpec extends GraftSpec {
     assert(got == rows(joinRecompute(a, b)), got)
     assert(got.exists(_.head == "z"), got)
 
+    // round 4: a ΔB with a NULL join key — null keys never equi-join,
+    // the key-prune pre-filter takes its conservative skip branch, and
+    // the fold still matches the full recompute
+    SnapshotTable.append(spark, b,
+      Seq((Option.empty[java.lang.Long], 80L),
+        (Option(java.lang.Long.valueOf(1L)), 400L)).toDF("k", "vb"))
+    val head2 = IncrementalView.refreshJoin(spark, mv)
+    assert(rows(IncrementalView.read(spark, mv)) == rows(joinRecompute(a, b)))
+
     // both watermarks ride the ONE manifest op tag; no-op when neither
     // base moved; parity with the rebuild path
-    assert(SnapshotTable.snapshot(spark, mv, head).operation ==
+    assert(SnapshotTable.snapshot(spark, mv, head2).operation ==
       s"imv2:${SnapshotTable.currentVersion(spark, a)}:" +
       s"${SnapshotTable.currentVersion(spark, b)}")
-    assert(IncrementalView.refreshJoin(spark, mv) == head)
+    assert(IncrementalView.refreshJoin(spark, mv) == head2)
     IncrementalView.fullRefreshJoin(spark, mv)
-    assert(rows(IncrementalView.read(spark, mv)) == got)
+    assert(rows(IncrementalView.read(spark, mv)) == rows(joinRecompute(a, b)))
   }
 
   test("mv04 mutation on either base blocks refreshJoin; fullRefreshJoin recovers") {
