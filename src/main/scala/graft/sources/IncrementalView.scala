@@ -294,15 +294,10 @@ object IncrementalView {
       })
   }
 
-  private def aggregateJoin(a: DataFrame, b: DataFrame, d: Def2,
-                            broadcastSide: Int = 0): DataFrame = {
-    val joined = broadcastSide match {
-      case 1 => broadcast(a).join(b, d.joinKeys)          // delta ⋈ base
-      case 2 => a.join(broadcast(b), d.joinKeys)          // base ⋈ delta
-      case _ => a.join(b, d.joinKeys)                     // create/rebuild
-    }
+  private def aggregateJoin(a: DataFrame, b: DataFrame, d: Def2): DataFrame = {
     val cols = aggCols(d.aggs)
-    joined.groupBy(d.keys.map(col): _*).agg(cols.head, cols.tail: _*)
+    a.join(b, d.joinKeys).groupBy(d.keys.map(col): _*)
+      .agg(cols.head, cols.tail: _*)
   }
 
   private def watermark2(spark: SparkSession, path: String): (Long, Long) = {
@@ -375,17 +370,23 @@ object IncrementalView {
       }
     val aOld = SnapshotTable.read(spark, d.basePathA, Some(fromA))
     val bOld = SnapshotTable.read(spark, d.basePathB, Some(fromB))
+    // ROW-level delta terms union BEFORE the one aggregate — one
+    // partial-agg job and one algebraic merge instead of three of each
+    // (ProbeR18: the refresh's fixed cost is job-count-dominated at
+    // small deltas, so term fan-in is the lever). Delta sides ride
+    // broadcasts; A columns lead in every term so unionByName is
+    // positional-safe too.
     val terms = Seq(
-      dA.map(da => aggregateJoin(da, keyPrune(bOld, da), d, broadcastSide = 1)),
-      dB.map(db => aggregateJoin(keyPrune(aOld, db), db, d, broadcastSide = 2)),
+      dA.map(da => broadcast(da).join(keyPrune(bOld, da), d.joinKeys)),
+      dB.map(db => keyPrune(aOld, db).join(broadcast(db), d.joinKeys)),
       (dA, dB) match {
-        case (Some(da), Some(db)) => Some(aggregateJoin(da, db, d,
-          broadcastSide = 1))
+        case (Some(da), Some(db)) => Some(broadcast(da).join(db, d.joinKeys))
         case _ => None
       }).flatten
-    val merged = terms.foldLeft(read(spark, mvPath)) { (acc, t) =>
-      merge(acc, t, Def(d.basePathA, d.keys, d.aggs))
-    }
+    val deltaRows = terms.reduce(_.unionByName(_))
+    val folded = aggregate(deltaRows, Def(d.basePathA, d.keys, d.aggs))
+    val merged = merge(read(spark, mvPath), folded,
+      Def(d.basePathA, d.keys, d.aggs))
     SnapshotTable.overwrite(spark, mvPath, merged, s"imv2:$vA:$vB")
   }
 
