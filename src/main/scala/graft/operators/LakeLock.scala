@@ -26,6 +26,14 @@ import org.apache.spark.sql.SparkSession
   */
 object LakeLock {
 
+  /** The lock-conflict signal — a SUBCLASS of IllegalStateException so
+    * every existing catch keeps working, but callers that must only
+    * swallow CONTENTION (st39's skip-on-contended-refresh) can match
+    * this type and let a genuinely unexpected IllegalStateException
+    * from the body propagate instead of being misread as "another
+    * writer holds the lock". */
+  final class Contended(msg: String) extends IllegalStateException(msg)
+
   private def lockPath(spark: SparkSession, name: String): Path =
     new Path(spark.conf.get("spark.sql.warehouse.dir"),
       s"$name._graft_writer.lock")
@@ -53,7 +61,7 @@ object LakeLock {
       // storms instead of surfacing the real error
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
            _: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalStateException(
+        throw new Contended(
           s"index '$name' is SINGLE-WRITER: another fit/append holds " +
           s"$p. Lake tables have no snapshot isolation (the open-table-" +
           "format dependency wall); retry after the other writer " +

@@ -156,13 +156,26 @@ object IncrementalView {
     o.join(n, cond, "full_outer").select(keyCols ++ mergedAggs: _*)
   }
 
-  private def watermark(spark: SparkSession, path: String): Long = {
-    val head = SnapshotTable.currentVersion(spark, path)
-    val op = SnapshotTable.snapshot(spark, path, head).operation
+  private def watermark(spark: SparkSession, path: String,
+                        atVersion: Long): Long = {
+    val op = SnapshotTable.snapshot(spark, path, atVersion).operation
     require(op.startsWith("imv:"),
-      s"$path head v$head has operation '$op' — not an incremental view")
+      s"$path v$atVersion has operation '$op' — not an incremental view")
     op.stripPrefix("imv:").toLong
   }
+
+  /** Every refresh (mv02 and mv04) serializes under this view-level
+    * writer lock — a DIFFERENT key from the publish lock `SnapshotTable
+    * .overwrite` takes internally, because the race it closes is wider
+    * than the publish: a refresh reads the view head twice (watermark
+    * parse + stored-aggregate read) and folds a delta computed against
+    * that head, so TWO concurrent refreshes could each fold the same
+    * delta over the other's published state (double-count). Contention
+    * throws [[graft.operators.LakeLock.Contended]]; streaming callers
+    * skip on it (the next refresh folds everything unfolded — see
+    * st39), batch callers retry or surface it. */
+  private[graft] def refreshLock(spark: SparkSession, mvPath: String): String =
+    "imv_" + SnapshotTable.lockName(spark, mvPath)
 
   /** Create the view over `basePath` (must already exist): aggregate
     * the base head and publish as v1 tagged with the base watermark.
@@ -186,23 +199,31 @@ object IncrementalView {
     * version back) when the base hasn't moved. Fails loudly — naming
     * [[fullRefresh]] — if the range contains a mutating base commit;
     * it never guesses. */
-  def refresh(spark: SparkSession, mvPath: String): Long = {
-    val d = readDef(spark, mvPath)
-    val from = watermark(spark, mvPath)
-    val baseV = SnapshotTable.currentVersion(spark, d.basePath)
-    if (baseV == from) return SnapshotTable.currentVersion(spark, mvPath)
-    val delta =
-      try SnapshotTable.readChanges(spark, d.basePath, from, baseV)
-      catch {
-        case e: IllegalArgumentException => throw new IllegalArgumentException(
-          s"incremental refresh of $mvPath blocked: ${e.getMessage}; " +
-          "run IncrementalView.fullRefresh to rebuild from the base head",
-          e)
+  def refresh(spark: SparkSession, mvPath: String): Long =
+    graft.operators.LakeLock.withWriter(spark, refreshLock(spark, mvPath)) {
+      val d = readDef(spark, mvPath)
+      // pin ONE view version for both the watermark parse and the
+      // stored-aggregate read (the two must describe the same state;
+      // the refresh lock already excludes concurrent refreshes, the pin
+      // additionally hardens against any out-of-band overwrite)
+      val mvV = SnapshotTable.currentVersion(spark, mvPath)
+      val from = watermark(spark, mvPath, mvV)
+      val baseV = SnapshotTable.currentVersion(spark, d.basePath)
+      if (baseV == from) mvV
+      else {
+        val delta =
+          try SnapshotTable.readChanges(spark, d.basePath, from, baseV)
+          catch {
+            case e: IllegalArgumentException => throw new IllegalArgumentException(
+              s"incremental refresh of $mvPath blocked: ${e.getMessage}; " +
+              "run IncrementalView.fullRefresh to rebuild from the base head",
+              e)
+          }
+        val merged = merge(read(spark, mvPath, Some(mvV)),
+          aggregate(delta.drop("_commit_version"), d), d)
+        SnapshotTable.overwrite(spark, mvPath, merged, s"imv:$baseV")
       }
-    val merged = merge(read(spark, mvPath),
-      aggregate(delta.drop("_commit_version"), d), d)
-    SnapshotTable.overwrite(spark, mvPath, merged, s"imv:$baseV")
-  }
+    }
 
   /** Rebuild from the base head (the mv01 REBUILD semantics) and reset
     * the watermark — the escape hatch after base mutations. */
@@ -219,6 +240,12 @@ object IncrementalView {
   def read(spark: SparkSession, mvPath: String,
            version: Option[Long] = None): DataFrame =
     SnapshotTable.read(spark, mvPath, version)
+
+  /** Is the view at `mvPath` a FACT⋈FACT join view (mv04) rather than
+    * a single-base view (mv02/mv03)? The sql08 REFRESH statement keys
+    * its dispatch on this. */
+  def isJoinView(spark: SparkSession, mvPath: String): Boolean =
+    fsOf(spark, mvPath).exists(def2Path(mvPath))
 
   // ------------------------------------------------------------- mv04
 
@@ -237,9 +264,11 @@ object IncrementalView {
     * exactly those versions — a concurrent append to either base
     * during refresh cannot skew the delta.
     *
-    * Refresh cost is O(Δ ⋈ base) — the two cross terms each join a
-    * commit-sized delta (broadcast) against one base's pre-delta
-    * snapshot, never base ⋈ base. That is the honest lower bound for
+    * Refresh cost is O(Δ ⋈ base) — the two cross terms each join the
+    * delta (broadcast-hinted only while it counts under
+    * [[DeltaBroadcastMaxRows]]; a multi-commit catch-up range takes
+    * the shuffle join) against one base's pre-delta snapshot, never
+    * base ⋈ base. That is the honest lower bound for
     * join-view maintenance (each new A row must meet every matching
     * OLD B row); at 100 TB the base-side scans prune like any keyed
     * broadcast join over a partitioned lake table. The same change-
@@ -300,14 +329,26 @@ object IncrementalView {
       .agg(cols.head, cols.tail: _*)
   }
 
-  private def watermark2(spark: SparkSession, path: String): (Long, Long) = {
-    val head = SnapshotTable.currentVersion(spark, path)
-    val op = SnapshotTable.snapshot(spark, path, head).operation
+  private def watermark2(spark: SparkSession, path: String,
+                         atVersion: Long): (Long, Long) = {
+    val op = SnapshotTable.snapshot(spark, path, atVersion).operation
     require(op.startsWith("imv2:"),
-      s"$path head v$head has operation '$op' — not an incremental join view")
+      s"$path v$atVersion has operation '$op' — not an incremental join view")
     val parts = op.stripPrefix("imv2:").split(":")
     (parts(0).toLong, parts(1).toLong)
   }
+
+  /** Max delta rows that still ride a `broadcast()` hint in
+    * [[refreshJoin]]'s cross terms. A delta is usually commit-sized,
+    * but nothing guarantees it: a backfill commit, or a st39 stream
+    * catching up after downtime, hands refreshJoin a MULTI-commit
+    * range — and an unconditional broadcast hint on an unbounded frame
+    * is an executor/driver OOM, not a slow query (the q46 lesson:
+    * ceiling + distributed fallback, never hint blind). Past the cap
+    * the term degrades to a plain shuffle join — AQE still broadcasts
+    * at runtime if the delta turns out small enough, so the cap only
+    * removes the FORCED hint, never a beneficial one. */
+  val DeltaBroadcastMaxRows: Long = 2L * 1000 * 1000
 
   /** Create the join view: aggregate A@vA ⋈ B@vB, publish as v1 tagged
     * with both base watermarks. */
@@ -331,13 +372,20 @@ object IncrementalView {
   /** Incremental refresh of a join view: three delta terms, one merge,
     * one atomic publish advancing BOTH watermarks. No-op when neither
     * base moved. */
-  def refreshJoin(spark: SparkSession, mvPath: String): Long = {
+  def refreshJoin(spark: SparkSession, mvPath: String,
+                  broadcastMaxRows: Long = DeltaBroadcastMaxRows): Long =
+    graft.operators.LakeLock.withWriter(spark, refreshLock(spark, mvPath)) {
     val d = readDef2(spark, mvPath)
-    val (fromA, fromB) = watermark2(spark, mvPath)
+    // ONE pinned view version serves both the watermark parse and the
+    // stored-aggregate read below — under the refresh lock nothing can
+    // publish between them, and the pin keeps the two consistent even
+    // against an out-of-band overwrite
+    val mvV = SnapshotTable.currentVersion(spark, mvPath)
+    val (fromA, fromB) = watermark2(spark, mvPath, mvV)
     val vA = SnapshotTable.currentVersion(spark, d.basePathA)
     val vB = SnapshotTable.currentVersion(spark, d.basePathB)
-    if (vA == fromA && vB == fromB)
-      return SnapshotTable.currentVersion(spark, mvPath)
+    if (vA == fromA && vB == fromB) mvV
+    else {
     def changes(path: String, from: Long, to: Long): Option[DataFrame] =
       if (to == from) None
       else Some(
@@ -351,6 +399,14 @@ object IncrementalView {
         })
     val dA = changes(d.basePathA, fromA, vA)
     val dB = changes(d.basePathB, fromB, vB)
+    // SIZE-GATED broadcast hints: one count per delta (commit-file
+    // metadata-cheap) decides hint vs plain join — see
+    // [[DeltaBroadcastMaxRows]] for why the unconditional hint was a
+    // 100×-scale hazard
+    val nA = dA.map(_.count()).getOrElse(0L)
+    val nB = dB.map(_.count()).getOrElse(0L)
+    def hinted(df: DataFrame, n: Long): DataFrame =
+      if (n <= broadcastMaxRows) broadcast(df) else df
     // Key-prune the base side of each cross term: the delta's DISTINCT
     // join-key values are commit-sized, so an IN predicate per key
     // column is a NECESSARY condition of the equi-join that reaches
@@ -374,20 +430,26 @@ object IncrementalView {
     // partial-agg job and one algebraic merge instead of three of each
     // (ProbeR18: the refresh's fixed cost is job-count-dominated at
     // small deltas, so term fan-in is the lever). Delta sides ride
-    // broadcasts; A columns lead in every term so unionByName is
-    // positional-safe too.
+    // SIZE-GATED broadcasts; A columns lead in every term so
+    // unionByName is positional-safe too.
     val terms = Seq(
-      dA.map(da => broadcast(da).join(keyPrune(bOld, da), d.joinKeys)),
-      dB.map(db => keyPrune(aOld, db).join(broadcast(db), d.joinKeys)),
+      dA.map(da => hinted(da, nA).join(keyPrune(bOld, da), d.joinKeys)),
+      dB.map(db => keyPrune(aOld, db).join(hinted(db, nB), d.joinKeys)),
       (dA, dB) match {
-        case (Some(da), Some(db)) => Some(broadcast(da).join(db, d.joinKeys))
+        // Δ⋈Δ: hint the SMALLER side when it fits; both over the cap →
+        // plain shuffle join (AQE re-plans it at runtime if warranted)
+        case (Some(da), Some(db)) =>
+          Some(if (nA <= math.min(nB, broadcastMaxRows))
+            broadcast(da).join(db, d.joinKeys)
+          else da.join(hinted(db, nB), d.joinKeys))
         case _ => None
       }).flatten
     val deltaRows = terms.reduce(_.unionByName(_))
     val folded = aggregate(deltaRows, Def(d.basePathA, d.keys, d.aggs))
-    val merged = merge(read(spark, mvPath), folded,
+    val merged = merge(read(spark, mvPath, Some(mvV)), folded,
       Def(d.basePathA, d.keys, d.aggs))
     SnapshotTable.overwrite(spark, mvPath, merged, s"imv2:$vA:$vB")
+    }
   }
 
   /** Rebuild from both base heads — the escape hatch after a mutating

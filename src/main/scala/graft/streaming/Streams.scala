@@ -323,17 +323,25 @@ object Streams {
     * (IncrementalView.create, keys + algebraic aggs). */
   def startIncrementalViewSink(df: DataFrame, basePath: String,
                                mvPath: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    df.writeStream
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = df.sparkSession
+    val query = df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           commitBatchOnce(batch.toDF(), batchId, basePath)
-          graft.sources.IncrementalView.refresh(batch.sparkSession, mvPath)
+          // refresh serializes under the view's own lock; a CONTENDED
+          // refresh (an operator running an out-of-band refresh) skips —
+          // the next refresh folds every unfolded commit, and the
+          // close-time refresh below catches a contended FINAL batch
+          try graft.sources.IncrementalView.refresh(batch.sparkSession, mvPath)
+          catch { case _: graft.operators.LakeLock.Contended => () }
         }
         ()
       }
       .start()
+    refreshViewOnClose(spark, query, mvPath, join = false)
+  }
 
   /** st39: streaming FACT⋈FACT incremental-view maintenance — st31
     * composed with mv04. TWO independent micro-batch streams each land
@@ -350,23 +358,63 @@ object Streams {
     * atomic, the watermarks ride the same commit). */
   def startJoinViewSink(df: DataFrame, basePath: String, mvPath: String,
                         checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    df.writeStream
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = df.sparkSession
+    val query = df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           commitBatchOnce(batch.toDF(), batchId, basePath)
-          val spark = batch.sparkSession
-          val lockName = "graft_mv_" + mvPath.replaceAll("[^A-Za-z0-9]", "_")
-          try graft.operators.LakeLock.withWriter(spark, lockName) {
-            graft.sources.IncrementalView.refreshJoin(spark, mvPath)
-          } catch {
-            case _: IllegalStateException => () // contended: next refresh folds it
-          }
+          // refreshJoin serializes under its OWN view-level lock; only
+          // the dedicated Contended signal means "the other stream's
+          // refresh is folding right now — skip, it (or the close-time
+          // refresh below) covers our commit". Any other failure
+          // propagates and fails the batch, as it should.
+          try graft.sources.IncrementalView.refreshJoin(batch.sparkSession, mvPath)
+          catch { case _: graft.operators.LakeLock.Contended => () }
         }
         ()
       }
       .start()
+    refreshViewOnClose(spark, query, mvPath, join = true)
+  }
+
+  /** Run one FINAL view refresh when `query` terminates — the other
+    * half of the skip-on-contention policy above: without it, a
+    * contended LAST batch would leave the view lagging until some
+    * external refresh call. Mirrors [[flushStatsOnClose]] (self-
+    * removing listener; termination fires on stop() and on failure).
+    * Exceptions stay inside the listener — a close-time refresh that
+    * loses one more contention round (or finds a mutated base) must
+    * not take the listener bus down; the view simply stays one
+    * refresh behind, which every refresh covers by design. */
+  private def refreshViewOnClose(spark: org.apache.spark.sql.SparkSession,
+      query: org.apache.spark.sql.streaming.StreamingQuery, mvPath: String,
+      join: Boolean): org.apache.spark.sql.streaming.StreamingQuery = {
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          try {
+            if (join) graft.sources.IncrementalView.refreshJoin(spark, mvPath)
+            else graft.sources.IncrementalView.refresh(spark, mvPath)
+            ()
+          } catch {
+            case _: graft.operators.LakeLock.Contended => ()
+            case ex: Exception =>
+              System.err.println(s"[graft] close-time view refresh of " +
+                s"$mvPath failed: $ex")
+          }
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    query
+  }
 
   /** st10: streaming corpus dedup by CONTENT fingerprint — the
     * ingestion-time twin of batch q40: documents whose text hashes to

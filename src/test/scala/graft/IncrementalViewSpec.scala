@@ -187,6 +187,56 @@ class IncrementalViewSpec extends GraftSpec {
     assert(rows(IncrementalView.read(spark, mv)) == rows(joinRecompute(a, b)))
   }
 
+  test("mv04 over-threshold deltas take the shuffle join path and still == full recompute") {
+    // broadcastMaxRows = 0 forces EVERY delta over the gate — the
+    // st39 catch-up-after-downtime shape where a multi-commit backlog
+    // must never ride a forced broadcast. Same fold, same answer; only
+    // the join strategy hint differs (AQE may still broadcast at
+    // runtime, which is the point: runtime sizing, not a blind hint).
+    val a = tmp("f2sa"); val b = tmp("f2sb"); val mv = tmp("f2smv")
+    SnapshotTable.create(spark, a,
+      Seq((1L, "x", 10L), (2L, "y", 5L)).toDF("k", "g", "va"))
+    SnapshotTable.create(spark, b,
+      Seq((1L, 100L), (2L, 50L)).toDF("k", "vb"))
+    val jAggs = Seq(Agg("count", "", "n"), Agg("sum", "va", "sa"),
+      Agg("min", "vb", "mn"), Agg("max", "vb", "mx"))
+    IncrementalView.createJoin(spark, mv, a, b, Seq("k"), Seq("g"), jAggs)
+    // a multi-commit backlog on BOTH bases, folded by ONE refresh
+    SnapshotTable.append(spark, a, Seq((1L, "x", 7L), (3L, "z", 4L)).toDF("k", "g", "va"))
+    SnapshotTable.append(spark, a, Seq((2L, "y", 2L)).toDF("k", "g", "va"))
+    SnapshotTable.append(spark, b, Seq((3L, 70L)).toDF("k", "vb"))
+    SnapshotTable.append(spark, b, Seq((1L, 300L), (2L, 60L)).toDF("k", "vb"))
+    IncrementalView.refreshJoin(spark, mv, broadcastMaxRows = 0L)
+    val got = rows(IncrementalView.read(spark, mv))
+    assert(got == rows(joinRecompute(a, b)), got)
+    // and the gated path keeps folding incrementally afterwards
+    SnapshotTable.append(spark, a, Seq((3L, "z", 1L)).toDF("k", "g", "va"))
+    IncrementalView.refreshJoin(spark, mv, broadcastMaxRows = 0L)
+    assert(rows(IncrementalView.read(spark, mv)) == rows(joinRecompute(a, b)))
+  }
+
+  test("mv04 refreshJoin serializes under the view refresh lock (Contended signal)") {
+    val a = tmp("f2la"); val b = tmp("f2lb"); val mv = tmp("f2lmv")
+    SnapshotTable.create(spark, a, Seq((1L, "x", 10L)).toDF("k", "g", "va"))
+    SnapshotTable.create(spark, b, Seq((1L, 100L)).toDF("k", "vb"))
+    IncrementalView.createJoin(spark, mv, a, b, Seq("k"), Seq("g"),
+      Seq(Agg("count", "", "n"), Agg("sum", "va", "sa"),
+        Agg("min", "vb", "mn"), Agg("max", "vb", "mx")))
+    SnapshotTable.append(spark, a, Seq((1L, "x", 7L)).toDF("k", "g", "va"))
+    // a concurrent refresh holder blocks this one with the DEDICATED
+    // contention type (not a bare IllegalStateException), so callers
+    // can skip on contention without swallowing real failures
+    graft.operators.LakeLock.withWriter(spark,
+      IncrementalView.refreshLock(spark, mv)) {
+      intercept[graft.operators.LakeLock.Contended] {
+        IncrementalView.refreshJoin(spark, mv)
+      }
+    }
+    // released: the refresh folds the delta it was blocked from
+    IncrementalView.refreshJoin(spark, mv)
+    assert(rows(IncrementalView.read(spark, mv)) == rows(joinRecompute(a, b)))
+  }
+
   test("mv04 mutation on either base blocks refreshJoin; fullRefreshJoin recovers") {
     val a = tmp("f2ma"); val b = tmp("f2mb"); val mv = tmp("f2mmv")
     SnapshotTable.create(spark, a, Seq((1L, "x", 10L)).toDF("k", "g", "va"))

@@ -1061,7 +1061,9 @@ class StreamingSpec extends GraftSpec {
     SnapshotTable.create(spark, b, Seq((1L, 100L)).toDF("k", "vb"))
     IncrementalView.createJoin(spark, mv, a, b, Seq("k"), Seq("g"),
       Seq(Agg("count", "", "n"), Agg("sum", "va", "sa")))
-    val lockName = "graft_mv_" + mv.replaceAll("[^A-Za-z0-9]", "_")
+    // the view-level refresh lock now lives INSIDE refreshJoin — hold
+    // the same key it takes to simulate a concurrent refresh holder
+    val lockName = IncrementalView.refreshLock(spark, mv)
     val ms = MemoryStream[(Long, String, Long)]
     val q = Streams.startJoinViewSink(ms.toDF().toDF("k", "g", "va"),
       a, mv, tmp("ck"))
