@@ -162,15 +162,49 @@ object AnnIndex {
     val spark = corpus.sparkSession
     import spark.implicits._
     Seq(hnswTable(name), hnswMetaTable(name)).foreach(clearTable(spark, _))
+    // PARTITIONED by shard: each shard's payload row owns its own
+    // directory, so [[appendHnsw]]'s dynamic-partition overwrite
+    // rewrites exactly the touched shards' files — append I/O is
+    // O(touched shards), never O(index) (the r18 whole-table sibling
+    // swap rewrote everything and left a rename window where no table
+    // was bound under the serving name)
     Similarity.hnswGraphs(Similarity.vecRows(corpus), m, efConstruction,
         Some(nShards))
       .toDF("shard", "payload")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .format("parquet").saveAsTable(hnswTable(name))
+      .format("parquet").partitionBy("shard").saveAsTable(hnswTable(name))
     Seq((nShards, m, efConstruction))
       .toDF("n_shards", "m", "ef_construction")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(hnswMetaTable(name))
+  }
+
+  /** The shards table as (shard, payload) regardless of physical
+    * column order (a partitioned table stores the partition column
+    * LAST; the pre-partitioning layout stored it first). */
+  private def hnswShards(spark: SparkSession, name: String)
+      : org.apache.spark.sql.Dataset[(Int, Array[Byte])] = {
+    import spark.implicits._
+    recoverHnsw(spark, name)
+    spark.table(hnswTable(name))
+      .select(col("shard").cast("int"), col("payload"))
+      .as[(Int, Array[Byte])]
+  }
+
+  /** Load-time recovery probe for an artifact written by the PREVIOUS
+    * append protocol (sibling table + DROP/RENAME swap): a crash
+    * between the DROP and the RENAME left the completed `_appending`
+    * sibling orphaned with nothing bound under the serving name.
+    * Re-bind it. The current append path (dynamic-partition overwrite,
+    * no sibling) cannot reach this state — the serving name stays
+    * bound throughout. */
+  private def recoverHnsw(spark: SparkSession, name: String): Unit = {
+    val t = hnswTable(name)
+    val tmp = t + "_appending"
+    if (!spark.catalog.tableExists(t) && spark.catalog.tableExists(tmp)) {
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $t")
+      ()
+    }
   }
 
   /** HNSW candidate generation from the LOADED artifact — the serving
@@ -185,12 +219,29 @@ object AnnIndex {
                                leaveOneOut: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val panel = Similarity.vecRows(queries).collect().sortBy(_._1)
+    // the query panel broadcasts to every shard, so it is BATCH-sized
+    // by contract — enforce it loudly instead of letting a caller feed
+    // a corpus through the serving path and OOM the driver collect
+    // (limit BEFORE collect, so the guard itself is memory-safe)
+    val panel = Similarity.vecRows(queries).limit(MaxQueryPanel + 1)
+      .collect().sortBy(_._1)
       .map { case (id, v, n) => (id, v.map(_ / n)) }
+    require(panel.length <= MaxQueryPanel,
+      s"hnsw serving batch exceeds MaxQueryPanel=$MaxQueryPanel rows: " +
+      "the panel is collected and broadcast per shard — split the " +
+      "query set into batches (or use the batch operators for " +
+      "corpus-vs-corpus work)")
     Similarity.hnswShardSearch(
-      spark.table(hnswTable(name)).as[(Int, Array[Byte])],
+      hnswShards(spark, name),
       panel, efSearch, kPerShard, leaveOneOut)
   }
+
+  /** Ceiling on a serving call's query-batch size — the panel collects
+    * driver-side and broadcasts to every shard (the documented
+    * broadcast-panel pattern shared by all six paths); at 64-dim
+    * doubles this cap is ~32 MB of panel, comfortably a batch and
+    * loudly not a corpus. */
+  val MaxQueryPanel: Int = 65536
 
   /** HNSW top-k against a loaded index — [[Similarity.searchHnsw]]
     * served from the persisted shard graphs + vectors table: graph
@@ -259,16 +310,23 @@ object AnnIndex {
   /** HNSW incremental maintenance: route the batch's vectors to their
     * deterministic shards ([[HnswGraph.shardOf]] — the fit-time
     * layout) and INSERT them into each touched shard's loaded graph;
-    * untouched shards pass through byte-identical, a batch landing in
-    * an (unlikely) empty shard builds a fresh graph. Unlike the
-    * row-append artifacts this is a read-modify-write of the touched
-    * payload rows — inherent to a graph index (new nodes rewire old
-    * nodes' links) — so the rewrite goes to a sibling table then swaps
-    * via catalog RENAME (the compactBucketed discipline: never read
-    * and overwrite one table in one plan; a crash leaves old or new
-    * intact). Cost: decode + insert on touched shards only, never a
-    * distance pass over the old corpus — hash-of-id levels mean the
-    * artifact needs no RNG state to keep growing.
+    * a batch landing in an (unlikely) empty shard builds a fresh
+    * graph. Unlike the row-append artifacts this is a read-modify-
+    * write of the touched payload rows — inherent to a graph index
+    * (new nodes rewire old nodes' links) — so the rewrite targets the
+    * shard-PARTITIONED table with dynamic-partition overwrite:
+    * untouched shards' FILES are never read, written, or moved (I/O is
+    * O(touched shards), not O(index) — a small daily batch against a
+    * 100 TB index rewrites a handful of shard directories), and the
+    * serving table name stays bound throughout (the r18 DROP→RENAME
+    * swap had a window where a crash left NO table under the name).
+    * The updated rows stage to a scratch directory first — reading a
+    * table and overwriting its partitions in one plan is the
+    * self-overwrite Spark's insert path refuses — then land in one
+    * partition-granular INSERT. Cost: decode + insert on touched
+    * shards only, never a distance pass over the old corpus —
+    * hash-of-id levels mean the artifact needs no RNG state to keep
+    * growing.
     *
     * Semantics note (differs from the quantizer-family contract):
     * HNSW links depend on insertion ORDER, so fit(old)+append(new) is
@@ -280,13 +338,25 @@ object AnnIndex {
                          vecs: org.apache.spark.sql.Dataset[(Long, Array[Double], Double)],
                          name: String): Unit = {
     import spark.implicits._
+    recoverHnsw(spark, name)
     val (nShards, m, efC) = {
       val r = spark.table(hnswMetaTable(name)).collect().head
       (r.getInt(0), r.getInt(1), r.getInt(2))
     }
-    val old = spark.table(hnswTable(name)).as[(Int, Array[Byte])]
+    val batch = vecs.map { case (id, v, n) => (id, v.map(_ / n)) }
+    // the batch's touched-shard list is ≤ nShards values — the m02
+    // partition-list class of collect, metadata-sized at any volume
+    val touched = batch.map { case (id, _) => HnswGraph.shardOf(id, nShards) }
+      .distinct().collect().sorted
+    if (touched.isEmpty) return
+    ensurePartitionedHnsw(spark, name)
+    // read ONLY the touched shards' rows: the IN filter on the
+    // partition column prunes at the catalog, so untouched shard files
+    // never open
+    val old = hnswShards(spark, name)
+      .filter(col("shard").isin(touched.toIndexedSeq: _*))
       .groupByKey(_._1)
-    val fresh = vecs.map { case (id, v, n) => (id, v.map(_ / n)) }
+    val fresh = batch
       .groupByKey { case (id, _) => HnswGraph.shardOf(id, nShards) }
     val updated = old.cogroup(fresh) { (shard, oldIt, newIt) =>
       val adds = newIt.toArray.sortBy(_._1)
@@ -307,12 +377,60 @@ object AnnIndex {
           }
       }
     }.toDF("shard", "payload")
-    val tmp = hnswTable(name) + "_appending"
-    clearTable(spark, tmp)
-    updated.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .format("parquet").saveAsTable(tmp)
-    spark.sql(s"DROP TABLE IF EXISTS ${hnswTable(name)}")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO ${hnswTable(name)}")
+    // stage → read back → dynamic-partition INSERT: the write replaces
+    // exactly the touched `shard=` directories. The DYNAMIC overwrite
+    // mode is pinned via the SESSION conf (saved/restored) — the
+    // DataFrameWriter option does NOT reach a catalog-table insertInto
+    // (spec-verified: under a static session conf the option alone
+    // truncated untouched partitions). No leading underscore on the
+    // scratch dir — FileInputFormat's hidden-file filter would hide it
+    // from its own reader.
+    val stage = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_hnsw_stage_$name")
+    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(stage)) { fs.delete(stage, true); () }
+    val pomKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevPom = spark.conf.getOption(pomKey)
+    try {
+      updated.write.parquet(stage.toString)
+      spark.conf.set(pomKey, "dynamic")
+      spark.read.parquet(stage.toString)
+        .select(col("payload"), col("shard")) // insertInto is positional; partition col last
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .insertInto(hnswTable(name))
+    } finally {
+      prevPom match {
+        case Some(v) => spark.conf.set(pomKey, v)
+        case None => spark.conf.unset(pomKey)
+      }
+      fs.delete(stage, true); ()
+    }
+  }
+
+  /** One-time migration for an artifact fitted BEFORE the shards table
+    * was shard-partitioned: rewrite it into the partitioned layout so
+    * appends become partition-granular. No-op on current artifacts. */
+  private def ensurePartitionedHnsw(spark: SparkSession, name: String): Unit = {
+    val t = hnswTable(name)
+    val partCols = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+      .partitionColumnNames
+    if (partCols.isEmpty) {
+      val stage = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        s"graft_hnsw_migrate_$name")
+      val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(stage)) { fs.delete(stage, true); () }
+      try {
+        spark.table(t).select(col("shard"), col("payload"))
+          .write.parquet(stage.toString)
+        clearTable(spark, t)
+        spark.read.parquet(stage.toString)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").partitionBy("shard").saveAsTable(t)
+      } finally { fs.delete(stage, true); () }
+    }
   }
 
   /** Append `df` into an existing bucketed table, reading the bucket

@@ -232,7 +232,25 @@ class AnnIndexSpec extends GraftSpec {
     AnnIndex.fit(old, IncName)
     def payloads(): Map[Int, Array[Byte]] =
       spark.table(AnnIndex.hnswTable(IncName)).collect()
-        .map(r => r.getInt(0) -> r.getAs[Array[Byte]]("payload")).toMap
+        .map(r => r.getAs[Int]("shard") -> r.getAs[Array[Byte]]("payload")).toMap
+    // physical layout before the append: one directory per shard —
+    // untouched shards' FILES must survive the append unmodified
+    // (paths AND mtimes), the partition-granular I/O contract
+    def shardFiles(): Map[String, Long] = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(
+            AnnIndex.hnswTable(IncName))).location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(loc, true)
+      val out = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          out += f.getPath.toString -> f.getModificationTime
+      }
+      out.result()
+    }
     val before = payloads()
     AnnIndex.append(fresh, IncName)
     val after = payloads()
@@ -255,6 +273,42 @@ class AnnIndexSpec extends GraftSpec {
     }
     assert(touched.exists(s => before.contains(s) &&
       !java.util.Arrays.equals(after(s), before(s))))
+    // ...and PHYSICALLY: a second append whose ids all hash into ONE
+    // shard must leave every other shard directory's files in place
+    // with their modification times unchanged (append I/O is
+    // O(touched shards), never a whole-index rewrite), while the
+    // touched shard's files are new
+    val targetShard = HnswGraph.shardOf(100000L, 8)
+    val ids2 = (100000L until 100200L)
+      .filter(HnswGraph.shardOf(_, 8) == targetShard).take(20)
+    val fresh2 = corpus.filter(col("vec_id") < 200)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      .filter(col("vec_id").isin(ids2: _*))
+    val filesBefore = shardFiles()
+    // force STATIC session-level overwrite mode for this append: the
+    // driver's non-Hive session never sets the dynamic conf, so the
+    // partition-granular contract must hold from appendHnsw's own
+    // per-write option alone (static would TRUNCATE untouched shards)
+    val pomKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevPom = spark.conf.getOption(pomKey)
+    spark.conf.set(pomKey, "static")
+    try AnnIndex.append(fresh2, IncName)
+    finally prevPom match {
+      case Some(v) => spark.conf.set(pomKey, v)
+      case None => spark.conf.unset(pomKey)
+    }
+    val filesAfter = shardFiles()
+    val untouchedFiles = filesBefore.filter {
+      case (p, _) => !p.contains(s"shard=$targetShard/") }
+    assert(untouchedFiles.nonEmpty, "no untouched shard files to check")
+    untouchedFiles.foreach { case (p, mtime) =>
+      assert(filesAfter.get(p).contains(mtime),
+        s"untouched shard file rewritten or moved: $p")
+    }
+    val beforeT = filesBefore.keySet.filter(_.contains(s"shard=$targetShard/"))
+    val afterT = filesAfter.keySet.filter(_.contains(s"shard=$targetShard/"))
+    assert(beforeT.nonEmpty && (afterT intersect beforeT).isEmpty,
+      s"touched shard $targetShard kept stale files")
     // the grown index serves appended ids (an appended vector is its
     // own nearest neighbor at cos 1)
     val q = corpus.filter(col("vec_id") >= 400 && col("vec_id") < 405)
@@ -286,7 +340,7 @@ class AnnIndexSpec extends GraftSpec {
       .getOrElse(sys.error("no id hashed into an empty shard — widen the pool"))
     AnnIndex.append(corpus.filter(col("vec_id") === newId), Name64)
     val shards2 = spark.table(AnnIndex.hnswTable(Name64))
-      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]]("payload")).toMap
+      .collect().map(r => r.getAs[Int]("shard") -> r.getAs[Array[Byte]]("payload")).toMap
     val s = HnswGraph.shardOf(newId, 64)
     assert(shards2.contains(s), s"empty shard $s not created on append")
     assert(HnswGraph.fromBytes(shards2(s)).idList == Seq(newId))
