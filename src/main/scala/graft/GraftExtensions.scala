@@ -75,6 +75,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // with the return type inferred from the body (see MacroParser)
     ext.injectParser((session, delegate) =>
       new graft.plans.MacroParser(session, delegate))
+    // sql08: CREATE/REFRESH MATERIALIZED VIEW — SQL-text reach for the
+    // mv01–mv04 view family (path-addressed s16 snapshot views); the
+    // statements plan as RunnableCommands mapping onto IncrementalView
+    ext.injectParser((session, delegate) =>
+      new graft.plans.MaterializedViewSqlParser(session, delegate))
     // SQL-text DELETE/UPDATE/MERGE INTO on v1 lake tables: the analyzer
     // resolves them fine, only the planner rejects v1 targets — rewrite
     // the resolved command to a distributed copy-on-write plan first

@@ -491,4 +491,111 @@ class SqlSurfaceSpec extends GraftSpec {
          CLUSTER BY source""").collect()
     assert(cl.length == 4, cl.toSeq)
   }
+
+  test("sql08 CREATE/REFRESH MATERIALIZED VIEW: SQL join view == API twin; FULL recovers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.{IncrementalView, SnapshotTable}
+    import graft.sources.IncrementalView.Agg
+    def tmp(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft-sql08-$tag").toString + "/t"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val a = tmp("a"); val b = tmp("b")
+    val mvSql = tmp("mvsql"); val mvApi = tmp("mvapi")
+    SnapshotTable.create(spark, a,
+      Seq((1L, "x", 10L), (2L, "y", 5L)).toDF("k", "g", "va"))
+    SnapshotTable.create(spark, b,
+      Seq((1L, 100L), (1L, 200L), (2L, 50L)).toDF("k", "vb"))
+    val jAggs = Seq(Agg("count", "", "n"), Agg("sum", "va", "sa"),
+      Agg("min", "vb", "mn"), Agg("max", "vb", "mx"))
+    def recompute() = SnapshotTable.read(spark, a)
+      .join(SnapshotTable.read(spark, b), Seq("k")).groupBy("g")
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("va")).as("sa"),
+        min(col("vb")).as("mn"), max(col("vb")).as("mx"))
+
+    // CREATE through SQL text — returns the published version
+    val created = spark.sql(
+      s"""CREATE MATERIALIZED VIEW '$mvSql'
+          AS SELECT g, count(*) AS n, sum(va) AS sa,
+                    min(vb) AS mn, max(vb) AS mx
+          FROM SNAPSHOT '$a' JOIN SNAPSHOT '$b' USING (k)
+          GROUP BY g""").collect()
+    assert(created.map(_.getLong(0)).toSeq == Seq(1L), created.toSeq)
+    // the API twin over the same bases materializes identically
+    IncrementalView.createJoin(spark, mvApi, a, b, Seq("k"), Seq("g"), jAggs)
+    assert(rows(IncrementalView.read(spark, mvSql)) ==
+      rows(IncrementalView.read(spark, mvApi)))
+
+    // appends to BOTH bases; the SQL REFRESH folds the three-term
+    // delta exactly like the API refresh
+    SnapshotTable.append(spark, a, Seq((3L, "z", 4L)).toDF("k", "g", "va"))
+    SnapshotTable.append(spark, b, Seq((3L, 70L), (1L, 300L)).toDF("k", "vb"))
+    // EXPLAIN must EXPLAIN, not refresh (RunnableCommand, not a
+    // parse-time side effect)
+    spark.sql(s"EXPLAIN REFRESH MATERIALIZED VIEW '$mvSql'").collect()
+    assert(SnapshotTable.currentVersion(spark, mvSql) == 1L,
+      "EXPLAIN executed the refresh")
+    spark.sql(s"REFRESH MATERIALIZED VIEW '$mvSql'")
+    IncrementalView.refreshJoin(spark, mvApi)
+    assert(rows(IncrementalView.read(spark, mvSql)) == rows(recompute()))
+    assert(rows(IncrementalView.read(spark, mvSql)) ==
+      rows(IncrementalView.read(spark, mvApi)))
+
+    // a mutating base commit blocks the incremental refresh; FULL is
+    // the SQL spelling of the rebuild escape hatch
+    SnapshotTable.deleteWhere(spark, b, "vb = 50")
+    val e = intercept[Exception] {
+      spark.sql(s"REFRESH MATERIALIZED VIEW '$mvSql'")
+    }
+    assert(e.getMessage.contains("fullRefreshJoin"), e.getMessage)
+    spark.sql(s"REFRESH MATERIALIZED VIEW '$mvSql' FULL")
+    assert(rows(IncrementalView.read(spark, mvSql)) == rows(recompute()))
+  }
+
+  test("sql08 single-base and DIM-enriched views answer through SQL text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.{IncrementalView, SnapshotTable}
+    def tmp(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft-sql08s-$tag").toString + "/t"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // mv02: single base
+    val base = tmp("b"); val mv = tmp("mv")
+    SnapshotTable.create(spark, base,
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW '$mv'
+          AS SELECT k, count(*) AS n, sum(v) AS s
+          FROM SNAPSHOT '$base' GROUP BY k""")
+    SnapshotTable.append(spark, base, Seq(("a", 10L)).toDF("k", "v"))
+    spark.sql(s"REFRESH MATERIALIZED VIEW '$mv'")
+    assert(rows(IncrementalView.read(spark, mv)) ==
+      rows(SnapshotTable.read(spark, base).groupBy("k")
+        .agg(count(lit(1)).cast("long").as("n"), sum(col("v")).as("s"))))
+
+    // mv03: static-dim enrichment via DIM ... ON
+    val fact = tmp("f"); val dimDir = tmp("d"); val mvd = tmp("mvd")
+    Seq((1L, "emea"), (2L, "apac")).toDF("nk", "region")
+      .write.parquet(dimDir)
+    SnapshotTable.create(spark, fact,
+      Seq((1L, 10L), (2L, 5L)).toDF("nk", "v"))
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW '$mvd'
+          AS SELECT region, sum(v) AS s
+          FROM SNAPSHOT '$fact' DIM '$dimDir' ON nk
+          GROUP BY region""")
+    SnapshotTable.append(spark, fact, Seq((2L, 7L)).toDF("nk", "v"))
+    spark.sql(s"REFRESH MATERIALIZED VIEW '$mvd'")
+    assert(rows(IncrementalView.read(spark, mvd)) ==
+      Set(Seq("emea", 10L), Seq("apac", 12L)))
+
+    // a malformed select item fails loudly with the contract message
+    val bad = intercept[Exception] {
+      spark.sql(s"CREATE MATERIALIZED VIEW '${tmp("x")}' " +
+        s"AS SELECT k, avg(v) AS a FROM SNAPSHOT '$base' GROUP BY k")
+    }
+    assert(bad.getMessage.contains("count/sum/min/max"), bad.getMessage)
+  }
 }
