@@ -331,34 +331,118 @@ object Sources {
         org.apache.spark.sql.functions.max(col("doc_id")).as("max_id"))
       .orderBy(col("lang"), col("source"))
 
-  /** Avro schema for a flat primitive-column frame — the subset the
-    * catalog-free file route supports (nested types belong to the
-    * metastore surface or the walled `spark-avro` module). */
+  /** Avro schema for a frame — primitives plus RECURSIVE
+    * array/struct/map(string-keyed) columns, so an embeddings column
+    * (`array<double>`, even `array<float>` inside a struct) rides the
+    * same catalog-free file route as the flat documents table. Nested
+    * record names derive from the field path (Avro requires unique
+    * record names within a schema). */
   private def avroSchemaFor(st: org.apache.spark.sql.types.StructType)
-      : org.apache.avro.Schema = {
+      : org.apache.avro.Schema = avroRecordFor(st, "graft_row")
+
+  private def avroRecordFor(st: org.apache.spark.sql.types.StructType,
+                            name: String): org.apache.avro.Schema = {
     import org.apache.avro.Schema
-    import org.apache.spark.sql.types._
     val fields = st.fields.map { f =>
-      val base = f.dataType match {
-        case LongType    => Schema.create(Schema.Type.LONG)
-        case IntegerType => Schema.create(Schema.Type.INT)
-        case DoubleType  => Schema.create(Schema.Type.DOUBLE)
-        case FloatType   => Schema.create(Schema.Type.FLOAT)
-        case StringType  => Schema.create(Schema.Type.STRING)
-        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
-        case BinaryType  => Schema.create(Schema.Type.BYTES)
-        case other => sys.error(
-          s"avro file route supports primitive columns, not $other " +
-          "(use the s30 metastore surface for complex types)")
-      }
+      val base = avroTypeFor(f.dataType, s"${name}_${f.name}")
       if (f.nullable)
         new Schema.Field(f.name,
           Schema.createUnion(Schema.create(Schema.Type.NULL), base),
           null, Schema.Field.NULL_DEFAULT_VALUE)
       else new Schema.Field(f.name, base, null, null.asInstanceOf[Object])
     }
-    Schema.createRecord("graft_row", null, "graft", false,
+    Schema.createRecord(name, null, "graft", false,
       java.util.Arrays.asList(fields: _*))
+  }
+
+  private def avroTypeFor(dt: org.apache.spark.sql.types.DataType,
+                          path: String): org.apache.avro.Schema = {
+    import org.apache.avro.Schema
+    import org.apache.spark.sql.types._
+    def nullWrap(s: Schema, nullable: Boolean): Schema =
+      if (nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), s)
+      else s
+    dt match {
+      case LongType    => Schema.create(Schema.Type.LONG)
+      case IntegerType => Schema.create(Schema.Type.INT)
+      case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+      case FloatType   => Schema.create(Schema.Type.FLOAT)
+      case StringType  => Schema.create(Schema.Type.STRING)
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case BinaryType  => Schema.create(Schema.Type.BYTES)
+      case ArrayType(e, containsNull) =>
+        Schema.createArray(nullWrap(avroTypeFor(e, s"${path}_item"),
+          containsNull))
+      case MapType(StringType, v, valueContainsNull) =>
+        Schema.createMap(nullWrap(avroTypeFor(v, s"${path}_value"),
+          valueContainsNull))
+      case s: StructType => avroRecordFor(s, path)
+      case other => sys.error(
+        s"avro file route supports primitives, arrays, structs, and " +
+        s"string-keyed maps, not $other " +
+        "(use the s30 metastore surface for anything else)")
+    }
+  }
+
+  /** Spark row value → Avro datum under `schema` (recursive; unions
+    * resolve to their non-null branch — the only unions
+    * [[avroSchemaFor]] emits). Runs INSIDE the writing task. */
+  private def toAvro(v: Any, schema: org.apache.avro.Schema): Any = {
+    import org.apache.avro.Schema
+    import scala.jdk.CollectionConverters._
+    if (v == null) return null
+    val s =
+      if (schema.getType == Schema.Type.UNION)
+        schema.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+      else schema
+    s.getType match {
+      case Schema.Type.BYTES =>
+        java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case Schema.Type.ARRAY =>
+        val out = new java.util.ArrayList[Any]()
+        v.asInstanceOf[scala.collection.Seq[Any]]
+          .foreach(x => out.add(toAvro(x, s.getElementType)))
+        out
+      case Schema.Type.MAP =>
+        val out = new java.util.HashMap[String, Any]()
+        v.asInstanceOf[scala.collection.Map[String, Any]]
+          .foreach { case (k, x) => out.put(k, toAvro(x, s.getValueType)) }
+        out
+      case Schema.Type.RECORD =>
+        val row = v.asInstanceOf[org.apache.spark.sql.Row]
+        val rec = new org.apache.avro.generic.GenericData.Record(s)
+        var i = 0
+        while (i < row.length) {
+          rec.put(i, toAvro(row.get(i), s.getFields.get(i).schema()))
+          i += 1
+        }
+        rec
+      case _ => v
+    }
+  }
+
+  /** Avro datum → Spark row value shaped by `dt` (recursive). Values
+    * COPY out of the record here — Hadoop record readers reuse
+    * objects, so holding a reference across rows would alias. */
+  private def fromAvro(v: Any, dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    (v, dt) match {
+      case (null, _) => null
+      case (u: org.apache.avro.util.Utf8, _) => u.toString
+      case (bb: java.nio.ByteBuffer, _) =>
+        val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+      case (l: java.util.Collection[_], ArrayType(e, _)) =>
+        l.asScala.toSeq.map(fromAvro(_, e))
+      case (m: java.util.Map[_, _], MapType(_, vt, _)) =>
+        m.asScala.map { case (k, x) =>
+          fromAvro(k, StringType).asInstanceOf[String] -> fromAvro(x, vt)
+        }.toMap
+      case (r: org.apache.avro.generic.GenericRecord, st: StructType) =>
+        org.apache.spark.sql.Row.fromSeq(
+          st.fields.toIndexedSeq.map(f => fromAvro(r.get(f.name), f.dataType)))
+      case (x, _) => x
+    }
   }
 
   /** s30 file half: standard .avro CONTAINER files on a path — no
@@ -390,10 +474,8 @@ object Sources {
         val rec = new GenericData.Record(schema)
         var i = 0
         while (i < names.length) {
-          rec.put(names(i), row.get(i) match {
-            case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
-            case x => x
-          })
+          rec.put(names(i),
+            toAvro(row.get(i), schema.getFields.get(i).schema()))
           i += 1
         }
         (new AvroKey[GenericRecord](rec), NullWritable.get())
@@ -406,28 +488,22 @@ object Sources {
   /** Read [[writeAvroFiles]] output back into a frame with `schema`.
     * Values copy out of the record INSIDE the reading map (Hadoop
     * record readers reuse objects — holding a reference across rows
-    * would alias), Utf8 → String and ByteBuffer → Array[Byte] at the
-    * seam. */
+    * would alias); [[fromAvro]] recurses through arrays/structs/maps,
+    * Utf8 → String and ByteBuffer → Array[Byte] at the leaves. */
   def readAvroFiles(spark: SparkSession, path: String,
                     schema: org.apache.spark.sql.types.StructType): DataFrame = {
     import org.apache.avro.generic.GenericRecord
     import org.apache.avro.mapred.AvroKey
     import org.apache.avro.mapreduce.AvroKeyInputFormat
     import org.apache.hadoop.io.NullWritable
-    val names = schema.fieldNames
+    val fields = schema.fields.toIndexedSeq
     val rows = spark.sparkContext.newAPIHadoopFile(
         path, classOf[AvroKeyInputFormat[GenericRecord]],
         classOf[AvroKey[GenericRecord]], classOf[NullWritable])
       .map { case (k, _) =>
         val rec = k.datum()
-        org.apache.spark.sql.Row.fromSeq(names.toIndexedSeq.map { n =>
-          rec.get(n) match {
-            case u: org.apache.avro.util.Utf8 => u.toString
-            case bb: java.nio.ByteBuffer =>
-              val a = new Array[Byte](bb.remaining()); bb.get(a); a
-            case x => x
-          }
-        })
+        org.apache.spark.sql.Row.fromSeq(
+          fields.map(f => fromAvro(rec.get(f.name), f.dataType)))
       }
     spark.createDataFrame(rows, schema)
   }

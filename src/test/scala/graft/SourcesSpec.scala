@@ -206,6 +206,44 @@ class SourcesSpec extends GraftSpec {
     assert(m2(1).isNullAt(1) && m2(1).isNullAt(2))
   }
 
+  test("s30 avro FILE route: arrays, nested structs, and maps round-trip (embeddings shape)") {
+    import spark.implicits._
+    // the r18 gap: avroSchemaFor threw on complex types, so an
+    // embeddings column couldn't ride the q213 path — now the schema
+    // and both converters recurse
+    val complex = Seq(
+      (1L, Option(Seq(1.0, 2.5, -3.0)), Option(("en", 7L)),
+        Option(Map("a" -> 1L, "b" -> 2L))),
+      (2L, Option(Seq.empty[Double]), Option.empty[(String, Long)],
+        Option.empty[Map[String, Long]]),
+      (3L, Option.empty[Seq[Double]], Option(("de", 0L)),
+        Option(Map.empty[String, Long])))
+      .toDF("id", "emb", "meta", "counts")
+    val p = tmp("avro-complex")
+    Sources.writeAvroFiles(complex, p)
+    val back = Sources.readAvroFiles(spark, p, complex.schema)
+    assert(back.schema == complex.schema)
+    val got = back.orderBy("id").collect()
+    val want = complex.orderBy("id").collect()
+    assert(got.toSeq == want.toSeq, got.toSeq)
+    // the REAL embeddings table (vec_id, array<float>) rides the route
+    val emb = Tables.embeddings(spark, SF)
+    val pe = tmp("avro-emb")
+    Sources.writeAvroFiles(emb, pe)
+    val embBack = Sources.readAvroFiles(spark, pe, emb.schema)
+    assert(embBack.orderBy("vec_id").collect().toSeq ==
+      emb.orderBy("vec_id").collect().toSeq)
+    // arrays WITH null elements survive the union(null, item) element
+    val withNullElems = Seq(
+      (1L, Seq(Option(1.0), Option.empty[Double], Option(2.0))))
+      .toDF("id", "xs")
+    val pn = tmp("avro-nullelem")
+    Sources.writeAvroFiles(withNullElems, pn)
+    val nb = Sources.readAvroFiles(spark, pn, withNullElems.schema)
+      .collect()(0).getSeq[Any](1)
+    assert(nb == Seq(1.0, null, 2.0), nb)
+  }
+
   test("s30 partitioned avro prunes partitions at the metastore on read") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, SF)
