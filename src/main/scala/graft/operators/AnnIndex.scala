@@ -283,7 +283,12 @@ object AnnIndex {
     * `batch` must carry vec_ids not already in the index (new docs);
     * rewriting an EXISTING id is the m02 keyed-upsert problem
     * ([[Sources.upsertPartitioned]]) and intentionally out of scope
-    * for the append fast path. */
+    * for the append fast path. `batch` must also not be a LAZY plan
+    * over this index's own tables: the first artifact write inserts
+    * into the vectors table and Spark recomputes dependent plans, so
+    * a self-referential batch silently empties for every later
+    * artifact — stage such a frame to scratch parquet first (the st40
+    * sink does exactly this for its dedup anti-join). */
   def append(batch: DataFrame, name: String): Unit = {
     LakeLock.withWriter(batch.sparkSession, name) {
     val spark = batch.sparkSession

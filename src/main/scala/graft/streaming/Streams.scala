@@ -893,6 +893,68 @@ object Streams {
     flushStatsOnClose(spark, query)
   }
 
+  /** st40: streaming ANN-INDEX maintenance — st36's fit-once/append-
+    * forever cadence applied to the s11/s29 serving index: each
+    * micro-batch of (vec_id, embedding) rows appends into EVERY
+    * artifact of index `indexName` through [[graft.operators.AnnIndex
+    * .append]] (LakeLock single-writer; the s29 hnsw append rewrites
+    * only touched shard partitions, so a micro-batch's index I/O is
+    * batch-shaped, not index-shaped — the property that makes
+    * streaming maintenance viable at all at 100 TB). Stats defer per
+    * batch and flush once at stream close (the st38 debounce).
+    *
+    * Delivery: EXACTLY-ONCE by construction, not by watermark — the
+    * batch anti-joins the index's own vectors table on vec_id before
+    * appending, so a foreachBatch replay (or a restart re-delivering
+    * the last uncheckpointed batch) re-appends nothing, and
+    * `append`'s new-ids-only contract is enforced rather than
+    * trusted. The probe is one batch×bucketed-table anti-join —
+    * batch-sized work against the vec_id-bucketed artifact. The index
+    * must already exist (AnnIndex.fit — the st36 pre-fit discipline:
+    * the quantizers want a representative corpus, not the first
+    * micro-batch). */
+  def startAnnIndexMaintenance(embs: DataFrame, indexName: String,
+                               checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = embs.sparkSession
+    val query = embs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val fresh = batch.toDF().join(
+            s.table(graft.operators.AnnIndex.vectorsTable(indexName))
+              .select(col("vec_id")),
+            Seq("vec_id"), "left_anti")
+          // STAGE the anti-joined batch before appending: `fresh` is a
+          // lazy plan over the index's OWN vectors table, and append's
+          // first artifact write INSERTS into that table — Spark then
+          // recomputes dependent plans, so every later artifact would
+          // see the anti-join as empty (self-referential lineage). A
+          // batch-sized scratch write cuts the lineage at a snapshot
+          // taken BEFORE any index mutation.
+          val stage = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"),
+            s"graft_st40_stage_$indexName")
+          val fs = stage.getFileSystem(s.sparkContext.hadoopConfiguration)
+          try {
+            fresh.select(col("vec_id"), col("embedding"))
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(stage.toString)
+            val staged = s.read.parquet(stage.toString)
+            if (staged.head(1).nonEmpty)
+              graft.sources.Sources.deferringStats(s) {
+                graft.operators.AnnIndex.append(staged, indexName)
+              }
+          } finally { fs.delete(stage, true); () }
+        }
+        ()
+      }
+      .start()
+    flushStatsOnClose(spark, query)
+  }
+
   /** Gather every stat deferred during `query`'s micro-batches once,
     * at termination — the close-of-stream half of the autogather
     * debounce. Self-removing listener; termination events fire on

@@ -965,6 +965,55 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st40 streaming ANN-index maintenance: appends serve, replays and dup ids no-op") {
+    import org.apache.spark.sql.functions.col
+    val ixName = "graft_st40_ix"
+    graft.operators.AnnIndex.drop(spark, ixName)
+    val corpus = Tables.embeddings(spark, SF)
+    // fit on the first 400 vectors (the st36 pre-fit discipline: the
+    // quantizers want a representative corpus, not a first micro-batch)
+    graft.operators.AnnIndex.fit(corpus.filter(col("vec_id") < 400), ixName)
+    val rows = corpus.filter(col("vec_id") >= 400)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val df = ms.toDF().toDF("vec_id", "embedding")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-st40-ck").toString
+    val q = Streams.startAnnIndexMaintenance(df, ixName, ckpt)
+    try {
+      ms.addData(rows.take(50).toIndexedSeq)
+      q.processAllAvailable()
+      // batch 2 re-sends two batch-1 ids (the replay/dup shape) plus
+      // the rest — the anti-join gate must append each id exactly once
+      ms.addData((rows.take(2) ++ rows.drop(50)).toIndexedSeq)
+      q.processAllAvailable()
+      val vecs = spark.table(graft.operators.AnnIndex.vectorsTable(ixName))
+      assert(vecs.count() == 500L, vecs.count())
+      assert(vecs.groupBy("vec_id").count()
+        .filter(col("count") > 1).count() == 0L, "duplicate vec_ids appended")
+      // COVERAGE: the persisted hnsw graphs hold exactly fit ∪ streamed
+      // ids, each in its deterministic shard
+      val graphIds = spark.table(graft.operators.AnnIndex.hnswTable(ixName))
+        .collect()
+        .flatMap(r => graft.operators.HnswGraph
+          .fromBytes(r.getAs[Array[Byte]]("payload")).idList)
+      assert(graphIds.toSet == (0L until 500L).toSet,
+        s"hnsw coverage ${graphIds.length}")
+      // SERVING: a streamed vector's top hit is an exact match (cos 1 —
+      // itself, or its planted duplicate twin: the embeddings table has
+      // exact-dup pairs, so qid==nid would be too strong an assert)
+      val probe = corpus.filter(col("vec_id") >= 495)
+      val top1 = graft.operators.AnnIndex.searchHnsw(probe, ixName, k = 1)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(top1.size == 5 && top1.values.forall(_ >= 0.9999), top1)
+      // ...and through the LSH artifact (one quantizer-family path)
+      val lshTop1 = graft.operators.AnnIndex.searchLsh(probe, ixName, k = 1)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(lshTop1.size == 5 && lshTop1.values.forall(_ >= 0.9999), lshTop1)
+    } finally q.stop()
+  }
+
   test("st36 autogather debounce: no per-batch ANALYZE, stats current by stream close") {
     import org.apache.spark.sql.catalyst.TableIdentifier
     val ixName = "graft_st36_dbx"
