@@ -443,6 +443,7 @@ object AnnIndex {
     * join the fitted layout (Spark refuses a mismatched spec). */
   private def appendBucketed(spark: SparkSession, df: DataFrame,
                              table: String, bucketCol: String): Unit = {
+    Sources.recoverCompacting(spark, table) // heal a crashed compaction swap
     val n = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.map(_.numBuckets)

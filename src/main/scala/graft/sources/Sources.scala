@@ -151,13 +151,16 @@ object Sources {
     * Bucket count, columns, and sort spec are read from the table's
     * own metadata — compaction cannot change the layout contract. */
   def compactBucketed(spark: SparkSession, table: String): Unit = {
+    recoverCompacting(spark, table)
     val meta = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
     val spec = meta.bucketSpec
       .getOrElse(sys.error(s"$table is not bucketed — nothing to compact"))
     val bucketCol = spec.bucketColumnNames.head
     val tmp = table + "_compacting"
+    val retired = table + "_retired"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $retired")
     spark.table(table)
       .repartition(col(bucketCol))
       .write.mode(SaveMode.Overwrite)
@@ -165,18 +168,47 @@ object Sources {
       // the table's own provider, not a hard-coded parquet: compaction
       // must never silently convert an ORC lake table (s28)
       .format(meta.provider.getOrElse("parquet")).saveAsTable(tmp)
-    spark.sql(s"DROP TABLE $table")
+    // rename-ASIDE, not DROP-then-rename: the old table moves to
+    // `_retired` before `_compacting` takes the name, so every crash
+    // point leaves a COMPLETE copy recoverable by name — and
+    // [[recoverCompacting]] auto-heals the one window where the
+    // serving name is briefly unbound (between the two renames)
+    spark.sql(s"ALTER TABLE $table RENAME TO $retired")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.sql(s"DROP TABLE $retired")
     // the rename drops the rewrite's stats row with the tmp name —
     // regather under the real one (autogather discipline)
     autogatherStats(spark, table)
   }
+
+  /** Heal a compaction that crashed mid-swap: if `table`'s serving
+    * name is unbound but a complete sibling survives, re-bind it —
+    * `_compacting` (the fully-written rewrite) wins over `_retired`
+    * (the pre-compaction original; only bindable if the crash hit
+    * between the two renames and the rewrite was somehow lost).
+    * Called automatically by [[compactBucketed]] and
+    * [[appendBucketed]]; safe to call any time (no-op when the table
+    * is bound). */
+  def recoverCompacting(spark: SparkSession, table: String): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val tmp = table + "_compacting"
+      val retired = table + "_retired"
+      if (spark.catalog.tableExists(tmp)) {
+        spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+        spark.sql(s"DROP TABLE IF EXISTS $retired")
+        ()
+      } else if (spark.catalog.tableExists(retired)) {
+        spark.sql(s"ALTER TABLE $retired RENAME TO $table")
+        ()
+      }
+    }
 
   /** Append into an existing bucketed table under its OWN catalog
     * bucket spec (read back so the caller cannot drift the bucket
     * count — Spark refuses mismatched specs, this makes the match
     * automatic). Shared by the persisted-index appends (s12/s13). */
   def appendBucketed(df: DataFrame, table: String, bucketCol: String): Unit = {
+    recoverCompacting(df.sparkSession, table)
     val meta = df.sparkSession.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
     val n = meta.bucketSpec.map(_.numBuckets)

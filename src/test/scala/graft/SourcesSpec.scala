@@ -136,6 +136,37 @@ class SourcesSpec extends GraftSpec {
     ()
   }
 
+  test("compaction crash recovery: an orphaned sibling re-binds under the serving name") {
+    val docs = Tables.documents(spark, SF).select("doc_id", "lang")
+    Sources.writeBucketed(docs, "graft_rcv_t", "doc_id", 4)
+    val n = spark.table("graft_rcv_t").count()
+    // simulate the crash window between compactBucketed's two renames:
+    // the rewrite is complete under `_compacting`, nothing is bound
+    // under the serving name
+    spark.sql("ALTER TABLE graft_rcv_t RENAME TO graft_rcv_t_compacting")
+    assert(!spark.catalog.tableExists("graft_rcv_t"))
+    // any entry point that takes the table name heals it first
+    Sources.appendBucketed(
+      docs.select(docs("doc_id") + 5000000L, docs("lang"))
+        .toDF("doc_id", "lang"),
+      "graft_rcv_t", "doc_id")
+    assert(spark.catalog.tableExists("graft_rcv_t"))
+    assert(!spark.catalog.tableExists("graft_rcv_t_compacting"))
+    assert(spark.table("graft_rcv_t").count() == 2 * n)
+    // the retired-copy window (rewrite lost, original renamed aside)
+    spark.sql("ALTER TABLE graft_rcv_t RENAME TO graft_rcv_t_retired")
+    Sources.recoverCompacting(spark, "graft_rcv_t")
+    assert(spark.catalog.tableExists("graft_rcv_t"))
+    assert(spark.table("graft_rcv_t").count() == 2 * n)
+    // bound name: recovery is a no-op even with a stale sibling around
+    Sources.writeBucketed(docs, "graft_rcv_t_compacting", "doc_id", 4)
+    Sources.recoverCompacting(spark, "graft_rcv_t")
+    assert(spark.table("graft_rcv_t").count() == 2 * n)
+    spark.sql("DROP TABLE graft_rcv_t")
+    spark.sql("DROP TABLE IF EXISTS graft_rcv_t_compacting")
+    ()
+  }
+
   test("s08 avro round-trips through a STORED AS AVRO metastore table, complex types included") {
     import spark.implicits._
     val df = Seq(
