@@ -23,6 +23,14 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // parallelismFirst stays at its default (true): r19 measured the
+      // size-first alternative (coalesce small shuffles below the core
+      // count) and it HURT — this engine's expensive stages are CPU
+      // per ROW (codec round-trips, in-group pair expansion) fed by
+      // byte-small shuffles, and size-based coalescing serialized them
+      // onto one core (q207 8.9→49 s, q212 2.3→10.9 s) for a ~2 s/query
+      // saving on the KB-sized iterative frames. AQE coalescing cannot
+      // see downstream cost-per-row; keep parallelism first.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // ddl11: cost-based optimizer ON — AQE fixes estimation mistakes

@@ -68,40 +68,59 @@ object Graphs {
     // (node, long) rows. `localCheckpoint(eager)` per round keeps each
     // round's plan flat (a lazily-composed 10-round tree re-plans all
     // prior rounds per round — measured 12 s vs ~4 s at sf0.01).
-    val e0 = edges.select(col("src"), col("dst"))
+    // e0 pinned FIRST: the nodes derivation references it twice (src
+    // and dst branches of the union) and the edge+outdeg frame once
+    // more — unpinned, the caller's whole edge derivation (q154:
+    // URL-normalize + chain join) replayed ~3× before any round ran
+    // (r19, guide §2.4).
+    val e0 = graft.Pins.pin(edges.select(col("src"), col("dst")))
     val nodes = graft.Pins.pin(e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node"))).distinct())
-    val useBcast = nodes.count() <= broadcastNodeLimit
-    val e = graft.Pins.pin(if (useBcast) e0 else e0.repartition(col("src")))
-    val outdeg = graft.Pins.pin(
-      e.groupBy(col("src")).agg(count(lit(1)).as("od")))
-    val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
-    var ranks = nodes.crossJoin(broadcast(nn))
-      .select(col("node"), (lit(1.0) / col("n")).as("pr"))
+    val nNodes = nodes.count()
+    val useBcast = nNodes <= broadcastNodeLimit
+    // LOOP-INVARIANT work folded OUT of the rounds (r19 StageProbe:
+    // ~96 jobs per q154 run, most of them per-round rebuild+broadcast
+    // of frames that never change — Spark reuses exchanges within one
+    // query, never across the checkpointed round queries):
+    //  - out-degree rides the pinned edge frame (src, dst, od), so no
+    //    per-round bc(outdeg) join exists at all;
+    //  - the node-count total is the SAME value the broadcast guard
+    //    just collected (nodes.count()), so the old per-round one-row
+    //    nn aggregate + broadcast becomes a literal.
+    val eBase = if (useBcast) e0 else e0.repartition(col("src"))
+    val outdeg = eBase.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val eod = graft.Pins.pin(eBase.join(bc(outdeg, useBcast), "src")
+      .select(col("src"), col("dst"), col("od")))
+    val n = nNodes.toDouble
+    var ranks = nodes
+      .select(col("node"), (lit(1.0) / lit(n)).as("pr"))
       .transform(Ckpt.cut(_))
     for (_ <- 1 to iters)
-      ranks = pagerankRound(e, nodes, outdeg, nn, ranks, alpha, useBcast)
+      ranks = pagerankRound(eod, nodes, n, ranks, alpha, useBcast)
         .transform(Ckpt.cut(_))
     ranks
   }
 
   /** One PageRank round as a LAZY plan — extracted so PlanBudgetSpec
     * can pin the co-partitioned round's shape (the driver loop's
-    * localCheckpoint erases plans before a spec could read them). */
-  private[graft] def pagerankRound(e: DataFrame, nodes: DataFrame,
-      outdeg: DataFrame, nn: DataFrame, ranks: DataFrame,
+    * localCheckpoint erases plans before a spec could read them).
+    * `eod` carries (src, dst, od) — the out-degree pre-joined once at
+    * fit time; `n` is the node count (already collected by the
+    * broadcast guard). Arithmetic is unchanged per row: identical
+    * IEEE divide/multiply/floor per term, identical integer sum. */
+  private[graft] def pagerankRound(eod: DataFrame, nodes: DataFrame,
+      n: Double, ranks: DataFrame,
       alpha: Double, useBcast: Boolean): DataFrame = {
-    val contrib = e
+    val contrib = eod
       .join(bc(ranks.withColumnRenamed("node", "src"), useBcast), "src")
-      .join(bc(outdeg, useBcast), "src")
       .select(col("dst").as("node"),
         floor(col("pr") / col("od").cast("double") * lit(1.0e12))
           .cast("long").as("c"))
       .groupBy(col("node")).agg(sum(col("c")).as("s"))
-    nodes.crossJoin(broadcast(nn))
+    nodes
       .join(bc(contrib, useBcast), Seq("node"), "left_outer")
       .select(col("node"),
-        ((lit(1.0) - lit(alpha)) / col("n") +
+        (lit((1.0 - alpha) / n) +
           lit(alpha) * (coalesce(col("s"), lit(0L)).cast("double") /
             lit(1.0e12))).as("pr"))
   }
@@ -114,7 +133,13 @@ object Graphs {
     * column algebra, so the iterative operators over it stay oracle
     * hash-exact. */
   private[graft] def crawlEdges(documents: DataFrame): DataFrame = {
-    val d = UrlCuration.q148(documents).select(col("doc_id"), col("domain"))
+    // pinned: the (doc_id, domain) projection feeds FOUR consumers in
+    // this one lazy plan (succ, the chain join, the bounds aggregate,
+    // and both sides of the wrap join) — without the pin each consumer
+    // replays the q148 URL-normalization scan over the full corpus,
+    // i.e. ~4 corpus passes for a two-column frame (r19, guide §2.4)
+    val d = graft.Pins.pin(
+      UrlCuration.q148(documents).select(col("doc_id"), col("domain")))
     val succ = d.select((col("doc_id") - 1).as("doc_id"),
       col("domain").as("dst"))
     val bounds = d.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
@@ -159,18 +184,30 @@ object Graphs {
     * the label table and the (dst, lbl) partial counts shuffle. */
   def labelProp(edges: DataFrame, iters: Int = 5,
                 broadcastNodeLimit: Long = BroadcastNodeLimit): DataFrame = {
-    val e0 = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    // pin the input projection before symmetrizing: the union below
+    // references it twice, and without the pin the caller's whole edge
+    // derivation (q165: URL-normalize + chain join) replays for the
+    // reversed branch (r19, guide §2.4)
+    val ein = graft.Pins.pin(edges.select(col("src"), col("dst")))
+    // e0 pinned too (the q154 prelude discipline): nodes and the
+    // per-round edge frame both reference it, and in broadcast mode e
+    // IS e0 instead of a second identical pinned copy
+    val e0 = graft.Pins.pin(ein
+      .unionByName(ein.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct())
     val nodes = graft.Pins.pin(e0.select(col("src").as("node")).distinct())
     val useBcast = nodes.count() <= broadcastNodeLimit
-    val e = graft.Pins.pin(if (useBcast) e0 else e0.repartition(col("src")))
+    val e = if (useBcast) e0 else graft.Pins.pin(e0.repartition(col("src")))
     var labels = nodes.withColumn("lbl", col("node"))
       .transform(Ckpt.cut(_))
     for (_ <- 1 to iters) {
-      val nl = e
+      // nl pinned per round: the argmax consumes it TWICE (the mx
+      // rollup and the join below) — unpinned, the round's edge ⋈
+      // labels join + count ran twice, i.e. two full edge passes per
+      // round instead of one (r19, guide §2.4). Node-label-sized.
+      val nl = graft.Pins.pin(e
         .join(bc(labels.withColumnRenamed("node", "src"), useBcast), "src")
-        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt")))
       val mx = nl.groupBy(col("dst")).agg(max(col("cnt")).as("mc"))
       labels = nl.join(bc(mx, useBcast), "dst")
         .filter(col("cnt") === col("mc"))
@@ -309,13 +346,22 @@ object Graphs {
     * localCheckpoint lineage cut. */
   def q175(documents: DataFrame, hops: Int = 6,
            broadcastNodeLimit: Long = BroadcastNodeLimit): DataFrame = {
-    val e0 = crawlEdges(documents).select(col("src"), col("dst"))
-      .unionByName(crawlEdges(documents)
-        .select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    // ONE edge derivation, symmetrized in-plan: the previous form
+    // called crawlEdges twice, so the URL-normalize + chain-join
+    // pipeline ran twice to produce the same rows reversed (r19) —
+    // union both orientations of a single PINNED subtree instead (the
+    // union references fwd twice; the distinct that follows makes the
+    // two forms row-identical)
+    val fwd = graft.Pins.pin(crawlEdges(documents).select(col("src"), col("dst")))
+    // e0 pinned too (the q154 prelude discipline): nodes and the
+    // per-round edge frame both reference it, and in broadcast mode e
+    // IS e0 instead of a second identical pinned copy
+    val e0 = graft.Pins.pin(fwd
+      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct())
     val nodes = graft.Pins.pin(e0.select(col("src").as("node")).distinct())
     val useBcast = nodes.count() <= broadcastNodeLimit
-    val e = graft.Pins.pin(if (useBcast) e0 else e0.repartition(col("src")))
+    val e = if (useBcast) e0 else graft.Pins.pin(e0.repartition(col("src")))
     val seed = e.agg(min(col("src")).as("node"))
     var dist = broadcast(seed).withColumn("dist", lit(0L))
       .transform(Ckpt.cut(_))
@@ -376,12 +422,15 @@ object Graphs {
     * corpus-sized edge list every half-round. */
   def hits(edges: DataFrame, iters: Int = 5, scale: Long = 1000000L,
            broadcastNodeLimit: Long = BroadcastNodeLimit): DataFrame = {
-    val e0 = edges.select(col("src"), col("dst")).distinct()
+    // e0 pinned FIRST (the q154 prelude discipline): nodes references
+    // it twice and the per-key edge frames once more each; in
+    // broadcast mode eBySrc IS e0, not a second identical pinned copy
+    val e0 = graft.Pins.pin(edges.select(col("src"), col("dst")).distinct())
     val nodes = graft.Pins.pin(e0.select(col("src").as("node"))
       .unionByName(e0.select(col("dst").as("node"))).distinct())
     val useBcast = nodes.count() <= broadcastNodeLimit
-    val eBySrc = graft.Pins.pin(
-      if (useBcast) e0 else e0.repartition(col("src")))
+    val eBySrc =
+      if (useBcast) e0 else graft.Pins.pin(e0.repartition(col("src")))
     val eByDst =
       if (useBcast) eBySrc
       else graft.Pins.pin(e0.repartition(col("dst")))
@@ -392,10 +441,13 @@ object Graphs {
     def half(scores: DataFrame, scoreCol: String, joinKey: String,
              outKey: String, outCol: String): DataFrame = {
       val e = if (joinKey == "src") eBySrc else eByDst
-      val raw = e
+      // raw pinned per half-round: the renormalization total and the
+      // node join both consume it — unpinned, the edge ⋈ scores join
+      // ran twice per half-round (r19, guide §2.4). Node-sized.
+      val raw = graft.Pins.pin(e
         .join(bc(scores.withColumnRenamed("node", joinKey), useBcast), joinKey)
         .groupBy(col(outKey).as("node"))
-        .agg(sum(col(scoreCol)).as("raw"))
+        .agg(sum(col(scoreCol)).as("raw")))
       val tot = raw.agg(sum(col("raw")).as("t"))
       nodes.join(bc(raw, useBcast), Seq("node"), "left_outer")
         .crossJoin(broadcast(tot))

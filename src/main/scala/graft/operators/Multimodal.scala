@@ -152,31 +152,37 @@ object Multimodal {
     val nw = math.max(1, (img.getWidth * scale).toInt)
     val nh = math.max(1, (img.getHeight * scale).toInt)
     val out = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+    // bulk raster in/out (the dHash rationale): same per-pixel values,
+    // ColorModel conversion paid once per image instead of per pixel
+    val w = img.getWidth
+    val in = img.getRGB(0, 0, w, img.getHeight, null, 0, w)
+    val px = new Array[Int](nw * nh)
     var y = 0
     while (y < nh) {
       val y0 = y * img.getHeight / nh
       val y1 = math.max(y0 + 1, (y + 1) * img.getHeight / nh)
       var x = 0
       while (x < nw) {
-        val x0 = x * img.getWidth / nw
-        val x1 = math.max(x0 + 1, (x + 1) * img.getWidth / nw)
+        val x0 = x * w / nw
+        val x1 = math.max(x0 + 1, (x + 1) * w / nw)
         var sr = 0L; var sg = 0L; var sb = 0L; var n = 0
         var yy = y0
         while (yy < y1) {
           var xx = x0
           while (xx < x1) {
-            val rgb = img.getRGB(xx, yy)
+            val rgb = in(yy * w + xx)
             sr += (rgb >> 16) & 255; sg += (rgb >> 8) & 255; sb += rgb & 255
             n += 1; xx += 1
           }
           yy += 1
         }
-        out.setRGB(x, y,
-          (((sr / n).toInt) << 16) | (((sg / n).toInt) << 8) | (sb / n).toInt)
+        px(y * nw + x) =
+          (((sr / n).toInt) << 16) | (((sg / n).toInt) << 8) | (sb / n).toInt
         x += 1
       }
       y += 1
     }
+    out.setRGB(0, 0, nw, nh, px, 0, nw)
     out
   }
 
@@ -187,22 +193,30 @@ object Multimodal {
     * nearly the same bits. */
   private[graft] def dHash(img: BufferedImage): Long = {
     val gw = 9; val gh = 8
+    val w = img.getWidth; val h = img.getHeight
+    // ONE bulk raster read instead of a getRGB call per pixel: bulk
+    // getRGB returns bit-identical ARGB ints (same ColorModel
+    // conversion) while reusing the raster transfer buffer and paying
+    // the call/bounds overhead once — matters on decoded PNGs
+    // (TYPE_3BYTE_BGR), and the grid loop below then reads a plain
+    // int array (r19, guide §1.2 step 2)
+    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
     val g = Array.ofDim[Double](gh, gw)
     var gy = 0
     while (gy < gh) {
       var gx = 0
       while (gx < gw) {
-        val x0 = gx * img.getWidth / gw
-        val x1 = math.max(x0 + 1, (gx + 1) * img.getWidth / gw)
-        val y0 = gy * img.getHeight / gh
-        val y1 = math.max(y0 + 1, (gy + 1) * img.getHeight / gh)
+        val x0 = gx * w / gw
+        val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+        val y0 = gy * h / gh
+        val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
         var s = 0L; var n = 0
         var y = y0
         while (y < y1) {
           var x = x0
           while (x < x1) {
-            val rgb = img.getRGB(x, y)
-            s += ((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)
+            val p = rgb(y * w + x)
+            s += ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)
             n += 1; x += 1
           }
           y += 1
@@ -638,6 +652,13 @@ object Multimodal {
         })
       }
       .toDF()
+      // pinned: the band self-join references this frame TWICE (a and
+      // b sides), and q94's cluster propagation persists the pair
+      // frame whose single materialization still contains both sides —
+      // unpinned, the render→PNG→decode→dHash pipeline ran 2-3× per
+      // query (r19 StageProbe: three ~45-100 s codec stages in one
+      // q94 run; guide §2.4)
+      .transform(graft.Pins.pin)
     (hammingBandPairs(ph, "phash", maxHamming), members)
   }
 
@@ -811,6 +832,9 @@ object Multimodal {
         })
       }
       .toDF()
+      // pinned: the band self-join references this frame twice — the
+      // phashRepPairs rationale on the audio axis (r19)
+      .transform(graft.Pins.pin)
     (hammingBandPairs(fp, "afp", maxHamming), members)
   }
 
@@ -1144,6 +1168,32 @@ object Multimodal {
     * DFT measured 147 s for the sf0.1 corpus; the FFT 9.4 s). Peak picking is strict-inequality
     * local maxima, ties broken by bin — content-determined, so two
     * copies of the same audio emit identical landmark sets. */
+  /** FFT tables (Hann window, bit-reversal permutation, per-level
+    * twiddle factors) for one power-of-two frame size — pure functions
+    * of `frame`, cached executor-wide so [[spectralLandmarks]] builds
+    * them once per JVM instead of once per document (r19). */
+  private val fftTableCache =
+    new java.util.concurrent.ConcurrentHashMap[Int,
+      (Array[Double], Array[Int], Array[Array[Double]], Array[Array[Double]])]()
+  private def fftTables(frame: Int)
+      : (Array[Double], Array[Int], Array[Array[Double]], Array[Array[Double]]) =
+    fftTableCache.computeIfAbsent(frame, { f =>
+      val levels = java.lang.Integer.numberOfTrailingZeros(f)
+      val hann = Array.tabulate(f)(i =>
+        0.5 - 0.5 * math.cos(2 * math.Pi * i / (f - 1)))
+      val rev = Array.tabulate(f)(i =>
+        java.lang.Integer.reverse(i) >>> (32 - levels))
+      val twCos = Array.tabulate(levels) { st =>
+        val len = 1 << (st + 1)
+        Array.tabulate(len / 2)(j => math.cos(-2 * math.Pi * j / len))
+      }
+      val twSin = Array.tabulate(levels) { st =>
+        val len = 1 << (st + 1)
+        Array.tabulate(len / 2)(j => math.sin(-2 * math.Pi * j / len))
+      }
+      (hann, rev, twCos, twSin)
+    })
+
   private[graft] def spectralLandmarks(s: Array[Short], frame: Int = 256,
                                        hop: Int = 128, peaksPerFrame: Int = 3,
                                        zone: Int = 7, fanout: Int = 5)
@@ -1157,25 +1207,16 @@ object Multimodal {
     require(zone >= 1 && zone <= 7, s"zone $zone outside the packable 1..7")
     val nFrames = (s.length - frame) / hop + 1
     val bins = frame / 2
-    // Hann window (spectral-leakage control: stabilizes peak bins when
-    // the frame grid slides relative to the content)
-    val hann = Array.tabulate(frame)(i =>
-      0.5 - 0.5 * math.cos(2 * math.Pi * i / (frame - 1)))
     // iterative radix-2 FFT (Cooley–Tukey): the naive DFT cost
     // O(frame·bins) per frame priced the whole operator at 147 s for
-    // the sf0.1 corpus (measured); the FFT reads 9.4 s. Tables are
-    // per-call (frame is a parameter); buffers are reused per frame.
+    // the sf0.1 corpus (measured); the FFT reads 9.4 s. Tables (Hann
+    // window, bit-reversal, twiddles) are pure functions of `frame` —
+    // CACHED per frame size (r19: they were rebuilt per CALL, i.e. per
+    // document, and the ~4k transcendentals of a 256-table build cost
+    // as much as the ~30 FFTs they serve); buffers are reused per
+    // frame.
     val levels = java.lang.Integer.numberOfTrailingZeros(frame)
-    val rev = Array.tabulate(frame)(i =>
-      java.lang.Integer.reverse(i) >>> (32 - levels))
-    val twCos = Array.tabulate(levels) { st =>
-      val len = 1 << (st + 1)
-      Array.tabulate(len / 2)(j => math.cos(-2 * math.Pi * j / len))
-    }
-    val twSin = Array.tabulate(levels) { st =>
-      val len = 1 << (st + 1)
-      Array.tabulate(len / 2)(j => math.sin(-2 * math.Pi * j / len))
-    }
+    val (hann, rev, twCos, twSin) = fftTables(frame)
     val re = new Array[Double](frame)
     val im = new Array[Double](frame)
     // top-k peak bins per frame
@@ -1207,11 +1248,31 @@ object Multimodal {
         st += 1
       }
       val mag = Array.tabulate(bins)(b => re(b) * re(b) + im(b) * im(b))
-      (2 until bins - 1)
-        .filter(b => mag(b) > mag(b - 1) && mag(b) >= mag(b + 1))
-        .sortBy(b => (-mag(b), b))
-        .take(peaksPerFrame)
-        .sorted
+      // top-`peaksPerFrame` local maxima by (mag desc, bin asc), output
+      // ascending by bin — a primitive insertion pick replacing the
+      // old Range.filter.sortBy.take.sorted chain (r19: one boxed sort
+      // per frame per doc); same candidates, same tie rule (strict >
+      // keeps the earlier bin of a tie ahead, exactly like the old
+      // (-mag, b) sort key), so the selected bins are identical
+      val topB = new Array[Int](peaksPerFrame)
+      val topM = new Array[Double](peaksPerFrame)
+      var nTop = 0
+      var b = 2
+      while (b < bins - 1) {
+        if (mag(b) > mag(b - 1) && mag(b) >= mag(b + 1)) {
+          val m = mag(b)
+          if (nTop < peaksPerFrame || m > topM(nTop - 1)) {
+            var p = math.min(nTop, peaksPerFrame - 1)
+            while (p > 0 && topM(p - 1) < m) {
+              topB(p) = topB(p - 1); topM(p) = topM(p - 1); p -= 1
+            }
+            topB(p) = b; topM(p) = m
+            if (nTop < peaksPerFrame) nTop += 1
+          }
+        }
+        b += 1
+      }
+      java.util.Arrays.copyOf(topB, nTop).sorted.toIndexedSeq
     }
     val out = Seq.newBuilder[(Int, Long)]
     var t = 0
@@ -1242,9 +1303,16 @@ object Multimodal {
     // constant with no recall cost: an embed's diagonal only needs
     // one surviving (t_a, t_b) co-occurrence, and "earliest by time"
     // is content-determined so both copies keep aligned occurrences.
-    out.result().groupBy(_._2).iterator
-      .flatMap { case (_, occ) => occ.sortBy(_._1).take(4) }
-      .toSeq
+    // Emission order is already t-ascending, so one counting pass
+    // keeps exactly the 4 earliest per hash — the old groupBy +
+    // per-hash sortBy allocated a Map of the full landmark set per
+    // document for the same selection (r19).
+    val res = out.result()
+    val cnt = scala.collection.mutable.HashMap.empty[Long, Int]
+    res.filter { case (_, h) =>
+      val c = cnt.getOrElse(h, 0)
+      if (c < 4) { cnt(h) = c + 1; true } else false
+    }
   }
 
   /** Landmark-pair kernel over a (doc_id, payload) frame: join on the
@@ -1260,7 +1328,7 @@ object Multimodal {
       : (DataFrame, DataFrame) = {
     val spark = media.sparkSession
     import spark.implicits._
-    val lms = media.select(col("doc_id"), col("payload"))
+    val lmsRaw = media.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap(_.flatMap { case (id, b) =>
@@ -1269,21 +1337,64 @@ object Multimodal {
           }
         })
       }
-      .toDF()
-      .transform(graft.Pins.pin)
-    val kept =
-      if (dfCap <= 0) lms
-      else lms.join(
-        lms.groupBy(col("wfp"))
-          .agg(countDistinct(col("doc_id")).as("df"))
-          .filter(col("df") > dfCap).select(col("wfp")),
-        Seq("wfp"), "left_anti")
-    val byOffset = kept.as("a").join(kept.as("b"),
-        col("a.wfp") === col("b.wfp") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (col("a.win_idx") - col("b.win_idx")).as("offset_frames"),
-        col("a.wfp").as("h"))
-      .distinct()
+    // With a positive dfCap (the production default) every hash group
+    // is bounded at dfCap docs × 4 capped occurrences, so the pair
+    // expansion runs INSIDE one groupByKey(hash) group: ONE exchange
+    // of the landmark stream replaces the old chain of [df rollup +
+    // anti-join] + [a/b self-join] + [pair-stream distinct] — at sf0.1
+    // that chain shuffled ~150 MB through four back-to-back stages
+    // (r19 StageProbe) to produce KB-sized diagonals. Per-group
+    // semantics are IDENTICAL: the cap drops the whole group exactly
+    // like the anti-join did, and in-group (doc_a, doc_b, offset)
+    // dedup equals the old global distinct over (…, h) because h is
+    // fixed within a group. The uncapped form (dfCap ≤ 0, spec/audit
+    // use) keeps the join shape — an unbounded hot hash must fan out
+    // as rows, never buffer as one group.
+    val (pairRows, docFull) =
+      if (dfCap > 0) {
+        val groups = graft.Pins.pin( // two consumers: pairs + docFull
+          lmsRaw.groupByKey(_.wfp)
+            .mapGroups { (_, it) => it.map(r => (r.doc_id, r.win_idx)).toArray }
+            .filter { occ =>
+              val docs = scala.collection.mutable.HashSet.empty[Long]
+              occ.foreach(o => docs += o._1)
+              docs.size <= dfCap
+            })
+        val pr = groups.flatMap { occ =>
+          val out = scala.collection.mutable.HashSet.empty[(Long, Long, Int)]
+          var i = 0
+          while (i < occ.length) {
+            var j = 0
+            while (j < occ.length) {
+              if (occ(i)._1 < occ(j)._1)
+                out += ((occ(i)._1, occ(j)._1, occ(i)._2 - occ(j)._2))
+              j += 1
+            }
+            i += 1
+          }
+          out.iterator
+        }.toDF("doc_a", "doc_b", "offset_frames")
+        val df = groups.flatMap { occ =>
+          val m = scala.collection.mutable.HashMap.empty[Long, Long]
+          occ.foreach(o => m(o._1) = m.getOrElse(o._1, 0L) + 1L)
+          m.iterator
+        }.toDF("doc_id", "c")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).cast("long").as("n_landmarks"))
+        (pr, df)
+      } else {
+        val kept = lmsRaw.toDF().transform(graft.Pins.pin)
+        val pr = kept.as("a").join(kept.as("b"),
+            col("a.wfp") === col("b.wfp") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            (col("a.win_idx") - col("b.win_idx")).as("offset_frames"),
+            col("a.wfp").as("h"))
+          .distinct()
+          .select(col("doc_a"), col("doc_b"), col("offset_frames"))
+        (pr, kept.groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("n_landmarks")))
+      }
+    val byOffset = pairRows
       .groupBy(col("doc_a"), col("doc_b"), col("offset_frames"))
       .agg(count(lit(1)).cast("long").as("n"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1300,8 +1411,6 @@ object Multimodal {
       .filter(col("rk") === 1)
       .select(col("doc_a"), col("doc_b"), col("offset_frames"),
         col("n_win").cast("long").as("n_matched"))
-    val docFull = kept.groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("n_landmarks"))
     (pairs, docFull)
   }
 
@@ -1949,18 +2058,19 @@ object Multimodal {
                                nFrames: Int): BufferedImage = {
     val w = base.getWidth; val ht = base.getHeight
     val img = new BufferedImage(w, ht, BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < ht) {
-      var x = 0
-      while (x < w) {
-        val rgb = base.getRGB(x, y)
-        def fade(c: Int) = c * (2 * nFrames - f) / (2 * nFrames)
-        img.setRGB(x, y, (fade((rgb >> 16) & 255) << 16) |
-          (fade((rgb >> 8) & 255) << 8) | fade(rgb & 255))
-        x += 1
-      }
-      y += 1
+    // bulk raster in/out (the dHash rationale): identical per-pixel
+    // arithmetic over one bulk-read ARGB array
+    val in = base.getRGB(0, 0, w, ht, null, 0, w)
+    val out = new Array[Int](w * ht)
+    def fade(c: Int) = c * (2 * nFrames - f) / (2 * nFrames)
+    var i = 0
+    while (i < out.length) {
+      val rgb = in(i)
+      out(i) = (fade((rgb >> 16) & 255) << 16) |
+        (fade((rgb >> 8) & 255) << 8) | fade(rgb & 255)
+      i += 1
     }
+    img.setRGB(0, 0, w, ht, out, 0, w)
     img
   }
 
@@ -1984,37 +2094,34 @@ object Multimodal {
     val (f0, _) = clip.frame(0)
     val w = f0.getWidth; val h = f0.getHeight
     val acc = new Array[Long](w * h * 3)
+    // bulk raster reads per frame (the dHash rationale): identical
+    // channel sums, ColorModel conversion once per frame not per pixel
     var i = 0
     while (i < clip.numFrames) {
       val (img, _) = clip.frame(i)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val o = (y * w + x) * 3
-          acc(o) += (rgb >> 16) & 255
-          acc(o + 1) += (rgb >> 8) & 255
-          acc(o + 2) += rgb & 255
-          x += 1
-        }
-        y += 1
+      val rgbRow = img.getRGB(0, 0, w, h, null, 0, w)
+      var p = 0
+      while (p < rgbRow.length) {
+        val rgb = rgbRow(p)
+        val o = p * 3
+        acc(o) += (rgb >> 16) & 255
+        acc(o + 1) += (rgb >> 8) & 255
+        acc(o + 2) += rgb & 255
+        p += 1
       }
       i += 1
     }
     val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     val n = clip.numFrames
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val o = (y * w + x) * 3
-        out.setRGB(x, y, (((acc(o) / n).toInt & 255) << 16) |
-          (((acc(o + 1) / n).toInt & 255) << 8) | ((acc(o + 2) / n).toInt & 255))
-        x += 1
-      }
-      y += 1
+    val px = new Array[Int](w * h)
+    var p = 0
+    while (p < px.length) {
+      val o = p * 3
+      px(p) = (((acc(o) / n).toInt & 255) << 16) |
+        (((acc(o + 1) / n).toInt & 255) << 8) | ((acc(o + 2) / n).toInt & 255)
+      p += 1
     }
+    out.setRGB(0, 0, w, h, px, 0, w)
     out
   }
 
@@ -2040,6 +2147,10 @@ object Multimodal {
         })
       }
       .toDF("doc_id", "vhash")
+      // pinned: the band self-join references this frame twice — the
+      // phashRepPairs rationale on the video axis (r19); unpinned,
+      // every clip decoded + mean-framed + hashed twice per query
+      .transform(graft.Pins.pin)
     hammingBandPairs(hashes, "vhash", maxHamming)
   }
 
@@ -2122,12 +2233,17 @@ object Multimodal {
           .agg(countDistinct(col("doc_id")).as("df"))
           .filter(col("df") > dfCap).select(col("fh")),
         Seq("fh"), "left_anti")
+    // no distinct before the rollup: (doc_id, frame_idx) is unique per
+    // row, so two joined frame pairs can only collide on
+    // (doc_a, doc_b, offset, fa) if they ARE the same pair — and the
+    // collect_set below is set-semantics anyway. The distinct this
+    // replaced was a full extra exchange+aggregate over the matched
+    // frame stream, the largest intermediate of the query (r19, §2.4)
     val pairs = kept.as("a").join(kept.as("b"),
         col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (col("a.frame_idx") - col("b.frame_idx")).as("offset_frames"),
         col("a.frame_idx").as("fa"))
-      .distinct()
       .groupBy(col("doc_a"), col("doc_b"), col("offset_frames"))
       .agg(sort_array(collect_set(col("fa"))).as("fas"))
       .as[(Long, Long, Int, Seq[Int])]

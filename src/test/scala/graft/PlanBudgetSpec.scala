@@ -292,10 +292,12 @@ class PlanBudgetSpec extends GraftSpec {
   test("graph round above the broadcast node threshold: no node-table broadcast") {
     // emulate a graph too big to broadcast: hints off (useBcast=false)
     // AND size-estimation broadcast disabled — the static plan must
-    // carry ZERO BroadcastHashJoins (the one-row nn total still rides
-    // its hinted broadcast nested-loop, which is fine at any scale)
+    // carry ZERO broadcast exchanges of any kind (r19: the out-degree
+    // rides the pinned edge frame and the node-count total is a
+    // literal, so even the old one-row nn broadcast nested-loop is
+    // gone from the round)
     import spark.implicits._
-    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    import org.apache.spark.sql.functions.{col, count, lit}
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -303,13 +305,13 @@ class PlanBudgetSpec extends GraftSpec {
         .repartition(col("src"))
       val nodes = e.select(col("src").as("node")).distinct()
       val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
-      val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
-      val ranks = nodes.crossJoin(broadcast(nn))
-        .select(col("node"), (lit(1.0) / col("n")).as("pr"))
+      val eod = e.join(outdeg, "src").select(col("src"), col("dst"), col("od"))
+      val ranks = nodes.select(col("node"), (lit(1.0) / lit(3.0)).as("pr"))
       val round = graft.operators.Graphs.pagerankRound(
-        e, nodes, outdeg, nn, ranks, alpha = 0.85, useBcast = false)
+        eod, nodes, n = 3.0, ranks, alpha = 0.85, useBcast = false)
       val r = PlanReport.analyze(round)
       assert(r.broadcastJoins == 0, r)
+      assert(r.broadcastExchanges == 0, r)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
