@@ -965,12 +965,19 @@ object Multimodal {
           .agg(countDistinct(col("doc_id")).as("df"))
           .filter(col("df") > dfCap).select(col("wfp")),
         Seq("wfp"), "left_anti")
+    // no distinct before the rollups: (doc_id, win_idx) is unique per
+    // row, so joined pairs cannot collide on (doc_a, doc_b, offset,
+    // pa) — and both branches below aggregate with SET semantics, so
+    // even a hypothetical duplicate could change nothing. The distinct
+    // this replaced was a full extra exchange+aggregate over the
+    // matched-key stream, the largest intermediate of the query
+    // (r19, guide §2.4; the perceptual branch's old count(1) was the
+    // duplicate-sensitive aggregate that kept Catalyst from eliding it)
     val matched = kept.as("a").join(kept.as("b"),
         col("a.wfp") === col("b.wfp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (col("a.win_idx") - col("b.win_idx")).as("offset_samples"),
         col("a.win_idx").as("pa"))
-      .distinct()
     val pairs =
       if (exact)
         // evidenced audio on this diagonal, SEGMENTED into contiguous
@@ -1021,17 +1028,18 @@ object Multimodal {
         // on one diagonal pass a minRunWins=3 gate)
         matched
           .groupBy(col("doc_a"), col("doc_b"), col("offset_samples"))
-          .agg(count(lit(1)).cast("long").as("n_matched"),
-            sort_array(collect_set(col("pa"))).as("pas"))
-          .as[(Long, Long, Int, Long, Seq[Int])]
-          .map { case (da, db, off, nm, pas) =>
+          .agg(sort_array(collect_set(col("pa"))).as("pas"))
+          .as[(Long, Long, Int, Seq[Int])]
+          .map { case (da, db, off, pas) =>
             var best = 0; var run = 0; var prev = Int.MinValue
             pas.foreach { p =>
               run = if (p == prev + winSamples) run + 1 else 1
               if (run > best) best = run
               prev = p
             }
-            (da, db, off, nm, best.toLong * winSamples,
+            // n_matched == the old count over the distinct'd stream:
+            // within a group, rows are distinct pa values
+            (da, db, off, pas.size.toLong, best.toLong * winSamples,
               pas.head.toLong, pas.last.toLong + winSamples)
           }
           .toDF("doc_a", "doc_b", "offset_samples", "n_matched",
@@ -1826,7 +1834,13 @@ object Multimodal {
         (col("a.ax") - col("b.ax")).as("dx_px"),
         (col("a.ay") - col("b.ay")).as("dy_px"),
         col("a.ax").as("aax"), col("a.ay").as("aay"))
-      .distinct()
+      // no distinct: (doc_id, ax, ay) is unique per anchor row, so
+      // joined pairs cannot collide on (pair, diagonal, anchor) — and
+      // the rollup below is collect_SET, so even a hypothetical
+      // duplicate changes nothing. Removing it removes a full
+      // exchange+aggregate over the matched-anchor stream (r19; the
+      // old collect_list was the duplicate-sensitive aggregate that
+      // kept Catalyst's RemoveRedundantAggregates from eliding it)
       // SEGMENT each diagonal's matched anchors into spatially
       // connected clusters (r16 review, the 2D twin of the audio fix):
       // an anchor certifies a tile×tile identical block, so anchors
@@ -1841,7 +1855,7 @@ object Multimodal {
       // (tile/2)² position window of a verbatim paste, so a true
       // contiguous paste never splits.
       .groupBy(col("doc_a"), col("doc_b"), col("dx_px"), col("dy_px"))
-      .agg(collect_list(struct(col("aax").as("_1"), col("aay").as("_2")))
+      .agg(collect_set(struct(col("aax").as("_1"), col("aay").as("_2")))
         .as("apos"))
       .as[(Long, Long, Int, Int, Seq[(Int, Int)])]
       .flatMap { case (da, db, dx, dy, apos) =>
