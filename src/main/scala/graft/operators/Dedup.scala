@@ -264,9 +264,39 @@ object Dedup {
     val (repPairs, members, g) = jaccardRepPairs(documents, blockT)
     val ta = documents.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val tb = documents.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
-    val verified = repPairs.select(col("doc_a"), col("doc_b"))
+    // r20 (guide §3.2 "reduce the big side before shipping it"): two
+    // LOSSLESS prunes around the O(|a|·|b|) DP —
+    //  - LENGTH-DIFFERENCE: dist ≥ ||a|−|b||, so a candidate whose char
+    //    lengths differ beyond the similarity budget k can never reach
+    //    edit_sim ≥ simFloor; filtered on an 8-byte (doc_id, len)
+    //    frame BEFORE the pair ships two full texts into the verify
+    //    join (the blocking at t=0.5 admits token-count ratios down to
+    //    0.5, while simFloor=0.8 needs length ratio ≥ ~0.8 — a real
+    //    candidate slice dies here without ever touching text);
+    //  - BANDED DP WITH EARLY ABANDON: `levenshtein(a, b, k)` (Spark
+    //    3.5+) explores only the ±k diagonal band and returns −1 the
+    //    moment the distance provably exceeds k — O(k·min(|a|,|b|))
+    //    instead of O(|a|·|b|) per surviving pair.
+    // k = ⌊(1−simFloor)·maxlen⌋ + 2 over-covers the true cutoff (the
+    // +2 absorbs the IEEE rounding of (1−simFloor) and the divide), so
+    // every row the ORIGINAL filter would keep has dist ≤ k: its DP
+    // returns the exact distance and the unchanged edit_sim filter
+    // decides as before; rows pruned or returning −1 provably fail it.
+    val lens = documents.select(col("doc_id"), length(col("text")).as("len"))
+    val pruned = repPairs.select(col("doc_a"), col("doc_b"))
+      .join(lens.select(col("doc_id").as("doc_a"), col("len").as("la")), "doc_a")
+      .join(lens.select(col("doc_id").as("doc_b"), col("len").as("lb")), "doc_b")
+      .withColumn("k",
+        (floor(lit(1.0 - simFloor) * greatest(col("la"), col("lb"))) + lit(2))
+          .cast("int"))
+      .filter(abs(col("la") - col("lb")) <= col("k"))
+      .select(col("doc_a"), col("doc_b"), col("k"))
+    val verified = pruned
       .join(ta, "doc_a").join(tb, "doc_b")
-      .withColumn("dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .withColumn("dist",
+        call_function("levenshtein", col("text_a"), col("text_b"), col("k"))
+          .cast("long"))
+      .filter(col("dist") >= 0L)
       .withColumn("edit_sim", lit(1.0) - col("dist").cast("double") /
         greatest(length(col("text_a")), length(col("text_b"))))
       .filter(col("edit_sim") >= simFloor)
@@ -302,8 +332,16 @@ object Dedup {
     // round stays ONE job); the reliable path is eager by design and
     // pays one extra cache-read job per round for the durable write
     def cut(df: DataFrame): DataFrame = Ckpt.cut(df, eager = false)
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    // r20: pin the INPUT pair frame before symmetrizing — the unionAll
+    // references `pairs` twice, so materializing `edges` evaluated the
+    // caller's ENTIRE pair-generation kernel twice (q96's O(n²/2)
+    // dot-product blocks, q94's Hamming band self-join, q64/q105's
+    // verified-Jaccard pipeline — StageProbe r20: two back-to-back
+    // ~13 s kernel stages in one q96 run, guide §2.4). One pair-sized
+    // cache read replaces the second run at any scale.
+    val p0 = graft.Pins.pin(pairs.select(col("doc_a"), col("doc_b")))
+    val edges = p0.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(p0.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seed = identity label AND the first propagation round in ONE
     // aggregation: every vertex appears as `u` (edges are symmetric), so
@@ -1436,10 +1474,25 @@ object Dedup {
     * Guarded divides (empty side → null, mirrored CASE in the
     * oracle); all counts exact longs → hash-exact. */
   def q184(documents: DataFrame, w: Int = 4, minShared: Int = 2): DataFrame = {
-    val exact = q41(documents).select(col("doc_a"), col("doc_b"))
+    // r20 (guide §5 memory): the two sub-evaluations run SEQUENTIALLY,
+    // each released before the other starts. Lazily composed, q41's
+    // pinned shingle+prefix+candidate frames and q162's pinned
+    // minimizer stream were all live at once under the full-outer
+    // join — double the corpus-sized storage footprint for a query
+    // whose two sides never share a frame. That memory pressure made
+    // q184 the suite's variance champion (r19: 4.85 vs 9.2 s reads,
+    // anti-correlated with q41 across runs). Each side reduces to a
+    // pair-id list before the cut, so the checkpoint is pair-sized;
+    // results are identical — the cut is semantically transparent and
+    // releasing a pin only ever costs recompute, which the eager cut
+    // has already made impossible here.
+    val exact = Ckpt.cut(q41(documents).select(col("doc_a"), col("doc_b")))
       .withColumn("in_exact", lit(true))
-    val sketch = q162(documents, w, minShared).select(col("doc_a"), col("doc_b"))
+    graft.Pins.release()
+    val sketch = Ckpt.cut(
+      q162(documents, w, minShared).select(col("doc_a"), col("doc_b")))
       .withColumn("in_sketch", lit(true))
+    graft.Pins.release()
     exact.join(sketch, Seq("doc_a", "doc_b"), "full_outer")
       .agg(
         sum(when(col("in_exact"), 1L).otherwise(0L)).cast("long").as("n_exact"),

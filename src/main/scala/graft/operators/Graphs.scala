@@ -201,19 +201,26 @@ object Graphs {
     var labels = nodes.withColumn("lbl", col("node"))
       .transform(Ckpt.cut(_))
     for (_ <- 1 to iters) {
-      // nl pinned per round: the argmax consumes it TWICE (the mx
-      // rollup and the join below) — unpinned, the round's edge ⋈
+      // nl persisted per round: the argmax consumes it TWICE (the mx
+      // rollup and the join below) — unpersisted, the round's edge ⋈
       // labels join + count ran twice, i.e. two full edge passes per
       // round instead of one (r19, guide §2.4). Node-label-sized.
-      val nl = graft.Pins.pin(e
+      // DIRECT persist + same-round unpersist (r20, ADVICE): the cut
+      // below is EAGER, so once the round's labels are checkpointed
+      // nothing re-reads nl — holding all `iters` round frames in the
+      // CacheManager until the query-end Pins.release() only inflates
+      // peak storage memory in a long-lived session.
+      val nl = e
         .join(bc(labels.withColumnRenamed("node", "src"), useBcast), "src")
-        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt")))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val mx = nl.groupBy(col("dst")).agg(max(col("cnt")).as("mc"))
       labels = nl.join(bc(mx, useBcast), "dst")
         .filter(col("cnt") === col("mc"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("lbl"))
         .withColumnRenamed("dst", "node")
         .transform(Ckpt.cut(_))
+      nl.unpersist(blocking = false)
     }
     labels
   }
@@ -441,20 +448,27 @@ object Graphs {
     def half(scores: DataFrame, scoreCol: String, joinKey: String,
              outKey: String, outCol: String): DataFrame = {
       val e = if (joinKey == "src") eBySrc else eByDst
-      // raw pinned per half-round: the renormalization total and the
-      // node join both consume it — unpinned, the edge ⋈ scores join
-      // ran twice per half-round (r19, guide §2.4). Node-sized.
-      val raw = graft.Pins.pin(e
+      // raw persisted per half-round: the renormalization total and the
+      // node join both consume it — unpersisted, the edge ⋈ scores join
+      // ran twice per half-round (r19, guide §2.4). Node-sized. Direct
+      // persist + same-half-round unpersist after the eager cut (r20,
+      // ADVICE — the labelProp `nl` reasoning): only the CURRENT
+      // half-round's frame is ever re-read, so 2·iters accumulated
+      // pins were pure storage-memory pressure.
+      val raw = e
         .join(bc(scores.withColumnRenamed("node", joinKey), useBcast), joinKey)
         .groupBy(col(outKey).as("node"))
-        .agg(sum(col(scoreCol)).as("raw")))
+        .agg(sum(col(scoreCol)).as("raw"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tot = raw.agg(sum(col("raw")).as("t"))
-      nodes.join(bc(raw, useBcast), Seq("node"), "left_outer")
+      val out = nodes.join(bc(raw, useBcast), Seq("node"), "left_outer")
         .crossJoin(broadcast(tot))
         .select(col("node"),
           coalesce(expr(s"(coalesce(raw, 0L) * $scale) div t"), lit(0L))
             .as(outCol))
         .transform(Ckpt.cut(_))
+      raw.unpersist(blocking = false)
+      out
     }
     for (_ <- 1 to iters) {
       auth = half(hub, "h", "src", "dst", "a")   // a(v) ∝ Σ_{u→v} h(u)

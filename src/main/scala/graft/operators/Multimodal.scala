@@ -1360,14 +1360,36 @@ object Multimodal {
     // as rows, never buffer as one group.
     val (pairRows, docFull) =
       if (dfCap > 0) {
+        // STREAMING df-cap (r20, VERDICT #1): the cap decides while the
+        // group ITERATOR streams — a corpus-hot hash (silent/jingle
+        // audio carried by millions of docs, exactly what the cap
+        // exists to kill) is detected at its (dfCap+1)-th distinct doc
+        // and the rest of the group is left unconsumed (Spark's grouped
+        // iterator skips the remainder), so per-task memory is bounded
+        // at O(dfCap × 4) tuples for EVERY group, hot or not. The old
+        // form buffered the whole group (`it.toArray`) BEFORE the cap
+        // filter — an OOM vector the anti-join shape never had.
+        // Semantics identical: groups with ≤ dfCap distinct docs are
+        // fully buffered as before; groups above return the empty
+        // sentinel and are dropped — exactly the anti-join's whole-
+        // group drop. lmsRaw's emission is per-doc contiguous, but a
+        // group interleaves docs arbitrarily, so distinctness is
+        // tracked with a (bounded, ≤ dfCap+1) set, not adjacency.
         val groups = graft.Pins.pin( // two consumers: pairs + docFull
           lmsRaw.groupByKey(_.wfp)
-            .mapGroups { (_, it) => it.map(r => (r.doc_id, r.win_idx)).toArray }
-            .filter { occ =>
+            .mapGroups { (_, it) =>
+              val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
               val docs = scala.collection.mutable.HashSet.empty[Long]
-              occ.foreach(o => docs += o._1)
-              docs.size <= dfCap
-            })
+              var over = false
+              while (!over && it.hasNext) {
+                val r = it.next()
+                docs += r.doc_id
+                if (docs.size > dfCap) over = true
+                else buf += ((r.doc_id, r.win_idx))
+              }
+              if (over) Array.empty[(Long, Int)] else buf.toArray
+            }
+            .filter(_.nonEmpty))
         val pr = groups.flatMap { occ =>
           val out = scala.collection.mutable.HashSet.empty[(Long, Long, Int)]
           var i = 0

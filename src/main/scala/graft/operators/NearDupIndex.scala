@@ -69,20 +69,26 @@ object NearDupIndex {
                                       grams: DataFrame)
 
   /** Corpus-side artifacts from one pass over the distinct normalized
-    * texts. `rep` must stay persisted while the artifact frames are
-    * consumed; [[fit]] owns that lifetime, q131 relies on each frame
-    * being consumed once. */
+    * texts. The shared subtrees are PINNED (r20): [[nearIngest]]
+    * consumes `digests` twice (the exact-hit probe and the near-stage
+    * anti-join) and derives `bands` and `grams` from the same rep
+    * shingle stream — unpinned, the corpus scan + digest window ran
+    * twice and the shingle explode twice more (StageProbe r20: two
+    * ~11 s shingle-pipeline stages per q131 run, guide §2.4). The
+    * caller's loop owns the release (graft.Pins contract); [[fit]]
+    * keeps its own structurally-scoped persists instead. */
   private[graft] def artifacts(corpus: DataFrame): Artifacts = {
     // one representative text per distinct digest — any member works:
     // identical normalized texts shingle identically
     val rep = corpus
       .select(Dedup.normDigest.as("dg"), col("text"))
       .dropDuplicates("dg")
-    val g = Dedup.shingles(rep.select(col("dg").as("doc_id"), col("text")))
+    val g = graft.Pins.pin(
+      Dedup.shingles(rep.select(col("dg").as("doc_id"), col("text"))))
     val bands = Dedup.bandKeys(Dedup.minhashSignature(g))
       .select(col("doc_id").as("dg"), col("n"), col("band"), col("band_key"))
     val grams = g.select(col("doc_id").as("dg"), xxhash64(col("g")).as("gh"))
-    Artifacts(rep.select(col("dg")), bands, grams)
+    Artifacts(graft.Pins.pin(rep.select(col("dg"))), bands, grams)
   }
 
   private[graft] def load(spark: SparkSession, name: String): Artifacts =

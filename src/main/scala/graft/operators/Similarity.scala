@@ -1471,25 +1471,15 @@ object Similarity {
       cv.toDF("vec_id", "v", "norm"), k)
   }
 
-  def q193(embeddings: DataFrame,
-           hnswIndex: Option[String] = None): DataFrame = {
-    val exact = graft.Pins.pin(q44(embeddings).select(col("qid"), col("nid")))
-    def recallOf(approx: DataFrame, method: String): DataFrame = {
-      val hits = exact.join(
-          approx.filter(col("qid") < QueryPanel).select(col("qid"), col("nid")),
-          Seq("qid", "nid"), "left_semi")
-        .groupBy(col("qid")).agg(count(lit(1)).as("hit"))
-      exact.groupBy(col("qid")).agg(count(lit(1)).as("tot"))
-        .join(hits, Seq("qid"), "left_outer")
-        .na.fill(0L, Seq("hit"))
-        .agg(count(lit(1)).cast("long").as("n_queries"),
-          sum(col("tot")).cast("long").as("n_truth"),
-          sum(col("hit")).cast("long").as("n_hits"))
-        .select(lit(method).as("method"), col("n_queries"), col("n_truth"),
-          col("n_hits"),
-          (col("n_hits").cast("double") / col("n_truth").cast("double"))
-            .as("recall_at_5"))
-    }
+  /** The six serving lanes of [[q193]] in its report order, built over
+    * the SHARED quantizer fits and pinned frames exactly as q193
+    * composes them — extracted (r20) so the per-lane measurement tool
+    * ([[graft.Q193Probe]]) times EXACTLY the production lanes instead
+    * of a drifting replica. Construction runs the fits eagerly
+    * (ivfFit/pqFit collect); the returned frames are lazy. */
+  private[graft] def q193Lanes(embeddings: DataFrame,
+                               hnswIndex: Option[String] = None)
+      : Seq[(String, DataFrame)] = {
     // one quantizer fit each, shared across the paths that use them
     // (deterministic fits, so sharing is semantics-free)
     val centroids = ivfFit(embeddings)
@@ -1544,12 +1534,33 @@ object Similarity {
           leaveOneOut = true), vtab, vtab, 5)
       case None => rerankTopK(hnswCandidates(embeddings), vtab, vtab, 5)
     }
-    recallOf(lshPanel, "lsh")
-      .unionByName(recallOf(ivfPanel, "ivf"))
-      .unionByName(recallOf(q108(embeddings), "int8"))
-      .unionByName(recallOf(q138(embeddings, fitted = Some((cb, codes))), "pq"))
-      .unionByName(recallOf(ivfPqPanel, "ivfpq"))
-      .unionByName(recallOf(hnswPanel, "hnsw"))
+    Seq("lsh" -> lshPanel, "ivf" -> ivfPanel, "int8" -> q108(embeddings),
+      "pq" -> q138(embeddings, fitted = Some((cb, codes))),
+      "ivfpq" -> ivfPqPanel, "hnsw" -> hnswPanel)
+  }
+
+  def q193(embeddings: DataFrame,
+           hnswIndex: Option[String] = None): DataFrame = {
+    val exact = graft.Pins.pin(q44(embeddings).select(col("qid"), col("nid")))
+    def recallOf(approx: DataFrame, method: String): DataFrame = {
+      val hits = exact.join(
+          approx.filter(col("qid") < QueryPanel).select(col("qid"), col("nid")),
+          Seq("qid", "nid"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("hit"))
+      exact.groupBy(col("qid")).agg(count(lit(1)).as("tot"))
+        .join(hits, Seq("qid"), "left_outer")
+        .na.fill(0L, Seq("hit"))
+        .agg(count(lit(1)).cast("long").as("n_queries"),
+          sum(col("tot")).cast("long").as("n_truth"),
+          sum(col("hit")).cast("long").as("n_hits"))
+        .select(lit(method).as("method"), col("n_queries"), col("n_truth"),
+          col("n_hits"),
+          (col("n_hits").cast("double") / col("n_truth").cast("double"))
+            .as("recall_at_5"))
+    }
+    q193Lanes(embeddings, hnswIndex)
+      .map { case (m, lane) => recallOf(lane, m) }
+      .reduce(_.unionByName(_))
       .orderBy(col("method"))
   }
 

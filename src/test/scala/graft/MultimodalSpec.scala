@@ -585,6 +585,64 @@ class MultimodalSpec extends GraftSpec {
     assert(!out.exists(p => p._1 == 30L || p._2 == 30L), out.toSeq)
   }
 
+  test("q207 dfCap: capped path == uncapped path when nothing is droppable; " +
+      "a hot hash 1000x over the cap is dropped whole, bounded-memory") {
+    val rate = Multimodal.AudioRate
+    val clipA = Multimodal.renderAudio("alpha beta gamma tokens", rate, 2000)
+    val pre = Multimodal.renderAudio("completely different opener words", rate, 2000)
+    val post = Multimodal.renderAudio("unrelated closing content here", rate, 2000)
+    // non-aligned embed (the spec corpus the q204-modes-miss test uses):
+    // exercises real cross-doc groups, not just self-pairs
+    val attenuated = clipA.map(v => (v * 0.6).toShort)
+    val comp = pre.take(777) ++ attenuated ++ post
+    val media = Seq(
+      (1L, Multimodal.encodeWav(clipA, rate)),
+      (2L, Multimodal.encodeWav(comp, rate)),
+      (3L, Multimodal.encodeWav(
+        Multimodal.renderAudio("noise floor something else", rate, 4000), rate))
+    ).toDF("doc_id", "payload")
+    def run(cap: Int) = {
+      val (p, d) = Multimodal.audioLandmarkPairs(media, minLandmarks = 8,
+        dfCap = cap, graft.operators.WavCodec)
+      val ps = p.collect().map(r => (r.getAs[Long]("doc_a"),
+        r.getAs[Long]("doc_b"), r.getAs[Int]("offset_frames"),
+        r.getAs[Long]("n_matched"))).toSet
+      val ds = d.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_landmarks"))).toSet
+      graft.Pins.release()
+      (ps, ds)
+    }
+    // PARITY: with a cap no group reaches, the groupByKey path must
+    // equal the uncapped join path exactly — (pairs, docFull) both
+    val (capped, uncapped) = (run(1000000), run(0))
+    assert(capped._1 == uncapped._1, (capped._1, uncapped._1))
+    assert(capped._2 == uncapped._2, (capped._2, uncapped._2))
+    assert(capped._1.exists(p => p._1 == 1L && p._2 == 2L), capped._1)
+    // HOT HASH: 2000 byte-identical docs share every landmark hash —
+    // 1000x over dfCap = 2. Anti-join semantics: those groups drop
+    // WHOLE (no pairs among hot docs, no docFull contribution), while
+    // the (1, 2) embed pair (2 distinct docs = the cap) still reports
+    // identically. The streaming cap means no task ever buffers the
+    // 2000-doc groups — this spec OOMs under the old it.toArray form
+    // long before 100 TB would.
+    val hotPayload = Multimodal.encodeWav(
+      Multimodal.renderAudio("held drone jingle tone", rate, 2000), rate)
+    val mediaHot = (Seq(
+      (1L, Multimodal.encodeWav(clipA, rate)),
+      (2L, Multimodal.encodeWav(comp, rate))) ++
+      (100L until 2100L).map(i => (i, hotPayload))).toDF("doc_id", "payload")
+    val (hp, hd) = Multimodal.audioLandmarkPairs(mediaHot, minLandmarks = 8,
+      dfCap = 2, graft.operators.WavCodec)
+    val hotPairs = hp.collect().map(r => (r.getAs[Long]("doc_a"),
+      r.getAs[Long]("doc_b"), r.getAs[Int]("offset_frames"),
+      r.getAs[Long]("n_matched"))).toSet
+    val hotDocs = hd.collect().map(_.getAs[Long]("doc_id")).toSet
+    graft.Pins.release()
+    assert(!hotPairs.exists(p => p._1 >= 100L || p._2 >= 100L), hotPairs.size)
+    assert(!hotDocs.exists(_ >= 100L), hotDocs.size)
+    assert(hotPairs.exists(p => p._1 == 1L && p._2 == 2L), hotPairs)
+  }
+
   test("q206 scrub: planted NON-ALIGNED embed cut; re-probe clean; clean doc untouched") {
     val rate = Multimodal.AudioRate
     val clipA = Multimodal.renderAudio("alpha beta gamma tokens", rate, 2000)
