@@ -236,10 +236,16 @@ object ClusterIndex {
       // sees batch grams on the stored side too
       val pB = gB.filter(col("pref"))
       val pOld = gOld.filter(col("pref"))
+      // persisted (r20): edgesFrom's verification consumes the
+      // candidate pairs three times (two semi-join prunes + the verify
+      // join) — unpersisted, the three-way PPJoin union re-ran per
+      // consumer (the fit path already persists its cands for the same
+      // reason). Two longs per row; released in the finally below.
       val cands = ppCandidates(pB, pB, t)
         .unionAll(ppCandidates(pB, pOld, t))
         .unionAll(ppCandidates(pOld, pB, t))
         .distinct()
+        .persist(lvl)
       val gAll = gOld.select(col("doc_id"), col("g"))
         .unionAll(gBNew.select(col("doc_id"), col("g")))
       val newEdges = edgesFrom(gAll, cands, bMembers, t)
@@ -253,6 +259,8 @@ object ClusterIndex {
         // fully before the write drops the old files (Ckpt: honors the
         // reliable-checkpoint seam like every other lineage cut)
         .transform(Ckpt.cut(_))
+      // the eager cut above is the last consumer of the candidate pairs
+      cands.unpersist(blocking = false)
       // write order = crash-window analysis: grams (idempotent via
       // gBNew) → labels (overwrite, recomputable while digests absent)
       // → meta (advisory counter) → digests (the commit record; once

@@ -302,10 +302,19 @@ object Dedup {
       .filter(col("edit_sim") >= simFloor)
       .select(col("doc_a"), col("doc_b"), col("dist"), col("edit_sim"))
     // dist/edit_sim are symmetric, so the least/greatest id swap in
-    // the expansion carries them unchanged
-    expandPairs(verified, members, Seq("dist", "edit_sim"))
-      .unionAll(withinCliquePairs(members, g,
-        Seq(lit(0L).as("dist"), lit(1.0).as("edit_sim"))))
+    // the expansion carries them unchanged.
+    // PINNED before the global sort (r20): the final orderBy's range
+    // partitioner SAMPLES its child, and the child here is the DP
+    // pipeline behind broadcast joins only — no shuffle boundary — so
+    // the whole Levenshtein stage executed TWICE, once for the sample
+    // pass and once for the real exchange (StageProbe r20: two
+    // byte-identical ~54 s stages both reading the same 60 KB of
+    // candidate shuffle). The pin is pair-sized; the sample pass
+    // populates it and the sort re-reads it.
+    graft.Pins.pin(
+      expandPairs(verified, members, Seq("dist", "edit_sim"))
+        .unionAll(withinCliquePairs(members, g,
+          Seq(lit(0L).as("dist"), lit(1.0).as("edit_sim")))))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -1243,7 +1252,13 @@ object Dedup {
     // drops it once the plan's RDDs are unreferenced.
     val g = shingles(reps)
       .transform(graft.Pins.pin)
-    val repPairs = verifyJaccard(g, minhashCandidates(g, MinhashJaccardThreshold))
+    // candidates pinned (r20): verifyJaccard references them THREE
+    // times (two semi-join prunes + the verification join) — the
+    // jaccardRepPairs discipline; unpinned, the banding self-join and
+    // the 64-hash signature aggregation replayed per consumer
+    val repPairs = verifyJaccard(g,
+        minhashCandidates(g, MinhashJaccardThreshold)
+          .transform(graft.Pins.pin))
       .filter(col("jaccard") > MinhashJaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     // cross-clique pairs inherit the rep pair's exact jaccard (identical
@@ -1301,6 +1316,13 @@ object Dedup {
         col("b.n") >= lit(t) * col("a.n"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      // pinned (r20): verifyJaccard references the candidate pairs
+      // THREE times (two semi-join prunes + the verification join) —
+      // the jaccardRepPairs discipline this operator had missed;
+      // unpinned, the test×train band join re-ran per consumer
+      // (StageProbe r20: three identical ~10 s stages each writing the
+      // same 84 KB candidate exchange). Two longs per row.
+      .transform(graft.Pins.pin)
     // ordered expansion (test side × train side), no least/greatest:
     // both directions of a cross-clique pair are distinct leak reports
     verifyJaccard(g, candidates)
@@ -1340,7 +1362,11 @@ object Dedup {
     // exact-dup collapse (see [[exactReps]]): a clique of N identical
     // docs is ONE banding row instead of N quadratically-colliding ones
     val (reps, members) = exactReps(documents)
-    val sh = simhash(reps)
+    // pinned (r20): the banding self-join references the fingerprint
+    // frame on BOTH sides and withinCliquePairs reads it again as the
+    // eligible-rep set — unpinned, the token-explode + 64-column
+    // conditional-sum aggregation replayed three times per run
+    val sh = graft.Pins.pin(simhash(reps))
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("band"),

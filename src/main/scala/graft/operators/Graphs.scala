@@ -51,6 +51,33 @@ object Graphs {
   private def bc(df: DataFrame, use: Boolean): DataFrame =
     if (use) broadcast(df) else df
 
+  /** Right-size a frame that the round loop will READ `iters` times
+    * from cache (r20, guide §2.2 "fewer, larger map tasks"): edge
+    * derivations come out of their unions/joins with 100+ partitions
+    * whose per-round read cost is pure fixed task overhead (q154
+    * StageProbe: ~9 s of task time per round over ~100 tiny tasks and
+    * 150 KB of cached rows). Coalesce — narrow, no exchange — to the
+    * scheduler's parallelism: scale-adaptive (defaultParallelism is
+    * the executor core total on a cluster), never below the source's
+    * own partition count for big inputs (coalesce to a LARGER number
+    * is a no-op). Only used on the broadcast-mode read path — the
+    * co-partitioned mode repartitions by join key instead, which
+    * already sizes to spark.sql.shuffle.partitions. */
+  private def sized(df: DataFrame): DataFrame =
+    df.coalesce(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Partition target for the per-round CACHE READS in broadcast mode
+    * (r20, guide §2.2 "fewer, larger map tasks"): ~2M rows (~64 MB of
+    * two/three-long rows) per task, floor 1 — measured from the pinned
+    * frame's own row count, so the sizing is scale-adaptive, not a
+    * local-core constant: a domain graph reads as a handful of tasks
+    * per round instead of `iters × partitions` fixed-overhead slots; a
+    * 10^10-edge graph still gets thousands. Broadcast mode only — the
+    * co-partitioned path's frames are hash-partitioned by join key and
+    * a coalesce would destroy that distribution. */
+  private def roundSlices(rows: Long): Int =
+    math.max(1L, (rows + 1999999L) / 2000000L).toInt
+
   /** Fixed-iteration damped PageRank over a directed edge list
     * (src, dst). Every node must appear as a src (no dangling mass —
     * the q154 edge derivation guarantees it by construction); dangling
@@ -73,7 +100,7 @@ object Graphs {
     // more — unpinned, the caller's whole edge derivation (q154:
     // URL-normalize + chain join) replayed ~3× before any round ran
     // (r19, guide §2.4).
-    val e0 = graft.Pins.pin(edges.select(col("src"), col("dst")))
+    val e0 = graft.Pins.pin(sized(edges.select(col("src"), col("dst"))))
     val nodes = graft.Pins.pin(e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node"))).distinct())
     val nNodes = nodes.count()
@@ -91,13 +118,32 @@ object Graphs {
     val outdeg = eBase.groupBy(col("src")).agg(count(lit(1)).as("od"))
     val eod = graft.Pins.pin(eBase.join(bc(outdeg, useBcast), "src")
       .select(col("src"), col("dst"), col("od")))
+    // per-round read parallelism from MEASURED row counts (broadcast
+    // mode only — see roundSlices): e0 is already materialized by the
+    // nodes derivation, so the edge count is a cache-read job
+    val (eodR, nodesR) =
+      if (useBcast)
+        (eod.coalesce(roundSlices(e0.count())),
+          nodes.coalesce(roundSlices(nNodes)))
+      else (eod, nodes)
     val n = nNodes.toDouble
-    var ranks = nodes
-      .select(col("node"), (lit(1.0) / lit(n)).as("pr"))
-      .transform(Ckpt.cut(_))
+    // LAZY cuts in broadcast mode (r20, the Dedup.clusters discipline):
+    // each round consumes the previous ranks exactly ONCE, through a
+    // broadcast whose collect job materializes the lazily-marked
+    // checkpoint as a side effect — so a round is ONE job instead of
+    // [checkpoint job + broadcast job] (q154 StageProbe: 55 jobs → 35,
+    // most of the removed ones sub-100 ms scheduling overhead that
+    // still cost a job boundary each). The plan stays flat either way:
+    // localCheckpoint truncates the logical plan at call time, only
+    // the block write is deferred. Co-partitioned mode keeps EAGER
+    // cuts — there the next round reads the frame through exchanges,
+    // where deferred materialization would race two consumers into
+    // computing the same checkpoint RDD.
+    def cutR(df: DataFrame): DataFrame = Ckpt.cut(df, eager = !useBcast)
+    var ranks = cutR(nodes
+      .select(col("node"), (lit(1.0) / lit(n)).as("pr")))
     for (_ <- 1 to iters)
-      ranks = pagerankRound(eod, nodes, n, ranks, alpha, useBcast)
-        .transform(Ckpt.cut(_))
+      ranks = cutR(pagerankRound(eodR, nodesR, n, ranks, alpha, useBcast))
     ranks
   }
 
@@ -106,23 +152,32 @@ object Graphs {
     * localCheckpoint erases plans before a spec could read them).
     * `eod` carries (src, dst, od) — the out-degree pre-joined once at
     * fit time; `n` is the node count (already collected by the
-    * broadcast guard). Arithmetic is unchanged per row: identical
-    * IEEE divide/multiply/floor per term, identical integer sum. */
+    * broadcast guard).
+    *
+    * r20 round shape (guide §2.4): the floor-scaled contribution terms
+    * UNION a zero row per node and ONE aggregation produces the next
+    * rank frame directly — the old shape aggregated contributions
+    * first, then re-attached missing nodes with a second broadcast (or
+    * co-partitioned) left-outer join, i.e. two broadcasts + a join per
+    * round for what one map-side-combined exchange expresses. The sum
+    * is unchanged: long addition is order-free and the zero row is the
+    * join's old coalesce(s, 0) — nodes with no in-edges get s = 0,
+    * everyone else the identical integer sum; the damping expression
+    * is byte-identical → bit-identical ranks by induction (oracle
+    * hash-exact confirms). */
   private[graft] def pagerankRound(eod: DataFrame, nodes: DataFrame,
       n: Double, ranks: DataFrame,
       alpha: Double, useBcast: Boolean): DataFrame = {
-    val contrib = eod
+    val terms = eod
       .join(bc(ranks.withColumnRenamed("node", "src"), useBcast), "src")
       .select(col("dst").as("node"),
         floor(col("pr") / col("od").cast("double") * lit(1.0e12))
           .cast("long").as("c"))
+    terms.unionByName(nodes.select(col("node"), lit(0L).as("c")))
       .groupBy(col("node")).agg(sum(col("c")).as("s"))
-    nodes
-      .join(bc(contrib, useBcast), Seq("node"), "left_outer")
       .select(col("node"),
         (lit((1.0 - alpha) / n) +
-          lit(alpha) * (coalesce(col("s"), lit(0L)).cast("double") /
-            lit(1.0e12))).as("pr"))
+          lit(alpha) * (col("s").cast("double") / lit(1.0e12))).as("pr"))
   }
 
   /** The crawl-chain domain edge list shared by q154 and q165: each
@@ -188,7 +243,7 @@ object Graphs {
     // references it twice, and without the pin the caller's whole edge
     // derivation (q165: URL-normalize + chain join) replays for the
     // reversed branch (r19, guide §2.4)
-    val ein = graft.Pins.pin(edges.select(col("src"), col("dst")))
+    val ein = graft.Pins.pin(sized(edges.select(col("src"), col("dst"))))
     // e0 pinned too (the q154 prelude discipline): nodes and the
     // per-round edge frame both reference it, and in broadcast mode e
     // IS e0 instead of a second identical pinned copy
@@ -197,30 +252,37 @@ object Graphs {
       .distinct())
     val nodes = graft.Pins.pin(e0.select(col("src").as("node")).distinct())
     val useBcast = nodes.count() <= broadcastNodeLimit
-    val e = if (useBcast) e0 else graft.Pins.pin(e0.repartition(col("src")))
-    var labels = nodes.withColumn("lbl", col("node"))
-      .transform(Ckpt.cut(_))
+    // per-round read parallelism from the measured edge count in
+    // broadcast mode (roundSlices); co-partitioned mode keeps the
+    // src-hash layout untouched
+    val e = if (useBcast) e0.coalesce(roundSlices(e0.count()))
+      else graft.Pins.pin(e0.repartition(col("src")))
+    // lazy cuts in broadcast mode — the pagerank cutR reasoning: each
+    // round consumes the previous labels once, via the broadcast whose
+    // collect materializes the deferred checkpoint
+    def cutR(df: DataFrame): DataFrame = Ckpt.cut(df, eager = !useBcast)
+    var labels = cutR(nodes.withColumn("lbl", col("node")))
     for (_ <- 1 to iters) {
-      // nl persisted per round: the argmax consumes it TWICE (the mx
-      // rollup and the join below) — unpersisted, the round's edge ⋈
-      // labels join + count ran twice, i.e. two full edge passes per
-      // round instead of one (r19, guide §2.4). Node-label-sized.
-      // DIRECT persist + same-round unpersist (r20, ADVICE): the cut
-      // below is EAGER, so once the round's labels are checkpointed
-      // nothing re-reads nl — holding all `iters` round frames in the
-      // CacheManager until the query-end Pins.release() only inflates
-      // peak storage memory in a long-lived session.
-      val nl = e
+      // r20 argmax shape (guide §2.4): the tie rule "max count, then
+      // min label" is ONE window max over the (dst, lbl) counts plus a
+      // filter and a min — the old shape materialized the counts
+      // (persist), rolled the per-dst max into a separate frame, and
+      // re-attached it with a broadcast join, i.e. an extra exchange +
+      // broadcast + a round-lifetime persist per round. The window
+      // re-uses the count aggregation's dst-side partitioning
+      // requirement (one exchange by dst serves window AND final
+      // aggregate), the counts stream through it once, and the max/
+      // filter/min algebra is unchanged → identical labels (integer
+      // counts, deterministic tie-break; oracle hash-exact).
+      val wDst = org.apache.spark.sql.expressions.Window.partitionBy(col("dst"))
+      labels = e
         .join(bc(labels.withColumnRenamed("node", "src"), useBcast), "src")
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val mx = nl.groupBy(col("dst")).agg(max(col("cnt")).as("mc"))
-      labels = nl.join(bc(mx, useBcast), "dst")
+        .withColumn("mc", max(col("cnt")).over(wDst))
         .filter(col("cnt") === col("mc"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("lbl"))
         .withColumnRenamed("dst", "node")
-        .transform(Ckpt.cut(_))
-      nl.unpersist(blocking = false)
+        .transform(cutR)
     }
     labels
   }
@@ -359,7 +421,8 @@ object Graphs {
     // union both orientations of a single PINNED subtree instead (the
     // union references fwd twice; the distinct that follows makes the
     // two forms row-identical)
-    val fwd = graft.Pins.pin(crawlEdges(documents).select(col("src"), col("dst")))
+    val fwd = graft.Pins.pin(
+      sized(crawlEdges(documents).select(col("src"), col("dst"))))
     // e0 pinned too (the q154 prelude discipline): nodes and the
     // per-round edge frame both reference it, and in broadcast mode e
     // IS e0 instead of a second identical pinned copy
@@ -368,17 +431,23 @@ object Graphs {
       .distinct())
     val nodes = graft.Pins.pin(e0.select(col("src").as("node")).distinct())
     val useBcast = nodes.count() <= broadcastNodeLimit
-    val e = if (useBcast) e0 else graft.Pins.pin(e0.repartition(col("src")))
+    // measured per-round read parallelism in broadcast mode (roundSlices)
+    val e = if (useBcast) e0.coalesce(roundSlices(e0.count()))
+      else graft.Pins.pin(e0.repartition(col("src")))
     val seed = e.agg(min(col("src")).as("node"))
-    var dist = broadcast(seed).withColumn("dist", lit(0L))
-      .transform(Ckpt.cut(_))
+    // lazy cuts in broadcast mode (the pagerank cutR reasoning). dist
+    // has TWO consumers per round, but the broadcast side is a stage
+    // DEPENDENCY of the union side's stage — the bc collect
+    // materializes the deferred checkpoint blocks before the union
+    // reads them, so the round still computes dist exactly once.
+    def cutR(df: DataFrame): DataFrame = Ckpt.cut(df, eager = !useBcast)
+    var dist = cutR(broadcast(seed).withColumn("dist", lit(0L)))
     for (_ <- 1 to hops) {
       val relax = e
         .join(bc(dist.withColumnRenamed("node", "src"), useBcast), "src")
         .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
-      dist = dist.unionByName(relax)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .transform(Ckpt.cut(_))
+      dist = cutR(dist.unionByName(relax)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist")))
     }
     dist.select(col("node").as("domain"), col("dist").as("hop"))
       .orderBy(col("domain"))
@@ -435,12 +504,19 @@ object Graphs {
     val e0 = graft.Pins.pin(edges.select(col("src"), col("dst")).distinct())
     val nodes = graft.Pins.pin(e0.select(col("src").as("node"))
       .unionByName(e0.select(col("dst").as("node"))).distinct())
-    val useBcast = nodes.count() <= broadcastNodeLimit
+    val nNodes = nodes.count()
+    val useBcast = nNodes <= broadcastNodeLimit
+    // measured per-half-round read parallelism in broadcast mode
+    // (roundSlices): both the edge frame and the union's node side are
+    // read 2·iters times from cache
     val eBySrc =
-      if (useBcast) e0 else graft.Pins.pin(e0.repartition(col("src")))
+      if (useBcast) e0.coalesce(roundSlices(e0.count()))
+      else graft.Pins.pin(e0.repartition(col("src")))
     val eByDst =
       if (useBcast) eBySrc
       else graft.Pins.pin(e0.repartition(col("dst")))
+    val nodesR =
+      if (useBcast) nodes.coalesce(roundSlices(nNodes)) else nodes
     var hub = nodes.withColumn("h", lit(scale)).transform(Ckpt.cut(_))
     var auth = nodes.withColumn("a", lit(scale)).transform(Ckpt.cut(_))
     // one half-round: raw(n) = Σ over `joinKey` edges of the opposite
@@ -448,23 +524,34 @@ object Graphs {
     def half(scores: DataFrame, scoreCol: String, joinKey: String,
              outKey: String, outCol: String): DataFrame = {
       val e = if (joinKey == "src") eBySrc else eByDst
-      // raw persisted per half-round: the renormalization total and the
-      // node join both consume it — unpersisted, the edge ⋈ scores join
-      // ran twice per half-round (r19, guide §2.4). Node-sized. Direct
-      // persist + same-half-round unpersist after the eager cut (r20,
-      // ADVICE — the labelProp `nl` reasoning): only the CURRENT
-      // half-round's frame is ever re-read, so 2·iters accumulated
-      // pins were pure storage-memory pressure.
+      // r20 half-round shape (guide §2.4, the pagerankRound union
+      // form): the edge-side score terms UNION a zero row per node and
+      // ONE aggregation yields every node's raw sum directly — the old
+      // shape aggregated edge sums first and re-attached missing nodes
+      // with a node ⋈ raw left-outer join (a second broadcast per
+      // half-round). Long addition is order-free and the zero row is
+      // the old coalesce(raw, 0), so every raw value is the identical
+      // integer — and the renormalize expression is unchanged →
+      // bit-identical scores by induction (oracle hash-exact).
+      // raw persisted per half-round: the renormalization total and
+      // the projection both consume it — unpersisted, the edge ⋈
+      // scores join ran twice per half-round (r19, guide §2.4).
+      // Node-sized; direct persist + same-half-round unpersist after
+      // the eager cut (r20, ADVICE): only the CURRENT half-round's
+      // frame is ever re-read, so 2·iters accumulated pins were pure
+      // storage-memory pressure.
       val raw = e
         .join(bc(scores.withColumnRenamed("node", joinKey), useBcast), joinKey)
-        .groupBy(col(outKey).as("node"))
-        .agg(sum(col(scoreCol)).as("raw"))
+        .select(col(outKey).as("node"), col(scoreCol).as("v"))
+        .unionByName(nodesR.select(col("node"), lit(0L).as("v")))
+        .groupBy(col("node"))
+        .agg(sum(col("v")).as("raw"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tot = raw.agg(sum(col("raw")).as("t"))
-      val out = nodes.join(bc(raw, useBcast), Seq("node"), "left_outer")
+      val out = raw
         .crossJoin(broadcast(tot))
         .select(col("node"),
-          coalesce(expr(s"(coalesce(raw, 0L) * $scale) div t"), lit(0L))
+          coalesce(expr(s"(raw * $scale) div t"), lit(0L))
             .as(outCol))
         .transform(Ckpt.cut(_))
       raw.unpersist(blocking = false)
