@@ -495,6 +495,13 @@ object Multimodal {
         }
       }
       .toDF()
+    // PINNED before the final orderBy (r20): the global sort's range
+    // partitioner SAMPLES its child, and with no shuffle boundary in
+    // between the sample pass re-executed the whole codec pipeline —
+    // StageProbe: two near-identical heavy stages reading the same
+    // upstream exchange, one sample (no shuffle write) + one real.
+    // The pin materializes once; the sort re-reads it.
+      .transform(graft.Pins.pin)
       .orderBy(col("doc_id"))
   }
 
@@ -527,6 +534,9 @@ object Multimodal {
         })
       }
       .toDF()
+      // pinned before the final orderBy (r20): see the q51 note — the
+      // range sampling re-executed the codec stage
+      .transform(graft.Pins.pin)
       .orderBy(col("doc_id"))
   }
 
@@ -603,6 +613,8 @@ object Multimodal {
         })
       }
       .toDF()
+      // pinned before the final orderBy (r20): see the q51 note
+      .transform(graft.Pins.pin)
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
@@ -802,6 +814,8 @@ object Multimodal {
         })
       }
       .toDF()
+      // pinned before the final orderBy (r20): see the q51 note
+      .transform(graft.Pins.pin)
       .orderBy(col("doc_id"), col("win_idx"))
   }
 
@@ -1606,6 +1620,9 @@ object Multimodal {
     members.join(repOut, "rep")
       .select(col("doc_id"), col("payload"), col("n_samples"),
         col("cut_samples"), col("out_samples"))
+      // pinned before the final orderBy (r20): see the q51 note — the
+      // sample pass re-ran the decode→cut→re-encode walk
+      .transform(graft.Pins.pin)
       .orderBy(col("doc_id"))
   }
 
@@ -2069,6 +2086,8 @@ object Multimodal {
     members.join(repOut, "rep")
       .select(col("doc_id"), col("payload"), col("w"), col("h"),
         col("n_px"), col("cut_px"))
+      // pinned before the final orderBy (r20): see the q51 note
+      .transform(graft.Pins.pin)
       .orderBy(col("doc_id"))
   }
 
@@ -2455,6 +2474,8 @@ object Multimodal {
     members.join(repOut, "rep")
       .select(col("doc_id"), col("payload"), col("n_frames"),
         col("cut_frames"), col("out_frames"))
+      // pinned before the final orderBy (r20): see the q51 note
+      .transform(graft.Pins.pin)
       .orderBy(col("doc_id"))
   }
 

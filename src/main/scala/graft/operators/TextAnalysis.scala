@@ -866,11 +866,22 @@ object TextAnalysis {
       .repartition(col("doc_id"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       .transform(graft.Pins.pin)
-    val top = dt.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
-      .orderBy(col("cnt").desc, col("tok")).limit(vocab)
-      .select(col("tok"))
-    val vdt = dt.join(broadcast(top), "tok").select(col("doc_id"), col("tok"))
-    val docFreq = vdt.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    // pinned (r20): the tiny invariant frames were re-DERIVED from the
+    // token cache once per consumer — `top` feeds vdt's broadcast in
+    // two subtrees, `vdt` feeds docFreq and the pair explosion, and
+    // docFreq is broadcast twice (tok_a / tok_b sides) — StageProbe:
+    // five near-identical multi-second dt-cache-read aggregation
+    // stages per run. All three are vocab- or doc×vocab-sized; the
+    // top-k limit is deterministic (cnt desc, tok tie-break), so
+    // caching cannot change the selected set.
+    val top = graft.Pins.pin(
+      dt.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(vocab)
+        .select(col("tok")))
+    val vdt = graft.Pins.pin(
+      dt.join(broadcast(top), "tok").select(col("doc_id"), col("tok")))
+    val docFreq = graft.Pins.pin(
+      vdt.groupBy(col("tok")).agg(count(lit(1)).as("c")))
     val nDocs = documents.agg(count(lit(1)).as("d"))
     val ts = col("ts")
     val pairArr = flatten(transform(ts, (a, i) =>
