@@ -1500,25 +1500,20 @@ object Dedup {
     * Guarded divides (empty side → null, mirrored CASE in the
     * oracle); all counts exact longs → hash-exact. */
   def q184(documents: DataFrame, w: Int = 4, minShared: Int = 2): DataFrame = {
-    // r20 (guide §5 memory): the two sub-evaluations run SEQUENTIALLY,
-    // each released before the other starts. Lazily composed, q41's
-    // pinned shingle+prefix+candidate frames and q162's pinned
-    // minimizer stream were all live at once under the full-outer
-    // join — double the corpus-sized storage footprint for a query
-    // whose two sides never share a frame. That memory pressure made
-    // q184 the suite's variance champion (r19: 4.85 vs 9.2 s reads,
-    // anti-correlated with q41 across runs). Each side reduces to a
-    // pair-id list before the cut, so the checkpoint is pair-sized;
-    // results are identical — the cut is semantically transparent and
-    // releasing a pin only ever costs recompute, which the eager cut
-    // has already made impossible here.
-    val exact = Ckpt.cut(q41(documents).select(col("doc_a"), col("doc_b")))
+    // r20 experiment, measured and REJECTED (the parallelismFirst
+    // discipline): sequencing the two sub-evaluations (eager cut +
+    // pin release between them) bounds peak pinned memory to one
+    // corpus-sized set — the r19 bimodality hypothesis — but COSTS
+    // ~1.6 s at sf0.1 (idle-box A/B, median-of-3 ×2 each: sequenced
+    // 9.0/9.2 vs lazy 7.4/7.3): the sides' stages stop overlapping on
+    // the scheduler and the eager cut pays q41's terminal global sort,
+    // which Catalyst eliminates under this lazy join. A scale-safe
+    // memory fix needs scoped pin release without a scheduling
+    // barrier (per-owner pin groups), not a checkpoint.
+    val exact = q41(documents).select(col("doc_a"), col("doc_b"))
       .withColumn("in_exact", lit(true))
-    graft.Pins.release()
-    val sketch = Ckpt.cut(
-      q162(documents, w, minShared).select(col("doc_a"), col("doc_b")))
+    val sketch = q162(documents, w, minShared).select(col("doc_a"), col("doc_b"))
       .withColumn("in_sketch", lit(true))
-    graft.Pins.release()
     exact.join(sketch, Seq("doc_a", "doc_b"), "full_outer")
       .agg(
         sum(when(col("in_exact"), 1L).otherwise(0L)).cast("long").as("n_exact"),
